@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's scale-oriented defaults.
+  *
+  * Design posture (SURVEY §7.1, §7.5 "100 TB design posture"): everything
+  * here is a *scale* knob, not a correctness knob — AQE for runtime
+  * re-planning (partition coalescing, skew-join splitting), a bounded
+  * broadcast threshold so dimension tables broadcast but fact tables never
+  * do, and a shuffle-partition count sized to the local harness (on a real
+  * cluster this would be `spark.sql.shuffle.partitions` ≈ 2–3× total cores,
+  * or left to AQE's coalescing).
+  */
+object Engine {
+
+  /** Apply engine defaults to a builder; caller picks master/app. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Deterministic µs timestamps in written parquet (oracle compares at µs).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // Dimension-table scans are tiny; don't let tiny files fragment tasks.
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(
+      SparkSession.builder().master(s"local[$cores]").appName("graft"),
+      shufflePartitions = math.max(cores, 4)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,10 @@
+package graft.queries
+
+/** The full declared query inventory (SURVEY §2.13 + extensions).
+  * `SparkEntry` derives its `queries`/`oracleSql` maps from `all`. */
+object Inventory {
+  def all: Seq[Query] =
+    RelationalQueries.all
+
+  def byName: Map[String, Query] = all.map(q => q.name -> q).toMap
+}
