@@ -25,6 +25,8 @@ object Engine {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       // Deterministic µs timestamps in written parquet (oracle compares at µs).
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // events.ts is TIMESTAMP(NANOS): surface as long, converted in Tables.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Dimension-table scans are tiny; don't let tiny files fragment tasks.
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
 

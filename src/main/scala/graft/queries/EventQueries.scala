@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+import graft.sources.Tables._
+import graft.operators.Scoring
+import Hygiene._
+
+/** SURVEY §2.13 Q11–Q13: scalar-function battery, time bucketing, and the
+  * reference's EMA fold (R8) in closed form over the `events` table.
+  *
+  * Cross-engine notes (mirrored in each oracle):
+  *  - DuckDB `year/day/hour/length` return BIGINT where Spark returns INT →
+  *    explicit casts on both sides.
+  *  - DuckDB `log` is log10, Spark's is ln → oracle uses `ln`.
+  *  - `floor` returns DOUBLE in DuckDB → cast BIGINT both sides.
+  *  - Transcendentals (sqrt/ln/pow) rounded to 6 decimals on both sides.
+  */
+object EventQueries {
+
+  // --- Q11: scalar function battery (string/json/date/math/array HOF)
+  val q11 = Query(
+    "q11_scalar_battery",
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+             upper(event_type) AS et_upper,
+             substr(event_type, 1, 3) AS et_sub,
+             CAST(length(event_type) AS INT) AS et_len,
+             event_type || '_' || CAST(user_id AS VARCHAR) AS et_user,
+             regexp_extract(props, '"k": ([0-9]+)', 1) AS k_rx,
+             strftime(ts, '%Y-%m-%d') AS ev_date,
+             CAST(year(ts) AS INT) AS ev_year,
+             CAST(day(ts) AS INT) AS ev_day,
+             CAST(hour(ts) AS INT) AS ev_hour,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ev_epoch,
+             abs(value) AS v_abs,
+             CAST(floor(value) AS BIGINT) AS v_floor,
+             CAST(ceil(value) AS BIGINT) AS v_ceil,
+             round(sqrt(abs(value)), 6) AS v_sqrt,
+             round(ln(abs(value) + 1), 6) AS v_ln,
+             round(pow(abs(value), 0.3), 6) AS v_pow,
+             event_id % 7 AS id_mod,
+             round(list_sum([value, value * 2, value * 3]), 6) AS v_arrsum
+      FROM events
+      ORDER BY event_id""")
+  ) { (s, d) =>
+    events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"),
+      upper(col("event_type")).as("et_upper"),
+      substring(col("event_type"), 1, 3).as("et_sub"),
+      length(col("event_type")).as("et_len"),
+      concat(col("event_type"), lit("_"), col("user_id").cast("string")).as("et_user"),
+      regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).as("k_rx"),
+      date_format(col("ts"), "yyyy-MM-dd").as("ev_date"),
+      year(col("ts")).as("ev_year"),
+      dayofmonth(col("ts")).as("ev_day"),
+      hour(col("ts")).as("ev_hour"),
+      unix_timestamp(col("ts")).as("ev_epoch"),
+      abs(col("value")).as("v_abs"),
+      floor(col("value")).as("v_floor"),
+      ceil(col("value")).as("v_ceil"),
+      round(sqrt(abs(col("value"))), 6).as("v_sqrt"),
+      round(log(abs(col("value")) + 1), 6).as("v_ln"),
+      round(pow(abs(col("value")), 0.3), 6).as("v_pow"),
+      (col("event_id") % 7).as("id_mod"),
+      round(aggregate(
+        array(col("value"), col("value") * 2, col("value") * 3),
+        lit(0.0), (acc, x) => acc + x), 6).as("v_arrsum"))
+      .orderBy("event_id")
+  }
+
+  // --- Q12: tumbling time buckets (batch formulation of §2.10 windows)
+  val q12 = Query(
+    "q12_time_buckets",
+    Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value,
+             min(value) AS min_value,
+             max(value) AS max_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY bucket, event_type""")
+  ) { (s, d) =>
+    events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("sum_value"),
+        (dsum(col("value"), 2) / count(lit(1))).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  // --- Q13: per-key EMA replay, closed form (SURVEY R8;
+  // /root/reference/neurons/validator.py:109-110,146 — α=0.9)
+  val q13 = Query(
+    "q13_ema_replay",
+    Some("""
+      WITH o AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events)
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(CASE WHEN rn = 1 THEN POW(0.9, n - 1) * value
+                            ELSE 0.1 * POW(0.9, n - rn) * value END), 6) AS ema
+      FROM o
+      GROUP BY user_id
+      ORDER BY user_id""")
+  ) { (s, d) =>
+    Scoring.emaClosedForm(events(s, d), "user_id", "value", 0.9,
+        col("ts"), col("event_id"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Query] = Seq(q11, q12, q13)
+}

@@ -4,7 +4,7 @@ package graft.queries
   * `SparkEntry` derives its `queries`/`oracleSql` maps from `all`. */
 object Inventory {
   def all: Seq[Query] =
-    RelationalQueries.all
+    RelationalQueries.all ++ EventQueries.all ++ PipelineQueries.all
 
   def byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 }
