@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-pipeline column builders (dedup / text-analysis suites).
+  *
+  * Everything here is built-in Catalyst expressions (codegen'd, no UDFs) and
+  * has an exact DuckDB mirror, noted per function — the dedup oracles depend
+  * on both engines computing identical strings/hashes. Seeded md5 is the
+  * cross-engine hash primitive: both engines produce identical hex, and hex
+  * strings order identically, so `min(md5(...))` is a portable MinHash.
+  */
+object TextFunctions {
+
+  /** Canonical text normalization: lowercase, trim, collapse whitespace.
+    * DuckDB mirror: `lower(trim(regexp_replace(text, '\s+', ' ', 'g')))`
+    * (Spark's regexp_replace is global by default; DuckDB needs 'g'). */
+  def normText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Whitespace tokens of normalized text. Mirror: `string_split(t, ' ')`. */
+  def words(norm: Column): Column = split(norm, " ")
+
+  /** Distinct word k-shingles joined by spaces.
+    * Mirror: `list_distinct(list_transform(range(1, len(ws) - k + 2),
+    *   j -> array_to_string(ws[j:j+k-1], ' ')))`. */
+  def shingles(ws: Column, k: Int): Column =
+    // Guarded: Spark sequence(1, n) with n < 1 generates a DESCENDING
+    // sequence, not an empty one.
+    when(size(ws) >= k,
+      array_distinct(transform(
+        sequence(lit(1), size(ws) - (k - 1)),
+        j => array_join(slice(ws, j, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** The i-th MinHash of an exploded shingle column (aggregate): seeded
+    * md5, min by lexicographic hex order.
+    * Mirror: `min(md5(CAST(i AS VARCHAR) || '|' || s))`. */
+  def minhash(i: Int, shingle: Column): Column =
+    min(md5(concat(lit(i.toString), lit("|"), shingle)))
+
+  /** Bit `j` (0-based, 0..15) of the first 16 bits of md5(`wordSql`), as a
+    * SQL fragment valid in BOTH Spark SQL and DuckDB:
+    * nibble = instr('0123456789abcdef', substr(md5(w), floor(j/4)+1, 1)) - 1;
+    * bit    = floor(nibble / 2^(3 - j%4)) % 2.
+    * NOTE: every double→int conversion goes through floor() first — DuckDB
+    * CAST(double AS INT) *rounds* while Spark truncates. */
+  def md5BitSql(wordSql: String, jSql: String): String =
+    s"""CAST(floor(
+       |  (instr('0123456789abcdef', substr(md5($wordSql), CAST(floor(($jSql) / 4) AS INT) + 1, 1)) - 1)
+       |  / pow(2, 3 - (($jSql) % 4))) AS INT) % 2""".stripMargin
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication family (north-star extension, SURVEY §2.12):
+  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * 100 TB design notes:
+  *  - Exact dedup is one hash-shuffle on md5(norm) — the canonical
+  *    `groupBy` pattern; no driver-side state.
+  *  - MinHash-LSH never materializes the O(n²) pair space: the only join is
+  *    band-bucket equality (each side ~n·BANDS rows), so candidate volume
+  *    is data-driven. Signatures are 8 seeded-md5 mins computed in one
+  *    partial-aggregating pass over exploded shingles.
+  *  - SimHash is a single explode + two-level aggregation; collision
+  *    buckets come from a window over the 16-bit signature.
+  *  - n-gram Jaccard is the exact (expensive) variant, blocked by `lang` so
+  *    the shingle join stays within blocks; at scale you run MinHash first
+  *    and Jaccard only on its candidates.
+  */
+object Dedup {
+  val NumHashes = 8
+  val Bands = 4 // 2 rows per band
+
+  /** Input columns + norm, ws (words), sh (distinct 3-shingles). */
+  def prepared(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.withColumn("norm", normText(col("text")))
+      .withColumn("ws", words(col("norm")))
+      .withColumn("sh", shingles(col("ws"), k))
+
+  /** Exact dedup groups: one row per distinct normalized text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(normText(col("text"))).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_dupes"))
+
+  /** Per-doc MinHash signature: doc_id, mh0..mh7. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = prepared(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+    exploded.groupBy("doc_id")
+      .agg(minhash(0, col("s")).as("mh0"),
+        (1 until NumHashes).map(i => minhash(i, col("s")).as(s"mh$i")): _*)
+  }
+
+  /** LSH band table: doc_id, band INT, bh (band hash). */
+  def lshBands(sigs: DataFrame): DataFrame = {
+    val rowsPerBand = NumHashes / Bands
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bh"))
+  }
+
+  /** Candidate pairs sharing ≥1 LSH band, with estimated Jaccard =
+    * fraction of matching minhashes. Output: doc_a, doc_b, est_jaccard. */
+  def minhashLshCandidates(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bands = lshBands(sigs)
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
+    val sb = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sa, col("doc_a") === col("a_doc_id"))
+      .join(sb, col("doc_b") === col("b_doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / NumHashes).as("est_jaccard"))
+  }
+
+  /** 16-bit SimHash per doc over word tokens (with multiplicity), plus the
+    * collision-bucket size. Output: doc_id, simhash, n_same_hash. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokens = prepared(docs).select(col("doc_id"), explode(col("ws")).as("w"))
+    val bits = tokens.select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("bit", expr(md5BitSql("w", "j")))
+    val bitSums = bits.groupBy("doc_id", "j")
+      .agg(sum(col("bit") * 2 - 1).as("bsum"))
+    val hashes = bitSums.groupBy("doc_id")
+      .agg(sum(when(col("bsum") >= 0,
+        pow(lit(2), col("j")).cast("long")).otherwise(0L)).as("simhash"))
+    hashes.withColumn("n_same_hash",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
+  }
+
+  /** Exact n-gram Jaccard similarity for same-`lang` pairs above a
+    * threshold. Output: doc_a, doc_b, n_shared, jaccard. */
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = prepared(docs.select("doc_id", "text", "lang"))
+      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.s") === col("b.s")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(counts.toDF("doc_a", "na"), "doc_a")
+      .join(counts.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_shared", "jaccard")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+/** Dedup suite (SURVEY §2.12 + Q16): exact, MinHash-LSH, SimHash, n-gram
+  * Jaccard. Every oracle recomputes the same algorithm in DuckDB SQL —
+  * portable because the only hash primitive is md5 (identical hex in both
+  * engines) and every double→int conversion floors first.
+  */
+object DedupQueries {
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  // --- Q16: exact dedup on normalized text
+  val q16 = Query(
+    "q16_dedup_exact",
+    Some(s"""
+      SELECT md5($normSql) AS text_hash,
+             CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+             CAST(count(*) AS BIGINT) AS n_dupes
+      FROM documents
+      GROUP BY 1
+      ORDER BY keep_doc_id""")
+  ) { (s, d) =>
+    Dedup.exact(documents(s, d))
+      .select("text_hash", "keep_doc_id", "n_dupes")
+      .orderBy("keep_doc_id")
+  }
+
+  // --- X1: MinHash + LSH near-dup candidates (8 hashes, 4 bands × 2)
+  private val minhashOracle: String = {
+    val mins = (0 until Dedup.NumHashes)
+      .map(i => s"min(md5('$i' || '|' || s)) AS mh$i").mkString(",\n               ")
+    val bandSelects = (0 until Dedup.Bands).map { b =>
+      val r0 = b * 2; val r1 = r0 + 1
+      s"SELECT doc_id, $b AS band, md5(mh$r0 || mh$r1) AS bh FROM sigs"
+    }.mkString("\n        UNION ALL ")
+    val matchSum = (0 until Dedup.NumHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""
+      WITH n AS (
+        SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                 j -> array_to_string(ws[j:j+2], ' '))) AS s
+        FROM w WHERE len(ws) >= 3),
+      sigs AS (
+        SELECT doc_id,
+               $mins
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      SELECT p.doc_a, p.doc_b,
+             CAST(($matchSum) AS DOUBLE) / ${Dedup.NumHashes} AS est_jaccard
+      FROM pairs p
+      JOIN sigs sa ON p.doc_a = sa.doc_id
+      JOIN sigs sb ON p.doc_b = sb.doc_id
+      ORDER BY doc_a, doc_b"""
+  }
+
+  val x01 = Query("x01_dedup_minhash_lsh", Some(minhashOracle)) { (s, d) =>
+    Dedup.minhashLshCandidates(documents(s, d)).orderBy("doc_a", "doc_b")
+  }
+
+  // --- X2: 16-bit SimHash signatures + collision buckets
+  private val simhashOracle: String = {
+    val bit = TextFunctions.md5BitSql("w", "j")
+    s"""
+      WITH n AS (
+        SELECT doc_id, $normSql AS norm FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM n),
+      bits AS (
+        SELECT doc_id, w, j,
+               $bit AS bit
+        FROM tok, UNNEST(range(0, 16)) AS t(j)),
+      bsums AS (
+        SELECT doc_id, j, SUM(bit * 2 - 1) AS bsum
+        FROM bits GROUP BY doc_id, j),
+      hashes AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN bsum >= 0
+                 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bsums GROUP BY doc_id)
+      SELECT doc_id, simhash,
+             CAST(COUNT(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same_hash
+      FROM hashes
+      ORDER BY doc_id"""
+  }
+
+  val x02 = Query("x02_dedup_simhash", Some(simhashOracle)) { (s, d) =>
+    Dedup.simhash(documents(s, d))
+      .select("doc_id", "simhash", "n_same_hash")
+      .orderBy("doc_id")
+  }
+
+  // --- X3: exact n-gram Jaccard within lang blocks
+  private val jaccardOracle: String = s"""
+      WITH n AS (
+        SELECT doc_id, lang, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, lang, string_split(norm, ' ') AS ws FROM n),
+      sh AS (
+        SELECT DISTINCT doc_id, lang,
+               unnest(list_transform(range(1, len(ws) - 1),
+                 j -> array_to_string(ws[j:j+2], ' '))) AS s
+        FROM w WHERE len(ws) >= 3),
+      counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT doc_a, doc_b, n_shared,
+             CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) AS jaccard
+      FROM inter
+      JOIN counts ca ON doc_a = ca.doc_id
+      JOIN counts cb ON doc_b = cb.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) >= 0.1
+      ORDER BY doc_a, doc_b"""
+
+  val x03 = Query("x03_dedup_ngram_jaccard", Some(jaccardOracle)) { (s, d) =>
+    Dedup.ngramJaccard(documents(s, d), threshold = 0.1)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Query] = Seq(q16, x01, x02, x03)
+}

@@ -4,7 +4,8 @@ package graft.queries
   * `SparkEntry` derives its `queries`/`oracleSql` maps from `all`. */
 object Inventory {
   def all: Seq[Query] =
-    RelationalQueries.all ++ EventQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ EventQueries.all ++ PipelineQueries.all ++
+      DedupQueries.all
 
   def byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 }
