@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity over two `ArrayType(FloatType)` embedding columns as a
+  * native Catalyst expression with whole-stage codegen (SURVEY §4's
+  * "custom Expression with doGenCode" extension point).
+  *
+  * Why not a UDF: a Scala UDF boxes each array into `Seq[Float]` per row
+  * and breaks the WholeStageCodegen span; this expression reads the
+  * unsafe array buffers directly and emits a tight primitive loop, keeping
+  * the top-k similarity scan fully codegen'd — the difference between
+  * feasible and not at 10⁹ vectors/probe batch.
+  *
+  * Accumulates in double (float inputs), strict left-to-right — i.e. the
+  * exact same fold the `zip_with`+`aggregate` HOF formulation produces, so
+  * the two are interchangeable (property-tested in VectorFunctionsSpec).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $a.getFloat($i);
+         |  double $yi = (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column wrapper for the native expression. */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Reference formulation via built-in HOFs (same left fold; used to
+    * cross-check the native expression and as the no-custom-code path). */
+  def cosineSimHof(a: Column, b: Column): Column = {
+    def dot(u: Column, v: Column) =
+      aggregate(zip_with(u, v, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val d = dot(a, b); val na = dot(a, a); val nb = dot(b, b)
+    when(na === 0 || nb === 0, 0.0).otherwise(d / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Deterministic pseudo-random hyperplane for LSH bucketing: component d
+    * of plane j is ((1+j)*(3+d)) % 11 - 5 — reproducible in plain SQL on
+    * any engine, no RNG state. */
+  def plane(j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => (((1 + j) * (3 + d)) % 11 - 5).toDouble)
+
+  /** Sign-bit bucket id from `nBits` hyperplanes (literal arrays → the dot
+    * products stay inside codegen; no shuffle until the bucket groupBy). */
+  def lshBucket(v: Column, nBits: Int, dim: Int): Column =
+    (0 until nBits).map { j =>
+      val p = array(plane(j, dim).map(lit): _*)
+      val dotj = aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(dotj >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

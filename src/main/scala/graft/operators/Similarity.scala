@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (north-star extension,
+  * SURVEY §2.12).
+  *
+  * Two paths, same contract:
+  *  - `bruteForceTopK`: exact. The probe set is broadcast; every executor
+  *    scans its partition of the corpus computing the codegen'd cosine —
+  *    O(|corpus|·|probes|) but embarrassingly parallel and shuffle-free
+  *    until the final per-probe top-k (window over probe partitions).
+  *    Right answer at 100 TB when |probes| is small.
+  *  - `lshBucketed`: approximate scale path. Sign-bit bucketing on
+  *    deterministic hyperplanes turns the cross join into an equi-join on
+  *    bucket id — candidate volume drops from |corpus|·|probes| to
+  *    Σ_bucket |corpus_b|·|probes_b|. The IVF analogue with hash cells.
+  */
+object Similarity {
+
+  /** For each probe row, the exact top-k cosine neighbors.
+    * Output: probe_id, neighbor_id, label, cos (rounded 6). */
+  def bruteForceTopK(emb: DataFrame, probePred: Column, k: Int): DataFrame = {
+    // toDF breaks attribute lineage so the self-join isn't flagged ambiguous
+    val probes = emb.filter(probePred)
+      .select(col("vec_id"), col("embedding")).toDF("probe_id", "probe_emb")
+    val scored = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("label"),
+        cosineSim(col("probe_emb"), col("embedding")).as("cos_raw"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("label"),
+        round(col("cos_raw"), 6).as("cos"), col("rk"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates restricted to the probe's
+    * sign-bit bucket. Output: probe_id, neighbor_id, bucket, cos, rk. */
+  def lshBucketed(emb: DataFrame, probePred: Column, k: Int,
+                  nBits: Int, dim: Int): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), nBits, dim))
+    val probes = bucketed.filter(probePred)
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .toDF("probe_id", "probe_emb", "bucket")
+    val cands = bucketed
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        cosineSim(col("probe_emb"), col("embedding")).as("cos_raw"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    cands.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("bucket"),
+        round(col("cos_raw"), 6).as("cos"), col("rk"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold over all (a<b)
+    * pairs. Exact/quadratic — at scale, run `lshBucketed` first and feed
+    * only bucket-colliding pairs here. */
+  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id"), col("embedding")).toDF("vec_a", "emb_a")
+    val b = emb.select(col("vec_id"), col("embedding")).toDF("vec_b", "emb_b")
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineSim(col("emb_a"), col("emb_b")).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos"))
+  }
+}

@@ -5,7 +5,7 @@ package graft.queries
 object Inventory {
   def all: Seq[Query] =
     RelationalQueries.all ++ EventQueries.all ++ PipelineQueries.all ++
-      DedupQueries.all
+      DedupQueries.all ++ SimilarityQueries.all
 
   def byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 }

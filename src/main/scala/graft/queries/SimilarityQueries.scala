@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+import graft.operators.Similarity
+import graft.functions.VectorFunctions
+
+/** Similarity suite (SURVEY §2.13 Q17 + extensions): exact top-k cosine,
+  * embedding near-dup pairs, and the LSH-bucketed approximate path.
+  *
+  * Oracles compute cosine as list_dot_product over DOUBLE[] casts; Spark
+  * computes it with the native codegen'd CosineSimilarity expression. Both
+  * round to 6 decimals in the output (accumulation-order differences live
+  * around 1e-15).
+  */
+object SimilarityQueries {
+
+  private val cosSql =
+    """CASE WHEN list_dot_product(av, av) = 0 OR list_dot_product(pv, pv) = 0 THEN 0.0
+      |     ELSE list_dot_product(pv, av)
+      |          / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(av, av))) END"""
+      .stripMargin
+
+  // --- Q17: exact brute-force top-5 cosine neighbors per probe
+  val q17 = Query(
+    "q17_similarity_topk",
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.label, a.v AS av, pv
+        FROM e a CROSS JOIN probes WHERE a.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, neighbor_id, label,
+               $cosSql AS cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY $cosSql DESC, neighbor_id) AS INT) AS rk
+        FROM scored)
+      SELECT probe_id, neighbor_id, label, ROUND(cos_raw, 6) AS cos, rk
+      FROM ranked WHERE rk <= 5
+      ORDER BY probe_id, rk""")
+  ) { (s, d) =>
+    Similarity.bruteForceTopK(embeddings(s, d), col("vec_id") % 50 === 0, k = 5)
+      .orderBy("probe_id", "rk")
+  }
+
+  // --- X4: embedding near-duplicate pairs (cos ≥ 0.4)
+  val x04 = Query(
+    "x04_neardup_embedding",
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS pv, b.v AS av
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, ROUND($cosSql, 6) AS cos
+      FROM pairs
+      WHERE $cosSql >= 0.4
+      ORDER BY vec_a, vec_b""")
+  ) { (s, d) =>
+    Similarity.nearDupPairs(embeddings(s, d), threshold = 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // --- X5: LSH-bucketed approximate top-3 (the IVF-style scale path)
+  private val NBits = 4
+  private val Dim = 64
+  private def planeSql(j: Int): String =
+    VectorFunctions.plane(j, Dim).map(_.toString).mkString("[", ",", "]::DOUBLE[]")
+  private val bucketSql: String =
+    (0 until NBits).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${planeSql(j)}) >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val x05 = Query(
+    "x05_similarity_lsh",
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      b AS (SELECT vec_id, v, CAST($bucketSql AS INT) AS bucket FROM e),
+      probes AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b WHERE vec_id % 25 = 0),
+      cands AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.bucket, a.v AS av, pv
+        FROM b a JOIN probes USING (bucket) WHERE a.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, neighbor_id, bucket,
+               $cosSql AS cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY $cosSql DESC, neighbor_id) AS INT) AS rk
+        FROM cands)
+      SELECT probe_id, neighbor_id, bucket, ROUND(cos_raw, 6) AS cos, rk
+      FROM ranked WHERE rk <= 3
+      ORDER BY probe_id, rk""")
+  ) { (s, d) =>
+    Similarity.lshBucketed(embeddings(s, d), col("vec_id") % 25 === 0, k = 3,
+        nBits = NBits, dim = Dim)
+      .orderBy("probe_id", "rk")
+  }
+
+  val all: Seq[Query] = Seq(q17, x04, x05)
+}
