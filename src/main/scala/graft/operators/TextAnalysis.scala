@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data pipelines (north star):
+  * language-ID heuristic, quality scoring, token statistics, document
+  * fingerprinting. All pure column programs (codegen'd; no UDFs), each with
+  * an exact SQL mirror used by the oracles.
+  */
+object TextAnalysis {
+
+  /** Tiny deterministic stopword lexicons for the n-gram/stopword
+    * language-ID heuristic. Intentionally small: the *operator* is the
+    * deliverable (explode → membership → argmax), not lexical coverage. */
+  val Lexicons: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une"))
+
+  private def inLex(w: Column, lang: String): Column =
+    w.isInCollection(Lexicons(lang)).cast("int")
+
+  /** Per-doc stopword scores per language + deterministic argmax.
+    * Output: doc_id, lang, s_de, s_en, s_es, s_fr, predicted_lang. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = prepared(docs)
+      .select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+    val scored = toks.groupBy("doc_id", "lang")
+      .agg(
+        sum(inLex(col("w"), "de")).as("s_de"),
+        sum(inLex(col("w"), "en")).as("s_en"),
+        sum(inLex(col("w"), "es")).as("s_es"),
+        sum(inLex(col("w"), "fr")).as("s_fr"))
+    scored.withColumn("predicted_lang",
+      when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es")
+        && col("s_de") >= col("s_fr"), "de")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_fr"), "es")
+        .otherwise("fr"))
+  }
+
+  private def prepared(docs: DataFrame) =
+    docs.withColumn("norm", normText(col("text")))
+      .withColumn("ws", words(col("norm")))
+
+  /** Per-doc quality metrics: lengths, word stats, stopword ratio and a
+    * bounded composite score (all exact double arithmetic — no libm). */
+  def quality(docs: DataFrame): DataFrame = {
+    val allStops = Lexicons.values.flatten.toSeq.distinct
+    val p = prepared(docs)
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_chars_norm", length(col("norm")).cast("long"))
+    p.select(
+      col("doc_id"),
+      col("n_chars_norm"),
+      col("n_words"),
+      ((col("n_chars_norm") - (col("n_words") - 1)).cast("double") / col("n_words"))
+        .as("avg_word_len"),
+      (size(filter(col("ws"), w => w.isInCollection(allStops))).cast("double")
+        / col("n_words")).as("stopword_ratio"),
+      (size(array_distinct(col("ws"))).cast("double") / col("n_words"))
+        .as("type_token_ratio"))
+      .withColumn("quality_score",
+        least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.5
+          + col("stopword_ratio") * 0.3 + col("type_token_ratio") * 0.2)
+  }
+
+  /** Token counts: whitespace tokens vs regex tokens (BPE-ish pre-token
+    * pattern: letter runs | digit runs | single other non-space). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("rx_tokens"),
+      size(array_distinct(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))).as("rx_distinct"))
+
+  /** Document fingerprints: md5 of normalized text plus min/max seeded
+    * shingle hashes (a 1-hash MinHash — the rolling-window signature). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val p = prepared(docs).withColumn("sh5", shingles(col("ws"), 5))
+    p.select(
+      col("doc_id"),
+      md5(col("norm")).as("fp_full"),
+      array_min(transform(col("sh5"), s => md5(s))).as("fp_min"),
+      array_max(transform(col("sh5"), s => md5(s))).as("fp_max"))
+  }
+}

@@ -5,7 +5,8 @@ package graft.queries
 object Inventory {
   def all: Seq[Query] =
     RelationalQueries.all ++ EventQueries.all ++ PipelineQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
+      TemporalQueries.all
 
   def byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 }

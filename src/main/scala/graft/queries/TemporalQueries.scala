@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+import Hygiene._
+
+/** Temporal/advanced-join suite: as-of join (window-over-union
+  * formulation, SURVEY §2.4), range/theta join, multimodal metadata
+  * pipeline, and gap-based sessionization. */
+object TemporalQueries {
+
+  // --- X10: multimodal decode pipeline (binary payload → typed metadata)
+  val x10 = Query(
+    "x10_multimodal_meta",
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               CAST(length(text) AS BIGINT) AS n
+        FROM documents)
+      SELECT mime,
+             CAST(COUNT(*) AS BIGINT) AS n_media,
+             CAST(SUM(n) AS BIGINT) AS total_bytes,
+             CAST(SUM(16 + n % 1024) AS BIGINT) AS sum_width,
+             CAST(SUM(16 + (n * 7) % 768) AS BIGINT) AS sum_height,
+             CAST(SUM(1 + n % 5) AS BIGINT) AS sum_frames
+      FROM m GROUP BY mime
+      ORDER BY mime""")
+  ) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.modalityStats(Multimodal.decode(Multimodal.mediaTable(documents(s, d))))
+      .orderBy("mime")
+  }
+
+  // --- X11: as-of join — each purchase matched to the user's latest
+  // strictly-prior click. Spark: last-ignoreNulls over a tagged union
+  // (no native as-of operator); DuckDB oracle: native ASOF JOIN.
+  val x11 = Query(
+    "x11_asof_join",
+    Some("""
+      WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id AS click_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase')
+      SELECT purchase_id, p.user_id, click_id,
+             date_diff('microsecond', cts, pts) AS gap_us
+      FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.pts > c.cts
+      ORDER BY purchase_id""")
+  ) { (s, d) =>
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  // --- X12: range (theta) join against a banded dimension
+  val x12 = Query(
+    "x12_range_join",
+    Some("""
+      WITH bands(band, lo, hi) AS (
+        VALUES ('low', 1, 9), ('mid', 10, 24), ('high', 25, 39), ('bulk', 40, 50))
+      SELECT band,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity <= hi
+      GROUP BY band
+      ORDER BY band""")
+  ) { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    val bands = Seq(("low", 1, 9), ("mid", 10, 24), ("high", 25, 39), ("bulk", 40, 50))
+      .toDF("band", "lo", "hi")
+    lineitem(s, d)
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+      .orderBy("band")
+  }
+
+  // --- X13: gap-based sessionization (30-min inactivity boundary)
+  val x13 = Query(
+    "x13_sessionize",
+    Some("""
+      WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      g AS (SELECT user_id, event_id, ts,
+              CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                   THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM g),
+      per_session AS (
+        SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM s GROUP BY 1, 2)
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(SUM(n_ev) AS BIGINT) AS n_events,
+             CAST(MAX(n_ev) AS BIGINT) AS max_session_events
+      FROM per_session GROUP BY user_id
+      ORDER BY user_id""")
+  ) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val brk = when(lag(col("ts"), 1).over(w).isNull
+      || unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > 1800000000L, 1)
+      .otherwise(0)
+    val sessions = events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("brk", brk)
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perSession = sessions.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_ev"))
+    perSession.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_ev").as("n_events"),
+        max("n_ev").as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Query] = Seq(x10, x11, x12, x13)
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+import graft.operators.TextAnalysis
+
+/** Text-analysis suite (north star): language-ID, quality scoring, token
+  * counting, fingerprinting — each oracle recomputes the identical
+  * algorithm in DuckDB SQL. */
+object TextQueries {
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private def lexList(lang: String): String =
+    TextAnalysis.Lexicons(lang).map(w => s"'$w'").mkString("(", ",", ")")
+
+  // --- X6: stopword-lexicon language ID (explode → membership → argmax)
+  val x06 = Query(
+    "x06_text_langid",
+    Some(s"""
+      WITH n AS (SELECT doc_id, lang, $normSql AS norm FROM documents),
+      tok AS (SELECT doc_id, lang, unnest(string_split(norm, ' ')) AS w FROM n),
+      scored AS (
+        SELECT doc_id, lang,
+               CAST(SUM(CASE WHEN w IN ${lexList("de")} THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+               CAST(SUM(CASE WHEN w IN ${lexList("en")} THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+               CAST(SUM(CASE WHEN w IN ${lexList("es")} THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+               CAST(SUM(CASE WHEN w IN ${lexList("fr")} THEN 1 ELSE 0 END) AS BIGINT) AS s_fr
+        FROM tok GROUP BY doc_id, lang)
+      SELECT doc_id, lang, s_de, s_en, s_es, s_fr,
+             CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_fr THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM scored
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    TextAnalysis.langId(documents(s, d))
+      .select("doc_id", "lang", "s_de", "s_en", "s_es", "s_fr", "predicted_lang")
+      .orderBy("doc_id")
+  }
+
+  // --- X7: quality metrics (exact double arithmetic; no libm)
+  private val allStopsSql =
+    TextAnalysis.Lexicons.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString("(", ",", ")")
+
+  val x07 = Query(
+    "x07_text_quality",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws,
+                   length(norm) AS nc FROM n),
+      m AS (
+        SELECT doc_id,
+               CAST(nc AS BIGINT) AS n_chars_norm,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(nc - (len(ws) - 1) AS DOUBLE) / len(ws) AS avg_word_len,
+               CAST(len(list_filter(ws, x -> x IN $allStopsSql)) AS DOUBLE)
+                 / len(ws) AS stopword_ratio,
+               CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS type_token_ratio
+        FROM w)
+      SELECT doc_id, n_chars_norm, n_words, avg_word_len, stopword_ratio,
+             type_token_ratio,
+             least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+               + stopword_ratio * 0.3 + type_token_ratio * 0.2 AS quality_score
+      FROM m
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    TextAnalysis.quality(documents(s, d)).orderBy("doc_id")
+  }
+
+  // --- X8: whitespace vs regex tokenization counts
+  val x08 = Query(
+    "x08_text_tokens",
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS ws_tokens,
+             CAST(len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS rx_tokens,
+             CAST(len(list_distinct(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS INT) AS rx_distinct
+      FROM documents
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    TextAnalysis.tokenCounts(documents(s, d)).orderBy("doc_id")
+  }
+
+  // --- X9: md5 + min/max shingle-hash fingerprints
+  val x09 = Query(
+    "x09_text_fingerprint",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, norm, string_split(norm, ' ') AS ws FROM n),
+      sh AS (
+        SELECT doc_id, norm,
+               CASE WHEN len(ws) >= 5 THEN
+                 list_transform(
+                   list_distinct(list_transform(range(1, len(ws) - 3),
+                     j -> array_to_string(ws[j:j+4], ' '))),
+                   x -> md5(x))
+               ELSE [] END AS hs
+        FROM w)
+      SELECT doc_id, md5(norm) AS fp_full,
+             list_aggregate(hs, 'min') AS fp_min,
+             list_aggregate(hs, 'max') AS fp_max
+      FROM sh
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    TextAnalysis.fingerprints(documents(s, d)).orderBy("doc_id")
+  }
+
+  val all: Seq[Query] = Seq(x06, x07, x08, x09)
+}
