@@ -90,8 +90,12 @@ object VectorFunctions {
   /** Reference formulation via built-in HOFs (same left fold; used to
     * cross-check the native expression and as the no-custom-code path). */
   def cosineSimHof(a: Column, b: Column): Column = {
+    // Cast BEFORE multiplying: zip_with on float arrays would otherwise
+    // multiply in float precision (the native expression and the DuckDB
+    // oracle both multiply doubles).
     def dot(u: Column, v: Column) =
-      aggregate(zip_with(u, v, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      aggregate(zip_with(u, v, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
     val d = dot(a, b); val na = dot(a, a); val nb = dot(b, b)
     when(na === 0 || nb === 0, 0.0).otherwise(d / (sqrt(na) * sqrt(nb)))
   }

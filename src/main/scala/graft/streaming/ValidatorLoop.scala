@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** The reference's validator runtime loop as Structured Streaming
+  * (SURVEY §3.1): unbounded rounds → per-round scatter/transform/score →
+  * keyed EMA state → periodic (every-2-batches) weight sink.
+  *
+  * Reference semantics preserved:
+  *  - per-key EMA state across rounds, α=0.9
+  *    (/root/reference/neurons/validator.py:109-110,146) →
+  *    `flatMapGroupsWithState` with explicit `EmaState`;
+  *  - every-2nd-round sink cadence
+  *    (/root/reference/neurons/validator.py:149) → `foreachBatch` gated on
+  *    `batchId % 2 == 1`;
+  *  - fixed round cadence (validator.py:170) → `Trigger.ProcessingTime`;
+  *  - log-and-continue fault policy (validator.py:173-175) → checkpointed
+  *    restarts.
+  *
+  * State lives in the state store (RocksDB/HDFS-backed on a cluster), so
+  * key cardinality scales with executors, not driver memory.
+  */
+object ValidatorLoop {
+
+  final case class Obs(user_id: Long, ts_us: Long, value: Double)
+  final case class EmaState(ema: Double, n: Long)
+  final case class EmaUpdate(user_id: Long, ema: Double, n: Long)
+
+  /** Incremental keyed EMA: each micro-batch folds its (sorted) rows into
+    * the running state — the streaming twin of `Scoring.emaClosedForm`. */
+  def emaUpdates(obs: Dataset[Obs], alpha: Double): Dataset[EmaUpdate] = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EmaState, EmaUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Obs], state: GroupState[EmaState]) =>
+          val batch = it.toVector.sortBy(o => (o.ts_us, o.value))
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val init = state.getOption
+            val start: (Double, Long) = init.map(s => (s.ema, s.n))
+              .getOrElse((batch.head.value, 0L))
+            val fold = (if (init.isEmpty) batch.tail else batch)
+              .foldLeft(start) { case ((s, n), o) => (alpha * s + (1 - alpha) * o.value, n + 1) }
+            val newState = EmaState(fold._1, if (init.isEmpty) fold._2 + 1 else fold._2)
+            state.update(newState)
+            Iterator.single(EmaUpdate(uid, newState.ema, newState.n))
+          }
+      }
+  }
+
+  /** Tumbling event-time window counts with watermark-based late-data
+    * dropping (SURVEY §2.10 EXT). */
+  def windowedCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** Exactly-once-ish stream dedup inside the watermark horizon. */
+  def dedupedStream(events: DataFrame, watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Wire a scored-observation stream into the every-2-batches weight sink
+    * (R9+R10): on odd batchIds, L1-normalize the batch's scores and hand
+    * the weight vector to `sink`. Returns the started query. */
+  def weightSink(scored: DataFrame, checkpoint: String)
+                (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    scored.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (batchId % 2 == 1) {
+          val df = batch.toDF()
+          val total = df.agg(sum(abs(col("score")))).first().getDouble(0)
+          if (total != 0.0)
+            sink(df.withColumn("weight", col("score") / lit(total)), batchId)
+        }
+        ()
+      }
+      .start()
+}

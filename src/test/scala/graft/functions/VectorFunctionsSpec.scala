@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+class VectorFunctionsSpec extends AnyFunSuite with SparkTest {
+
+  private def vecsDf = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (0 until 50).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+  }
+
+  test("native codegen'd cosine ≡ HOF formulation") {
+    val a = vecsDf.toDF("ida", "va")
+    val b = vecsDf.toDF("idb", "vb")
+    val both = a.crossJoin(b).select(
+      VectorFunctions.cosineSim(col("va"), col("vb")).as("native"),
+      VectorFunctions.cosineSimHof(col("va"), col("vb")).as("hof"))
+    val diffs = both.select(max(abs(col("native") - col("hof")))).first().getDouble(0)
+    assert(diffs == 0.0, s"native vs HOF drift: $diffs") // same left fold → bit-identical
+  }
+
+  test("cosine of identical vectors is 1, zero vector yields 0, nulls propagate") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f))).toDF("a", "b")
+    val r = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+    assert(r(1).getDouble(0) == 0.0)
+    val n = df.select(VectorFunctions.cosineSim(lit(null).cast("array<float>"), col("b")))
+      .collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
+
+  test("graft_cosine is registered in SQL via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT graft_cosine(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)))").first().getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("lsh bucket ids are stable and within range") {
+    val b = vecsDf.select(VectorFunctions.lshBucket(col("v"), nBits = 4, dim = 16).as("bucket"))
+      .collect().map(_.getInt(0))
+    assert(b.forall(x => x >= 0 && x < 16))
+    val b2 = vecsDf.select(VectorFunctions.lshBucket(col("v"), nBits = 4, dim = 16).as("bucket"))
+      .collect().map(_.getInt(0))
+    assert(b.toSeq == b2.toSeq)
+  }
+}

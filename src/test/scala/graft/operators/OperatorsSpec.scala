@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** Operator-law tests over the dedup / scoring / text suites. */
+class OperatorsSpec extends AnyFunSuite with SparkTest {
+
+  private def docs(texts: (Long, String)*) = {
+    import spark.implicits._
+    texts.toSeq.toDF("doc_id", "text")
+  }
+
+  test("identical documents collapse to one exact-dedup group") {
+    val d = docs(1L -> "Hello  World", 2L -> "hello world", 3L -> "other text")
+    val g = Dedup.exact(d).orderBy("keep_doc_id").collect()
+    assert(g.length == 2)
+    assert(g(0).getAs[Long]("keep_doc_id") == 1L && g(0).getAs[Long]("n_dupes") == 2L)
+  }
+
+  test("identical documents share the full MinHash signature (est=1.0)") {
+    val d = docs(1L -> ("spark rocks " * 10), 2L -> ("spark rocks " * 10),
+      3L -> "completely different words here now ok yes")
+    val cands = Dedup.minhashLshCandidates(d).collect()
+    assert(cands.length == 1)
+    assert(cands.head.getAs[Long]("doc_a") == 1L)
+    assert(cands.head.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("identical documents share a SimHash; different docs mostly differ") {
+    val d = docs(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "zx qy wv ut")
+    val h = Dedup.simhash(d).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(3L))
+  }
+
+  test("ngram jaccard is 1.0 for identical docs and finds them only") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g", "en"), (2L, "a b c d e f g", "en"),
+      (3L, "h i j k l m n", "en")).toDF("doc_id", "text", "lang")
+    val j = Dedup.ngramJaccard(d, 0.9).collect()
+    assert(j.length == 1 && j.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("L1 weights sum to 1 over the scoring pipeline") {
+    val weights = graft.queries.PipelineQueries.q15.run(spark, sfDir)
+    val s = weights.agg(sum("weight")).first().getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-9)
+    // corruption predicate actually fires at this SF
+    val imperfect = weights.filter(col("score_rate") < 1.0).count()
+    assert(imperfect > 0)
+  }
+
+  test("language ID picks the lexicon-dominant language") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat and the dog of the house", "en"),
+      (2L, "el gato y la casa de que en un", "es"),
+      (3L, "der hund und das ist ein nicht", "de")).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de"))
+  }
+
+  test("quality metrics are bounded and exact for a known doc") {
+    val q = TextAnalysis.quality(docs(1L -> "the the unique")).collect().head
+    assert(q.getAs[Long]("n_words") == 3L)
+    assert(q.getAs[Double]("stopword_ratio") == 2.0 / 3)
+    assert(q.getAs[Double]("type_token_ratio") == 2.0 / 3)
+    assert(q.getAs[Double]("quality_score") <= 1.0)
+  }
+
+  test("multimodal decode stub preserves schema and is deterministic") {
+    val meta = Multimodal.decode(Multimodal.mediaTable(
+      docs(0L -> "abc", 1L -> "defghij", 2L -> "xy"))).collect()
+    assert(meta.map(_.mime).sorted.toSeq == Seq("audio/wav", "image/png", "video/mp4"))
+    val img = meta.find(_.doc_id == 0L).get
+    assert(img.n_bytes == 3 && img.width == 19 && img.n_frames == 4)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** Streaming semantics tests (SURVEY §5.2): keyed EMA state across
+  * micro-batches, watermark windows, in-watermark dedup, and the
+  * every-2-batches sink cadence (R8/R10). */
+class ValidatorLoopSpec extends AnyFunSuite with SparkTest {
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-stream-").toString
+
+  test("flatMapGroupsWithState EMA across micro-batches == one-shot fold") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val alpha = 0.9
+    val input = MemoryStream[ValidatorLoop.Obs]
+    val q = ValidatorLoop.emaUpdates(input.toDS(), alpha).writeStream
+      .format("memory").queryName("ema_out").outputMode("update")
+      .option("checkpointLocation", tmpDir()).start()
+    // three micro-batches for one key, values 1,2 | 3 | 4
+    input.addData(ValidatorLoop.Obs(1, 10, 1.0), ValidatorLoop.Obs(1, 20, 2.0))
+    q.processAllAvailable()
+    input.addData(ValidatorLoop.Obs(1, 30, 3.0))
+    q.processAllAvailable()
+    input.addData(ValidatorLoop.Obs(1, 40, 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("ema_out").orderBy("n").collect()
+    q.stop()
+    val expect = Seq(1.0, 2.0, 3.0, 4.0)
+      .tail.foldLeft(1.0)((s, x) => alpha * s + (1 - alpha) * x)
+    assert(rows.last.getAs[Double]("ema") === expect)
+    assert(rows.last.getAs[Long]("n") === 4L)
+    assert(rows.length == 3) // one update per micro-batch
+  }
+
+  test("watermarked tumbling window counts") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = ValidatorLoop.windowedCounts(df, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("update")
+      .option("checkpointLocation", tmpDir()).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((t(1), "click", 1.0), (t(4), "click", 2.0), (t(12), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select(col("window.start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("start").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(2) == 2 && rows(0).getDouble(3) == 3.0)
+    assert(rows(1).getString(1) == "view")
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = ValidatorLoop.dedupedStream(df, "1 hour")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append")
+      .option("checkpointLocation", tmpDir()).start()
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData((1L, ts, 1.0), (1L, ts, 1.0), (2L, ts, 2.0))
+    q.processAllAvailable()
+    input.addData((1L, ts, 1.0), (3L, ts, 3.0)) // replay of id 1 within horizon
+    q.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    q.stop()
+    assert(n == 3) // ids 1,2,3 exactly once
+  }
+
+  test("weight sink fires only on odd batchIds and L1-normalizes (R9/R10)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val sunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = ValidatorLoop.weightSink(
+      input.toDF().toDF("user_id", "score"), tmpDir()) { (df, batchId) =>
+      sunk += batchId -> df.agg(sum("weight")).first().getDouble(0)
+    }
+    input.addData((1L, 2.0), (2L, 2.0)); q.processAllAvailable() // batch 0: no sink
+    input.addData((1L, 3.0), (2L, 1.0)); q.processAllAvailable() // batch 1: sink
+    input.addData((1L, 5.0)); q.processAllAvailable()            // batch 2: no sink
+    q.stop()
+    assert(sunk.map(_._1).toSeq == Seq(1L)) // every-2nd-round cadence
+    assert(math.abs(sunk.head._2 - 1.0) < 1e-12) // weights sum to 1
+  }
+}
