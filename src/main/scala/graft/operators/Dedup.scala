@@ -36,9 +36,12 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_dupes"))
 
-  /** Per-doc MinHash signature: doc_id, mh0..mh7. */
+  /** Per-doc MinHash signature: doc_id, mh0..mh7. Shingle dedup happens
+    * post-explode as a distributed hash-distinct (min() is dup-insensitive
+    * anyway, but distinct keeps the md5 work linear in unique shingles). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = prepared(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+    val exploded = prepared(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
     exploded.groupBy("doc_id")
       .agg(minhash(0, col("s")).as("mh0"),
         (1 until NumHashes).map(i => minhash(i, col("s")).as(s"mh$i")): _*)
@@ -58,7 +61,11 @@ object Dedup {
   /** Candidate pairs sharing ≥1 LSH band, with estimated Jaccard =
     * fraction of matching minhashes. Output: doc_a, doc_b, est_jaccard. */
   def minhashLshCandidates(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
+    // The signature table is tiny (one row per doc) but expensive to
+    // derive (normalize → shingle → 8 md5 mins); it feeds three consumers
+    // (two band sides + the est join), so persist it. At 100 TB you'd
+    // write it to a parquet signature store instead.
+    val sigs = minhashSignatures(docs).cache()
     val bands = lshBands(sigs)
     val pairs = bands.as("a")
       .join(bands.as("b"),
@@ -97,8 +104,13 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for same-`lang` pairs above a
     * threshold. Output: doc_a, doc_b, n_shared, jaccard. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    // Cache the exploded shingle table: it feeds both self-join sides and
+    // the per-doc counts (4 recomputations of the normalize+shingle
+    // pipeline otherwise).
     val sh = prepared(docs.select("doc_id", "text", "lang"))
       .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
+      .distinct()
+      .cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),

@@ -220,7 +220,7 @@ object RelationalQueries {
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
   }
