@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+import Hygiene._
+
+/** Additional built-in-surface coverage: structured JSON parsing + map
+  * functions, and CUBE grouping sets. */
+object ExtraQueries {
+
+  // --- X15: from_json → struct field + map construction/access (§2.9)
+  val x15 = Query(
+    "x15_json_map",
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_map,
+             'k' AS map_keys_str,
+             CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+      FROM events
+      ORDER BY event_id""")
+  ) { (s, d) =>
+    val parsed = events(s, d).select(
+      col("event_id"),
+      from_json(col("props"), lit("k INT")).getField("k").as("k_struct"))
+    parsed.select(
+        col("event_id"),
+        col("k_struct"),
+        element_at(map(lit("k"), col("k_struct")), "k").as("k_map"),
+        array_join(map_keys(map(lit("k"), col("k_struct"))), ",").as("map_keys_str"),
+        (col("k_struct") % 10).as("k_bucket"))
+      .orderBy("event_id")
+  }
+
+  // --- X16: CUBE over two dimensions (full grouping-set lattice, §2.5)
+  val x16 = Query(
+    "x16_cube",
+    Some("""
+      SELECT COALESCE(l_returnflag, '_ALL_') AS rf,
+             COALESCE(l_linestatus, '_ALL_') AS ls,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY rf, ls""")
+  ) { (s, d) =>
+    lineitem(s, d).createOrReplaceTempView("x16_lineitem")
+    s.sql("""
+      SELECT COALESCE(l_returnflag, '_ALL_') AS rf,
+             COALESCE(l_linestatus, '_ALL_') AS ls,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_rows
+      FROM x16_lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY rf, ls""")
+  }
+
+  val all: Seq[Query] = Seq(x15, x16)
+}

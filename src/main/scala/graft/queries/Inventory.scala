@@ -6,7 +6,7 @@ object Inventory {
   def all: Seq[Query] =
     RelationalQueries.all ++ EventQueries.all ++ PipelineQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      TemporalQueries.all ++ AggregatorQueries.all
+      TemporalQueries.all ++ AggregatorQueries.all ++ ExtraQueries.all
 
   def byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 }

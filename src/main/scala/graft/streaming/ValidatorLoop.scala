@@ -64,6 +64,30 @@ object ValidatorLoop {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** One full validator round over a stream of steps (SURVEY §3.1, the
+    * reference's whole query lifecycle): broadcast the step to all peers
+    * (scatter, R1), simulated peer transform x*2 with per-uid corruption
+    * (R2; /root/reference/neurons/miner.py:146), score by the correctness
+    * predicate (R7), then fold per-peer EMA state (R8) downstream via
+    * `emaUpdates`. `steps` may be a streaming Dataset — every operator
+    * here is stream-safe. */
+  def validatorRounds(steps: Dataset[java.lang.Long], nPeers: Int,
+                      corruptUids: Set[Long]): Dataset[Obs] = {
+    val spark = steps.sparkSession
+    import spark.implicits._
+    val corrupt = corruptUids.toSeq
+    steps.toDF("step")
+      .withColumn("uid", explode(sequence(lit(0), lit(nPeers - 1)).cast("array<long>")))
+      .withColumn("resp",
+        when(col("uid").isInCollection(if (corrupt.isEmpty) Seq(-1L) else corrupt),
+          col("step") * 2 + 1).otherwise(col("step") * 2))
+      .withColumn("score",
+        when(col("resp") === col("step") * 2, 1.0).otherwise(0.0))
+      .select(col("uid").as("user_id"), col("step").as("ts_us"),
+        col("score").as("value"))
+      .as[Obs]
+  }
+
   /** Wire a scored-observation stream into the every-2-batches weight sink
     * (R9+R10): on odd batchIds, L1-normalize the batch's scores and hand
     * the weight vector to `sink`. Returns the started query. */
