@@ -81,6 +81,45 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** cosine(a, a) reduced to a zero-scan: 1.0 unless all elements are zero
+  * (0.0) or input is null. Target of `SelfCosineRewrite`. */
+case class SelfCosine(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_self_cosine"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.getFloat(i) != 0.0f) return 1.0
+      i += 1
+    }
+    0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SelfCosine.evalArray($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SelfCosine =
+    copy(child = newChild)
+}
+
+object SelfCosine {
+  /** Static helper the generated code calls. */
+  def evalArray(x: ArrayData): Double = {
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      if (x.getFloat(i) != 0.0f) return 1.0
+      i += 1
+    }
+    0.0
+  }
+}
+
 object VectorFunctions {
   /** Column wrapper for the native expression. */
   def cosineSim(a: Column, b: Column): Column =

@@ -1,19 +1,38 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.CosineSimilarity
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.functions.{CosineSimilarity, SelfCosine}
 
 /** Engine extensions, installed via `spark.sql.extensions` (SURVEY §4).
-  * Registers the native expressions under SQL names so `spark.sql(...)`
-  * users get the codegen'd implementations too. */
+  *
+  *  - `injectFunction`: registers the native expressions under SQL names so
+  *    `spark.sql(...)` users get the codegen'd implementations too.
+  *  - `injectOptimizerRule`: `SelfCosineRewrite` — `graft_cosine(a, a)`
+  *    (vector self-similarity, common in normalized-embedding sanity
+  *    passes) needs no dot product: it is 1.0 unless the vector is
+  *    all-zero (→ 0.0) or null. The rewrite replaces the O(3n)
+  *    multiply-accumulate loop with a single zero-scan (`SelfCosine`).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectOptimizerRule(_ => SelfCosineRewrite)
   }
+}
+
+/** Optimizer rule: cosine(a, a) ⇒ zero-norm check (semantics-preserving,
+  * including null propagation — both forms are null-in/null-out). */
+object SelfCosineRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.semanticEquals(b) && a.deterministic =>
+        SelfCosine(a)
+    }
 }

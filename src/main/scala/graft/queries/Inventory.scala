@@ -6,7 +6,8 @@ object Inventory {
   def all: Seq[Query] =
     RelationalQueries.all ++ EventQueries.all ++ PipelineQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      TemporalQueries.all ++ AggregatorQueries.all ++ ExtraQueries.all
+      TemporalQueries.all ++ AggregatorQueries.all ++ ExtraQueries.all ++
+      RelationalQueries2.all
 
   def byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 }
