@@ -31,9 +31,14 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("label"),
         cosineSim(col("probe_emb"), col("embedding")).as("cos_raw"))
+    // Custom TopKPerKey plan (partial heaps → exchange → final): only
+    // ≤ k rows per probe per map partition ever reach the shuffle — no
+    // global sort of the candidate space. The rank window afterwards runs
+    // over ≤ k·|probes| rows.
+    val topk = graft.plans.TopK.perKey(scored, Seq(scored("probe_id")),
+      Seq(scored("cos_raw").desc, scored("neighbor_id")), k)
     val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topk.withColumn("rk", row_number().over(w))
       .select(col("probe_id"), col("neighbor_id"), col("label"),
         round(col("cos_raw"), 6).as("cos"), col("rk"))
   }
@@ -51,9 +56,10 @@ object Similarity {
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("bucket"),
         cosineSim(col("probe_emb"), col("embedding")).as("cos_raw"))
+    val topk = graft.plans.TopK.perKey(cands, Seq(cands("probe_id")),
+      Seq(cands("cos_raw").desc, cands("neighbor_id")), k)
     val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
-    cands.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topk.withColumn("rk", row_number().over(w))
       .select(col("probe_id"), col("neighbor_id"), col("bucket"),
         round(col("cos_raw"), 6).as("cos"), col("rk"))
   }

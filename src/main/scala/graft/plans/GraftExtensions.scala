@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 

@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** The custom TopKPerKey operator must agree with the window formulation
+  * and plan as partial→exchange→final with no WindowExec/global sort. */
+class TopKPerKeySpec extends AnyFunSuite with SparkTest {
+
+  private def data = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 20000).map(i => (i % 37, rnd.nextDouble(), i.toLong))
+      .toDF("key", "score", "id").repartition(8)
+  }
+
+  test("matches row_number window formulation") {
+    val df = data
+    val viaTopK = TopK.perKey(df, Seq(df("key")),
+        Seq(df("score").desc_nulls_last, df("id")), k = 5)
+      .select("key", "id").collect().map(r => (r.getInt(0), r.getLong(2 - 1))).toSet
+    val w = Window.partitionBy("key").orderBy(col("score").desc_nulls_last)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("key", "id").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(viaTopK == viaWindow)
+  }
+
+  test("plans as partial+final TopKPerKeyExec with an exchange between") {
+    val df = data
+    val plan = TopK.perKey(df, Seq(df("key")), Seq(df("score").desc), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    // two-phase: partial (true) feeding a hash exchange feeding final (false)
+    assert(plan.indexOf("TopKPerKey") != plan.lastIndexOf("TopKPerKey"),
+      s"expected two-phase plan:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(key"), s"missing exchange:\n$plan")
+  }
+
+  test("k larger than group size returns whole groups") {
+    import spark.implicits._
+    val df = Seq((1, 1.0), (1, 2.0), (2, 3.0)).toDF("key", "score").repartition(3)
+    val out = TopK.perKey(df, Seq(df("key")), Seq(df("score").desc), k = 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(out == Set((1, 1.0), (1, 2.0), (2, 3.0)))
+  }
+}
