@@ -7,7 +7,9 @@ import org.scalatest.Suite
 trait SparkTest { self: Suite =>
   lazy val spark: SparkSession = {
     val s = graft.core.Engine.configure(
-      SparkSession.builder().master("local[4]").appName("graft-test"),
+      SparkSession.builder().master("local[4]").appName("graft-test")
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft-wh-").toString),
       shufflePartitions = 4).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

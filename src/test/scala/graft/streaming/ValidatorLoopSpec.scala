@@ -75,6 +75,34 @@ class ValidatorLoopSpec extends AnyFunSuite with SparkTest {
     assert(n == 3) // ids 1,2,3 exactly once
   }
 
+  test("session windows close after the gap + watermark") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val sessioned = df.withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessioned.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir()).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // user 1: events at 10:00,10:02 (one session), then 10:20 (new session)
+    input.addData((t(0), 1L, 1.0), (t(2), 1L, 1.0))
+    q.processAllAvailable()
+    input.addData((t(20), 1L, 1.0))
+    q.processAllAvailable()
+    input.addData((t(40), 1L, 1.0)) // advances watermark, closes 10:20 session
+    q.processAllAvailable()
+    val rows = spark.table("sess_out")
+      .select(col("session_window.start").cast("string").as("start"), col("n"))
+      .orderBy("start").collect()
+    q.stop()
+    assert(rows.length >= 2)
+    assert(rows(0).getLong(1) == 2) // 10:00+10:02 merged into one session
+    assert(rows(1).getLong(1) == 1)
+  }
+
   test("weight sink fires only on odd batchIds and L1-normalizes (R9/R10)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
