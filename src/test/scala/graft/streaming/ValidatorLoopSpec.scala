@@ -75,6 +75,34 @@ class ValidatorLoopSpec extends AnyFunSuite with SparkTest {
     assert(n == 3) // ids 1,2,3 exactly once
   }
 
+  test("EMA state survives a checkpoint restart (log-and-continue policy)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val alpha = 0.9
+    val ckpt = tmpDir()
+    val input = MemoryStream[ValidatorLoop.Obs]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    def start() = ValidatorLoop.emaUpdates(input.toDS(), alpha).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[ValidatorLoop.EmaUpdate], _: Long) =>
+        batch.collect().foreach(u => seen.add(u.n -> u.ema)); ()
+      }.start()
+    val q1 = start()
+    input.addData(ValidatorLoop.Obs(7, 10, 1.0), ValidatorLoop.Obs(7, 20, 2.0))
+    q1.processAllAvailable()
+    q1.stop() // simulated failure/restart
+    val q2 = start()
+    input.addData(ValidatorLoop.Obs(7, 30, 3.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val expect = Seq(1.0, 2.0, 3.0).tail.foldLeft(1.0)((s, x) => alpha * s + (1 - alpha) * x)
+    import scala.jdk.CollectionConverters._
+    val last = seen.asScala.maxBy(_._1)
+    assert(last._1 == 3L)
+    assert(last._2 == expect) // state restored across restart, fold continued
+  }
+
   test("session windows close after the gap + watermark") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
