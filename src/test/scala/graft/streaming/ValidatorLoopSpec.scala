@@ -131,6 +131,44 @@ class ValidatorLoopSpec extends AnyFunSuite with SparkTest {
     assert(rows(1).getLong(1) == 1)
   }
 
+  test("stream-static dimension join (R11 metagraph-refresh analogue)") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val peers = Seq((1L, "alice", 10.0), (2L, "bob", 5.0)).toDF("uid", "hotkey", "stake")
+    val input = MemoryStream[(Long, Double)]
+    val joined = input.toDF().toDF("uid", "resp")
+      .join(peers, "uid") // static side re-read per micro-batch
+      .select(col("uid"), col("hotkey"), (col("resp") * col("stake")).as("weighted"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").option("checkpointLocation", tmpDir()).start()
+    input.addData((1L, 2.0), (2L, 3.0), (99L, 1.0)) // 99 = unregistered → dropped
+    q.processAllAvailable()
+    val rows = spark.table("ss_join_out").orderBy("uid").collect()
+    q.stop()
+    assert(rows.map(_.getString(1)).toSeq == Seq("alice", "bob"))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(20.0, 15.0))
+  }
+
+  test("sliding windows assign events to overlapping frames") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val slid = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = slid.writeStream.format("memory").queryName("slide_out")
+      .outputMode("update").option("checkpointLocation", tmpDir()).start()
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:07:00"), 1.0))
+    q.processAllAvailable()
+    val starts = spark.table("slide_out")
+      .select(col("window.start").cast("string").as("s")).orderBy("s")
+      .collect().map(_.getString(0))
+    q.stop()
+    // one event at 10:07 → windows [10:00,10:10) and [10:05,10:15)
+    assert(starts.toSeq == Seq("2024-01-01 10:00:00", "2024-01-01 10:05:00"))
+  }
+
   test("weight sink fires only on odd batchIds and L1-normalizes (R9/R10)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
