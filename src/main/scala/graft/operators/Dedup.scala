@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
 /** Document deduplication family (north-star extension, SURVEY §2.12):
-  * exact, MinHash+LSH, SimHash, and n-gram Jaccard.
+  * exact, MinHash+LSH (Broder, "On the resemblance and containment of
+  * documents", 1997; banding per Leskovec/Rajaraman/Ullman MMDS ch.3),
+  * SimHash (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002), and n-gram Jaccard.
   *
   * 100 TB design notes:
   *  - Exact dedup is one hash-shuffle on md5(norm) — the canonical
@@ -99,6 +102,20 @@ object Dedup {
         pow(lit(2), col("j")).cast("long")).otherwise(0L)).as("simhash"))
     hashes.withColumn("n_same_hash",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
+  }
+
+  /** Full near-dup dedup decision (the 100 TB flow): LSH candidates above
+    * `estThreshold` → drop the larger doc_id of each candidate pair →
+    * surviving documents. Pairwise-greedy rather than connected-component
+    * clustering: deterministic, one extra join, and at worst over-drops
+    * within a dup cluster (never under-drops a detected pair). */
+  def minhashDedupDecisions(docs: DataFrame, estThreshold: Double): DataFrame = {
+    val dropped = minhashLshCandidates(docs)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.select("doc_id")
+      .join(dropped.withColumn("dropped", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dropped"), lit(0)).as("dropped"))
   }
 
   /** Exact n-gram Jaccard similarity for same-`lang` pairs above a

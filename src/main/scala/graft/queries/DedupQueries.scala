@@ -31,7 +31,8 @@ object DedupQueries {
   }
 
   // --- X1: MinHash + LSH near-dup candidates (8 hashes, 4 bands × 2)
-  private val minhashOracle: String = {
+  /** Candidate-pair CTE chain shared by x01 (pairs) and x21 (decisions). */
+  private val minhashCandidateCtes: String = {
     val mins = (0 until Dedup.NumHashes)
       .map(i => s"min(md5('$i' || '|' || s)) AS mh$i").mkString(",\n               ")
     val bandSelects = (0 until Dedup.Bands).map { b =>
@@ -59,17 +60,33 @@ object DedupQueries {
       pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-      SELECT p.doc_a, p.doc_b,
-             CAST(($matchSum) AS DOUBLE) / ${Dedup.NumHashes} AS est_jaccard
-      FROM pairs p
-      JOIN sigs sa ON p.doc_a = sa.doc_id
-      JOIN sigs sb ON p.doc_b = sb.doc_id
-      ORDER BY doc_a, doc_b"""
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      cand AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(($matchSum) AS DOUBLE) / ${Dedup.NumHashes} AS est_jaccard
+        FROM pairs p
+        JOIN sigs sa ON p.doc_a = sa.doc_id
+        JOIN sigs sb ON p.doc_b = sb.doc_id)"""
   }
 
-  val x01 = Query("x01_dedup_minhash_lsh", Some(minhashOracle)) { (s, d) =>
+  val x01 = Query("x01_dedup_minhash_lsh", Some(
+    minhashCandidateCtes + "\n      SELECT doc_a, doc_b, est_jaccard FROM cand ORDER BY doc_a, doc_b"
+  )) { (s, d) =>
     Dedup.minhashLshCandidates(documents(s, d)).orderBy("doc_a", "doc_b")
+  }
+
+  // --- X21: dedup decisions — LSH candidates → greedy drop policy
+  val x21 = Query("x21_dedup_pipeline", Some(
+    minhashCandidateCtes + """
+      SELECT d.doc_id,
+             CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+      FROM documents d
+      LEFT JOIN (SELECT DISTINCT doc_b AS doc_id FROM cand
+                 WHERE est_jaccard >= 0.5) dr ON d.doc_id = dr.doc_id
+      ORDER BY d.doc_id"""
+  )) { (s, d) =>
+    Dedup.minhashDedupDecisions(documents(s, d), estThreshold = 0.5)
+      .orderBy("doc_id")
   }
 
   // --- X2: 16-bit SimHash signatures + collision buckets
@@ -134,5 +151,5 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Query] = Seq(q16, x01, x02, x03)
+  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21)
 }

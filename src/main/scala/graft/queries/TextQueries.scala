@@ -109,5 +109,33 @@ object TextQueries {
     TextAnalysis.fingerprints(documents(s, d)).orderBy("doc_id")
   }
 
-  val all: Seq[Query] = Seq(x06, x07, x08, x09)
+  // --- X22: quality gate + deterministic stratified sample (the standard
+  // training-data downsampling step: no RNG, reproducible across engines
+  // and retries — a Knuth-style multiplicative hash on the key).
+  val x22 = Query(
+    "x22_quality_sample",
+    Some(s"""
+      WITH m AS (
+        SELECT lang,
+               (len(string_split($normSql, ' ')) >= 20
+                 AND (doc_id * 2654435761) % 100 < 30) AS kept
+        FROM documents)
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM m GROUP BY lang
+      ORDER BY lang""")
+  ) { (s, d) =>
+    import graft.functions.TextFunctions._
+    documents(s, d)
+      .select(col("lang"),
+        (size(words(normText(col("text")))) >= 20
+          && (col("doc_id") * 2654435761L) % 100 < 30).as("kept"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22)
 }

@@ -22,4 +22,14 @@ class EntrySpec extends AnyFunSuite with SparkTest {
     val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(weak == Set("q08b_hll_approx"), s"unexpected weak queries: $weak")
   }
+
+  test("HLL sketch stays within its 5% rsd of the exact distinct count") {
+    val rows = SparkEntry.queries("q08b_hll_approx")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15, // ~3σ of rsd=0.05
+        s"flag=${r.get(0)}: approx=$approx exact=$exact")
+    }
+  }
 }
