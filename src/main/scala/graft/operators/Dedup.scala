@@ -89,14 +89,24 @@ object Dedup {
   }
 
   /** 16-bit SimHash per doc over word tokens (with multiplicity), plus the
-    * collision-bucket size. Output: doc_id, simhash, n_same_hash. */
+    * collision-bucket size. Output: doc_id, simhash, n_same_hash.
+    *
+    * Dictionary-encoded: token counts are aggregated per (doc, word)
+    * FIRST, and md5 bits are computed once per distinct word (a tiny
+    * dictionary) then joined back — hashing |vocabulary|·16 values
+    * instead of |tokens|·16. The weighted bit-sum
+    * Σ cnt·(2·bit−1) is identical to summing per token. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tokens = prepared(docs).select(col("doc_id"), explode(col("ws")).as("w"))
-    val bits = tokens.select(col("doc_id"), col("w"),
-        explode(sequence(lit(0), lit(15))).as("j"))
+    val tokenCounts = prepared(docs)
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val wordBits = tokenCounts.select("w").distinct()
+      .select(col("w"), explode(sequence(lit(0), lit(15))).as("j"))
       .withColumn("bit", expr(md5BitSql("w", "j")))
-    val bitSums = bits.groupBy("doc_id", "j")
-      .agg(sum(col("bit") * 2 - 1).as("bsum"))
+    val bitSums = tokenCounts
+      .join(broadcast(wordBits), "w")
+      .groupBy("doc_id", "j")
+      .agg(sum((col("bit") * 2 - 1) * col("cnt")).as("bsum"))
     val hashes = bitSums.groupBy("doc_id")
       .agg(sum(when(col("bsum") >= 0,
         pow(lit(2), col("j")).cast("long")).otherwise(0L)).as("simhash"))

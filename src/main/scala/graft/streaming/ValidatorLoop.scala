@@ -88,6 +88,18 @@ object ValidatorLoop {
       .as[Obs]
   }
 
+  /** The whole validator lifecycle wired together (SURVEY §3.1):
+    * steps → scatter/transform/score → keyed EMA state → every-2-batches
+    * L1-normalized weight sink. One call = the reference's entire
+    * `neurons/validator.py` main loop. */
+  def runPipeline(steps: Dataset[java.lang.Long], nPeers: Int,
+                  corruptUids: Set[Long], alpha: Double, checkpoint: String)
+                 (sink: (org.apache.spark.sql.DataFrame, Long) => Unit): StreamingQuery = {
+    val scored = emaUpdates(validatorRounds(steps, nPeers, corruptUids), alpha)
+      .toDF().withColumnRenamed("ema", "score")
+    weightSink(scored, checkpoint)(sink)
+  }
+
   /** Wire a scored-observation stream into the every-2-batches weight sink
     * (R9+R10): on odd batchIds, L1-normalize the batch's scores and hand
     * the weight vector to `sink`. Returns the started query. */
@@ -102,6 +114,11 @@ object ValidatorLoop {
           val total = df.agg(sum(abs(col("score")))).first().getDouble(0)
           if (total != 0.0)
             sink(df.withColumn("weight", col("score") / lit(total)), batchId)
+        } else {
+          // Off-cadence batches must still be fully materialized: with a
+          // stateful operator upstream, Spark 4 validates that foreachBatch
+          // commits every partition's state store each batch.
+          batch.foreach(_ => ())
         }
         ()
       }
