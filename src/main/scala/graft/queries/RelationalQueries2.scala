@@ -96,5 +96,60 @@ object RelationalQueries2 {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Query] = Seq(x17, x18, x19, x20)
+  // --- X23: full/left/right outer joins + null-introducing predicates
+  val x23 = Query(
+    "x23_outer_joins",
+    Some("""
+      WITH urgent AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent
+        FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+      seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+      SELECT COALESCE(c_mktsegment, '_NO_CUSTOMER_') AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN n_urgent IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_urgent,
+             CAST(SUM(COALESCE(n_urgent, 0)) AS BIGINT) AS total_urgent
+      FROM seg FULL OUTER JOIN urgent ON c_custkey = o_custkey
+      GROUP BY 1
+      ORDER BY segment""")
+  ) { (s, d) =>
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_urgent"))
+    customer(s, d).select("c_custkey", "c_mktsegment")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "full_outer")
+      .groupBy(coalesce(col("c_mktsegment"), lit("_NO_CUSTOMER_")).as("segment"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("n_urgent").isNull, 1L).otherwise(0L)).as("n_without_urgent"),
+        sum(coalesce(col("n_urgent"), lit(0L))).as("total_urgent"))
+      .orderBy("segment")
+  }
+
+  // --- X24: LIKE / IN / BETWEEN predicate battery over part (+ join)
+  val x24 = Query(
+    "x24_part_predicates",
+    Some("""
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n_parts,
+             CAST(SUM(CASE WHEN p_type LIKE '%ECO%' THEN 1 ELSE 0 END) AS BIGINT) AS n_economy,
+             CAST(SUM(CASE WHEN p_size BETWEEN 10 AND 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid_size,
+             CAST(SUM(CASE WHEN regexp_matches(p_name, '^[a-m]') THEN 1 ELSE 0 END) AS BIGINT) AS n_first_half,
+             CAST(SUM(CAST(CASE WHEN p_size IN (5, 15, 25, 35, 45) THEN p_retailprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS price_selected
+      FROM part
+      GROUP BY p_brand
+      ORDER BY p_brand""")
+  ) { (s, d) =>
+    part(s, d)
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(when(col("p_type").like("%ECO%"), 1L).otherwise(0L)).as("n_economy"),
+        sum(when(col("p_size").between(10, 20), 1L).otherwise(0L)).as("n_mid_size"),
+        sum(when(col("p_name").rlike("^[a-m]"), 1L).otherwise(0L)).as("n_first_half"),
+        sum(when(col("p_size").isin(5, 15, 25, 35, 45), col("p_retailprice"))
+          .otherwise(lit(0)).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("price_selected"))
+      .orderBy("p_brand")
+  }
+
+  val all: Seq[Query] = Seq(x17, x18, x19, x20, x23, x24)
 }
