@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's correctness gate hashes result values — every graded query
+  * must therefore be bit-deterministic across runs AND across parallelism
+  * settings (shuffle partition count changes aggregation/accumulation
+  * order; the Hygiene rules exist precisely to make that invisible). */
+class DeterminismSpec extends AnyFunSuite with SparkTest {
+
+  private def snapshot(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSeq
+
+  test("every graded query is run-to-run deterministic at sf0.001") {
+    val flaky = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      if (snapshot(name) != snapshot(name)) Some(name) else None
+    }
+    assert(flaky.isEmpty, s"nondeterministic queries: $flaky")
+  }
+
+  test("order-sensitive queries survive a shuffle-partition change") {
+    val risky = Seq("q02_group_agg", "q13_ema_replay", "q15_scoring_weights",
+      "q17_similarity_topk", "x01_dedup_minhash_lsh", "x02_dedup_simhash",
+      "x14_ema_aggregator", "x19_percentiles")
+    val before = risky.map(n => n -> snapshot(n)).toMap
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      risky.foreach { n =>
+        assert(snapshot(n) == before(n), s"$n changed under 7 shuffle partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
+  }
+}
