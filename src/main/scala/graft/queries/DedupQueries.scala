@@ -151,5 +151,22 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21)
+  // --- X25: MinHash signatures via the TypedImperativeAggregate — one
+  // binary-buffer agg pass instead of 8 independent min(md5(...)) buffers;
+  // oracle replays the identical seeded-md5 mins in SQL.
+  val x25 = Query("x25_minhash_agg", Some(
+    minhashCandidateCtes +
+      "\n      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sigs ORDER BY doc_id"
+  )) { (s, d) =>
+    import graft.functions.MinHashAgg
+    val exploded = Dedup.prepared(documents(s, d))
+      .select(col("doc_id"), explode(col("sh")).as("sgl")).distinct()
+    val sig = exploded.groupBy("doc_id")
+      .agg(MinHashAgg.minhash(s, col("sgl")).as("mh"))
+    sig.select(col("doc_id") +:
+        (0 until Dedup.NumHashes).map(i => element_at(col("mh"), i + 1).as(s"mh$i")): _*)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21, x25)
 }

@@ -18,6 +18,13 @@ class EntrySpec extends AnyFunSuite with SparkTest {
     assert(empties.isEmpty, s"queries with empty results: $empties")
   }
 
+  test("inventory names are unique (Map would silently drop collisions)") {
+    val names = graft.queries.Inventory.all.map(_.name)
+    assert(names.distinct.size == names.size,
+      s"duplicate names: ${names.diff(names.distinct)}")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
   test("oracle coverage: every query has SQL except declared sketch ops") {
     val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(weak == Set("q08b_hll_approx"), s"unexpected weak queries: $weak")
