@@ -32,6 +32,16 @@ case class MinHashAgg(
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string shingle column, got ${other.simpleString}")
+    }
+
   override def createAggregationBuffer(): Array[String] = Array.fill(numHashes)(null)
 
   override def update(buf: Array[String], input: InternalRow): Array[String] = {

@@ -89,16 +89,8 @@ case class SelfCosine(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_self_cosine"
 
-  override protected def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    var i = 0
-    val n = x.numElements()
-    while (i < n) {
-      if (x.getFloat(i) != 0.0f) return 1.0
-      i += 1
-    }
-    0.0
-  }
+  override protected def nullSafeEval(a: Any): Any = SelfCosine.evalArray(
+    a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.SelfCosine.evalArray($a)")
@@ -108,15 +100,22 @@ case class SelfCosine(child: Expression)
 }
 
 object SelfCosine {
-  /** Static helper the generated code calls. */
+  /** Static helper (interpreted eval + generated code both call this).
+    * Matches full CosineSimilarity(a, a) exactly, including non-finite
+    * inputs: any NaN/Inf element makes Σx² non-finite, so the full form
+    * yields NaN — the zero-scan must too. */
   def evalArray(x: ArrayData): Double = {
     var i = 0
     val n = x.numElements()
+    var nonZero = false
     while (i < n) {
-      if (x.getFloat(i) != 0.0f) return 1.0
+      val v = x.getFloat(i)
+      if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v))
+        return Double.NaN
+      if (v != 0.0f) nonZero = true
       i += 1
     }
-    0.0
+    if (nonZero) 1.0 else 0.0
   }
 }
 

@@ -39,12 +39,16 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_dupes"))
 
-  /** Per-doc MinHash signature: doc_id, mh0..mh7. Shingle dedup happens
-    * post-explode as a distributed hash-distinct (min() is dup-insensitive
-    * anyway, but distinct keeps the md5 work linear in unique shingles). */
+  /** Distinct (doc_id, shingle) pairs — the shared front of every MinHash
+    * path (signatures here, the TypedImperativeAggregate query): dedup
+    * happens post-explode as a distributed hash-distinct. */
+  def explodedShingles(docs: DataFrame): DataFrame =
+    prepared(docs).select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+
+  /** Per-doc MinHash signature: doc_id, mh0..mh7 (min() is dup-insensitive,
+    * but the distinct keeps the md5 work linear in unique shingles). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = prepared(docs)
-      .select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+    val exploded = explodedShingles(docs)
     exploded.groupBy("doc_id")
       .agg(minhash(0, col("s")).as("mh0"),
         (1 until NumHashes).map(i => minhash(i, col("s")).as(s"mh$i")): _*)

@@ -14,12 +14,13 @@ object Skew {
 
   /** Two-phase salted sum: groupBy(key, salt) partial → groupBy(key)
     * final. Decimal-exact so the rewrite is bit-equal to the direct sum.
-    * The salt is derived from a hash of the value column — deterministic,
-    * uniform, no RNG state. */
+    * The salt must vary per ROW, not per value — a hot key whose rows
+    * share one value would otherwise collapse into a single salt bucket;
+    * a row-id hash spreads it regardless of the data. */
   def saltedSum(df: DataFrame, key: String, value: Column, outName: String,
                 salts: Int): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    df.withColumn("_salt", pmod(hash(value), lit(salts)))
+    df.withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(sum(value.cast(DecimalType(18, 6))).as("_partial"))
       .groupBy(col(key))

@@ -159,10 +159,8 @@ object DedupQueries {
       "\n      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sigs ORDER BY doc_id"
   )) { (s, d) =>
     import graft.functions.MinHashAgg
-    val exploded = Dedup.prepared(documents(s, d))
-      .select(col("doc_id"), explode(col("sh")).as("sgl")).distinct()
-    val sig = exploded.groupBy("doc_id")
-      .agg(MinHashAgg.minhash(s, col("sgl")).as("mh"))
+    val sig = Dedup.explodedShingles(documents(s, d)).groupBy("doc_id")
+      .agg(MinHashAgg.minhash(s, col("s")).as("mh"))
     sig.select(col("doc_id") +:
         (0 until Dedup.NumHashes).map(i => element_at(col("mh"), i + 1).as(s"mh$i")): _*)
       .orderBy("doc_id")

@@ -53,7 +53,14 @@ object TemporalQueries {
     val ev = events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // Purchases sort BEFORE same-ts clicks so the preceding-rows frame
+    // only ever sees strictly-prior clicks (matches the oracle's
+    // `p.pts > c.cts`); fixture ts are unique per user, but the operator
+    // must not depend on that.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"),
+        when(col("event_type") === "purchase", 0).otherwise(1),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     ev
       .withColumn("click_id",

@@ -24,12 +24,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object ValidatorLoop {
 
-  final case class Obs(user_id: Long, ts_us: Long, value: Double)
+  /** One observation: key, event-time micros, tie-break id, value. */
+  final case class Obs(user_id: Long, ts_us: Long, id: Long, value: Double)
   final case class EmaState(ema: Double, n: Long)
   final case class EmaUpdate(user_id: Long, ema: Double, n: Long)
 
-  /** Incremental keyed EMA: each micro-batch folds its (sorted) rows into
-    * the running state — the streaming twin of `Scoring.emaClosedForm`. */
+  /** Incremental keyed EMA: each micro-batch folds its rows, ordered by
+    * (ts_us, id) — the same tie-break as `Scoring.emaClosedForm` and
+    * `EmaAggregator` — into the running state.
+    *
+    * Init semantics (all three implementations + the q13 oracle):
+    * s₁ = x₁. The reference instead seeds every score slot with 1.0
+    * (/root/reference/neurons/validator.py:110, `torch.ones_like`) —
+    * an artifact of its dense uid-indexed vector; this engine's keyed
+    * state starts at the first observation, a deliberate, documented
+    * deviation applied consistently everywhere. */
   def emaUpdates(obs: Dataset[Obs], alpha: Double): Dataset[EmaUpdate] = {
     val spark = obs.sparkSession
     import spark.implicits._
@@ -37,7 +46,7 @@ object ValidatorLoop {
       .flatMapGroupsWithState[EmaState, EmaUpdate](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Obs], state: GroupState[EmaState]) =>
-          val batch = it.toVector.sortBy(o => (o.ts_us, o.value))
+          val batch = it.toVector.sortBy(o => (o.ts_us, o.id))
           if (batch.isEmpty) Iterator.empty
           else {
             val init = state.getOption
@@ -84,7 +93,7 @@ object ValidatorLoop {
       .withColumn("score",
         when(col("resp") === col("step") * 2, 1.0).otherwise(0.0))
       .select(col("uid").as("user_id"), col("step").as("ts_us"),
-        col("score").as("value"))
+        col("step").as("id"), col("score").as("value"))
       .as[Obs]
   }
 
@@ -111,7 +120,9 @@ object ValidatorLoop {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (batchId % 2 == 1) {
           val df = batch.toDF()
-          val total = df.agg(sum(abs(col("score")))).first().getDouble(0)
+          // sum() over an empty batch yields null, not 0
+          val total = Option(df.agg(sum(abs(col("score")))).first().get(0))
+            .fold(0.0)(_.asInstanceOf[Double])
           if (total != 0.0)
             sink(df.withColumn("weight", col("score") / lit(total)), batchId)
         } else {

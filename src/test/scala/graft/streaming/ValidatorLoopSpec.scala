@@ -22,11 +22,11 @@ class ValidatorLoopSpec extends AnyFunSuite with SparkTest {
       .format("memory").queryName("ema_out").outputMode("update")
       .option("checkpointLocation", tmpDir()).start()
     // three micro-batches for one key, values 1,2 | 3 | 4
-    input.addData(ValidatorLoop.Obs(1, 10, 1.0), ValidatorLoop.Obs(1, 20, 2.0))
+    input.addData(ValidatorLoop.Obs(1, 10, 1, 1.0), ValidatorLoop.Obs(1, 20, 2, 2.0))
     q.processAllAvailable()
-    input.addData(ValidatorLoop.Obs(1, 30, 3.0))
+    input.addData(ValidatorLoop.Obs(1, 30, 3, 3.0))
     q.processAllAvailable()
-    input.addData(ValidatorLoop.Obs(1, 40, 4.0))
+    input.addData(ValidatorLoop.Obs(1, 40, 4, 4.0))
     q.processAllAvailable()
     val rows = spark.table("ema_out").orderBy("n").collect()
     q.stop()
@@ -89,11 +89,11 @@ class ValidatorLoopSpec extends AnyFunSuite with SparkTest {
         batch.collect().foreach(u => seen.add(u.n -> u.ema)); ()
       }.start()
     val q1 = start()
-    input.addData(ValidatorLoop.Obs(7, 10, 1.0), ValidatorLoop.Obs(7, 20, 2.0))
+    input.addData(ValidatorLoop.Obs(7, 10, 1, 1.0), ValidatorLoop.Obs(7, 20, 2, 2.0))
     q1.processAllAvailable()
     q1.stop() // simulated failure/restart
     val q2 = start()
-    input.addData(ValidatorLoop.Obs(7, 30, 3.0))
+    input.addData(ValidatorLoop.Obs(7, 30, 3, 3.0))
     q2.processAllAvailable()
     q2.stop()
     val expect = Seq(1.0, 2.0, 3.0).tail.foldLeft(1.0)((s, x) => alpha * s + (1 - alpha) * x)
