@@ -28,6 +28,18 @@ class SelfCosineRewriteSpec extends AnyFunSuite with SparkTest {
     assert(rows(2).isNullAt(1))
   }
 
+  test("rewrite preserves NaN semantics for non-finite vectors") {
+    val df = spark.range(1, 3).select(col("id"),
+      when(col("id") === 1, array(lit(Float.NaN), lit(1f)))
+        .otherwise(array(lit(Float.PositiveInfinity), lit(1f))).as("v"))
+    val out = df.select(col("id"),
+      VectorFunctions.cosineSim(col("v"), col("v")).as("c"))
+    assert(out.queryExecution.optimizedPlan.toString.contains("graft_self_cosine"))
+    val rows = out.orderBy("id").collect()
+    // full cosine(a,a) yields NaN for NaN/Inf elements; the zero-scan must too
+    assert(rows.forall(r => r.getDouble(1).isNaN), rows.toSeq)
+  }
+
   test("rule leaves distinct-argument cosine untouched") {
     val out = vecs.select(VectorFunctions.cosineSim(col("v"),
       reverse(col("v"))).as("c"))
