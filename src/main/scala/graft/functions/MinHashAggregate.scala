@@ -13,12 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * 100 TB"). One pass over exploded shingles produces all `numHashes`
   * minima; the buffer is a flat `Array[String]` serialized compactly, so
   * partial aggregation/merge happens map-side like any built-in agg —
-  * versus the 8-separate-`min(md5(...))` DataFrame formulation, which
-  * carries 8 independent agg buffers and recomputes `concat` per seed.
+  * versus the `numHashes`-separate-`min(...)` DataFrame formulation, which
+  * carries independent agg buffers per hash.
   *
-  * Hash contract: identical to the portable oracle —
-  * `md5(utf8(s"$seed|$shingle"))` lowercase hex, minima by lexicographic
-  * hex order (so DuckDB SQL replays it exactly).
+  * Hash contract: identical to the portable oracle and to
+  * `Dedup.minhashSignatures` — ONE `md5(shingle)` lowercase-hex digest per
+  * row, hash i = hex chars [4i, 4i+4), minima by lexicographic hex order
+  * (fixed-width lowercase hex ⇒ lexicographic == numeric; DuckDB replays
+  * it as `min(substr(md5(s), 4*i+1, 4))`).
   */
 case class MinHashAgg(
     child: Expression,
@@ -44,16 +46,18 @@ case class MinHashAgg(
 
   override def createAggregationBuffer(): Array[String] = Array.fill(numHashes)(null)
 
+  require(numHashes <= 8, s"md5 yields 32 hex chars = 8 slices of 4; got $numHashes")
+
   override def update(buf: Array[String], input: InternalRow): Array[String] = {
     val v = child.eval(input)
     if (v == null) return buf
-    val s = v.asInstanceOf[UTF8String].toString
     val md = MinHashAgg.localMd5.get()
+    md.reset()
+    val hex = hexOf(md.digest(v.asInstanceOf[UTF8String].getBytes))
     var i = 0
     while (i < numHashes) {
-      md.reset()
-      val hex = hexOf(md.digest(s"$i|$s".getBytes(StandardCharsets.UTF_8)))
-      if (buf(i) == null || hex.compareTo(buf(i)) < 0) buf(i) = hex
+      val slice = hex.substring(4 * i, 4 * i + 4)
+      if (buf(i) == null || slice.compareTo(buf(i)) < 0) buf(i) = slice
       i += 1
     }
     buf

@@ -39,11 +39,16 @@ object TextFunctions {
     parts.reduce((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
   }
 
-  /** The i-th MinHash of an exploded shingle column (aggregate): seeded
-    * md5, min by lexicographic hex order.
-    * Mirror: `min(md5(CAST(i AS VARCHAR) || '|' || s))`. */
-  def minhash(i: Int, shingle: Column): Column =
-    min(md5(concat(lit(i.toString), lit("|"), shingle)))
+  /** The i-th MinHash over a pre-computed `md5(shingle)` hex column
+    * (aggregate): hash i is hex chars [4i, 4i+4) — eight independent
+    * 16-bit slices of ONE digest instead of eight seeded digests
+    * (md5 was the dominant cost of the signature pass; this cuts it 8×).
+    * Fixed-width lowercase hex orders lexicographically == numerically in
+    * both engines. 16-bit minima add ~n/2·2⁻¹⁶ ≈ 0.3% collision noise to
+    * est-Jaccard — immaterial for banding, and the oracle replays the
+    * identical scheme. Mirror: `min(substr(md5(s), ${4*i+1}, 4))`. */
+  def minhash(i: Int, md5hex: Column): Column =
+    min(substring(md5hex, 4 * i + 1, 4))
 
   /** Bit `j` (0-based, 0..15) of the first 16 bits of md5(`wordSql`), as a
     * SQL fragment valid in BOTH Spark SQL and DuckDB:

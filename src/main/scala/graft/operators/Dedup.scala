@@ -15,8 +15,10 @@ import graft.functions.TextFunctions._
   *    `groupBy` pattern; no driver-side state.
   *  - MinHash-LSH never materializes the O(n²) pair space: the only join is
   *    band-bucket equality (each side ~n·BANDS rows), so candidate volume
-  *    is data-driven. Signatures are 8 seeded-md5 mins computed in one
-  *    partial-aggregating pass over exploded shingles.
+  *    is data-driven. Signatures are 8 16-bit slices of ONE md5 per
+  *    shingle, min-folded in one partial-aggregating pass over exploded
+  *    shingles — no pre-aggregation shuffle (min is duplicate-insensitive,
+  *    so the map-side combine absorbs dup shingles for free).
   *  - SimHash is a single explode + two-level aggregation; collision
   *    buckets come from a window over the 16-bit signature.
   *  - n-gram Jaccard is the exact (expensive) variant, blocked by `lang` so
@@ -39,19 +41,22 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_dupes"))
 
-  /** Distinct (doc_id, shingle) pairs — the shared front of every MinHash
-    * path (signatures here, the TypedImperativeAggregate query): dedup
-    * happens post-explode as a distributed hash-distinct. */
+  /** Exploded (doc_id, shingle) rows — the shared front of every MinHash
+    * path (signatures here, the TypedImperativeAggregate query). NOT
+    * deduplicated: every downstream consumer is a min-fold, which is
+    * duplicate-insensitive, and a pre-aggregation `distinct` would cost a
+    * full shuffle of the exploded table just to save some map-side md5s. */
   def explodedShingles(docs: DataFrame): DataFrame =
-    prepared(docs).select(col("doc_id"), explode(col("sh")).as("s")).distinct()
+    prepared(docs).select(col("doc_id"), explode(col("sh")).as("s"))
 
-  /** Per-doc MinHash signature: doc_id, mh0..mh7 (min() is dup-insensitive,
-    * but the distinct keeps the md5 work linear in unique shingles). */
+  /** Per-doc MinHash signature: doc_id, mh0..mh7. ONE md5 per shingle row,
+    * projected before the aggregate so all 8 mins slice the same digest
+    * (agg-input expressions get no CSE across aggregates). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = explodedShingles(docs)
+    val exploded = explodedShingles(docs).withColumn("hex", md5(col("s")))
     exploded.groupBy("doc_id")
-      .agg(minhash(0, col("s")).as("mh0"),
-        (1 until NumHashes).map(i => minhash(i, col("s")).as(s"mh$i")): _*)
+      .agg(minhash(0, col("hex")).as("mh0"),
+        (1 until NumHashes).map(i => minhash(i, col("hex")).as(s"mh$i")): _*)
   }
 
   /** LSH band table: doc_id, band INT, bh (band hash). */
@@ -69,7 +74,7 @@ object Dedup {
     * fraction of matching minhashes. Output: doc_a, doc_b, est_jaccard. */
   def minhashLshCandidates(docs: DataFrame): DataFrame = {
     // The signature table is tiny (one row per doc) but expensive to
-    // derive (normalize → shingle → 8 md5 mins); it feeds three consumers
+    // derive (normalize → shingle → md5-slice mins); it feeds three consumers
     // (two band sides + the est join), so persist it. At 100 TB you'd
     // write it to a parquet signature store instead.
     val sigs = minhashSignatures(docs).cache()

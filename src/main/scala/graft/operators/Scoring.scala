@@ -46,9 +46,18 @@ object Scoring {
           .as("ema"))
   }
 
-  /** R9: L1-normalize a non-negative score column over the whole frame.
-    * scoreSum must be integer-valued doubles (exact), so the global sum is
-    * order-independent and the division bit-deterministic. */
-  def l1Normalize(df: DataFrame, scoreCol: Column): Column =
-    scoreCol / sum(scoreCol).over(Window.partitionBy())
+  /** R9: L1-normalize a non-negative score column over the whole frame,
+    * appending it as `outCol`. scoreCol must be integer-valued doubles
+    * (exact), so the global sum is order-independent and the division
+    * bit-deterministic.
+    *
+    * Shape: scalar `agg(sum)` broadcast back via a 1-row cross join — NOT
+    * `sum().over(Window.partitionBy())`, which moves the whole frame to a
+    * single partition (the "No Partition Defined" WindowExec collapse). */
+  def withL1Weight(df: DataFrame, scoreCol: Column, outCol: String): DataFrame = {
+    val total = df.agg(sum(scoreCol).as("__l1_total"))
+    df.crossJoin(broadcast(total))
+      .withColumn(outCol, scoreCol / col("__l1_total"))
+      .drop("__l1_total")
+  }
 }

@@ -64,9 +64,31 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"), col("rk"))
   }
 
+  /** Embedding near-duplicate pairs, bucketed (the 100 TB shape): sign-bit
+    * LSH buckets turn the all-pairs space into a per-bucket equi-join, then
+    * the exact cosine filters candidates. Each vector lands in exactly one
+    * bucket, so no pair is emitted twice and no O(n²) space is ever
+    * materialized — candidate volume is Σ_bucket |bucket|². Approximate by
+    * construction: pairs whose hyperplane signs differ are never compared
+    * (`nearDupPairs` below is the exact oracle for recall specs). */
+  def nearDupPairsBucketed(emb: DataFrame, threshold: Double,
+                           nBits: Int, dim: Int): DataFrame = {
+    val bucketed = emb
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), nBits, dim).as("bucket"))
+    val a = bucketed.toDF("vec_a", "emb_a", "bucket")
+    val b = bucketed.toDF("vec_b", "emb_b", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineSim(col("emb_a"), col("emb_b")).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold over all (a<b)
-    * pairs. Exact/quadratic — at scale, run `lshBucketed` first and feed
-    * only bucket-colliding pairs here. */
+    * pairs. Exact/quadratic — the test oracle for `nearDupPairsBucketed`;
+    * at scale always use the bucketed form. */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id"), col("embedding")).toDF("vec_a", "emb_a")
     val b = emb.select(col("vec_id"), col("embedding")).toDF("vec_b", "emb_b")

@@ -33,8 +33,10 @@ object DedupQueries {
   // --- X1: MinHash + LSH near-dup candidates (8 hashes, 4 bands × 2)
   /** Candidate-pair CTE chain shared by x01 (pairs) and x21 (decisions). */
   private val minhashCandidateCtes: String = {
+    // Hash contract (mirrors TextFunctions.minhash / MinHashAgg): one
+    // md5 per shingle, hash i = hex chars [4i, 4i+4), lexicographic min.
     val mins = (0 until Dedup.NumHashes)
-      .map(i => s"min(md5('$i' || '|' || s)) AS mh$i").mkString(",\n               ")
+      .map(i => s"min(substr(md5(s), ${4 * i + 1}, 4)) AS mh$i").mkString(",\n               ")
     val bandSelects = (0 until Dedup.Bands).map { b =>
       val r0 = b * 2; val r1 = r0 + 1
       s"SELECT doc_id, $b AS band, md5(mh$r0 || mh$r1) AS bh FROM sigs"
@@ -152,8 +154,8 @@ object DedupQueries {
   }
 
   // --- X25: MinHash signatures via the TypedImperativeAggregate — one
-  // binary-buffer agg pass instead of 8 independent min(md5(...)) buffers;
-  // oracle replays the identical seeded-md5 mins in SQL.
+  // binary-buffer agg pass instead of 8 independent min() buffers; oracle
+  // replays the identical md5-slice mins in SQL.
   val x25 = Query("x25_minhash_agg", Some(
     minhashCandidateCtes +
       "\n      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sigs ORDER BY doc_id"

@@ -74,10 +74,11 @@ object PipelineQueries {
       .agg(
         count(lit(1)).as("n_events"),
         sum(Scoring.scoreCol(col("resp"), col("expected"))).cast(DoubleType).as("score_sum"))
-    perUser.select(
+    Scoring.withL1Weight(perUser, col("score_sum"), "weight")
+      .select(
         col("user_id"), col("n_events"), col("score_sum"),
         (col("score_sum") / col("n_events")).as("score_rate"),
-        Scoring.l1Normalize(perUser, col("score_sum")).as("weight"))
+        col("weight"))
       .orderBy("user_id")
   }
 

@@ -44,24 +44,7 @@ object SimilarityQueries {
       .orderBy("probe_id", "rk")
   }
 
-  // --- X4: embedding near-duplicate pairs (cos ≥ 0.4)
-  val x04 = Query(
-    "x04_neardup_embedding",
-    Some(s"""
-      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      pairs AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS pv, b.v AS av
-        FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      SELECT vec_a, vec_b, ROUND($cosSql, 6) AS cos
-      FROM pairs
-      WHERE $cosSql >= 0.4
-      ORDER BY vec_a, vec_b""")
-  ) { (s, d) =>
-    Similarity.nearDupPairs(embeddings(s, d), threshold = 0.4)
-      .orderBy("vec_a", "vec_b")
-  }
-
-  // --- X5: LSH-bucketed approximate top-3 (the IVF-style scale path)
+  // --- X4/X5 shared LSH bucketing (4 sign-bit hyperplanes over dim 64)
   private val NBits = 4
   private val Dim = 64
   private def planeSql(j: Int): String =
@@ -71,6 +54,29 @@ object SimilarityQueries {
       s"(CASE WHEN list_dot_product(v, ${planeSql(j)}) >= 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  // --- X4: embedding near-duplicate pairs (cos ≥ 0.4), LSH-bucketed —
+  // candidates come from a per-bucket equi-join (Σ|bucket|² pairs, never
+  // the all-pairs cross join); the exact cosine then filters. The
+  // brute-force variant survives only as the recall oracle in
+  // SimilaritySpec.
+  val x04 = Query(
+    "x04_neardup_embedding",
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bk AS (SELECT vec_id, v, CAST($bucketSql AS INT) AS bucket FROM e),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS pv, b.v AS av
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, ROUND($cosSql, 6) AS cos
+      FROM pairs
+      WHERE $cosSql >= 0.4
+      ORDER BY vec_a, vec_b""")
+  ) { (s, d) =>
+    Similarity.nearDupPairsBucketed(embeddings(s, d), threshold = 0.4,
+        nBits = NBits, dim = Dim)
+      .orderBy("vec_a", "vec_b")
+  }
+  // --- X5: LSH-bucketed approximate top-3 (the IVF-style scale path)
   val x05 = Query(
     "x05_similarity_lsh",
     Some(s"""
