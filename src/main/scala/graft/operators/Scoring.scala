@@ -46,6 +46,27 @@ object Scoring {
           .as("ema"))
   }
 
+  /** R8 closed-form EMA with an explicit initial state s₀ — the
+    * reference-exact variant: the validator seeds every score slot with
+    * 1.0 before folding (/root/reference/neurons/validator.py:110,
+    * `torch.ones_like`), so s_n = α^n·s₀ + Σ_{k=1..n} (1-α)·α^(n-k)·x_k.
+    * `emaClosedForm` (s₁ = x₁) remains the unseeded variant. */
+  def emaClosedFormSeeded(df: DataFrame, key: String, valueCol: String,
+                          alpha: Double, init: Double, orderCols: Column*): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+    val wAll = Window.partitionBy(col(key))
+    df.select(col(key), col(valueCol).as("x"),
+        row_number().over(w).as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(
+          sum(lit(1 - alpha) * pow(lit(alpha), col("n") - col("rn")) * col("x"))
+            + pow(lit(alpha), max(col("n"))) * lit(init), 6)
+          .as("ema"))
+  }
+
   /** R9: L1-normalize a non-negative score column over the whole frame,
     * appending it as `outCol`. scoreCol must be integer-valued doubles
     * (exact), so the global sum is order-independent and the division

@@ -28,14 +28,17 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   * rows, and nothing is ever globally sorted.
   */
 final case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
-                                k: Int, child: LogicalPlan) extends UnaryNode {
+                                k: Int, child: LogicalPlan,
+                                maxKeysInFlight: Int = TopKPerKeyExec.DefaultMaxKeysInFlight)
+    extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
     copy(child = newChild)
 }
 
 final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-                                k: Int, partial: Boolean, child: SparkPlan)
+                                k: Int, partial: Boolean, child: SparkPlan,
+                                maxKeysInFlight: Int = TopKPerKeyExec.DefaultMaxKeysInFlight)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
 
@@ -47,19 +50,31 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val maxKeys = maxKeysInFlight
+    val isPartial = partial
     val childOutput = child.output
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       val rowOrd = new LazilyGeneratedOrdering(sortOrder, childOutput)
-      // per key: max-heap of the WORST retained row → O(log k) insert
+      // per key: max-heap of the WORST retained row → O(log k) insert.
+      // Memory is O(keysInMap · k) rows. The PARTIAL phase bounds keysInMap
+      // at `maxKeysInFlight` by flushing: when a new key would exceed the
+      // cap, every current heap is emitted and the map cleared. Correct
+      // because partial output only needs to be a SUPERSET of each key's
+      // per-partition top-k that still contains it — any row in the
+      // partition's true top-k for its key is also in the top-k of
+      // whichever flush-segment it fell into — and the final phase
+      // re-aggregates. Each flush emits ≤ k·maxKeys rows, so memory stays
+      // bounded at arbitrary key cardinality (the degradation is extra
+      // shuffled rows, not OOM). The FINAL phase cannot evict (it must see
+      // a key's whole input to be exact): its map holds the partition's
+      // distinct keys — |keys| / shuffle-partitions entries — which is the
+      // same state bound as hash aggregation over the same keys; raise
+      // shuffle partitions for extreme cardinality.
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      while (it.hasNext) {
-        val row = it.next() match {
-          case u: UnsafeRow => u
-          case other => toUnsafe(other)
-        }
-        val key = keyProj(row)
+
+      def insert(row: UnsafeRow, key: UnsafeRow): Unit = {
         var heap = heaps.get(key)
         if (heap == null) {
           heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, rowOrd.reverse)
@@ -70,11 +85,44 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
           heap.poll(); heap.add(row.copy())
         }
       }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { h =>
-        val arr = h.toArray(new Array[UnsafeRow](h.size()))
-        java.util.Arrays.sort(arr, rowOrd)
-        arr.iterator
+
+      def drain(): Iterator[InternalRow] = {
+        import scala.jdk.CollectionConverters._
+        val out = heaps.values().asScala.toVector.iterator.flatMap { h =>
+          val arr = h.toArray(new Array[UnsafeRow](h.size()))
+          java.util.Arrays.sort(arr, rowOrd)
+          arr.iterator
+        }
+        heaps.clear()
+        out
+      }
+
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var inputDone = false
+        private def advance(): Unit = {
+          while (!out.hasNext && !inputDone) {
+            var flushed = false
+            while (!flushed && it.hasNext) {
+              val row = it.next() match {
+                case u: UnsafeRow => u
+                case other => toUnsafe(other)
+              }
+              val key = keyProj(row)
+              if (isPartial && !heaps.containsKey(key) && heaps.size() >= maxKeys) {
+                out = drain()
+                flushed = true
+              }
+              insert(row, key)
+            }
+            if (!flushed) { out = drain(); inputDone = true }
+          }
+        }
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          out.next()
+        }
       }
     }
   }
@@ -83,21 +131,30 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
+object TopKPerKeyExec {
+  /** Partial-phase in-flight key cap: 64k keys · k rows each. */
+  val DefaultMaxKeysInFlight: Int = 1 << 16
+}
+
 /** Plans the logical node as partial → (exchange via EnsureRequirements)
   * → final. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyPlan(keys, order, k, child) =>
+    case TopKPerKeyPlan(keys, order, k, child, maxKeys) =>
       TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child), maxKeys),
+        maxKeys) :: Nil
     case _ => Nil
   }
 }
 
 object TopK {
   /** DataFrame API: top `k` rows per `keys`, ordered by `order`. Requires
-    * the `graft.plans.GraftExtensions` strategy to be installed. */
-  def perKey(df: DataFrame, keys: Seq[Column], orders: Seq[Column], k: Int): DataFrame = {
+    * the `graft.plans.GraftExtensions` strategy to be installed.
+    * `maxKeysInFlight` bounds the partial phase's per-partition key map
+    * (flush-on-overflow; see `TopKPerKeyExec`). */
+  def perKey(df: DataFrame, keys: Seq[Column], orders: Seq[Column], k: Int,
+             maxKeysInFlight: Int = TopKPerKeyExec.DefaultMaxKeysInFlight): DataFrame = {
     val spark = df.sparkSession
     val sortOrders = orders.map(o => ColumnBridge.expression(spark, o) match {
       case s: SortOrder => s
@@ -105,7 +162,7 @@ object TopK {
     })
     val plan = TopKPerKeyPlan(
       keys.map(ColumnBridge.expression(spark, _)),
-      sortOrders, k, df.queryExecution.analyzed)
+      sortOrders, k, df.queryExecution.analyzed, maxKeysInFlight)
     ColumnBridge.ofRows(spark, plan)
   }
 }

@@ -41,7 +41,10 @@ object EventQueries {
              round(ln(abs(value) + 1), 6) AS v_ln,
              round(pow(abs(value), 0.3), 6) AS v_pow,
              event_id % 7 AS id_mod,
-             round(list_sum([value, value * 2, value * 3]), 6) AS v_arrsum
+             round(list_sum([value, value * 2, value * 3]), 6) AS v_arrsum,
+             CAST(1000 * CAST(string_split(CAST(event_id % 4 AS VARCHAR) || '.' || CAST(event_id % 10 AS VARCHAR) || '.' || CAST(event_id % 7 AS VARCHAR), '.')[1] AS INT)
+                +   10 * CAST(string_split(CAST(event_id % 4 AS VARCHAR) || '.' || CAST(event_id % 10 AS VARCHAR) || '.' || CAST(event_id % 7 AS VARCHAR), '.')[2] AS INT)
+                +        CAST(string_split(CAST(event_id % 4 AS VARCHAR) || '.' || CAST(event_id % 10 AS VARCHAR) || '.' || CAST(event_id % 7 AS VARCHAR), '.')[3] AS INT) AS INT) AS spec_version
       FROM events
       ORDER BY event_id""")
   ) { (s, d) =>
@@ -67,7 +70,19 @@ object EventQueries {
       (col("event_id") % 7).as("id_mod"),
       round(aggregate(
         array(col("value"), col("value") * 2, col("value") * 3),
-        lit(0.0), (acc, x) => acc + x), 6).as("v_arrsum"))
+        lit(0.0), (acc, x) => acc + x), 6).as("v_arrsum"),
+      // R15 version encode (/root/reference/template/__init__.py:22-24):
+      // dotted "maj.min.patch" string → 1000·major + 10·minor + patch.
+      {
+        val vstr = concat_ws(".",
+          (col("event_id") % 4).cast("string"),
+          (col("event_id") % 10).cast("string"),
+          (col("event_id") % 7).cast("string"))
+        val parts = split(vstr, "\\.")
+        (parts.getItem(0).cast(IntegerType) * 1000
+          + parts.getItem(1).cast(IntegerType) * 10
+          + parts.getItem(2).cast(IntegerType)).cast(IntegerType).as("spec_version")
+      })
       .orderBy("event_id")
   }
 

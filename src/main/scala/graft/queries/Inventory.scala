@@ -7,7 +7,7 @@ object Inventory {
     RelationalQueries.all ++ EventQueries.all ++ PipelineQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
       TemporalQueries.all ++ AggregatorQueries.all ++ ExtraQueries.all ++
-      RelationalQueries2.all
+      RelationalQueries2.all ++ CoverageQueries.all
 
   def byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 }

@@ -214,14 +214,30 @@ object RelationalQueries {
       .orderBy("l_returnflag")
   }
 
-  // --- Q8b: HLL sketch (approx_count_distinct). Implementations differ
-  // across engines, so no value-level oracle — driver records rows-only.
-  val q08b = Query("q08b_hll_approx", None) { (s, d) =>
+  // --- Q8b: HLL sketch (approx_count_distinct). Sketch values differ
+  // across engines, so the sketch itself is never compared; instead the
+  // query grades its own relative error against the exact count computed
+  // in the same pass (|approx-exact|/exact ≤ 0.15 — rsd is 0.05, so 3σ).
+  // The oracle asserts the criterion must hold, making rows/schema/hash
+  // all gradeable without ever hashing an engine-specific cardinality.
+  val q08b = Query(
+    "q08b_hll_approx",
+    Some("""
+      SELECT l_returnflag,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             CAST(1 AS INT) AS approx_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  ) { (s, d) =>
     lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.05).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        when(abs(col("approx_parts") - col("exact_parts")).cast(DoubleType)
+          / col("exact_parts") <= 0.15, 1).otherwise(0).as("approx_ok"))
       .orderBy("l_returnflag")
   }
 

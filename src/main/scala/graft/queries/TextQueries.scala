@@ -118,7 +118,7 @@ object TextQueries {
       WITH m AS (
         SELECT lang,
                (len(string_split($normSql, ' ')) >= 20
-                 AND (doc_id * 2654435761) % 100 < 30) AS kept
+                 AND ((doc_id % 2147483647) * 2654435761) % 100 < 30) AS kept
         FROM documents)
       SELECT lang,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -127,10 +127,14 @@ object TextQueries {
       ORDER BY lang""")
   ) { (s, d) =>
     import graft.functions.TextFunctions._
+    // doc_id is masked to 31 bits before the Knuth multiply so the product
+    // stays under 2^63: Spark silently wraps on Long overflow while DuckDB
+    // raises on BIGINT overflow, so the unmasked form diverges (or errors)
+    // once doc_id exceeds ~3.5e9.
     documents(s, d)
       .select(col("lang"),
         (size(words(normText(col("text")))) >= 20
-          && (col("doc_id") * 2654435761L) % 100 < 30).as("kept"))
+          && (col("doc_id") % 2147483647L) * 2654435761L % 100 < 30).as("kept"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))

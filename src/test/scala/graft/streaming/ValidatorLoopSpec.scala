@@ -37,6 +37,28 @@ class ValidatorLoopSpec extends AnyFunSuite with SparkTest {
     assert(rows.length == 3) // one update per micro-batch
   }
 
+  test("seeded EMA state (init=1.0) replays the reference trajectory") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val alpha = 0.9
+    val input = MemoryStream[ValidatorLoop.Obs]
+    val q = ValidatorLoop.emaUpdates(input.toDS(), alpha, init = Some(1.0))
+      .writeStream
+      .format("memory").queryName("ema_seeded_out").outputMode("update")
+      .option("checkpointLocation", tmpDir()).start()
+    input.addData(ValidatorLoop.Obs(1, 10, 1, 1.0), ValidatorLoop.Obs(1, 20, 2, 2.0))
+    q.processAllAvailable()
+    input.addData(ValidatorLoop.Obs(1, 30, 3, 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("ema_seeded_out").orderBy("n").collect()
+    q.stop()
+    // the reference fold: scores start at 1.0, every observation folds in
+    // (/root/reference/neurons/validator.py:110,146)
+    val expect = Seq(1.0, 2.0, 3.0).foldLeft(1.0)((s, x) => alpha * s + (1 - alpha) * x)
+    assert(rows.last.getAs[Double]("ema") === expect)
+    assert(rows.last.getAs[Long]("n") === 3L)
+  }
+
   test("watermarked tumbling window counts") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

@@ -5,7 +5,7 @@ Loads each <out>/<name> parquet (Spark result), runs <out>/oracle_sql.json's
 SQL in DuckDB over the fixture tables, sorts columns by name, and compares
 values exactly (floats bit-exact; reports max-abs-diff when they differ).
 """
-import json, sys, math
+import json, sys
 import duckdb
 import pandas as pd
 
@@ -51,9 +51,6 @@ def main(sfdir, outdir):
                         eq = True
                 except (TypeError, ValueError):
                     pass
-                if not eq and isinstance(a, float) and isinstance(b, float):
-                    if math.isclose(a, b, rel_tol=0, abs_tol=0):
-                        eq = True
                 if not eq:
                     bad.append((c, i, a, b))
                     if len(bad) >= 3:
