@@ -132,5 +132,40 @@ object CoverageQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Query] = Seq(x26, x27, x28, x29)
+  // --- X30: analytic-function frames — ntile, percent_rank, cume_dist,
+  // first/last/nth_value over an explicit full ROWS frame (the default
+  // frame stops at CURRENT ROW for last_value, a classic trap — pinned
+  // explicitly on both engines). All rank-derived ratios are exact int
+  // divisions, so doubles are bit-identical cross-engine.
+  val x30 = Query(
+    "x30_window_frames",
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) AS quartile,
+             percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS pr,
+             cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS cd,
+             first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+             last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+             nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""")
+  ) { (s, d) =>
+    val wKey = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val wPrice = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    val full = wKey.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(wKey).as("quartile"),
+      percent_rank().over(wPrice).as("pr"),
+      cume_dist().over(wPrice).as("cd"),
+      first_value(col("o_totalprice")).over(full).as("first_price"),
+      last_value(col("o_totalprice")).over(full).as("last_price"),
+      nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val all: Seq[Query] = Seq(x26, x27, x28, x29, x30)
 }

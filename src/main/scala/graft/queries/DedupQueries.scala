@@ -168,5 +168,36 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21, x25)
+  // --- X31: edit-distance refinement of LSH candidates — the standard
+  // fuzzy-dedup composition at scale: the O(n²) Levenshtein DP runs ONLY
+  // on band-colliding pairs (data-driven candidate volume), never on the
+  // full pair space. sim = 1 - lev / max(len_a, len_b), both engines'
+  // levenshtein is the same codepoint-counting DP.
+  val x31 = Query("x31_dedup_editdistance", Some(
+    minhashCandidateCtes + s"""
+      SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(na.norm, nb.norm) AS BIGINT) AS lev,
+             round(1.0 - CAST(levenshtein(na.norm, nb.norm) AS DOUBLE)
+               / greatest(length(na.norm), length(nb.norm)), 6) AS edit_sim
+      FROM cand c
+      JOIN n na ON c.doc_a = na.doc_id
+      JOIN n nb ON c.doc_b = nb.doc_id
+      ORDER BY doc_a, doc_b"""
+  )) { (s, d) =>
+    val docs = documents(s, d)
+    val cands = Dedup.minhashLshCandidates(docs).select("doc_a", "doc_b")
+    val norms = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.normText(col("text")).as("norm"))
+    val lev = levenshtein(col("norm_a"), col("norm_b"))
+    cands
+      .join(norms.toDF("doc_a", "norm_a"), "doc_a")
+      .join(norms.toDF("doc_b", "norm_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        lev.cast("long").as("lev"),
+        round(lit(1.0) - lev.cast("double")
+          / greatest(length(col("norm_a")), length(col("norm_b"))), 6).as("edit_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21, x25, x31)
 }
