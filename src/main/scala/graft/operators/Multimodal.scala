@@ -57,6 +57,17 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling stage: k evenly-spaced frame indices per media row —
+    * `floor(j·n_frames/k)` for j in 0..k-1, the standard decimation grid.
+    * The index arithmetic (and the array plumbing) is real; extracting the
+    * frames AT those indices is the codec call, stubbed like `decodeStub`.
+    * Indices surface as a comma-joined string so the oracle compares
+    * scalars, not nested arrays. */
+  def sampleFrames(meta: Dataset[MediaMeta], k: Int): DataFrame =
+    meta.toDF().withColumn("frame_idx",
+      concat_ws(",", transform(sequence(lit(0), lit(k - 1)),
+        j => floor(j * col("n_frames") / k).cast("int"))))
+
   /** Per-modality stats over decoded metadata. */
   def modalityStats(meta: Dataset[MediaMeta]): DataFrame =
     meta.toDF().groupBy("mime")

@@ -35,6 +35,34 @@ object TemporalQueries {
       .orderBy("mime")
   }
 
+  // --- X33: multimodal frame sampling — decode metadata → k evenly-spaced
+  // frame indices per media row (the pre-extraction step of any video
+  // pipeline; decimation grid floor(j·n_frames/k)). The oracle replays the
+  // stub-decode arithmetic plus the same grid.
+  val x33 = Query(
+    "x33_multimodal_frames",
+    Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END AS mime,
+               CAST(length(text) AS BIGINT) AS n
+        FROM documents)
+      SELECT doc_id, mime,
+             CAST(1 + n % 5 AS INT) AS n_frames,
+             array_to_string(list_transform(range(0, 3),
+               j -> CAST(floor(j * (1 + n % 5) / 3) AS INT)), ',') AS frame_idx
+      FROM m
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.sampleFrames(
+        Multimodal.decode(Multimodal.mediaTable(documents(s, d))), k = 3)
+      .select("doc_id", "mime", "n_frames", "frame_idx")
+      .orderBy("doc_id")
+  }
+
   // --- X11: as-of join — each purchase matched to the user's latest
   // strictly-prior click. Spark: last-ignoreNulls over a tagged union
   // (no native as-of operator); DuckDB oracle: native ASOF JOIN.
@@ -141,5 +169,5 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Query] = Seq(x10, x11, x12, x13)
+  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33)
 }

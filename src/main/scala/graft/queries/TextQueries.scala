@@ -141,5 +141,37 @@ object TextQueries {
       .orderBy("lang")
   }
 
-  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22)
+  // --- X32: top-k tokens per language — the custom two-phase TopKPerKey
+  // operator applied to a high-cardinality aggregate (|vocab| keys into
+  // the partial heaps), the Zipf-head view every corpus study starts with.
+  val x32 = Query(
+    "x32_top_tokens",
+    Some(s"""
+      WITH tok AS (
+        SELECT lang, unnest(string_split($normSql, ' ')) AS w FROM documents),
+      cnts AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY lang, w),
+      ranked AS (
+        SELECT lang, w, cnt,
+               CAST(row_number() OVER (PARTITION BY lang
+                 ORDER BY cnt DESC, w) AS INT) AS rk
+        FROM cnts)
+      SELECT lang, w, cnt, rk FROM ranked WHERE rk <= 5
+      ORDER BY lang, rk""")
+  ) { (s, d) =>
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val toks = documents(s, d)
+      .select(col("lang"), explode(words(normText(col("text")))).as("w"))
+    val cnts = toks.groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+    val top = graft.plans.TopK.perKey(cnts, Seq(cnts("lang")),
+      Seq(cnts("cnt").desc, cnts("w")), k = 5)
+    val wd = Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))
+    top.withColumn("rk", row_number().over(wd))
+      .select("lang", "w", "cnt", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32)
 }
