@@ -101,5 +101,70 @@ object SimilarityQueries {
       .orderBy("probe_id", "rk")
   }
 
-  val all: Seq[Query] = Seq(q17, x04, x05)
+  // --- X34: IVF-style ANN — a coarse quantizer (nearest centroid by
+  // cosine, computed as a broadcast join + TopKPerKey k=1) assigns every
+  // vector to a cell; search joins probes to their cell only. Unlike x05's
+  // fixed hyperplanes the codebook is data-derived (here: a deterministic
+  // subsample standing in for trained k-means centroids; at 100 TB the
+  // codebook is a fixed broadcast table, so assignment is linear — C cells,
+  // |corpus|·C comparisons, never |corpus|²).
+  val x34 = Query(
+    "x34_similarity_ivf",
+    Some(s"""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 125 = 0),
+      assign AS (
+        SELECT vec_id, label, v, cent_id, $cosSql AS a_cos
+        FROM (SELECT e.vec_id, e.label, e.v, c.cent_id, e.v AS av, c.cv AS pv
+              FROM e CROSS JOIN c)),
+      cells AS (
+        SELECT vec_id, label, v, cent_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY a_cos DESC, cent_id) AS arn
+          FROM assign) WHERE arn = 1),
+      probes AS (SELECT vec_id AS probe_id, v AS pv, cell FROM cells WHERE vec_id % 50 = 0),
+      cands AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.cell, a.v AS av, pv
+        FROM cells a JOIN probes USING (cell) WHERE a.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, neighbor_id, cell,
+               $cosSql AS cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY $cosSql DESC, neighbor_id) AS INT) AS rk
+        FROM cands)
+      SELECT probe_id, neighbor_id, cell, ROUND(cos_raw, 6) AS cos, rk
+      FROM ranked WHERE rk <= 3
+      ORDER BY probe_id, rk""")
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosineSim
+    val emb = embeddings(s, d)
+    val cents = emb.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val assign = emb.select("vec_id", "embedding", "label")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"),
+        cosineSim(col("embedding"), col("cvec")).as("a_cos"))
+    // cell table feeds both the probe set and the search side → cache
+    val cells = graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
+        Seq(assign("a_cos").desc, assign("cent_id")), k = 1)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        col("cent_id").as("cell"))
+      .cache()
+    val probes = cells.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"), col("cell"))
+    val cands = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        cosineSim(col("pvec"), col("embedding")).as("cos_raw"))
+    val topk = graft.plans.TopK.perKey(cands, Seq(cands("probe_id")),
+      Seq(cands("cos_raw").desc, cands("neighbor_id")), k = 3)
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select(col("probe_id"), col("neighbor_id"), col("cell"),
+        round(col("cos_raw"), 6).as("cos"), col("rk"))
+      .orderBy("probe_id", "rk")
+  }
+
+  val all: Seq[Query] = Seq(q17, x04, x05, x34)
 }
