@@ -167,5 +167,36 @@ object CoverageQueries {
       .orderBy("o_custkey", "o_orderkey")
   }
 
-  val all: Seq[Query] = Seq(x26, x27, x28, x29, x30)
+  // --- X35: percentile sketch under a self-graded criterion (the q08b
+  // pattern applied to approx_percentile): the sketch's p50 estimate must
+  // land inside the exact [p45, p55] band computed in the same pass —
+  // accuracy 10000 bounds rank error at ~1e-4, so the 5-point band is a
+  // generous-but-real guarantee. The sketch value itself is never
+  // hash-compared.
+  val x35 = Query(
+    "x35_approx_percentile",
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.45), 6) AS p45,
+             round(quantile_cont(l_extendedprice, 0.55), 6) AS p55,
+             CAST(1 AS INT) AS approx_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  ) { (s, d) =>
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+        expr("percentile(l_extendedprice, 0.45)").as("p45r"),
+        expr("percentile(l_extendedprice, 0.55)").as("p55r"))
+      .select(col("l_returnflag"),
+        round(col("p45r"), 6).as("p45"),
+        round(col("p55r"), 6).as("p55"),
+        when(col("ap50") >= col("p45r") && col("ap50") <= col("p55r"), 1)
+          .otherwise(0).as("approx_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Query] = Seq(x26, x27, x28, x29, x30, x35)
 }

@@ -29,6 +29,28 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("binaryFile source ingests raw media files with path/length/content") {
+    // The multimodal ingestion path: opaque payloads land as BinaryType
+    // rows (path, modificationTime, length, content) — feed `content`
+    // straight into Multimodal.decode-style pipelines.
+    val dir = tmp()
+    val payloads = Map("a.bin" -> "alpha-payload", "b.bin" -> "bee")
+    payloads.foreach { case (name, body) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, name), body.getBytes("UTF-8"))
+    }
+    val df = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("length"), col("content"))
+    val rows = df.collect().map { r =>
+      val name = r.getString(0).split('/').last
+      name -> (r.getLong(1), new String(r.getAs[Array[Byte]](2), "UTF-8"))
+    }.toMap
+    assert(rows.keySet == payloads.keySet)
+    payloads.foreach { case (name, body) =>
+      assert(rows(name) == (body.length.toLong, body), name)
+    }
+  }
+
   test("streaming file source processes files appended across batches") {
     val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
     val dir = tmp()
