@@ -188,12 +188,13 @@ object CoverageQueries {
       .groupBy("l_returnflag")
       .agg(
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
-        expr("percentile(l_extendedprice, 0.45)").as("p45r"),
-        expr("percentile(l_extendedprice, 0.55)").as("p55r"))
+        // one sort pass for both exact quantiles (array form), not two
+        expr("percentile(l_extendedprice, array(0.45, 0.55))").as("pband"))
       .select(col("l_returnflag"),
-        round(col("p45r"), 6).as("p45"),
-        round(col("p55r"), 6).as("p55"),
-        when(col("ap50") >= col("p45r") && col("ap50") <= col("p55r"), 1)
+        round(element_at(col("pband"), 1), 6).as("p45"),
+        round(element_at(col("pband"), 2), 6).as("p55"),
+        when(col("ap50") >= element_at(col("pband"), 1)
+          && col("ap50") <= element_at(col("pband"), 2), 1)
           .otherwise(0).as("approx_ok"))
       .orderBy("l_returnflag")
   }
