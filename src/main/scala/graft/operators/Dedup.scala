@@ -137,6 +137,27 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("dropped"), lit(0)).as("dropped"))
   }
 
+  /** Incremental dedup — the production flow: an incoming batch (`isNew`
+    * rows) is deduplicated AGAINST the existing corpus, not all-pairs.
+    * A new doc is dropped iff it band-collides with an OLD doc at
+    * est-Jaccard ≥ threshold; new-vs-new and old-vs-old pairs are ignored
+    * (in-batch dedup is `minhashDedupDecisions`; the corpus was already
+    * deduplicated). At 100 TB the old side is the persisted parquet
+    * signature store — only the new batch is shingled and hashed.
+    * Output: one row per NEW doc — doc_id, dropped. */
+  def incrementalDropDecisions(docs: DataFrame, isNew: Column => Column,
+                               estThreshold: Double): DataFrame = {
+    val aNew = isNew(col("doc_a"))
+    val bNew = isNew(col("doc_b"))
+    val dropped = minhashLshCandidates(docs)
+      .filter(col("est_jaccard") >= estThreshold && (aNew =!= bNew))
+      .select(when(aNew, col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    docs.filter(isNew(col("doc_id"))).select("doc_id")
+      .join(dropped.withColumn("dropped", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dropped"), lit(0)).as("dropped"))
+  }
+
   /** Exact n-gram Jaccard similarity for same-`lang` pairs above a
     * threshold. Output: doc_a, doc_b, n_shared, jaccard. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {

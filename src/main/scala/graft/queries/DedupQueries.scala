@@ -199,5 +199,28 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21, x25, x31)
+  // --- X36: incremental dedup — the production cadence: an incoming batch
+  // (doc_id % 10 >= 8 stands in for "today's crawl") is deduplicated
+  // against the existing corpus via the signature store; a new doc drops
+  // iff it band-collides with an OLD doc at est ≥ 0.5. New-vs-new pairs
+  // are out of scope here (that's x21's in-batch decision flow).
+  val x36 = Query("x36_dedup_incremental", Some(
+    minhashCandidateCtes + """
+      , newdrops AS (
+        SELECT DISTINCT CASE WHEN doc_a % 10 >= 8 THEN doc_a ELSE doc_b END AS doc_id
+        FROM cand
+        WHERE est_jaccard >= 0.5
+          AND ((doc_a % 10 >= 8) <> (doc_b % 10 >= 8)))
+      SELECT d.doc_id,
+             CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
+      FROM documents d LEFT JOIN newdrops nd ON d.doc_id = nd.doc_id
+      WHERE d.doc_id % 10 >= 8
+      ORDER BY d.doc_id"""
+  )) { (s, d) =>
+    Dedup.incrementalDropDecisions(documents(s, d),
+        isNew = id => id % 10 >= 8, estThreshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21, x25, x31, x36)
 }
