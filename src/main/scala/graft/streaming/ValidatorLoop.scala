@@ -110,9 +110,10 @@ object ValidatorLoop {
     * L1-normalized weight sink. One call = the reference's entire
     * `neurons/validator.py` main loop. */
   def runPipeline(steps: Dataset[java.lang.Long], nPeers: Int,
-                  corruptUids: Set[Long], alpha: Double, checkpoint: String)
+                  corruptUids: Set[Long], alpha: Double, checkpoint: String,
+                  init: Option[Double] = None)
                  (sink: (org.apache.spark.sql.DataFrame, Long) => Unit): StreamingQuery = {
-    val scored = emaUpdates(validatorRounds(steps, nPeers, corruptUids), alpha)
+    val scored = emaUpdates(validatorRounds(steps, nPeers, corruptUids), alpha, init)
       .toDF().withColumnRenamed("ema", "score")
     weightSink(scored, checkpoint)(sink)
   }

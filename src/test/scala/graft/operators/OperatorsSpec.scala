@@ -51,6 +51,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(bucketed.subsetOf(brute))
   }
 
+  test("incremental dedup drops a new doc only against the old corpus") {
+    // old: ids 1,2 (id % 10 <= 7) — new: 18, 19, 28. 18 duplicates old#1
+    // (dropped); 19 duplicates fellow-new 28 ONLY (kept — in-batch dedup
+    // is a separate stage); 28 kept.
+    val d = docs(
+      1L -> ("spark rocks " * 10), 2L -> "totally unrelated old words here",
+      18L -> ("spark rocks " * 10), 19L -> ("novel duplicate pair " * 8),
+      28L -> ("novel duplicate pair " * 8))
+    val out = Dedup.incrementalDropDecisions(d, id => id % 10 >= 8, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(18L -> 1, 19L -> 0, 28L -> 0))
+  }
+
   test("ngram jaccard is 1.0 for identical docs and finds them only") {
     import spark.implicits._
     val d = Seq((1L, "a b c d e f g", "en"), (2L, "a b c d e f g", "en"),
