@@ -17,10 +17,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * carries independent agg buffers per hash.
   *
   * Hash contract: identical to the portable oracle and to
-  * `Dedup.minhashSignatures` — ONE `md5(shingle)` lowercase-hex digest per
-  * row, hash i = hex chars [4i, 4i+4), minima by lexicographic hex order
-  * (fixed-width lowercase hex ⇒ lexicographic == numeric; DuckDB replays
-  * it as `min(substr(md5(s), 4*i+1, 4))`).
+  * `Dedup.minhashSignatures` — TWO seeded lowercase-hex digests per row
+  * (`md5(s) || md5("1|" + s)`, 64 hex chars), hash i = hex chars
+  * [8i, 8i+8), minima by lexicographic hex order (fixed-width lowercase
+  * hex ⇒ lexicographic == numeric; DuckDB replays it as
+  * `min(substr(md5(s) || md5('1|' || s), 8*i+1, 8))`). 32-bit slices —
+  * one digest's 16-bit slices degenerate on 65k-shingle docs (min of n
+  * uniform 16-bit draws → 0).
   */
 case class MinHashAgg(
     child: Expression,
@@ -46,17 +49,21 @@ case class MinHashAgg(
 
   override def createAggregationBuffer(): Array[String] = Array.fill(numHashes)(null)
 
-  require(numHashes <= 8, s"md5 yields 32 hex chars = 8 slices of 4; got $numHashes")
+  require(numHashes <= 8, s"two md5s yield 64 hex chars = 8 slices of 8; got $numHashes")
 
   override def update(buf: Array[String], input: InternalRow): Array[String] = {
     val v = child.eval(input)
     if (v == null) return buf
     val md = MinHashAgg.localMd5.get()
+    val bytes = v.asInstanceOf[UTF8String].getBytes
     md.reset()
-    val hex = hexOf(md.digest(v.asInstanceOf[UTF8String].getBytes))
+    val h1 = hexOf(md.digest(bytes))
+    md.reset()
+    md.update(MinHashAgg.Seed1)
+    val hex = h1 + hexOf(md.digest(bytes))
     var i = 0
     while (i < numHashes) {
-      val slice = hex.substring(4 * i, 4 * i + 4)
+      val slice = hex.substring(8 * i, 8 * i + 8)
       if (buf(i) == null || slice.compareTo(buf(i)) < 0) buf(i) = slice
       i += 1
     }
@@ -109,6 +116,8 @@ case class MinHashAgg(
 
 object MinHashAgg {
   private[functions] val HexDigits = "0123456789abcdef".toCharArray
+  // second-digest seed prefix, matching md5('1|' || s) in the oracle
+  private[functions] val Seed1 = "1|".getBytes(StandardCharsets.UTF_8)
   // MessageDigest is stateful and not thread-safe; one per task thread
   // (getInstance per row measured ~5x the whole aggregation's cost).
   private[functions] val localMd5: ThreadLocal[java.security.MessageDigest] =

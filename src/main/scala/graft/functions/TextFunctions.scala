@@ -22,9 +22,10 @@ object TextFunctions {
   /** Whitespace tokens of normalized text. Mirror: `string_split(t, ' ')`. */
   def words(norm: Column): Column = split(norm, " ")
 
-  /** Word k-shingles joined by spaces (WITH duplicates — dedup after
-    * `explode` via distributed hash-distinct, matching the oracle's
-    * `SELECT DISTINCT ... unnest(...)`).
+  /** Word k-shingles joined by spaces, WITH duplicates — downstream
+    * consumers are min-folds (duplicate-insensitive), so nothing dedups
+    * the exploded rows; a duplicate-SENSITIVE consumer must add its own
+    * `distinct` (as `ngramJaccard` does).
     *
     * Formulated as zip_with over k shifted slices rather than
     * `transform(sequence(...), j -> slice(ws, j, k))`: an expression
@@ -39,16 +40,28 @@ object TextFunctions {
     parts.reduce((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
   }
 
-  /** The i-th MinHash over a pre-computed `md5(shingle)` hex column
-    * (aggregate): hash i is hex chars [4i, 4i+4) — eight independent
-    * 16-bit slices of ONE digest instead of eight seeded digests
-    * (md5 was the dominant cost of the signature pass; this cuts it 8×).
+  /** 64 hex chars of digest material per shingle — two seeded md5s, the
+    * source for all 8 MinHash slices. Two digests instead of eight is the
+    * md5-cost sweet spot: one digest's 32 hex chars would cap slices at
+    * 16 bits, and the min of n draws from a 2¹⁶ space collapses toward 0
+    * once n approaches 65k distinct shingles (book-length docs) — every
+    * such doc would band-collide with every other. 32-bit slices keep the
+    * collision floor at ~n·2⁻³² (≈10⁻⁴ at a million shingles).
+    * Mirror: `md5(s) || md5('1|' || s)`. */
+  def minhashHex(shingle: Column): Column =
+    concat(md5(shingle), md5(concat(lit("1|"), shingle)))
+
+  /** The i-th MinHash over the pre-computed `minhashHex` column
+    * (aggregate): hash i is hex chars [8i, 8i+8) — eight independent
+    * 32-bit slices of two digests instead of eight seeded digests (md5
+    * was the dominant cost of the signature pass; this cuts it 4×).
     * Fixed-width lowercase hex orders lexicographically == numerically in
-    * both engines. 16-bit minima add ~n/2·2⁻¹⁶ ≈ 0.3% collision noise to
-    * est-Jaccard — immaterial for banding, and the oracle replays the
-    * identical scheme. Mirror: `min(substr(md5(s), ${4*i+1}, 4))`. */
-  def minhash(i: Int, md5hex: Column): Column =
-    min(substring(md5hex, 4 * i + 1, 4))
+    * both engines, and the oracle replays the identical scheme.
+    * Mirror: `min(substr(hexcat, ${8*i+1}, 8))`. */
+  def minhash(i: Int, hexcat: Column): Column = {
+    require(0 <= i && i < 8, s"two md5 digests yield 8 slices of 8 hex chars; got i=$i")
+    min(substring(hexcat, 8 * i + 1, 8))
+  }
 
   /** Bit `j` (0-based, 0..15) of the first 16 bits of md5(`wordSql`), as a
     * SQL fragment valid in BOTH Spark SQL and DuckDB:

@@ -15,10 +15,11 @@ import graft.functions.TextFunctions._
   *    `groupBy` pattern; no driver-side state.
   *  - MinHash-LSH never materializes the O(n²) pair space: the only join is
   *    band-bucket equality (each side ~n·BANDS rows), so candidate volume
-  *    is data-driven. Signatures are 8 16-bit slices of ONE md5 per
-  *    shingle, min-folded in one partial-aggregating pass over exploded
-  *    shingles — no pre-aggregation shuffle (min is duplicate-insensitive,
-  *    so the map-side combine absorbs dup shingles for free).
+  *    is data-driven. Signatures are 8 32-bit slices of TWO seeded md5s
+  *    per shingle, min-folded in one partial-aggregating pass over
+  *    exploded shingles — no pre-aggregation shuffle (min is
+  *    duplicate-insensitive, so the map-side combine absorbs dup shingles
+  *    for free).
   *  - SimHash is a single explode + two-level aggregation; collision
   *    buckets come from a window over the 16-bit signature.
   *  - n-gram Jaccard is the exact (expensive) variant, blocked by `lang` so
@@ -49,11 +50,12 @@ object Dedup {
   def explodedShingles(docs: DataFrame): DataFrame =
     prepared(docs).select(col("doc_id"), explode(col("sh")).as("s"))
 
-  /** Per-doc MinHash signature: doc_id, mh0..mh7. ONE md5 per shingle row,
-    * projected before the aggregate so all 8 mins slice the same digest
-    * (agg-input expressions get no CSE across aggregates). */
+  /** Per-doc MinHash signature: doc_id, mh0..mh7. TWO md5s per shingle
+    * row, projected before the aggregate so all 8 mins slice the same
+    * digest material (agg-input expressions get no CSE across
+    * aggregates). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = explodedShingles(docs).withColumn("hex", md5(col("s")))
+    val exploded = explodedShingles(docs).withColumn("hex", minhashHex(col("s")))
     exploded.groupBy("doc_id")
       .agg(minhash(0, col("hex")).as("mh0"),
         (1 until NumHashes).map(i => minhash(i, col("hex")).as(s"mh$i")): _*)

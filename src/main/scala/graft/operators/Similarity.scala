@@ -43,25 +43,61 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"), col("rk"))
   }
 
-  /** LSH-bucketed approximate top-k: candidates restricted to the probe's
-    * sign-bit bucket. Output: probe_id, neighbor_id, bucket, cos, rk. */
-  def lshBucketed(emb: DataFrame, probePred: Column, k: Int,
-                  nBits: Int, dim: Int): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), nBits, dim))
-    val probes = bucketed.filter(probePred)
-      .select(col("vec_id"), col("embedding"), col("bucket"))
-      .toDF("probe_id", "probe_emb", "bucket")
-    val cands = bucketed
-      .join(broadcast(probes), Seq("bucket"))
+  /** Shared cell-restricted search phase (used by the LSH and IVF paths):
+    * `corpus` must carry vec_id, embedding, and a partition-key column
+    * `cellCol`; probes are the corpus rows matching `probePred`, broadcast
+    * and equi-joined on the cell so candidate volume is Σ_cell
+    * |corpus_cell|·|probes_cell|. Per-probe top-k via the two-phase
+    * TopKPerKey (bounded heaps, no global sort); the rank window runs over
+    * ≤ k·|probes| rows. Output: probe_id, neighbor_id, <cellCol>, cos, rk. */
+  def searchByCell(corpus: DataFrame, cellCol: String,
+                   probePred: Column, k: Int): DataFrame = {
+    val probes = corpus.filter(probePred)
+      .select(col("vec_id"), col("embedding"), col(cellCol))
+      .toDF("probe_id", "probe_emb", cellCol)
+    val cands = corpus
+      .join(broadcast(probes), Seq(cellCol))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col(cellCol),
         cosineSim(col("probe_emb"), col("embedding")).as("cos_raw"))
     val topk = graft.plans.TopK.perKey(cands, Seq(cands("probe_id")),
       Seq(cands("cos_raw").desc, cands("neighbor_id")), k)
     val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
     topk.withColumn("rk", row_number().over(w))
-      .select(col("probe_id"), col("neighbor_id"), col("bucket"),
+      .select(col("probe_id"), col("neighbor_id"), col(cellCol),
         round(col("cos_raw"), 6).as("cos"), col("rk"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates restricted to the probe's
+    * sign-bit bucket. Output: probe_id, neighbor_id, bucket, cos, rk. */
+  def lshBucketed(emb: DataFrame, probePred: Column, k: Int,
+                  nBits: Int, dim: Int): DataFrame = {
+    val bucketed = emb
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), nBits, dim).as("bucket"))
+    searchByCell(bucketed, "bucket", probePred, k)
+  }
+
+  /** IVF-style approximate top-k: a broadcast codebook (corpus rows
+    * matching `centPred` — standing in for trained centroids; at scale a
+    * fixed table, so assignment is |corpus|·C, linear) assigns each vector
+    * to its max-cosine cell via TopKPerKey k=1, then the search joins
+    * probes to their cell only. Output: probe_id, neighbor_id, cell, cos,
+    * rk. */
+  def ivfTopK(emb: DataFrame, centPred: Column, probePred: Column,
+              k: Int): DataFrame = {
+    val cents = emb.filter(centPred)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val assign = emb.select("vec_id", "embedding")
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        cosineSim(col("embedding"), col("cvec")).as("a_cos"))
+    // cell table feeds both the probe set and the search side → cache
+    val cells = graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
+        Seq(assign("a_cos").desc, assign("cent_id")), k = 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      .cache()
+    searchByCell(cells, "cell", probePred, k)
   }
 
   /** Embedding near-duplicate pairs, bucketed (the 100 TB shape): sign-bit

