@@ -51,6 +51,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(bucketed.subsetOf(brute))
   }
 
+  test("large unrelated docs do not band-collide (32-bit slice floor)") {
+    // Regression for the 16-bit-slice degeneracy: with ~40k distinct
+    // shingles per doc, the min of n draws from a 2^16 space is ~0 for
+    // every doc, so ANY two large docs matched on every hash. The 32-bit
+    // slices keep P(shared min | disjoint shingles) ≈ n/2^32 per hash.
+    def bigDoc(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val d = docs(1L -> bigDoc("a", 40000), 2L -> bigDoc("b", 40000))
+    assert(Dedup.minhashLshCandidates(d).count() == 0)
+  }
+
   test("incremental dedup drops a new doc only against the old corpus") {
     // old: ids 1,2 (id % 10 <= 7) — new: 18, 19, 28. 18 duplicates old#1
     // (dropped); 19 duplicates fellow-new 28 ONLY (kept — in-batch dedup
