@@ -203,5 +203,24 @@ object CoverageQueries {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Query] = Seq(x26, x27, x28, x29, x30, x35)
+  // --- X37: skew-salted aggregation under the oracle — the two-phase
+  // groupBy(key, salt) → groupBy(key) rewrite must be bit-equal to the
+  // direct sum (decimal-exact partials make it so regardless of which
+  // salt bucket each row lands in). The oracle is the PLAIN sum: the
+  // salting is invisible in the result, visible only in the plan.
+  val x37 = Query(
+    "x37_salted_agg",
+    Some("""
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  ) { (s, d) =>
+    graft.operators.Skew.saltedSum(
+        lineitem(s, d), "l_returnflag", col("l_quantity"), "sum_qty", salts = 16)
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Query] = Seq(x26, x27, x28, x29, x30, x35, x37)
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues}
 
 /** The reference's validator runtime loop as Structured Streaming
   * (SURVEY §3.1): unbounded rounds → per-round scatter/transform/score →
@@ -29,6 +29,25 @@ object ValidatorLoop {
   final case class EmaState(ema: Double, n: Long)
   final case class EmaUpdate(user_id: Long, ema: Double, n: Long)
 
+  /** The one EMA fold shared by both state APIs: batch rows (already
+    * sorted by (ts_us, id)) folded into existing state, honoring the
+    * `init` seeding contract documented on `emaUpdates`. */
+  private[streaming] def foldBatch(existing: Option[EmaState],
+                                   batch: Vector[Obs], alpha: Double,
+                                   init: Option[Double]): EmaState = {
+    val (s0, n0, rest) = existing match {
+      case Some(st) => (st.ema, st.n, batch)
+      case None => init match {
+        case Some(v) => (v, 0L, batch)
+        case None => (batch.head.value, 1L, batch.tail)
+      }
+    }
+    val (ema, n) = rest.foldLeft((s0, n0)) {
+      case ((s, k), o) => (alpha * s + (1 - alpha) * o.value, k + 1)
+    }
+    EmaState(ema, n)
+  }
+
   /** Incremental keyed EMA: each micro-batch folds its rows, ordered by
     * (ts_us, id) — the same tie-break as `Scoring.emaClosedForm` and
     * `EmaAggregator` — into the running state.
@@ -52,21 +71,47 @@ object ValidatorLoop {
           val batch = it.toVector.sortBy(o => (o.ts_us, o.id))
           if (batch.isEmpty) Iterator.empty
           else {
-            val (s0, n0, rest) = state.getOption match {
-              case Some(st) => (st.ema, st.n, batch)
-              case None => init match {
-                case Some(v) => (v, 0L, batch)
-                case None => (batch.head.value, 1L, batch.tail)
-              }
-            }
-            val fold = rest.foldLeft((s0, n0)) {
-              case ((s, n), o) => (alpha * s + (1 - alpha) * o.value, n + 1)
-            }
-            val newState = EmaState(fold._1, fold._2)
+            val newState = foldBatch(state.getOption, batch, alpha, init)
             state.update(newState)
             Iterator.single(EmaUpdate(uid, newState.ema, newState.n))
           }
       }
+  }
+
+  /** The same keyed EMA on Spark 4's arbitrary-state API
+    * (`transformWithState` + `StatefulProcessor` + typed `ValueState`) —
+    * the successor to flatMapGroupsWithState: explicit named state
+    * variables, RocksDB-backed (requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider), TTL-capable. Output contract is
+    * identical to `emaUpdates` (one EmaUpdate per key per micro-batch). */
+  final class EmaProcessor(alpha: Double, init: Option[Double])
+      extends StatefulProcessor[Long, Obs, EmaUpdate] {
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[EmaState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EmaState](
+        "ema", Encoders.product[EmaState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Obs],
+                                 timerValues: TimerValues): Iterator[EmaUpdate] = {
+      val batch = rows.toVector.sortBy(o => (o.ts_us, o.id))
+      if (batch.isEmpty) Iterator.empty
+      else {
+        val prev = if (state.exists()) Some(state.get()) else None
+        val next = foldBatch(prev, batch, alpha, init)
+        state.update(next)
+        Iterator.single(EmaUpdate(key, next.ema, next.n))
+      }
+    }
+  }
+
+  /** `emaUpdates` on the transformWithState API. */
+  def emaUpdatesTws(obs: Dataset[Obs], alpha: Double,
+                    init: Option[Double] = None): Dataset[EmaUpdate] = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs.groupByKey(_.user_id)
+      .transformWithState(new EmaProcessor(alpha, init),
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Tumbling event-time window counts with watermark-based late-data

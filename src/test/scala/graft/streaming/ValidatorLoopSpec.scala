@@ -37,6 +37,35 @@ class ValidatorLoopSpec extends AnyFunSuite with SparkTest {
     assert(rows.length == 3) // one update per micro-batch
   }
 
+  test("transformWithState EMA (RocksDB ValueState) matches the fold") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val alpha = 0.9
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[ValidatorLoop.Obs]
+      val q = ValidatorLoop.emaUpdatesTws(input.toDS(), alpha).writeStream
+        .format("memory").queryName("ema_tws_out").outputMode("update")
+        .option("checkpointLocation", tmpDir()).start()
+      input.addData(ValidatorLoop.Obs(1, 10, 1, 1.0), ValidatorLoop.Obs(1, 20, 2, 2.0))
+      q.processAllAvailable()
+      input.addData(ValidatorLoop.Obs(1, 30, 3, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("ema_tws_out").orderBy("n").collect()
+      q.stop()
+      val expect = Seq(1.0, 2.0, 3.0)
+        .tail.foldLeft(1.0)((s, x) => alpha * s + (1 - alpha) * x)
+      assert(rows.last.getAs[Double]("ema") === expect)
+      assert(rows.last.getAs[Long]("n") === 3L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("seeded EMA state (init=1.0) replays the reference trajectory") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
