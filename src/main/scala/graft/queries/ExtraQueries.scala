@@ -55,5 +55,30 @@ object ExtraQueries {
       ORDER BY rf, ls""")
   }
 
-  val all: Seq[Query] = Seq(x15, x16)
+  // --- X38: VariantType (Spark 4 semi-structured type): parse_json →
+  // typed variant_get extraction, missing-path null semantics
+  // (try_variant_get), and the inferred variant schema. The oracle
+  // recovers the same values via plain JSON extraction — the variant
+  // encoding itself is engine-internal, but every extracted value is
+  // portable.
+  val x38 = Query(
+    "x38_variant",
+    Some("""
+      SELECT event_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+             CAST(NULL AS INT) AS k_missing,
+             'OBJECT<k: BIGINT>' AS v_schema
+      FROM events
+      ORDER BY event_id""")
+  ) { (s, d) =>
+    val v = parse_json(col("props"))
+    events(s, d).select(
+        col("event_id"),
+        variant_get(v, "$.k", "int").as("k_typed"),
+        try_variant_get(v, "$.missing", "int").as("k_missing"),
+        schema_of_variant(v).as("v_schema"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Query] = Seq(x15, x16, x38)
 }
