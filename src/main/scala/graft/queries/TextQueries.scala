@@ -173,5 +173,35 @@ object TextQueries {
       .orderBy("lang", "rk")
   }
 
-  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32)
+  // --- X39: bigram stats via the custom Catalyst Generator (UDTF surface)
+  // — NGramGenerator emits n-gram rows directly (fused generate) instead
+  // of slice-arrays → zip_with → explode; the oracle replays the same
+  // bigrams relationally.
+  val x39 = Query(
+    "x39_ngram_generator",
+    Some(s"""
+      WITH w AS (
+        SELECT lang, string_split($normSql, ' ') AS ws FROM documents),
+      grams AS (
+        SELECT lang,
+               unnest(list_transform(range(1, len(ws)),
+                 j -> array_to_string(ws[j:j+1], ' '))) AS g
+        FROM w WHERE len(ws) >= 2)
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+      FROM grams GROUP BY lang
+      ORDER BY lang""")
+  ) { (s, d) =>
+    import graft.functions.TextFunctions._
+    import graft.functions.NGramGenerator
+    documents(s, d)
+      .select(col("lang"),
+        NGramGenerator.ngrams(s, words(normText(col("text"))), 2).as("g"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39)
 }

@@ -51,6 +51,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(bucketed.subsetOf(brute))
   }
 
+  test("NGramGenerator matches shingles()+explode row-for-row") {
+    import graft.functions.{NGramGenerator, TextFunctions}
+    val d = docs(1L -> "a b c d", 2L -> "x y", 3L -> "solo", 4L -> "p p p p")
+    val viaGen = d.select(col("doc_id"),
+        NGramGenerator.ngrams(spark, TextFunctions.words(
+          TextFunctions.normText(col("text"))), 3).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val viaArr = graft.operators.Dedup.explodedShingles(d)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(viaGen == viaArr)
+    // duplicates preserved; < n tokens → zero rows
+    assert(viaGen.count(_._1 == 4L) == 2)
+    assert(!viaGen.exists(t => t._1 == 2L || t._1 == 3L))
+  }
+
   test("large unrelated docs do not band-collide (32-bit slice floor)") {
     // Regression for the 16-bit-slice degeneracy: with ~40k distinct
     // shingles per doc, the min of n draws from a 2^16 space is ~0 for
