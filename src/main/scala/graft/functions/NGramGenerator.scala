@@ -26,7 +26,9 @@ case class NGramGenerator(child: Expression, n: Int)
     extends UnaryExpression with Generator with CodegenFallback {
 
   override def elementSchema: StructType =
-    StructType(StructField("ngram", StringType, nullable = false) :: Nil)
+    // nullable: a null TOKEN inside the array nulls its n-grams (the same
+    // null propagation as concat() in the array formulation)
+    StructType(StructField("ngram", StringType, nullable = true) :: Nil)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
@@ -37,18 +39,23 @@ case class NGramGenerator(child: Expression, n: Int)
         s"ngrams requires array<string>, got ${other.simpleString}")
   }
 
+  private val separator = UTF8String.fromString(" ")
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null || arr.numElements() < n) Nil
     else (0 to arr.numElements() - n).iterator.map { i =>
-      val sb = new java.lang.StringBuilder
+      // assemble on the binary form — no String round-trips in the hot path
+      val parts = new Array[UTF8String](n)
       var j = 0
+      var anyNull = false
       while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(arr.getUTF8String(i + j).toString)
+        val t = arr.getUTF8String(i + j)
+        if (t == null) anyNull = true else parts(j) = t
         j += 1
       }
-      InternalRow(UTF8String.fromString(sb.toString))
+      // concatWs SKIPS nulls; we want concat()-style null propagation
+      InternalRow(if (anyNull) null else UTF8String.concatWs(separator, parts: _*))
     }
   }
 

@@ -85,7 +85,7 @@ object ValidatorLoop {
     * `spark.sql.streaming.stateStore.providerClass` =
     * RocksDBStateStoreProvider), TTL-capable. Output contract is
     * identical to `emaUpdates` (one EmaUpdate per key per micro-batch). */
-  final class EmaProcessor(alpha: Double, init: Option[Double])
+  final class EmaProcessor(alpha: Double, seed: Option[Double])
       extends StatefulProcessor[Long, Obs, EmaUpdate] {
     @transient private var state: org.apache.spark.sql.streaming.ValueState[EmaState] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
@@ -97,14 +97,15 @@ object ValidatorLoop {
       if (batch.isEmpty) Iterator.empty
       else {
         val prev = if (state.exists()) Some(state.get()) else None
-        val next = foldBatch(prev, batch, alpha, init)
+        val next = foldBatch(prev, batch, alpha, seed)
         state.update(next)
         Iterator.single(EmaUpdate(key, next.ema, next.n))
       }
     }
   }
 
-  /** `emaUpdates` on the transformWithState API. */
+  /** `emaUpdates` on the transformWithState API (`init` as in
+    * `emaUpdates` — None ⇒ s₁=x₁, Some(v) ⇒ reference-style seed). */
   def emaUpdatesTws(obs: Dataset[Obs], alpha: Double,
                     init: Option[Double] = None): Dataset[EmaUpdate] = {
     val spark = obs.sparkSession

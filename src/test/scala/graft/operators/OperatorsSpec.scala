@@ -64,6 +64,11 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     // duplicates preserved; < n tokens → zero rows
     assert(viaGen.count(_._1 == 4L) == 2)
     assert(!viaGen.exists(t => t._1 == 2L || t._1 == 3L))
+    // null TOKEN nulls its n-grams (concat-style propagation), no crash
+    val nullToks = spark.range(1).select(
+      NGramGenerator.ngrams(spark,
+        array(lit("a"), lit(null).cast("string"), lit("b")), 2).as("g"))
+    assert(nullToks.collect().map(r => Option(r.getString(0))).toSeq == Seq(None, None))
   }
 
   test("large unrelated docs do not band-collide (32-bit slice floor)") {

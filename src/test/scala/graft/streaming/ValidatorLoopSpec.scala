@@ -45,24 +45,28 @@ class ValidatorLoopSpec extends AnyFunSuite with SparkTest {
     val prev = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     try {
       val input = MemoryStream[ValidatorLoop.Obs]
-      val q = ValidatorLoop.emaUpdatesTws(input.toDS(), alpha).writeStream
+      val query = ValidatorLoop.emaUpdatesTws(input.toDS(), alpha).writeStream
         .format("memory").queryName("ema_tws_out").outputMode("update")
         .option("checkpointLocation", tmpDir()).start()
+      q = Some(query)
       input.addData(ValidatorLoop.Obs(1, 10, 1, 1.0), ValidatorLoop.Obs(1, 20, 2, 2.0))
-      q.processAllAvailable()
+      query.processAllAvailable()
       input.addData(ValidatorLoop.Obs(1, 30, 3, 3.0))
-      q.processAllAvailable()
+      query.processAllAvailable()
       val rows = spark.table("ema_tws_out").orderBy("n").collect()
-      q.stop()
       val expect = Seq(1.0, 2.0, 3.0)
         .tail.foldLeft(1.0)((s, x) => alpha * s + (1 - alpha) * x)
       assert(rows.last.getAs[Double]("ema") === expect)
       assert(rows.last.getAs[Long]("n") === 3L)
-    } finally prev match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
+    } finally {
+      q.foreach(_.stop())
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
     }
   }
 
