@@ -29,6 +29,7 @@ object EventQueries {
              CAST(length(event_type) AS INT) AS et_len,
              event_type || '_' || CAST(user_id AS VARCHAR) AS et_user,
              regexp_extract(props, '"k": ([0-9]+)', 1) AS k_rx,
+             array_to_string(regexp_extract_all(props, '[0-9]+', 0), ',') AS all_nums,
              strftime(ts, '%Y-%m-%d') AS ev_date,
              CAST(year(ts) AS INT) AS ev_year,
              CAST(day(ts) AS INT) AS ev_day,
@@ -56,6 +57,7 @@ object EventQueries {
       length(col("event_type")).as("et_len"),
       concat(col("event_type"), lit("_"), col("user_id").cast("string")).as("et_user"),
       regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).as("k_rx"),
+      array_join(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)), ",").as("all_nums"),
       date_format(col("ts"), "yyyy-MM-dd").as("ev_date"),
       year(col("ts")).as("ev_year"),
       dayofmonth(col("ts")).as("ev_day"),

@@ -22,7 +22,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
     val risky = Seq("q02_group_agg", "q13_ema_replay", "q15_scoring_weights",
       "q17_similarity_topk", "x01_dedup_minhash_lsh", "x02_dedup_simhash",
       "x14_ema_aggregator", "x19_percentiles", "x29_ema_seeded",
-      "x31_dedup_editdistance", "x32_top_tokens")
+      "x31_dedup_editdistance", "x32_top_tokens", "x34_similarity_ivf",
+      "x35_approx_percentile", "x37_salted_agg", "x39_ngram_generator")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {
