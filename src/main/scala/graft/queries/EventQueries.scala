@@ -137,5 +137,38 @@ object EventQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Query] = Seq(q11, q12, q13)
+  // --- X40: scalar battery 2 — the §2.9 declared tail: to_date/datediff/
+  // month/quarter/dayofweek, array membership/sort/HOF-filter. Cross-engine
+  // notes: DuckDB date_diff takes (unit, start, end) vs Spark
+  // datediff(end, start); DuckDB dayofweek is 0-based Sunday vs Spark's
+  // 1-based Sunday (+1 in the oracle); sorted-array values surface via
+  // element_at (doubles compared as doubles — never stringified).
+  val x40 = Query(
+    "x40_scalar_battery2",
+    Some("""
+      SELECT event_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since,
+             CAST(month(ts) AS INT) AS ev_month,
+             CAST(quarter(ts) AS INT) AS ev_quarter,
+             CAST(dayofweek(ts) + 1 AS INT) AS ev_dow,
+             CAST(CASE WHEN list_contains([value, 2 * value, -value], value) THEN 1 ELSE 0 END AS INT) AS has_v,
+             list_sort([value, 2 * value, -value])[1] AS arr_min,
+             CAST(len(list_filter([value, 2 * value, -value], x -> x > 0)) AS INT) AS n_pos
+      FROM events
+      ORDER BY event_id""")
+  ) { (s, d) =>
+    val arr = array(col("value"), col("value") * 2, -col("value"))
+    events(s, d).select(
+      col("event_id"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("days_since"),
+      month(col("ts")).as("ev_month"),
+      quarter(col("ts")).as("ev_quarter"),
+      dayofweek(col("ts")).as("ev_dow"),
+      when(array_contains(arr, col("value")), 1).otherwise(0).as("has_v"),
+      element_at(sort_array(arr), 1).as("arr_min"),
+      size(filter(arr, x => x > 0)).as("n_pos"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Query] = Seq(q11, q12, q13, x40)
 }

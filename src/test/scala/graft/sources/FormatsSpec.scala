@@ -51,6 +51,26 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("rate source streams monotonically increasing (timestamp, value) rows") {
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .writeStream.format("memory").queryName("rate_out").outputMode("append")
+      .option("checkpointLocation", tmp()).start()
+    try {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var n = 0L
+      while (n == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        q.processAllAvailable()
+        n = spark.table("rate_out").count()
+      }
+      assert(n > 0, "rate source produced no rows within 30s")
+      val vals = spark.table("rate_out").orderBy("value")
+        .collect().map(_.getAs[Long]("value"))
+      assert(vals.toSeq == (0L until vals.length).toSeq, "values not dense from 0")
+    } finally q.stop()
+  }
+
   test("streaming file source processes files appended across batches") {
     val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
     val dir = tmp()
