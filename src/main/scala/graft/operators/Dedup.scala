@@ -46,9 +46,16 @@ object Dedup {
     * path (signatures here, the TypedImperativeAggregate query). NOT
     * deduplicated: every downstream consumer is a min-fold, which is
     * duplicate-insensitive, and a pre-aggregation `distinct` would cost a
-    * full shuffle of the exploded table just to save some map-side md5s. */
-  def explodedShingles(docs: DataFrame): DataFrame =
-    prepared(docs).select(col("doc_id"), explode(col("sh")).as("s"))
+    * full shuffle of the exploded table just to save some map-side md5s.
+    * Emitted by the custom `NGramGenerator` (fused generate — no
+    * intermediate shingle-array allocation; OperatorsSpec proves it
+    * row-identical to the `shingles()+explode` formulation). */
+  def explodedShingles(docs: DataFrame): DataFrame = {
+    import graft.functions.{NGramGenerator, TextFunctions}
+    docs.select(col("doc_id"),
+      NGramGenerator.ngrams(docs.sparkSession,
+        TextFunctions.words(TextFunctions.normText(col("text"))), 3).as("s"))
+  }
 
   /** Per-doc MinHash signature: doc_id, mh0..mh7. TWO md5s per shingle
     * row, projected before the aggregate so all 8 mins slice the same
