@@ -172,11 +172,16 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     // Cache the exploded shingle table: it feeds both self-join sides and
     // the per-doc counts (4 recomputations of the normalize+shingle
-    // pipeline otherwise).
-    val sh = prepared(docs.select("doc_id", "text", "lang"))
-      .select(col("doc_id"), col("lang"), explode(col("sh")).as("s"))
-      .distinct()
-      .cache()
+    // pipeline otherwise). Distinct IS required here — Jaccard counts
+    // unique shingles — so the generator rows go through one hash-distinct.
+    val sh = {
+      import graft.functions.{NGramGenerator, TextFunctions}
+      docs.select(col("doc_id"), col("lang"),
+          NGramGenerator.ngrams(docs.sparkSession,
+            TextFunctions.words(TextFunctions.normText(col("text"))), 3).as("s"))
+        .distinct()
+        .cache()
+    }
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
