@@ -42,20 +42,24 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_dupes"))
 
+  /** THE shingle-production path (one definition for MinHash and
+    * Jaccard): doc_id + `extraCols` + fused shingle rows from the custom
+    * `NGramGenerator` (no intermediate shingle-array allocation;
+    * OperatorsSpec proves it row-identical to `shingles()+explode`). */
+  def shingleRows(docs: DataFrame, extraCols: Seq[Column], k: Int = 3): DataFrame = {
+    import graft.functions.{NGramGenerator, TextFunctions}
+    docs.select((col("doc_id") +: extraCols) :+
+      NGramGenerator.ngrams(docs.sparkSession,
+        TextFunctions.words(TextFunctions.normText(col("text"))), k).as("s"): _*)
+  }
+
   /** Exploded (doc_id, shingle) rows — the shared front of every MinHash
     * path (signatures here, the TypedImperativeAggregate query). NOT
     * deduplicated: every downstream consumer is a min-fold, which is
     * duplicate-insensitive, and a pre-aggregation `distinct` would cost a
-    * full shuffle of the exploded table just to save some map-side md5s.
-    * Emitted by the custom `NGramGenerator` (fused generate — no
-    * intermediate shingle-array allocation; OperatorsSpec proves it
-    * row-identical to the `shingles()+explode` formulation). */
-  def explodedShingles(docs: DataFrame): DataFrame = {
-    import graft.functions.{NGramGenerator, TextFunctions}
-    docs.select(col("doc_id"),
-      NGramGenerator.ngrams(docs.sparkSession,
-        TextFunctions.words(TextFunctions.normText(col("text"))), 3).as("s"))
-  }
+    * full shuffle of the exploded table just to save some map-side md5s. */
+  def explodedShingles(docs: DataFrame): DataFrame =
+    shingleRows(docs, Nil)
 
   /** Per-doc MinHash signature: doc_id, mh0..mh7. TWO md5s per shingle
     * row, projected before the aggregate so all 8 mins slice the same
@@ -174,14 +178,7 @@ object Dedup {
     // the per-doc counts (4 recomputations of the normalize+shingle
     // pipeline otherwise). Distinct IS required here — Jaccard counts
     // unique shingles — so the generator rows go through one hash-distinct.
-    val sh = {
-      import graft.functions.{NGramGenerator, TextFunctions}
-      docs.select(col("doc_id"), col("lang"),
-          NGramGenerator.ngrams(docs.sparkSession,
-            TextFunctions.words(TextFunctions.normText(col("text"))), 3).as("s"))
-        .distinct()
-        .cache()
-    }
+    val sh = shingleRows(docs, Seq(col("lang"))).distinct().cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),

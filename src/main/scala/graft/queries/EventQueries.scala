@@ -151,7 +151,7 @@ object EventQueries {
              CAST(month(ts) AS INT) AS ev_month,
              CAST(quarter(ts) AS INT) AS ev_quarter,
              CAST(dayofweek(ts) + 1 AS INT) AS ev_dow,
-             CAST(CASE WHEN list_contains([value, 2 * value, -value], value) THEN 1 ELSE 0 END AS INT) AS has_v,
+             CAST(CASE WHEN list_contains([value, 2 * value, -value], round(value, 1)) THEN 1 ELSE 0 END AS INT) AS has_v,
              list_sort([value, 2 * value, -value])[1] AS arr_min,
              CAST(len(list_filter([value, 2 * value, -value], x -> x > 0)) AS INT) AS n_pos
       FROM events
@@ -164,7 +164,10 @@ object EventQueries {
       month(col("ts")).as("ev_month"),
       quarter(col("ts")).as("ev_quarter"),
       dayofweek(col("ts")).as("ev_dow"),
-      when(array_contains(arr, col("value")), 1).otherwise(0).as("has_v"),
+      // probe a value NOT guaranteed present (round(v,1) ∈ arr iff v has
+      // ≤1 decimal) — membership of arr's own first element was trivially
+      // always-true and couldn't discriminate a broken implementation
+      when(array_contains(arr, round(col("value"), 1)), 1).otherwise(0).as("has_v"),
       element_at(sort_array(arr), 1).as("arr_min"),
       size(filter(arr, x => x > 0)).as("n_pos"))
       .orderBy("event_id")

@@ -58,7 +58,10 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
         NGramGenerator.ngrams(spark, TextFunctions.words(
           TextFunctions.normText(col("text"))), 3).as("s"))
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
-    val viaArr = graft.operators.Dedup.explodedShingles(d)
+    // the INDEPENDENT array formulation (shingles()+explode) — NOT
+    // explodedShingles, which itself runs the generator now
+    val viaArr = graft.operators.Dedup.prepared(d)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     assert(viaGen == viaArr)
     // duplicates preserved; < n tokens → zero rows
