@@ -19,6 +19,7 @@ object Bench {
     // leaves the first big run interpreting the codegen'd loops).
     SparkEntry.queries.values.foreach { fn =>
       try {
+        graft.core.Caches.releaseAll()
         spark.catalog.clearCache()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
@@ -32,6 +33,7 @@ object Bench {
     val reps = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
+        graft.core.Caches.releaseAll()
         spark.catalog.clearCache() // query-local caches must not leak across timings
         val t0 = System.nanoTime()
         try {

@@ -22,7 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release query-local caches (dedup signature/shingle tables)
+      // release query-local caches (dedup signature/shingle tables):
+      // drain the operators' scoped-cache registry, then clear any
+      // remaining catalog-level cache entries
+      graft.core.Caches.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

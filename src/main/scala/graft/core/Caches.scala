@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-lifetime hygiene for operator-internal `.cache()` calls.
+  *
+  * Several operators persist a small intermediate that feeds multiple
+  * consumers inside one query plan (MinHash signature tables, IVF cell
+  * assignments, shingle tables). Those caches are an optimization private
+  * to the operator, but `DataFrame.cache()` pins the data for the session:
+  * in a long-lived session the pins accumulate. Every such call goes
+  * through `scoped`, and harness mains (`Verify`, `Bench`) — or any
+  * library caller, per the contract below — call `releaseAll()` once the
+  * query's results have been materialized.
+  *
+  * Caller contract: the cached plans are only valid to READ while the
+  * query that produced them is still executing; call `releaseAll()` after
+  * each query's terminal action (write/collect), never between building a
+  * DataFrame and running it.
+  */
+object Caches {
+  private val registered = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Cache `df` and register it for the next `releaseAll()` sweep. */
+  def scoped(df: DataFrame): DataFrame = {
+    registered.add(df)
+    df.cache()
+  }
+
+  /** Unpersist every registered cache (non-blocking). Idempotent. */
+  def releaseAll(): Unit = {
+    var df = registered.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = registered.poll()
+    }
+  }
+}

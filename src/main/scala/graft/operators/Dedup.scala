@@ -83,23 +83,13 @@ object Dedup {
       .select(col("doc_id"), col("x.band"), col("x.bh"))
   }
 
-  /** Candidate pairs sharing ≥1 LSH band, with estimated Jaccard =
-    * fraction of matching minhashes. Output: doc_a, doc_b, est_jaccard. */
-  def minhashLshCandidates(docs: DataFrame): DataFrame = {
-    // The signature table is tiny (one row per doc) but expensive to
-    // derive (normalize → shingle → md5-slice mins); it feeds three consumers
-    // (two band sides + the est join), so persist it. At 100 TB you'd
-    // write it to a parquet signature store instead.
-    val sigs = minhashSignatures(docs).cache()
-    val bands = lshBands(sigs)
-    val pairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sa = sigs.toDF(sigs.columns.map(c => s"a_$c"): _*)
-    val sb = sigs.toDF(sigs.columns.map(c => s"b_$c"): _*)
+  /** Join (doc_a, doc_b) pairs back to two signature tables and compute
+    * est-Jaccard = fraction of matching minhashes. Shared by the all-pairs
+    * candidate path and the signature-store incremental path. */
+  private def withEstJaccard(pairs: DataFrame, sigsA: DataFrame,
+                             sigsB: DataFrame): DataFrame = {
+    val sa = sigsA.toDF(sigsA.columns.map(c => s"a_$c"): _*)
+    val sb = sigsB.toDF(sigsB.columns.map(c => s"b_$c"): _*)
     val matches = (0 until NumHashes)
       .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -108,6 +98,26 @@ object Dedup {
       .join(sb, col("doc_b") === col("b_doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / NumHashes).as("est_jaccard"))
+  }
+
+  /** Candidate pairs sharing ≥1 LSH band, with estimated Jaccard =
+    * fraction of matching minhashes. Output: doc_a, doc_b, est_jaccard. */
+  def minhashLshCandidates(docs: DataFrame): DataFrame = {
+    // The signature table is tiny (one row per doc) but expensive to
+    // derive (normalize → shingle → md5-slice mins); it feeds three consumers
+    // (two band sides + the est join), so persist it — through the Caches
+    // registry, so harness code releases it after the query materializes.
+    // At 100 TB you'd write it to the parquet signature store instead
+    // (`writeSignatureStore` below).
+    val sigs = graft.core.Caches.scoped(minhashSignatures(docs))
+    val bands = lshBands(sigs)
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    withEstJaccard(pairs, sigs, sigs)
   }
 
   /** 16-bit SimHash per doc over word tokens (with multiplicity), plus the
@@ -150,13 +160,16 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("dropped"), lit(0)).as("dropped"))
   }
 
-  /** Incremental dedup — the production flow: an incoming batch (`isNew`
-    * rows) is deduplicated AGAINST the existing corpus, not all-pairs.
-    * A new doc is dropped iff it band-collides with an OLD doc at
-    * est-Jaccard ≥ threshold; new-vs-new and old-vs-old pairs are ignored
-    * (in-batch dedup is `minhashDedupDecisions`; the corpus was already
-    * deduplicated). At 100 TB the old side is the persisted parquet
-    * signature store — only the new batch is shingled and hashed.
+  /** Incremental dedup — an incoming batch (`isNew` rows) deduplicated
+    * AGAINST the existing corpus, not all-pairs. A new doc is dropped iff
+    * it band-collides with an OLD doc at est-Jaccard ≥ threshold;
+    * new-vs-new and old-vs-old pairs are ignored (in-batch dedup is
+    * `minhashDedupDecisions`; the corpus was already deduplicated).
+    *
+    * This variant re-derives ALL signatures from text each run — use it
+    * when no signature store exists yet. The production cadence is
+    * `incrementalDropDecisionsFromStore`, which reads OLD signatures from
+    * the persisted parquet store and shingles only the new batch.
     * Output: one row per NEW doc — doc_id, dropped. */
   def incrementalDropDecisions(docs: DataFrame, isNew: Column => Column,
                                estThreshold: Double): DataFrame = {
@@ -171,14 +184,121 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("dropped"), lit(0)).as("dropped"))
   }
 
+  /** Persist the per-doc MinHash signature table (`minhashSignatures`
+    * output: doc_id, mh0..mh7) as the parquet SIGNATURE STORE — the
+    * corpus-side state of the incremental dedup cadence. One row per doc,
+    * ~100 bytes: at 100 TB of text the store is ~4 orders of magnitude
+    * smaller than the corpus, and appending a deduplicated batch is a
+    * plain parquet append. */
+  def writeSignatureStore(docs: DataFrame, path: String): Unit =
+    minhashSignatures(docs).write.mode("overwrite").parquet(path)
+
+  /** The production incremental flow: only the NEW batch is normalized /
+    * shingled / hashed; the old corpus is represented entirely by its
+    * persisted signature store (`oldSigs` — read from
+    * `writeSignatureStore`'s parquet; the old documents' TEXT is never
+    * scanned). A new doc is dropped iff it band-collides with an old doc
+    * at est-Jaccard ≥ threshold — identical semantics to
+    * `incrementalDropDecisions`, minus the wasted recompute.
+    * Output: one row per NEW doc — doc_id, dropped. */
+  def incrementalDropDecisionsFromStore(newDocs: DataFrame, oldSigs: DataFrame,
+                                        estThreshold: Double): DataFrame = {
+    // New-batch signatures feed their band side AND the est join → scoped
+    // cache (the store side is a plain parquet scan, twice is fine).
+    val newSigs = graft.core.Caches.scoped(minhashSignatures(newDocs))
+    val pairs = lshBands(newSigs).as("a")
+      .join(lshBands(oldSigs).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val dropped = withEstJaccard(pairs, newSigs, oldSigs)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+    newDocs.select("doc_id")
+      .join(dropped.withColumn("dropped", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dropped"), lit(0)).as("dropped"))
+  }
+
+  /** Cluster-closure dedup: smallest-id CONNECTED COMPONENTS over the LSH
+    * candidate graph (edges = pairs at est-Jaccard ≥ threshold), keeping
+    * exactly one representative (the minimum doc_id) per duplicate
+    * cluster. Fixes the greedy policy's over-drop: a chain a–b, b–c
+    * yields ONE cluster {a,b,c} with survivor a, decided globally, rather
+    * than per-pair drops.
+    *
+    * Iterated min-label propagation to fixpoint: labels start as each
+    * node's own id; each round takes the min over the node's neighbors'
+    * labels; converged when no label changes (≤ graph-diameter rounds —
+    * near-dup clusters are shallow, so this is a handful of small joins
+    * over the EDGE table only, never the corpus). Each round's labels are
+    * persisted and the previous round's released, so lineage never
+    * recomputes the candidate join. Output: one row per doc — doc_id,
+    * cluster_id, kept. */
+  def clusterClosureDecisions(docs: DataFrame, estThreshold: Double,
+                              maxIters: Int = 50): DataFrame = {
+    import graft.core.Caches
+    val edges = minhashLshCandidates(docs)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    // union is POSITIONAL: the reversed side must swap values via select,
+    // not just rename columns
+    val adj = Caches.scoped(
+      edges.toDF("src", "dst")
+        .union(edges.select(col("doc_b"), col("doc_a")).toDF("src", "dst")))
+    var labels = Caches.scoped(
+      adj.select(col("src").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id")))
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val prop = adj.join(labels.toDF("dst", "nlbl"), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min("nlbl").as("min_nbr"))
+      val next = Caches.scoped(
+        labels.join(prop, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl")))
+      converged = next.toDF("doc_id", "new_lbl")
+        .join(labels, "doc_id")
+        .filter(col("new_lbl") =!= col("lbl")).isEmpty
+      labels.unpersist(blocking = false)
+      labels = next
+      iters += 1
+    }
+    docs.select("doc_id")
+      .join(labels.toDF("doc_id", "cluster_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("kept", when(col("cluster_id") === col("doc_id"), 1).otherwise(0))
+  }
+
   /** Exact n-gram Jaccard similarity for same-`lang` pairs above a
-    * threshold. Output: doc_a, doc_b, n_shared, jaccard. */
-  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    // Cache the exploded shingle table: it feeds both self-join sides and
-    // the per-doc counts (4 recomputations of the normalize+shingle
-    // pipeline otherwise). Distinct IS required here — Jaccard counts
-    // unique shingles — so the generator rows go through one hash-distinct.
-    val sh = shingleRows(docs, Seq(col("lang"))).distinct().cache()
+    * threshold, over the shingle universe capped at document frequency
+    * ≤ `maxDf`. Output: doc_a, doc_b, n_shared, jaccard.
+    *
+    * The df cap is the standard inverted-index guard: a boilerplate
+    * shingle present in d documents joins quadratically (d² pair rows)
+    * within its block, so one hot bigram can dominate the whole join.
+    * Dropping shingles with df > maxDf bounds per-shingle fan-out at
+    * maxDf² while leaving discriminative shingles — the ones that carry
+    * the Jaccard signal — untouched. Both intersection AND the per-doc
+    * sizes count the capped universe, so the ratio stays a true Jaccard
+    * (of the filtered shingle sets). */
+  def ngramJaccard(docs: DataFrame, threshold: Double,
+                   maxDf: Int = Int.MaxValue): DataFrame = {
+    import graft.core.Caches
+    // Cache the exploded shingle table: it feeds the df table, both
+    // self-join sides, and the per-doc counts (5 recomputations of the
+    // normalize+shingle pipeline otherwise). Distinct IS required here —
+    // Jaccard counts unique shingles — so the generator rows go through
+    // one hash-distinct.
+    val shAll = Caches.scoped(shingleRows(docs, Seq(col("lang"))).distinct())
+    // df per (lang, shingle): shAll is distinct per doc, so count(*) = df.
+    // The hot-shingle table is tiny (only df > maxDf rows) → broadcast
+    // anti join, no extra shuffle of the shingle table.
+    val hot = shAll.groupBy("lang", "s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("lang", "s")
+    val sh = Caches.scoped(
+      shAll.join(broadcast(hot), Seq("lang", "s"), "left_anti"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),

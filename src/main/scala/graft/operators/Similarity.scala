@@ -92,12 +92,42 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cent_id"),
         cosineSim(col("embedding"), col("cvec")).as("a_cos"))
-    // cell table feeds both the probe set and the search side → cache
-    val cells = graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
-        Seq(assign("a_cos").desc, assign("cent_id")), k = 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-      .cache()
+    // cell table feeds both the probe set and the search side → scoped
+    // cache (released by the harness after the query materializes)
+    val cells = graft.core.Caches.scoped(
+      graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
+          Seq(assign("a_cos").desc, assign("cent_id")), k = 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell")))
     searchByCell(cells, "cell", probePred, k)
+  }
+
+  /** Self-graded ANN quality: recall@k of the two approximate paths
+    * (`lshBucketed`, `ivfTopK`) against the exact `bruteForceTopK` on the
+    * SAME probe set. recall = |approx top-k ∩ exact top-k| / (k·probes),
+    * computed as one integer hit-count per method and a single double
+    * division (deterministic cross-engine — no float aggregation order).
+    * `recall_ok` applies `bound` the way the sketch queries (q08b/x35)
+    * self-grade: a bucketing regression (too many hyperplanes, degenerate
+    * codebook) flips the flag even though both sides still "run".
+    * Output: one row per method — method, n_probes, total_hits, recall,
+    * recall_ok. */
+  def recallAtK(emb: DataFrame, centPred: Column, probePred: Column, k: Int,
+                nBits: Int, dim: Int, bound: Double): DataFrame = {
+    // exact top-k feeds both methods' intersection joins → scoped cache
+    val exact = graft.core.Caches.scoped(
+      bruteForceTopK(emb, probePred, k).select("probe_id", "neighbor_id"))
+    val nProbes = emb.filter(probePred).select(count(lit(1)).as("n_probes"))
+    def graded(approx: DataFrame, method: String): DataFrame =
+      approx.select("probe_id", "neighbor_id")
+        .join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("total_hits"))
+        .crossJoin(broadcast(nProbes))
+        .select(
+          lit(method).as("method"), col("n_probes"), col("total_hits"),
+          (col("total_hits").cast("double") / (col("n_probes") * k)).as("recall"))
+        .withColumn("recall_ok", when(col("recall") >= bound, 1).otherwise(0))
+    graded(lshBucketed(emb, probePred, k, nBits, dim), "lsh")
+      .unionAll(graded(ivfTopK(emb, centPred, probePred, k), "ivf"))
   }
 
   /** Embedding near-duplicate pairs, bucketed (the 100 TB shape): sign-bit

@@ -31,8 +31,11 @@ object DedupQueries {
   }
 
   // --- X1: MinHash + LSH near-dup candidates (8 hashes, 4 bands × 2)
-  /** Candidate-pair CTE chain shared by x01 (pairs) and x21 (decisions). */
-  private val minhashCandidateCtes: String = {
+  /** Candidate-pair CTE chain shared by the MinHash-family oracles (x01,
+    * x21, x25, x31, x36, x41, x42). `recursive = true` emits WITH
+    * RECURSIVE so callers can append recursive CTEs (x42's
+    * connected-components closure). */
+  private def minhashCandidateCtes(recursive: Boolean = false): String = {
     // Hash contract (mirrors TextFunctions.minhashHex/minhash and
     // MinHashAgg): hexcat = md5(s) || md5('1|' || s), hash i = hex chars
     // [8i, 8i+8), lexicographic min.
@@ -47,7 +50,7 @@ object DedupQueries {
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""
-      WITH n AS (
+      WITH ${if (recursive) "RECURSIVE " else ""}n AS (
         SELECT doc_id, $normSql AS norm FROM documents),
       w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
       sh AS (
@@ -74,14 +77,14 @@ object DedupQueries {
   }
 
   val x01 = Query("x01_dedup_minhash_lsh", Some(
-    minhashCandidateCtes + "\n      SELECT doc_a, doc_b, est_jaccard FROM cand ORDER BY doc_a, doc_b"
+    minhashCandidateCtes() + "\n      SELECT doc_a, doc_b, est_jaccard FROM cand ORDER BY doc_a, doc_b"
   )) { (s, d) =>
     Dedup.minhashLshCandidates(documents(s, d)).orderBy("doc_a", "doc_b")
   }
 
   // --- X21: dedup decisions — LSH candidates → greedy drop policy
   val x21 = Query("x21_dedup_pipeline", Some(
-    minhashCandidateCtes + """
+    minhashCandidateCtes() + """
       SELECT d.doc_id,
              CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dropped
       FROM documents d
@@ -125,16 +128,22 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  // --- X3: exact n-gram Jaccard within lang blocks
+  // --- X3: exact n-gram Jaccard within lang blocks, over the df-capped
+  // shingle universe (df ≤ MaxDf): a boilerplate shingle in d docs joins
+  // quadratically (d² pair rows), so the cap bounds per-shingle fan-out —
+  // the standard inverted-index guard. Oracle replays the identical cap.
+  private val MaxDf = 50
   private val jaccardOracle: String = s"""
       WITH n AS (
         SELECT doc_id, lang, $normSql AS norm FROM documents),
       w AS (SELECT doc_id, lang, string_split(norm, ' ') AS ws FROM n),
-      sh AS (
+      sh0 AS (
         SELECT DISTINCT doc_id, lang,
                unnest(list_transform(range(1, len(ws) - 1),
                  j -> array_to_string(ws[j:j+2], ' '))) AS s
         FROM w WHERE len(ws) >= 3),
+      hot AS (SELECT lang, s FROM sh0 GROUP BY lang, s HAVING count(*) > $MaxDf),
+      sh AS (SELECT sh0.* FROM sh0 ANTI JOIN hot USING (lang, s)),
       counts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -151,7 +160,7 @@ object DedupQueries {
       ORDER BY doc_a, doc_b"""
 
   val x03 = Query("x03_dedup_ngram_jaccard", Some(jaccardOracle)) { (s, d) =>
-    Dedup.ngramJaccard(documents(s, d), threshold = 0.1)
+    Dedup.ngramJaccard(documents(s, d), threshold = 0.1, maxDf = MaxDf)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -159,7 +168,7 @@ object DedupQueries {
   // binary-buffer agg pass instead of 8 independent min() buffers; oracle
   // replays the identical md5-slice mins in SQL.
   val x25 = Query("x25_minhash_agg", Some(
-    minhashCandidateCtes +
+    minhashCandidateCtes() +
       "\n      SELECT doc_id, mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sigs ORDER BY doc_id"
   )) { (s, d) =>
     import graft.functions.MinHashAgg
@@ -176,7 +185,7 @@ object DedupQueries {
   // full pair space. sim = 1 - lev / max(len_a, len_b), both engines'
   // levenshtein is the same codepoint-counting DP.
   val x31 = Query("x31_dedup_editdistance", Some(
-    minhashCandidateCtes + s"""
+    minhashCandidateCtes() + s"""
       SELECT c.doc_a, c.doc_b,
              CAST(levenshtein(na.norm, nb.norm) AS BIGINT) AS lev,
              round(1.0 - CAST(levenshtein(na.norm, nb.norm) AS DOUBLE)
@@ -201,13 +210,13 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  // --- X36: incremental dedup — the production cadence: an incoming batch
-  // (doc_id % 10 >= 8 stands in for "today's crawl") is deduplicated
-  // against the existing corpus via the signature store; a new doc drops
-  // iff it band-collides with an OLD doc at est ≥ 0.5. New-vs-new pairs
-  // are out of scope here (that's x21's in-batch decision flow).
-  val x36 = Query("x36_dedup_incremental", Some(
-    minhashCandidateCtes + """
+  // --- X36/X41 shared oracle: a new doc (doc_id % 10 >= 8 stands in for
+  // "today's crawl") drops iff it band-collides with an OLD doc at
+  // est ≥ 0.5. New-vs-new pairs are out of scope (that's x21's in-batch
+  // decision flow). The oracle derives all signatures from text — HOW the
+  // engine gets the old side (recompute vs persisted store) is invisible
+  // in the result, which is exactly what makes x41 a fair store test.
+  private val incrementalOracleTail = """
       , newdrops AS (
         SELECT DISTINCT CASE WHEN doc_a % 10 >= 8 THEN doc_a ELSE doc_b END AS doc_id
         FROM cand
@@ -218,11 +227,76 @@ object DedupQueries {
       FROM documents d LEFT JOIN newdrops nd ON d.doc_id = nd.doc_id
       WHERE d.doc_id % 10 >= 8
       ORDER BY d.doc_id"""
+
+  // --- X36: incremental dedup WITHOUT a store (first-run bootstrap path:
+  // every signature derived from text in the same job).
+  val x36 = Query("x36_dedup_incremental", Some(
+    minhashCandidateCtes() + incrementalOracleTail
   )) { (s, d) =>
     Dedup.incrementalDropDecisions(documents(s, d),
         isNew = id => id % 10 >= 8, estThreshold = 0.5)
       .orderBy("doc_id")
   }
 
-  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21, x25, x31, x36)
+  // --- X41: incremental dedup THROUGH the persisted signature store — the
+  // production cadence. The old corpus's signatures are written to a
+  // parquet store once (memoized per fixture dir; at 100 TB this is the
+  // standing table each day's batch appends to), and the query reads OLD
+  // signatures from the store: only the new batch is normalized, shingled
+  // and hashed — old documents' text is never scanned (PlanShapeSpec pins
+  // exactly one documents scan in the plan).
+  val x41 = Query("x41_dedup_sigstore", Some(
+    minhashCandidateCtes() + incrementalOracleTail
+  )) { (s, d) =>
+    val store = ensureSigStore(s, d)
+    Dedup.incrementalDropDecisionsFromStore(
+        documents(s, d).filter(col("doc_id") % 10 >= 8),
+        s.read.parquet(store), estThreshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  /** Signature-store bootstrap for x41: old-corpus (doc_id % 10 < 8)
+    * signatures written once per fixture dir under java.io.tmpdir, keyed
+    * by the dir name so sf0.01 and sf0.1 runs never share a store. The
+    * `_SUCCESS` marker makes the write idempotent across Verify/Bench
+    * passes in one harness run — matching production, where the store is
+    * standing state, not per-query work. */
+  private def sigStorePath(sfDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-sigstore-${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
+  private def ensureSigStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = sigStorePath(d)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Dedup.writeSignatureStore(
+        documents(s, d).filter(col("doc_id") % 10 < 8), path)
+    path
+  }
+
+  // --- X42: cluster-closure dedup — smallest-id connected components over
+  // the candidate graph (est ≥ 0.5), one survivor per duplicate cluster.
+  // Spark side: iterated min-label propagation to fixpoint; oracle side:
+  // the same closure as a recursive CTE (min reachable id per node).
+  val x42 = Query("x42_dedup_cluster", Some(
+    minhashCandidateCtes(recursive = true) + """
+      , edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cand WHERE est_jaccard >= 0.5
+        UNION ALL
+        SELECT doc_b, doc_a FROM cand WHERE est_jaccard >= 0.5),
+      reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+      comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node)
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      ORDER BY d.doc_id"""
+  )) { (s, d) =>
+    Dedup.clusterClosureDecisions(documents(s, d), estThreshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42)
 }

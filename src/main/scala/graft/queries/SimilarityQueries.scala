@@ -142,5 +142,78 @@ object SimilarityQueries {
       .orderBy("probe_id", "rk")
   }
 
-  val all: Seq[Query] = Seq(q17, x04, x05, x34)
+  // --- X43: graded ANN recall — the quality dimension x05/x34 can't see:
+  // their oracles replay the same bucketing, so a recall regression (too
+  // many hyperplanes, degenerate codebook) still hash-matches. Here
+  // recall@k of each approximate path against the exact brute-force top-k
+  // is itself the result, with a self-graded bound flag (the q08b/x35
+  // sketch pattern): `recall_ok` flips if the bucketing stops finding the
+  // true neighbors. Same probe set (vec_id % 50) across all three paths;
+  // recall = one integer hit count / one integer denominator — a single
+  // double division, no float aggregation order.
+  private val RecallBound = 0.3
+  val x43 = Query(
+    "x43_ann_recall",
+    Some(s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 50 = 0),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+      ex_scored AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
+        FROM e a CROSS JOIN probes WHERE a.vec_id <> probe_id),
+      ex_ranked AS (
+        SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY $cosSql DESC, neighbor_id) AS rk
+        FROM ex_scored),
+      exact AS (SELECT probe_id, neighbor_id FROM ex_ranked WHERE rk <= 3),
+      b AS (SELECT vec_id, v, CAST($bucketSql AS INT) AS bucket FROM e),
+      lp AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b WHERE vec_id % 50 = 0),
+      lc AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
+        FROM b a JOIN lp USING (bucket) WHERE a.vec_id <> probe_id),
+      lr AS (
+        SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY $cosSql DESC, neighbor_id) AS rk
+        FROM lc),
+      lsh AS (SELECT probe_id, neighbor_id FROM lr WHERE rk <= 3),
+      c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 125 = 0),
+      assign AS (
+        SELECT vec_id, v, cent_id, $cosSql AS a_cos
+        FROM (SELECT e.vec_id, e.v, c.cent_id, e.v AS av, c.cv AS pv
+              FROM e CROSS JOIN c)),
+      cells AS (
+        SELECT vec_id, v, cent_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY a_cos DESC, cent_id) AS arn
+          FROM assign) WHERE arn = 1),
+      ip AS (SELECT vec_id AS probe_id, v AS pv, cell FROM cells WHERE vec_id % 50 = 0),
+      ic AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
+        FROM cells a JOIN ip USING (cell) WHERE a.vec_id <> probe_id),
+      ir AS (
+        SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY $cosSql DESC, neighbor_id) AS rk
+        FROM ic),
+      ivf AS (SELECT probe_id, neighbor_id FROM ir WHERE rk <= 3),
+      hits AS (
+        SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS total_hits
+        FROM lsh SEMI JOIN exact USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS total_hits
+        FROM ivf SEMI JOIN exact USING (probe_id, neighbor_id))
+      SELECT method, n_probes, total_hits,
+             CAST(total_hits AS DOUBLE) / (n_probes * 3) AS recall,
+             CASE WHEN CAST(total_hits AS DOUBLE) / (n_probes * 3) >= $RecallBound
+                  THEN 1 ELSE 0 END AS recall_ok
+      FROM hits, np
+      ORDER BY method""")
+  ) { (s, d) =>
+    Similarity.recallAtK(embeddings(s, d),
+        centPred = col("vec_id") % 125 === 0,
+        probePred = col("vec_id") % 50 === 0,
+        k = 3, nBits = NBits, dim = Dim, bound = RecallBound)
+      .orderBy("method")
+  }
+
+  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43)
 }
