@@ -68,6 +68,78 @@ object Multimodal {
       concat_ws(",", transform(sequence(lit(0), lit(k - 1)),
         j => floor(j * col("n_frames") / k).cast("int"))))
 
+  // --- Real image codec path (javax.imageio — in the JDK, no external
+  // libs): PNG encode/decode round-trip. `decodeStub` remains the honest
+  // stand-in for audio/video (no codecs in this container); images get the
+  // real thing: `decodePng` parses actual PNG bytes — IHDR dimensions,
+  // zlib-inflated scanlines — via ImageIO.
+
+  final case class PngIn(doc_id: Long, mime: String, png: Array[Byte])
+  final case class PngMeta(doc_id: Long, mime: String, width: Int, height: Int,
+                           px_sum: Long, ok_sig: Int)
+
+  /** Deterministic grayscale test image for `doc_id`: w=1+id%16,
+    * h=1+id%8, sample(x,y) = (id·31 + x·7 + y) mod 256. Closed-form, so
+    * the DuckDB oracle can state the expected DECODED metadata without
+    * ever seeing the bytes. */
+  private def fixturePixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y) % 256).toInt
+
+  /** Encode one real PNG per selected doc (partition-batched; ImageIO
+    * writer state is per-thread). Raster samples are written/read
+    * directly (TYPE_BYTE_GRAY) — no color-space conversion, so the
+    * encode→decode round-trip is sample-exact. */
+  def encodePng(docs: DataFrame): Dataset[PngIn] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      it.map { id =>
+        val w = (1 + id % 16).toInt
+        val h = (1 + id % 8).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, fixturePixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        PngIn(id, "image/png", out.toByteArray)
+      }
+    }
+  }
+
+  /** REAL decode: parse the PNG container (signature check + full pixel
+    * decode via ImageIO) and derive metadata from the decoded raster —
+    * width/height from IHDR, px_sum from the inflated scanlines. This is
+    * the production shape for image corpora: opaque binary column in,
+    * typed metadata out, codec init amortized per partition. */
+  def decodePng(media: Dataset[PngIn]): Dataset[PngMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      it.map { m =>
+        val sig = m.png.length >= 8 &&
+          (m.png(0) & 0xFF) == 0x89 && m.png(1) == 'P' && m.png(2) == 'N' && m.png(3) == 'G'
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        PngMeta(m.doc_id, m.mime, img.getWidth, img.getHeight, sum, if (sig) 1 else 0)
+      }
+    }
+  }
+
   /** Per-modality stats over decoded metadata. */
   def modalityStats(meta: Dataset[MediaMeta]): DataFrame =
     meta.toDF().groupBy("mime")

@@ -80,5 +80,45 @@ object ExtraQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[Query] = Seq(x15, x16, x38)
+  // --- X45: the SQL-STRING entry path — the whole query is analyzer-
+  // parsed `spark.sql(...)` text over a registered temp view, exercising
+  // the surface a SQL user hits first: parser → analyzer → the
+  // session-extension function registry (`graft_cosine`, injected by
+  // GraftExtensions) → the `SelfCosineRewrite` optimizer rule (the
+  // `graft_cosine(a.embedding, a.embedding)` column is rewritten to the
+  // O(n) zero-scan — SqlEntrySpec pins that). Semantics: cosine between
+  // each probe vector and its successor, plus the self-cosine sanity
+  // column.
+  val x45 = Query(
+    "x45_sql_entry",
+    Some("""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS vec_id, a.v AS pv, b.v AS av
+        FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 10 = 0)
+      SELECT vec_id,
+             ROUND(CASE WHEN list_dot_product(av, av) = 0
+                          OR list_dot_product(pv, pv) = 0 THEN 0.0
+                        ELSE list_dot_product(pv, av)
+                             / (sqrt(list_dot_product(pv, pv))
+                                * sqrt(list_dot_product(av, av))) END, 6) AS cos_next,
+             ROUND(CASE WHEN list_dot_product(pv, pv) = 0 THEN 0.0
+                        ELSE list_dot_product(pv, pv)
+                             / (sqrt(list_dot_product(pv, pv))
+                                * sqrt(list_dot_product(pv, pv))) END, 6) AS self_cos
+      FROM pairs
+      ORDER BY vec_id""")
+  ) { (s, d) =>
+    embeddings(s, d).createOrReplaceTempView("x45_embeddings")
+    s.sql("""
+      SELECT a.vec_id AS vec_id,
+             ROUND(graft_cosine(a.embedding, b.embedding), 6) AS cos_next,
+             ROUND(graft_cosine(a.embedding, a.embedding), 6) AS self_cos
+      FROM x45_embeddings a JOIN x45_embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 10 = 0
+      ORDER BY vec_id""")
+  }
+
+  val all: Seq[Query] = Seq(x15, x16, x38, x45)
 }

@@ -63,6 +63,39 @@ object TemporalQueries {
       .orderBy("doc_id")
   }
 
+  // --- X44: REAL image codec round-trip (javax.imageio): encode a
+  // deterministic grayscale PNG per selected doc, then decode ACTUAL
+  // bytes — signature check, IHDR dims, zlib-inflated pixels — and
+  // derive metadata from the decoded raster. The oracle never sees the
+  // bytes: it states the closed-form expectations (dims from doc_id,
+  // px_sum = Σ (id·31+x·7+y) mod 256), so any codec lie (stubbed decode,
+  // wrong scanline math) hash-mismatches. Byte COUNT is deliberately not
+  // compared — PNG encoder output is JDK-version-dependent; pixel content
+  // is not.
+  val x44 = Query(
+    "x44_multimodal_codec",
+    Some("""
+      WITH sel AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 16 AS INT) AS width,
+               CAST(1 + doc_id % 8 AS INT) AS height
+        FROM documents WHERE doc_id % 20 = 0),
+      xs AS (SELECT doc_id, width, height, unnest(range(0, width)) AS x FROM sel),
+      px AS (SELECT doc_id, width, height, x, unnest(range(0, height)) AS y FROM xs)
+      SELECT doc_id, 'image/png' AS mime, width, height,
+             CAST(SUM((doc_id * 31 + x * 7 + y) % 256) AS BIGINT) AS px_sum,
+             CAST(1 AS INT) AS ok_sig
+      FROM px
+      GROUP BY doc_id, width, height
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.decodePng(
+        Multimodal.encodePng(documents(s, d).filter(col("doc_id") % 20 === 0)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   // --- X11: as-of join — each purchase matched to the user's latest
   // strictly-prior click. Spark: last-ignoreNulls over a tagged union
   // (no native as-of operator); DuckDB oracle: native ASOF JOIN.
@@ -169,5 +202,5 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33)
+  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44)
 }
