@@ -236,39 +236,49 @@ object Dedup {
     * cluster_id, kept. */
   def clusterClosureDecisions(docs: DataFrame, estThreshold: Double,
                               maxIters: Int = 50): DataFrame = {
-    import graft.core.Caches
     val edges = minhashLshCandidates(docs)
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("doc_a"), col("doc_b"))
+    docs.select("doc_id")
+      .join(connectedComponents(edges, maxIters).toDF("doc_id", "cluster_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("kept", when(col("cluster_id") === col("doc_id"), 1).otherwise(0))
+  }
+
+  /** Smallest-id connected components over an undirected edge list
+    * (columns: doc_a, doc_b). Returns (node, lbl) for every node that
+    * appears in an edge; isolated nodes are absent (callers coalesce to
+    * self). Min-label propagation as documented on
+    * `clusterClosureDecisions`. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+    import graft.core.Caches
     // union is POSITIONAL: the reversed side must swap values via select,
     // not just rename columns
     val adj = Caches.scoped(
       edges.toDF("src", "dst")
-        .union(edges.select(col("doc_b"), col("doc_a")).toDF("src", "dst")))
+        .union(edges.select(edges.columns(1), edges.columns(0)).toDF("src", "dst")))
     var labels = Caches.scoped(
-      adj.select(col("src").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id")))
+      adj.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node")))
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
       val prop = adj.join(labels.toDF("dst", "nlbl"), "dst")
-        .groupBy(col("src").as("doc_id")).agg(min("nlbl").as("min_nbr"))
+        .groupBy(col("src").as("node")).agg(min("nlbl").as("min_nbr"))
       val next = Caches.scoped(
-        labels.join(prop, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+        labels.join(prop, Seq("node"), "left")
+          .select(col("node"),
             least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl")))
-      converged = next.toDF("doc_id", "new_lbl")
-        .join(labels, "doc_id")
+      converged = next.toDF("node", "new_lbl")
+        .join(labels, "node")
         .filter(col("new_lbl") =!= col("lbl")).isEmpty
       labels.unpersist(blocking = false)
       labels = next
       iters += 1
     }
-    docs.select("doc_id")
-      .join(labels.toDF("doc_id", "cluster_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("kept", when(col("cluster_id") === col("doc_id"), 1).otherwise(0))
+    labels
   }
 
   /** Exact n-gram Jaccard similarity for same-`lang` pairs above a

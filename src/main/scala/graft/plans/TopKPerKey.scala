@@ -3,12 +3,14 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode, UnsafeExternalRowSorter}
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.util.collection.unsafe.sort.PrefixComparator
 
 /** Whole-operator Catalyst extension (SURVEY §2.4/§4 path (c)): per-key
   * top-k as a first-class plan node with a two-phase physical strategy.
@@ -68,11 +70,53 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // re-aggregates. Each flush emits ≤ k·maxKeys rows, so memory stays
       // bounded at arbitrary key cardinality (the degradation is extra
       // shuffled rows, not OOM). The FINAL phase cannot evict (it must see
-      // a key's whole input to be exact): its map holds the partition's
-      // distinct keys — |keys| / shuffle-partitions entries — which is the
-      // same state bound as hash aggregation over the same keys; raise
-      // shuffle partitions for extreme cardinality.
+      // a key's whole input to be exact), so past the same key cap it
+      // SPILLS instead: every retained heap row plus all remaining input
+      // goes into an UnsafeExternalRowSorter ordered by (key, order) —
+      // disk-backed, the same machinery SortExec uses — and the output is
+      // a streaming first-k-per-key scan of the sorted run. Rows already
+      // evicted by a heap before the switch are safe to forget: they were
+      // beaten by k better rows of their key, which the sorter inherits.
+      // So the operator degrades exactly like hash aggregation: heap mode
+      // at moderate cardinality, sort-spill past it — never OOM.
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      var sorter: UnsafeExternalRowSorter = null
+
+      def startSpill(): Unit = {
+        val schema = StructType(childOutput.map(a =>
+          StructField(a.name, a.dataType, a.nullable)))
+        val fullOrder = keyExprs.map(e => SortOrder(e, Ascending)) ++ sortOrder
+        sorter = UnsafeExternalRowSorter.create(
+          schema,
+          new LazilyGeneratedOrdering(fullOrder, childOutput),
+          new PrefixComparator { override def compare(a: Long, b: Long): Int = 0 },
+          new UnsafeExternalRowSorter.PrefixComputer {
+            private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+            override def computePrefix(row: InternalRow)
+                : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+              p.value = 0L; p.isNull = false; p
+            }
+          },
+          org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+          false)
+        heaps.values().forEach { h =>
+          h.forEach(r => sorter.insertRow(r))
+        }
+        heaps.clear()
+      }
+
+      /** Streaming first-k-per-key over the externally sorted run. */
+      def drainSorted(): Iterator[InternalRow] = {
+        var prevKey: UnsafeRow = null
+        var cnt = 0
+        sorter.sort().filter { r =>
+          val key = keyProj(r)
+          if (prevKey == null || key != prevKey) {
+            prevKey = key.copy(); cnt = 1
+          } else cnt += 1
+          cnt <= limit
+        }
+      }
 
       def insert(row: UnsafeRow, key: UnsafeRow): Unit = {
         var heap = heaps.get(key)
@@ -108,14 +152,25 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
                 case u: UnsafeRow => u
                 case other => toUnsafe(other)
               }
-              val key = keyProj(row)
-              if (isPartial && !heaps.containsKey(key) && heaps.size() >= maxKeys) {
-                out = drain()
-                flushed = true
+              if (sorter != null) sorter.insertRow(row)
+              else {
+                val key = keyProj(row)
+                if (!heaps.containsKey(key) && heaps.size() >= maxKeys) {
+                  if (isPartial) {
+                    out = drain()
+                    flushed = true
+                    insert(row, key)
+                  } else {
+                    startSpill()
+                    sorter.insertRow(row)
+                  }
+                } else insert(row, key)
               }
-              insert(row, key)
             }
-            if (!flushed) { out = drain(); inputDone = true }
+            if (!flushed) {
+              out = if (sorter != null) drainSorted() else drain()
+              inputDone = true
+            }
           }
         }
         override def hasNext: Boolean = { advance(); out.hasNext }
@@ -132,7 +187,10 @@ final case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
 }
 
 object TopKPerKeyExec {
-  /** Partial-phase in-flight key cap: 64k keys · k rows each. */
+  /** In-flight key cap per partition: 64k keys · k rows each. Past it the
+    * partial phase flushes (extra shuffled rows) and the final phase
+    * switches to disk-backed sort (extra I/O) — bounded memory either
+    * way. */
   val DefaultMaxKeysInFlight: Int = 1 << 16
 }
 

@@ -44,6 +44,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("x41 never scans old documents — one documents scan + the sig store") {
+    // The incremental-from-store plan must read the OLD side from the
+    // persisted signature parquet: exactly one scan of documents.parquet
+    // (the new batch) and one scan of the graft-sigstore table.
+    // (occurrence COUNTING is unreliable here: InMemoryRelation nodes
+    // print their cached child plan, so one physical scan can appear
+    // several times in the dump — instead assert every documents scan
+    // carries the new-batch filter, i.e. no unfiltered old-side scan.)
+    val p = plan("x41_dedup_sigstore")
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScans.nonEmpty, s"no documents scan found:\n$p")
+    assert(docScans.forall(_.contains("% 10) >= 8")),
+      s"found a documents scan without the new-batch filter:\n${docScans.mkString("\n")}")
+    assert(p.contains("graft-sigstore-"), s"store scan missing:\n$p")
+  }
+
+  test("x45 SQL text hits the SelfCosineRewrite optimizer rule") {
+    // graft_cosine(a.embedding, a.embedding) in SQL text must be rewritten
+    // to the O(n) zero-scan — proof the extension's optimizer rule runs on
+    // the parser/analyzer path, not just the DataFrame path.
+    val p = plan("x45_sql_entry")
+    assert(p.contains("graft_self_cosine"), s"rewrite did not fire:\n$p")
+    assert(p.contains("graft_cosine"), p)
+  }
+
   test("x01 minhash pipeline has no pre-aggregation distinct exchange") {
     // signature derivation = explode → project(md5) → partial agg →
     // ONE exchange keyed by doc_id; a reintroduced distinct would add a

@@ -134,6 +134,95 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(q.getAs[Double]("quality_score") <= 1.0)
   }
 
+  test("signature-store incremental path matches the recompute path") {
+    val d = docs(
+      1L -> ("spark rocks " * 10), 2L -> "totally unrelated old words here",
+      18L -> ("spark rocks " * 10), 19L -> ("novel duplicate pair " * 8),
+      28L -> ("novel duplicate pair " * 8))
+    val store = java.nio.file.Files.createTempDirectory("graft-sigstore-test").toString
+    Dedup.writeSignatureStore(d.filter(col("doc_id") % 10 < 8), store)
+    val viaStore = Dedup.incrementalDropDecisionsFromStore(
+        d.filter(col("doc_id") % 10 >= 8), spark.read.parquet(store), 0.5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // identical decisions to the from-text path (18 dups old#1 → dropped;
+    // 19/28 are new-vs-new only → kept), with the old side fed purely
+    // from persisted signatures
+    assert(viaStore == Map(18L -> 1, 19L -> 0, 28L -> 0))
+    assert(viaStore == Dedup.incrementalDropDecisions(d, id => id % 10 >= 8, 0.5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+  }
+
+  test("connected components label every node with its component minimum") {
+    import spark.implicits._
+    // (1,3),(2,3) is the shape where greedy and closure DIFFER: greedy
+    // drops only doc_b of each pair ({3} — doc 2 survives), while the
+    // closure puts {1,2,3} in one cluster with the single survivor 1.
+    // Chain (10,11),(11,12) collapses to 10; (20,21) to 20.
+    val edges = Seq((1L, 3L), (2L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val lbl = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("cluster closure keeps exactly one survivor per duplicate cluster") {
+    val d = docs(
+      1L -> ("spark rocks " * 10), 2L -> ("spark rocks " * 10),
+      3L -> ("spark rocks " * 10), 4L -> "unrelated standalone words here")
+    val out = Dedup.clusterClosureDecisions(d, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet == Set((1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0), (4L, 4L, 1)))
+  }
+
+  test("df cap bounds exact-jaccard fan-out on a boilerplate shingle") {
+    import spark.implicits._
+    // 30 docs share one header sentence (its shingles have df=30 — a
+    // quadratic 435-pair join without the cap); tails are unique.
+    val d = (1 to 30).map(i =>
+        (i.toLong, s"common header words here now tail$i unique$i end$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val uncapped = Dedup.ngramJaccard(d, threshold = 0.01)
+    assert(uncapped.count() == 435L) // every pair shares the header
+    // cap at df ≤ 5: header shingles leave the universe → no shared
+    // shingles remain → zero candidate pairs reach the join output
+    assert(Dedup.ngramJaccard(d, threshold = 0.01, maxDf = 5).count() == 0L)
+  }
+
+  test("png codec round-trips real dimensions and pixel sums") {
+    import spark.implicits._
+    val ids = Seq(0L, 7L, 123L).toDF("doc_id")
+    val out = Multimodal.decodePng(Multimodal.encodePng(ids)).collect()
+    for (m <- out) {
+      val id = m.doc_id
+      val (w, h) = ((1 + id % 16).toInt, (1 + id % 8).toInt)
+      assert(m.width == w && m.height == h && m.ok_sig == 1)
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y) % 256).sum
+      assert(m.px_sum == expected, s"doc $id")
+    }
+  }
+
+  test("ANN recall flag flips when the bucketing degenerates") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    // bound 0.15: LSH recall at this tiny SF is 0.2 (fewer co-bucketed
+    // true neighbors than at the graded sf0.01, where it's 0.4 vs bound
+    // 0.3) — the spec tests the FLAG MECHANICS, so the bound just has to
+    // sit between healthy and degenerate.
+    def recall(nBits: Int) = Similarity.recallAtK(emb,
+        centPred = col("vec_id") % 125 === 0, probePred = col("vec_id") % 50 === 0,
+        k = 3, nBits = nBits, dim = 64, bound = 0.15)
+      .collect().map(r => r.getString(0) -> (r.getAs[Double]("recall"), r.getAs[Int]("recall_ok")))
+      .toMap
+    val good = recall(4)
+    // 24 hyperplanes → 2^24 buckets over 500 vectors: every probe is
+    // alone in its bucket, recall collapses, the bound flag must flip.
+    val bad = recall(24)
+    assert(good("lsh")._2 == 1, s"baseline recall unexpectedly low: $good")
+    assert(bad("lsh")._1 < good("lsh")._1)
+    assert(bad("lsh")._2 == 0, s"degenerate bucketing kept the flag green: $bad")
+  }
+
   test("multimodal decode stub preserves schema and is deterministic") {
     val meta = Multimodal.decode(Multimodal.mediaTable(
       docs(0L -> "abc", 1L -> "defghij", 2L -> "xy"))).collect()

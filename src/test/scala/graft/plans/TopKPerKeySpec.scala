@@ -58,6 +58,27 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTest {
     assert(viaTopK == viaWindow)
   }
 
+  test("final-phase sort-spill fallback stays exact past the key cap") {
+    // maxKeysInFlight=2 with ~125 distinct keys per final partition: the
+    // final phase abandons its heap map and goes through the
+    // UnsafeExternalRowSorter (disk-backed) streaming take-k — result
+    // must still be exactly the window formulation's. k=3 with duplicate
+    // scores stresses the sorted-run group boundaries.
+    val df = spark.range(30000).select(
+      (col("id") % 500).as("key"),
+      ((col("id") * 48271) % 101).cast("double").as("score"),
+      col("id").as("rid")).repartition(8)
+    val viaTopK = TopK.perKey(df, Seq(df("key")),
+        Seq(df("score").desc, df("rid")), k = 3, maxKeysInFlight = 2)
+      .select("key", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy("key").orderBy(col("score").desc, col("rid"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("key", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaTopK.size == 1500)
+    assert(viaTopK == viaWindow)
+  }
+
   test("k larger than group size returns whole groups") {
     import spark.implicits._
     val df = Seq((1, 1.0), (1, 2.0), (2, 3.0)).toDF("key", "score").repartition(3)
