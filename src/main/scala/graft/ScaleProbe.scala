@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence probe (SCALE.md): measure the dedup/ANN family at
+  * sf0.1 and at a synthetic 10× of sf0.1 (~sf1), and print per-query
+  * scaling ratios.
+  *
+  * The 10× corpus is NOT naive replication — copying rows verbatim would
+  * give every document 10 exact duplicates and inflate candidate volume
+  * ~100× in a way no real corpus does. Instead each replica is an
+  * ISOMORPHIC copy in a disjoint similarity space:
+  *  - documents: every word is prefixed with a replica tag
+  *    (`regexp_replace(text, "(\\S+)", "r<i>_$1")`), so within-replica
+  *    shingle structure (and thus dup/near-dup density) is exactly the
+  *    original's, while cross-replica shingle sets are disjoint;
+  *  - embeddings: a per-replica sign-flip pattern on dimensions — an
+  *    isometry, so within-replica cosines are unchanged; cross-replica
+  *    vectors decorrelate instead of duplicating.
+  *  - doc_id/vec_id offset by r·10⁴ (divisible by every %-predicate
+  *    modulus the queries use: 10, 20, 50, 125), so probe/batch/centroid
+  *    densities are preserved.
+  */
+object ScaleProbe {
+
+  private val Family = Seq(
+    "q16_dedup_exact", "x01_dedup_minhash_lsh", "x02_dedup_simhash",
+    "x03_dedup_ngram_jaccard", "x21_dedup_pipeline", "x25_minhash_agg",
+    "x31_dedup_editdistance", "x36_dedup_incremental", "x41_dedup_sigstore",
+    "x42_dedup_cluster", "x04_neardup_embedding", "x05_similarity_lsh",
+    "x34_similarity_ivf")
+
+  private val Offset = 10000L
+
+  private def synthesize(spark: SparkSession, base: String, out: String,
+                         factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val docReps = (0 until factor).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r * Offset)).as("doc_id"),
+        (if (r == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", s"r${r}_$$1")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    docReps.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    val embReps = (0 until factor).map { r =>
+      emb.select(
+        (col("vec_id") + lit(r * Offset)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(floor(lit(r) / pow(lit(2.0), (i % 4).cast("double"))).cast("int") % 2 === 1,
+            -x).otherwise(x)).as("embedding"),
+        col("label"))
+    }
+    embReps.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+  }
+
+  private def time(spark: SparkSession, name: String, dir: String): Double = {
+    val reps = 3
+    val times = (1 to reps).map { _ =>
+      graft.core.Caches.releaseAll()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    times.sorted.apply(reps / 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val synthDir = args.lift(1).getOrElse("/tmp/graft-scale-x10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.Engine.configure(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-scale"),
+      shufflePartitions = cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(s"$synthDir/embeddings.parquet/_SUCCESS").exists())
+      synthesize(spark, base, synthDir, factor)
+    // one untimed warmup pass per dir (JIT at representative volume)
+    Family.foreach { n =>
+      SparkEntry.queries(n)(spark, base).write.format("noop").mode("overwrite").save()
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+    }
+    val rows = Family.map { n =>
+      val t1 = time(spark, n, base)
+      val t10 = time(spark, n, synthDir)
+      println(f"""{"query":"$n","base_sec":$t1%.3f,"x${factor}_sec":$t10%.3f,"ratio":${t10 / t1}%.2f}""")
+      (n, t1, t10)
+    }
+    val (tb, ts) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    println(f"""{"family_total_base":$tb%.2f,"family_total_x$factor":$ts%.2f,"ratio":${ts / tb}%.2f}""")
+    spark.stop()
+  }
+}

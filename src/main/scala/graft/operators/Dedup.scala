@@ -264,6 +264,11 @@ object Dedup {
         .withColumn("lbl", col("node")))
     var iters = 0
     var converged = false
+    // Convergence check without an extra join: labels are monotonically
+    // non-increasing, so the label sum strictly decreases on every
+    // changing round — equal consecutive sums ⟺ fixpoint. One cheap agg
+    // over the already-cached label table per round.
+    var prevSum: Option[Long] = None
     while (!converged && iters < maxIters) {
       val prop = adj.join(labels.toDF("dst", "nlbl"), "dst")
         .groupBy(col("src").as("node")).agg(min("nlbl").as("min_nbr"))
@@ -271,9 +276,10 @@ object Dedup {
         labels.join(prop, Seq("node"), "left")
           .select(col("node"),
             least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl")))
-      converged = next.toDF("node", "new_lbl")
-        .join(labels, "node")
-        .filter(col("new_lbl") =!= col("lbl")).isEmpty
+      val s = Option(next.agg(sum("lbl")).first().get(0))
+        .fold(0L)(_.asInstanceOf[Long])
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       labels.unpersist(blocking = false)
       labels = next
       iters += 1
