@@ -28,8 +28,8 @@ object ScaleProbe {
     "q16_dedup_exact", "x01_dedup_minhash_lsh", "x02_dedup_simhash",
     "x03_dedup_ngram_jaccard", "x21_dedup_pipeline", "x25_minhash_agg",
     "x31_dedup_editdistance", "x36_dedup_incremental", "x41_dedup_sigstore",
-    "x42_dedup_cluster", "x04_neardup_embedding", "x05_similarity_lsh",
-    "x34_similarity_ivf")
+    "x42_dedup_cluster", "x04_neardup_embedding", "x46_neardup_autolsh",
+    "x05_similarity_lsh", "x34_similarity_ivf")
 
   private val Offset = 10000L
 

@@ -152,4 +152,27 @@ object VectorFunctions {
       val dotj = aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
       when(dotj >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** Hyperplane count CHOSEN FROM THE CORPUS SIZE — the knob the scale
+    * probe showed must move with n (fixed nBits ⇒ Σ|bucket|² grows
+    * quadratically). nBits = #{ j ∈ 1..maxBits : n > targetOcc·2^(j-1) },
+    * i.e. the smallest bit count keeping expected bucket occupancy ≤
+    * targetOcc — computed with INTEGER COMPARISONS only: a log2+ceil
+    * formulation differs across engines in the last ulp exactly at
+    * power-of-two boundaries, where ceil then flips. */
+  def autoBits(n: Column, targetOcc: Int, maxBits: Int): Column =
+    (1 to maxBits).map(j =>
+      when(n > lit(targetOcc.toLong * (1L << (j - 1))), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** `lshBucket` with a RUNTIME bit count (`nbits` column, ≤ maxBits):
+    * only the first nbits hyperplanes contribute. All maxBits dot
+    * products are computed and masked — branch-free, stays in codegen;
+    * maxBits is small so the wasted dots are noise next to a shuffle. */
+  def lshBucketMasked(v: Column, nbits: Column, maxBits: Int, dim: Int): Column =
+    (0 until maxBits).map { j =>
+      val p = array(plane(j, dim).map(lit): _*)
+      val dotj = aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      when(lit(j) < nbits && dotj >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
 }

@@ -138,10 +138,32 @@ object Similarity {
     * construction: pairs whose hyperplane signs differ are never compared
     * (`nearDupPairs` below is the exact oracle for recall specs). */
   def nearDupPairsBucketed(emb: DataFrame, threshold: Double,
-                           nBits: Int, dim: Int): DataFrame = {
-    val bucketed = emb
-      .select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding"), nBits, dim).as("bucket"))
+                           nBits: Int, dim: Int): DataFrame =
+    bucketSelfJoinPairs(
+      emb.select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), nBits, dim).as("bucket")),
+      threshold)
+
+  /** `nearDupPairsBucketed` with the hyperplane count derived FROM the
+    * corpus size (`VectorFunctions.autoBits`): expected bucket occupancy
+    * stays ≤ targetOcc as the corpus grows, so candidate volume scales
+    * ~linearly instead of quadratically — the fix for the measured 5.2×
+    * growth of the fixed-bit variant at 10× data (SCALE.md). The count is
+    * a scalar agg broadcast back into the plan (no driver action, no
+    * collect). */
+  def nearDupPairsAutoBucketed(emb: DataFrame, threshold: Double,
+                               targetOcc: Int, maxBits: Int, dim: Int): DataFrame = {
+    val n = emb.agg(count(lit(1)).as("__n"))
+    bucketSelfJoinPairs(
+      emb.crossJoin(broadcast(n))
+        .select(col("vec_id"), col("embedding"),
+          lshBucketMasked(col("embedding"),
+            autoBits(col("__n"), targetOcc, maxBits), maxBits, dim).as("bucket")),
+      threshold)
+  }
+
+  /** Shared tail: per-bucket self-join (a < b) + exact-cosine filter. */
+  private def bucketSelfJoinPairs(bucketed: DataFrame, threshold: Double): DataFrame = {
     val a = bucketed.toDF("vec_a", "emb_a", "bucket")
     val b = bucketed.toDF("vec_b", "emb_b", "bucket")
     a.join(b, Seq("bucket"))

@@ -215,5 +215,43 @@ object SimilarityQueries {
       .orderBy("method")
   }
 
-  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43)
+  // --- X46: embedding near-dup with the hyperplane count derived from
+  // corpus size (targetOcc=16, maxBits=12) — the scale fix for x04's
+  // measured fixed-bucket growth (SCALE.md: 5.2× wall at 10× data because
+  // Σ|bucket|² is quadratic at constant bucket count). nBits is a count
+  // of integer comparisons (n > 16·2^(j-1)) — deliberately NOT
+  // ceil(log2(...)), which differs cross-engine in the last ulp exactly
+  // at power-of-two boundaries. The oracle replays the mask bit-for-bit.
+  private val TargetOcc = 16
+  private val MaxBits = 12
+  val x46 = Query(
+    "x46_neardup_autolsh",
+    Some {
+      val nbitsSql = (1 to MaxBits)
+        .map(j => s"CASE WHEN cnt > ${TargetOcc.toLong * (1L << (j - 1))} THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val maskedBucketSql = (0 until MaxBits)
+        .map(j => s"(CASE WHEN $j < nbits AND list_dot_product(v, ${planeSql(j)}) >= 0" +
+          s" THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nc AS (SELECT count(*) AS cnt FROM embeddings),
+      nb AS (SELECT CAST($nbitsSql AS INT) AS nbits FROM nc),
+      bk AS (SELECT vec_id, v, CAST($maskedBucketSql AS INT) AS bucket FROM e, nb),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.v AS pv, b.v AS av
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, ROUND($cosSql, 6) AS cos
+      FROM pairs
+      WHERE $cosSql >= 0.4
+      ORDER BY vec_a, vec_b"""
+    }
+  ) { (s, d) =>
+    Similarity.nearDupPairsAutoBucketed(embeddings(s, d), threshold = 0.4,
+        targetOcc = TargetOcc, maxBits = MaxBits, dim = Dim)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46)
 }

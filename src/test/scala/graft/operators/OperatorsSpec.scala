@@ -203,6 +203,24 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("auto-bucketed near-dup == fixed-bits at the derived bit count") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // the bit choice: smallest count keeping expected occupancy ≤ 16
+    val bits = Seq(10L, 100L, 1000L, 100000L).toDF("n")
+      .select(VectorFunctions.autoBits(col("n"), 16, 12).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(bits == Seq(0, 3, 6, 12))
+    // 500 fixture vectors → 5 bits; the auto variant must equal the fixed
+    // variant evaluated at exactly that count
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(
+      pairs(Similarity.nearDupPairsAutoBucketed(emb, 0.3, targetOcc = 16, maxBits = 12, dim = 64))
+        == pairs(Similarity.nearDupPairsBucketed(emb, 0.3, nBits = 5, dim = 64)))
+  }
+
   test("ANN recall flag flips when the bucketing degenerates") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     // bound 0.15: LSH recall at this tiny SF is 0.2 (fewer co-bucketed
