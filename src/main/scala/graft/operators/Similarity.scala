@@ -162,6 +162,59 @@ object Similarity {
       threshold)
   }
 
+  /** K-means (Lloyd) codebook training for IVF — the "trained centroids"
+    * the x34 skeleton stood in for. Deterministic and CROSS-ENGINE EXACT
+    * by construction, so DuckDB can replay every iteration bit-for-bit:
+    *
+    *  - all vectors are quantized to 6 decimals up front (a double within
+    *    ~1e-22 of a 6-decimal value casts to the same DECIMAL(18,8) in
+    *    both engines regardless of rounding mode — unquantized doubles
+    *    would not);
+    *  - centroid means are exact DECIMAL(18,8) sums divided once as
+    *    doubles (aggregation order cannot perturb them), then re-quantized
+    *    to 6 decimals — the next iteration's inputs are again exact;
+    *  - assignment is argmax cosine with cent_id tie-break; cosines of
+    *    bit-identical inputs are bit-identical (row-level IEEE fold).
+    *
+    * Scale shape: centroids are a broadcast (C rows); each iteration is
+    * one |corpus|·C scored pass + TopKPerKey k=1 + a (cell, dim)
+    * aggregation — linear in the corpus, C·dim state. Empty cells drop
+    * out (standard Lloyd behavior), identically in the oracle.
+    * Output: cent_id (cell key), cv (trained centroid, array<double>). */
+  def kmeansCodebook(emb: DataFrame, initPred: Column, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("vq"))
+    var cents = e.filter(initPred)
+      .select(col("vec_id").as("cent_id"), col("vq").as("cv"))
+    for (_ <- 1 to iters) {
+      val comp = assignCells(e, cents)
+        .select(col("cell"), posexplode(col("vq")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg((sum(col("x").cast(DecimalType(18, 8))).cast("double")
+          / count(lit(1))).as("m"))
+      cents = comp.groupBy(col("cell").as("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          s => round(s.getField("m"), 6)).as("cv"))
+    }
+    cents
+  }
+
+  /** Per-vector nearest (max-cosine) cell for quantized vectors against a
+    * broadcast codebook, via TopKPerKey k=1. Output: vec_id, vq, cell,
+    * a_cos. */
+  def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("vq"), col("cent_id"),
+        cosineSimHof(col("vq"), col("cv")).as("a_cos"))
+    graft.plans.TopK.perKey(scored, Seq(scored("vec_id")),
+        Seq(scored("a_cos").desc, scored("cent_id")), k = 1)
+      .select(col("vec_id"), col("vq"), col("cent_id").as("cell"), col("a_cos"))
+  }
+
+  /** 6-decimal quantization of a float/double array (see kmeansCodebook). */
+  def quantize(v: Column): Column =
+    transform(v, x => round(x.cast("double"), 6))
+
   /** Shared tail: per-bucket self-join (a < b) + exact-cosine filter. */
   private def bucketSelfJoinPairs(bucketed: DataFrame, threshold: Double): DataFrame = {
     val a = bucketed.toDF("vec_a", "emb_a", "bucket")

@@ -253,5 +253,77 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46)
+  // --- X47: TRAINED IVF codebook — k-means (Lloyd, 2 iterations) on
+  // 6-decimal-quantized vectors, closing x34's "sampled rows stand in
+  // for trained centroids" caveat. Every iteration is replayed by the
+  // oracle bit-for-bit: quantized inputs cast exactly to DECIMAL(18,8),
+  // centroid means are exact decimal sums / integer counts re-quantized
+  // to 6 decimals, assignment is argmax cosine with cent_id tie-break.
+  // Output: per final cell — size, centroid norm, mean assignment cosine.
+  private val kmeansOracle: String = {
+    def assignCte(i: Int, centTable: String) = s"""
+      a$i AS (
+        SELECT vec_id, vq, cell, a_cos FROM (
+          SELECT vec_id, vq, cent_id AS cell, $cosSql AS a_cos,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY $cosSql DESC, cent_id) AS rn
+          FROM (SELECT e.vec_id, e.vq, c.cent_id, e.vq AS pv, c.cv AS av
+                FROM eq e CROSS JOIN $centTable c))
+        WHERE rn = 1)"""
+    def updateCtes(i: Int) = s"""
+      s$i AS (
+        SELECT cell, d, CAST(SUM(CAST(vq[d] AS DECIMAL(18,8))) AS DOUBLE)
+               / COUNT(*) AS m
+        FROM a$i, UNNEST(range(1, ${Dim + 1})) t(d)
+        GROUP BY cell, d),
+      c$i AS (
+        SELECT cell AS cent_id,
+               list_transform(list(m ORDER BY d), x -> round(x, 6)) AS cv
+        FROM s$i GROUP BY cell)"""
+    s"""
+      WITH eq AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS vq
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cent_id, vq AS cv FROM eq WHERE vec_id % 125 = 0),
+      ${assignCte(1, "c0")},
+      ${updateCtes(1)},
+      ${assignCte(2, "c1")},
+      ${updateCtes(2)},
+      ${assignCte(3, "c2")},
+      norms AS (
+        SELECT cent_id AS cell,
+               round(sqrt(list_dot_product(cv, cv)), 6) AS centroid_norm
+        FROM c2),
+      stats AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(CAST(round(a_cos, 6) AS DECIMAL(18,8))) AS DOUBLE)
+               / COUNT(*) AS avg_cos
+        FROM a3 GROUP BY cell)
+      SELECT s.cell, s.n_vecs, n.centroid_norm, s.avg_cos
+      FROM stats s JOIN norms n USING (cell)
+      ORDER BY cell"""
+  }
+
+  val x47 = Query("x47_kmeans_codebook", Some(kmeansOracle)) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val emb = embeddings(s, d)
+    val e = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("vq"))
+    // the trained codebook feeds the final assignment AND the norm table
+    val cb = graft.core.Caches.scoped(
+      Similarity.kmeansCodebook(emb, col("vec_id") % 125 === 0, iters = 2))
+    val assigned = Similarity.assignCells(e, cb)
+    val stats = assigned.groupBy("cell").agg(
+      count(lit(1)).as("n_vecs"),
+      (sum(round(col("a_cos"), 6).cast(DecimalType(18, 8))).cast("double")
+        / count(lit(1))).as("avg_cos"))
+    val norms = cb.select(col("cent_id").as("cell"),
+      round(sqrt(aggregate(zip_with(col("cv"), col("cv"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)), 6).as("centroid_norm"))
+    stats.join(norms, "cell")
+      .select("cell", "n_vecs", "centroid_norm", "avg_cos")
+      .orderBy("cell")
+  }
+
+  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47)
 }

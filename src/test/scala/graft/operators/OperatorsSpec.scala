@@ -221,6 +221,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
         == pairs(Similarity.nearDupPairsBucketed(emb, 0.3, nBits = 5, dim = 64)))
   }
 
+  test("k-means codebook training improves mean assignment cosine") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val e = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("vq"))
+    def avgCos(iters: Int): Double = {
+      val cb = Similarity.kmeansCodebook(emb, col("vec_id") % 125 === 0, iters)
+      Similarity.assignCells(e, cb).agg(avg("a_cos")).first().getDouble(0)
+    }
+    val untrained = avgCos(0) // init = sampled corpus rows (the x34 skeleton)
+    val trained = avgCos(2)
+    assert(trained > untrained,
+      s"training did not improve assignment: $untrained -> $trained")
+    // every vector lands in exactly one cell
+    val cb = Similarity.kmeansCodebook(emb, col("vec_id") % 125 === 0, 2)
+    assert(Similarity.assignCells(e, cb).count() == emb.count())
+  }
+
   test("ANN recall flag flips when the bucketing degenerates") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     // bound 0.15: LSH recall at this tiny SF is 0.2 (fewer co-bucketed
