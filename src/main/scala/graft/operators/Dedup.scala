@@ -287,6 +287,21 @@ object Dedup {
     labels
   }
 
+  /** The band join's operational skew guard: its cost is Σ_bucket
+    * |bucket|², so a handful of oversized buckets (boilerplate families,
+    * templated text — every member shares a band hash) can dominate the
+    * whole candidate join. This surfaces the top-N largest buckets —
+    * what you monitor in production and divert to a dedicated
+    * boilerplate-cluster path once |bucket| passes a cap, instead of
+    * letting m² pairs through the join. Output: band, bh, n_docs,
+    * min_doc (deterministic order: n_docs desc, band, bh). */
+  def lshBucketStats(docs: DataFrame, topN: Int): DataFrame =
+    lshBands(minhashSignatures(docs))
+      .groupBy("band", "bh")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      .orderBy(col("n_docs").desc, col("band"), col("bh"))
+      .limit(topN)
+
   /** Exact n-gram Jaccard similarity for same-`lang` pairs above a
     * threshold, over the shingle universe capped at document frequency
     * ≤ `maxDf`. Output: doc_a, doc_b, n_shared, jaccard.

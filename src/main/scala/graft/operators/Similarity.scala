@@ -78,6 +78,39 @@ object Similarity {
     searchByCell(bucketed, "bucket", probePred, k)
   }
 
+  /** Multi-probe LSH top-k: like `lshBucketed`, but each probe searches
+    * its own bucket PLUS the nBits buckets at Hamming distance 1 (one
+    * hyperplane sign flipped) — the standard recall lever that does NOT
+    * lower the bit count: near neighbors that fall just across one
+    * hyperplane become reachable, candidate volume grows only
+    * (nBits+1)×probes-side (the corpus is never re-bucketed, and each
+    * corpus vector still lives in exactly one bucket, so no candidate is
+    * produced twice). Recall ≥ single-probe at equal nBits by
+    * construction (probe-set ⊇ {own bucket}); OperatorsSpec measures the
+    * strict improvement. Output: probe_id, neighbor_id, bucket, cos, rk. */
+  def lshBucketedMultiProbe(emb: DataFrame, probePred: Column, k: Int,
+                            nBits: Int, dim: Int): DataFrame = {
+    val bucketed = emb
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), nBits, dim).as("bucket"))
+    val probeBuckets = col("bucket") +:
+      (0 until nBits).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
+    val probes = bucketed.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        explode(array(probeBuckets: _*)).as("bucket"))
+    val cands = bucketed
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        cosineSim(col("probe_emb"), col("embedding")).as("cos_raw"))
+    val topk = graft.plans.TopK.perKey(cands, Seq(cands("probe_id")),
+      Seq(cands("cos_raw").desc, cands("neighbor_id")), k)
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select(col("probe_id"), col("neighbor_id"), col("bucket"),
+        round(col("cos_raw"), 6).as("cos"), col("rk"))
+  }
+
   /** IVF-style approximate top-k: a broadcast codebook (corpus rows
     * matching `centPred` — standing in for trained centroids; at scale a
     * fixed table, so assignment is |corpus|·C, linear) assigns each vector

@@ -298,5 +298,20 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42)
+  // --- X49: LSH bucket-size observability — the band join costs
+  // Σ|bucket|², so the top buckets ARE the skew monitor (boilerplate
+  // families share a band hash). TakeOrderedAndProject keeps the top-N
+  // selection shuffle-light.
+  val x49 = Query("x49_lsh_bucket_stats", Some(
+    minhashCandidateCtes() + """
+      SELECT band, bh, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS min_doc
+      FROM bands GROUP BY band, bh
+      ORDER BY n_docs DESC, band, bh
+      LIMIT 5"""
+  )) { (s, d) =>
+    Dedup.lshBucketStats(documents(s, d), topN = 5)
+  }
+
+  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49)
 }

@@ -253,6 +253,42 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  // --- X48: multi-probe LSH — the recall lever at constant nBits: each
+  // probe also searches the nBits Hamming-distance-1 buckets (one sign
+  // flipped). Corpus vectors stay in exactly one bucket, so candidates
+  // are never duplicated; the probe side explodes (nBits+1)×. The oracle
+  // replays the probe-bucket expansion with xor().
+  val x48 = Query(
+    "x48_similarity_multiprobe",
+    Some {
+      val probeList = ("bucket" +: (0 until NBits).map(j => s"xor(bucket, ${1 << j})"))
+        .mkString("[", ", ", "]")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      b AS (SELECT vec_id, v, CAST($bucketSql AS INT) AS bucket FROM e),
+      probes AS (
+        SELECT vec_id AS probe_id, v AS pv,
+               CAST(unnest($probeList) AS INT) AS bucket
+        FROM b WHERE vec_id % 25 = 0),
+      cands AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.bucket, a.v AS av, pv
+        FROM b a JOIN probes USING (bucket) WHERE a.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, neighbor_id, bucket,
+               $cosSql AS cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY $cosSql DESC, neighbor_id) AS INT) AS rk
+        FROM cands)
+      SELECT probe_id, neighbor_id, bucket, ROUND(cos_raw, 6) AS cos, rk
+      FROM ranked WHERE rk <= 3
+      ORDER BY probe_id, rk"""
+    }
+  ) { (s, d) =>
+    Similarity.lshBucketedMultiProbe(embeddings(s, d),
+        col("vec_id") % 25 === 0, k = 3, nBits = NBits, dim = Dim)
+      .orderBy("probe_id", "rk")
+  }
+
   // --- X47: TRAINED IVF codebook — k-means (Lloyd, 2 iterations) on
   // 6-decimal-quantized vectors, closing x34's "sampled rows stand in
   // for trained centroids" caveat. Every iteration is replayed by the
@@ -325,5 +361,5 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
-  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47)
+  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48)
 }

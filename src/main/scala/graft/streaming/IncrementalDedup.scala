@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.Dedup
+
+/** The STREAMING form of the signature-store dedup cadence (x41 is its
+  * batch form): documents arrive as a stream; each micro-batch is
+  *
+  *   1. deduplicated WITHIN the batch (greedy pairwise, `x21` semantics),
+  *   2. deduplicated AGAINST the persisted signature store — only the
+  *      batch is shingled/hashed, the corpus is its signatures,
+  *   3. survivors' signatures are APPENDED to the store, so the next
+  *      batch sees them.
+  *
+  * `foreachBatch` is the right tool (not a stateful operator): the store
+  * is cross-batch state that must outlive the query and be shared with
+  * batch jobs, so it lives in parquet, not the state store. Restart
+  * safety: the checkpoint replays an in-flight batch; the append of a
+  * replayed batch would duplicate signatures, which is HARMLESS for
+  * dedup decisions (band collisions are set-semantics — `distinct` on
+  * candidate pairs) but is still guarded by recording the last appended
+  * batchId in the store directory (`_graft_batch_<id>` marker).
+  *
+  * At 100 TB this is the production loop: the store grows by one batch of
+  * ~100 B/doc rows per interval; nothing ever rescans old text.
+  */
+object IncrementalDedup {
+
+  /** Start the streaming dedup. `docs` must be a STREAMING DataFrame with
+    * (doc_id, text). `onBatch` observes each batch's decisions
+    * (doc_id, dropped — 1 if duplicate of the store or of an
+    * earlier-kept doc in the same batch). */
+  def run(docs: DataFrame, storePath: String, estThreshold: Double,
+          checkpoint: String)
+         (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, storePath, estThreshold, onBatch)
+        ()
+      }
+      .start()
+
+  /** One micro-batch step, also callable from batch jobs/tests. */
+  def processBatch(batch: DataFrame, batchId: Long, storePath: String,
+                   estThreshold: Double,
+                   onBatch: (DataFrame, Long) => Unit): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val marker = new java.io.File(storePath, s"_graft_batch_$batchId")
+    if (marker.exists()) return // checkpoint replay of an appended batch
+    // in-batch greedy dedup (x21 semantics)
+    val inBatch = Dedup.minhashDedupDecisions(batch, estThreshold)
+    val storeExists = new java.io.File(storePath, "_SUCCESS").exists() ||
+      new java.io.File(storePath).list() != null &&
+        new java.io.File(storePath).list().exists(_.endsWith(".parquet"))
+    // vs-store dedup: only for batches after the store exists
+    val vsStore =
+      if (storeExists)
+        Dedup.incrementalDropDecisionsFromStore(
+          batch, spark.read.parquet(storePath), estThreshold)
+          .withColumnRenamed("dropped", "dropped_store")
+      else batch.select(col("doc_id"), lit(0).as("dropped_store"))
+    val decisions = inBatch.withColumnRenamed("dropped", "dropped_batch")
+      .join(vsStore, "doc_id")
+      .select(col("doc_id"),
+        greatest(col("dropped_batch"), col("dropped_store")).as("dropped"))
+    val kept = batch.join(decisions.filter(col("dropped") === 0)
+      .select("doc_id"), "doc_id")
+    Dedup.minhashSignatures(kept).write.mode("append").parquet(storePath)
+    marker.createNewFile()
+    onBatch(decisions, batchId)
+    graft.core.Caches.releaseAll()
+  }
+}

@@ -221,6 +221,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
         == pairs(Similarity.nearDupPairsBucketed(emb, 0.3, nBits = 5, dim = 64)))
   }
 
+  test("multi-probe LSH recall >= single-probe at the same bit count") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") % 50 === 0, 3)
+      .select("probe_id", "neighbor_id")
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("probe_id", "neighbor_id")
+        .join(exact, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    val single = hits(Similarity.lshBucketed(emb, col("vec_id") % 50 === 0, 3, 4, 64))
+    val multi = hits(Similarity.lshBucketedMultiProbe(emb, col("vec_id") % 50 === 0, 3, 4, 64))
+    assert(multi >= single)
+    assert(multi > single, s"multi-probe found no extra true neighbors ($single)")
+  }
+
   test("k-means codebook training improves mean assignment cosine") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val e = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("vq"))

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** Streaming signature-store dedup (the x41 cadence as a stream): each
+  * micro-batch dedups in-batch, then against the store, then appends its
+  * survivors' signatures so the NEXT batch sees them. */
+class IncrementalDedupSpec extends AnyFunSuite with SparkTest {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val A = "spark rocks " * 10
+  private val B = "totally different corpus words here now " * 5
+  private val C = "novel third document body entirely fresh " * 5
+  private val D = "fourth unique payload nothing shared at all " * 5
+
+  test("micro-batches dedup against the growing signature store") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val store = tmpDir("graft-stream-store-") + "/sigs"
+    val input = MemoryStream[(Long, String)]
+    val decisions = scala.collection.mutable.Map.empty[Long, Int]
+    val q = IncrementalDedup.run(
+      input.toDF().toDF("doc_id", "text"), store, estThreshold = 0.5,
+      checkpoint = tmpDir("graft-stream-ckpt-")) { (dec, _) =>
+      dec.collect().foreach(r => decisions(r.getLong(0)) = r.getInt(1))
+    }
+    try {
+      // batch 1: A and B — no store yet, both kept
+      input.addData((1L, A), (2L, B))
+      q.processAllAvailable()
+      assert(decisions.toMap == Map(1L -> 0, 2L -> 0))
+      // batch 2: dup-of-store (A), fresh C, in-batch dup pair (D, D):
+      // 11 dropped vs store; 12 kept; 13 kept, 14 dropped vs 13 in-batch
+      decisions.clear()
+      input.addData((11L, A), (12L, C), (13L, D), (14L, D))
+      q.processAllAvailable()
+      assert(decisions.toMap == Map(11L -> 1, 12L -> 0, 13L -> 0, 14L -> 1))
+      // batch 3: dup of batch-2 SURVIVORS (C and D) — proves the store
+      // grew with batch 2's kept docs; fresh doc still passes
+      decisions.clear()
+      input.addData((21L, C), (22L, D), (23L, "genuinely new final text " * 5))
+      q.processAllAvailable()
+      assert(decisions.toMap == Map(21L -> 1, 22L -> 1, 23L -> 0))
+    } finally q.stop()
+    // store holds exactly the kept docs' signatures
+    val stored = spark.read.parquet(store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(stored == Set(1L, 2L, 12L, 13L, 23L))
+  }
+
+  test("checkpoint-replayed batch is not appended twice") {
+    import spark.implicits._
+    val store = tmpDir("graft-replay-store-") + "/sigs"
+    val batch = Seq((1L, A), (2L, B)).toDF("doc_id", "text")
+    IncrementalDedup.processBatch(batch, 7L, store, 0.5, (_, _) => ())
+    val n1 = spark.read.parquet(store).count()
+    IncrementalDedup.processBatch(batch, 7L, store, 0.5, (_, _) => ()) // replay
+    assert(spark.read.parquet(store).count() == n1)
+  }
+}
