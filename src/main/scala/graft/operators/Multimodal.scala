@@ -140,6 +140,52 @@ object Multimodal {
     }
   }
 
+  final case class PngResized(doc_id: Long, src_w: Int, src_h: Int,
+                              width: Int, height: Int, px_sum: Long,
+                              ok_reencode: Int)
+
+  /** REAL resize stage: decode the PNG, nearest-neighbor downsample the
+    * raster to (tw, th) — target (x,y) reads source
+    * (⌊x·sw/tw⌋, ⌊y·sh/th⌋), the deterministic decimation every image
+    * pipeline starts from — then RE-ENCODE the resized image to PNG
+    * (`ok_reencode` checks the new container's signature, proving the
+    * full decode→transform→encode loop, not just a read). The index
+    * arithmetic is integer-exact, so the oracle states the resized
+    * pixel sum in closed form without seeing any bytes. */
+  def resizePng(media: Dataset[PngIn], tw: Int, th: Int): Dataset[PngResized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val src = img.getRaster
+        val dst = out.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val v = src.getSample(x * sw / tw, y * sh / th, 0)
+            dst.setSample(x, y, 0, v)
+            sum += v
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bytes)
+        val b = bytes.toByteArray
+        val sig = b.length >= 8 && (b(0) & 0xFF) == 0x89 &&
+          b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+        PngResized(m.doc_id, sw, sh, tw, th, sum, if (sig) 1 else 0)
+      }
+    }
+  }
+
   /** Per-modality stats over decoded metadata. */
   def modalityStats(meta: Dataset[MediaMeta]): DataFrame =
     meta.toDF().groupBy("mime")

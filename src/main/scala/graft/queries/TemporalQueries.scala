@@ -96,6 +96,39 @@ object TemporalQueries {
       .orderBy("doc_id")
   }
 
+  // --- X50: REAL resize stage — decode → nearest-neighbor downsample to
+  // 8×4 → re-encode (signature-checked), completing the multimodal verb
+  // set (decode / feature-extract / RESIZE / frame-sample). Target (x,y)
+  // reads source (⌊x·sw/8⌋, ⌊y·sh/4⌋); source pixels are the closed-form
+  // fixture values, so the oracle states the resized pixel sum without
+  // seeing bytes — a wrong raster index or a stubbed resize mismatches.
+  val x50 = Query(
+    "x50_multimodal_resize",
+    Some("""
+      WITH sel AS (
+        SELECT doc_id,
+               CAST(1 + doc_id % 16 AS INT) AS src_w,
+               CAST(1 + doc_id % 8 AS INT) AS src_h
+        FROM documents WHERE doc_id % 20 = 0),
+      xs AS (SELECT doc_id, src_w, src_h, unnest(range(0, 8)) AS x FROM sel),
+      px AS (SELECT doc_id, src_w, src_h, x, unnest(range(0, 4)) AS y FROM xs)
+      SELECT doc_id, src_w, src_h,
+             CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+             CAST(SUM((doc_id * 31 + (x * src_w // 8) * 7 + (y * src_h // 4)) % 256)
+               AS BIGINT) AS px_sum,
+             CAST(1 AS INT) AS ok_reencode
+      FROM px
+      GROUP BY doc_id, src_w, src_h
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.resizePng(
+        Multimodal.encodePng(documents(s, d).filter(col("doc_id") % 20 === 0)),
+        tw = 8, th = 4)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   // --- X11: as-of join — each purchase matched to the user's latest
   // strictly-prior click. Spark: last-ignoreNulls over a tagged union
   // (no native as-of operator); DuckDB oracle: native ASOF JOIN.
@@ -202,5 +235,5 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44)
+  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50)
 }

@@ -221,6 +221,21 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
         == pairs(Similarity.nearDupPairsBucketed(emb, 0.3, nBits = 5, dim = 64)))
   }
 
+  test("png resize decodes, downsamples and re-encodes a real raster") {
+    import spark.implicits._
+    val ids = Seq(5L, 15L, 123L).toDF("doc_id")
+    val out = Multimodal.resizePng(Multimodal.encodePng(ids), tw = 8, th = 4).collect()
+    for (m <- out) {
+      val id = m.doc_id
+      val (sw, sh) = ((1 + id % 16).toInt, (1 + id % 8).toInt)
+      assert(m.src_w == sw && m.src_h == sh && m.width == 8 && m.height == 4)
+      assert(m.ok_reencode == 1)
+      val expected = (for (y <- 0 until 4; x <- 0 until 8)
+        yield (id * 31 + (x * sw / 8) * 7 + (y * sh / 4)) % 256).sum
+      assert(m.px_sum == expected, s"doc $id")
+    }
+  }
+
   test("multi-probe LSH recall >= single-probe at the same bit count") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val exact = Similarity.bruteForceTopK(emb, col("vec_id") % 50 === 0, 3)
