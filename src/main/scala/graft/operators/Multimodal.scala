@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing is real — BinaryType payload column, case-class
   * schema through `Dataset[T]` encoders, `mapPartitions` batch iteration
   * (the JVM analogue of a vectorized/batched decode UDF, so a real decoder
-  * amortizes model/codec init per partition, not per row). The decode
-  * itself is a clearly-marked deterministic STUB: this container has no
-  * image/audio codecs, so it derives metadata arithmetically from the
-  * payload bytes. Swap `decodeStub` for a real codec (e.g. javax.imageio /
-  * ffmpeg JNI) without touching the pipeline.
+  * amortizes model/codec init per partition, not per row).
+  *
+  * Codec status: IMAGE and AUDIO decode are REAL — javax.imageio PNG
+  * (encode / decode / nearest-neighbor resize / re-encode, x44/x50) and
+  * javax.sound.sampled WAV (RIFF parse + PCM frame fold, x51), both in
+  * the JDK. Only VIDEO remains a clearly-marked deterministic stub
+  * (`decodeStub`, used by the x10/x33 synthetic-modality pipeline): no
+  * video codec ships with the JDK; swap in an ffmpeg JNI binding without
+  * touching the pipeline.
   */
 object Multimodal {
 
@@ -136,6 +140,75 @@ object Multimodal {
           y += 1
         }
         PngMeta(m.doc_id, m.mime, img.getWidth, img.getHeight, sum, if (sig) 1 else 0)
+      }
+    }
+  }
+
+  // --- Real audio codec path (javax.sound.sampled — also in the JDK):
+  // WAV encode/decode round-trip. PCM samples are deterministic
+  // arithmetic, so the oracle states the DECODED sample sum, frame count
+  // and format in closed form; decode parses the actual RIFF container.
+
+  final case class WavIn(doc_id: Long, wav: Array[Byte])
+  final case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                           n_samples: Long, sample_sum: Long, ok_riff: Int)
+
+  /** Deterministic 16-bit mono PCM fixture for `doc_id`:
+    * n = 64 + id%128 samples at 8 kHz, sample i = (id·7 + i·13) mod 2003
+    * − 1001 (signed, well inside 16-bit range). */
+  private def fixtureSample(id: Long, i: Int): Short =
+    ((id * 7 + i * 13) % 2003 - 1001).toShort
+
+  /** Encode one real WAV (RIFF/WAVE container) per selected doc. */
+  def encodeWav(docs: DataFrame): Dataset[WavIn] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (64 + id % 128).toInt
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = fixtureSample(id, i)
+          data(2 * i) = (s & 0xFF).toByte           // little-endian PCM
+          data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+        WavIn(id, out.toByteArray)
+      }
+    }
+  }
+
+  /** REAL decode: parse the RIFF container (signature + fmt chunk via
+    * AudioSystem) and fold the actual PCM frames back into metadata —
+    * format, frame count, and the little-endian signed-sample sum. */
+  def decodeWav(media: Dataset[WavIn]): Dataset[WavMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val b = m.wav
+        val riff = b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        val pcm = ais.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i + 1 < pcm.length) {
+          sum += (((pcm(i + 1) & 0xFF) << 8) | (pcm(i) & 0xFF)).toShort
+          i += 2
+        }
+        WavMeta(m.doc_id, fmt.getSampleRate.toInt, fmt.getChannels, frames,
+          sum, if (riff) 1 else 0)
       }
     }
   }

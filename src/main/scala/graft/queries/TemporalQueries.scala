@@ -129,6 +129,35 @@ object TemporalQueries {
       .orderBy("doc_id")
   }
 
+  // --- X51: REAL audio codec — javax.sound.sampled WAV round-trip:
+  // deterministic 16-bit mono PCM encoded into a real RIFF/WAVE
+  // container, decoded back (signature + fmt chunk + frame fold); the
+  // oracle states format, frame count and signed-sample sum in closed
+  // form. With x44/x50 this leaves only video on the documented stub.
+  val x51 = Query(
+    "x51_multimodal_audio",
+    Some("""
+      WITH sel AS (
+        SELECT doc_id, 64 + doc_id % 128 AS n
+        FROM documents WHERE doc_id % 20 = 0),
+      smp AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM sel)
+      SELECT doc_id,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(1 AS INT) AS channels,
+             CAST(n AS BIGINT) AS n_samples,
+             CAST(SUM((doc_id * 7 + i * 13) % 2003 - 1001) AS BIGINT) AS sample_sum,
+             CAST(1 AS INT) AS ok_riff
+      FROM smp
+      GROUP BY doc_id, n
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.decodeWav(
+        Multimodal.encodeWav(documents(s, d).filter(col("doc_id") % 20 === 0)))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   // --- X11: as-of join — each purchase matched to the user's latest
   // strictly-prior click. Spark: last-ignoreNulls over a tagged union
   // (no native as-of operator); DuckDB oracle: native ASOF JOIN.
@@ -235,5 +264,5 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50)
+  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50, x51)
 }

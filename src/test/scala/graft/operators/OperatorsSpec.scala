@@ -236,6 +236,20 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("wav codec round-trips real RIFF containers and PCM sums") {
+    import spark.implicits._
+    val ids = Seq(0L, 20L, 140L).toDF("doc_id")
+    val out = Multimodal.decodeWav(Multimodal.encodeWav(ids)).collect()
+    for (m <- out) {
+      val id = m.doc_id
+      val n = (64 + id % 128).toInt
+      assert(m.sample_rate == 8000 && m.channels == 1 && m.ok_riff == 1)
+      assert(m.n_samples == n)
+      val expected = (0 until n).map(i => (id * 7 + i * 13) % 2003 - 1001).sum
+      assert(m.sample_sum == expected, s"doc $id")
+    }
+  }
+
   test("multi-probe LSH recall >= single-probe at the same bit count") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val exact = Similarity.bruteForceTopK(emb, col("vec_id") % 50 === 0, 3)
