@@ -222,5 +222,37 @@ object CoverageQueries {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Query] = Seq(x26, x27, x28, x29, x30, x35, x37)
+  // --- X52: skew-salted JOIN under the oracle (completing x37's salted
+  // AGG): the small side is replicated salts×, the fact side salted by a
+  // row-id hash, join key becomes (key, salt) — one hot key spreads over
+  // `salts` reducers. The salt is nondeterministic ACROSS RUNS
+  // (monotonically_increasing_id) but provably invisible in the result:
+  // every fact row matches exactly its salt's replica. Oracle is the
+  // PLAIN join — as with x37, the rewrite must be bit-equal.
+  val x52 = Query(
+    "x52_salted_join",
+    Some("""
+      WITH dim(l_returnflag, label) AS (
+        VALUES ('A', 'accepted'), ('N', 'neutral'), ('R', 'returned'))
+      SELECT label,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem JOIN dim USING (l_returnflag)
+      GROUP BY label
+      ORDER BY label""")
+  ) { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    val dim = Seq(("A", "accepted"), ("N", "neutral"), ("R", "returned"))
+      .toDF("l_returnflag", "label")
+    graft.operators.Skew.saltedJoin(
+        lineitem(s, d).select("l_returnflag", "l_quantity"), dim,
+        key = "l_returnflag", salts = 16)
+      .groupBy("label")
+      .agg(dsum(col("l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("label")
+  }
+
+  val all: Seq[Query] = Seq(x26, x27, x28, x29, x30, x35, x37, x52)
 }

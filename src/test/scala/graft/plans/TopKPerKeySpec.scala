@@ -79,6 +79,34 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTest {
     assert(viaTopK == viaWindow)
   }
 
+  test("property: random shapes agree with the window formulation") {
+    // Seeded-random sweep across the operator's regimes: k ∈ {1,3,7},
+    // key cardinality from few-hot to ≫cap, caps that keep the final
+    // phase in heap mode AND push it into sort-spill, duplicate-heavy
+    // scores for tie boundaries. Every case must equal the window form.
+    val rnd = new scala.util.Random(2024)
+    for (case_ <- 1 to 6) {
+      val nRows = 2000 + rnd.nextInt(8000)
+      val nKeys = Seq(5, 200, 5000)(rnd.nextInt(3))
+      val k = Seq(1, 3, 7)(rnd.nextInt(3))
+      val cap = Seq(2, 64, TopKPerKeyExec.DefaultMaxKeysInFlight)(rnd.nextInt(3))
+      val scoreMod = Seq(7, 1000003)(rnd.nextInt(2)) // heavy vs rare ties
+      val df = spark.range(nRows).select(
+        (col("id") % nKeys).as("key"),
+        ((col("id") * 2654435761L) % scoreMod).cast("double").as("score"),
+        col("id").as("rid")).repartition(1 + rnd.nextInt(8))
+      val viaTopK = TopK.perKey(df, Seq(df("key")),
+          Seq(df("score").desc, df("rid")), k, maxKeysInFlight = cap)
+        .select("key", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val w = Window.partitionBy("key").orderBy(col("score").desc, col("rid"))
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("key", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaTopK == viaWindow,
+        s"case $case_: rows=$nRows keys=$nKeys k=$k cap=$cap mod=$scoreMod")
+    }
+  }
+
   test("k larger than group size returns whole groups") {
     import spark.implicits._
     val df = Seq((1, 1.0), (1, 2.0), (2, 3.0)).toDF("key", "score").repartition(3)
