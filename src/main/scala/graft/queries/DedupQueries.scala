@@ -32,10 +32,14 @@ object DedupQueries {
 
   // --- X1: MinHash + LSH near-dup candidates (8 hashes, 4 bands × 2)
   /** Candidate-pair CTE chain shared by the MinHash-family oracles (x01,
-    * x21, x25, x31, x36, x41, x42). `recursive = true` emits WITH
+    * x21, x25, x31, x36, x41, x42, x53). `recursive = true` emits WITH
     * RECURSIVE so callers can append recursive CTEs (x42's
-    * connected-components closure). */
-  private def minhashCandidateCtes(recursive: Boolean = false): String = {
+    * connected-components closure); `prelude` CTEs are inserted right
+    * after WITH and `src` names the table the chain reads (x53 feeds it
+    * the quality+exact-dedup survivors instead of raw documents). */
+  private def minhashCandidateCtes(recursive: Boolean = false,
+                                   prelude: String = "",
+                                   src: String = "documents"): String = {
     // Hash contract (mirrors TextFunctions.minhashHex/minhash and
     // MinHashAgg): hexcat = md5(s) || md5('1|' || s), hash i = hex chars
     // [8i, 8i+8), lexicographic min.
@@ -50,8 +54,8 @@ object DedupQueries {
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""
-      WITH ${if (recursive) "RECURSIVE " else ""}n AS (
-        SELECT doc_id, $normSql AS norm FROM documents),
+      WITH ${if (recursive) "RECURSIVE " else ""}$prelude n AS (
+        SELECT doc_id, $normSql AS norm FROM $src),
       w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
       sh AS (
         SELECT DISTINCT doc_id,
@@ -313,5 +317,47 @@ object DedupQueries {
     Dedup.lshBucketStats(documents(s, d), topN = 5)
   }
 
-  val all: Seq[Query] = Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49)
+  // --- X53: the END-TO-END training-data pipeline as ONE DAG — the flow
+  // a corpus-curation user actually runs: quality gate (≥20 words) →
+  // exact dedup (keep min doc per normalized hash) → MinHash-LSH
+  // near-dup dedup over the SURVIVORS → per-language corpus stats.
+  // Every stage is an existing graded operator; what this grades is the
+  // COMPOSITION (filters feed the shingle pipeline, anti joins chain,
+  // one plan end to end). Oracle replays the same staged CTEs with the
+  // candidate chain re-pointed at the survivor set.
+  val x53 = Query("x53_pipeline_e2e", Some(
+    minhashCandidateCtes(
+      prelude = s"""q AS (
+        SELECT doc_id, text, lang FROM documents
+        WHERE len(string_split($normSql, ' ')) >= 20),
+      eh AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5($normSql)),
+      kept AS (SELECT q.doc_id, q.text, q.lang FROM q JOIN eh USING (doc_id)),""",
+      src = "kept") + s"""
+      , drops AS (
+        SELECT DISTINCT doc_b AS doc_id FROM cand WHERE est_jaccard >= 0.5),
+      fin AS (SELECT kept.* FROM kept ANTI JOIN drops USING (doc_id))
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split($normSql, ' '))) AS BIGINT) AS n_tokens
+      FROM fin GROUP BY lang
+      ORDER BY lang"""
+  )) { (s, d) =>
+    import graft.functions.TextFunctions._
+    val docs = documents(s, d)
+    val quality = docs.filter(size(words(normText(col("text")))) >= 20)
+      .select("doc_id", "text", "lang")
+    val kept = quality.join(
+      Dedup.exact(quality).select(col("keep_doc_id").as("doc_id")), "doc_id")
+    val drops = Dedup.minhashLshCandidates(kept)
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    kept.join(drops, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(normText(col("text")))).cast("long")).as("n_tokens"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Query] =
+    Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49, x53)
 }

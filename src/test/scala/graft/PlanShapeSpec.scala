@@ -71,6 +71,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("graft_cosine"), p)
   }
 
+  test("x46 auto-bucket join is an equi-join; only scalar-count broadcasts nest") {
+    val p = plan("x46_neardup_autolsh")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus-side pair join must be hash/merge on bucket; the only
+    // nested-loop joins are the 1-row corpus-count broadcasts
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("x48 multi-probe plans through two-phase TopKPerKey with broadcast probes") {
+    val p = plan("x48_similarity_multiprobe")
+    assert(p.indexOf("TopKPerKey") != p.lastIndexOf("TopKPerKey"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x49 bucket stats plans as TakeOrderedAndProject, no global sort") {
+    val p = plan("x49_lsh_bucket_stats")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("x53 end-to-end pipeline composes without cartesian products") {
+    val p = plan("x53_pipeline_e2e")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("x01 minhash pipeline has no pre-aggregation distinct exchange") {
     // signature derivation = explode → project(md5) → partial agg →
     // ONE exchange keyed by doc_id; a reintroduced distinct would add a
