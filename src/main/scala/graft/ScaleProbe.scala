@@ -29,7 +29,8 @@ object ScaleProbe {
     "x03_dedup_ngram_jaccard", "x21_dedup_pipeline", "x25_minhash_agg",
     "x31_dedup_editdistance", "x36_dedup_incremental", "x41_dedup_sigstore",
     "x42_dedup_cluster", "x04_neardup_embedding", "x46_neardup_autolsh",
-    "x05_similarity_lsh", "x34_similarity_ivf")
+    "x05_similarity_lsh", "x34_similarity_ivf", "x47_kmeans_codebook",
+    "x48_similarity_multiprobe", "x49_lsh_bucket_stats", "x53_pipeline_e2e")
 
   private val Offset = 10000L
 

@@ -211,13 +211,20 @@ object Similarity {
     *
     * Scale shape: centroids are a broadcast (C rows); each iteration is
     * one |corpus|·C scored pass + TopKPerKey k=1 + a (cell, dim)
-    * aggregation — linear in the corpus, C·dim state. Empty cells drop
-    * out (standard Lloyd behavior), identically in the oracle.
+    * aggregation — linear in the corpus BECAUSE C is bounded: the init
+    * takes the `maxCents` LOWEST vec_ids matching `initPred`
+    * (deterministic TakeOrdered), never a corpus fraction. The scale
+    * probe measured the unbounded form at 8.2× wall for 10× data
+    * (corpus-proportional C ⇒ quadratic assignment) — the cap restores
+    * ~linear growth (SCALE.md). Empty cells drop out (standard Lloyd
+    * behavior), identically in the oracle.
     * Output: cent_id (cell key), cv (trained centroid, array<double>). */
-  def kmeansCodebook(emb: DataFrame, initPred: Column, iters: Int): DataFrame = {
+  def kmeansCodebook(emb: DataFrame, initPred: Column, iters: Int,
+                     maxCents: Int = 32): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = emb.select(col("vec_id"), quantize(col("embedding")).as("vq"))
     var cents = e.filter(initPred)
+      .orderBy("vec_id").limit(maxCents)
       .select(col("vec_id").as("cent_id"), col("vq").as("cv"))
     for (_ <- 1 to iters) {
       val comp = assignCells(e, cents)

@@ -321,7 +321,8 @@ object SimilarityQueries {
         SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS vq
         FROM embeddings),
-      c0 AS (SELECT vec_id AS cent_id, vq AS cv FROM eq WHERE vec_id % 125 = 0),
+      c0 AS (SELECT vec_id AS cent_id, vq AS cv FROM eq
+             WHERE vec_id % 125 = 0 ORDER BY vec_id LIMIT 32),
       ${assignCte(1, "c0")},
       ${updateCtes(1)},
       ${assignCte(2, "c1")},
