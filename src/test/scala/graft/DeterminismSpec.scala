@@ -23,7 +23,13 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       "q17_similarity_topk", "x01_dedup_minhash_lsh", "x02_dedup_simhash",
       "x14_ema_aggregator", "x19_percentiles", "x29_ema_seeded",
       "x31_dedup_editdistance", "x32_top_tokens", "x34_similarity_ivf",
-      "x35_approx_percentile", "x37_salted_agg", "x39_ngram_generator")
+      "x35_approx_percentile", "x37_salted_agg", "x39_ngram_generator",
+      // round-3: fixpoint label propagation, recall division, adaptive
+      // buckets, Lloyd iterations on exact decimal means (the
+      // quantization discipline is exactly what this test stresses),
+      // salted join, and the composed pipeline
+      "x42_dedup_cluster", "x43_ann_recall", "x46_neardup_autolsh",
+      "x47_kmeans_codebook", "x52_salted_join", "x53_pipeline_e2e")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {
