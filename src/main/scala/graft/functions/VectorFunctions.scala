@@ -26,14 +26,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Each side is independently float- or double-element; mixed pairs are
+  // fine (the trained-IVF path compares 6-decimal-quantized double arrays,
+  // the raw paths compare the fixture's float arrays).
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
+      s"$prettyName requires two array<float|double> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
@@ -42,12 +50,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left.dataType)
+    val rf = isFloat(right.dataType)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -63,12 +73,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      def get(arr: String, float: Boolean) =
+        if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i);
-         |  double $yi = (double) $b.getFloat($i);
+         |  double $xi = ${get(a, isFloat(left.dataType))};
+         |  double $yi = ${get(b, isFloat(right.dataType))};
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
          |${ev.value} = ($na == 0.0 || $nb == 0.0)
@@ -86,14 +98,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
 case class SelfCosine(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_self_cosine"
 
-  override protected def nullSafeEval(a: Any): Any = SelfCosine.evalArray(
-    a.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any): Any =
+    if (isFloat) SelfCosine.evalArray(a.asInstanceOf[ArrayData])
+    else SelfCosine.evalDoubleArray(a.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.SelfCosine.evalArray($a)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isFloat) "evalArray" else "evalDoubleArray"
+    defineCodeGen(ctx, ev, a => s"graft.functions.SelfCosine.$m($a)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SelfCosine =
     copy(child = newChild)
@@ -113,6 +133,21 @@ object SelfCosine {
       if (java.lang.Float.isNaN(v) || java.lang.Float.isInfinite(v))
         return Double.NaN
       if (v != 0.0f) nonZero = true
+      i += 1
+    }
+    if (nonZero) 1.0 else 0.0
+  }
+
+  /** Double-element variant (quantized embeddings are array<double>). */
+  def evalDoubleArray(x: ArrayData): Double = {
+    var i = 0
+    val n = x.numElements()
+    var nonZero = false
+    while (i < n) {
+      val v = x.getDouble(i)
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v))
+        return Double.NaN
+      if (v != 0.0d) nonZero = true
       i += 1
     }
     if (nonZero) 1.0 else 0.0

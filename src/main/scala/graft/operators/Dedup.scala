@@ -139,9 +139,12 @@ object Dedup {
       .join(broadcast(wordBits), "w")
       .groupBy("doc_id", "j")
       .agg(sum((col("bit") * 2 - 1) * col("cnt")).as("bsum"))
+    // shiftleft, not pow(2, j): integer-exact for any bit position (double
+    // pow is only exact to j = 52; the oracle's CAST(pow(2, j) AS BIGINT)
+    // agrees on the 16-bit range used here)
     val hashes = bitSums.groupBy("doc_id")
       .agg(sum(when(col("bsum") >= 0,
-        pow(lit(2), col("j")).cast("long")).otherwise(0L)).as("simhash"))
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("simhash"))
     hashes.withColumn("n_same_hash",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
   }
@@ -247,11 +250,86 @@ object Dedup {
       .withColumn("kept", when(col("cluster_id") === col("doc_id"), 1).otherwise(0))
   }
 
+  /** INCREMENTAL cluster-closure from the signature store — x42's global
+    * closure without ever recomputing old candidates: the edge set is
+    * bounded by the NEW batch.
+    *
+    *   - new–new edges: band self-join of the new batch's signatures;
+    *   - new–old edges: new bands × STORE bands (old text never scanned —
+    *     the x41 property, PlanShapeSpec-pinned);
+    *   - old–old edges among the FRONTIER only (old docs touched by a
+    *     new–old edge): their stored signatures are re-banded — a
+    *     |frontier|-sized table, not the corpus. Old–old edges outside
+    *     the frontier are irrelevant by contract: the store holds an
+    *     already-deduplicated corpus (every append goes through this
+    *     decision), so closure chains can only run new → old → old
+    *     within one collision neighborhood.
+    *
+    * Label propagation then runs over that bounded edge set. Decisions
+    * (NEW docs only): a new doc is kept iff its cluster contains no old
+    * doc (old members always win — they are already in the corpus) and it
+    * is the cluster's smallest id. Output: doc_id, cluster_id, kept. */
+  def incrementalClusterClosure(newDocs: DataFrame, oldSigs: DataFrame,
+                                isNew: Column => Column, estThreshold: Double,
+                                maxIters: Int = 50): DataFrame = {
+    import graft.core.Caches
+    val newSigs = Caches.scoped(minhashSignatures(newDocs))
+    val newBands = lshBands(newSigs)
+    val nnPairs = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val nnEdges = withEstJaccard(nnPairs, newSigs, newSigs)
+      .filter(col("est_jaccard") >= estThreshold).select("doc_a", "doc_b")
+    val noPairs = newBands.as("a")
+      .join(lshBands(oldSigs).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // new–old edges feed the frontier AND the union → scoped cache
+    val noEdges = Caches.scoped(withEstJaccard(noPairs, newSigs, oldSigs)
+      .filter(col("est_jaccard") >= estThreshold).select("doc_a", "doc_b"))
+    val frontier = noEdges.select(col("doc_b").as("doc_id")).distinct()
+    val frontierSigs = Caches.scoped(
+      oldSigs.join(frontier, Seq("doc_id"), "left_semi"))
+    val fBands = lshBands(frontierSigs)
+    val ooPairs = fBands.as("a")
+      .join(fBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ooEdges = withEstJaccard(ooPairs, frontierSigs, frontierSigs)
+      .filter(col("est_jaccard") >= estThreshold).select("doc_a", "doc_b")
+    val edges = nnEdges.union(noEdges).union(ooEdges)
+    // the label table feeds the old-cluster set AND the per-doc join
+    val labels = Caches.scoped(
+      connectedComponents(edges, maxIters).toDF("doc_id", "lbl"))
+    val oldClusters = labels.filter(!isNew(col("doc_id")))
+      .select(col("lbl").as("cluster_id")).distinct()
+    newDocs.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .join(oldClusters.withColumn("has_old", lit(1)), Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("cluster_id") === col("doc_id") && col("has_old").isNull, 1)
+          .otherwise(0).as("kept"))
+  }
+
   /** Smallest-id connected components over an undirected edge list
     * (columns: doc_a, doc_b). Returns (node, lbl) for every node that
     * appears in an edge; isolated nodes are absent (callers coalesce to
     * self). Min-label propagation as documented on
-    * `clusterClosureDecisions`. */
+    * `clusterClosureDecisions`.
+    *
+    * THROWS IllegalStateException if `maxIters` rounds pass without the
+    * fixpoint confirming: propagation moves labels one hop per round, so a
+    * component whose diameter exceeds the cap would otherwise silently
+    * return WRONG labels (and every dedup decision downstream would
+    * inherit them). Near-dup graphs are shallow; a genuine deep chain
+    * should raise the cap explicitly, not truncate silently. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 50): DataFrame = {
     import graft.core.Caches
     // union is POSITIONAL: the reversed side must swap values via select,
@@ -266,8 +344,12 @@ object Dedup {
     var converged = false
     // Convergence check without an extra join: labels are monotonically
     // non-increasing, so the label sum strictly decreases on every
-    // changing round — equal consecutive sums ⟺ fixpoint. One cheap agg
-    // over the already-cached label table per round.
+    // changing round — equal sums ⟺ no change since the last check ⟺
+    // fixpoint. One cheap agg over the already-cached label table.
+    // Cadence: every round for the first two rounds (shallow graphs — the
+    // common case — confirm immediately), every SECOND round after that
+    // (halves driver round-trips on deep chains; monotonicity makes a
+    // two-round gap an equally sound fixpoint witness).
     var prevSum: Option[Long] = None
     while (!converged && iters < maxIters) {
       val prop = adj.join(labels.toDF("dst", "nlbl"), "dst")
@@ -276,14 +358,21 @@ object Dedup {
         labels.join(prop, Seq("node"), "left")
           .select(col("node"),
             least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl")))
-      val s = Option(next.agg(sum("lbl")).first().get(0))
-        .fold(0L)(_.asInstanceOf[Long])
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
+      iters += 1
+      if (iters <= 2 || iters % 2 == 0 || iters == maxIters) {
+        val s = Option(next.agg(sum("lbl")).first().get(0))
+          .fold(0L)(_.asInstanceOf[Long])
+        converged = prevSum.contains(s)
+        prevSum = Some(s)
+      }
       labels.unpersist(blocking = false)
       labels = next
-      iters += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          "component diameter exceeds the cap; raise maxIters (labels would " +
+          "be silently wrong otherwise)")
     labels
   }
 

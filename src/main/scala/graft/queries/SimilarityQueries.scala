@@ -296,7 +296,12 @@ object SimilarityQueries {
   // centroid means are exact decimal sums / integer counts re-quantized
   // to 6 decimals, assignment is argmax cosine with cent_id tie-break.
   // Output: per final cell — size, centroid norm, mean assignment cosine.
-  private val kmeansOracle: String = {
+  /** Shared k-means CTE chain (no leading WITH): eq (quantized vectors) →
+    * c0 (deterministic bounded init) → two Lloyd iterations (a1,c1,a2,c2)
+    * → a3 (final assignment: vec_id, vq, cell, a_cos). x47 appends the
+    * codebook-stats tail, x54 the trained cell-restricted search, x55 the
+    * trained recall row. */
+  private val kmeansCtes: String = {
     def assignCte(i: Int, centTable: String) = s"""
       a$i AS (
         SELECT vec_id, vq, cell, a_cos FROM (
@@ -316,8 +321,7 @@ object SimilarityQueries {
         SELECT cell AS cent_id,
                list_transform(list(m ORDER BY d), x -> round(x, 6)) AS cv
         FROM s$i GROUP BY cell)"""
-    s"""
-      WITH eq AS (
+    s"""eq AS (
         SELECT vec_id,
                list_transform(CAST(embedding AS DOUBLE[]), x -> round(x, 6)) AS vq
         FROM embeddings),
@@ -327,7 +331,11 @@ object SimilarityQueries {
       ${updateCtes(1)},
       ${assignCte(2, "c1")},
       ${updateCtes(2)},
-      ${assignCte(3, "c2")},
+      ${assignCte(3, "c2")}"""
+  }
+
+  private val kmeansOracle: String = s"""
+      WITH $kmeansCtes,
       norms AS (
         SELECT cent_id AS cell,
                round(sqrt(list_dot_product(cv, cv)), 6) AS centroid_norm
@@ -340,7 +348,6 @@ object SimilarityQueries {
       SELECT s.cell, s.n_vecs, n.centroid_norm, s.avg_cos
       FROM stats s JOIN norms n USING (cell)
       ORDER BY cell"""
-  }
 
   val x47 = Query("x47_kmeans_codebook", Some(kmeansOracle)) { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
@@ -362,5 +369,161 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
-  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48)
+  // --- X54: TRAINED IVF search END-TO-END — the composition x47 trains
+  // for: kmeansCodebook → assignCells → cell-restricted search, all on
+  // the 6-decimal-quantized vectors, graded as one flow, with nprobe=2
+  // (each probe searches its TWO nearest cells — the IVF recall lever;
+  // the corpus stays single-cell so no candidate duplicates). The oracle
+  // replays the two Lloyd iterations (shared kmeansCtes — identical text
+  // to x47's), the probe-side top-2 cell ranking against the final
+  // codebook c2, and the search over the final assignment a3. This is
+  // the flow an ANN user actually runs; x34 remains the untrained
+  // skeleton.
+  private val NProbeCells = 3
+  private val trainedSearchCtes: String = s"""
+      pa AS (
+        SELECT vec_id, vq, cell FROM (
+          SELECT vec_id, vq, cent_id AS cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY $cosSql DESC, cent_id) AS rn
+          FROM (SELECT e.vec_id, e.vq, c.cent_id, e.vq AS pv, c.cv AS av
+                FROM eq e CROSS JOIN c2 c
+                WHERE e.vec_id % 50 = 0))
+        WHERE rn <= $NProbeCells),
+      tprobes AS (SELECT vec_id AS probe_id, vq AS pv, cell FROM pa),
+      tcands AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.cell, a.vq AS av, pv
+        FROM a3 a JOIN tprobes USING (cell) WHERE a.vec_id <> probe_id)"""
+  val x54 = Query(
+    "x54_ivf_trained",
+    Some(s"""
+      WITH $kmeansCtes,
+      $trainedSearchCtes,
+      ranked AS (
+        SELECT probe_id, neighbor_id, cell,
+               $cosSql AS cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY $cosSql DESC, neighbor_id) AS INT) AS rk
+        FROM tcands)
+      SELECT probe_id, neighbor_id, cell, ROUND(cos_raw, 6) AS cos, rk
+      FROM ranked WHERE rk <= 3
+      ORDER BY probe_id, rk""")
+  ) { (s, d) =>
+    Similarity.ivfTrainedTopK(embeddings(s, d),
+        initPred = col("vec_id") % 125 === 0, iters = 2,
+        probePred = col("vec_id") % 50 === 0, k = 3, nProbeCells = NProbeCells)
+      .orderBy("probe_id", "rk")
+  }
+
+  // --- X55: recall grading of ALL FOUR ANN paths — the two baselines x43
+  // already grades (single-probe LSH, untrained IVF, weak bound) plus the
+  // two production paths built to raise recall: multi-probe LSH and the
+  // TRAINED IVF. The good paths carry the user-grade bound (≥ 0.6): a
+  // recall regression in the path a user would actually run now flips a
+  // graded flag, not just a weak-baseline one.
+  private val WeakBound = 0.3
+  private val TrainedBound = 0.6
+  private val MultiProbeBound = 0.6
+  val x55 = Query(
+    "x55_ann_recall_trained",
+    Some {
+      val probeList = ("bucket" +: (0 until NBits).map(j => s"xor(bucket, ${1 << j})"))
+        .mkString("[", ", ", "]")
+      s"""
+      WITH $kmeansCtes,
+      e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 50 = 0),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+      ex_scored AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
+        FROM e a CROSS JOIN probes WHERE a.vec_id <> probe_id),
+      ex_ranked AS (
+        SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY $cosSql DESC, neighbor_id) AS rk
+        FROM ex_scored),
+      exact AS (SELECT probe_id, neighbor_id FROM ex_ranked WHERE rk <= 3),
+      b AS (SELECT vec_id, v, CAST($bucketSql AS INT) AS bucket FROM e),
+      lp AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b WHERE vec_id % 50 = 0),
+      lc AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
+        FROM b a JOIN lp USING (bucket) WHERE a.vec_id <> probe_id),
+      lr AS (
+        SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY $cosSql DESC, neighbor_id) AS rk
+        FROM lc),
+      lsh AS (SELECT probe_id, neighbor_id FROM lr WHERE rk <= 3),
+      mp AS (
+        SELECT vec_id AS probe_id, v AS pv,
+               CAST(unnest($probeList) AS INT) AS bucket
+        FROM b WHERE vec_id % 50 = 0),
+      mc AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
+        FROM b a JOIN mp USING (bucket) WHERE a.vec_id <> probe_id),
+      mr AS (
+        SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY $cosSql DESC, neighbor_id) AS rk
+        FROM mc),
+      mpr AS (SELECT probe_id, neighbor_id FROM mr WHERE rk <= 3),
+      c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % 125 = 0),
+      assign AS (
+        SELECT vec_id, v, cent_id, $cosSql AS a_cos
+        FROM (SELECT e.vec_id, e.v, c.cent_id, e.v AS av, c.cv AS pv
+              FROM e CROSS JOIN c)),
+      cells AS (
+        SELECT vec_id, v, cent_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+            ORDER BY a_cos DESC, cent_id) AS arn
+          FROM assign) WHERE arn = 1),
+      ip AS (SELECT vec_id AS probe_id, v AS pv, cell FROM cells WHERE vec_id % 50 = 0),
+      ic AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
+        FROM cells a JOIN ip USING (cell) WHERE a.vec_id <> probe_id),
+      ir AS (
+        SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY $cosSql DESC, neighbor_id) AS rk
+        FROM ic),
+      ivf AS (SELECT probe_id, neighbor_id FROM ir WHERE rk <= 3),
+      $trainedSearchCtes,
+      tr AS (
+        SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY $cosSql DESC, neighbor_id) AS rk
+        FROM tcands),
+      tivf AS (SELECT probe_id, neighbor_id FROM tr WHERE rk <= 3),
+      hits AS (
+        SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS total_hits,
+               $WeakBound AS bound
+        FROM ivf SEMI JOIN exact USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'ivf_trained', CAST(count(*) AS BIGINT), $TrainedBound
+        FROM tivf SEMI JOIN exact USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'lsh', CAST(count(*) AS BIGINT), $WeakBound
+        FROM lsh SEMI JOIN exact USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'lsh_multiprobe', CAST(count(*) AS BIGINT), $MultiProbeBound
+        FROM mpr SEMI JOIN exact USING (probe_id, neighbor_id))
+      SELECT method, n_probes, total_hits,
+             CAST(total_hits AS DOUBLE) / (n_probes * 3) AS recall,
+             CASE WHEN CAST(total_hits AS DOUBLE) / (n_probes * 3) >= bound
+                  THEN 1 ELSE 0 END AS recall_ok
+      FROM hits, np
+      ORDER BY method"""
+    }
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    val probePred = col("vec_id") % 50 === 0
+    Similarity.recallForMethods(emb, probePred, k = 3, Seq(
+      ("ivf", Similarity.ivfTopK(emb,
+        centPred = col("vec_id") % 125 === 0, probePred, k = 3), WeakBound),
+      ("ivf_trained", Similarity.ivfTrainedTopK(emb,
+        initPred = col("vec_id") % 125 === 0, iters = 2, probePred, k = 3,
+        nProbeCells = NProbeCells), TrainedBound),
+      ("lsh", Similarity.lshBucketed(emb, probePred, k = 3,
+        nBits = NBits, dim = Dim), WeakBound),
+      ("lsh_multiprobe", Similarity.lshBucketedMultiProbe(emb, probePred, k = 3,
+        nBits = NBits, dim = Dim), MultiProbeBound)))
+      .orderBy("method")
+  }
+
+  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55)
 }

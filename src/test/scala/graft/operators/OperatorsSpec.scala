@@ -279,6 +279,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(Similarity.assignCells(e, cb).count() == emb.count())
   }
 
+  test("trained IVF search (x54 composition) recall >= untrained IVF") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val probePred = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, probePred, 3)
+      .select("probe_id", "neighbor_id")
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("probe_id", "neighbor_id")
+        .join(exact, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    val untrained = hits(Similarity.ivfTopK(emb,
+      centPred = col("vec_id") % 125 === 0, probePred, 3))
+    val trained = hits(Similarity.ivfTrainedTopK(emb,
+      initPred = col("vec_id") % 125 === 0, iters = 2, probePred, 3,
+      nProbeCells = 3))
+    assert(trained >= untrained,
+      s"trained IVF recall regressed vs untrained: $trained < $untrained")
+  }
+
   test("ANN recall flag flips when the bucketing degenerates") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     // bound 0.15: LSH recall at this tiny SF is 0.2 (fewer co-bucketed
