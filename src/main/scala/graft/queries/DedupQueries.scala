@@ -259,14 +259,22 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
-  /** Signature-store bootstrap for x41: old-corpus (doc_id % 10 < 8)
-    * signatures written once per fixture dir under java.io.tmpdir, keyed
-    * by the dir name so sf0.01 and sf0.1 runs never share a store. The
-    * `_SUCCESS` marker makes the write idempotent across Verify/Bench
-    * passes in one harness run — matching production, where the store is
-    * standing state, not per-query work. */
-  private def sigStorePath(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft-sigstore-${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+  /** Signature-store bootstrap for x41/x56: old-corpus (doc_id % 10 < 8)
+    * signatures written once per fixture under java.io.tmpdir, keyed by
+    * the dir name AND a content fingerprint of documents.parquet
+    * (size + mtime) — regenerating the fixture at the same path, or two
+    * datasets sharing a dir name, gets a fresh store instead of silently
+    * reusing stale signatures. The `_SUCCESS` marker makes the write
+    * idempotent across Verify/Bench passes in one harness run — matching
+    * production, where the store is standing state, not per-query work. */
+  private def sigStorePath(sfDir: String): String = {
+    val f = new java.io.File(sfDir, "documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${f.length}:${f.lastModified}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-sigstore-" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
+  }
 
   private def ensureSigStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val path = sigStorePath(d)
@@ -299,6 +307,64 @@ object DedupQueries {
       ORDER BY d.doc_id"""
   )) { (s, d) =>
     Dedup.clusterClosureDecisions(documents(s, d), estThreshold = 0.5)
+      .orderBy("doc_id")
+  }
+
+  // --- X56: INCREMENTAL cluster-closure from the signature store — x42's
+  // global closure composed with x41's store cadence: the edge set is
+  // new–new ∪ new–old(store) ∪ old–old-within-the-frontier, so old
+  // candidates are never recomputed and old TEXT is never scanned
+  // (PlanShapeSpec pins the new-batch filter on every documents scan).
+  // Decisions for NEW docs only: kept iff the cluster has no old member
+  // (old docs are already in the corpus and always win) and the doc is
+  // the cluster's smallest id. The oracle replays the same bounded edge
+  // set — including the frontier restriction — as a recursive CTE.
+  val x56 = Query("x56_dedup_incr_cluster", Some(
+    minhashCandidateCtes(recursive = true) + """
+      , nn AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE est_jaccard >= 0.5 AND doc_a % 10 >= 8 AND doc_b % 10 >= 8),
+      no_ AS (
+        SELECT CASE WHEN doc_a % 10 >= 8 THEN doc_a ELSE doc_b END AS doc_a,
+               CASE WHEN doc_a % 10 >= 8 THEN doc_b ELSE doc_a END AS doc_b
+        FROM cand
+        WHERE est_jaccard >= 0.5 AND ((doc_a % 10 >= 8) <> (doc_b % 10 >= 8))),
+      frontier AS (SELECT DISTINCT doc_b AS doc_id FROM no_),
+      oo AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE est_jaccard >= 0.5 AND doc_a % 10 < 8 AND doc_b % 10 < 8
+          AND doc_a IN (SELECT doc_id FROM frontier)
+          AND doc_b IN (SELECT doc_id FROM frontier)),
+      alledges AS (
+        SELECT doc_a, doc_b FROM nn UNION ALL
+        SELECT doc_a, doc_b FROM no_ UNION ALL
+        SELECT doc_a, doc_b FROM oo),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM alledges
+        UNION ALL
+        SELECT doc_b, doc_a FROM alledges),
+      reach(node, lbl) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node),
+      comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+      oldclusters AS (
+        SELECT DISTINCT cluster_id FROM comp WHERE node % 10 < 8)
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             CASE WHEN COALESCE(c.cluster_id, d.doc_id) = d.doc_id
+                   AND COALESCE(c.cluster_id, d.doc_id) NOT IN
+                       (SELECT cluster_id FROM oldclusters)
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+      WHERE d.doc_id % 10 >= 8
+      ORDER BY d.doc_id"""
+  )) { (s, d) =>
+    val store = ensureSigStore(s, d)
+    Dedup.incrementalClusterClosure(
+        documents(s, d).filter(col("doc_id") % 10 >= 8),
+        s.read.parquet(store),
+        isNew = id => id % 10 >= 8, estThreshold = 0.5)
       .orderBy("doc_id")
   }
 
@@ -359,5 +425,5 @@ object DedupQueries {
   }
 
   val all: Seq[Query] =
-    Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49, x53)
+    Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49, x53, x56)
 }

@@ -63,13 +63,27 @@ object IncrementalDedup {
           batch, spark.read.parquet(storePath), estThreshold)
           .withColumnRenamed("dropped", "dropped_store")
       else batch.select(col("doc_id"), lit(0).as("dropped_store"))
+    // MATERIALIZE decisions BEFORE the store append — as a LOCAL
+    // CHECKPOINT, not a cache: the plan reads the store parquet, and the
+    // append below fires Spark's recacheByPath, which would RECOMPUTE a
+    // persisted plan against the appended files (each doc then collides
+    // with its own just-written signatures). localCheckpoint severs the
+    // lineage entirely (LogicalRDD), so neither `kept` below nor a lazy
+    // re-evaluation inside `onBatch` can ever re-read the store.
     val decisions = inBatch.withColumnRenamed("dropped", "dropped_batch")
       .join(vsStore, "doc_id")
       .select(col("doc_id"),
         greatest(col("dropped_batch"), col("dropped_store")).as("dropped"))
+      .localCheckpoint(true)
     val kept = batch.join(decisions.filter(col("dropped") === 0)
       .select("doc_id"), "doc_id")
     Dedup.minhashSignatures(kept).write.mode("append").parquet(storePath)
+    // Crash window between the append and the marker write: a replay
+    // would re-append the batch's signatures — harmless ONLY because
+    // downstream consumers fold signatures through distinct-style band
+    // joins (duplicate rows produce duplicate candidate pairs, which
+    // `distinct` absorbs); the marker is a fast-path skip, not the
+    // correctness mechanism.
     marker.createNewFile()
     onBatch(decisions, batchId)
     graft.core.Caches.releaseAll()

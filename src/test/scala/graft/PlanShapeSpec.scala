@@ -62,6 +62,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("graft-sigstore-"), s"store scan missing:\n$p")
   }
 
+  test("x56 incremental closure never scans old documents") {
+    // Same property as x41, composed with the closure: the old corpus is
+    // represented by the signature store (new–old edges) and its frontier
+    // re-band (old–old edges) — every documents scan in the final plan
+    // must carry the new-batch filter; old text is never read.
+    val p = plan("x56_dedup_incr_cluster")
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScans.nonEmpty, s"no documents scan found:\n$p")
+    assert(docScans.forall(_.contains("% 10) >= 8")),
+      s"found a documents scan without the new-batch filter:\n${docScans.mkString("\n")}")
+    assert(p.contains("graft-sigstore-"), s"store scan missing:\n$p")
+  }
+
   test("x45 SQL text hits the SelfCosineRewrite optimizer rule") {
     // graft_cosine(a.embedding, a.embedding) in SQL text must be rewritten
     // to the O(n) zero-scan — proof the extension's optimizer rule runs on
