@@ -10,23 +10,40 @@ import Hygiene._
   * pipeline, and gap-based sessionization. */
 object TemporalQueries {
 
-  // --- X10: multimodal decode pipeline (binary payload → typed metadata)
-  val x10 = Query(
-    "x10_multimodal_meta",
-    Some("""
-      WITH m AS (
+  /** x10/x33 shared oracle CTE: the closed-form DECODED metadata of the
+    * real per-modality fixture containers (PNG dims / WAV frame count /
+    * MP4 tkhd dims + mvhd duration) — the oracle never sees bytes, so a
+    * stubbed or wrong decode hash-mismatches (the x44/x51/x57 contract,
+    * applied to the whole media table). */
+  private val mediaMetaCte = """
+      m AS (
         SELECT doc_id,
                CASE WHEN doc_id % 3 = 0 THEN 'image/png'
                     WHEN doc_id % 3 = 1 THEN 'audio/wav'
                     ELSE 'video/mp4' END AS mime,
-               CAST(strlen(text) AS BIGINT) AS n
-        FROM documents)
+               CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 16
+                    WHEN doc_id % 3 = 1 THEN 0
+                    ELSE 16 + doc_id % 112 END AS width,
+               CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 8
+                    WHEN doc_id % 3 = 1 THEN 0
+                    ELSE 16 + doc_id % 64 END AS height,
+               CASE WHEN doc_id % 3 = 0 THEN 1
+                    WHEN doc_id % 3 = 1 THEN 64 + doc_id % 128
+                    ELSE 8 + doc_id % 24 END AS n_frames
+        FROM documents)"""
+
+  // --- X10: multimodal decode pipeline — REAL container bytes per
+  // modality (PNG/WAV/MP4 from the doc_id fixtures) → real decode
+  // dispatch → typed metadata → per-modality stats.
+  val x10 = Query(
+    "x10_multimodal_meta",
+    Some(s"""
+      WITH $mediaMetaCte
       SELECT mime,
              CAST(COUNT(*) AS BIGINT) AS n_media,
-             CAST(SUM(n) AS BIGINT) AS total_bytes,
-             CAST(SUM(16 + n % 1024) AS BIGINT) AS sum_width,
-             CAST(SUM(16 + (n * 7) % 768) AS BIGINT) AS sum_height,
-             CAST(SUM(1 + n % 5) AS BIGINT) AS sum_frames
+             CAST(SUM(width) AS BIGINT) AS sum_width,
+             CAST(SUM(height) AS BIGINT) AS sum_height,
+             CAST(SUM(n_frames) AS BIGINT) AS sum_frames
       FROM m GROUP BY mime
       ORDER BY mime""")
   ) { (s, d) =>
@@ -35,24 +52,18 @@ object TemporalQueries {
       .orderBy("mime")
   }
 
-  // --- X33: multimodal frame sampling — decode metadata → k evenly-spaced
-  // frame indices per media row (the pre-extraction step of any video
-  // pipeline; decimation grid floor(j·n_frames/k)). The oracle replays the
-  // stub-decode arithmetic plus the same grid.
+  // --- X33: multimodal frame sampling — real decode metadata → k
+  // evenly-spaced frame indices per media row (the pre-extraction step of
+  // any video pipeline; decimation grid floor(j·n_frames/k)). The oracle
+  // replays the closed-form decoded frame counts plus the same grid.
   val x33 = Query(
     "x33_multimodal_frames",
-    Some("""
-      WITH m AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
-                    ELSE 'video/mp4' END AS mime,
-               CAST(strlen(text) AS BIGINT) AS n
-        FROM documents)
+    Some(s"""
+      WITH $mediaMetaCte
       SELECT doc_id, mime,
-             CAST(1 + n % 5 AS INT) AS n_frames,
+             CAST(n_frames AS INT) AS n_frames,
              array_to_string(list_transform(range(0, 3),
-               j -> CAST(floor(j * (1 + n % 5) / 3) AS INT)), ',') AS frame_idx
+               j -> CAST(floor(j * n_frames / 3) AS INT)), ',') AS frame_idx
       FROM m
       ORDER BY doc_id""")
   ) { (s, d) =>
@@ -60,6 +71,33 @@ object TemporalQueries {
     Multimodal.sampleFrames(
         Multimodal.decode(Multimodal.mediaTable(documents(s, d))), k = 3)
       .select("doc_id", "mime", "n_frames", "frame_idx")
+      .orderBy("doc_id")
+  }
+
+  // --- X57: REAL video container metadata — a pure-JVM ISO-BMFF box walk
+  // over real MP4 bytes (ftyp brand, mvhd timescale/duration, trak count,
+  // tkhd 16.16 dimensions), the x51-RIFF pattern applied to video. The
+  // oracle states the decoded metadata in closed form from doc_id; the
+  // decoder must navigate the actual length-prefixed box tree (including
+  // skipping free/mdat) to reproduce it.
+  val x57 = Query(
+    "x57_multimodal_video",
+    Some("""
+      SELECT doc_id,
+             'isom' AS brand,
+             CAST(24 AS INT) AS timescale,
+             CAST(8 + doc_id % 24 AS BIGINT) AS duration_units,
+             CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+             CAST(16 + doc_id % 112 AS INT) AS width,
+             CAST(16 + doc_id % 64 AS INT) AS height,
+             CAST(1 AS INT) AS ok_ftyp
+      FROM documents WHERE doc_id % 20 = 0
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.decodeMp4(
+        Multimodal.encodeMp4(documents(s, d).filter(col("doc_id") % 20 === 0)))
+      .toDF()
       .orderBy("doc_id")
   }
 
@@ -264,5 +302,5 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50, x51)
+  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50, x51, x57)
 }

@@ -316,11 +316,30 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(bad("lsh")._2 == 0, s"degenerate bucketing kept the flag green: $bad")
   }
 
-  test("multimodal decode stub preserves schema and is deterministic") {
+  test("multimodal decode dispatches real codecs per modality") {
     val meta = Multimodal.decode(Multimodal.mediaTable(
       docs(0L -> "abc", 1L -> "defghij", 2L -> "xy"))).collect()
     assert(meta.map(_.mime).sorted.toSeq == Seq("audio/wav", "image/png", "video/mp4"))
-    val img = meta.find(_.doc_id == 0L).get
-    assert(img.n_bytes == 3 && img.width == 19 && img.n_frames == 4)
+    val img = meta.find(_.doc_id == 0L).get   // PNG: 1×1 fixture, 1 frame
+    assert(img.width == 1 && img.height == 1 && img.n_frames == 1)
+    val aud = meta.find(_.doc_id == 1L).get   // WAV: 64 + 1%128 PCM frames
+    assert(aud.width == 0 && aud.height == 0 && aud.n_frames == 65)
+    val vid = meta.find(_.doc_id == 2L).get   // MP4: tkhd dims, mvhd duration
+    assert(vid.width == 18 && vid.height == 18 && vid.n_frames == 10)
+  }
+
+  test("mp4 box walk parses real ISO-BMFF bytes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = Seq(0L, 20L, 140L).toDF("doc_id")
+    val out = Multimodal.decodeMp4(Multimodal.encodeMp4(ids)).collect()
+    for (m <- out) {
+      val id = m.doc_id
+      assert(m.brand == "isom" && m.ok_ftyp == 1)
+      assert(m.timescale == 24)
+      assert(m.duration_units == 8 + id % 24, s"doc $id duration")
+      assert(m.n_tracks == 1 + id % 3, s"doc $id tracks")
+      assert(m.width == 16 + id % 112 && m.height == 16 + id % 64, s"doc $id dims")
+    }
   }
 }
