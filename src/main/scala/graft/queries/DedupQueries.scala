@@ -383,6 +383,52 @@ object DedupQueries {
     Dedup.lshBucketStats(documents(s, d), topN = 5)
   }
 
+  // --- X58: the hot-bucket cap x49 observes, ENFORCED as dedup policy —
+  // over-cap LSH buckets (templated/boilerplate families, where the band
+  // join would pay m² pairs) are decided wholesale (keep min doc_id,
+  // drop the rest, flagged via_cap); the pairwise est-Jaccard flow runs
+  // only over sub-cap buckets. Cap = 2 at the graded SF so the fixture's
+  // 3-member family actually exercises the cap path while 2-member
+  // buckets stay pairwise. The oracle replays the identical split.
+  private val BucketCap = 2
+  val x58 = Query("x58_dedup_bucket_cap", Some {
+    val matchSum = (0 until Dedup.NumHashes)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    minhashCandidateCtes() + s"""
+      , bsize AS (
+        SELECT band, bh, count(*) AS nb, min(doc_id) AS mindoc
+        FROM bands GROUP BY band, bh),
+      hot AS (SELECT band, bh, mindoc FROM bsize WHERE nb > $BucketCap),
+      cold AS (SELECT b.* FROM bands b ANTI JOIN hot USING (band, bh)),
+      cpairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM cold a JOIN cold b
+          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      pairdrops AS (
+        SELECT DISTINCT p.doc_b AS doc_id
+        FROM cpairs p
+        JOIN sigs sa ON p.doc_a = sa.doc_id
+        JOIN sigs sb ON p.doc_b = sb.doc_id
+        WHERE CAST(($matchSum) AS DOUBLE) / ${Dedup.NumHashes} >= 0.5),
+      capdrops AS (
+        SELECT DISTINCT b.doc_id
+        FROM bands b JOIN hot h USING (band, bh)
+        WHERE b.doc_id <> h.mindoc)
+      SELECT d.doc_id,
+             CASE WHEN pd.doc_id IS NOT NULL OR cd.doc_id IS NOT NULL
+                  THEN 1 ELSE 0 END AS dropped,
+             CASE WHEN cd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS via_cap
+      FROM documents d
+      LEFT JOIN pairdrops pd ON d.doc_id = pd.doc_id
+      LEFT JOIN capdrops cd ON d.doc_id = cd.doc_id
+      ORDER BY d.doc_id"""
+  }) { (s, d) =>
+    Dedup.minhashDedupDecisionsCapped(documents(s, d),
+        estThreshold = 0.5, bucketCap = BucketCap)
+      .orderBy("doc_id")
+  }
+
   // --- X53: the END-TO-END training-data pipeline as ONE DAG — the flow
   // a corpus-curation user actually runs: quality gate (≥20 words) →
   // exact dedup (keep min doc per normalized hash) → MinHash-LSH
@@ -425,5 +471,5 @@ object DedupQueries {
   }
 
   val all: Seq[Query] =
-    Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49, x53, x56)
+    Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49, x53, x56, x58)
 }

@@ -316,6 +316,36 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(bad("lsh")._2 == 0, s"degenerate bucketing kept the flag green: $bad")
   }
 
+  test("hot-bucket cap bounds candidate volume on a templated family") {
+    // 40 byte-identical boilerplate docs: identical signatures, so every
+    // band is one 40-member bucket — the uncapped join pays C(40,2) = 780
+    // pairs; the capped flow must emit ZERO pairs for the family and
+    // decide it wholesale (keep min id, drop rest via the cap).
+    val template = "quarterly report boilerplate header the same every time " * 3
+    val family = (0L until 40L).map(i => i -> template)
+    val extras = Seq(
+      100L -> ("genuinely unique first payload body words " * 3),
+      101L -> ("another unrelated document text entirely here " * 3))
+    val d = docs((family ++ extras): _*)
+    val uncapped = Dedup.minhashLshCandidates(d).count()
+    assert(uncapped >= 780, s"family should produce >=780 uncapped pairs, got $uncapped")
+    val capped = Dedup.minhashLshCandidatesCapped(d, bucketCap = 5).count()
+    assert(capped <= uncapped - 780,
+      s"cap did not remove the family's m^2 pairs: $capped vs $uncapped")
+    val dec = Dedup.minhashDedupDecisionsCapped(d, estThreshold = 0.5, bucketCap = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(dec(0L) == ((0, 0)), "family minimum must be kept")
+    for (i <- 1L until 40L)
+      assert(dec(i) == ((1, 1)), s"family member $i should drop via the cap")
+    assert(dec(100L) == ((0, 0)) && dec(101L) == ((0, 0)))
+    // with the cap above every bucket size, decisions match the uncapped policy
+    val base = Dedup.minhashDedupDecisions(d, estThreshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val wide = Dedup.minhashDedupDecisionsCapped(d, estThreshold = 0.5, bucketCap = 1000)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(wide == base, "cap above all bucket sizes must reduce to the pairwise policy")
+  }
+
   test("multimodal decode dispatches real codecs per modality") {
     val meta = Multimodal.decode(Multimodal.mediaTable(
       docs(0L -> "abc", 1L -> "defghij", 2L -> "xy"))).collect()
