@@ -210,7 +210,14 @@ object TopK {
   /** DataFrame API: top `k` rows per `keys`, ordered by `order`. Requires
     * the `graft.plans.GraftExtensions` strategy to be installed.
     * `maxKeysInFlight` bounds the partial phase's per-partition key map
-    * (flush-on-overflow; see `TopKPerKeyExec`). */
+    * (flush-on-overflow; see `TopKPerKeyExec`).
+    *
+    * Floating-point KEY expressions are canonicalized here (NaN bit
+    * patterns, -0.0 vs 0.0) exactly as the optimizer does for built-in
+    * grouping operators — the operator detects key groups by binary row
+    * equality (hash map in heap mode, adjacent-row compare in the spill
+    * scan) and hash-partitions on the raw key bytes, so distinct
+    * encodings of the same semantic key must never reach it. */
   def perKey(df: DataFrame, keys: Seq[Column], orders: Seq[Column], k: Int,
              maxKeysInFlight: Int = TopKPerKeyExec.DefaultMaxKeysInFlight): DataFrame = {
     val spark = df.sparkSession
@@ -219,7 +226,8 @@ object TopK {
       case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
     })
     val plan = TopKPerKeyPlan(
-      keys.map(ColumnBridge.expression(spark, _)),
+      keys.map(c => ColumnBridge.normalizeFloatingNumbers(
+        ColumnBridge.expression(spark, c))),
       sortOrders, k, df.queryExecution.analyzed, maxKeysInFlight)
     ColumnBridge.ofRows(spark, plan)
   }

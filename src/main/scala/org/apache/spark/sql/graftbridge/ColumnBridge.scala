@@ -19,6 +19,27 @@ object ColumnBridge {
   def expression(spark: org.apache.spark.sql.SparkSession, c: Column): Expression =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
 
+  /** Spark's floating-point canonicalizer (NaN bit patterns → the
+    * canonical NaN, -0.0 → 0.0) for GROUPING-key expressions — the same
+    * normalization the optimizer applies to Aggregate/Window/Join keys,
+    * which hand-built plan nodes must request themselves. Identity for
+    * types that need no normalization (the needs-check mirrors the
+    * optimizer's own, whose method is not public). */
+  def normalizeFloatingNumbers(e: Expression): Expression =
+    if (containsFloat(e.dataType))
+      org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+    else e
+
+  private def containsFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case FloatType | DoubleType => true
+      case StructType(fields) => fields.exists(f => containsFloat(f.dataType))
+      case ArrayType(et, _) => containsFloat(et)
+      case _ => false
+    }
+  }
+
   /** DataFrame from a hand-built logical plan (private[sql] in Spark). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -107,6 +107,29 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("float keys with distinct encodings (-0.0/0.0, NaN bits) group as one key") {
+    // The operator groups by binary key equality (heap map, spill-scan
+    // adjacent compare) and hash-partitions on key bytes — the API entry
+    // must canonicalize float keys or each encoding becomes its own
+    // group. Both -0.0 and 0.0 rows must land in ONE group of k, in heap
+    // mode AND in the spill path.
+    import spark.implicits._
+    val rows = Seq.tabulate(40)(i =>
+      (if (i % 2 == 0) 0.0 else -0.0, i.toDouble, i.toLong)) ++
+      Seq.tabulate(10)(i => (1.5, i.toDouble, (100 + i).toLong))
+    val df = rows.toDF("key", "score", "rid").repartition(4)
+    for (cap <- Seq(TopKPerKeyExec.DefaultMaxKeysInFlight, 1)) {
+      val out = TopK.perKey(df, Seq(df("key")),
+          Seq(df("score").desc, df("rid")), k = 3, maxKeysInFlight = cap)
+        .select("key", "rid").collect().map(r => (r.getDouble(0), r.getLong(1)))
+      val zeroGroup = out.filter(_._1 == 0.0)
+      assert(zeroGroup.length == 3,
+        s"cap=$cap: -0.0/0.0 split into multiple groups: ${out.mkString(",")}")
+      assert(zeroGroup.map(_._2).toSet == Set(39L, 38L, 37L), s"cap=$cap")
+      assert(out.count(_._1 == 1.5) == 3, s"cap=$cap")
+    }
+  }
+
   test("k larger than group size returns whole groups") {
     import spark.implicits._
     val df = Seq((1, 1.0), (1, 2.0), (2, 3.0)).toDF("key", "score").repartition(3)
