@@ -30,7 +30,8 @@ object ScaleProbe {
     "x31_dedup_editdistance", "x36_dedup_incremental", "x41_dedup_sigstore",
     "x42_dedup_cluster", "x04_neardup_embedding", "x46_neardup_autolsh",
     "x05_similarity_lsh", "x34_similarity_ivf", "x47_kmeans_codebook",
-    "x48_similarity_multiprobe", "x49_lsh_bucket_stats", "x53_pipeline_e2e")
+    "x48_similarity_multiprobe", "x49_lsh_bucket_stats", "x53_pipeline_e2e",
+    "x54_ivf_trained", "x56_dedup_incr_cluster", "x58_dedup_bucket_cap")
 
   private val Offset = 10000L
 
@@ -59,8 +60,8 @@ object ScaleProbe {
       .parquet(s"$out/embeddings.parquet")
   }
 
-  private def time(spark: SparkSession, name: String, dir: String): Double = {
-    val reps = 3
+  private def time(spark: SparkSession, name: String, dir: String,
+                   reps: Int): Double = {
     val times = (1 to reps).map { _ =>
       graft.core.Caches.releaseAll()
       spark.catalog.clearCache()
@@ -71,25 +72,38 @@ object ScaleProbe {
     times.sorted.apply(reps / 2)
   }
 
+  /** Usage: ScaleProbe [factor] [synthDir] [q1,q2,...]
+    * The synth corpus is keyed by a params marker (factor + base dir):
+    * re-running with different params at the same synthDir resynthesizes
+    * instead of silently reusing the previous corpus. Large factors time
+    * one rep per query (a 100× run is minutes per query; the signal is
+    * the ratio's ORDER, not its third decimal). */
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val synthDir = args.lift(1).getOrElse("/tmp/graft-scale-x10")
+    val synthDir = args.lift(1).getOrElse(s"/tmp/graft-scale-x$factor")
+    val queries = args.lift(2).map(_.split(",").toSeq).getOrElse(Family)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Engine.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-scale"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$synthDir/embeddings.parquet/_SUCCESS").exists())
+    val params = s"factor=$factor base=$base"
+    val marker = new java.io.File(synthDir, "_graft_params")
+    if (!marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) != params) {
       synthesize(spark, base, synthDir, factor)
+      java.nio.file.Files.write(marker.toPath, params.getBytes)
+    }
+    val reps = if (factor >= 100) 1 else 3
     // one untimed warmup pass per dir (JIT at representative volume)
-    Family.foreach { n =>
+    queries.foreach { n =>
       SparkEntry.queries(n)(spark, base).write.format("noop").mode("overwrite").save()
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
     }
-    val rows = Family.map { n =>
-      val t1 = time(spark, n, base)
-      val t10 = time(spark, n, synthDir)
+    val rows = queries.map { n =>
+      val t1 = time(spark, n, base, reps = 3)
+      val t10 = time(spark, n, synthDir, reps)
       println(f"""{"query":"$n","base_sec":$t1%.3f,"x${factor}_sec":$t10%.3f,"ratio":${t10 / t1}%.2f}""")
       (n, t1, t10)
     }

@@ -87,7 +87,7 @@ object Dedup {
     * est-Jaccard = fraction of matching minhashes. Shared by the all-pairs
     * candidate path and the signature-store incremental path. */
   private def withEstJaccard(pairs: DataFrame, sigsA: DataFrame,
-                             sigsB: DataFrame): DataFrame = {
+                                    sigsB: DataFrame): DataFrame = {
     val sa = sigsA.toDF(sigsA.columns.map(c => s"a_$c"): _*)
     val sb = sigsB.toDF(sigsB.columns.map(c => s"b_$c"): _*)
     val matches = (0 until NumHashes)
@@ -250,9 +250,62 @@ object Dedup {
       .withColumn("kept", when(col("cluster_id") === col("doc_id"), 1).otherwise(0))
   }
 
+  /** The bounded edge set of the incremental closure (also the surface
+    * the plan-shape guard inspects — the closure itself severs lineage
+    * per round, so the "old text never scanned" property must be
+    * asserted on THIS plan, where the scans still appear).
+    *
+    * The scoped caches here form a DEPENDENCY CHAIN (newSigs → noEdges →
+    * frontier → frontierSigs → ooEdges); each is pinned with a cheap
+    * count() before its consumers build on it. Without that, the first
+    * materializing action evaluates the whole chain in ONE job, where
+    * every not-yet-populated cache level is scanned several times (est
+    * join reads signatures twice, the frontier chain nests three deep) —
+    * the signature pipeline re-executes multiplicatively. The closure is
+    * action-driven anyway (label propagation), so the eager pins add
+    * jobs it already pays for. */
+  private[graft] def incrementalClosureEdges(newDocs: DataFrame, oldSigs: DataFrame,
+                                             estThreshold: Double): DataFrame = {
+    import graft.core.Caches
+    val newSigs = Caches.scoped(minhashSignatures(newDocs))
+    newSigs.count()
+    val newBands = lshBands(newSigs)
+    val nnPairs = newBands.as("a")
+      .join(newBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val nnEdges = withEstJaccard(nnPairs, newSigs, newSigs)
+      .filter(col("est_jaccard") >= estThreshold).select("doc_a", "doc_b")
+    val noPairs = newBands.as("a")
+      .join(lshBands(oldSigs).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // new–old edges feed the frontier AND the union → scoped cache
+    val noEdges = Caches.scoped(withEstJaccard(noPairs, newSigs, oldSigs)
+      .filter(col("est_jaccard") >= estThreshold).select("doc_a", "doc_b"))
+    noEdges.count()
+    val frontier = noEdges.select(col("doc_b").as("doc_id")).distinct()
+    val frontierSigs = Caches.scoped(
+      oldSigs.join(frontier, Seq("doc_id"), "left_semi"))
+    frontierSigs.count()
+    val fBands = lshBands(frontierSigs)
+    val ooPairs = fBands.as("a")
+      .join(fBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val ooEdges = withEstJaccard(ooPairs, frontierSigs, frontierSigs)
+      .filter(col("est_jaccard") >= estThreshold).select("doc_a", "doc_b")
+    nnEdges.union(noEdges).union(ooEdges)
+  }
+
   /** INCREMENTAL cluster-closure from the signature store — x42's global
     * closure without ever recomputing old candidates: the edge set is
-    * bounded by the NEW batch.
+    * bounded by the NEW batch (`incrementalClosureEdges` above):
     *
     *   - new–new edges: band self-join of the new batch's signatures;
     *   - new–old edges: new bands × STORE bands (old text never scanned —
@@ -273,37 +326,7 @@ object Dedup {
                                 isNew: Column => Column, estThreshold: Double,
                                 maxIters: Int = 50): DataFrame = {
     import graft.core.Caches
-    val newSigs = Caches.scoped(minhashSignatures(newDocs))
-    val newBands = lshBands(newSigs)
-    val nnPairs = newBands.as("a")
-      .join(newBands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val nnEdges = withEstJaccard(nnPairs, newSigs, newSigs)
-      .filter(col("est_jaccard") >= estThreshold).select("doc_a", "doc_b")
-    val noPairs = newBands.as("a")
-      .join(lshBands(oldSigs).as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // new–old edges feed the frontier AND the union → scoped cache
-    val noEdges = Caches.scoped(withEstJaccard(noPairs, newSigs, oldSigs)
-      .filter(col("est_jaccard") >= estThreshold).select("doc_a", "doc_b"))
-    val frontier = noEdges.select(col("doc_b").as("doc_id")).distinct()
-    val frontierSigs = Caches.scoped(
-      oldSigs.join(frontier, Seq("doc_id"), "left_semi"))
-    val fBands = lshBands(frontierSigs)
-    val ooPairs = fBands.as("a")
-      .join(fBands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val ooEdges = withEstJaccard(ooPairs, frontierSigs, frontierSigs)
-      .filter(col("est_jaccard") >= estThreshold).select("doc_a", "doc_b")
-    val edges = nnEdges.union(noEdges).union(ooEdges)
+    val edges = incrementalClosureEdges(newDocs, oldSigs, estThreshold)
     // the label table feeds the old-cluster set AND the per-doc join
     val labels = Caches.scoped(
       connectedComponents(edges, maxIters).toDF("doc_id", "lbl"))
@@ -337,27 +360,35 @@ object Dedup {
     val adj = Caches.scoped(
       edges.toDF("src", "dst")
         .union(edges.select(edges.columns(1), edges.columns(0)).toDF("src", "dst")))
-    var labels = Caches.scoped(
-      adj.select(col("src").as("node")).distinct()
-        .withColumn("lbl", col("node")))
+    // Each round's labels are materialized via localCheckpoint, which
+    // SEVERS LINEAGE — essential, not a nicety: `next` references
+    // `labels` twice (directly and through `prop`), so a cached-but-
+    // lineage-carrying loop doubles the LOGICAL plan each round and
+    // Catalyst analysis goes exponential in the round count (measured:
+    // the closure spent seconds per round ANALYZING by round ~10 while
+    // executing micro-batches of rows). With LogicalRDD labels every
+    // round's plan is constant-size. (localCheckpoint is executor-local —
+    // the right trade for bounded small label tables; a cluster job
+    // recovering from executor loss would use reliable checkpointing.)
+    var labels = adj.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
     var iters = 0
     var converged = false
     // Convergence check without an extra join: labels are monotonically
     // non-increasing, so the label sum strictly decreases on every
     // changing round — equal sums ⟺ no change since the last check ⟺
-    // fixpoint. One cheap agg over the already-cached label table.
-    // Cadence: every round for the first two rounds (shallow graphs — the
-    // common case — confirm immediately), every SECOND round after that
-    // (halves driver round-trips on deep chains; monotonicity makes a
-    // two-round gap an equally sound fixpoint witness).
+    // fixpoint. Cadence: every round for the first two rounds (shallow
+    // graphs — the common case — confirm immediately), every SECOND round
+    // after that (halves driver round-trips on deep chains; monotonicity
+    // makes a two-round gap an equally sound fixpoint witness).
     var prevSum: Option[Long] = None
     while (!converged && iters < maxIters) {
       val prop = adj.join(labels.toDF("dst", "nlbl"), "dst")
         .groupBy(col("src").as("node")).agg(min("nlbl").as("min_nbr"))
-      val next = Caches.scoped(
-        labels.join(prop, Seq("node"), "left")
-          .select(col("node"),
-            least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl")))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
       iters += 1
       if (iters <= 2 || iters % 2 == 0 || iters == maxIters) {
         val s = Option(next.agg(sum("lbl")).first().get(0))
@@ -365,7 +396,6 @@ object Dedup {
         converged = prevSum.contains(s)
         prevSum = Some(s)
       }
-      labels.unpersist(blocking = false)
       labels = next
     }
     if (!converged)

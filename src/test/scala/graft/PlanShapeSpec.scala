@@ -63,18 +63,37 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
   }
 
   test("x56 incremental closure never scans old documents") {
-    // Same property as x41, composed with the closure: the old corpus is
-    // represented by the signature store (new–old edges) and its frontier
-    // re-band (old–old edges) — every documents scan in the final plan
-    // must carry the new-batch filter; old text is never read.
-    val p = plan("x56_dedup_incr_cluster")
-    val docScans = p.linesIterator
+    // Same property as x41, composed with the closure. The closure loop
+    // severs lineage per round (localCheckpoint), so the scans live in
+    // the EDGE pipeline's plan — assert there: every documents scan
+    // carries the new-batch filter (old text never read; the old side is
+    // the signature store + its frontier re-band), and the store scan is
+    // present. The final decisions plan must also carry only filtered
+    // documents scans.
+    import org.apache.spark.sql.functions.col
+    val store = java.nio.file.Files
+      .createTempDirectory("x56-guard-store-").toString + "/sigs"
+    graft.operators.Dedup.writeSignatureStore(
+      graft.sources.Tables.documents(spark, sfDir).filter(col("doc_id") % 10 < 8),
+      store)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 >= 8)
+    val edges = graft.operators.Dedup.incrementalClosureEdges(
+      docs, spark.read.parquet(store), estThreshold = 0.5)
+    val ep = edges.queryExecution.executedPlan.toString
+    val docScans = ep.linesIterator
       .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
       .toSeq
-    assert(docScans.nonEmpty, s"no documents scan found:\n$p")
+    assert(docScans.nonEmpty, s"no documents scan found:\n$ep")
     assert(docScans.forall(_.contains("% 10) >= 8")),
       s"found a documents scan without the new-batch filter:\n${docScans.mkString("\n")}")
-    assert(p.contains("graft-sigstore-"), s"store scan missing:\n$p")
+    assert(ep.contains("x56-guard-store-"), s"store scan missing:\n$ep")
+    val fp = plan("x56_dedup_incr_cluster")
+    val finalDocScans = fp.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      .toSeq
+    assert(finalDocScans.nonEmpty && finalDocScans.forall(_.contains("% 10) >= 8")),
+      s"decisions plan has an unfiltered documents scan:\n${finalDocScans.mkString("\n")}")
   }
 
   test("x45 SQL text hits the SelfCosineRewrite optimizer rule") {
