@@ -20,6 +20,8 @@ import org.apache.spark.sql.DataFrame
   */
 object Caches {
   private val registered = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val registeredRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   /** Cache `df` and register it for the next `releaseAll()` sweep. */
   def scoped(df: DataFrame): DataFrame = {
@@ -27,12 +29,32 @@ object Caches {
     df.cache()
   }
 
-  /** Unpersist every registered cache (non-blocking). Idempotent. */
+  /** Register a `localCheckpoint`ed DataFrame's backing RDD for the next
+    * `releaseAll()` sweep. Checkpoint storage lives outside the SQL cache
+    * manager (a plain persisted RDD under a LogicalRDD node), so the
+    * `scoped` unpersist path cannot see it — without this, iterative
+    * operators would pin their final label tables until GC. */
+  def scopedCheckpoint(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        registeredRdds.add(lr.rdd); ()
+      case _ => ()
+    }
+    df
+  }
+
+  /** Unpersist every registered cache and checkpoint RDD (non-blocking).
+    * Idempotent. */
   def releaseAll(): Unit = {
     var df = registered.poll()
     while (df != null) {
       df.unpersist(blocking = false)
       df = registered.poll()
+    }
+    var rdd = registeredRdds.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = false)
+      rdd = registeredRdds.poll()
     }
   }
 }

@@ -382,6 +382,14 @@ object Dedup {
     // after that (halves driver round-trips on deep chains; monotonicity
     // makes a two-round gap an equally sound fixpoint witness).
     var prevSum: Option[Long] = None
+    // previous rounds' checkpoint RDDs are released EAGERLY when replaced
+    // (next is eager, so labels' storage is dead the moment it exists);
+    // the FINAL labels register with Caches so the harness's releaseAll
+    // sweep unpins them after the query materializes.
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     while (!converged && iters < maxIters) {
       val prop = adj.join(labels.toDF("dst", "nlbl"), "dst")
         .groupBy(col("src").as("node")).agg(min("nlbl").as("min_nbr"))
@@ -396,6 +404,7 @@ object Dedup {
         converged = prevSum.contains(s)
         prevSum = Some(s)
       }
+      checkpointRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next
     }
     if (!converged)
@@ -403,7 +412,7 @@ object Dedup {
         s"connectedComponents did not converge within $maxIters rounds — " +
           "component diameter exceeds the cap; raise maxIters (labels would " +
           "be silently wrong otherwise)")
-    labels
+    Caches.scopedCheckpoint(labels)
   }
 
   /** The band join's operational skew guard: its cost is Σ_bucket

@@ -70,11 +70,12 @@ object IncrementalDedup {
     // with its own just-written signatures). localCheckpoint severs the
     // lineage entirely (LogicalRDD), so neither `kept` below nor a lazy
     // re-evaluation inside `onBatch` can ever re-read the store.
-    val decisions = inBatch.withColumnRenamed("dropped", "dropped_batch")
-      .join(vsStore, "doc_id")
-      .select(col("doc_id"),
-        greatest(col("dropped_batch"), col("dropped_store")).as("dropped"))
-      .localCheckpoint(true)
+    val decisions = graft.core.Caches.scopedCheckpoint(
+      inBatch.withColumnRenamed("dropped", "dropped_batch")
+        .join(vsStore, "doc_id")
+        .select(col("doc_id"),
+          greatest(col("dropped_batch"), col("dropped_store")).as("dropped"))
+        .localCheckpoint(true))
     val kept = batch.join(decisions.filter(col("dropped") === 0)
       .select("doc_id"), "doc_id")
     Dedup.minhashSignatures(kept).write.mode("append").parquet(storePath)
