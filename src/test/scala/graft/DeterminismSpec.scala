@@ -29,7 +29,12 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       // quantization discipline is exactly what this test stresses),
       // salted join, and the composed pipeline
       "x42_dedup_cluster", "x43_ann_recall", "x46_neardup_autolsh",
-      "x47_kmeans_codebook", "x52_salted_join", "x53_pipeline_e2e")
+      "x47_kmeans_codebook", "x52_salted_join", "x53_pipeline_e2e",
+      // round-4: trained search (Lloyd + nprobe cell ranking), 4-method
+      // recall division, incremental closure (bounded edge set + label
+      // propagation over checkpointed rounds), capped band join
+      "x54_ivf_trained", "x55_ann_recall_trained", "x56_dedup_incr_cluster",
+      "x58_dedup_bucket_cap")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -62,6 +62,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("graft-sigstore-"), s"store scan missing:\n$p")
   }
 
+  test("x54 trained search: two-phase top-k, broadcast cell join, no cartesian corpus join") {
+    val p = plan("x54_ivf_trained")
+    assert(p.indexOf("TopKPerKey") != p.lastIndexOf("TopKPerKey"), p)
+    // the cell-restricted search joins the corpus to broadcast probes on
+    // the cell key — an equi hash join, never an all-pairs scan (the only
+    // nested-loop joins are the bounded C-row codebook broadcasts)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x58 capped dedup: hot set broadcasts, pair join stays equi") {
+    val p = plan("x58_dedup_bucket_cap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), s"hot-bucket anti join missing:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"hot set not broadcast:\n$p")
+  }
+
   test("x56 incremental closure never scans old documents") {
     // Same property as x41, composed with the closure. The closure loop
     // severs lineage per round (localCheckpoint), so the scans live in
