@@ -496,6 +496,36 @@ object Dedup {
         when(col("dropped_cap").isNotNull, 1).otherwise(0).as("via_cap"))
   }
 
+  /** Benchmark DECONTAMINATION — the eval-set hygiene pass every
+    * training-data pipeline runs before a corpus ships: a training doc is
+    * contaminated iff it shares at least one distinct k-gram with any
+    * document of the benchmark set (`isBench` rows). The standard
+    * formulation (k-gram collision, k around 5–13) catches verbatim eval
+    * leakage that document-level dedup misses (a benchmark question
+    * quoted inside an otherwise-unique page).
+    *
+    * Scale shape: one distinct-gram table (inverted index), bench grams
+    * on the build side of an equi semi join — never doc×doc. The bench
+    * set is small by nature (evals are thousands of rows, the corpus is
+    * billions), so AQE broadcasts it; candidate volume is bounded by
+    * gram collisions, not the pair space. Output: one row per TRAINING
+    * doc — doc_id, n_shared_grams, contaminated. */
+  def benchmarkContamination(docs: DataFrame, isBench: Column => Column,
+                             k: Int = 5): DataFrame = {
+    // distinct (doc_id, gram) feeds the bench side AND the train side
+    val grams = graft.core.Caches.scoped(shingleRows(docs, Nil, k).distinct())
+    val benchGrams = grams.filter(isBench(col("doc_id"))).select("s").distinct()
+    val hits = grams.filter(!isBench(col("doc_id")))
+      .join(benchGrams, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    docs.filter(!isBench(col("doc_id"))).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .withColumn("contaminated",
+        when(col("n_shared_grams") > 0, 1).otherwise(0))
+  }
+
   /** Exact n-gram Jaccard similarity for same-`lang` pairs above a
     * threshold, over the shingle universe capped at document frequency
     * ≤ `maxDf`. Output: doc_a, doc_b, n_shared, jaccard.

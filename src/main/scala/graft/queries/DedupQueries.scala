@@ -429,6 +429,39 @@ object DedupQueries {
       .orderBy("doc_id")
   }
 
+  // --- X59: benchmark DECONTAMINATION — eval-set hygiene as a graded
+  // query: doc_id % 17 = 0 stands in for the benchmark/eval set; a
+  // training doc is contaminated iff it shares any distinct 5-gram with
+  // a benchmark doc. Catches verbatim eval leakage document-level dedup
+  // misses. One inverted-index semi join; never doc×doc.
+  val x59 = Query(
+    "x59_decontamination",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      g AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ws) - 3),
+                 j -> array_to_string(ws[j:j+4], ' '))) AS s
+        FROM w WHERE len(ws) >= 5),
+      bg AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+      hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM g SEMI JOIN bg USING (s)
+        WHERE doc_id % 17 <> 0 GROUP BY doc_id)
+      SELECT d.doc_id,
+             COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+             CASE WHEN COALESCE(h.n_shared_grams, 0) > 0 THEN 1 ELSE 0 END
+               AS contaminated
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 17 <> 0
+      ORDER BY d.doc_id""")
+  ) { (s, d) =>
+    Dedup.benchmarkContamination(documents(s, d),
+        isBench = id => id % 17 === 0, k = 5)
+      .orderBy("doc_id")
+  }
+
   // --- X53: the END-TO-END training-data pipeline as ONE DAG — the flow
   // a corpus-curation user actually runs: quality gate (≥20 words) →
   // exact dedup (keep min doc per normalized hash) → MinHash-LSH
@@ -471,5 +504,6 @@ object DedupQueries {
   }
 
   val all: Seq[Query] =
-    Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49, x53, x56, x58)
+    Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49, x53, x56,
+      x58, x59)
 }

@@ -316,6 +316,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(bad("lsh")._2 == 0, s"degenerate bucketing kept the flag green: $bad")
   }
 
+  test("benchmark contamination flags verbatim eval leakage only") {
+    val d = docs(
+      0L -> "what is the capital of atlantis answer carefully now please",
+      1L -> ("intro text first and then what is the capital of atlantis " +
+        "answer carefully now please copied verbatim into training data"),
+      2L -> "entirely unrelated words nothing shared with the benchmark at all")
+    val out = Dedup.benchmarkContamination(d, isBench = id => id === 0L, k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(!out.contains(0L), "benchmark docs must not appear in the output")
+    assert(out(1L)._2 == 1 && out(1L)._1 >= 1, s"leak not flagged: $out")
+    assert(out(2L) == ((0L, 0)), s"clean doc falsely flagged: $out")
+  }
+
   test("hot-bucket cap bounds candidate volume on a templated family") {
     // 40 byte-identical boilerplate docs: identical signatures, so every
     // band is one 40-member bucket — the uncapped join pays C(40,2) = 780
