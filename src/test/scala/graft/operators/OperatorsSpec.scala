@@ -316,6 +316,37 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(bad("lsh")._2 == 0, s"degenerate bucketing kept the flag green: $bad")
   }
 
+  test("property: connected components match a union-find reference on random graphs") {
+    // Guards the iterative closure (localCheckpoint rounds, convergence
+    // cadence) against a driver-side reference. Shapes cover dense
+    // clusters, sparse pairs, and a long chain (deep diameter — the
+    // cadence's worst case).
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(77)
+    for (case_ <- 1 to 4) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = (case_ match {
+        case 1 => (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)) // one chain
+        case _ => (1 to n * 2).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+          .filter { case (a, b) => a != b }
+      }).distinct
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), maxIters = 200)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"case $case_ (n=$n, ${edges.size} edges)")
+    }
+  }
+
   test("benchmark contamination flags verbatim eval leakage only") {
     val d = docs(
       0L -> "what is the capital of atlantis answer carefully now please",
