@@ -46,6 +46,45 @@ object TextAnalysis {
     docs.withColumn("norm", normText(col("text")))
       .withColumn("ws", words(col("norm")))
 
+  // --- PII scrubbing — the redaction pass every shipping corpus runs.
+  // Patterns stay in the RE2 ∩ Java-regex common subset (plain character
+  // classes, bounded repetition) so the DuckDB oracle replays the exact
+  // same matches byte-for-byte.
+
+  /** Email/phone patterns (shared with the oracle SQL verbatim). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+1-[0-9]{3}-555-[0-9]{4}"
+
+  /** Inject deterministic PII into the fixture text (the corpus has
+    * none — the same encode-fixture pattern as the media codecs: the
+    * injector plays the role of the dirty upstream corpus, the scrubber
+    * is the deliverable). Every doc gains an email; every third doc a
+    * phone number. Output: doc_id, t (dirty text). */
+  def injectPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" or call +1-202-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("t"))
+
+  /** Scrub: count then replace emails/phones with typed placeholders.
+    * Grades the exact redacted BYTES via md5 (shipping the clean text
+    * would bloat the compare; the hash pins every byte of it). Pure
+    * column program — the regex engines run inside codegen.
+    * Output: doc_id, n_emails, n_phones, clean_hash. */
+  def redactPii(dirty: DataFrame, textCol: String = "t"): DataFrame = {
+    val t = col(textCol)
+    val clean = regexp_replace(
+      regexp_replace(t, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+    dirty.select(col("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(clean).as("clean_hash"))
+  }
+
   /** Per-doc quality metrics: lengths, word stats, stopword ratio and a
     * bounded composite score (all exact double arithmetic — no libm). */
   def quality(docs: DataFrame): DataFrame = {

@@ -203,5 +203,38 @@ object TextQueries {
       .orderBy("lang")
   }
 
-  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39)
+  // --- X60: PII scrubbing — deterministic emails/phones injected into
+  // the fixture text (the corpus has none; the injector stands in for the
+  // dirty upstream, exactly like the media encode fixtures), then the
+  // scrubber counts and redacts them. The oracle replays the identical
+  // regexes (RE2 ∩ Java common subset) and grades every byte of the
+  // redacted text through its md5.
+  val x60 = Query(
+    "x60_text_redact",
+    Some(s"""
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.org'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' or call +1-202-555-' ||
+                                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            ELSE '' END AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}')) AS BIGINT)
+               AS n_phones,
+             md5(regexp_replace(
+                   regexp_replace(t, '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+                   '${TextAnalysis.PhoneRe}', '[PHONE]', 'g')) AS clean_hash
+      FROM p
+      ORDER BY doc_id""")
+  ) { (s, d) =>
+    TextAnalysis.redactPii(TextAnalysis.injectPii(documents(s, d)))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60)
 }

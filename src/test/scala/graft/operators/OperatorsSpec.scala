@@ -347,6 +347,22 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("pii scrub counts and removes every injected email and phone") {
+    val d = docs(3L -> "some plain words here", 4L -> "other text body")
+    val dirty = TextAnalysis.injectPii(d)
+    val out = TextAnalysis.redactPii(dirty)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(3L) == ((1L, 1L)) && out(4L) == ((1L, 0L)), s"$out")
+    // scrubbing the already-scrubbed text finds nothing — the
+    // placeholders don't re-match and no PII survives
+    val scrubbed = dirty.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("t"), TextAnalysis.EmailRe, "[EMAIL]"),
+        TextAnalysis.PhoneRe, "[PHONE]").as("t"))
+    val again = TextAnalysis.redactPii(scrubbed)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(again.forall(_ == ((0L, 0L))), s"PII survived the scrub: ${again.toSeq}")
+  }
+
   test("benchmark contamination flags verbatim eval leakage only") {
     val d = docs(
       0L -> "what is the capital of atlantis answer carefully now please",
