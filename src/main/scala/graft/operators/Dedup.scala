@@ -321,16 +321,20 @@ object Dedup {
     * Label propagation then runs over that bounded edge set. Decisions
     * (NEW docs only): a new doc is kept iff its cluster contains no old
     * doc (old members always win — they are already in the corpus) and it
-    * is the cluster's smallest id. Output: doc_id, cluster_id, kept. */
+    * is the cluster's smallest id. Old membership is store MEMBERSHIP
+    * (semi join against the signature table), not an id predicate — so
+    * the same operator serves the streaming cadence, where batch ids
+    * carry no old/new structure. Output: doc_id, cluster_id, kept. */
   def incrementalClusterClosure(newDocs: DataFrame, oldSigs: DataFrame,
-                                isNew: Column => Column, estThreshold: Double,
+                                estThreshold: Double,
                                 maxIters: Int = 50): DataFrame = {
     import graft.core.Caches
     val edges = incrementalClosureEdges(newDocs, oldSigs, estThreshold)
     // the label table feeds the old-cluster set AND the per-doc join
     val labels = Caches.scoped(
       connectedComponents(edges, maxIters).toDF("doc_id", "lbl"))
-    val oldClusters = labels.filter(!isNew(col("doc_id")))
+    val oldClusters = labels
+      .join(oldSigs.select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("lbl").as("cluster_id")).distinct()
     newDocs.select("doc_id")
       .join(labels, Seq("doc_id"), "left")

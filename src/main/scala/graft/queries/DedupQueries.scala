@@ -363,8 +363,7 @@ object DedupQueries {
     val store = ensureSigStore(s, d)
     Dedup.incrementalClusterClosure(
         documents(s, d).filter(col("doc_id") % 10 >= 8),
-        s.read.parquet(store),
-        isNew = id => id % 10 >= 8, estThreshold = 0.5)
+        s.read.parquet(store), estThreshold = 0.5)
       .orderBy("doc_id")
   }
 

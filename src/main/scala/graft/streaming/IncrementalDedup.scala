@@ -31,14 +31,19 @@ object IncrementalDedup {
   /** Start the streaming dedup. `docs` must be a STREAMING DataFrame with
     * (doc_id, text). `onBatch` observes each batch's decisions
     * (doc_id, dropped — 1 if duplicate of the store or of an
-    * earlier-kept doc in the same batch). */
+    * earlier-kept doc in the same batch). `closure = true` switches the
+    * per-batch policy from greedy pairwise to CLUSTER CLOSURE (the x56
+    * semantics: smallest-id connected components over the batch ∪
+    * store-frontier edge set — one survivor per duplicate cluster,
+    * store members always win). */
   def run(docs: DataFrame, storePath: String, estThreshold: Double,
-          checkpoint: String)
+          checkpoint: String, closure: Boolean = false)
          (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        processBatch(batch.toDF(), batchId, storePath, estThreshold, onBatch)
+        processBatch(batch.toDF(), batchId, storePath, estThreshold, onBatch,
+          closure)
         ()
       }
       .start()
@@ -46,23 +51,15 @@ object IncrementalDedup {
   /** One micro-batch step, also callable from batch jobs/tests. */
   def processBatch(batch: DataFrame, batchId: Long, storePath: String,
                    estThreshold: Double,
-                   onBatch: (DataFrame, Long) => Unit): Unit = {
+                   onBatch: (DataFrame, Long) => Unit,
+                   closure: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     val marker = new java.io.File(storePath, s"_graft_batch_$batchId")
     if (marker.exists()) return // checkpoint replay of an appended batch
-    // in-batch greedy dedup (x21 semantics)
-    val inBatch = Dedup.minhashDedupDecisions(batch, estThreshold)
     val storeExists = new java.io.File(storePath, "_SUCCESS").exists() ||
       new java.io.File(storePath).list() != null &&
         new java.io.File(storePath).list().exists(_.endsWith(".parquet"))
-    // vs-store dedup: only for batches after the store exists
-    val vsStore =
-      if (storeExists)
-        Dedup.incrementalDropDecisionsFromStore(
-          batch, spark.read.parquet(storePath), estThreshold)
-          .withColumnRenamed("dropped", "dropped_store")
-      else batch.select(col("doc_id"), lit(0).as("dropped_store"))
     // MATERIALIZE decisions BEFORE the store append — as a LOCAL
     // CHECKPOINT, not a cache: the plan reads the store parquet, and the
     // append below fires Spark's recacheByPath, which would RECOMPUTE a
@@ -70,12 +67,31 @@ object IncrementalDedup {
     // with its own just-written signatures). localCheckpoint severs the
     // lineage entirely (LogicalRDD), so neither `kept` below nor a lazy
     // re-evaluation inside `onBatch` can ever re-read the store.
-    val decisions = graft.core.Caches.scopedCheckpoint(
-      inBatch.withColumnRenamed("dropped", "dropped_batch")
-        .join(vsStore, "doc_id")
-        .select(col("doc_id"),
-          greatest(col("dropped_batch"), col("dropped_store")).as("dropped"))
-        .localCheckpoint(true))
+    val raw =
+      if (closure) {
+        // cluster-closure policy: in-batch-only closure until the store
+        // exists, then the bounded incremental edge set against it
+        val dec =
+          if (storeExists)
+            Dedup.incrementalClusterClosure(
+              batch, spark.read.parquet(storePath), estThreshold)
+          else Dedup.clusterClosureDecisions(batch, estThreshold)
+        dec.select(col("doc_id"), (lit(1) - col("kept")).as("dropped"))
+      } else {
+        // greedy pairwise policy (x21 in-batch + x41 vs-store semantics)
+        val inBatch = Dedup.minhashDedupDecisions(batch, estThreshold)
+        val vsStore =
+          if (storeExists)
+            Dedup.incrementalDropDecisionsFromStore(
+              batch, spark.read.parquet(storePath), estThreshold)
+              .withColumnRenamed("dropped", "dropped_store")
+          else batch.select(col("doc_id"), lit(0).as("dropped_store"))
+        inBatch.withColumnRenamed("dropped", "dropped_batch")
+          .join(vsStore, "doc_id")
+          .select(col("doc_id"),
+            greatest(col("dropped_batch"), col("dropped_store")).as("dropped"))
+      }
+    val decisions = graft.core.Caches.scopedCheckpoint(raw.localCheckpoint(true))
     val kept = batch.join(decisions.filter(col("dropped") === 0)
       .select("doc_id"), "doc_id")
     Dedup.minhashSignatures(kept).write.mode("append").parquet(storePath)

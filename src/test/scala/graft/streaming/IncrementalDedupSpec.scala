@@ -53,6 +53,36 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTest {
     assert(stored == Set(1L, 2L, 12L, 13L, 23L))
   }
 
+  test("closure mode: one survivor per cluster, store members always win") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val store = tmpDir("graft-closure-store-") + "/sigs"
+    val input = MemoryStream[(Long, String)]
+    val decisions = scala.collection.mutable.Map.empty[Long, Int]
+    val q = IncrementalDedup.run(
+      input.toDF().toDF("doc_id", "text"), store, estThreshold = 0.5,
+      checkpoint = tmpDir("graft-closure-ckpt-"), closure = true) { (dec, _) =>
+      dec.collect().foreach(r => decisions(r.getLong(0)) = r.getInt(1))
+    }
+    try {
+      // batch 1 (no store yet): in-batch CLOSURE — the {1,2,3} dup
+      // cluster keeps exactly its minimum; 4 is fresh
+      input.addData((1L, A), (2L, A), (3L, A), (4L, B))
+      q.processAllAvailable()
+      assert(decisions.toMap == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
+      // batch 2 vs store: doc 0 duplicates store doc 1 — the STORE member
+      // wins even though 0 < 1 (old docs are already in the corpus; a
+      // smallest-id-global policy would wrongly evict the stored doc)
+      decisions.clear()
+      input.addData((0L, A), (10L, C))
+      q.processAllAvailable()
+      assert(decisions.toMap == Map(0L -> 1, 10L -> 0))
+    } finally q.stop()
+    val stored = spark.read.parquet(store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(stored == Set(1L, 4L, 10L))
+  }
+
   test("checkpoint-replayed batch is not appended twice") {
     import spark.implicits._
     val store = tmpDir("graft-replay-store-") + "/sigs"
