@@ -111,6 +111,43 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"), col("rk"))
   }
 
+  /** `lshBucketedMultiProbe` with the hyperplane count derived FROM the
+    * corpus size (`autoBits`, the x46 lever) — the fix for the THIRD
+    * corpus-proportional parameter the 100× scale probe caught: at fixed
+    * nBits the multi-probe candidate volume is (nBits+1)·|probes|·
+    * |corpus|/2^nBits, quadratic in the corpus (measured 46× wall at
+    * 100× data); with occupancy-bounded bits the per-bucket population —
+    * and so the candidate volume per probe — stays constant. The probe
+    * list masks to the active bit count (XOR only the first nbits
+    * planes). Output: probe_id, neighbor_id, bucket, cos, rk. */
+  def lshBucketedMultiProbeAuto(emb: DataFrame, probePred: Column, k: Int,
+                                targetOcc: Int, maxBits: Int, dim: Int): DataFrame = {
+    val n = emb.agg(count(lit(1)).as("__n"))
+    val nbits = autoBits(col("__n"), targetOcc, maxBits)
+    val bucketed = emb.crossJoin(broadcast(n))
+      .select(col("vec_id"), col("embedding"),
+        lshBucketMasked(col("embedding"), nbits, maxBits, dim).as("bucket"),
+        nbits.as("nbits"))
+    val probeBuckets = array((col("bucket") +:
+      (0 until maxBits).map(j =>
+        when(lit(j) < col("nbits"), col("bucket").bitwiseXOR(lit(1 << j)))
+          .otherwise(lit(-1)))): _*)
+    val probes = bucketed.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        explode(filter(probeBuckets, b => b >= 0)).as("bucket"))
+    val cands = bucketed
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+        cosineSim(col("probe_emb"), col("embedding")).as("cos_raw"))
+    val topk = graft.plans.TopK.perKey(cands, Seq(cands("probe_id")),
+      Seq(cands("cos_raw").desc, cands("neighbor_id")), k)
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_raw").desc, col("neighbor_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select(col("probe_id"), col("neighbor_id"), col("bucket"),
+        round(col("cos_raw"), 6).as("cos"), col("rk"))
+  }
+
   /** IVF-style approximate top-k: a broadcast codebook (corpus rows
     * matching `centPred` — standing in for trained centroids; at scale a
     * fixed table, so assignment is |corpus|·C, linear) assigns each vector

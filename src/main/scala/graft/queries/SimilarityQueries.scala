@@ -224,16 +224,18 @@ object SimilarityQueries {
   // at power-of-two boundaries. The oracle replays the mask bit-for-bit.
   private val TargetOcc = 16
   private val MaxBits = 12
+  /** Corpus-adaptive bit count + masked bucket as SQL (shared by the
+    * x46/x61 oracles — integer comparisons, never ceil(log2(...))). */
+  private val nbitsSql = (1 to MaxBits)
+    .map(j => s"CASE WHEN cnt > ${TargetOcc.toLong * (1L << (j - 1))} THEN 1 ELSE 0 END")
+    .mkString(" + ")
+  private val maskedBucketSql = (0 until MaxBits)
+    .map(j => s"(CASE WHEN $j < nbits AND list_dot_product(v, ${planeSql(j)}) >= 0" +
+      s" THEN ${1 << j} ELSE 0 END)")
+    .mkString(" + ")
   val x46 = Query(
     "x46_neardup_autolsh",
     Some {
-      val nbitsSql = (1 to MaxBits)
-        .map(j => s"CASE WHEN cnt > ${TargetOcc.toLong * (1L << (j - 1))} THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      val maskedBucketSql = (0 until MaxBits)
-        .map(j => s"(CASE WHEN $j < nbits AND list_dot_product(v, ${planeSql(j)}) >= 0" +
-          s" THEN ${1 << j} ELSE 0 END)")
-        .mkString(" + ")
       s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       nc AS (SELECT count(*) AS cnt FROM embeddings),
@@ -525,5 +527,47 @@ object SimilarityQueries {
       .orderBy("method")
   }
 
-  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55)
+  // --- X61: multi-probe LSH with CORPUS-ADAPTIVE bits — the fix for the
+  // third corpus-proportional parameter the 100× probe caught: x48's
+  // fixed nBits makes multi-probe candidate volume quadratic in the
+  // corpus (measured 46× wall at 100× data); occupancy-bounded bits
+  // (the x46 lever) hold per-bucket population constant. The probe list
+  // XORs only the first nbits planes (sentinel −1 filtered), replayed
+  // identically by the oracle.
+  val x61 = Query(
+    "x61_multiprobe_auto",
+    Some {
+      val probeList = ("bucket" +: (0 until MaxBits).map(j =>
+        s"CASE WHEN $j < nbits THEN xor(bucket, ${1 << j}) ELSE -1 END"))
+        .mkString("[", ", ", "]")
+      s"""
+      WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      nc AS (SELECT count(*) AS cnt FROM embeddings),
+      nb AS (SELECT CAST($nbitsSql AS INT) AS nbits FROM nc),
+      bk AS (SELECT vec_id, v, CAST($maskedBucketSql AS INT) AS bucket FROM e, nb),
+      probes AS (
+        SELECT vec_id AS probe_id, v AS pv,
+               CAST(unnest(list_filter($probeList, x -> x >= 0)) AS INT) AS bucket
+        FROM bk, nb WHERE vec_id % 25 = 0),
+      cands AS (
+        SELECT probe_id, a.vec_id AS neighbor_id, a.bucket, a.v AS av, pv
+        FROM bk a JOIN probes USING (bucket) WHERE a.vec_id <> probe_id),
+      ranked AS (
+        SELECT probe_id, neighbor_id, bucket,
+               $cosSql AS cos_raw,
+               CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY $cosSql DESC, neighbor_id) AS INT) AS rk
+        FROM cands)
+      SELECT probe_id, neighbor_id, bucket, ROUND(cos_raw, 6) AS cos, rk
+      FROM ranked WHERE rk <= 3
+      ORDER BY probe_id, rk"""
+    }
+  ) { (s, d) =>
+    Similarity.lshBucketedMultiProbeAuto(embeddings(s, d),
+        col("vec_id") % 25 === 0, k = 3,
+        targetOcc = TargetOcc, maxBits = MaxBits, dim = Dim)
+      .orderBy("probe_id", "rk")
+  }
+
+  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55, x61)
 }

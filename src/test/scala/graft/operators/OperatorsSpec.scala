@@ -279,6 +279,23 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(Similarity.assignCells(e, cb).count() == emb.count())
   }
 
+  test("auto-bits multi-probe equals fixed multi-probe at the matching bit count") {
+    // At this fixture size autoBits(occupancy 16) resolves to 2, so the
+    // corpus-adaptive variant must produce EXACTLY the fixed nBits=2
+    // result — pins the bucket masking and the probe-list truncation.
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val expectedBits = (1 to 12).count(j => n > 16L * (1L << (j - 1)))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id", "bucket", "cos", "rk")
+        .collect().map(_.toString).toSet
+    val auto = rows(Similarity.lshBucketedMultiProbeAuto(emb,
+      col("vec_id") % 25 === 0, k = 3, targetOcc = 16, maxBits = 12, dim = 64))
+    val fixed = rows(Similarity.lshBucketedMultiProbe(emb,
+      col("vec_id") % 25 === 0, k = 3, nBits = expectedBits, dim = 64))
+    assert(auto == fixed, s"auto (bits=$expectedBits) diverged from fixed")
+  }
+
   test("trained IVF search (x54 composition) recall >= untrained IVF") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val probePred = col("vec_id") % 50 === 0
