@@ -135,8 +135,14 @@ object Dedup {
     val wordBits = tokenCounts.select("w").distinct()
       .select(col("w"), explode(sequence(lit(0), lit(15))).as("j"))
       .withColumn("bit", expr(md5BitSql("w", "j")))
+    // no broadcast HINT on the dictionary: vocabulary is
+    // corpus-proportional (the 100× probe measured it growing with the
+    // synthetic replicas), and a forced broadcast of an unbounded table
+    // is a driver OOM at scale — AQE still broadcasts small dictionaries
+    // from runtime stats, and falls back to a shuffle join past the
+    // threshold
     val bitSums = tokenCounts
-      .join(broadcast(wordBits), "w")
+      .join(wordBits, "w")
       .groupBy("doc_id", "j")
       .agg(sum((col("bit") * 2 - 1) * col("cnt")).as("bsum"))
     // shiftleft, not pow(2, j): integer-exact for any bit position (double
