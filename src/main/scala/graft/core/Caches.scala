@@ -33,7 +33,16 @@ object Caches {
     * `releaseAll()` sweep. Checkpoint storage lives outside the SQL cache
     * manager (a plain persisted RDD under a LogicalRDD node), so the
     * `scoped` unpersist path cannot see it — without this, iterative
-    * operators would pin their final label tables until GC. */
+    * operators would pin their final label tables until GC.
+    *
+    * STRICTER contract than `scoped`: a checkpoint-backed DataFrame is
+    * UNRECOVERABLE after `releaseAll()`. A released `scoped` cache merely
+    * recomputes from lineage on the next action; a LogicalRDD has no
+    * lineage — once its blocks are dropped, any further execution of the
+    * returned DataFrame fails with missing blocks. Callers must fully
+    * materialize every result derived from it (write/collect the terminal
+    * action) BEFORE the sweep, and never re-execute it after. The harness
+    * mains satisfy this by sweeping only between queries. */
   def scopedCheckpoint(df: DataFrame): DataFrame = {
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>

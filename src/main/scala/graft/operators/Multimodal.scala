@@ -361,13 +361,18 @@ object Multimodal {
     while (ok && p + 8 <= to) {
       val size0 = be32(p)
       val typ = new String(b, p + 4, 4, "US-ASCII")
-      val (payloadStart, end) =
+      // Box end computed in Long: the 64-bit largesize form can encode
+      // boxes past Int.MaxValue, and Int truncation would wrap a ≥ 2 GB
+      // size into a bogus negative end. Any end beyond the buffer (which
+      // is what a > 2 GB box inside an Array[Byte] necessarily is) fails
+      // the range check below explicitly rather than by overflow accident.
+      val (payloadStart, end: Long) =
         if (size0 == 1 && p + 16 <= to)
-          (p + 16, p + ((be32(p + 8) << 32) | be32(p + 12)).toInt)
-        else if (size0 == 0) (p + 8, to)
-        else (p + 8, p + size0.toInt)
+          (p + 16, p + ((be32(p + 8) << 32) | be32(p + 12)))
+        else if (size0 == 0) (p + 8, to.toLong)
+        else (p + 8, p + size0)
       if (end > to || end <= p) ok = false
-      else { out += ((typ, payloadStart, end)); p = end }
+      else { out += ((typ, payloadStart, end.toInt)); p = end.toInt }
     }
     out.result()
   }

@@ -49,7 +49,11 @@ object Similarity {
     * and equi-joined on the cell so candidate volume is Σ_cell
     * |corpus_cell|·|probes_cell|. Per-probe top-k via the two-phase
     * TopKPerKey (bounded heaps, no global sort); the rank window runs over
-    * ≤ k·|probes| rows. Output: probe_id, neighbor_id, <cellCol>, cos, rk. */
+    * ≤ k·|probes| rows. Contract: `probePred` must select a BOUNDED probe
+    * set (a fixed query workload, not a corpus fraction) — the single-cell
+    * probe table is broadcast; the multi-probe/nprobe variants, whose probe
+    * tables are exploded and corpus-proportional, leave the join strategy
+    * to AQE instead. Output: probe_id, neighbor_id, <cellCol>, cos, rk. */
   def searchByCell(corpus: DataFrame, cellCol: String,
                    probePred: Column, k: Int): DataFrame = {
     val probes = corpus.filter(probePred)
@@ -98,8 +102,13 @@ object Similarity {
     val probes = bucketed.filter(probePred)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         explode(array(probeBuckets: _*)).as("bucket"))
+    // No broadcast hint: the probe table is |probes|·(nBits+1) rows of full
+    // embedding vectors — corpus-proportional when probePred selects a
+    // fraction of the corpus. AQE picks broadcast at runtime when the
+    // measured size is under the threshold; a forced hint would be a
+    // driver OOM at scale (same defect class as a forced dim broadcast).
     val cands = bucketed
-      .join(broadcast(probes), Seq("bucket"))
+      .join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("bucket"),
         cosineSim(col("probe_emb"), col("embedding")).as("cos_raw"))
@@ -135,8 +144,11 @@ object Similarity {
     val probes = bucketed.filter(probePred)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         explode(filter(probeBuckets, b => b >= 0)).as("bucket"))
+    // No broadcast hint (see lshBucketedMultiProbe): the exploded probe
+    // table is corpus-proportional; AQE decides at runtime from its
+    // measured size.
     val cands = bucketed
-      .join(broadcast(probes), Seq("bucket"))
+      .join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("bucket"),
         cosineSim(col("probe_emb"), col("embedding")).as("cos_raw"))
@@ -199,8 +211,11 @@ object Similarity {
       val cells = assignCells(e, cb).select(col("vec_id"), col("vq"), col("cell"))
       val probes = assignCells(e.filter(probePred), cb, k = nProbeCells)
         .select(col("vec_id").as("probe_id"), col("vq").as("probe_emb"), col("cell"))
+      // No broadcast hint: |probes|·nProbeCells rows of full vectors is
+      // corpus-proportional under a fractional probePred; AQE broadcasts
+      // at runtime only when the measured size allows.
       val cands = cells
-        .join(broadcast(probes), Seq("cell"))
+        .join(probes, Seq("cell"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cell"),
           cosineSim(col("probe_emb"), col("vq")).as("cos_raw"))

@@ -373,11 +373,12 @@ object SimilarityQueries {
 
   // --- X54: TRAINED IVF search END-TO-END — the composition x47 trains
   // for: kmeansCodebook → assignCells → cell-restricted search, all on
-  // the 6-decimal-quantized vectors, graded as one flow, with nprobe=2
-  // (each probe searches its TWO nearest cells — the IVF recall lever;
-  // the corpus stays single-cell so no candidate duplicates). The oracle
-  // replays the two Lloyd iterations (shared kmeansCtes — identical text
-  // to x47's), the probe-side top-2 cell ranking against the final
+  // the 6-decimal-quantized vectors, graded as one flow, with
+  // nprobe = NProbeCells (each probe searches its NProbeCells nearest
+  // cells — the IVF recall lever; the corpus stays single-cell so no
+  // candidate duplicates). The oracle replays the two Lloyd iterations
+  // (shared kmeansCtes — identical text to x47's), the probe-side
+  // top-NProbeCells cell ranking against the final
   // codebook c2, and the search over the final assignment a3. This is
   // the flow an ANN user actually runs; x34 remains the untrained
   // skeleton.
