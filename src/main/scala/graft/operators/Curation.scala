@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between raw crawl and tokenizer: repetition-based quality filters
+  * (the Gopher rules: duplicate-line fraction, duplicate-line character
+  * fraction, top n-gram character fraction), C4-style line/page
+  * heuristics, URL canonicalization + registered-domain rollups,
+  * deterministic dataset splits, per-source mixture sampling, and
+  * greedy sequence packing into token-budget bins.
+  *
+  * Everything is a pure column program (codegen'd, no UDFs) with an
+  * exact DuckDB mirror in the corresponding queries. The fixture corpus
+  * is single-line word soup, so the line-shaped operators take a LINES
+  * relation as input; the queries derive it by deterministic reflow
+  * (`reflowLines`) plus dirty-fixture injection (`boilerplateLines`,
+  * the same injector pattern as `TextAnalysis.injectPii` and the media
+  * encode fixtures) — in production the lines relation is just
+  * `split(text, '\n')` exploded.
+  *
+  * Scale shape: per-doc filters are one explode + one (doc-keyed)
+  * aggregation — a single hash shuffle keyed by doc_id, linear in
+  * corpus size, no driver state. Reference semantics extended per
+  * SURVEY §2.12 (north-star extension; reference has no data-quality
+  * surface — `/root/reference/README.md:18-22` defines only the
+  * map/reduce loop).
+  */
+object Curation {
+
+  val WordsPerLine = 8
+
+  /** Reflow each document's normalized word stream into fixed-width
+    * pseudo-lines. Output: doc_id, line_id (0-based INT), line.
+    *
+    * The per-doc `transform(sequence(...))` re-evaluates the normalize+
+    * split chain per line if Catalyst inlines it through the projection
+    * (no CSE inside HOF lambdas — SURVEY §8); with bounded document
+    * length that is a bounded constant factor, not a scale hazard.
+    * Mirror: `unnest(range(0, nl)) AS i` + `array_to_string(ws[i*W+1 :
+    * i*W+W], ' ')`. */
+  def reflowLines(docs: DataFrame, wordsPerLine: Int = WordsPerLine): DataFrame = {
+    val w = lit(wordsPerLine)
+    docs
+      .withColumn("ws", words(normText(col("text"))))
+      .withColumn("nl", floor((size(col("ws")) + (wordsPerLine - 1)) / w).cast("int"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nl") - 1),
+          i => array_join(slice(col("ws"), i * w + 1, w), " "))))
+      .toDF("doc_id", "line_id", "line")
+  }
+
+  /** The injected boilerplate line (word-soup-disjoint vocabulary so it
+    * never collides with an organic reflowed line). */
+  val BoilerLine = "subscribe to our newsletter click here for more"
+
+  /** Dirty-fixture injector: docs hit by the modulus gain `base +
+    * doc_id % mod` copies of [[BoilerLine]] (line_ids from 1000, disjoint
+    * from reflowed ids). Models the boilerplate-heavy web page the
+    * repetition filters exist to catch. */
+  def boilerplateLines(docs: DataFrame, every: Int = 7, base: Int = 3,
+                       mod: Int = 5): DataFrame =
+    docs.filter(col("doc_id") % every === 0)
+      .select(col("doc_id"),
+        posexplode(array_repeat(lit(BoilerLine),
+          (lit(base) + col("doc_id") % mod).cast("int"))))
+      .select(col("doc_id"), (col("pos") + 1000).cast("int").as("line_id"),
+        col("col").as("line"))
+
+  /** Gopher-style duplicate-line repetition stats over a lines relation:
+    * fraction of lines that are duplicates (counted with multiplicity)
+    * and fraction of characters living in duplicated lines. Both are
+    * integer/integer divisions — IEEE-exact cross-engine, no rounding.
+    * One shuffle keyed by (doc_id, line), one by doc_id.
+    * Output: doc_id, n_lines, dup_line_frac, dup_char_frac, rep_ok. */
+  def repetitionStats(lines: DataFrame, maxDupLineFrac: Double = 0.30,
+                      maxDupCharFrac: Double = 0.20): DataFrame = {
+    val cnts = lines.groupBy("doc_id", "line")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"), length(col("line")).cast("long").as("len"))
+    cnts.groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_lines"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_lines"),
+        sum(col("cnt") * col("len")).as("all_chars"),
+        sum(when(col("cnt") > 1, col("cnt") * col("len")).otherwise(0L)).as("dup_chars"))
+      .select(col("doc_id"), col("n_lines"),
+        (col("dup_lines").cast("double") / col("n_lines")).as("dup_line_frac"),
+        (col("dup_chars").cast("double") / col("all_chars")).as("dup_char_frac"))
+      .withColumn("rep_ok",
+        col("dup_line_frac") <= maxDupLineFrac
+          && col("dup_char_frac") <= maxDupCharFrac)
+  }
+
+  /** Gopher top n-gram character fraction: the single most frequent word
+    * n-gram's characters (count × gram length) as a fraction of the
+    * normalized document's characters. Deterministic argmax via
+    * (count DESC, gram ASC). `bound` is the keep threshold (Gopher uses
+    * 0.20 for 2-grams, 0.18 for 3-grams).
+    * Output: doc_id, gram_n, top_gram, top_cnt, top_frac, gram_ok. */
+  def topNgramStats(docs: DataFrame, n: Int, bound: Double): DataFrame = {
+    val p = docs
+      .withColumn("norm", normText(col("text")))
+      .withColumn("nc", length(col("norm")).cast("long"))
+      .withColumn("ws", words(col("norm")))
+    val grams = p.select(col("doc_id"), col("nc"),
+      explode(shingles(col("ws"), n)).as("g"))
+    val cnts = grams.groupBy("doc_id", "nc", "g").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("cnt").desc, col("g"))
+    cnts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), lit(n).as("gram_n"), col("g").as("top_gram"),
+        col("cnt").as("top_cnt"),
+        ((col("cnt") * length(col("g"))).cast("double") / col("nc")).as("top_frac"))
+      .withColumn("gram_ok", col("top_frac") <= bound)
+  }
+
+  /** C4-style page cleaning over a (possibly decorated) lines relation:
+    * keep lines that end in terminal punctuation AND have ≥ `minWords`
+    * words; flag pages containing a blocklist marker anywhere; keep
+    * pages with ≥ `minKeptLines` surviving lines and no marker.
+    * Output: doc_id, n_lines, n_kept, has_bad, page_kept. */
+  def c4Stats(lines: DataFrame, minWords: Int = 5, minKeptLines: Int = 3,
+              badMarker: String = "lorem ipsum"): DataFrame = {
+    val kept = lines.select(col("doc_id"),
+      (col("line").endsWith(".")
+        && size(split(col("line"), " ")) >= minWords).cast("long").as("k"),
+      col("line").contains(badMarker).cast("long").as("bad"))
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"), sum(col("k")).as("n_kept"),
+        (max(col("bad")) === 1).as("has_bad"))
+      .withColumn("page_kept", !col("has_bad") && col("n_kept") >= minKeptLines)
+  }
+
+  /** Deterministic hash split: the Knuth multiplicative hash over a
+    * 31-bit-masked doc_id (mask first — Spark wraps on Long overflow
+    * while DuckDB raises, see x22) mapped to [0,1000); `cuts` are the
+    * per-mille boundaries train/val/test. No RNG: reproducible across
+    * engines, retries, and corpus growth (a doc's split never changes).
+    * Output: doc_id + split. */
+  def datasetSplit(docs: DataFrame, trainPerMille: Int = 800,
+                   valPerMille: Int = 900): DataFrame = {
+    val h = (col("doc_id") % 2147483647L) * 2654435761L % 1000
+    docs.withColumn("split",
+      when(h < trainPerMille, "train")
+        .when(h < valPerMille, "val")
+        .otherwise("test"))
+  }
+
+  /** Per-source mixture sampling: each source keeps a deterministic
+    * fraction of its docs (hash-thresholded — no RNG, so the sample is
+    * stable under reruns and corpus appends). `ratePct` maps a source
+    * name to its target keep-percentage as a Column program.
+    * Output: docs + target_pct + kept. */
+  def mixtureSample(docs: DataFrame, ratePct: Column): DataFrame = {
+    // a different salt than datasetSplit so the two hashes are independent
+    val h = ((col("doc_id") + 7919L) % 2147483647L) * 2654435761L % 100
+    docs.withColumn("target_pct", ratePct).withColumn("kept", h < col("target_pct"))
+  }
+
+  /** Greedy sequence packing: within each fixed-size shard (doc_id div
+    * `shardSize` — shard COUNT grows with the corpus, shard SIZE stays
+    * bounded, so the per-group fold below is O(shardSize), never
+    * corpus-proportional), documents in doc_id order are packed
+    * first-fit into bins of at most `budget` tokens (a document larger
+    * than the budget gets its own bin). The fold is an in-order
+    * `aggregate` HOF over the sorted per-shard doc list — sequential by
+    * construction, which is exactly what greedy packing semantically is;
+    * parallelism comes from the shard fan-out, the way a 1000-executor
+    * packing job actually runs. Output: doc_id, shard, bin, ntok. */
+  def packSequences(docs: DataFrame, budget: Int, shardSize: Int = 64): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        floor(col("doc_id") / shardSize).cast("long").as("shard"),
+        size(words(normText(col("text")))).cast("long").as("ntok"))
+    val packed = toks.groupBy("shard")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("ntok")))).as("ds"))
+      .withColumn("bins", expr(
+        s"""aggregate(ds,
+           |  named_struct(
+           |    'bins', cast(array() as array<struct<doc_id:bigint,bin:int,ntok:bigint>>),
+           |    'bin', 0, 'cum', cast(0 as bigint)),
+           |  (acc, x) -> named_struct(
+           |    'bins', concat(acc.bins, array(named_struct(
+           |      'doc_id', x.doc_id,
+           |      'bin', CASE WHEN acc.cum > 0 AND acc.cum + x.ntok > $budget
+           |                  THEN acc.bin + 1 ELSE acc.bin END,
+           |      'ntok', x.ntok))),
+           |    'bin', CASE WHEN acc.cum > 0 AND acc.cum + x.ntok > $budget
+           |                THEN acc.bin + 1 ELSE acc.bin END,
+           |    'cum', CASE WHEN acc.cum > 0 AND acc.cum + x.ntok > $budget
+           |                THEN x.ntok ELSE acc.cum + x.ntok END),
+           |  acc -> acc.bins)""".stripMargin))
+    packed.select(col("shard"), explode(col("bins")).as("b"))
+      .select(col("b.doc_id").as("doc_id"), col("shard"),
+        col("b.bin").as("bin"), col("b.ntok").as("ntok"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFunctions._
+
+/** Lexical retrieval over the document corpus: BM25 scoring + top-k —
+  * the classic quality-weighted keyword search a data pipeline uses for
+  * targeted corpus queries (eval-set mining, topic probes).
+  *
+  * Scale shape: one explode pass computes term frequencies for the
+  * query terms only (the `isin` filter prunes before the shuffle, so
+  * the aggregated state is |terms|·|matching docs|, not the corpus
+  * vocabulary); document frequencies and the global (N, avgdl) scalars
+  * are broadcast back. Final per-term top-k goes through the two-phase
+  * TopKPerKey plan — no global sort.
+  *
+  * Cross-engine float discipline: avgdl comes from an exact DECIMAL sum
+  * (aggregation-order-proof); idf (the one libm `ln`) is rounded to 6
+  * before use; everything after is IEEE-deterministic row arithmetic,
+  * and the final score is rounded to 6 on both sides. */
+object Retrieval {
+
+  /** BM25 top-k docs per query term. Output: term, doc_id, tf, score, rk. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val p = docs
+      .withColumn("ws", words(normText(col("text"))))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+    // global corpus scalars: one row, broadcast back (the L1-normalize
+    // pattern — no global window)
+    val stats = p.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast(DecimalType(18, 0))).cast("double").as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
+    val tf = p.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isInCollection(terms))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+    // df = rows per term in tf (one row per matching doc)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+      // constants pre-computed in Scala (k1+1, 1-b) are interpolated into
+      // the oracle SQL from the same doubles, so both engines see
+      // bit-identical literals; the rest is IEEE row arithmetic
+      .withColumn("score", round(
+        col("idf") * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .select(col("term"), col("doc_id"), col("tf"), col("score"))
+    val topk = graft.plans.TopK.perKey(scored, Seq(scored("term")),
+      Seq(scored("score").desc, scored("doc_id")), k)
+    val w = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select("term", "doc_id", "tf", "score", "rk")
+  }
+}

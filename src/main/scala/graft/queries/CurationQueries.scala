@@ -1,0 +1,274 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+import graft.operators.{Curation, WebCuration}
+
+/** Corpus-curation suite: Gopher repetition filters, C4 page cleaning,
+  * URL/domain curation, deterministic splits, mixture sampling, sequence
+  * packing. Every oracle replays the identical algorithm in DuckDB SQL
+  * (lines via `unnest(range(...))` + list slicing; packing via a
+  * recursive CTE replaying the per-shard greedy fold). */
+object CurationQueries {
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  private val W = Curation.WordsPerLine
+
+  /** Shared reflow CTEs: n → w → li → rl (doc_id, line_id, line). */
+  private val reflowCtes = s"""
+      n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      li AS (SELECT doc_id, ws,
+                    unnest(range(0, CAST(floor((len(ws) + ${W - 1}) / $W) AS INT))) AS i
+             FROM w),
+      rl AS (SELECT doc_id, CAST(i AS INT) AS line_id,
+                    array_to_string(ws[i*$W+1 : i*$W+$W], ' ') AS line
+             FROM li)"""
+
+  // --- X62: Gopher duplicate-line repetition filters. The fixture corpus
+  // is single-line word soup, so lines are derived by deterministic
+  // reflow + boilerplate injection (docs ≡ 0 mod 7 gain 3 + doc_id % 5
+  // copies of a vocabulary-disjoint boilerplate line — the injector
+  // stands in for the boilerplate-heavy web page, exactly like the PII
+  // and media encode fixtures). Both graded fractions are int/int
+  // divisions — IEEE-exact cross-engine, no rounding contract.
+  val x62 = Query(
+    "x62_quality_replines",
+    Some(s"""
+      WITH $reflowCtes,
+      bo AS (SELECT doc_id, '${Curation.BoilerLine}' AS line
+             FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 5)) AS j
+                   FROM documents WHERE doc_id % 7 = 0)),
+      lines AS (SELECT doc_id, line FROM rl UNION ALL SELECT doc_id, line FROM bo),
+      c AS (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(length(line) AS BIGINT) AS len
+            FROM lines GROUP BY doc_id, line),
+      s AS (SELECT doc_id,
+              CAST(SUM(cnt) AS BIGINT) AS n_lines,
+              CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_lines,
+              CAST(SUM(cnt * len) AS BIGINT) AS all_chars,
+              CAST(SUM(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS BIGINT) AS dup_chars
+            FROM c GROUP BY doc_id)
+      SELECT doc_id, n_lines,
+             CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
+             CAST(dup_chars AS DOUBLE) / all_chars AS dup_char_frac,
+             (CAST(dup_lines AS DOUBLE) / n_lines <= 0.30
+               AND CAST(dup_chars AS DOUBLE) / all_chars <= 0.20) AS rep_ok
+      FROM s ORDER BY doc_id""")
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    val lines = Curation.reflowLines(docs).select("doc_id", "line")
+      .unionAll(Curation.boilerplateLines(docs).select("doc_id", "line"))
+    Curation.repetitionStats(lines).orderBy("doc_id")
+  }
+
+  // --- X63: Gopher top n-gram character fraction (n = 2 and 3, Gopher's
+  // 0.20 / 0.18 bounds), deterministic argmax by (count DESC, gram ASC).
+  val x63 = Query(
+    "x63_quality_repgrams",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, CAST(length(norm) AS BIGINT) AS nc,
+                   string_split(norm, ' ') AS ws FROM n),
+      g2 AS (SELECT doc_id, nc, unnest(list_transform(range(1, len(ws)),
+               j -> array_to_string(ws[j:j+1], ' '))) AS g FROM w),
+      g3 AS (SELECT doc_id, nc, unnest(list_transform(range(1, len(ws) - 1),
+               j -> array_to_string(ws[j:j+2], ' '))) AS g FROM w),
+      c2 AS (SELECT doc_id, nc, g, CAST(count(*) AS BIGINT) AS cnt
+             FROM g2 GROUP BY doc_id, nc, g),
+      c3 AS (SELECT doc_id, nc, g, CAST(count(*) AS BIGINT) AS cnt
+             FROM g3 GROUP BY doc_id, nc, g),
+      t2 AS (SELECT doc_id, 2 AS gram_n, g AS top_gram, cnt AS top_cnt,
+                    CAST(cnt * length(g) AS DOUBLE) / nc AS top_frac
+             FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY cnt DESC, g) AS rk FROM c2)
+             WHERE rk = 1),
+      t3 AS (SELECT doc_id, 3 AS gram_n, g AS top_gram, cnt AS top_cnt,
+                    CAST(cnt * length(g) AS DOUBLE) / nc AS top_frac
+             FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY cnt DESC, g) AS rk FROM c3)
+             WHERE rk = 1)
+      SELECT doc_id, gram_n, top_gram, top_cnt, top_frac,
+             CASE WHEN gram_n = 2 THEN top_frac <= 0.20
+                  ELSE top_frac <= 0.18 END AS gram_ok
+      FROM (SELECT * FROM t2 UNION ALL SELECT * FROM t3)
+      ORDER BY doc_id, gram_n""")
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    Curation.topNgramStats(docs, 2, 0.20)
+      .unionAll(Curation.topNgramStats(docs, 3, 0.18))
+      .orderBy("doc_id", "gram_n")
+  }
+
+  // --- X64: C4-style page cleaning. The reflowed lines are decorated
+  // deterministically (terminal '.' on two of three lines; a 'lorem
+  // ipsum' contamination marker prefixed to line 0 of docs ≡ 0 mod 13)
+  // and then filtered by the C4 rules: keep lines ending in terminal
+  // punctuation with ≥ 5 words; drop pages carrying the marker or with
+  // < 3 surviving lines.
+  val x64 = Query(
+    "x64_quality_c4",
+    Some(s"""
+      WITH $reflowCtes,
+      deco AS (SELECT doc_id, line_id,
+                 (CASE WHEN doc_id % 13 = 0 AND line_id = 0
+                       THEN 'lorem ipsum ' ELSE '' END)
+                 || line ||
+                 (CASE WHEN (doc_id + line_id) % 3 <> 0 THEN '.' ELSE '' END) AS line
+               FROM rl),
+      k AS (SELECT doc_id,
+              CASE WHEN line LIKE '%.'
+                    AND len(string_split(line, ' ')) >= 5 THEN 1 ELSE 0 END AS k,
+              CASE WHEN line LIKE '%lorem ipsum%' THEN 1 ELSE 0 END AS bad
+            FROM deco)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(SUM(k) AS BIGINT) AS n_kept,
+             (MAX(bad) = 1) AS has_bad,
+             (MAX(bad) = 0 AND SUM(k) >= 3) AS page_kept
+      FROM k GROUP BY doc_id ORDER BY doc_id""")
+  ) { (s, d) =>
+    val deco = Curation.reflowLines(documents(s, d))
+      .select(col("doc_id"), col("line_id"),
+        concat(
+          when(col("doc_id") % 13 === 0 && col("line_id") === 0, "lorem ipsum ")
+            .otherwise(""),
+          col("line"),
+          when((col("doc_id") + col("line_id")) % 3 =!= 0, ".").otherwise(""))
+          .as("line"))
+    Curation.c4Stats(deco).orderBy("doc_id")
+  }
+
+  // --- X65: URL canonicalization + registered-domain rollup. Dirty URLs
+  // injected deterministically (mixed-case scheme, utm tracking params,
+  // fragments, trailing slashes); the operator canonicalizes, extracts
+  // the registered domain (multi-part public suffix handled), and rolls
+  // up doc counts / distinct canonical URLs / URL-dedup drops per domain.
+  val x65 = Query(
+    "x65_url_domains",
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+          || ['www.','cdn.','blog.',''][CAST(doc_id % 4 + 1 AS INT)]
+          || 'Site' || CAST(doc_id % 37 AS VARCHAR)
+          || ['.com','.org','.co.uk'][CAST(doc_id % 3 + 1 AS INT)]
+          || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+          || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+          || (CASE WHEN doc_id % 2 = 0
+                   THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+                        || '&id=' || CAST(doc_id % 11 AS VARCHAR)
+                   WHEN doc_id % 3 = 0 THEN '?id=' || CAST(doc_id % 11 AS VARCHAR)
+                   ELSE '' END)
+          || (CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+                   ELSE '' END) AS url
+        FROM documents),
+      nu AS (SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 lower(url),
+                 '#.*', '', 'g'),
+                 'utm_[a-z]+=[^&#]*&?', '', 'g'),
+                 '[?&]$', '', 'g'),
+                 '/$', '', 'g') AS nurl
+             FROM u),
+      d AS (SELECT doc_id, nurl,
+              CASE WHEN regexp_matches(regexp_extract(nurl, '^https?://([^/?#]+)', 1),
+                        '\.co\.uk$')
+                   THEN regexp_extract(regexp_extract(nurl, '^https?://([^/?#]+)', 1),
+                        '([^.]+\.co\.uk)$', 1)
+                   ELSE regexp_extract(regexp_extract(nurl, '^https?://([^/?#]+)', 1),
+                        '([^.]+\.[^.]+)$', 1) END AS domain
+            FROM nu)
+      SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT nurl) AS BIGINT) AS n_urls,
+             CAST(count(*) - count(DISTINCT nurl) AS BIGINT) AS n_dropped,
+             MIN(doc_id) AS min_doc
+      FROM d GROUP BY domain ORDER BY domain""")
+  ) { (s, d) =>
+    WebCuration.domainRollup(WebCuration.injectUrls(documents(s, d)))
+      .orderBy("domain")
+  }
+
+  // --- X69: deterministic hash split (train/val/test per-mille cuts) —
+  // no RNG, stable under reruns and corpus appends; per (split, lang)
+  // doc and char counts.
+  val x69 = Query(
+    "x69_dataset_split",
+    Some("""
+      WITH s AS (
+        SELECT lang, n_chars,
+          CASE WHEN (doc_id % 2147483647) * 2654435761 % 1000 < 800 THEN 'train'
+               WHEN (doc_id % 2147483647) * 2654435761 % 1000 < 900 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents)
+      SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM s GROUP BY split, lang ORDER BY split, lang""")
+  ) { (s, d) =>
+    Curation.datasetSplit(documents(s, d))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("split", "lang")
+  }
+
+  // --- X70: per-source mixture sampling to target keep-rates (the
+  // source-weighting step of corpus mixing), hash-thresholded — the
+  // achieved fraction converges to target_pct/100 as the source grows.
+  val x70 = Query(
+    "x70_mixture_sample",
+    Some("""
+      WITH m AS (
+        SELECT source,
+               20 + (CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) * 7) % 60
+                 AS target_pct,
+               ((doc_id + 7919) % 2147483647) * 2654435761 % 100 AS h
+        FROM documents)
+      SELECT source, target_pct,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN h < target_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN h < target_pct THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS achieved
+      FROM m GROUP BY source, target_pct ORDER BY source""")
+  ) { (s, d) =>
+    val rate = lit(20) +
+      (regexp_extract(col("source"), "src([0-9]+)", 1).cast("int") * 7) % 60
+    Curation.mixtureSample(documents(s, d), rate)
+      .groupBy("source", "target_pct")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        (sum(when(col("kept"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("achieved"))
+      .orderBy("source")
+  }
+
+  // --- X71: greedy sequence packing into 256-token bins within fixed
+  // 64-doc shards (shard COUNT scales with the corpus, shard SIZE is
+  // bounded — the per-shard fold is O(64) however big the corpus gets).
+  // The oracle replays the identical greedy recurrence as a recursive
+  // CTE stepping rn → rn+1 within each shard.
+  val x71 = Query(
+    "x71_sequence_packing",
+    Some(s"""
+      WITH RECURSIVE n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      d AS (SELECT doc_id,
+                   CAST(floor(doc_id / 64) AS BIGINT) AS shard,
+                   CAST(len(string_split(norm, ' ')) AS BIGINT) AS ntok,
+                   CAST(row_number() OVER (
+                     PARTITION BY CAST(floor(doc_id / 64) AS BIGINT)
+                     ORDER BY doc_id) AS BIGINT) AS rn
+            FROM n),
+      pack AS (
+        SELECT shard, rn, doc_id, ntok, 0 AS bin, ntok AS cum
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.shard, d.rn, d.doc_id, d.ntok,
+               CASE WHEN p.cum + d.ntok > 256 THEN p.bin + 1 ELSE p.bin END,
+               CASE WHEN p.cum + d.ntok > 256 THEN d.ntok ELSE p.cum + d.ntok END
+        FROM pack p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+      SELECT doc_id, shard, bin, ntok FROM pack ORDER BY doc_id""")
+  ) { (s, d) =>
+    Curation.packSequences(documents(s, d), budget = 256, shardSize = 64)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71)
+}

@@ -7,7 +7,8 @@ object Inventory {
     RelationalQueries.all ++ EventQueries.all ++ PipelineQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
       TemporalQueries.all ++ AggregatorQueries.all ++ ExtraQueries.all ++
-      RelationalQueries2.all ++ CoverageQueries.all
+      RelationalQueries2.all ++ CoverageQueries.all ++
+      CurationQueries.all ++ RetrievalQueries.all
 
   def byName: Map[String, Query] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables._
+import graft.operators.{Quantization, Retrieval}
+
+/** Lexical retrieval + int8 quantization suite. BM25's one libm call
+  * (ln) is rounded to 6 before use and its Scala-precomputed constants
+  * are interpolated into the oracle text (shortest-repr doubles round-
+  * trip exactly); the quantization queries are integer-exact end to end
+  * — no float aggregation anywhere in their graded output. */
+object RetrievalQueries {
+
+  private val normSql = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  // --- X66: BM25 top-10 per query term.
+  private val Terms = Seq("spark", "window", "customer", "vector", "stream")
+  private val K1 = 1.2
+  private val B = 0.75
+  private val termsSql = Terms.map(t => s"'$t'").mkString("(", ",", ")")
+
+  val x66 = Query(
+    "x66_bm25_topk",
+    Some(s"""
+      WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      p AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avgdl
+            FROM p),
+      tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(ws) AS term FROM p)
+             WHERE term IN $termsSql GROUP BY term, doc_id, dl),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      sc AS (SELECT t.term, t.doc_id, t.tf,
+               ROUND(ROUND(ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+                 * (t.tf * ${K1 + 1.0})
+                 / (t.tf + $K1 * (${1.0 - B} + $B * t.dl / g.avgdl)), 6) AS score
+             FROM tf t JOIN df f USING (term) CROSS JOIN g),
+      r AS (SELECT term, doc_id, tf, score,
+              CAST(row_number() OVER (PARTITION BY term
+                ORDER BY score DESC, doc_id) AS INT) AS rk
+            FROM sc)
+      SELECT term, doc_id, tf, score, rk FROM r WHERE rk <= 10
+      ORDER BY term, rk""")
+  ) { (s, d) =>
+    Retrieval.bm25TopK(documents(s, d), Terms, k = 10, k1 = K1, b = B)
+      .orderBy("term", "rk")
+  }
+
+  // --- X67/X68: int8 quantization. Shared oracle CTEs lift vectors to
+  // integer micro-units, derive the per-vector integer scale, and code
+  // via one IEEE-deterministic double division.
+  private val codesCtes = """
+      e AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xs
+            FROM embeddings),
+      s AS (SELECT vec_id, xs,
+              list_aggregate(list_transform(xs, x -> abs(x)), 'max') AS scale_int
+            FROM e),
+      qq AS (SELECT vec_id, xs, scale_int,
+               list_transform(xs, x -> greatest(-127, least(127,
+                 CAST(floor(x * 127.0 / scale_int + 0.5) AS BIGINT)))) AS q
+             FROM s)"""
+
+  val x67 = Query(
+    "x67_embed_quantize",
+    Some(s"""
+      WITH $codesCtes,
+      h AS (SELECT vec_id, xs, scale_int, q,
+              list_transform(q, v -> CAST(floor(v * scale_int / 127.0 + 0.5) AS BIGINT))
+                AS xhat
+            FROM qq)
+      SELECT vec_id, scale_int,
+             CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+             CAST(len(list_filter(q, v -> abs(v) = 127)) AS INT) AS n_sat,
+             CAST(list_aggregate(list_transform(range(1, len(xs) + 1),
+               j -> (xs[j] - xhat[j]) * (xs[j] - xhat[j])), 'sum') AS BIGINT) AS sse
+      FROM h ORDER BY vec_id""")
+  ) { (s, d) =>
+    Quantization.int8Stats(embeddings(s, d)).orderBy("vec_id")
+  }
+
+  val x68 = Query(
+    "x68_quantized_search",
+    Some(s"""
+      WITH $codesCtes,
+      pr AS (SELECT vec_id AS probe_id, q AS qp FROM qq WHERE vec_id % 100 = 0),
+      c AS (SELECT probe_id, vec_id AS neighbor_id,
+              CAST(list_aggregate(list_transform(range(1, len(q) + 1),
+                j -> q[j] * qp[j]), 'sum') AS BIGINT) AS dot
+            FROM qq CROSS JOIN pr WHERE vec_id <> probe_id),
+      r AS (SELECT probe_id, neighbor_id, dot,
+              CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY dot DESC, neighbor_id) AS INT) AS rk
+            FROM c)
+      SELECT probe_id, neighbor_id, dot, rk FROM r WHERE rk <= 5
+      ORDER BY probe_id, rk""")
+  ) { (s, d) =>
+    Quantization.quantizedTopK(embeddings(s, d), col("vec_id") % 100 === 0, k = 5)
+      .orderBy("probe_id", "rk")
+  }
+
+  val all: Seq[Query] = Seq(x66, x67, x68)
+}
