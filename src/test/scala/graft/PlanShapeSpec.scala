@@ -62,13 +62,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("graft-sigstore-"), s"store scan missing:\n$p")
   }
 
-  test("x54 trained search: two-phase top-k, broadcast cell join, no cartesian corpus join") {
+  test("x54 trained search: two-phase top-k, equi cell join, no cartesian corpus join") {
     val p = plan("x54_ivf_trained")
     assert(p.indexOf("TopKPerKey") != p.lastIndexOf("TopKPerKey"), p)
-    // the cell-restricted search joins the corpus to broadcast probes on
-    // the cell key — an equi hash join, never an all-pairs scan (the only
-    // nested-loop joins are the bounded C-row codebook broadcasts)
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the cell-restricted search joins the corpus to its probes on the
+    // cell key — an EQUI join, never an all-pairs scan. The probe side is
+    // corpus-proportional under a fractional probePred, so the join
+    // carries no forced broadcast hint (advisor r4): statically it plans
+    // as a shuffle join and AQE demotes to broadcast at runtime when the
+    // measured probe size allows. The only nested-loop joins are the
+    // bounded C-row codebook broadcasts.
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

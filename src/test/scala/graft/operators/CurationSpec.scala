@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** Laws for the curation suite: reflow reconstruction, repetition-filter
+  * behavior on clean vs boilerplate-injected docs, C4 rules, URL
+  * canonicalization, deterministic splits/sampling, packing invariants,
+  * BM25 ordering, and int8 quantization error bounds. */
+class CurationSpec extends AnyFunSuite with SparkTest {
+
+  private def docs(texts: (Long, String)*) = {
+    import spark.implicits._
+    texts.toSeq.toDF("doc_id", "text")
+  }
+
+  test("reflowLines · join(lines) reconstructs the normalized text") {
+    val d = docs(1L -> "The  Quick brown fox jumps over the lazy dog again and again",
+      2L -> "one two three", 3L -> ("w " * 17).trim)
+    val rebuilt = Curation.reflowLines(d)
+      .groupBy("doc_id")
+      .agg(array_join(array_sort(collect_list(struct(col("line_id"), col("line"))))
+        .getField("line"), " ").as("re"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = d.select(col("doc_id"),
+        graft.functions.TextFunctions.normText(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rebuilt == expect)
+  }
+
+  test("repetitionStats: unique lines pass, repeated boilerplate fails the gate") {
+    import spark.implicits._
+    val clean = (0 until 6).map(i => (1L, i, s"unique line number $i"))
+    val dirty = clean.map { case (_, i, l) => (2L, i, l) } ++
+      (10 until 16).map(i => (2L, i, "subscribe now"))
+    val lines = (clean ++ dirty).toDF("doc_id", "line_id", "line")
+      .select("doc_id", "line")
+    val st = Curation.repetitionStats(lines).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getAs[Boolean]("rep_ok"))
+    assert(st(1L).getAs[Double]("dup_line_frac") == 0.0)
+    // doc 2: 12 lines, 6 of them the same boilerplate → frac 0.5
+    assert(st(2L).getAs[Double]("dup_line_frac") == 0.5)
+    assert(!st(2L).getAs[Boolean]("rep_ok"))
+  }
+
+  test("topNgramStats matches a hand-computed argmax") {
+    val d = docs(1L -> "a b a b a b")
+    val r = Curation.topNgramStats(d, 2, 0.20).collect().head
+    assert(r.getAs[String]("top_gram") == "a b")
+    assert(r.getAs[Long]("top_cnt") == 3L)
+    // norm "a b a b a b" = 11 chars; 3 hits × 3 chars / 11
+    assert(r.getAs[Double]("top_frac") == 9.0 / 11.0)
+    assert(!r.getAs[Boolean]("gram_ok"))
+  }
+
+  test("c4Stats: punctuation/min-words line rule and page marker rule") {
+    import spark.implicits._
+    val lines = Seq(
+      (1L, 0, "this line has enough words to survive."),
+      (1L, 1, "short line."),                       // < 5 words → dropped
+      (1L, 2, "no terminal punctuation here at all"), // no '.' → dropped
+      (1L, 3, "another line with plenty of words."),
+      (1L, 4, "a third fine line right here."),
+      (2L, 0, "lorem ipsum dolor sit amet consectetur."),
+      (2L, 1, "this page would otherwise be fine here."),
+      (2L, 2, "more good sentences follow this one."),
+      (2L, 3, "and another one right after that."))
+      .toDF("doc_id", "line_id", "line")
+    val st = Curation.c4Stats(lines).collect().map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getAs[Long]("n_kept") == 3L)
+    assert(st(1L).getAs[Boolean]("page_kept"))
+    assert(st(2L).getAs[Boolean]("has_bad") && !st(2L).getAs[Boolean]("page_kept"))
+  }
+
+  test("normalizeUrl strips tracking/fragment/case/trailing-slash, keeps real params") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTP://WWW.Site1.COM/p/3/" -> "http://www.site1.com/p/3",
+      "https://a.org/x?utm_source=f&utm_campaign=c1&id=7" -> "https://a.org/x?id=7",
+      "https://a.org/x?utm_source=f&utm_campaign=c1" -> "https://a.org/x",
+      "https://b.co.uk/y#frag" -> "https://b.co.uk/y",
+      "https://b.co.uk/y?id=2#frag" -> "https://b.co.uk/y?id=2")
+    val out = cases.map(_._1).toDF("url")
+      .select(WebCuration.normalizeUrl(col("url"))).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+
+  test("registeredDomain handles multi-part public suffixes") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://www.blog.site3.com/p" -> "site3.com",
+      "https://cdn.site9.co.uk/p" -> "site9.co.uk",
+      "https://site0.org/p" -> "site0.org")
+    val out = cases.map(_._1).toDF("u")
+      .select(WebCuration.registeredDomain(col("u"))).as[String].collect()
+    assert(out.toSeq == cases.map(_._2))
+  }
+
+  test("datasetSplit partitions every doc into exactly one split, stably") {
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val s1 = Curation.datasetSplit(d).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1.values.sum == d.count())
+    assert(s1.keySet.subsetOf(Set("train", "val", "test")))
+    val s2 = Curation.datasetSplit(d).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 == s2)
+    // the 80/10/10 cuts should be roughly respected even on a small corpus
+    assert(s1("train") > s1.values.sum / 2)
+  }
+
+  test("packSequences: bins respect the budget and doc order, cover all docs") {
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val budget = 256L
+    val packed = Curation.packSequences(d, budget = 256, shardSize = 64).collect()
+    assert(packed.length == d.count())
+    // per-(shard,bin) sums fit the budget unless a single doc overflows it
+    val byBin = packed.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Int]("bin")))
+    byBin.foreach { case (_, rs) =>
+      val tot = rs.map(_.getAs[Long]("ntok")).sum
+      assert(tot <= budget || rs.length == 1)
+    }
+    // within a shard, bin ids are non-decreasing in doc order and contiguous
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val bins = rs.sortBy(_.getAs[Long]("doc_id")).map(_.getAs[Int]("bin"))
+      assert(bins.head == 0)
+      bins.sliding(2).foreach {
+        case Array(a, b) => assert(b == a || b == a + 1); case _ => ()
+      }
+    }
+    // greedy: a doc goes to a NEW bin only because it would not have fit
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val inOrder = rs.sortBy(_.getAs[Long]("doc_id"))
+      var cum = 0L
+      var bin = 0
+      inOrder.foreach { r =>
+        val t = r.getAs[Long]("ntok")
+        if (r.getAs[Int]("bin") > bin) { assert(cum + t > budget); bin += 1; cum = 0L }
+        cum += t
+      }
+    }
+  }
+
+  test("bm25TopK: rarer terms score higher at equal tf; ranking is by score") {
+    val d = docs(
+      1L -> "apple banana apple banana apple",
+      2L -> "apple cherry plum grape melon",
+      3L -> "banana kiwi plum grape melon lime fig date pear peach")
+    val r = Retrieval.bm25TopK(d, Seq("apple", "banana", "cherry"), k = 3)
+      .collect()
+    val byTerm = r.groupBy(_.getAs[String]("term"))
+    // cherry appears once in the corpus → its idf (and top score) beats
+    // apple's top score at the same tf=1 and a shorter doc wins nothing here
+    val topApple = byTerm("apple").minBy(_.getAs[Int]("rk"))
+    val topCherry = byTerm("cherry").minBy(_.getAs[Int]("rk"))
+    assert(topCherry.getAs[Double]("score") > 0)
+    // doc 1 has tf=3 for apple → ranks first for apple
+    assert(topApple.getAs[Long]("doc_id") == 1L)
+    // rk follows (score desc, doc_id) exactly
+    byTerm.values.foreach { rows =>
+      val sorted = rows.sortBy(r => (-r.getAs[Double]("score"), r.getAs[Long]("doc_id")))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq == (1 to rows.length).toSeq)
+    }
+  }
+
+  test("int8 quantization: codes bounded, saturation attained, error bounded") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val st = Quantization.int8Stats(emb).collect()
+    assert(st.length == emb.count())
+    st.foreach { r =>
+      val scale = r.getAs[Long]("scale_int")
+      val dim = 64L
+      // the max-|x| element codes to exactly ±127 → at least one saturated
+      assert(r.getAs[Int]("n_sat") >= 1)
+      // per-element reconstruction error ≤ scale/254 + 1 µ-units (half a
+      // code step + the two half-up roundings)
+      val perElem = scale.toDouble / 254.0 + 1.0
+      assert(r.getAs[Long]("sse").toDouble <= dim * perElem * perElem)
+    }
+  }
+
+  test("quantizedTopK top-1 equals the argmax of the integer dot product") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val codes = Quantization.int8Codes(emb)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val top = Quantization.quantizedTopK(emb, col("vec_id") % 200 === 0, k = 1)
+      .collect()
+    top.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      val qp = codes(p)
+      val best = codes.view.filterKeys(_ != p)
+        .map { case (id, q) => (q.zip(qp).map { case (a, b) => a * b }.sum, id) }
+        .maxBy { case (dot, id) => (dot, -id) }
+      assert(r.getAs[Long]("neighbor_id") == best._2
+        && r.getAs[Long]("dot") == best._1)
+    }
+  }
+}
