@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
-import graft.operators.{Curation, WebCuration}
+import graft.operators.{Curation, Tokenizer, WebCuration}
 
 /** Corpus-curation suite: Gopher repetition filters, C4 page cleaning,
   * URL/domain curation, deterministic splits, mixture sampling, sequence
@@ -270,5 +270,47 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71)
+  // --- X72: BPE-style tokenizer training, 5 merge rounds. Each oracle
+  // stage replays one round: overlapping-adjacency pair counts → global
+  // argmax (count DESC, pair ASC) → leftmost-non-overlapping merge via
+  // regexp_replace — the same two counting semantics the operator
+  // documents. The pair is a scalar subquery on the oracle side and a
+  // broadcast 1-row join on the Spark side; the corpus never reaches
+  // the driver in either engine.
+  private def bpeRound(r: Int): String = {
+    val prev = if (r == 1) "t0" else s"m${r - 1}"
+    s"""
+      w$r AS (SELECT doc_id, t, string_split(trim(t), ' ') AS ws FROM $prev),
+      g$r AS (SELECT unnest(list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS g FROM w$r),
+      p$r AS (SELECT g AS pair FROM (
+                SELECT g, count(*) AS c FROM g$r GROUP BY g
+                ORDER BY c DESC, g LIMIT 1)),
+      s$r AS (SELECT $r AS round, (SELECT pair FROM p$r) AS pair,
+                CAST(SUM(len(regexp_extract_all(t,
+                  ' ' || (SELECT pair FROM p$r) || ' '))) AS BIGINT) AS n_merges
+              FROM $prev),
+      m$r AS (SELECT doc_id,
+                regexp_replace(t,
+                  ' ' || (SELECT pair FROM p$r) || ' ',
+                  ' ' || replace((SELECT pair FROM p$r), ' ', '_') || ' ',
+                  'g') AS t
+              FROM $prev)"""
+  }
+
+  val x72 = Query(
+    "x72_bpe_train",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      t0 AS (SELECT doc_id, ' ' || norm || ' ' AS t FROM n),
+      ${(1 to 5).map(bpeRound).mkString(",")}
+      SELECT round, pair, n_merges
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+            UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+      ORDER BY round""")
+  ) { (s, d) =>
+    Tokenizer.bpeTrain(documents(s, d), rounds = 5).orderBy("round")
+  }
+
+  val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72)
 }

@@ -181,6 +181,20 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("bpeTrain: hand-computed merges — overlap-counted selection, non-overlap merge") {
+    // t0: " a b a b c ", " a b x ". Overlapping bigram counts: "a b"×3 →
+    // winner. Non-overlapping replace merges ONE "a b" per doc (the
+    // second occurrence in doc 1 lost its leading space to the first
+    // match) → n_merges=2. Round 2: all pairs tie at 1; "a b" is the
+    // lexicographic tie-break winner (' ' < '_') and merges the now
+    // re-spaced second occurrence in doc 1 → n_merges=1.
+    val d = docs(1L -> "a b a b c", 2L -> "a b x")
+    val r = Tokenizer.bpeTrain(d, rounds = 2).orderBy("round").collect()
+    assert(r.map(x => (x.getAs[Int]("round"), x.getAs[String]("pair"),
+      x.getAs[Long]("n_merges"))).toSeq ==
+      Seq((1, "a b", 2L), (2, "a b", 1L)))
+  }
+
   test("quantizedTopK top-1 equals the argmax of the integer dot product") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val codes = Quantization.int8Codes(emb)
