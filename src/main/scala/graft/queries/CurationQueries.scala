@@ -312,5 +312,152 @@ object CurationQueries {
     Tokenizer.bpeTrain(documents(s, d), rounds = 5).orderBy("round")
   }
 
-  val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72)
+  // --- X73: per-domain quotas — the crawl-balance step (no domain may
+  // contribute more than N docs), ranked by a quality proxy (n_chars
+  // DESC, doc_id ASC) through the custom two-phase TopKPerKey, keyed by
+  // the x65 registered domain. Hot crawl domains cap at k rows per map
+  // partition — the quota operator is itself skew-proof.
+  val x73 = Query(
+    "x73_domain_quota",
+    Some("""
+      WITH u AS (
+        SELECT doc_id, n_chars,
+          (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+          || ['www.','cdn.','blog.',''][CAST(doc_id % 4 + 1 AS INT)]
+          || 'Site' || CAST(doc_id % 37 AS VARCHAR)
+          || ['.com','.org','.co.uk'][CAST(doc_id % 3 + 1 AS INT)]
+          || '/p/' || CAST(doc_id % 50 AS VARCHAR) AS url
+        FROM documents),
+      d AS (SELECT doc_id, n_chars,
+              CASE WHEN regexp_matches(regexp_extract(lower(url), '^https?://([^/?#]+)', 1),
+                        '\.co\.uk$')
+                   THEN regexp_extract(regexp_extract(lower(url), '^https?://([^/?#]+)', 1),
+                        '([^.]+\.co\.uk)$', 1)
+                   ELSE regexp_extract(regexp_extract(lower(url), '^https?://([^/?#]+)', 1),
+                        '([^.]+\.[^.]+)$', 1) END AS domain
+            FROM u),
+      r AS (SELECT domain, doc_id, n_chars,
+              CAST(row_number() OVER (PARTITION BY domain
+                ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+            FROM d)
+      SELECT domain, doc_id, n_chars, rk FROM r WHERE rk <= 3
+      ORDER BY domain, rk""")
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val urls = WebCuration.injectUrls(documents(s, d))
+      .select(col("doc_id"),
+        // quota keys on the domain only — the simpler URL form (no
+        // params/fragments) matches the oracle's
+        WebCuration.registeredDomain(lower(col("url"))).as("domain"))
+    val withChars = urls.join(documents(s, d).select("doc_id", "n_chars"), "doc_id")
+    val ranked = graft.plans.TopK.perKey(withChars, Seq(withChars("domain")),
+      Seq(withChars("n_chars").desc, withChars("doc_id")), k = 3)
+    val w = Window.partitionBy("domain").orderBy(col("n_chars").desc, col("doc_id"))
+    ranked.withColumn("rk", row_number().over(w))
+      .select("domain", "doc_id", "n_chars", "rk")
+      .orderBy("domain", "rk")
+  }
+
+  // --- X74: the modern curation pipeline END-TO-END as one DAG —
+  // repetition gate (x62, boilerplate injection included) ∧ C4 page gate
+  // (x64 decoration included) → URL-level dedup (keep min doc_id per
+  // canonical URL) → deterministic split (x69) → per (split, lang)
+  // doc/token/char accounting. Every stage is an operator graded alone
+  // elsewhere; this grades their COMPOSITION (the x53 pattern, curation
+  // generation 2).
+  val x74 = Query(
+    "x74_curation_pipeline",
+    Some(s"""
+      WITH $reflowCtes,
+      bo AS (SELECT doc_id, '${Curation.BoilerLine}' AS line
+             FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 5)) AS j
+                   FROM documents WHERE doc_id % 7 = 0)),
+      alllines AS (SELECT doc_id, line FROM rl UNION ALL SELECT doc_id, line FROM bo),
+      lc AS (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS cnt,
+                    CAST(length(line) AS BIGINT) AS len
+             FROM alllines GROUP BY doc_id, line),
+      rep AS (SELECT doc_id,
+                (CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+                   / SUM(cnt) <= 0.30
+                 AND CAST(SUM(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END) AS DOUBLE)
+                   / SUM(cnt * len) <= 0.20) AS rep_ok
+              FROM lc GROUP BY doc_id),
+      deco AS (SELECT doc_id,
+                 (CASE WHEN doc_id % 13 = 0 AND line_id = 0
+                       THEN 'lorem ipsum ' ELSE '' END)
+                 || line ||
+                 (CASE WHEN (doc_id + line_id) % 3 <> 0 THEN '.' ELSE '' END) AS line
+               FROM rl),
+      c4 AS (SELECT doc_id,
+               (MAX(CASE WHEN line LIKE '%lorem ipsum%' THEN 1 ELSE 0 END) = 0
+                AND SUM(CASE WHEN line LIKE '%.'
+                          AND len(string_split(line, ' ')) >= 5
+                        THEN 1 ELSE 0 END) >= 3) AS page_kept
+             FROM deco GROUP BY doc_id),
+      u AS (SELECT doc_id,
+              lower((CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END)
+              || ['www.','cdn.','blog.',''][CAST(doc_id % 4 + 1 AS INT)]
+              || 'Site' || CAST(doc_id % 37 AS VARCHAR)
+              || ['.com','.org','.co.uk'][CAST(doc_id % 3 + 1 AS INT)]
+              || '/p/' || CAST(doc_id % 50 AS VARCHAR)) AS nurl
+            FROM documents),
+      gated AS (
+        SELECT d.doc_id, d.lang, d.n_chars, u.nurl,
+               len(string_split($normSql, ' ')) AS ntok
+        FROM documents d
+        JOIN rep ON rep.doc_id = d.doc_id
+        JOIN c4 ON c4.doc_id = d.doc_id
+        JOIN u ON u.doc_id = d.doc_id
+        WHERE rep.rep_ok AND c4.page_kept),
+      dedup AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY nurl ORDER BY doc_id) AS urn
+          FROM gated) WHERE urn = 1),
+      sp AS (SELECT lang, n_chars, ntok,
+               CASE WHEN (doc_id % 2147483647) * 2654435761 % 1000 < 800 THEN 'train'
+                    WHEN (doc_id % 2147483647) * 2654435761 % 1000 < 900 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM dedup)
+      SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM sp GROUP BY split, lang ORDER BY split, lang""")
+  ) { (s, d) =>
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val lines = Curation.reflowLines(docs).select("doc_id", "line")
+      .unionAll(Curation.boilerplateLines(docs).select("doc_id", "line"))
+    val rep = Curation.repetitionStats(lines).select("doc_id", "rep_ok")
+    val deco = Curation.reflowLines(docs)
+      .select(col("doc_id"), col("line_id"),
+        concat(
+          when(col("doc_id") % 13 === 0 && col("line_id") === 0, "lorem ipsum ")
+            .otherwise(""),
+          col("line"),
+          when((col("doc_id") + col("line_id")) % 3 =!= 0, ".").otherwise(""))
+          .as("line"))
+    val c4 = Curation.c4Stats(deco).select("doc_id", "page_kept")
+    val urls = WebCuration.injectUrls(docs)
+      .select(col("doc_id"), lower(col("url")).as("nurl"))
+      // quota-free canonical form for dedup: the injected params/
+      // fragments/slashes are doc_id-unique, so dedup keys on the
+      // params-free prefix (the oracle builds the same)
+      .select(col("doc_id"),
+        regexp_extract(col("nurl"), "^(https?://[^/?#]+/p/[0-9]+)", 1).as("nurl"))
+    val gated = docs
+      .join(rep, "doc_id").join(c4, "doc_id").join(urls, "doc_id")
+      .filter(col("rep_ok") && col("page_kept"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("nurl"),
+        size(words(normText(col("text")))).cast("long").as("ntok"))
+    val w = Window.partitionBy("nurl").orderBy("doc_id")
+    val deduped = gated.withColumn("urn", row_number().over(w)).filter(col("urn") === 1)
+    Curation.datasetSplit(deduped)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+      .orderBy("split", "lang")
+  }
+
+  val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74)
 }
