@@ -134,6 +134,22 @@ object Curation {
       .withColumn("page_kept", !col("has_bad") && col("n_kept") >= minKeptLines)
   }
 
+  /** Stateless column-program form of the C4 page gate over REAL lines
+    * (`split(text, '\n')`): pure per-row array programs — no explode, no
+    * shuffle, no state — so the identical expression runs unchanged in a
+    * streaming append pipeline (StreamingCurationSpec pins that, and
+    * CurationSpec pins equivalence with `c4Stats` over exploded lines).
+    * This is the form a 100 TB ingest filter actually ships: gate at the
+    * scan, before anything wide. */
+  def c4PageGate(text: Column, minWords: Int = 5, minKeptLines: Int = 3,
+                 badMarker: String = "lorem ipsum"): Column = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      l.endsWith(".") && size(split(l, " ")) >= minWords)
+    val bad = exists(lines, l => l.contains(badMarker))
+    !bad && size(kept) >= minKeptLines
+  }
+
   /** Deterministic hash split: the Knuth multiplicative hash over a
     * 31-bit-masked doc_id (mask first — Spark wraps on Long overflow
     * while DuckDB raises, see x22) mapped to [0,1000); `cuts` are the

@@ -181,6 +181,23 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("c4PageGate column form ≡ c4Stats over exploded newline lines") {
+    val texts = Seq(
+      1L -> (1 to 4).map(i => s"a perfectly fine sentence number $i right here.").mkString("\n"),
+      2L -> ("lorem ipsum dolor sit amet consectetur elit.\n" + "good sentence with words aplenty here.\n" * 4),
+      3L -> "no punctuation at all\nshort.\nstill nothing",
+      4L -> "one good sentence with enough words here.\nsecond good sentence with enough words too.\nthird fine sentence closing the page now.")
+    val d = docs(texts: _*)
+    val viaCol = d.select(col("doc_id"), Curation.c4PageGate(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val lines = d.select(col("doc_id"), posexplode(split(col("text"), "\n")))
+      .toDF("doc_id", "line_id", "line")
+    val viaOp = Curation.c4Stats(lines)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("page_kept")).toMap
+    assert(viaCol == viaOp)
+    assert(viaCol == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("bpeTrain: hand-computed merges — overlap-counted selection, non-overlap merge") {
     // t0: " a b a b c ", " a b x ". Overlapping bigram counts: "a b"×3 →
     // winner. Non-overlapping replace merges ONE "a b" per doc (the

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+import graft.operators.Curation
+
+/** The quality gate as an ingest-time STREAM filter: `c4PageGate` is a
+  * stateless per-row column program, so the exact expression graded in
+  * batch (x64 semantics) drops bad pages in an append-mode stream with
+  * no state store and no watermark — the shape a 100 TB ingest filter
+  * ships in. */
+class StreamingCurationSpec extends AnyFunSuite with SparkTest {
+
+  private val good =
+    (1 to 4).map(i => s"this is a perfectly fine sentence number $i.").mkString("\n")
+  private val marked =
+    "lorem ipsum dolor sit amet consectetur adipiscing elit.\n" + good
+  private val junk = "no punctuation lines here at all\nshort one.\nugh"
+
+  test("the stateless page gate runs unchanged on an append-mode stream") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .filter(Curation.c4PageGate(col("text")))
+      .writeStream.format("memory").queryName("curation_gate")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, good), (2L, marked), (3L, junk))
+      q.processAllAvailable()
+      assert(spark.sql("select doc_id from curation_gate")
+        .as[Long].collect().toSet == Set(1L))
+      // later batches keep flowing through the same stateless gate
+      input.addData((4L, good), (5L, junk))
+      q.processAllAvailable()
+      assert(spark.sql("select doc_id from curation_gate")
+        .as[Long].collect().toSet == Set(1L, 4L))
+    } finally q.stop()
+  }
+}
