@@ -154,6 +154,41 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("x66 bm25 prunes to query terms before the shuffle and two-phase top-ks") {
+    val p = plan("x66_bm25_topk")
+    assert(p.indexOf("TopKPerKey") != p.lastIndexOf("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the term filter must sit below the tf exchange — the aggregated
+    // state is |terms|·|matching docs|, never the corpus vocabulary
+    // (children print below parents in the plan string, so child index >
+    // parent index ⇔ the filter sits upstream of the exchange)
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(term")
+    val filterIdx = p.indexOf("IN (spark")
+    assert(filterIdx > exchangeIdx && exchangeIdx > 0,
+      s"term IN-filter not below the tf exchange:\n$p")
+  }
+
+  test("x73 domain quota plans through two-phase TopKPerKey, no cartesian") {
+    val p = plan("x73_domain_quota")
+    assert(p.indexOf("TopKPerKey") != p.lastIndexOf("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x62/x71 curation aggs: no windows, no nested-loop joins") {
+    for (q <- Seq("x62_quality_replines", "x71_sequence_packing")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a window:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q grew a nested-loop join:\n$p")
+    }
+  }
+
+  test("x74 pipeline composes with equi joins only") {
+    val p = plan("x74_curation_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x01 minhash pipeline has no pre-aggregation distinct exchange") {
     // signature derivation = explode → project(md5) → partial agg →
     // ONE exchange keyed by doc_id; a reintroduced distinct would add a
