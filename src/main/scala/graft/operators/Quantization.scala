@@ -45,6 +45,42 @@ object Quantization {
         aggregate(zip_with(col("xs"), col("xhat"), (a, b) => (a - b) * (a - b)),
           lit(0L), (a, v) => a + v).as("sse"))
 
+  /** Quantized IVF: the int8 codes composed with a BOUNDED centroid set
+    * (`centPred` matches, deterministic lowest-id `limit(maxCents)` — the
+    * x47 boundedness lever, so assignment stays |corpus|·C linear) —
+    * integer-dot argmax assignment (TopKPerKey k=1), then the
+    * cell-restricted integer-dot search. EVERY number in the flow is
+    * integer arithmetic: no float appears anywhere between the µ-unit
+    * lift and the graded output. The probe table is corpus-proportional
+    * under a fractional probePred, so the cell join carries no broadcast
+    * hint (AQE decides).
+    * Output: probe_id, neighbor_id, cell, dot, rk. */
+  def quantizedIvfTopK(emb: DataFrame, centPred: Column, maxCents: Int,
+                       probePred: Column, k: Int): DataFrame = {
+    val codes = graft.core.Caches.scoped(int8Codes(emb).select(col("vec_id"), col("q")))
+    val cents = codes.filter(centPred).orderBy("vec_id").limit(maxCents)
+      .toDF("cent_id", "qc")
+    val assign = codes.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("cent_id"),
+        aggregate(zip_with(col("q"), col("qc"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v).as("adot"))
+    val cells = graft.core.Caches.scoped(
+      graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
+        Seq(assign("adot").desc, assign("cent_id")), 1)
+        .select(col("vec_id"), col("q"), col("cent_id").as("cell")))
+    val probes = cells.filter(probePred).toDF("probe_id", "qp", "cell")
+    val cands = cells.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        aggregate(zip_with(col("qp"), col("q"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v).as("dot"))
+    val topk = graft.plans.TopK.perKey(cands, Seq(cands("probe_id")),
+      Seq(cands("dot").desc, cands("neighbor_id")), k)
+    val w = Window.partitionBy("probe_id").orderBy(col("dot").desc, col("neighbor_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select("probe_id", "neighbor_id", "cell", "dot", "rk")
+  }
+
   /** Brute-force top-k neighbors under the INTEGER dot product of int8
     * codes — the quantized search path. Same bounded-probe contract as
     * `Similarity.bruteForceTopK` (probes broadcast, corpus scanned once,

@@ -101,5 +101,44 @@ object RetrievalQueries {
       .orderBy("probe_id", "rk")
   }
 
-  val all: Seq[Query] = Seq(x66, x67, x68)
+  // --- X75: quantized IVF — int8 codes (x67) composed with a bounded
+  // centroid set and integer-dot assignment + cell search. The whole
+  // flow is integer arithmetic (the x68 guarantee extended to the
+  // scale-path ANN): no float exists between the µ-unit lift and the
+  // graded output, so the oracle needs no rounding contract at all.
+  val x75 = Query(
+    "x75_quantized_ivf",
+    Some(s"""
+      WITH $codesCtes,
+      cents AS (SELECT vec_id AS cent_id, q AS qc FROM qq
+                WHERE vec_id % 64 = 0 ORDER BY vec_id LIMIT 16),
+      asg AS (SELECT vec_id, q, cent_id,
+                CAST(list_aggregate(list_transform(range(1, len(q) + 1),
+                  j -> q[j] * qc[j]), 'sum') AS BIGINT) AS adot
+              FROM qq CROSS JOIN cents),
+      cells AS (SELECT vec_id, q, cell FROM (
+                  SELECT vec_id, q, cent_id AS cell,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY adot DESC, cent_id) AS rn
+                  FROM asg) WHERE rn = 1),
+      pr AS (SELECT vec_id AS probe_id, q AS qp, cell FROM cells
+             WHERE vec_id % 100 = 0),
+      c AS (SELECT probe_id, v.vec_id AS neighbor_id, v.cell,
+              CAST(list_aggregate(list_transform(range(1, len(v.q) + 1),
+                j -> v.q[j] * qp[j]), 'sum') AS BIGINT) AS dot
+            FROM cells v JOIN pr USING (cell) WHERE v.vec_id <> probe_id),
+      r AS (SELECT probe_id, neighbor_id, cell, dot,
+              CAST(row_number() OVER (PARTITION BY probe_id
+                ORDER BY dot DESC, neighbor_id) AS INT) AS rk
+            FROM c)
+      SELECT probe_id, neighbor_id, cell, dot, rk FROM r WHERE rk <= 5
+      ORDER BY probe_id, rk""")
+  ) { (s, d) =>
+    Quantization.quantizedIvfTopK(embeddings(s, d),
+        centPred = col("vec_id") % 64 === 0, maxCents = 16,
+        probePred = col("vec_id") % 100 === 0, k = 5)
+      .orderBy("probe_id", "rk")
+  }
+
+  val all: Seq[Query] = Seq(x66, x67, x68, x75)
 }

@@ -212,6 +212,29 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       Seq((1, "a b", 2L), (2, "a b", 1L)))
   }
 
+  test("quantizedIvfTopK equals brute-force integer top-k restricted to the cell") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val ivf = Quantization.quantizedIvfTopK(emb, col("vec_id") % 64 === 0,
+      maxCents = 8, probePred = col("vec_id") % 100 === 0, k = 3).collect()
+    // recompute cells + dots in the driver from the same codes
+    val codes = Quantization.int8Codes(emb)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val cents = codes.keys.filter(_ % 64 == 0).toSeq.sorted.take(8)
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val cell = codes.map { case (id, q) =>
+      id -> cents.map(c => (dot(q, codes(c)), c)).maxBy { case (d, c) => (d, -c) }._2
+    }
+    ivf.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rows) =>
+      val expect = codes.collect {
+        case (id, q) if id != p && cell(id) == cell(p) => (dot(codes(p), q), id)
+      }.toSeq.sortBy { case (d, id) => (-d, id) }.take(3)
+      val got = rows.sortBy(_.getAs[Int]("rk"))
+        .map(r => (r.getAs[Long]("dot"), r.getAs[Long]("neighbor_id"))).toSeq
+      assert(got == expect, s"probe $p")
+    }
+  }
+
   test("quantizedTopK top-1 equals the argmax of the integer dot product") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val codes = Quantization.int8Codes(emb)
