@@ -69,6 +69,19 @@ object TextFunctions {
     * bit    = floor(nibble / 2^(3 - j%4)) % 2.
     * NOTE: every double→int conversion goes through floor() first — DuckDB
     * CAST(double AS INT) *rounds* while Spark truncates. */
+  /** Deterministic signed feature weight in [-2048, 2047]: the integer
+    * value of the first THREE hex nibbles of md5(`wordSql`) minus 2048,
+    * as a SQL fragment valid in BOTH Spark SQL and DuckDB (the
+    * `md5BitSql` instr-nibble idiom — no hex→int cast exists portably).
+    * This is the "hashing trick" weight table of a fastText-style linear
+    * model: the weight lives in the hash itself, so scoring needs no
+    * side table at all. */
+  def md5WeightSql(wordSql: String): String =
+    s"""CAST((instr('0123456789abcdef', substr(md5($wordSql), 1, 1)) - 1) * 256
+       | + (instr('0123456789abcdef', substr(md5($wordSql), 2, 1)) - 1) * 16
+       | + (instr('0123456789abcdef', substr(md5($wordSql), 3, 1)) - 1)
+       | - 2048 AS BIGINT)""".stripMargin
+
   def md5BitSql(wordSql: String, jSql: String): String =
     s"""CAST(floor(
        |  (instr('0123456789abcdef', substr(md5($wordSql), CAST(floor(($jSql) / 4) AS INT) + 1, 1)) - 1)

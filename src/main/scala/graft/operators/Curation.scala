@@ -150,6 +150,40 @@ object Curation {
     !bad && size(kept) >= minKeptLines
   }
 
+  /** CCNet-style cross-document line deduplication: keep only the FIRST
+    * corpus-wide occurrence of each distinct line, "first" = lowest
+    * (doc_id, line_id) encoded as `doc_id·10⁶ + line_id` so the winner
+    * is a plain `min` — a partial→final aggregate in which hot
+    * boilerplate lines (the very thing this filter removes) combine
+    * map-side instead of piling their millions of copies onto one
+    * window partition. The per-doc survival report then needs NO join
+    * back to the lines: each distinct line has exactly one winner, so
+    * regrouping the winners by their encoded doc_id yields kept
+    * lines/chars directly — two aggregate shuffles total, no skew
+    * hazard, no row_number over a hot key.
+    *
+    * Fractions are int/int divisions — IEEE-exact cross-engine.
+    * Output: doc_id, n_lines, n_kept, kept_line_frac, kept_char_frac. */
+  def crossDocLineDedup(lines: DataFrame): DataFrame = {
+    val wins = lines
+      .groupBy("line")
+      .agg(min(col("doc_id") * 1000000L + col("line_id")).as("win"))
+      .select(floor(col("win") / 1000000L).cast("long").as("doc_id"),
+        length(col("line")).cast("long").as("len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"), sum(col("len")).as("kept_chars"))
+    val totals = lines.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("line")).cast("long")).as("all_chars"))
+    totals.join(wins, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_lines"))
+          .as("kept_line_frac"),
+        (coalesce(col("kept_chars"), lit(0L)).cast("double") / col("all_chars"))
+          .as("kept_char_frac"))
+  }
+
   /** Deterministic hash split: the Knuth multiplicative hash over a
     * 31-bit-masked doc_id (mask first — Spark wraps on Long overflow
     * while DuckDB raises, see x22) mapped to [0,1000); `cuts` are the

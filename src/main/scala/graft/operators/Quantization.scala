@@ -45,18 +45,13 @@ object Quantization {
         aggregate(zip_with(col("xs"), col("xhat"), (a, b) => (a - b) * (a - b)),
           lit(0L), (a, v) => a + v).as("sse"))
 
-  /** Quantized IVF: the int8 codes composed with a BOUNDED centroid set
+  /** Integer-dot cell assignment against a BOUNDED centroid set
     * (`centPred` matches, deterministic lowest-id `limit(maxCents)` — the
-    * x47 boundedness lever, so assignment stays |corpus|·C linear) —
-    * integer-dot argmax assignment (TopKPerKey k=1), then the
-    * cell-restricted integer-dot search. EVERY number in the flow is
-    * integer arithmetic: no float appears anywhere between the µ-unit
-    * lift and the graded output. The probe table is corpus-proportional
-    * under a fractional probePred, so the cell join carries no broadcast
-    * hint (AQE decides).
-    * Output: probe_id, neighbor_id, cell, dot, rk. */
-  def quantizedIvfTopK(emb: DataFrame, centPred: Column, maxCents: Int,
-                       probePred: Column, k: Int): DataFrame = {
+    * x47 boundedness lever, so assignment stays |corpus|·C linear):
+    * TopKPerKey k=1 argmax over the C broadcast centroids. Shared by the
+    * quantized IVF search and semantic dedup.
+    * Output: vec_id, q, cell. */
+  def int8Cells(emb: DataFrame, centPred: Column, maxCents: Int): DataFrame = {
     val codes = graft.core.Caches.scoped(int8Codes(emb).select(col("vec_id"), col("q")))
     val cents = codes.filter(centPred).orderBy("vec_id").limit(maxCents)
       .toDF("cent_id", "qc")
@@ -64,10 +59,22 @@ object Quantization {
       .select(col("vec_id"), col("q"), col("cent_id"),
         aggregate(zip_with(col("q"), col("qc"), (a, b) => a * b),
           lit(0L), (a, v) => a + v).as("adot"))
-    val cells = graft.core.Caches.scoped(
-      graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
-        Seq(assign("adot").desc, assign("cent_id")), 1)
-        .select(col("vec_id"), col("q"), col("cent_id").as("cell")))
+    graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
+      Seq(assign("adot").desc, assign("cent_id")), 1)
+      .select(col("vec_id"), col("q"), col("cent_id").as("cell"))
+  }
+
+  /** Quantized IVF: the int8 codes composed with the bounded-centroid
+    * cell assignment ([[int8Cells]]), then the cell-restricted
+    * integer-dot search. EVERY number in the flow is
+    * integer arithmetic: no float appears anywhere between the µ-unit
+    * lift and the graded output. The probe table is corpus-proportional
+    * under a fractional probePred, so the cell join carries no broadcast
+    * hint (AQE decides).
+    * Output: probe_id, neighbor_id, cell, dot, rk. */
+  def quantizedIvfTopK(emb: DataFrame, centPred: Column, maxCents: Int,
+                       probePred: Column, k: Int): DataFrame = {
+    val cells = graft.core.Caches.scoped(int8Cells(emb, centPred, maxCents))
     val probes = cells.filter(probePred).toDF("probe_id", "qp", "cell")
     val cands = cells.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -79,6 +86,47 @@ object Quantization {
     val w = Window.partitionBy("probe_id").orderBy(col("dot").desc, col("neighbor_id"))
     topk.withColumn("rk", row_number().over(w))
       .select("probe_id", "neighbor_id", "cell", "dot", "rk")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus into cells ([[int8Cells]]), then inside each cell drop
+    * every vector that has a LOWER-id neighbor with cosine ≥ τ — the
+    * keep-one-per-ε-ball rule, decided deterministically by id order.
+    *
+    * The cosine test is INTEGER-EXACT: with int8 codes,
+    * cos(a,b) ≥ τ  ⇔  dot > 0 ∧ τden·dot² ≥ τnum·|a|²·|b|²
+    * where (τnum, τden) = (⌈τ²·10⁴⌉, 10⁴) — every operand a BIGINT
+    * (dim 64, |code| ≤ 127 ⇒ dot² ≤ 1.1e12, all products < 2⁶³). No
+    * float appears between the µ-unit lift and the graded verdict.
+    * Default τ = 0.45 (τ² = 2025/10⁴ exactly) — the x04 near-dup
+    * threshold family; the fixture corpus's planted near-dups sit at
+    * cos ≈ 0.4–0.51, so a web-scale 0.95 would be vacuous here.
+    *
+    * Scale shape: the pair space is Σ|cell|²/2 — the centroid count is
+    * the lever (grow C ∝ corpus so cells stay bounded; SemDeDup runs
+    * ~10⁵ clusters at web scale), and the x58 hot-bucket cap applies
+    * unchanged to degenerate cells. Assignment is |corpus|·C linear;
+    * the close-count agg is partial→final keyed by vec_id.
+    * Output: vec_id, cell, n_close, kept. */
+  def semanticDedup(emb: DataFrame, centPred: Column, maxCents: Int,
+                    tauNumSq: Long = 2025L, tauDenSq: Long = 10000L): DataFrame = {
+    val cells = graft.core.Caches.scoped(
+      int8Cells(emb, centPred, maxCents)
+        .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v)))
+    val lo = cells.select(col("cell"), col("vec_id").as("lo_id"),
+      col("q").as("lo_q"), col("nrm").as("lo_nrm"))
+    val close = cells.join(lo, Seq("cell"))
+      .filter(col("lo_id") < col("vec_id"))
+      .withColumn("dot", aggregate(zip_with(col("q"), col("lo_q"), (a, b) => a * b),
+        lit(0L), (a, v) => a + v))
+      .filter(col("dot") > 0
+        && col("dot") * col("dot") * tauDenSq >= lit(tauNumSq) * col("nrm") * col("lo_nrm"))
+    val ncl = close.groupBy("vec_id").agg(count(lit(1)).as("n_close"))
+    cells.join(ncl, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"))
+      .withColumn("kept", col("n_close") === 0L)
   }
 
   /** Brute-force top-k neighbors under the INTEGER dot product of int8

@@ -118,6 +118,26 @@ object TextAnalysis {
       size(array_distinct(regexp_extract_all(lower(col("text")),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))).as("rx_distinct"))
 
+  /** FastText-style hashed linear quality classifier: features are the
+    * normalized unigrams plus word bigrams (the fastText word-ngram
+    * trick); each feature's weight is a deterministic signed integer
+    * living in its own md5 (`TextFunctions.md5WeightSql` — the hashing
+    * trick taken literally: no weight table exists, so scoring is a
+    * zero-shuffle, zero-float column program that can gate at the scan
+    * like `Curation.c4PageGate`). The verdict is an integer
+    * cross-multiply, 1000·score ≥ θ‰·n_feats — no division, no rounding
+    * contract. A real trained model swaps the hash-weight fragment for
+    * a broadcast weight-table join; the plan shape is unchanged.
+    * Output: doc_id, n_feats, score_sum, kept. */
+  def hashedClassifier(docs: DataFrame, thetaPerMille: Long = -50L): DataFrame =
+    docs.select(col("doc_id"), words(normText(col("text"))).as("ws"))
+      .withColumn("fs", concat(col("ws"), shingles(col("ws"), 2)))
+      .select(col("doc_id"),
+        size(col("fs")).cast("long").as("n_feats"),
+        expr(s"""aggregate(transform(fs, w -> ${graft.functions.TextFunctions.md5WeightSql("w")}),
+                |CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin).as("score_sum"))
+      .withColumn("kept", col("score_sum") * 1000L >= lit(thetaPerMille) * col("n_feats"))
+
   /** Document fingerprints: md5 of normalized text plus min/max seeded
     * shingle hashes (a 1-hash MinHash — the rolling-window signature). */
   def fingerprints(docs: DataFrame): DataFrame = {

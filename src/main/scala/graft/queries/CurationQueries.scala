@@ -459,5 +459,44 @@ object CurationQueries {
       .orderBy("split", "lang")
   }
 
-  val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74)
+  // --- X77: CCNet-style cross-document line dedup — keep only the
+  // first corpus-wide occurrence of each distinct line (winner = min
+  // encoded (doc_id, line_id); see Curation.crossDocLineDedup for why
+  // the winner-regroup shape beats a row_number window at scale). The
+  // boilerplate injector (x62's fixture) is what gets deduplicated:
+  // every injected copy after the first doc dies, and the report's
+  // fractions are int/int — IEEE-exact cross-engine.
+  val x77 = Query(
+    "x77_line_dedup",
+    Some(s"""
+      WITH $reflowCtes,
+      bo AS (SELECT doc_id, CAST(1000 + j AS INT) AS line_id,
+                    '${Curation.BoilerLine}' AS line
+             FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 5)) AS j
+                   FROM documents WHERE doc_id % 7 = 0)),
+      lines AS (SELECT doc_id, line_id, line FROM rl
+                UNION ALL SELECT doc_id, line_id, line FROM bo),
+      wins AS (SELECT line, MIN(doc_id * 1000000 + line_id) AS win
+               FROM lines GROUP BY line),
+      kept AS (SELECT CAST(floor(win / 1000000) AS BIGINT) AS doc_id,
+                      CAST(count(*) AS BIGINT) AS n_kept,
+                      CAST(SUM(CAST(length(line) AS BIGINT)) AS BIGINT) AS kept_chars
+               FROM wins GROUP BY 1),
+      tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(CAST(length(line) AS BIGINT)) AS BIGINT) AS all_chars
+              FROM lines GROUP BY doc_id)
+      SELECT t.doc_id, t.n_lines,
+             COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+             CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / t.n_lines AS kept_line_frac,
+             CAST(COALESCE(k.kept_chars, 0) AS DOUBLE) / t.all_chars AS kept_char_frac
+      FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id
+      ORDER BY t.doc_id""")
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    val lines = Curation.reflowLines(docs)
+      .unionAll(Curation.boilerplateLines(docs))
+    Curation.crossDocLineDedup(lines).orderBy("doc_id")
+  }
+
+  val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74, x77)
 }

@@ -140,5 +140,48 @@ object RetrievalQueries {
       .orderBy("probe_id", "rk")
   }
 
-  val all: Seq[Query] = Seq(x66, x67, x68, x75)
+  // --- X76: SemDeDup — semantic dedup inside quantized IVF cells. The
+  // cosine-≥-τ test is cross-multiplied into pure BIGINT arithmetic
+  // (τ = 0.45, τ² = 2025/10⁴ exactly), so like x67/x68/x75 the oracle
+  // needs no rounding contract anywhere. Keep-one-per-ε-ball decided
+  // by lowest vec_id.
+  val x76 = Query(
+    "x76_semantic_dedup",
+    Some(s"""
+      WITH $codesCtes,
+      cents AS (SELECT vec_id AS cent_id, q AS qc FROM qq
+                WHERE vec_id % 32 = 0 ORDER BY vec_id LIMIT 16),
+      asg AS (SELECT vec_id, q, cent_id,
+                CAST(list_aggregate(list_transform(range(1, len(q) + 1),
+                  j -> q[j] * qc[j]), 'sum') AS BIGINT) AS adot
+              FROM qq CROSS JOIN cents),
+      cells AS (SELECT vec_id, q, cell FROM (
+                  SELECT vec_id, q, cent_id AS cell,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY adot DESC, cent_id) AS rn
+                  FROM asg) WHERE rn = 1),
+      nn AS (SELECT vec_id, cell, q,
+               CAST(list_aggregate(list_transform(range(1, len(q) + 1),
+                 j -> q[j] * q[j]), 'sum') AS BIGINT) AS nrm
+             FROM cells),
+      pairs AS (SELECT b.vec_id,
+                  CAST(list_aggregate(list_transform(range(1, len(a.q) + 1),
+                    j -> a.q[j] * b.q[j]), 'sum') AS BIGINT) AS dot,
+                  a.nrm AS lon, b.nrm AS hin
+                FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      cl AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_close FROM pairs
+             WHERE dot > 0 AND dot * dot * 10000 >= 2025 * lon * hin
+             GROUP BY vec_id)
+      SELECT n.vec_id, n.cell,
+             COALESCE(cl.n_close, CAST(0 AS BIGINT)) AS n_close,
+             COALESCE(cl.n_close, CAST(0 AS BIGINT)) = 0 AS kept
+      FROM nn n LEFT JOIN cl ON cl.vec_id = n.vec_id
+      ORDER BY n.vec_id""")
+  ) { (s, d) =>
+    Quantization.semanticDedup(embeddings(s, d),
+        centPred = col("vec_id") % 32 === 0, maxCents = 16)
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Query] = Seq(x66, x67, x68, x75, x76)
 }

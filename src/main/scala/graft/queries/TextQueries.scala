@@ -236,5 +236,31 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60)
+  // --- X78: fastText-style hashed linear classifier — unigram + bigram
+  // features, each feature's signed weight derived from its own md5
+  // (TextFunctions.md5WeightSql, interpolated into BOTH engines
+  // verbatim). Score and verdict are pure BIGINT arithmetic: no weight
+  // table, no shuffle, no float anywhere.
+  val x78 = Query(
+    "x78_quality_classifier",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      f AS (SELECT doc_id, list_concat(ws,
+              list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS fs
+            FROM w),
+      s AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+              CAST(list_aggregate(list_transform(fs,
+                w -> ${graft.functions.TextFunctions.md5WeightSql("w")}),
+                'sum') AS BIGINT) AS score_sum
+            FROM f)
+      SELECT doc_id, n_feats, score_sum,
+             score_sum * 1000 >= -50 * n_feats AS kept
+      FROM s ORDER BY doc_id""")
+  ) { (s, d) =>
+    TextAnalysis.hashedClassifier(documents(s, d)).orderBy("doc_id")
+  }
+
+  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78)
 }

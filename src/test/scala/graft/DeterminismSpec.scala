@@ -34,7 +34,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       // recall division, incremental closure (bounded edge set + label
       // propagation over checkpointed rounds), capped band join
       "x54_ivf_trained", "x55_ann_recall_trained", "x56_dedup_incr_cluster",
-      "x58_dedup_bucket_cap")
+      "x58_dedup_bucket_cap",
+      // round-5: integer-exact quantized flows (assignment argmax,
+      // within-cell pair counts) and the winner-regroup line dedup
+      "x75_quantized_ivf", "x76_semantic_dedup", "x77_line_dedup")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -189,6 +189,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x76 semantic dedup: cell equi-join pair space, broadcast only for centroids") {
+    val p = plan("x76_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the within-cell pair join must be an equi join on the cell key;
+    // nested-loop broadcasts are the bounded C-row centroid assignment only
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("x77 line dedup: two partial→final aggregates, no window, no hot-key sort") {
+    val p = plan("x77_line_dedup")
+    assert(!p.contains("Window"), s"winner-regroup must not plan a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the winner pick is min() — partial_min must appear below the line
+    // exchange (map-side combine absorbs hot boilerplate lines)
+    assert(p.contains("partial_min") || p.contains("partial min"), p)
+  }
+
+  test("x78 classifier is a zero-shuffle scan-side column program") {
+    val p = plan("x78_quality_classifier")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"classifier must not shuffle:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("x01 minhash pipeline has no pre-aggregation distinct exchange") {
     // signature derivation = explode → project(md5) → partial agg →
     // ONE exchange keyed by doc_id; a reintroduced distinct would add a

@@ -235,6 +235,51 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("crossDocLineDedup keeps only the first corpus-wide occurrence of a line") {
+    import spark.implicits._
+    // doc 1 owns A and B; doc 2 repeats B and adds C twice; doc 3 is
+    // pure repetition of doc 1 — nothing in it survives.
+    val lines = Seq(
+      (1L, 0, "line a"), (1L, 1, "line b"),
+      (2L, 0, "line b"), (2L, 1, "line c"), (2L, 2, "line c"),
+      (3L, 0, "line a"), (3L, 1, "line b"))
+      .toDF("doc_id", "line_id", "line")
+    val out = Curation.crossDocLineDedup(lines).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 2L)))           // both lines novel
+    assert(out(2L) == ((3L, 1L)))           // only the first "line c" wins
+    assert(out(3L) == ((2L, 0L)))           // fully deduplicated away
+    val fr = Curation.crossDocLineDedup(lines)
+      .filter(col("doc_id") === 3L).select("kept_line_frac", "kept_char_frac")
+      .head()
+    assert(fr.getDouble(0) == 0.0 && fr.getDouble(1) == 0.0)
+  }
+
+  test("semanticDedup verdicts match a driver replay of the integer-cosine rule") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val out = Quantization.semanticDedup(emb, col("vec_id") % 32 === 0, maxCents = 16)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val codes = Quantization.int8Codes(emb)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val cents = codes.keys.filter(_ % 32 == 0).toSeq.sorted.take(16)
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val cell = codes.map { case (id, q) =>
+      id -> cents.map(c => (dot(q, codes(c)), c)).maxBy { case (d, c) => (d, -c) }._2
+    }
+    val expectKept = codes.map { case (id, q) =>
+      val n = dot(q, q)
+      id -> !codes.exists { case (oid, oq) =>
+        oid < id && cell(oid) == cell(id) && {
+          val d = dot(q, oq)
+          d > 0 && d * d * 10000L >= 2025L * n * dot(oq, oq)
+        }
+      }
+    }
+    assert(out == expectKept)
+    assert(out.values.count(_ == false) > 0, "fixture should contain semantic dups")
+  }
+
   test("quantizedTopK top-1 equals the argmax of the integer dot product") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val codes = Quantization.int8Codes(emb)

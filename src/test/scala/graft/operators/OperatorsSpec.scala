@@ -380,6 +380,26 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(again.forall(_ == ((0L, 0L))), s"PII survived the scrub: ${again.toSeq}")
   }
 
+  test("hashed classifier score equals the md5-weight sum of unigram+bigram features") {
+    // reference weight: integer value of the first 3 hex nibbles of
+    // md5(feature) minus 2048 — recomputed here with java.security.MessageDigest
+    def w(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(3), 16) - 2048L
+    }
+    val t1 = "The  Quick brown fox"
+    val t2 = "hello"
+    val d = docs(1L -> t1, 2L -> t2)
+    val out = TextAnalysis.hashedClassifier(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val f1 = Seq("the", "quick", "brown", "fox") ++
+      Seq("the quick", "quick brown", "brown fox")
+    val s1 = f1.map(w).sum
+    assert(out(1L) == ((7L, s1, s1 * 1000L >= -50L * 7L)), s"${out(1L)} vs $s1")
+    assert(out(2L) == ((1L, w("hello"), w("hello") * 1000L >= -50L)))
+  }
+
   test("benchmark contamination flags verbatim eval leakage only") {
     val d = docs(
       0L -> "what is the capital of atlantis answer carefully now please",
