@@ -32,7 +32,8 @@ object ScaleProbe {
     "x05_similarity_lsh", "x34_similarity_ivf", "x47_kmeans_codebook",
     "x48_similarity_multiprobe", "x49_lsh_bucket_stats", "x53_pipeline_e2e",
     "x54_ivf_trained", "x56_dedup_incr_cluster", "x58_dedup_bucket_cap",
-    "x75_quantized_ivf", "x76_semantic_dedup", "x77_line_dedup")
+    "x75_quantized_ivf", "x76_semantic_dedup", "x77_line_dedup",
+    "x79_semantic_dedup_auto")
 
   private val Offset = 10000L
 

@@ -21,12 +21,14 @@ import org.apache.spark.sql.expressions.Window
   * shuffle) + the bounded-probe search pattern of `Similarity`. */
 object Quantization {
 
-  /** Micro-unit lift + per-vector scale + int8 codes.
-    * Output: vec_id, xs (µ-units), scale_int, q (codes in [-127, 127]). */
+  /** Micro-unit lift + per-vector scale + int8 codes. Input columns are
+    * preserved (withColumn, not select) so callers can keep the float
+    * embedding next to the codes — the auto-cell dedup buckets on the
+    * float vector while testing cosine on the integer codes.
+    * Adds: xs (µ-units), scale_int, q (codes in [-127, 127]). */
   def int8Codes(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-        transform(col("embedding"), x =>
-          floor(x.cast("double") * 1000000d + 0.5d)).as("xs"))
+    emb.withColumn("xs", transform(col("embedding"), x =>
+        floor(x.cast("double") * 1000000d + 0.5d)))
       .withColumn("scale_int", array_max(transform(col("xs"), x => abs(x))))
       .withColumn("q", transform(col("xs"), xi =>
         greatest(lit(-127L), least(lit(127L),
@@ -114,6 +116,15 @@ object Quantization {
       int8Cells(emb, centPred, maxCents)
         .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
           lit(0L), (a, v) => a + v)))
+    closeVerdicts(cells, tauNumSq, tauDenSq)
+  }
+
+  /** The shared SemDeDup verdict tail over a (vec_id, cell, q, nrm)
+    * relation: within-cell lower-id close-neighbor counting + the
+    * keep-lowest-id flag. One cell equi-join + one vec_id-keyed
+    * partial→final count. */
+  private def closeVerdicts(cells: DataFrame, tauNumSq: Long,
+                            tauDenSq: Long): DataFrame = {
     val lo = cells.select(col("cell"), col("vec_id").as("lo_id"),
       col("q").as("lo_q"), col("nrm").as("lo_nrm"))
     val close = cells.join(lo, Seq("cell"))
@@ -127,6 +138,34 @@ object Quantization {
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_close"), lit(0L)).as("n_close"))
       .withColumn("kept", col("n_close") === 0L)
+  }
+
+  /** [[semanticDedup]] with CORPUS-ADAPTIVE cells — the scale fix the 10×
+    * probe demanded: at fixed C the cells grow linearly with the corpus
+    * and the within-cell pair join goes quadratic (measured 11.2× wall at
+    * 10× data). Cells here are the x46 occupancy-bounded sign-LSH buckets
+    * (`autoBits` integer comparisons on the corpus count → masked
+    * hyperplane bucket): bucket assignment is a pure column program (no
+    * argmax join at all), bucket count grows ∝ corpus, expected occupancy
+    * stays ≤ targetOcc — so BOTH the assignment and the pair space stay
+    * linear. The τ test is the same cross-multiplied BIGINT cosine over
+    * int8 codes. This is the production path; the fixed-C variant remains
+    * the FAISS-style IVF flavor whose C is an explicit knob.
+    * Output: vec_id, cell, n_close, kept. */
+  def semanticDedupAuto(emb: DataFrame, targetOcc: Int, maxBits: Int, dim: Int,
+                        tauNumSq: Long = 2025L, tauDenSq: Long = 10000L): DataFrame = {
+    import graft.functions.VectorFunctions
+    val n = emb.agg(count(lit(1)).as("__n"))
+    val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
+    val cells = graft.core.Caches.scoped(
+      int8Codes(emb).crossJoin(broadcast(n))
+        .select(col("vec_id"),
+          VectorFunctions.lshBucketMasked(col("embedding"), nbits, maxBits, dim)
+            .as("cell"),
+          col("q"))
+        .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v)))
+    closeVerdicts(cells, tauNumSq, tauDenSq)
   }
 
   /** Brute-force top-k neighbors under the INTEGER dot product of int8

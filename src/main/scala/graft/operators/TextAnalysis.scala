@@ -138,6 +138,21 @@ object TextAnalysis {
                 |CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin).as("score_sum"))
       .withColumn("kept", col("score_sum") * 1000L >= lit(thetaPerMille) * col("n_feats"))
 
+  /** The classifier verdict as a single stateless Column — the
+    * streaming/scan-side form of [[hashedClassifier]] (the c4PageGate
+    * pattern: identical expression runs unchanged in an append stream).
+    * The weight here is `conv(md5 hex, 16, 10)` instead of the oracle's
+    * instr-nibble fragment — same integer by construction, and the
+    * OperatorsSpec law pins gate ≡ hashedClassifier.kept row-for-row. */
+  def classifierGate(text: Column, thetaPerMille: Long = -50L): Column = {
+    val ws = words(normText(text))
+    val fs = concat(ws, shingles(ws, 2))
+    val score = aggregate(transform(fs, w =>
+      conv(substring(md5(w), 1, 3), 16, 10).cast("long") - 2048L),
+      lit(0L), (a, x) => a + x)
+    score * 1000L >= lit(thetaPerMille) * size(fs).cast("long")
+  }
+
   /** Document fingerprints: md5 of normalized text plus min/max seeded
     * shingle hashes (a 1-hash MinHash — the rolling-window signature). */
   def fingerprints(docs: DataFrame): DataFrame = {

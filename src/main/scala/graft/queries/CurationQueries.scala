@@ -498,5 +498,102 @@ object CurationQueries {
     Curation.crossDocLineDedup(lines).orderBy("doc_id")
   }
 
-  val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74, x77)
+  // --- X80: curation pipeline v3 — the round's NEW operators composed
+  // into one DAG: hashed-classifier gate (x78) → cross-doc line dedup
+  // with a survival-fraction gate (x77, over the classifier survivors
+  // only) → semantic dedup verdicts joined on doc_id = vec_id (x79) →
+  // deterministic split (x69) → per (split, lang) accounting. Every
+  // stage is graded alone elsewhere; this grades the composition (the
+  // x53/x74 pattern, curation generation 3).
+  val x80 = Query(
+    "x80_curation_pipeline_v3",
+    Some(s"""
+      WITH cn AS (SELECT doc_id, lang, n_chars, $normSql AS norm FROM documents),
+      cw AS (SELECT doc_id, lang, n_chars, string_split(norm, ' ') AS ws FROM cn),
+      cf AS (SELECT doc_id, lang, n_chars, list_concat(ws,
+               list_transform(range(1, len(ws)),
+                 j -> array_to_string(ws[j:j+1], ' '))) AS fs
+             FROM cw),
+      cs AS (SELECT doc_id, lang, n_chars, CAST(len(fs) AS BIGINT) AS nf,
+               CAST(list_aggregate(list_transform(fs,
+                 w -> ${graft.functions.TextFunctions.md5WeightSql("w")}),
+                 'sum') AS BIGINT) AS sc
+             FROM cf),
+      keepc AS (SELECT doc_id, lang, n_chars FROM cs WHERE sc * 1000 >= -50 * nf),
+      li AS (SELECT doc_id, ws,
+                    unnest(range(0, CAST(floor((len(ws) + ${W - 1}) / $W) AS INT))) AS i
+             FROM cw WHERE doc_id IN (SELECT doc_id FROM keepc)),
+      rl AS (SELECT doc_id, CAST(i AS INT) AS line_id,
+                    array_to_string(ws[i*$W+1 : i*$W+$W], ' ') AS line
+             FROM li),
+      bo AS (SELECT doc_id, CAST(1000 + j AS INT) AS line_id,
+                    '${Curation.BoilerLine}' AS line
+             FROM (SELECT doc_id, unnest(range(0, 3 + doc_id % 5)) AS j
+                   FROM documents WHERE doc_id % 7 = 0
+                     AND doc_id IN (SELECT doc_id FROM keepc))),
+      lines AS (SELECT doc_id, line_id, line FROM rl
+                UNION ALL SELECT doc_id, line_id, line FROM bo),
+      wins AS (SELECT line, MIN(doc_id * 1000000 + line_id) AS win
+               FROM lines GROUP BY line),
+      keptl AS (SELECT CAST(floor(win / 1000000) AS BIGINT) AS doc_id,
+                       CAST(SUM(CAST(length(line) AS BIGINT)) AS BIGINT) AS kept_chars
+                FROM wins GROUP BY 1),
+      totl AS (SELECT doc_id,
+                      CAST(SUM(CAST(length(line) AS BIGINT)) AS BIGINT) AS all_chars
+               FROM lines GROUP BY doc_id),
+      keepline AS (SELECT t.doc_id FROM totl t
+                   LEFT JOIN keptl k ON k.doc_id = t.doc_id
+                   WHERE CAST(COALESCE(k.kept_chars, 0) AS DOUBLE) / t.all_chars >= 0.5),
+      ${RetrievalQueries.codesCtes},
+      nc AS (SELECT count(*) AS cnt FROM embeddings),
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSql} AS INT) AS nbits FROM nc),
+      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bk AS (SELECT vec_id, CAST(${SimilarityQueries.maskedBucketSql} AS INT) AS cell
+             FROM ev, nb),
+      nn AS (SELECT q.vec_id, bk.cell, q.q,
+               CAST(list_aggregate(list_transform(range(1, len(q.q) + 1),
+                 j -> q.q[j] * q.q[j]), 'sum') AS BIGINT) AS nrm
+             FROM qq q JOIN bk ON bk.vec_id = q.vec_id),
+      sem AS (SELECT vec_id FROM nn WHERE vec_id NOT IN (
+                SELECT b.vec_id FROM nn a JOIN nn b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+                WHERE CAST(list_aggregate(list_transform(range(1, len(a.q) + 1),
+                        j -> a.q[j] * b.q[j]), 'sum') AS BIGINT) > 0
+                  AND CAST(list_aggregate(list_transform(range(1, len(a.q) + 1),
+                        j -> a.q[j] * b.q[j]), 'sum') AS BIGINT)
+                    * CAST(list_aggregate(list_transform(range(1, len(a.q) + 1),
+                        j -> a.q[j] * b.q[j]), 'sum') AS BIGINT)
+                    * 10000 >= 2025 * a.nrm * b.nrm)),
+      fin AS (SELECT k.doc_id, k.lang, k.n_chars,
+                CASE WHEN (k.doc_id % 2147483647) * 2654435761 % 1000 < 800 THEN 'train'
+                     WHEN (k.doc_id % 2147483647) * 2654435761 % 1000 < 900 THEN 'val'
+                     ELSE 'test' END AS split
+              FROM keepc k
+              JOIN keepline l ON l.doc_id = k.doc_id
+              JOIN sem ON sem.vec_id = k.doc_id)
+      SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM fin GROUP BY split, lang ORDER BY split, lang""")
+  ) { (s, d) =>
+    import graft.operators.{Quantization, TextAnalysis}
+    val docs = documents(s, d)
+    val gated = docs.filter(TextAnalysis.classifierGate(col("text")))
+    val lines = Curation.reflowLines(gated)
+      .unionAll(Curation.boilerplateLines(gated))
+    val lineOk = Curation.crossDocLineDedup(lines)
+      .filter(col("kept_char_frac") >= 0.5).select("doc_id")
+    val sem = Quantization.semanticDedupAuto(embeddings(s, d),
+        targetOcc = SimilarityQueries.TargetOcc,
+        maxBits = SimilarityQueries.MaxBits, dim = SimilarityQueries.Dim)
+      .filter(col("kept")).select(col("vec_id").as("doc_id"))
+    val survivors = gated.select("doc_id", "lang", "n_chars")
+      .join(lineOk, "doc_id").join(sem, "doc_id")
+    Curation.datasetSplit(survivors)
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("split", "lang")
+  }
+
+  val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74,
+    x77, x80)
 }

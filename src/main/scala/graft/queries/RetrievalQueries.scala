@@ -50,7 +50,7 @@ object RetrievalQueries {
   // --- X67/X68: int8 quantization. Shared oracle CTEs lift vectors to
   // integer micro-units, derive the per-vector integer scale, and code
   // via one IEEE-deterministic double division.
-  private val codesCtes = """
+  private[queries] val codesCtes = """
       e AS (SELECT vec_id,
               list_transform(CAST(embedding AS DOUBLE[]),
                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS xs
@@ -183,5 +183,44 @@ object RetrievalQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Query] = Seq(x66, x67, x68, x75, x76)
+  // --- X79: SemDeDup on CORPUS-ADAPTIVE cells — the scale fix for x76's
+  // measured 11.2×-at-10× curve (fixed C ⇒ linear cell growth ⇒ quadratic
+  // pair join). Cells are the x46 occupancy-bounded masked-LSH buckets
+  // (integer-comparison bit count from the corpus count — the oracle
+  // replays mask and bucket bit-for-bit); the verdict is the same
+  // cross-multiplied BIGINT cosine as x76.
+  val x79 = Query(
+    "x79_semantic_dedup_auto",
+    Some(s"""
+      WITH $codesCtes,
+      nc AS (SELECT count(*) AS cnt FROM embeddings),
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSql} AS INT) AS nbits FROM nc),
+      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bk AS (SELECT vec_id, CAST(${SimilarityQueries.maskedBucketSql} AS INT) AS cell
+             FROM ev, nb),
+      nn AS (SELECT q.vec_id, bk.cell, q.q,
+               CAST(list_aggregate(list_transform(range(1, len(q.q) + 1),
+                 j -> q.q[j] * q.q[j]), 'sum') AS BIGINT) AS nrm
+             FROM qq q JOIN bk ON bk.vec_id = q.vec_id),
+      pairs AS (SELECT b.vec_id,
+                  CAST(list_aggregate(list_transform(range(1, len(a.q) + 1),
+                    j -> a.q[j] * b.q[j]), 'sum') AS BIGINT) AS dot,
+                  a.nrm AS lon, b.nrm AS hin
+                FROM nn a JOIN nn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      cl AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_close FROM pairs
+             WHERE dot > 0 AND dot * dot * 10000 >= 2025 * lon * hin
+             GROUP BY vec_id)
+      SELECT n.vec_id, n.cell,
+             COALESCE(cl.n_close, CAST(0 AS BIGINT)) AS n_close,
+             COALESCE(cl.n_close, CAST(0 AS BIGINT)) = 0 AS kept
+      FROM nn n LEFT JOIN cl ON cl.vec_id = n.vec_id
+      ORDER BY n.vec_id""")
+  ) { (s, d) =>
+    Quantization.semanticDedupAuto(embeddings(s, d),
+        targetOcc = SimilarityQueries.TargetOcc,
+        maxBits = SimilarityQueries.MaxBits, dim = SimilarityQueries.Dim)
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79)
 }

@@ -46,8 +46,8 @@ object SimilarityQueries {
 
   // --- X4/X5 shared LSH bucketing (4 sign-bit hyperplanes over dim 64)
   private val NBits = 4
-  private val Dim = 64
-  private def planeSql(j: Int): String =
+  private[queries] val Dim = 64
+  private[queries] def planeSql(j: Int): String =
     VectorFunctions.plane(j, Dim).map(_.toString).mkString("[", ",", "]::DOUBLE[]")
   private val bucketSql: String =
     (0 until NBits).map { j =>
@@ -222,14 +222,14 @@ object SimilarityQueries {
   // of integer comparisons (n > 16·2^(j-1)) — deliberately NOT
   // ceil(log2(...)), which differs cross-engine in the last ulp exactly
   // at power-of-two boundaries. The oracle replays the mask bit-for-bit.
-  private val TargetOcc = 16
-  private val MaxBits = 12
+  private[queries] val TargetOcc = 16
+  private[queries] val MaxBits = 12
   /** Corpus-adaptive bit count + masked bucket as SQL (shared by the
     * x46/x61 oracles — integer comparisons, never ceil(log2(...))). */
-  private val nbitsSql = (1 to MaxBits)
+  private[queries] val nbitsSql = (1 to MaxBits)
     .map(j => s"CASE WHEN cnt > ${TargetOcc.toLong * (1L << (j - 1))} THEN 1 ELSE 0 END")
     .mkString(" + ")
-  private val maskedBucketSql = (0 until MaxBits)
+  private[queries] val maskedBucketSql = (0 until MaxBits)
     .map(j => s"(CASE WHEN $j < nbits AND list_dot_product(v, ${planeSql(j)}) >= 0" +
       s" THEN ${1 << j} ELSE 0 END)")
     .mkString(" + ")

@@ -37,7 +37,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       "x58_dedup_bucket_cap",
       // round-5: integer-exact quantized flows (assignment argmax,
       // within-cell pair counts) and the winner-regroup line dedup
-      "x75_quantized_ivf", "x76_semantic_dedup", "x77_line_dedup")
+      "x75_quantized_ivf", "x76_semantic_dedup", "x77_line_dedup",
+      "x79_semantic_dedup_auto", "x80_curation_pipeline_v3")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

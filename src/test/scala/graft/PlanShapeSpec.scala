@@ -197,6 +197,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("x79 auto-cell semantic dedup: no argmax join — only the 1-row count broadcast") {
+    val exec = SparkEntry.queries("x79_semantic_dedup_auto")(spark, sfDir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // bucket assignment is a column program: the only nested-loop join is
+    // the 1-row corpus-count scalar (the x46 idiom); pair space is a cell
+    // equi join. Count BNLJ NODES (the string dump repeats the cached
+    // cells' child plan at every InMemoryRelation reference — see the x41
+    // guard comment).
+    val bnlj = exec.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.size
+    assert(bnlj <= 1, s"expected at most the 1-row count broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("x77 line dedup: two partial→final aggregates, no window, no hot-key sort") {
     val p = plan("x77_line_dedup")
     assert(!p.contains("Window"), s"winner-regroup must not plan a window:\n$p")
@@ -211,6 +228,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Exchange hashpartitioning"),
       s"classifier must not shuffle:\n$p")
     assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("x80 pipeline v3 composes with equi joins + the count broadcast only") {
+    val exec = SparkEntry.queries("x80_curation_pipeline_v3")(spark, sfDir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = exec.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.size
+    assert(bnlj <= 1, s"only x79's 1-row count broadcast is allowed:\n$p")
   }
 
   test("x01 minhash pipeline has no pre-aggregation distinct exchange") {

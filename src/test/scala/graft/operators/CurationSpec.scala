@@ -280,6 +280,34 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(out.values.count(_ == false) > 0, "fixture should contain semantic dups")
   }
 
+  test("semanticDedupAuto verdicts satisfy the within-cell keep-lowest-id law") {
+    // sf0.01: the auto cells are finer than x76's 16 (that is the point),
+    // so the smaller sf0.001 fixture has no same-cell close pair to drop
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val out = Quantization.semanticDedupAuto(emb, targetOcc = 16, maxBits = 12,
+        dim = 64).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val codes = Quantization.int8Codes(emb)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    // cell derivation is pinned by the x46 specs + the x79 oracle; here
+    // verify the VERDICT law against the emitted cells: dropped ⇔ some
+    // lower-id same-cell vector passes the integer-cosine τ test
+    out.foreach { case (id, (cell, nClose, kept)) =>
+      val q = codes(id); val n = dot(q, q)
+      val lowerClose = out.count { case (oid, (ocell, _, _)) =>
+        oid < id && ocell == cell && {
+          val d = dot(q, codes(oid))
+          d > 0 && d * d * 10000L >= 2025L * n * dot(codes(oid), codes(oid))
+        }
+      }
+      assert(nClose == lowerClose && kept == (lowerClose == 0), s"vec $id")
+    }
+    assert(out.values.exists(!_._3), "fixture should contain semantic dups")
+  }
+
   test("quantizedTopK top-1 equals the argmax of the integer dot product") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val codes = Quantization.int8Codes(emb)

@@ -400,6 +400,19 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(2L) == ((1L, w("hello"), w("hello") * 1000L >= -50L)))
   }
 
+  test("classifierGate column form ≡ hashedClassifier verdict on the corpus") {
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val viaOp = TextAnalysis.hashedClassifier(d)
+      .select("doc_id", "kept").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val viaGate = d.select(col("doc_id"),
+        TextAnalysis.classifierGate(col("text")).as("kept")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(viaOp == viaGate)
+    assert(viaGate.values.exists(identity) && viaGate.values.exists(!_),
+      "fixture should exercise both verdicts")
+  }
+
   test("benchmark contamination flags verbatim eval leakage only") {
     val d = docs(
       0L -> "what is the capital of atlantis answer carefully now please",

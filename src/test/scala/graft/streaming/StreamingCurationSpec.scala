@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTest
-import graft.operators.Curation
+import graft.operators.{Curation, TextAnalysis}
 
 /** The quality gate as an ingest-time STREAM filter: `c4PageGate` is a
   * stateless per-row column program, so the exact expression graded in
@@ -37,6 +37,32 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTest {
       q.processAllAvailable()
       assert(spark.sql("select doc_id from curation_gate")
         .as[Long].collect().toSet == Set(1L, 4L))
+    } finally q.stop()
+  }
+
+  test("the hashed classifier gates an append-mode stream statelessly") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // batch verdicts over the corpus fixture are the ground truth; the
+    // same Column must admit exactly the batch-kept docs from a stream
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().take(60)
+    val expect = TextAnalysis.hashedClassifier(docs.toSeq.toDF("doc_id", "text"))
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .filter(TextAnalysis.classifierGate(col("text")))
+      .writeStream.format("memory").queryName("classifier_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(30).toSeq)
+      q.processAllAvailable()
+      input.addData(docs.drop(30).toSeq)
+      q.processAllAvailable()
+      assert(spark.sql("select doc_id from classifier_gate")
+        .as[Long].collect().toSet == expect)
+      assert(expect.nonEmpty && expect.size < docs.length,
+        "stream fixture should drop some docs and keep some")
     } finally q.stop()
   }
 }
