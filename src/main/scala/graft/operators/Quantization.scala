@@ -168,6 +168,109 @@ object Quantization {
     closeVerdicts(cells, tauNumSq, tauDenSq)
   }
 
+  /** [[semanticDedupAuto]] with the x58 HOT-CELL CAP — the residual-skew
+    * lever the 100× probe demands: auto cells bound the EXPECTED
+    * occupancy, but clustered corpora concentrate real mass (the hot
+    * cells are, precisely, the semantic clusters SemDeDup exists to
+    * prune), so Σ|cell|² keeps a superlinear tail. Cells over `cap` are
+    * decided WHOLESALE — keep the minimum vec_id, drop the rest — and
+    * never enter the pair join; for a byte-identical duplicate family
+    * that is the uncapped verdict computed in O(|cell|) instead of
+    * O(|cell|²) (CurationSpec pins that equivalence). Dropped hot-cell
+    * members report n_close = |cell| − 1 (the family they were folded
+    * into); sub-cap cells keep the exact pairwise verdict.
+    * Output: vec_id, cell, n_close, kept. */
+  def semanticDedupCapped(emb: DataFrame, targetOcc: Int, maxBits: Int,
+                          dim: Int, cap: Int,
+                          tauNumSq: Long = 2025L,
+                          tauDenSq: Long = 10000L): DataFrame = {
+    import graft.functions.VectorFunctions
+    val n = emb.agg(count(lit(1)).as("__n"))
+    val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
+    val cells = graft.core.Caches.scoped(
+      int8Codes(emb).crossJoin(broadcast(n))
+        .select(col("vec_id"),
+          VectorFunctions.lshBucketMasked(col("embedding"), nbits, maxBits, dim)
+            .as("cell"),
+          col("q"))
+        .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v)))
+    val sizes = cells.groupBy("cell")
+      .agg(count(lit(1)).as("csz"), min(col("vec_id")).as("cmin"))
+    val small = cells.join(sizes.filter(col("csz") <= cap).select("cell"), Seq("cell"))
+    val hot = cells.join(sizes.filter(col("csz") > cap), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        when(col("vec_id") === col("cmin"), lit(0L))
+          .otherwise(col("csz") - 1L).as("n_close"))
+      .withColumn("kept", col("n_close") === 0L)
+    closeVerdicts(small, tauNumSq, tauDenSq).unionAll(hot)
+  }
+
+  /** Persist the per-vector CODE STORE — the corpus-side state of
+    * incremental semantic dedup: (vec_id, cell, q, nrm, nbits), ~70
+    * bytes/vector vs KBs of raw embedding+text, so at 100 TB the store
+    * is orders of magnitude smaller than the corpus and appending a
+    * deduplicated batch is a plain parquet append. The auto-bits cell
+    * mask is computed from THIS corpus's count and FROZEN into the store
+    * (`nbits` column): later batches must bucket with the same mask or
+    * every stored cell id would need recomputing — widening the mask as
+    * the corpus grows is a store-rebuild cadence decision, exactly like
+    * re-training an IVF codebook. */
+  def writeCodeStore(emb: DataFrame, path: String, targetOcc: Int,
+                     maxBits: Int, dim: Int): Unit = {
+    import graft.functions.VectorFunctions
+    val n = emb.agg(count(lit(1)).as("__n"))
+    val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
+    int8Codes(emb).crossJoin(broadcast(n))
+      .select(col("vec_id"),
+        VectorFunctions.lshBucketMasked(col("embedding"), nbits, maxBits, dim)
+          .as("cell"),
+        col("q"), nbits.as("nbits"))
+      .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
+        lit(0L), (a, v) => a + v))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Incremental semantic dedup — the production cadence: only the NEW
+    * batch is quantized and bucketed (with the store's FROZEN nbits mask,
+    * read as a 1-row broadcast); the old corpus is represented entirely
+    * by its persisted code store — old embeddings are never rescanned.
+    * A new vector is dropped iff it is τ-close to ANY stored vector (old
+    * decisions are immutable, the x41 convention) or to a lower-id
+    * vector of its own batch (keep-lowest-id within the batch).
+    * Output: one row per NEW vector — vec_id, cell, n_close, kept. */
+  def semanticDedupFromStore(newEmb: DataFrame, store: DataFrame,
+                             maxBits: Int, dim: Int,
+                             tauNumSq: Long = 2025L,
+                             tauDenSq: Long = 10000L): DataFrame = {
+    import graft.functions.VectorFunctions
+    val nb = store.agg(max(col("nbits")).as("__nbits"))
+    val newCells = graft.core.Caches.scoped(
+      int8Codes(newEmb).crossJoin(broadcast(nb))
+        .select(col("vec_id"),
+          VectorFunctions.lshBucketMasked(col("embedding"), col("__nbits"),
+            maxBits, dim).as("cell"),
+          col("q"))
+        .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v)))
+    val lo = store
+      .select(col("cell"), col("vec_id").as("lo_id"), col("q").as("lo_q"),
+        col("nrm").as("lo_nrm"), lit(true).as("is_old"))
+      .unionAll(newCells.select(col("cell"), col("vec_id").as("lo_id"),
+        col("q").as("lo_q"), col("nrm").as("lo_nrm"), lit(false).as("is_old")))
+    val close = newCells.join(lo, Seq("cell"))
+      .filter(col("is_old") || col("lo_id") < col("vec_id"))
+      .withColumn("dot", aggregate(zip_with(col("q"), col("lo_q"), (a, b) => a * b),
+        lit(0L), (a, v) => a + v))
+      .filter(col("dot") > 0
+        && col("dot") * col("dot") * tauDenSq >= lit(tauNumSq) * col("nrm") * col("lo_nrm"))
+    val ncl = close.groupBy("vec_id").agg(count(lit(1)).as("n_close"))
+    newCells.join(ncl, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"))
+      .withColumn("kept", col("n_close") === 0L)
+  }
+
   /** Brute-force top-k neighbors under the INTEGER dot product of int8
     * codes — the quantized search path. Same bounded-probe contract as
     * `Similarity.bruteForceTopK` (probes broadcast, corpus scanned once,

@@ -546,9 +546,9 @@ object CurationQueries {
                    WHERE CAST(COALESCE(k.kept_chars, 0) AS DOUBLE) / t.all_chars >= 0.5),
       ${RetrievalQueries.codesCtes},
       nc AS (SELECT count(*) AS cnt FROM embeddings),
-      nb AS (SELECT CAST(${SimilarityQueries.nbitsSql} AS INT) AS nbits FROM nc),
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(SimilarityQueries.TargetOcc, SimilarityQueries.DedupMaxBits)} AS INT) AS nbits FROM nc),
       ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      bk AS (SELECT vec_id, CAST(${SimilarityQueries.maskedBucketSql} AS INT) AS cell
+      bk AS (SELECT vec_id, CAST(${SimilarityQueries.maskedBucketSqlFor(SimilarityQueries.DedupMaxBits)} AS INT) AS cell
              FROM ev, nb),
       nn AS (SELECT q.vec_id, bk.cell, q.q,
                CAST(list_aggregate(list_transform(range(1, len(q.q) + 1),
@@ -584,7 +584,7 @@ object CurationQueries {
       .filter(col("kept_char_frac") >= 0.5).select("doc_id")
     val sem = Quantization.semanticDedupAuto(embeddings(s, d),
         targetOcc = SimilarityQueries.TargetOcc,
-        maxBits = SimilarityQueries.MaxBits, dim = SimilarityQueries.Dim)
+        maxBits = SimilarityQueries.DedupMaxBits, dim = SimilarityQueries.Dim)
       .filter(col("kept")).select(col("vec_id").as("doc_id"))
     val survivors = gated.select("doc_id", "lang", "n_chars")
       .join(lineOk, "doc_id").join(sem, "doc_id")

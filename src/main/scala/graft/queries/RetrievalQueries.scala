@@ -194,9 +194,9 @@ object RetrievalQueries {
     Some(s"""
       WITH $codesCtes,
       nc AS (SELECT count(*) AS cnt FROM embeddings),
-      nb AS (SELECT CAST(${SimilarityQueries.nbitsSql} AS INT) AS nbits FROM nc),
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(SimilarityQueries.TargetOcc, SimilarityQueries.DedupMaxBits)} AS INT) AS nbits FROM nc),
       ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      bk AS (SELECT vec_id, CAST(${SimilarityQueries.maskedBucketSql} AS INT) AS cell
+      bk AS (SELECT vec_id, CAST(${SimilarityQueries.maskedBucketSqlFor(SimilarityQueries.DedupMaxBits)} AS INT) AS cell
              FROM ev, nb),
       nn AS (SELECT q.vec_id, bk.cell, q.q,
                CAST(list_aggregate(list_transform(range(1, len(q.q) + 1),
@@ -218,9 +218,134 @@ object RetrievalQueries {
   ) { (s, d) =>
     Quantization.semanticDedupAuto(embeddings(s, d),
         targetOcc = SimilarityQueries.TargetOcc,
-        maxBits = SimilarityQueries.MaxBits, dim = SimilarityQueries.Dim)
+        maxBits = SimilarityQueries.DedupMaxBits, dim = SimilarityQueries.Dim)
       .orderBy("vec_id")
   }
 
-  val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79)
+  // --- X81: INCREMENTAL semantic dedup from the persisted code store —
+  // the x41 cadence applied to embeddings: the old corpus (vec_id % 10
+  // < 8) lives only as its ~70 B/vector code store (int8 codes + frozen
+  // auto-bits cell + norm); the new batch (% 10 ≥ 8) is quantized and
+  // bucketed with the store's FROZEN mask and dropped iff τ-close to any
+  // stored vector (old decisions immutable) or a lower-id batch-mate.
+  // The oracle replays the whole flow, including the frozen nbits
+  // derived from the OLD corpus count only. PlanShapeSpec pins that
+  // every embeddings scan carries the new-batch filter.
+  private def codeStorePath(sfDir: String): String = {
+    val f = new java.io.File(sfDir, "embeddings.parquet")
+    // fingerprint includes the mask params AND the plane family (via the
+    // widest plane's actual components): a store built under different
+    // bucketing has different frozen cells and must not be silently reused
+    val planeTag = graft.functions.VectorFunctions
+      .plane(SimilarityQueries.DedupMaxBits - 1, SimilarityQueries.Dim)
+      .map(_.toInt).mkString(",")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest((s"${f.length}:${f.lastModified}:${SimilarityQueries.TargetOcc}" +
+        s":${SimilarityQueries.DedupMaxBits}:$planeTag").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-codestore-" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
+  }
+
+  private def ensureCodeStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = codeStorePath(d)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Quantization.writeCodeStore(
+        embeddings(s, d).filter(col("vec_id") % 10 < 8), path,
+        targetOcc = SimilarityQueries.TargetOcc,
+        maxBits = SimilarityQueries.DedupMaxBits, dim = SimilarityQueries.Dim)
+    path
+  }
+
+  val x81 = Query(
+    "x81_semantic_dedup_incr",
+    Some(s"""
+      WITH $codesCtes,
+      oc AS (SELECT count(*) AS cnt FROM embeddings WHERE vec_id % 10 < 8),
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(SimilarityQueries.TargetOcc, SimilarityQueries.DedupMaxBits)} AS INT) AS nbits FROM oc),
+      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bk AS (SELECT vec_id, CAST(${SimilarityQueries.maskedBucketSqlFor(SimilarityQueries.DedupMaxBits)} AS INT) AS cell
+             FROM ev, nb),
+      nn AS (SELECT q.vec_id, bk.cell, q.q,
+               CAST(list_aggregate(list_transform(range(1, len(q.q) + 1),
+                 j -> q.q[j] * q.q[j]), 'sum') AS BIGINT) AS nrm
+             FROM qq q JOIN bk ON bk.vec_id = q.vec_id),
+      pairs AS (SELECT b.vec_id,
+                  CAST(list_aggregate(list_transform(range(1, len(a.q) + 1),
+                    j -> a.q[j] * b.q[j]), 'sum') AS BIGINT) AS dot,
+                  a.nrm AS lon, b.nrm AS hin
+                FROM nn a JOIN nn b ON a.cell = b.cell
+                WHERE b.vec_id % 10 >= 8
+                  AND (a.vec_id % 10 < 8 OR a.vec_id < b.vec_id)),
+      cl AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_close FROM pairs
+             WHERE dot > 0 AND dot * dot * 10000 >= 2025 * lon * hin
+             GROUP BY vec_id)
+      SELECT n.vec_id, n.cell,
+             COALESCE(cl.n_close, CAST(0 AS BIGINT)) AS n_close,
+             COALESCE(cl.n_close, CAST(0 AS BIGINT)) = 0 AS kept
+      FROM nn n LEFT JOIN cl ON cl.vec_id = n.vec_id
+      WHERE n.vec_id % 10 >= 8
+      ORDER BY n.vec_id""")
+  ) { (s, d) =>
+    val store = s.read.parquet(ensureCodeStore(s, d))
+    Quantization.semanticDedupFromStore(
+        embeddings(s, d).filter(col("vec_id") % 10 >= 8), store,
+        maxBits = SimilarityQueries.DedupMaxBits, dim = SimilarityQueries.Dim)
+      .orderBy("vec_id")
+  }
+
+  // --- X82: hot-cell-capped semantic dedup — the x58 boilerplate-cluster
+  // policy composed into x79: cells over the cap are decided wholesale
+  // (keep min vec_id; dropped members report the family size) and never
+  // enter the pair join, so candidate volume stays ≤ cap·|cells| no
+  // matter how the corpus clusters. Sub-cap cells keep the exact
+  // pairwise verdict; the oracle replays both branches.
+  private val SemCap = 24
+  val x82 = Query(
+    "x82_semantic_dedup_capped",
+    Some(s"""
+      WITH $codesCtes,
+      nc AS (SELECT count(*) AS cnt FROM embeddings),
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(SimilarityQueries.TargetOcc, SimilarityQueries.DedupMaxBits)} AS INT) AS nbits FROM nc),
+      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bk AS (SELECT vec_id, CAST(${SimilarityQueries.maskedBucketSqlFor(SimilarityQueries.DedupMaxBits)} AS INT) AS cell
+             FROM ev, nb),
+      nn AS (SELECT q.vec_id, bk.cell, q.q,
+               CAST(list_aggregate(list_transform(range(1, len(q.q) + 1),
+                 j -> q.q[j] * q.q[j]), 'sum') AS BIGINT) AS nrm
+             FROM qq q JOIN bk ON bk.vec_id = q.vec_id),
+      sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS csz,
+                    MIN(vec_id) AS cmin
+             FROM nn GROUP BY cell),
+      sm AS (SELECT n.* FROM nn n JOIN sz ON sz.cell = n.cell
+             WHERE sz.csz <= $SemCap),
+      pairs AS (SELECT b.vec_id,
+                  CAST(list_aggregate(list_transform(range(1, len(a.q) + 1),
+                    j -> a.q[j] * b.q[j]), 'sum') AS BIGINT) AS dot,
+                  a.nrm AS lon, b.nrm AS hin
+                FROM sm a JOIN sm b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      cl AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_close FROM pairs
+             WHERE dot > 0 AND dot * dot * 10000 >= 2025 * lon * hin
+             GROUP BY vec_id),
+      smallout AS (SELECT n.vec_id, n.cell,
+                     COALESCE(cl.n_close, CAST(0 AS BIGINT)) AS n_close,
+                     COALESCE(cl.n_close, CAST(0 AS BIGINT)) = 0 AS kept
+                   FROM sm n LEFT JOIN cl ON cl.vec_id = n.vec_id),
+      hotout AS (SELECT n.vec_id, n.cell,
+                   CASE WHEN n.vec_id = sz.cmin THEN CAST(0 AS BIGINT)
+                        ELSE sz.csz - 1 END AS n_close,
+                   n.vec_id = sz.cmin AS kept
+                 FROM nn n JOIN sz ON sz.cell = n.cell WHERE sz.csz > $SemCap)
+      SELECT vec_id, cell, n_close, kept
+      FROM (SELECT * FROM smallout UNION ALL SELECT * FROM hotout)
+      ORDER BY vec_id""")
+  ) { (s, d) =>
+    Quantization.semanticDedupCapped(embeddings(s, d),
+        targetOcc = SimilarityQueries.TargetOcc,
+        maxBits = SimilarityQueries.DedupMaxBits,
+        dim = SimilarityQueries.Dim, cap = SemCap)
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82)
 }

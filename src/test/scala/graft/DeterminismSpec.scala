@@ -38,7 +38,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       // round-5: integer-exact quantized flows (assignment argmax,
       // within-cell pair counts) and the winner-regroup line dedup
       "x75_quantized_ivf", "x76_semantic_dedup", "x77_line_dedup",
-      "x79_semantic_dedup_auto", "x80_curation_pipeline_v3")
+      "x79_semantic_dedup_auto", "x80_curation_pipeline_v3",
+      "x81_semantic_dedup_incr", "x82_semantic_dedup_capped")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -230,6 +230,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("x81 incremental semantic dedup never scans old embeddings") {
+    // the old corpus must come from the code-store parquet: every
+    // embeddings.parquet scan in the plan carries the new-batch filter
+    // (same property as the x41 guard; the store scan is a different file)
+    val p = plan("x81_semantic_dedup_incr")
+    val embScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("embeddings.parquet"))
+      .toSeq
+    assert(embScans.nonEmpty, s"no embeddings scan found:\n$p")
+    assert(embScans.forall(_.contains("% 10) >= 8")),
+      s"an embeddings scan is missing the new-batch filter:\n${embScans.mkString("\n")}")
+    assert(p.contains("graft-codestore"), s"old side must be the code store:\n$p")
+  }
+
+  test("x82 capped semantic dedup: equi joins only past the count broadcast") {
+    val exec = SparkEntry.queries("x82_semantic_dedup_capped")(spark, sfDir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = exec.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.size
+    assert(bnlj <= 1, s"expected at most the 1-row count broadcast:\n$p")
+  }
+
   test("x80 pipeline v3 composes with equi joins + the count broadcast only") {
     val exec = SparkEntry.queries("x80_curation_pipeline_v3")(spark, sfDir)
       .queryExecution.executedPlan

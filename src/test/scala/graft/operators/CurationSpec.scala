@@ -284,7 +284,7 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     // sf0.01: the auto cells are finer than x76's 16 (that is the point),
     // so the smaller sf0.001 fixture has no same-cell close pair to drop
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
-    val out = Quantization.semanticDedupAuto(emb, targetOcc = 16, maxBits = 12,
+    val out = Quantization.semanticDedupAuto(emb, targetOcc = 16, maxBits = 20,
         dim = 64).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3))))
       .toMap
@@ -306,6 +306,76 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       assert(nClose == lowerClose && kept == (lowerClose == 0), s"vec $id")
     }
     assert(out.values.exists(!_._3), "fixture should contain semantic dups")
+  }
+
+  test("incremental semantic dedup equals a frozen-mask full replay") {
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = graft.sources.Tables.embeddings(spark, sf01)
+    val out = graft.queries.Inventory.byName("x81_semantic_dedup_incr")
+      .run(spark, sf01).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // driver replay of the WHOLE contract: frozen mask from the OLD
+    // corpus count (autoBits), cells from hyperplane sign bits, τ test on
+    // int8 codes; old vectors always count, batch-mates only below the id
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val codes = Quantization.int8Codes(emb)
+      .select(col("vec_id"), col("q")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val oldCnt = vecs.keys.count(_ % 10 < 8)
+    val nbits = (1 to 20).count(j => oldCnt > 16L * (1L << (j - 1)))
+    def cellOf(v: Seq[Double]): Int = (0 until nbits).map { j =>
+      val p = graft.functions.VectorFunctions.plane(j, 64)
+      val d = v.zip(p).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      if (d >= 0) 1 << j else 0
+    }.sum
+    val cells = vecs.map { case (id, v) => id -> cellOf(v) }
+    def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val expect = vecs.keys.filter(_ % 10 >= 8).map { id =>
+      val q = codes(id); val n = dot(q, q)
+      val nClose = vecs.keys.count { oid =>
+        (oid % 10 < 8 || (oid % 10 >= 8 && oid < id)) && oid != id &&
+          cells(oid) == cells(id) && {
+            val d = dot(q, codes(oid))
+            d > 0 && d * d * 10000L >= 2025L * n * dot(codes(oid), codes(oid))
+          }
+      }.toLong
+      id -> ((cells(id), nClose, nClose == 0L))
+    }.toMap
+    assert(out == expect)
+    assert(out.values.exists(!_._3), "fixture should drop at least one new vector")
+  }
+
+  test("capped semantic dedup folds a byte-identical hot family wholesale") {
+    import spark.implicits._
+    val dim = 64
+    // 40 identical vectors (one boilerplate embedding family) + 30 spread
+    val fam = (0 until 40).map(i => (100L + i, Array.fill(dim)(0.5f)))
+    val normals = (0 until 30).map(i =>
+      (200L + i, Array.tabulate(dim)(d => (((i * 7 + d * 13) % 17) - 8).toFloat / 8f)))
+    val emb = (fam ++ normals).toDF("vec_id", "embedding")
+    val capped = Quantization.semanticDedupCapped(emb, targetOcc = 16,
+        maxBits = 20, dim = dim, cap = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val uncapped = Quantization.semanticDedupAuto(emb, targetOcc = 16,
+        maxBits = 20, dim = dim).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // the family cell is over the cap: exactly one survivor (the min id),
+    // every other member folded with n_close = |cell| - 1
+    val famCell = capped(100L)._1
+    val cellSize = capped.values.count(_._1 == famCell).toLong
+    assert(cellSize >= 40L)
+    assert(capped(100L)._2 == 0L && capped(100L)._3)
+    (101L until 140L).foreach { id =>
+      assert(capped(id) == ((famCell, cellSize - 1L, false)), s"vec $id")
+    }
+    // outside hot cells the capped flow IS the exact pairwise verdict
+    val hotCells = capped.values.groupBy(_._1).collect {
+      case (c, vs) if vs.size > 8 => c
+    }.toSet
+    capped.foreach { case (id, (c, _, kept)) =>
+      if (!hotCells.contains(c)) assert(kept == uncapped(id), s"vec $id")
+    }
   }
 
   test("quantizedTopK top-1 equals the argmax of the integer dot product") {
