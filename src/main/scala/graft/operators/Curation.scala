@@ -210,6 +210,63 @@ object Curation {
     docs.withColumn("target_pct", ratePct).withColumn("kept", h < col("target_pct"))
   }
 
+  /** CCNet-style n-gram language-model quality score: train add-one-
+    * smoothed bigram probabilities on the corpus itself, then score every
+    * document by its mean log P(w₂|w₁) — predictable, fluent text scores
+    * high; word-soup and boilerplate-injected outliers score low. This is
+    * the LM-perplexity quality bucket of the CCNet pipeline with the
+    * corpus standing in for the reference LM (at 100 TB the counts come
+    * from a held-out reference corpus — one upstream swap of the `ref`
+    * argument, identical plan).
+    *
+    * Scale shape: two count aggregations (unigram, bigram — both keyed
+    * equi-shuffles over the vocabulary, map-side combined), the vocab
+    * size V as a 1-row broadcast scalar (the L1-normalize pattern), then
+    * one equi join per doc-bigram against the count tables. No window, no
+    * driver state, no all-pairs anything.
+    *
+    * The verdict is corpus-RELATIVE (CCNet's head/tail buckets): a doc is
+    * `lm_ok` iff its mean log-prob beats the corpus-wide mean — computed
+    * as one more 1-row broadcast scalar, so the gate splits any corpus at
+    * any scale with no hand-tuned constant.
+    *
+    * Cross-engine float discipline: (c₁₂+1)/(c₁+V) is one IEEE double
+    * division; its `ln` (libm) is rounded to 6 immediately; the per-doc
+    * and corpus sums run in DECIMAL(18,6) so aggregation order cannot
+    * drift the low bits; each mean is one more IEEE division, identical
+    * on both engines, so the comparison is exact.
+    * Output: doc_id, n_bigrams, avg_logp, lm_ok. */
+  def bigramLmScore(docs: DataFrame, ref: DataFrame): DataFrame = {
+    val toks = ref.select(words(normText(col("text"))).as("ws"))
+    val uni = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = toks.select(explode(shingles(col("ws"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+    val docBi = docs
+      .select(col("doc_id"), words(normText(col("text"))).as("ws"))
+      .select(col("doc_id"),
+        explode(shingles(col("ws"), 2)).as("bg"))
+    val scored = docBi
+      .join(bi, Seq("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", round(
+        log((col("c12") + 1L).cast("double") / (col("c1") + col("v"))), 6))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast(dec)).cast("double").as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("slp") / col("n_bigrams")).as("avg_logp"))
+    val corpus = scored.agg(
+      (sum(col("lp").cast(dec)).cast("double") / count(lit(1))).as("corpus_avg"))
+    perDoc.crossJoin(broadcast(corpus))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+        (col("avg_logp") >= col("corpus_avg")).as("lm_ok"))
+  }
+
   /** Greedy sequence packing: within each fixed-size shard (doc_id div
     * `shardSize` — shard COUNT grows with the corpus, shard SIZE stays
     * bounded, so the per-group fold below is O(shardSize), never

@@ -231,6 +231,25 @@ object Quantization {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Append a batch's codes to an existing store under the store's FROZEN
+    * nbits mask (read as a 1-row broadcast — never recomputed from the
+    * grown corpus, which would silently re-bucket every stored cell id).
+    * The streaming cadence calls this after each batch's survivors are
+    * decided. */
+  def appendToCodeStore(emb: DataFrame, store: DataFrame, path: String,
+                        maxBits: Int, dim: Int): Unit = {
+    import graft.functions.VectorFunctions
+    val nb = store.agg(max(col("nbits")).as("__nbits"))
+    int8Codes(emb).crossJoin(broadcast(nb))
+      .select(col("vec_id"),
+        VectorFunctions.lshBucketMasked(col("embedding"), col("__nbits"),
+          maxBits, dim).as("cell"),
+        col("q"), col("__nbits").as("nbits"))
+      .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
+        lit(0L), (a, v) => a + v))
+      .write.mode("append").parquet(path)
+  }
+
   /** Incremental semantic dedup — the production cadence: only the NEW
     * batch is quantized and bucketed (with the store's FROZEN nbits mask,
     * read as a 1-row broadcast); the old corpus is represented entirely

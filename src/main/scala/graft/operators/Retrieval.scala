@@ -59,4 +59,37 @@ object Retrieval {
     topk.withColumn("rk", row_number().over(w))
       .select("term", "doc_id", "tf", "score", "rk")
   }
+
+  /** Overlapping fixed-size token chunks — the RAG/embedding ingestion
+    * splitter: chunk i covers tokens [i·stride, i·stride + chunkSize) of
+    * the normalized word stream; the chunk count is 1 for docs at or
+    * under one chunk, else 1 + ⌈(n − chunkSize)/stride⌉, so the final
+    * chunk always reaches the last token and interior chunks overlap by
+    * chunkSize − stride tokens.
+    *
+    * Scale shape: a pure per-row column program — sequence + transform +
+    * posexplode, ZERO shuffles (PlanShapeSpec pins no exchange). This is
+    * the op that runs over all 100 TB before embedding; everything is
+    * integer arithmetic plus md5, both engines bit-identical.
+    * Output: doc_id, chunk_id, start_tok, n_toks, chunk_hash. */
+  def chunkDocs(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val n = col("n")
+    val nChunks = when(n <= chunkSize, lit(1L))
+      .otherwise(floor((n - chunkSize + (stride - 1)) / lit(stride.toDouble)) + 1L)
+    docs
+      .select(col("doc_id"), words(normText(col("text"))).as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("nch", nChunks)
+      .select(col("doc_id"), col("ws"), n,
+        posexplode(transform(sequence(lit(0L), col("nch") - 1),
+          i => i * stride)))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
+        col("col").as("start_tok"), col("ws"), n)
+      .withColumn("n_toks", least(lit(chunkSize.toLong), n - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_toks"),
+        md5(array_join(slice(col("ws"), (col("start_tok") + 1).cast("int"),
+          col("n_toks").cast("int")), " ")).as("chunk_hash"))
+  }
 }

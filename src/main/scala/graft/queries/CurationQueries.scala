@@ -594,6 +594,73 @@ object CurationQueries {
       .orderBy("split", "lang")
   }
 
+  // --- X83: BPE tokenizer APPLICATION — the encode side of x72: run the
+  // same 5 merge rounds (same argmax, same leftmost-non-overlapping
+  // merge) and grade each document's token accounting: words before,
+  // tokens after, merged symbols, compression ratio (int/int —
+  // IEEE-exact). The oracle replays the full train+encode flow through
+  // the shared bpeRound CTEs; TokenizerSpec pins the conservation law
+  // Σ(n_words − n_tokens) = Σ n_merges against the x72 trainer.
+  val x83 = Query(
+    "x83_bpe_encode",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      t0 AS (SELECT doc_id, ' ' || norm || ' ' AS t FROM n),
+      ${(1 to 5).map(bpeRound).mkString(",")},
+      enc AS (SELECT doc_id, string_split(trim(t), ' ') AS ts FROM m5),
+      base AS (SELECT doc_id,
+                 CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words
+               FROM n)
+      SELECT b.doc_id, b.n_words,
+             CAST(len(e.ts) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(e.ts, x -> contains(x, '_'))) AS BIGINT)
+               AS n_merged,
+             CAST(len(e.ts) AS DOUBLE) / b.n_words AS compression
+      FROM base b JOIN enc e ON e.doc_id = b.doc_id
+      ORDER BY b.doc_id""")
+  ) { (s, d) =>
+    Tokenizer.bpeEncodeStats(documents(s, d), rounds = 5).orderBy("doc_id")
+  }
+
+  // --- X85: CCNet-style bigram LM quality score — add-one-smoothed
+  // bigram log-probabilities trained on the corpus itself (at 100 TB the
+  // counts come from a held-out reference corpus: one upstream swap,
+  // identical plan); each doc graded by mean log P(w₂|w₁). The one libm
+  // call (ln) is rounded to 6 immediately; per-doc and corpus sums run
+  // in DECIMAL(18,6) so aggregation order cannot drift; everything else
+  // is IEEE row arithmetic. The verdict is corpus-RELATIVE (CCNet's
+  // head/tail buckets): lm_ok iff the doc beats the corpus mean — a
+  // 1-row broadcast scalar, so the gate splits any corpus at any scale
+  // with no hand-tuned constant.
+  val x85 = Query(
+    "x85_lm_score",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      u AS (SELECT unnest(ws) AS tok FROM w),
+      uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY tok),
+      v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+      bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               j -> array_to_string(ws[j:j+1], ' '))) AS bg FROM w),
+      bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY bg),
+      sc AS (SELECT d.doc_id,
+               round(ln((b.c12 + 1) / (u.c1 + v.v)), 6) AS lp
+             FROM bg d JOIN bc b ON b.bg = d.bg
+             JOIN uc u ON u.tok = string_split(d.bg, ' ')[1]
+             CROSS JOIN v),
+      g AS (SELECT CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+              AS corpus_avg FROM sc),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                 AS avg_logp
+             FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, avg_logp, avg_logp >= g.corpus_avg AS lm_ok
+      FROM pd CROSS JOIN g ORDER BY doc_id""")
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    Curation.bigramLmScore(docs, ref = docs).orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74,
-    x77, x80)
+    x77, x80, x83, x85)
 }

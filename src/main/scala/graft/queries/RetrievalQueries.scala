@@ -347,5 +347,40 @@ object RetrievalQueries {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82)
+  // --- X84: RAG/embedding document chunking — overlapping fixed-size
+  // token windows (32 tokens, stride 24) with per-chunk md5 fingerprints.
+  // The chunk count formula (1 for one-chunk docs, else
+  // 1 + ⌈(n − size)/stride⌉) keeps the final chunk anchored at the last
+  // token. A pure per-row column program: ZERO shuffles (PlanShapeSpec
+  // pins no exchange) — this runs over all 100 TB before embedding.
+  // Everything is integer arithmetic plus md5; both engines
+  // bit-identical, no rounding contract.
+  private val ChunkSize = 32
+  private val ChunkStride = 24
+  val x84 = Query(
+    "x84_doc_chunks",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      k AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n,
+              CASE WHEN len(ws) <= $ChunkSize THEN CAST(1 AS BIGINT)
+                   ELSE CAST(floor((len(ws) - $ChunkSize + ${ChunkStride - 1})
+                          / $ChunkStride) AS BIGINT) + 1 END AS nch
+            FROM w),
+      c AS (SELECT doc_id, ws, n, unnest(range(0, nch)) AS i FROM k)
+      SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             CAST(i * $ChunkStride AS BIGINT) AS start_tok,
+             least(CAST($ChunkSize AS BIGINT), n - i * $ChunkStride) AS n_toks,
+             md5(array_to_string(
+               ws[CAST(i * $ChunkStride + 1 AS INT) :
+                  CAST(i * $ChunkStride
+                       + least($ChunkSize, n - i * $ChunkStride) AS INT)],
+               ' ')) AS chunk_hash
+      FROM c ORDER BY doc_id, chunk_id""")
+  ) { (s, d) =>
+    Retrieval.chunkDocs(documents(s, d), chunkSize = ChunkSize, stride = ChunkStride)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84)
 }

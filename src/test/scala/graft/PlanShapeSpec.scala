@@ -274,4 +274,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     val exchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
     assert(exchanges == 1, s"expected one doc_id exchange, got $exchanges:\n$p")
   }
+
+  test("x84 chunker is a zero-shuffle scan-side column program") {
+    // the op that runs over all 100 TB before embedding must be narrow:
+    // sequence + transform + posexplode, no exchange, no join, no window
+    // (the final orderBy is presentation-only and plans as a range
+    // exchange for the sort, so assert on the pre-sort program instead)
+    val p = graft.operators.Retrieval
+      .chunkDocs(graft.sources.Tables.documents(spark, sfDir), 32, 24)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunker must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("x85 LM score: keyed equi joins + the two 1-row scalar broadcasts only") {
+    val exec = SparkEntry.queries("x85_lm_score")(spark, sfDir)
+      .queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = exec.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.size
+    assert(bnlj <= 2, s"only the V and corpus-mean 1-row broadcasts may nest:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("x83 encode keeps the trainer's shape: no window, no cartesian data join") {
+    val p = plan("x83_bpe_encode")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
 }

@@ -395,4 +395,62 @@ class CurationSpec extends AnyFunSuite with SparkTest {
         && r.getAs[Long]("dot") == best._1)
     }
   }
+
+  test("bpeEncodeStats: token conservation vs the trainer's merge counts") {
+    // every merge round replaces n_merges pairs by single symbols, so
+    // over the corpus: Σ n_words − Σ n_tokens = Σ n_merges (all rounds)
+    val d = docs(1L -> "a b a b c d e", 2L -> "a b x a b", 3L -> "c d c d c d")
+    val rounds = 3
+    val trained = Tokenizer.bpeTrain(d, rounds).collect()
+      .map(_.getAs[Long]("n_merges")).sum
+    val enc = Tokenizer.bpeEncodeStats(d, rounds).collect()
+    val words = enc.map(_.getAs[Long]("n_words")).sum
+    val toks = enc.map(_.getAs[Long]("n_tokens")).sum
+    assert(words - toks == trained)
+    enc.foreach { r =>
+      assert(r.getAs[Long]("n_merged") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("compression")
+        == r.getAs[Long]("n_tokens").toDouble / r.getAs[Long]("n_words"))
+    }
+    // some round merged something on this fixture
+    assert(trained > 0 && enc.exists(_.getAs[Long]("n_merged") > 0))
+  }
+
+  test("chunkDocs: stride grid, overlap, final-chunk anchoring, one-chunk docs") {
+    val size = 6
+    val stride = 4
+    val d = docs(
+      1L -> (1 to 17).map(i => s"w$i").mkString(" "), // 17 toks → 4 chunks
+      2L -> "a b c",                                  // under one chunk
+      3L -> (1 to 6).map(i => s"t$i").mkString(" "),  // exactly one chunk
+      4L -> (1 to 7).map(i => s"u$i").mkString(" "))  // size+1 → 2 chunks
+    val r = Retrieval.chunkDocs(d, size, stride).collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(
+        _.sortBy(_.getAs[Int]("chunk_id"))).toMap
+    def starts(id: Long) = r(id).map(_.getAs[Long]("start_tok")).toSeq
+    def ntoks(id: Long) = r(id).map(_.getAs[Long]("n_toks")).toSeq
+    // chunk_id i starts at i·stride; interior chunks are full-size;
+    // the final chunk always reaches the last token
+    assert(starts(1L) == Seq(0L, 4L, 8L, 12L) && ntoks(1L) == Seq(6L, 6L, 6L, 5L))
+    assert(starts(2L) == Seq(0L) && ntoks(2L) == Seq(3L))
+    assert(starts(3L) == Seq(0L) && ntoks(3L) == Seq(6L))
+    assert(starts(4L) == Seq(0L, 4L) && ntoks(4L) == Seq(6L, 3L))
+    // hashes: deterministic md5 of the joined token slice
+    val h1 = r(1L).head.getAs[String]("chunk_hash")
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 6).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(h1 == expect)
+  }
+
+  test("bigramLmScore: predictable text beats word soup; verdict splits on the mean") {
+    // doc 1 repeats one bigram (high P(b|a) everywhere); doc 2 is all
+    // first-occurrence bigrams (probability floor). Trained on both.
+    val d = docs(1L -> ("a b " * 12).trim, 2L -> (1 to 25).map(i => s"z$i").mkString(" "))
+    val r = Curation.bigramLmScore(d, d).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("avg_logp") > r(2L).getAs[Double]("avg_logp"))
+    assert(r(1L).getAs[Double]("avg_logp") <= 0.0)
+    assert(r(1L).getAs[Boolean]("lm_ok") && !r(2L).getAs[Boolean]("lm_ok"))
+  }
 }
