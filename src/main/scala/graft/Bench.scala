@@ -54,7 +54,19 @@ object Bench {
     // A failing query must be visible in the artifact, not just stderr —
     // otherwise its near-zero "timing" reads as a speedup.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line is the driver's contract, but the driver's capture
+    // truncates long lines (BENCH_r05 lost q01–x28 and the total), so the
+    // complete artifact is ALSO written to a committed file — the audit
+    // trail must not depend on a pipe buffer.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -247,13 +247,21 @@ object Curation {
       .select(col("doc_id"), words(normText(col("text"))).as("ws"))
       .select(col("doc_id"),
         explode(shingles(col("ws"), 2)).as("bg"))
+    // LEFT joins: a bigram unseen in the reference must receive the
+    // add-one-smoothed floor 1/(c1+V) (and 1/V when w1 itself is OOV),
+    // not vanish from the doc's mean — inner joins here would bias
+    // avg_logp UPWARD for exactly the word-soup docs the gate exists to
+    // catch, and drop all-OOV docs from the output entirely. Invisible
+    // when ref = docs (every bigram matches); load-bearing the moment
+    // the ref argument is swapped for a held-out corpus.
     val scored = docBi
-      .join(bi, Seq("bg"))
+      .join(bi, Seq("bg"), "left")
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
-      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .withColumn("lp", round(
-        log((col("c12") + 1L).cast("double") / (col("c1") + col("v"))), 6))
+        log((coalesce(col("c12"), lit(0L)) + 1L).cast("double")
+          / (coalesce(col("c1"), lit(0L)) + col("v"))), 6))
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val perDoc = scored.groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

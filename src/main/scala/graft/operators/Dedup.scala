@@ -579,4 +579,64 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_shared", "jaccard")
   }
+
+  /** EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): find every token that lies inside a
+    * span of ≥ k tokens repeated ANYWHERE in the corpus (other documents
+    * or elsewhere in the same one) and report, per document, the merged
+    * duplicated spans. This is the span-level primitive document-MinHash
+    * and line-dedup both miss: a 100-token boilerplate block pasted into
+    * otherwise-distinct pages is invisible to whole-doc similarity and
+    * only partially caught by line dedup.
+    *
+    * The suffix-array formulation is equivalent to a k-gram one, and the
+    * k-gram one is Spark-native: a token at position p is inside a
+    * repeated span of length ≥ k IFF some k-gram window covering p occurs
+    * ≥ 2 times corpus-wide (a repeated span of length L ≥ k contributes
+    * its L−k+1 windows; conversely a repeated window IS a repeated span).
+    * So: emit every (doc, pos, k-gram hash), count occurrences per hash
+    * (the suffix-array "repeated prefix" table), keep positions whose
+    * window repeats, and merge overlapping/adjacent [pos, pos+k) windows
+    * per document with the gaps-and-islands pattern (positions ascending,
+    * so the previous window's end is lag(pos)+k — one per-doc window
+    * function over only the DUPLICATED positions).
+    *
+    * Scale shape: one gram-keyed count shuffle + one gram-keyed semi join
+    * (inverted index — never doc×doc) + per-doc windows whose partitions
+    * are bounded by document length. The gram table is ~n_tokens rows —
+    * the same volume every shingle pipeline here already moves; md5 keys
+    * keep it oracle-exact (a production run would narrow to xxhash64).
+    * Output: doc_id, n_toks, n_dup_toks, n_spans, dup_frac — every doc,
+    * zero-filled when nothing repeats. */
+  def exactSubstringSpans(docs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.core.Caches.scoped(
+      docs.select(col("doc_id"), words(normText(col("text"))).as("ws")))
+    val grams = graft.core.Caches.scoped(
+      toks.select(col("doc_id"),
+          posexplode(shingles(col("ws"), k)).as(Seq("pos", "s")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          md5(col("s")).as("gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gh")
+    val hits = grams.join(dup, Seq("gh"), "left_semi")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = hits
+      .withColumn("f", when(lag(col("pos"), 1).over(byPos).isNull
+        || col("pos") > lag(col("pos"), 1).over(byPos) + k, 1).otherwise(0))
+      .withColumn("island", sum(col("f")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands.groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s0"), (max(col("pos")) + k).as("e0"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e0") - col("s0")).as("n_dup_toks"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_toks"), lit(0L)).as("n_dup_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_toks").cast("double") / col("n_toks"))
+  }
 }

@@ -215,11 +215,19 @@ object Quantization {
     * (`nbits` column): later batches must bucket with the same mask or
     * every stored cell id would need recomputing — widening the mask as
     * the corpus grows is a store-rebuild cadence decision, exactly like
-    * re-training an IVF codebook. */
+    * re-training an IVF codebook.
+    *
+    * `maskCorpus` (when set) is the corpus whose COUNT freezes the mask,
+    * decoupled from the rows actually written: the streaming bootstrap
+    * decides batch 0 with a mask derived from the FULL batch count, then
+    * stores only the survivors — deriving nbits from the smaller survivor
+    * count here could straddle an autoBits boundary and freeze a mask
+    * that disagrees with the cell ids batch 0 already emitted. */
   def writeCodeStore(emb: DataFrame, path: String, targetOcc: Int,
-                     maxBits: Int, dim: Int): Unit = {
+                     maxBits: Int, dim: Int,
+                     maskCorpus: Option[DataFrame] = None): Unit = {
     import graft.functions.VectorFunctions
-    val n = emb.agg(count(lit(1)).as("__n"))
+    val n = maskCorpus.getOrElse(emb).agg(count(lit(1)).as("__n"))
     val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
     int8Codes(emb).crossJoin(broadcast(n))
       .select(col("vec_id"),
@@ -277,8 +285,17 @@ object Quantization {
         col("nrm").as("lo_nrm"), lit(true).as("is_old"))
       .unionAll(newCells.select(col("cell"), col("vec_id").as("lo_id"),
         col("q").as("lo_q"), col("nrm").as("lo_nrm"), lit(false).as("is_old")))
+    // The old-side branch EXCLUDES rows with the probe's own vec_id: on a
+    // checkpoint replay after a crash between the store append and the
+    // replay marker, the store already holds this batch's survivors, and
+    // without the exclusion every survivor would τ-match its own stored
+    // copy (cos(self) = 1) and be reported kept = false — silently
+    // dropping the whole batch downstream. With it, replayed decisions
+    // are idempotent: survivors are pairwise non-τ-close by construction,
+    // so no kept vector can flip, and dropped vectors stay dropped.
     val close = newCells.join(lo, Seq("cell"))
-      .filter(col("is_old") || col("lo_id") < col("vec_id"))
+      .filter((col("is_old") && col("lo_id") =!= col("vec_id"))
+        || (!col("is_old") && col("lo_id") < col("vec_id")))
       .withColumn("dot", aggregate(zip_with(col("q"), col("lo_q"), (a, b) => a * b),
         lit(0L), (a, v) => a + v))
       .filter(col("dot") > 0

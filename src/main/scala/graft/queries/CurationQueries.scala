@@ -644,9 +644,10 @@ object CurationQueries {
                j -> array_to_string(ws[j:j+1], ' '))) AS bg FROM w),
       bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY bg),
       sc AS (SELECT d.doc_id,
-               round(ln((b.c12 + 1) / (u.c1 + v.v)), 6) AS lp
-             FROM bg d JOIN bc b ON b.bg = d.bg
-             JOIN uc u ON u.tok = string_split(d.bg, ' ')[1]
+               round(ln((COALESCE(b.c12, 0) + 1) / (COALESCE(u.c1, 0) + v.v)),
+                 6) AS lp
+             FROM bg d LEFT JOIN bc b ON b.bg = d.bg
+             LEFT JOIN uc u ON u.tok = string_split(d.bg, ' ')[1]
              CROSS JOIN v),
       g AS (SELECT CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
               AS corpus_avg FROM sc),

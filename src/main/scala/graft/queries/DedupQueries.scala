@@ -502,7 +502,56 @@ object DedupQueries {
       .orderBy("lang")
   }
 
+  // --- X86: EXACT-SUBSTRING dedup (Lee et al. 2022) — the span-level
+  // primitive document-MinHash (x01) and line dedup (x77) both miss:
+  // per doc, the merged spans of ≥ K tokens repeated anywhere in the
+  // corpus. Suffix-array semantics via the equivalent k-gram inverted
+  // index: a position is duplicated iff some K-window covering it occurs
+  // ≥ 2× corpus-wide; overlapping/adjacent windows merge by
+  // gaps-and-islands (positions ascending ⇒ previous end = lag(pos)+K).
+  // One gram-count shuffle + one semi join + per-doc windows; never
+  // doc×doc (PlanShapeSpec pins zero CartesianProduct).
+  private val EsK = 8
+  val x86 = Query(
+    "x86_exact_substring",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      g AS (SELECT doc_id,
+              unnest(range(1, greatest(len(ws) - $EsK + 2, 1))) AS j, ws
+            FROM w),
+      gh AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos,
+                    md5(array_to_string(ws[j:j+$EsK-1], ' ')) AS gh
+             FROM g),
+      dup AS (SELECT gh FROM gh GROUP BY gh HAVING count(*) > 1),
+      hit AS (SELECT doc_id, pos FROM gh SEMI JOIN dup USING (gh)),
+      fl AS (SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) + $EsK
+                    THEN 1 ELSE 0 END AS f
+             FROM hit),
+      isl AS (SELECT doc_id, pos, SUM(f) OVER (PARTITION BY doc_id
+                ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+              FROM fl),
+      sp AS (SELECT doc_id, island, MIN(pos) AS s0, MAX(pos) + $EsK AS e0
+             FROM isl GROUP BY doc_id, island),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                    CAST(SUM(e0 - s0) AS BIGINT) AS n_dup_toks
+             FROM sp GROUP BY doc_id)
+      SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_toks,
+             COALESCE(pd.n_dup_toks, CAST(0 AS BIGINT)) AS n_dup_toks,
+             COALESCE(pd.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+             CAST(COALESCE(pd.n_dup_toks, 0) AS DOUBLE) / len(w.ws)
+               AS dup_frac
+      FROM w LEFT JOIN pd ON pd.doc_id = w.doc_id
+      ORDER BY w.doc_id""")
+  ) { (s, d) =>
+    Dedup.exactSubstringSpans(documents(s, d), k = EsK).orderBy("doc_id")
+  }
+
   val all: Seq[Query] =
     Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49, x53, x56,
-      x58, x59)
+      x58, x59, x86)
 }

@@ -55,11 +55,9 @@ object IncrementalDedup {
                    closure: Boolean = false): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val marker = new java.io.File(storePath, s"_graft_batch_$batchId")
-    if (marker.exists()) return // checkpoint replay of an appended batch
-    val storeExists = new java.io.File(storePath, "_SUCCESS").exists() ||
-      new java.io.File(storePath).list() != null &&
-        new java.io.File(storePath).list().exists(_.endsWith(".parquet"))
+    if (StoreFs.markerExists(spark, storePath, batchId))
+      return // checkpoint replay of an appended batch
+    val storeExists = StoreFs.storeExists(spark, storePath)
     // MATERIALIZE decisions BEFORE the store append — as a LOCAL
     // CHECKPOINT, not a cache: the plan reads the store parquet, and the
     // append below fires Spark's recacheByPath, which would RECOMPUTE a
@@ -101,7 +99,7 @@ object IncrementalDedup {
     // joins (duplicate rows produce duplicate candidate pairs, which
     // `distinct` absorbs); the marker is a fast-path skip, not the
     // correctness mechanism.
-    marker.createNewFile()
+    StoreFs.writeMarker(spark, storePath, batchId)
     onBatch(decisions, batchId)
     graft.core.Caches.releaseAll()
   }

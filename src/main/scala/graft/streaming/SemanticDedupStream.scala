@@ -21,14 +21,17 @@ import graft.operators.Quantization
   * is cross-batch state that must outlive the query and be shared with
   * batch jobs (x81 reads the same layout), so it lives in parquet, not
   * the state store. Restart safety mirrors [[IncrementalDedup]]: a
-  * `_graft_batch_<id>` marker makes checkpoint replays skip the append;
-  * a crash between append and marker re-appends codes, which cannot flip
-  * any decision (an extra copy of a stored vector only adds a duplicate
-  * τ-close WITNESS for future batches — the verdict `n_close > 0` is
-  * threshold-free on the count's magnitude only through `> 0`, which
-  * duplicates cannot change... they CAN inflate `n_close`, so the marker
-  * IS load-bearing for the graded count; decisions (kept) stay correct
-  * regardless).
+  * `_graft_batch_<id>` marker makes checkpoint replays skip the append.
+  * The crash window between append and marker is where the guarantees
+  * split: `kept` decisions are replay-IDEMPOTENT because
+  * [[Quantization.semanticDedupFromStore]] excludes a probe's own stored
+  * copy from the old side (without that, every survivor would τ-match
+  * itself at cos = 1 and the replay would silently drop the whole batch)
+  * and survivors are pairwise non-τ-close by construction, so re-deciding
+  * against the mutated store flips nothing; `n_close` COUNTS can still
+  * inflate on such a replay (a kept batch-mate is then witnessed both as
+  * its stored copy and as its in-batch row), so the marker remains
+  * load-bearing for the graded count, but never for the decisions.
   *
   * At 100 TB this is the production loop: the store grows by one batch
   * of codes per interval; the mask stays frozen until an operator-
@@ -57,11 +60,9 @@ object SemanticDedupStream {
                    onBatch: (DataFrame, Long) => Unit): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
-    val marker = new java.io.File(storePath, s"_graft_batch_$batchId")
-    if (marker.exists()) return // checkpoint replay of an appended batch
-    val storeExists = new java.io.File(storePath, "_SUCCESS").exists() ||
-      new java.io.File(storePath).list() != null &&
-        new java.io.File(storePath).list().exists(_.endsWith(".parquet"))
+    if (StoreFs.markerExists(spark, storePath, batchId))
+      return // checkpoint replay of an appended batch
+    val storeExists = StoreFs.storeExists(spark, storePath)
     // localCheckpoint BEFORE the store append — the append fires Spark's
     // recacheByPath, and a lazily re-evaluated plan would re-read the
     // store including the batch's own just-written codes (the
@@ -79,9 +80,13 @@ object SemanticDedupStream {
       Quantization.appendToCodeStore(kept, spark.read.parquet(storePath),
         storePath, maxBits, dim)
     else
-      // bootstrap: the mask is frozen from THIS batch's corpus count
-      Quantization.writeCodeStore(kept, storePath, targetOcc, maxBits, dim)
-    marker.createNewFile()
+      // bootstrap: the mask is frozen from the FULL batch's corpus count —
+      // the same count semanticDedupAuto derived its cells from. Freezing
+      // from the smaller survivor set could straddle an autoBits boundary
+      // and store cell ids that disagree with batch 0's emitted decisions.
+      Quantization.writeCodeStore(kept, storePath, targetOcc, maxBits, dim,
+        maskCorpus = Some(batch))
+    StoreFs.writeMarker(spark, storePath, batchId)
     onBatch(decisions, batchId)
     graft.core.Caches.releaseAll()
   }

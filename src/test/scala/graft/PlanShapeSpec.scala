@@ -304,4 +304,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("x86 exact-substring: inverted index only — no all-pairs, doc-keyed windows") {
+    val p = plan("x86_exact_substring")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the gaps-and-islands windows must be doc-partitioned, never global
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("doc_id")), p)
+  }
 }

@@ -453,4 +453,24 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(r(1L).getAs[Double]("avg_logp") <= 0.0)
     assert(r(1L).getAs[Boolean]("lm_ok") && !r(2L).getAs[Boolean]("lm_ok"))
   }
+
+  test("bigramLmScore: OOV bigrams get the smoothed floor under a held-out ref") {
+    // ref vocabulary {the, quick, brown, fox}: V = 4, every c1 = 1, only
+    // "the quick" / "quick brown" / "brown fox" have c12 = 1. A doc whose
+    // bigrams are ALL unseen must still be scored (at the add-one floor),
+    // not silently dropped — the held-out-ref deployment depends on it.
+    val ref = docs(10L -> "the quick brown fox")
+    val d = docs(
+      1L -> "zz yy",                  // fully OOV: lp = ln(1/(0+4))
+      2L -> "the quick quick the")    // seen + unseen-bigram + unseen-bigram
+    val r = Curation.bigramLmScore(d, ref).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet == Set(1L, 2L), "all-OOV docs must stay in the output")
+    assert(math.abs(r(1L).getAs[Double]("avg_logp") - math.log(0.25)) < 1e-5)
+    // "the quick": ln(2/5); "quick quick"/"quick the": unseen ⇒ ln(1/5)
+    val exp2 = (math.log(0.4) + 2 * math.log(0.2)) / 3
+    assert(math.abs(r(2L).getAs[Double]("avg_logp") - exp2) < 1e-5)
+    assert(r(1L).getAs[Long]("n_bigrams") == 1L
+      && r(2L).getAs[Long]("n_bigrams") == 3L)
+  }
 }

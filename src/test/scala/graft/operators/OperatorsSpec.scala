@@ -482,4 +482,25 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       assert(m.width == 16 + id % 112 && m.height == 16 + id % 64, s"doc $id dims")
     }
   }
+
+  test("exactSubstringSpans: planted spans, within-doc repeats, island merge/split") {
+    // k = 3. Docs 1/2 share the 4-token span "a b c d" (cross-doc);
+    // doc 3 is one periodic repeat (every window duplicated ⇒ full-doc
+    // span); doc 4 has no repeats; doc 5 contains "a b c" twice with a
+    // gap ⇒ two separate islands (the merge must NOT bridge them).
+    val d = docs(
+      1L -> "a b c d e f g h",
+      2L -> "x y z a b c d q r s",
+      3L -> "u v w u v w u v w",
+      4L -> "pp qq rr ss tt",
+      5L -> "a b c mm nn oo pp2 a b c")
+    val out = Dedup.exactSubstringSpans(d, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((8L, 4L, 1L, 0.5)))     // span [0,4) = "a b c d"
+    assert(out(2L) == ((10L, 4L, 1L, 0.4)))    // span [3,7) = "a b c d"
+    assert(out(3L) == ((9L, 9L, 1L, 1.0)))     // whole doc one merged span
+    assert(out(4L) == ((5L, 0L, 0L, 0.0)))     // untouched
+    assert(out(5L) == ((10L, 6L, 2L, 0.6)))    // [0,3) and [7,10), unbridged
+  }
 }
