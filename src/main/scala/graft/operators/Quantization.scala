@@ -26,8 +26,12 @@ object Quantization {
     * embedding next to the codes — the auto-cell dedup buckets on the
     * float vector while testing cosine on the integer codes.
     * Adds: xs (µ-units), scale_int, q (codes in [-127, 127]). */
-  def int8Codes(emb: DataFrame): DataFrame =
-    emb.withColumn("xs", transform(col("embedding"), x =>
+  def int8Codes(emb: DataFrame): DataFrame = int8CodesOf(emb, "embedding")
+
+  /** [[int8Codes]] over an arbitrary vector column — the trained-IVF path
+    * quantizes the CODEBOOK (column `cv`) with the identical lift. */
+  def int8CodesOf(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("xs", transform(col(vecCol), x =>
         floor(x.cast("double") * 1000000d + 0.5d)))
       .withColumn("scale_int", array_max(transform(col("xs"), x => abs(x))))
       .withColumn("q", transform(col("xs"), xi =>
@@ -88,6 +92,72 @@ object Quantization {
     val w = Window.partitionBy("probe_id").orderBy(col("dot").desc, col("neighbor_id"))
     topk.withColumn("rk", row_number().over(w))
       .select("probe_id", "neighbor_id", "cell", "dot", "rk")
+  }
+
+  /** [[quantizedIvfTopK]] with nprobe > 1 — the IVF recall lever (x54's
+    * float-path pattern on the integer flow): each probe searches its
+    * `nProbeCells` nearest cells instead of one. The corpus stays
+    * single-cell, so no candidate is ever scored twice; the probe table
+    * grows nProbeCells×, which is the entire extra cost. Everything
+    * remains integer-exact.
+    * Output: probe_id, neighbor_id, dot, rk. */
+  def quantizedIvfTopKMulti(emb: DataFrame, centPred: Column, maxCents: Int,
+                            probePred: Column, k: Int,
+                            nProbeCells: Int): DataFrame = {
+    val codes = graft.core.Caches.scoped(int8Codes(emb).select(col("vec_id"), col("q")))
+    val cents = codes.filter(centPred).orderBy("vec_id").limit(maxCents)
+      .toDF("cent_id", "qc")
+    ivfSearchFromAssign(codes, cents, probePred, k, nProbeCells)
+  }
+
+  /** TRAINED quantized IVF — the production composition of the float and
+    * integer paths: the codebook is Lloyd-trained in float (x47's
+    * deterministic `kmeansCodebook`), then the CENTROIDS are int8-encoded
+    * with the same µ-unit lift as the corpus, so assignment and search
+    * run entirely on integer dots against a trained structure. This is
+    * the index shape a 100 TB embedding store actually serves: train on
+    * a sample in float, quantize everything once, search in int8.
+    * Output: probe_id, neighbor_id, dot, rk. */
+  def quantizedIvfTrainedTopK(emb: DataFrame, initPred: Column, iters: Int,
+                              probePred: Column, k: Int, maxCents: Int = 32,
+                              nProbeCells: Int = 1): DataFrame = {
+    val cb = Similarity.kmeansCodebook(emb, initPred, iters, maxCents)
+    val qcent = int8CodesOf(cb, "cv").select(col("cent_id"), col("q").as("qc"))
+    val codes = graft.core.Caches.scoped(int8Codes(emb).select(col("vec_id"), col("q")))
+    ivfSearchFromAssign(codes, qcent, probePred, k, nProbeCells)
+  }
+
+  /** Shared integer IVF search tail: broadcast-scored assignment of every
+    * code to its argmax centroid (TopKPerKey k=1), probes to their
+    * `nProbeCells` nearest cells, then the cell-restricted integer-dot
+    * top-k. The corpus stays single-cell so no candidate is scored twice;
+    * candidate volume grows only nProbeCells× on the probe side. */
+  private def ivfSearchFromAssign(codes: DataFrame, cents: DataFrame,
+                                  probePred: Column, k: Int,
+                                  nProbeCells: Int): DataFrame = {
+    val assign = graft.core.Caches.scoped(
+      codes.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("cent_id"),
+          aggregate(zip_with(col("q"), col("qc"), (a, b) => a * b),
+            lit(0L), (a, v) => a + v).as("adot")))
+    val cells = graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
+      Seq(assign("adot").desc, assign("cent_id")), 1)
+      .select(col("vec_id"), col("q"), col("cent_id").as("cell"))
+    val probeAssign = assign.filter(probePred)
+    val probes = graft.plans.TopK.perKey(probeAssign, Seq(probeAssign("vec_id")),
+      Seq(probeAssign("adot").desc, probeAssign("cent_id")), nProbeCells)
+      .select(col("vec_id").as("probe_id"), col("q").as("qp"),
+        col("cent_id").as("cell"))
+    val cands = cells.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("qp"), col("q"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v).as("dot"))
+    val topk = graft.plans.TopK.perKey(cands, Seq(cands("probe_id")),
+      Seq(cands("dot").desc, cands("neighbor_id")), k)
+    val w = Window.partitionBy("probe_id").orderBy(col("dot").desc, col("neighbor_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select("probe_id", "neighbor_id", "dot", "rk")
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster

@@ -244,9 +244,20 @@ object Similarity {
     val exact = graft.core.Caches.scoped(
       bruteForceTopK(emb, probePred, k).select("probe_id", "neighbor_id"))
     val nProbes = emb.filter(probePred).select(count(lit(1)).as("n_probes"))
-    methods.map { case (method, approx, bound) =>
+    recallPanel(nProbes, k, methods.map { case (m, a, b) => (m, a, exact, b) })
+  }
+
+  /** [[recallForMethods]] generalized to a PER-METHOD exact reference:
+    * the quantized panel (x88) decomposes its loss by grading the int8
+    * brute force against FLOAT truth (pure quantization error) and the
+    * int8 IVF against INTEGER truth (pure bucketing error) — one shared
+    * reference could not express that. */
+  def recallPanel(nProbes: DataFrame, k: Int,
+                  methods: Seq[(String, DataFrame, DataFrame, Double)]): DataFrame =
+    methods.map { case (method, approx, exact, bound) =>
       approx.select("probe_id", "neighbor_id")
-        .join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+        .join(exact.select("probe_id", "neighbor_id"),
+          Seq("probe_id", "neighbor_id"), "left_semi")
         .agg(count(lit(1)).as("total_hits"))
         .crossJoin(broadcast(nProbes))
         .select(
@@ -254,7 +265,6 @@ object Similarity {
           (col("total_hits").cast("double") / (col("n_probes") * k)).as("recall"))
         .withColumn("recall_ok", when(col("recall") >= bound, 1).otherwise(0))
     }.reduce(_.unionAll(_))
-  }
 
   /** Self-graded ANN quality of the two baseline approximate paths
     * (`lshBucketed`, `ivfTopK`) — see `recallForMethods`; x55 grades the

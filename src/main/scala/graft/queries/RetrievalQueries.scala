@@ -140,6 +140,142 @@ object RetrievalQueries {
       .orderBy("probe_id", "rk")
   }
 
+  // --- X88: recall grading of the QUANTIZED search paths — x55 grades
+  // the float ANN paths; this panel grades what the 100 TB story
+  // actually ships, DECOMPOSED by loss source:
+  //   quant_brute      vs FLOAT truth   ≥ 0.6  (pure int8 quantization loss)
+  //   quant_ivf        vs INTEGER truth ≥ 0.3  (untrained 16-cell baseline)
+  //   quant_ivf_trained vs INTEGER truth ≥ 0.6 (Lloyd codebook, int8-encoded
+  //                                             — the production index shape)
+  // Grading IVF against the integer-exact ranking isolates BUCKETING loss
+  // from quantization loss (the quant_brute row already carries that);
+  // one shared reference could not tell the two apart.
+  private val QuantBound = 0.6
+  private val WeakQuantBound = 0.3
+  private val QuantNProbe = 3
+  private val recallCosSql =
+    """CASE WHEN list_dot_product(av, av) = 0 OR list_dot_product(pv, pv) = 0 THEN 0.0
+      |     ELSE list_dot_product(pv, av)
+      |          / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(av, av))) END"""
+      .stripMargin
+  val x88 = Query(
+    "x88_ann_recall_quantized",
+    Some(s"""
+      WITH $codesCtes,
+      ${SimilarityQueries.kmeansCtes},
+      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      probes AS (SELECT vec_id AS probe_id, v AS pv FROM ev
+                 WHERE vec_id % 100 = 0),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+      xsc AS (SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
+              FROM ev a CROSS JOIN probes WHERE a.vec_id <> probe_id),
+      xr AS (SELECT probe_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                 ORDER BY $recallCosSql DESC, neighbor_id) AS rk
+             FROM xsc),
+      exact AS (SELECT probe_id, neighbor_id FROM xr WHERE rk <= 5),
+      qpr AS (SELECT vec_id AS probe_id, q AS qp FROM qq WHERE vec_id % 100 = 0),
+      qc AS (SELECT probe_id, vec_id AS neighbor_id,
+               CAST(list_aggregate(list_transform(range(1, len(q) + 1),
+                 j -> q[j] * qp[j]), 'sum') AS BIGINT) AS dot
+             FROM qq CROSS JOIN qpr WHERE vec_id <> probe_id),
+      qr AS (SELECT probe_id, neighbor_id, row_number() OVER (PARTITION BY
+               probe_id ORDER BY dot DESC, neighbor_id) AS rk FROM qc),
+      qb AS (SELECT probe_id, neighbor_id FROM qr WHERE rk <= 5),
+      cents AS (SELECT vec_id AS cent_id, q AS qcode FROM qq
+                WHERE vec_id % 64 = 0 ORDER BY vec_id LIMIT 16),
+      asg AS (SELECT vec_id, q, cent_id,
+                CAST(list_aggregate(list_transform(range(1, len(q) + 1),
+                  j -> q[j] * qcode[j]), 'sum') AS BIGINT) AS adot
+              FROM qq CROSS JOIN cents),
+      cells AS (SELECT vec_id, q, cell FROM (
+                  SELECT vec_id, q, cent_id AS cell,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY adot DESC, cent_id) AS rn
+                  FROM asg) WHERE rn = 1),
+      ipr AS (SELECT probe_id, qp, cell FROM (
+                SELECT vec_id AS probe_id, q AS qp, cent_id AS cell,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY adot DESC, cent_id) AS rn
+                FROM asg WHERE vec_id % 100 = 0) WHERE rn <= $QuantNProbe),
+      ic AS (SELECT probe_id, v.vec_id AS neighbor_id,
+               CAST(list_aggregate(list_transform(range(1, len(v.q) + 1),
+                 j -> v.q[j] * qp[j]), 'sum') AS BIGINT) AS dot
+             FROM cells v JOIN ipr USING (cell) WHERE v.vec_id <> probe_id),
+      ir AS (SELECT probe_id, neighbor_id, row_number() OVER (PARTITION BY
+               probe_id ORDER BY dot DESC, neighbor_id) AS rk FROM ic),
+      qi AS (SELECT probe_id, neighbor_id FROM ir WHERE rk <= 5),
+      qce AS (SELECT cent_id,
+                list_transform(cv, x -> CAST(floor(x * 1000000 + 0.5)
+                  AS BIGINT)) AS cxs
+              FROM c2),
+      qcs AS (SELECT cent_id, cxs,
+                list_aggregate(list_transform(cxs, x -> abs(x)), 'max')
+                  AS cscale
+              FROM qce),
+      qcent AS (SELECT cent_id,
+                  list_transform(cxs, x -> greatest(-127, least(127,
+                    CAST(floor(x * 127.0 / cscale + 0.5) AS BIGINT)))) AS qc2
+                FROM qcs),
+      tasg AS (SELECT vec_id, q, cent_id,
+                 CAST(list_aggregate(list_transform(range(1, len(q) + 1),
+                   j -> q[j] * qc2[j]), 'sum') AS BIGINT) AS adot
+               FROM qq CROSS JOIN qcent),
+      tcl AS (SELECT vec_id, q, cell FROM (
+                SELECT vec_id, q, cent_id AS cell,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY adot DESC, cent_id) AS rn
+                FROM tasg) WHERE rn = 1),
+      tpr AS (SELECT probe_id, qp, cell FROM (
+                SELECT vec_id AS probe_id, q AS qp, cent_id AS cell,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY adot DESC, cent_id) AS rn
+                FROM tasg WHERE vec_id % 100 = 0) WHERE rn <= $QuantNProbe),
+      tc AS (SELECT probe_id, v.vec_id AS neighbor_id,
+               CAST(list_aggregate(list_transform(range(1, len(v.q) + 1),
+                 j -> v.q[j] * qp[j]), 'sum') AS BIGINT) AS dot
+             FROM tcl v JOIN tpr USING (cell) WHERE v.vec_id <> probe_id),
+      tr2 AS (SELECT probe_id, neighbor_id, row_number() OVER (PARTITION BY
+                probe_id ORDER BY dot DESC, neighbor_id) AS rk FROM tc),
+      qt AS (SELECT probe_id, neighbor_id FROM tr2 WHERE rk <= 5),
+      hits AS (
+        SELECT 'quant_brute' AS method, CAST(count(*) AS BIGINT) AS total_hits,
+               $QuantBound AS bound
+        FROM qb SEMI JOIN exact USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'quant_ivf', CAST(count(*) AS BIGINT), $WeakQuantBound
+        FROM qi SEMI JOIN qb USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'quant_ivf_trained', CAST(count(*) AS BIGINT), $QuantBound
+        FROM qt SEMI JOIN qb USING (probe_id, neighbor_id))
+      SELECT method, n_probes, total_hits,
+             CAST(total_hits AS DOUBLE) / (n_probes * 5) AS recall,
+             CASE WHEN CAST(total_hits AS DOUBLE) / (n_probes * 5)
+                    >= bound THEN 1 ELSE 0 END AS recall_ok
+      FROM hits, np
+      ORDER BY method""")
+  ) { (s, d) =>
+    import graft.operators.Similarity
+    val emb = embeddings(s, d)
+    val probePred = col("vec_id") % 100 === 0
+    val floatExact = graft.core.Caches.scoped(
+      Similarity.bruteForceTopK(emb, probePred, k = 5)
+        .select("probe_id", "neighbor_id"))
+    val intExact = graft.core.Caches.scoped(
+      Quantization.quantizedTopK(emb, probePred, k = 5)
+        .select("probe_id", "neighbor_id"))
+    val nProbes = emb.filter(probePred).select(count(lit(1)).as("n_probes"))
+    Similarity.recallPanel(nProbes, k = 5, Seq(
+      ("quant_brute", intExact, floatExact, QuantBound),
+      ("quant_ivf", Quantization.quantizedIvfTopKMulti(emb,
+        centPred = col("vec_id") % 64 === 0, maxCents = 16,
+        probePred, k = 5, nProbeCells = QuantNProbe), intExact, WeakQuantBound),
+      ("quant_ivf_trained", Quantization.quantizedIvfTrainedTopK(emb,
+        initPred = col("vec_id") % 125 === 0, iters = 2, probePred, k = 5,
+        maxCents = 32, nProbeCells = QuantNProbe), intExact, QuantBound)))
+      .orderBy("method")
+  }
+
   // --- X76: SemDeDup — semantic dedup inside quantized IVF cells. The
   // cosine-≥-τ test is cross-multiplied into pure BIGINT arithmetic
   // (τ = 0.45, τ² = 2025/10⁴ exactly), so like x67/x68/x75 the oracle
@@ -382,5 +518,5 @@ object RetrievalQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
-  val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84)
+  val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88)
 }

@@ -318,7 +318,7 @@ object SimilarityQueries {
     * → a3 (final assignment: vec_id, vq, cell, a_cos). x47 appends the
     * codebook-stats tail, x54 the trained cell-restricted search, x55 the
     * trained recall row. */
-  private val kmeansCtes: String = {
+  private[queries] val kmeansCtes: String = {
     def assignCte(i: Int, centTable: String) = s"""
       a$i AS (
         SELECT vec_id, vq, cell, a_cos FROM (
