@@ -153,6 +153,59 @@ object TextAnalysis {
     score * 1000L >= lit(thetaPerMille) * size(fs).cast("long")
   }
 
+  /** TRAINED linear classifier — the weight-table swap
+    * [[hashedClassifier]]'s doc comment promises, exercised for real:
+    * per-feature weights are closed-form Naive-Bayes log-odds trained
+    * from a label column (`isPos`) over the same unigram+bigram features,
+    * w(t) = ln( (c⁺(t)+1)·(N⁻+V) / ((c⁻(t)+1)·(N⁺+V)) ) in µ-nats
+    * (round-6 then integer-lift, so the score stays BIGINT arithmetic
+    * like x78's). The production pattern is distillation: train the
+    * cheap linear gate to mimic an expensive signal, serve it at the
+    * scan.
+    *
+    * Scale/plan shape: training is one explode + term-keyed count
+    * aggregation (shuffles — that is the TRAINING side, run once); the
+    * vocabulary is capped at `maxVocab` by frequency (deterministic
+    * term tie-break) and folded into ONE map row, so SCORING is the x78
+    * shape exactly: a 1-row broadcast + a codegen'd `aggregate` HOF over
+    * the feature array — no join, no exchange, no explode on the scored
+    * corpus (PlanShapeSpec pins no shuffle join anywhere). Unseen
+    * features score 0 (neutral), the natural out-of-vocab policy for a
+    * capped table.
+    * Output: doc_id, is_pos, n_feats, score_sum, pred_pos, correct. */
+  def trainedClassifier(docs: DataFrame, isPos: Column,
+                        maxVocab: Int = 4096): DataFrame = {
+    val base = docs.select(col("doc_id"), isPos.as("pos"),
+      words(normText(col("text"))).as("ws"))
+    val feats = base.withColumn("fs", concat(col("ws"), shingles(col("ws"), 2)))
+      .select(col("doc_id"), col("pos"), col("fs"))
+    val ex = feats.select(col("pos"), explode(col("fs")).as("t"))
+    val counts = ex.groupBy("t").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
+    val tot = counts.agg(sum("cpos").as("pos_tot"), sum("cneg").as("neg_tot"),
+      count(lit(1)).as("v"))
+    // integer-lifted round-6 log-odds: the products are exact BIGINTs
+    // (< 2⁵³), the division one IEEE op, ln rounded to 6 immediately —
+    // the x85 transcendental discipline, then µ-lifted to a BIGINT weight
+    val weights = counts.crossJoin(broadcast(tot))
+      .select(col("t"), (col("cpos") + col("cneg")).as("df"),
+        floor(round(log(
+          ((col("cpos") + 1L) * (col("neg_tot") + col("v"))).cast("double")
+            / ((col("cneg") + 1L) * (col("pos_tot") + col("v")))), 6)
+          * 1000000d + 0.5d).cast("long").as("wgt"))
+      .orderBy(col("df").desc, col("t")).limit(maxVocab)
+    val wmap = weights.agg(
+      map_from_entries(collect_list(struct(col("t"), col("wgt")))).as("wm"))
+    feats.crossJoin(broadcast(wmap))
+      .select(col("doc_id"), col("pos").as("is_pos"),
+        size(col("fs")).cast("long").as("n_feats"),
+        aggregate(col("fs"), lit(0L), (a, x) =>
+          a + coalesce(element_at(col("wm"), x), lit(0L))).as("score_sum"))
+      .withColumn("pred_pos", col("score_sum") >= 0L)
+      .withColumn("correct", col("pred_pos") === col("is_pos"))
+  }
+
   /** Document fingerprints: md5 of normalized text plus min/max seeded
     * shingle hashes (a 1-hash MinHash — the rolling-window signature). */
   def fingerprints(docs: DataFrame): DataFrame = {

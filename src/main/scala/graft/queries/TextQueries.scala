@@ -262,5 +262,52 @@ object TextQueries {
     TextAnalysis.hashedClassifier(documents(s, d)).orderBy("doc_id")
   }
 
-  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78)
+  // --- X89: TRAINED classifier weights — the swap x78's doc comment
+  // promises, graded: closed-form Naive-Bayes log-odds per unigram/bigram
+  // feature, trained against the lang='en' label (distillation: the
+  // cheap linear gate learns to mimic a signal), vocabulary capped by
+  // frequency, weights folded into a 1-row broadcast map so SCORING
+  // keeps x78's zero-shuffle column-program shape (PlanShapeSpec pins
+  // no shuffle join). Weights are round-6 ln lifted to BIGINT µ-nats;
+  // the doc score is pure integer arithmetic.
+  val x89 = Query(
+    "x89_classifier_trained",
+    Some(s"""
+      WITH n AS (SELECT doc_id, lang = 'en' AS pos, $normSql AS norm
+                 FROM documents),
+      w AS (SELECT doc_id, pos, string_split(norm, ' ') AS ws FROM n),
+      f AS (SELECT doc_id, pos, list_concat(ws,
+              list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS fs
+            FROM w),
+      ex AS (SELECT pos, unnest(fs) AS t FROM f),
+      c AS (SELECT t,
+              CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+              CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+            FROM ex GROUP BY t),
+      tt AS (SELECT CAST(SUM(cpos) AS BIGINT) AS pos_tot,
+                    CAST(SUM(cneg) AS BIGINT) AS neg_tot,
+                    CAST(count(*) AS BIGINT) AS v
+             FROM c),
+      wt AS (SELECT t,
+               CAST(floor(round(ln(CAST((cpos + 1) * (neg_tot + v) AS DOUBLE)
+                 / ((cneg + 1) * (pos_tot + v))), 6) * 1000000 + 0.5)
+                 AS BIGINT) AS wgt
+             FROM c, tt ORDER BY cpos + cneg DESC, t LIMIT 4096),
+      sx AS (SELECT doc_id, unnest(fs) AS t FROM f),
+      ds AS (SELECT sx.doc_id,
+               CAST(COALESCE(SUM(w2.wgt), 0) AS BIGINT) AS score_sum
+             FROM sx LEFT JOIN wt w2 ON w2.t = sx.t GROUP BY sx.doc_id)
+      SELECT f.doc_id, f.pos AS is_pos, CAST(len(f.fs) AS BIGINT) AS n_feats,
+             COALESCE(ds.score_sum, CAST(0 AS BIGINT)) AS score_sum,
+             COALESCE(ds.score_sum, 0) >= 0 AS pred_pos,
+             (COALESCE(ds.score_sum, 0) >= 0) = f.pos AS correct
+      FROM f LEFT JOIN ds ON ds.doc_id = f.doc_id
+      ORDER BY f.doc_id""")
+  ) { (s, d) =>
+    TextAnalysis.trainedClassifier(documents(s, d), isPos = col("lang") === "en")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78, x89)
 }

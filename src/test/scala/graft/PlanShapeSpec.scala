@@ -305,6 +305,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Window"), p)
   }
 
+  test("x89 trained classifier scores without any shuffle join") {
+    // training aggregates (term-keyed exchanges) are allowed; the SCORING
+    // side must stay the x78 shape — a 1-row broadcast map + an aggregate
+    // HOF over the feature array, never a feature-keyed join of the corpus
+    val p = plan("x89_classifier_trained")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x86 exact-substring: inverted index only — no all-pairs, doc-keyed windows") {
     val p = plan("x86_exact_substring")
     assert(!p.contains("CartesianProduct"), p)
