@@ -285,11 +285,17 @@ object Curation {
     * construction, which is exactly what greedy packing semantically is;
     * parallelism comes from the shard fan-out, the way a 1000-executor
     * packing job actually runs. Output: doc_id, shard, bin, ntok. */
-  def packSequences(docs: DataFrame, budget: Int, shardSize: Int = 64): DataFrame = {
-    val toks = docs
+  def packSequences(docs: DataFrame, budget: Int, shardSize: Int = 64): DataFrame =
+    packByShard(docs
       .select(col("doc_id"),
         floor(col("doc_id") / shardSize).cast("long").as("shard"),
-        size(words(normText(col("text")))).cast("long").as("ntok"))
+        size(words(normText(col("text")))).cast("long").as("ntok")), budget)
+
+  /** The packing fold over a CALLER-KEYED (doc_id, shard, ntok) relation —
+    * the export DAG packs BPE token counts within (split, shard) keys
+    * instead of word counts within doc_id ranges; the fold itself is
+    * identical. `shard` may be any groupable type. */
+  def packByShard(toks: DataFrame, budget: Int): DataFrame = {
     val packed = toks.groupBy("shard")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("ntok")))).as("ds"))
       .withColumn("bins", expr(

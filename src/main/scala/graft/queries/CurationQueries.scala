@@ -505,10 +505,12 @@ object CurationQueries {
   // deterministic split (x69) → per (split, lang) accounting. Every
   // stage is graded alone elsewhere; this grades the composition (the
   // x53/x74 pattern, curation generation 3).
-  val x80 = Query(
-    "x80_curation_pipeline_v3",
-    Some(s"""
-      WITH cn AS (SELECT doc_id, lang, n_chars, $normSql AS norm FROM documents),
+  /** The v3 survivor chain (no leading WITH): classifier gate → line
+    * dedup survival gate → semantic dedup → split, ending in
+    * `fin (doc_id, lang, n_chars, split)`. x80 aggregates it; x87
+    * extends it with BPE encode + sequence packing. */
+  private val curationV3Ctes: String = s"""
+      cn AS (SELECT doc_id, lang, n_chars, $normSql AS norm FROM documents),
       cw AS (SELECT doc_id, lang, n_chars, string_split(norm, ' ') AS ws FROM cn),
       cf AS (SELECT doc_id, lang, n_chars, list_concat(ws,
                list_transform(range(1, len(ws)),
@@ -570,7 +572,12 @@ object CurationQueries {
                      ELSE 'test' END AS split
               FROM keepc k
               JOIN keepline l ON l.doc_id = k.doc_id
-              JOIN sem ON sem.vec_id = k.doc_id)
+              JOIN sem ON sem.vec_id = k.doc_id)"""
+
+  val x80 = Query(
+    "x80_curation_pipeline_v3",
+    Some(s"""
+      WITH $curationV3Ctes
       SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(SUM(n_chars) AS BIGINT) AS n_chars
       FROM fin GROUP BY split, lang ORDER BY split, lang""")
@@ -592,6 +599,105 @@ object CurationQueries {
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy("split", "lang")
+  }
+
+  // --- X87: the END-TO-END training-data EXPORT DAG — raw crawl to
+  // packed token shards in ONE plan: the x80 survivor chain (classifier
+  // gate → line-dedup survival gate → semantic dedup → split) feeds BPE
+  // encoding (x83's 5 self-trained merge rounds over the SURVIVOR
+  // corpus) whose per-doc token counts are then sequence-packed (x71's
+  // fold) within (split, doc-range) shards — val docs never share a bin
+  // with train docs. Accounting per split: docs, BPE tokens, merges,
+  // bins, and bin fill fraction. Equi joins only; the packing fold is
+  // per-shard bounded; the split prefix rides inside the shard key so
+  // the final accounting needs no join back to the survivor table.
+  private val PackBudget = 256
+  val x87 = Query(
+    "x87_export_pipeline",
+    Some(s"""
+      WITH RECURSIVE $curationV3Ctes,
+      t0 AS MATERIALIZED (SELECT doc_id, ' ' || norm || ' ' AS t FROM cn
+             WHERE doc_id IN (SELECT doc_id FROM fin)),
+      ${(1 to 5).map(bpeRound).mkString(",")},
+      enc AS MATERIALIZED (SELECT doc_id,
+                CAST(len(string_split(trim(t), ' ')) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(string_split(trim(t), ' '),
+                  x -> contains(x, '_'))) AS BIGINT) AS n_merged
+              FROM m5),
+      pk AS MATERIALIZED (SELECT f.doc_id,
+               f.split || '_' || CAST(CAST(floor(f.doc_id / 64) AS BIGINT)
+                 AS VARCHAR) AS shard,
+               e.n_tokens AS ntok, e.n_merged
+             FROM fin f JOIN enc e ON e.doc_id = f.doc_id),
+      pd AS (SELECT shard, doc_id, ntok,
+               CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                 AS BIGINT) AS rn
+             FROM pk),
+      pack AS (
+        SELECT shard, rn, doc_id, ntok, 0 AS bin, ntok AS cum
+        FROM pd WHERE rn = 1
+        UNION ALL
+        SELECT d2.shard, d2.rn, d2.doc_id, d2.ntok,
+               CASE WHEN p.cum + d2.ntok > $PackBudget THEN p.bin + 1
+                    ELSE p.bin END,
+               CASE WHEN p.cum + d2.ntok > $PackBudget THEN d2.ntok
+                    ELSE p.cum + d2.ntok END
+        FROM pack p JOIN pd d2 ON d2.shard = p.shard AND d2.rn = p.rn + 1),
+      ws2 AS (SELECT split_part(shard, '_', 1) AS split, shard, bin,
+                     doc_id, ntok
+              FROM pack),
+      bn AS (SELECT split, CAST(count(*) AS BIGINT) AS n_bins FROM (
+               SELECT DISTINCT split, shard, bin FROM ws2)
+             GROUP BY split),
+      da AS (SELECT w2.split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(w2.ntok) AS BIGINT) AS n_tokens,
+               CAST(SUM(pk2.n_merged) AS BIGINT) AS n_merged
+             FROM ws2 w2 JOIN pk pk2 ON pk2.doc_id = w2.doc_id
+             GROUP BY w2.split)
+      SELECT da.split, da.n_docs, da.n_tokens, da.n_merged, bn.n_bins,
+             CAST(da.n_tokens AS DOUBLE) / (bn.n_bins * $PackBudget.0)
+               AS fill_frac
+      FROM da JOIN bn ON bn.split = da.split
+      ORDER BY da.split""")
+  ) { (s, d) =>
+    import graft.operators.{Quantization, TextAnalysis}
+    val docs = documents(s, d)
+    val gated = docs.filter(TextAnalysis.classifierGate(col("text")))
+    val lines = Curation.reflowLines(gated)
+      .unionAll(Curation.boilerplateLines(gated))
+    val lineOk = Curation.crossDocLineDedup(lines)
+      .filter(col("kept_char_frac") >= 0.5).select("doc_id")
+    val sem = Quantization.semanticDedupAuto(embeddings(s, d),
+        targetOcc = SimilarityQueries.TargetOcc,
+        maxBits = SimilarityQueries.DedupMaxBits, dim = SimilarityQueries.Dim)
+      .filter(col("kept")).select(col("vec_id").as("doc_id"))
+    val surv = graft.core.Caches.scoped(Curation.datasetSplit(
+      gated.select("doc_id", "lang", "text")
+        .join(lineOk, "doc_id").join(sem, "doc_id"))
+      .select("doc_id", "split", "text"))
+    val enc = graft.core.Caches.scoped(
+      Tokenizer.bpeEncodeStats(surv.select("doc_id", "text"), rounds = 5)
+        .select(col("doc_id"), col("n_tokens"), col("n_merged")))
+    val packIn = surv.join(enc, "doc_id")
+      .select(col("doc_id"),
+        concat(col("split"), lit("_"),
+          floor(col("doc_id") / 64).cast("long").cast("string")).as("shard"),
+        col("n_tokens").as("ntok"))
+    val packed = Curation.packByShard(packIn, budget = PackBudget)
+    val withSplit = packed
+      .withColumn("split", substring_index(col("shard"), "_", 1))
+    val docsAgg = withSplit
+      .join(enc.select(col("doc_id"), col("n_merged")), "doc_id")
+      .groupBy("split").agg(count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"), sum(col("n_merged")).as("n_merged"))
+    val binsAgg = withSplit.select("split", "shard", "bin").distinct()
+      .groupBy("split").agg(count(lit(1)).as("n_bins"))
+    docsAgg.join(binsAgg, "split")
+      .select(col("split"), col("n_docs"), col("n_tokens"), col("n_merged"),
+        col("n_bins"),
+        (col("n_tokens").cast("double") / (col("n_bins") * PackBudget.toDouble))
+          .as("fill_frac"))
+      .orderBy("split")
   }
 
   // --- X83: BPE tokenizer APPLICATION — the encode side of x72: run the
@@ -663,5 +769,5 @@ object CurationQueries {
   }
 
   val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74,
-    x77, x80, x83, x85)
+    x77, x80, x83, x85, x87)
 }
