@@ -355,7 +355,18 @@ object Dedup {
     * (columns: doc_a, doc_b). Returns (node, lbl) for every node that
     * appears in an edge; isolated nodes are absent (callers coalesce to
     * self). Min-label propagation as documented on
-    * `clusterClosureDecisions`.
+    * `clusterClosureDecisions`, ACCELERATED by per-round pointer doubling
+    * (path halving): after the one-hop neighbor-min step, every node
+    * re-reads its label's label — lbl(v) ← lbl(lbl(v)). The invariant
+    * lbl(x) ≤ x makes the lookup total (every label IS a node of the same
+    * component) and monotone, so convergence detection is unchanged while
+    * round count drops from O(diameter) to O(log diameter) — the same
+    * complexity as the large-star/small-star alternation, but as one
+    * extra label-table self-join per round instead of an edge-set
+    * rewrite. Each round costs one driver sync, so on a chain of 70
+    * nodes this is ~10 rounds instead of ~70 (OperatorsSpec measures
+    * it); on the shallow graphs near-dup corpora actually produce it
+    * adds one cheap small-table join.
     *
     * THROWS IllegalStateException if `maxIters` rounds pass without the
     * fixpoint confirming: propagation moves labels one hop per round, so a
@@ -403,10 +414,16 @@ object Dedup {
     while (!converged && iters < maxIters) {
       val prop = adj.join(labels.toDF("dst", "nlbl"), "dst")
         .groupBy(col("src").as("node")).agg(min("nlbl").as("min_nbr"))
-      val next = labels.join(prop, Seq("node"), "left")
+      val hop = labels.join(prop, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true) // referenced twice below — sever before the self-join
+      // pointer doubling: lbl(v) ← lbl(lbl(v)). Inner join is total
+      // because every label value is itself a node of the labels table.
+      val next = hop.join(hop.toDF("plbl", "gp"), col("lbl") === col("plbl"))
+        .select(col("node"), col("gp").as("lbl"))
         .localCheckpoint(true)
+      checkpointRdd(hop).foreach(_.unpersist(blocking = false))
       iters += 1
       if (iters <= 2 || iters % 2 == 0 || iters == maxIters) {
         val s = Option(next.agg(sum("lbl")).first().get(0))
@@ -422,8 +439,14 @@ object Dedup {
         s"connectedComponents did not converge within $maxIters rounds — " +
           "component diameter exceeds the cap; raise maxIters (labels would " +
           "be silently wrong otherwise)")
+    lastClosureRounds = iters
     Caches.scopedCheckpoint(labels)
   }
+
+  /** Round count of the most recent [[connectedComponents]] run on this
+    * JVM — observability for the O(log diameter) claim (specs measure it;
+    * production would emit it as a metric). */
+  @volatile private[graft] var lastClosureRounds: Int = 0
 
   /** The band join's operational skew guard: its cost is Σ_bucket
     * |bucket|², so a handful of oversized buckets (boilerplate families,

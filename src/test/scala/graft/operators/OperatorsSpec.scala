@@ -361,6 +361,14 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
           edges.toDF("doc_a", "doc_b"), maxIters = 200)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == expected, s"case $case_ (n=$n, ${edges.size} edges)")
+      // pointer doubling must keep the round count LOGARITHMIC in the
+      // diameter: the n-node chain (case 1, diameter n−1 ≥ 29) needs
+      // ~log₂(n) + slack rounds, where plain min-propagation needs ~n —
+      // each round is a driver sync, so this IS the deep-graph scale fix
+      if (case_ == 1)
+        assert(Dedup.lastClosureRounds <= 12,
+          s"chain of $n nodes took ${Dedup.lastClosureRounds} rounds — " +
+            "pointer doubling regressed to linear propagation")
     }
   }
 
