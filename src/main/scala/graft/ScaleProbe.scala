@@ -34,7 +34,8 @@ object ScaleProbe {
     "x54_ivf_trained", "x56_dedup_incr_cluster", "x58_dedup_bucket_cap",
     "x75_quantized_ivf", "x76_semantic_dedup", "x77_line_dedup",
     "x79_semantic_dedup_auto", "x81_semantic_dedup_incr",
-    "x82_semantic_dedup_capped")
+    "x82_semantic_dedup_capped", "x86_exact_substring",
+    "x90_semantic_dedup_refined")
 
   private val Offset = 10000L
 

@@ -276,6 +276,50 @@ object Quantization {
     closeVerdicts(small, tauNumSq, tauDenSq).unionAll(hot)
   }
 
+  /** [[semanticDedupAuto]] with HOT-CELL SECONDARY SPLIT — the
+    * verdict-REFINING alternative to the x82 wholesale cap: cells over
+    * `cap` are re-bucketed under `extraBits` MORE hyperplanes of the same
+    * family (the sub-cell id extends the cell id's bit prefix, so
+    * sub-cells strictly refine cells) and the exact pairwise τ test then
+    * runs inside sub-cells. Every emitted verdict is still a real
+    * integer-cosine comparison — unlike the cap, which decides
+    * non-identical family members wholesale — and sub-cap cells are
+    * bit-identical to x79. The trade is recall inside hot cells (a
+    * τ-close pair straddling a sub-cell boundary keeps both — the
+    * standard LSH contract, just finer), bought at pair volume
+    * Σ|subcell|² ≈ Σ|cell|²/2^(2·extraBits) for clustered mass.
+    * Output: vec_id, cell (the JOIN cell — refined id for hot rows),
+    * n_close, kept. */
+  def semanticDedupRefined(emb: DataFrame, targetOcc: Int, maxBits: Int,
+                           dim: Int, cap: Int, extraBits: Int = 4,
+                           tauNumSq: Long = 2025L,
+                           tauDenSq: Long = 10000L): DataFrame = {
+    import graft.functions.VectorFunctions
+    val n = emb.agg(count(lit(1)).as("__n"))
+    val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
+    val nbits2 = least(nbits + extraBits, lit(maxBits))
+    val cells = graft.core.Caches.scoped(
+      int8Codes(emb).crossJoin(broadcast(n))
+        .select(col("vec_id"),
+          VectorFunctions.lshBucketMasked(col("embedding"), nbits, maxBits, dim)
+            .as("cell"),
+          VectorFunctions.lshBucketMasked(col("embedding"), nbits2, maxBits, dim)
+            .as("subcell"),
+          col("q"))
+        .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v)))
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("csz"))
+    val small = cells.join(sizes.filter(col("csz") <= cap).select("cell"), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("q"), col("nrm"))
+    val hot = cells.join(sizes.filter(col("csz") > cap).select("cell"), Seq("cell"))
+      .select(col("vec_id"), col("subcell").as("cell"), col("q"), col("nrm"))
+    // two separate verdict joins: a hot sub-cell id could numerically
+    // collide with a sub-cap cell id (different bit widths), and the two
+    // branches must never pair across
+    closeVerdicts(small, tauNumSq, tauDenSq)
+      .unionAll(closeVerdicts(hot, tauNumSq, tauDenSq))
+  }
+
   /** Persist the per-vector CODE STORE — the corpus-side state of
     * incremental semantic dedup: (vec_id, cell, q, nrm, nbits), ~70
     * bytes/vector vs KBs of raw embedding+text, so at 100 TB the store

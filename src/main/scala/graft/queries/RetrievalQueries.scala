@@ -483,6 +483,62 @@ object RetrievalQueries {
       .orderBy("vec_id")
   }
 
+  // --- X90: hot-cell SECONDARY SPLIT — the verdict-REFINING alternative
+  // to x82's wholesale cap: cells over the cap are re-bucketed under 4
+  // more hyperplanes of the same family (sub-cell ids extend the cell
+  // id's bit prefix) and the exact pairwise integer-cosine test runs
+  // inside sub-cells. Sub-cap cells are bit-identical to x79; every
+  // emitted verdict remains a real cosine comparison (x82 decides
+  // non-identical family members wholesale). The trade is recall across
+  // sub-cell boundaries — the standard LSH contract, one level finer.
+  private val RefineExtraBits = 4
+  val x90 = Query(
+    "x90_semantic_dedup_refined",
+    Some(s"""
+      WITH $codesCtes,
+      nc AS (SELECT count(*) AS cnt FROM embeddings),
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(SimilarityQueries.TargetOcc, SimilarityQueries.DedupMaxBits)} AS INT) AS nbits,
+                    CAST(least(${SimilarityQueries.nbitsSqlFor(SimilarityQueries.TargetOcc, SimilarityQueries.DedupMaxBits)} + $RefineExtraBits,
+                      ${SimilarityQueries.DedupMaxBits}) AS INT) AS nbits2
+             FROM nc),
+      ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bk AS (SELECT vec_id,
+               CAST(${SimilarityQueries.maskedBucketSqlVar(SimilarityQueries.DedupMaxBits, "nbits")} AS INT) AS cell,
+               CAST(${SimilarityQueries.maskedBucketSqlVar(SimilarityQueries.DedupMaxBits, "nbits2")} AS INT) AS subcell
+             FROM ev, nb),
+      nn AS (SELECT q.vec_id, bk.cell, bk.subcell, q.q,
+               CAST(list_aggregate(list_transform(range(1, len(q.q) + 1),
+                 j -> q.q[j] * q.q[j]), 'sum') AS BIGINT) AS nrm
+             FROM qq q JOIN bk ON bk.vec_id = q.vec_id),
+      sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS csz FROM nn GROUP BY cell),
+      un AS (SELECT n.vec_id, 0 AS branch, n.cell, n.q, n.nrm
+             FROM nn n JOIN sz ON sz.cell = n.cell WHERE sz.csz <= $SemCap
+             UNION ALL
+             SELECT n.vec_id, 1 AS branch, n.subcell AS cell, n.q, n.nrm
+             FROM nn n JOIN sz ON sz.cell = n.cell WHERE sz.csz > $SemCap),
+      pairs AS (SELECT b.vec_id,
+                  CAST(list_aggregate(list_transform(range(1, len(a.q) + 1),
+                    j -> a.q[j] * b.q[j]), 'sum') AS BIGINT) AS dot,
+                  a.nrm AS lon, b.nrm AS hin
+                FROM un a JOIN un b ON a.branch = b.branch
+                  AND a.cell = b.cell AND a.vec_id < b.vec_id),
+      cl AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_close FROM pairs
+             WHERE dot > 0 AND dot * dot * 10000 >= 2025 * lon * hin
+             GROUP BY vec_id)
+      SELECT u.vec_id, u.cell,
+             COALESCE(cl.n_close, CAST(0 AS BIGINT)) AS n_close,
+             COALESCE(cl.n_close, CAST(0 AS BIGINT)) = 0 AS kept
+      FROM un u LEFT JOIN cl ON cl.vec_id = u.vec_id
+      ORDER BY u.vec_id""")
+  ) { (s, d) =>
+    Quantization.semanticDedupRefined(embeddings(s, d),
+        targetOcc = SimilarityQueries.TargetOcc,
+        maxBits = SimilarityQueries.DedupMaxBits,
+        dim = SimilarityQueries.Dim, cap = SemCap,
+        extraBits = RefineExtraBits)
+      .orderBy("vec_id")
+  }
+
   // --- X84: RAG/embedding document chunking — overlapping fixed-size
   // token windows (32 tokens, stride 24) with per-chunk md5 fingerprints.
   // The chunk count formula (1 for one-chunk docs, else
@@ -518,5 +574,6 @@ object RetrievalQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
-  val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88)
+  val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
+    x90)
 }

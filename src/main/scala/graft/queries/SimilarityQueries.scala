@@ -232,8 +232,13 @@ object SimilarityQueries {
       .map(j => s"CASE WHEN cnt > ${targetOcc.toLong * (1L << (j - 1))} THEN 1 ELSE 0 END")
       .mkString(" + ")
   private[queries] def maskedBucketSqlFor(maxBits: Int): String =
+    maskedBucketSqlVar(maxBits, "nbits")
+  /** [[maskedBucketSqlFor]] with the bit-count variable name explicit —
+    * the x90 refinement buckets the same vector under `nbits` AND the
+    * wider `nbits2` in one CTE. */
+  private[queries] def maskedBucketSqlVar(maxBits: Int, bitsVar: String): String =
     (0 until maxBits)
-      .map(j => s"(CASE WHEN $j < nbits AND list_dot_product(v, ${planeSql(j)}) >= 0" +
+      .map(j => s"(CASE WHEN $j < $bitsVar AND list_dot_product(v, ${planeSql(j)}) >= 0" +
         s" THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
   private[queries] val nbitsSql = nbitsSqlFor(TargetOcc, MaxBits)

@@ -454,6 +454,36 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(r(1L).getAs[Boolean]("lm_ok") && !r(2L).getAs[Boolean]("lm_ok"))
   }
 
+  test("bpeApplyMerges applies the TRAINED merges, not self-derived ones") {
+    // trainer sees only the sample (docs 1–2, dominated by "a b"); the
+    // encode corpus (doc 10) is dominated by "x y" — a self-training
+    // encoder would merge x_y, the trained encoder must merge a_b only
+    val sample = docs(1L -> ("a b c " * 6), 2L -> ("a b d " * 4))
+    val corpus = docs(10L -> ("x y a b x y " * 3))
+    val merges = Tokenizer.bpeTrain(sample, rounds = 2)
+    val mergeList = merges.orderBy("round").collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    val out = Tokenizer.bpeApplyMerges(corpus, merges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // driver replay: sequentially apply each trained pair's leftmost-
+    // non-overlapping merge to the padded corpus text
+    var expect = " " + ("x y a b x y " * 3).trim.replaceAll("\\s+", " ") + " "
+    mergeList.foreach { case (_, pair) =>
+      expect = expect.replace(s" $pair ", s" ${pair.replace(' ', '_')} ")
+    }
+    assert(out(10L) == expect)
+    assert(out(10L).contains(" a_b "), "trained pair must be applied")
+    assert(!out(10L).contains("x_y"),
+      "self-derived pair applied — encoder is not using the trained table")
+    // and on the shared corpus the trained-table encoder reproduces the
+    // self-training form exactly
+    val self = Tokenizer.bpeApply(sample, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaTable = Tokenizer.bpeApplyMerges(sample, merges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(self == viaTable)
+  }
+
   test("bigramLmScore: OOV bigrams get the smoothed floor under a held-out ref") {
     // ref vocabulary {the, quick, brown, fox}: V = 4, every c1 = 1, only
     // "the quick" / "quick brown" / "brown fox" have c12 = 1. A doc whose
