@@ -210,6 +210,31 @@ object Curation {
     docs.withColumn("target_pct", ratePct).withColumn("kept", h < col("target_pct"))
   }
 
+  /** α-TEMPERATURE mixture weighting — the data-mixing recipe (Pile /
+    * LLaMA style): per-source sampling weight ∝ n_tokens^α with α = ½,
+    * normalized over sources, and the implied epochs per source for a
+    * fixed token budget (weight·budget / n_tokens — upsampled small
+    * sources read > 1 epoch, downsampled big ones < 1). α = ½ keeps the
+    * power a true IEEE `sqrt` (correctly rounded by the standard, so
+    * cross-engine exact with no rounding contract); the normalizer is an
+    * exact DECIMAL sum of round-6 values cast back once — the 1-row
+    * broadcast L1 pattern, so the plan is one source-keyed aggregate plus
+    * a scalar broadcast at any corpus size.
+    * Output: source, n_docs, n_tokens, weight, epochs. */
+  def mixtureWeights(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val per = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(words(normText(col("text")))).cast("long")).as("n_tokens"))
+      .withColumn("w_raw", round(sqrt(col("n_tokens").cast("double")), 6))
+    val tot = per.agg(sum(col("w_raw").cast(dec)).cast("double").as("tw"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w_raw") / col("tw"), 6).as("weight"))
+      .withColumn("epochs",
+        round(col("weight") * budgetTokens / col("n_tokens"), 6))
+  }
+
   /** CCNet-style n-gram language-model quality score: train add-one-
     * smoothed bigram probabilities on the corpus itself, then score every
     * document by its mean log P(w₂|w₁) — predictable, fluent text scores

@@ -662,4 +662,48 @@ object Dedup {
       .withColumn("dup_frac",
         col("n_dup_toks").cast("double") / col("n_toks"))
   }
+
+  /** The REMOVAL half of exact-substring dedup — what Lee et al. actually
+    * do to the corpus: drop every token covered by a repeated ≥ k-token
+    * span (all occurrences; the spans [[exactSubstringSpans]] reports)
+    * and emit each document's surviving token stream as an md5 over the
+    * in-order kept tokens. Coverage is the union of [pos, pos+k) over
+    * duplicated windows — materialized by exploding each duplicated
+    * position to its k covered offsets (bounded k× blowup of HIT rows
+    * only, not the corpus) and anti-joining the position-indexed tokens.
+    * Reassembly is a per-doc sort_array fold: partitions bounded by
+    * document length, no window at all.
+    * Output: doc_id, n_toks, n_kept_toks, clean_hash — every doc,
+    * md5('') when nothing survives. */
+  def exactSubstringClean(docs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TextFunctions._
+    val toks = graft.core.Caches.scoped(
+      docs.select(col("doc_id"), words(normText(col("text"))).as("ws")))
+    val grams = graft.core.Caches.scoped(
+      toks.select(col("doc_id"),
+          posexplode(shingles(col("ws"), k)).as(Seq("pos", "s")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          md5(col("s")).as("gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("gh")
+    val covered = grams.join(dup, Seq("gh"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    val tokens = toks.select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "w")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("w"))
+    val kept = tokens.join(covered, Seq("doc_id", "p"), "left_anti")
+    val perDoc = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("p"), col("w")))).as("kw"))
+      .select(col("doc_id"), size(col("kw")).cast("long").as("n_kept_toks"),
+        md5(array_join(transform(col("kw"), x => x.getField("w")), " "))
+          .as("clean_hash"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_kept_toks"), lit(0L)).as("n_kept_toks"),
+        coalesce(col("clean_hash"), lit(md5Empty)).as("clean_hash"))
+  }
+
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
 }

@@ -165,20 +165,25 @@ object TextAnalysis {
     *
     * Scale/plan shape: training is one explode + term-keyed count
     * aggregation (shuffles — that is the TRAINING side, run once); the
-    * vocabulary is capped at `maxVocab` by frequency (deterministic
-    * term tie-break) and folded into ONE map row, so SCORING is the x78
-    * shape exactly: a 1-row broadcast + a codegen'd `aggregate` HOF over
-    * the feature array — no join, no exchange, no explode on the scored
-    * corpus (PlanShapeSpec pins no shuffle join anywhere). Unseen
-    * features score 0 (neutral), the natural out-of-vocab policy for a
-    * capped table.
+    * vocabulary is capped at `maxVocab` by frequency (deterministic term
+    * tie-break). SCORING is a broadcast HASH join of the exploded
+    * features against the capped weight table plus one doc-keyed
+    * partial→final sum — no shuffle join anywhere (PlanShapeSpec pins
+    * it), and the exchange moves doc-cardinality rows after map-side
+    * combine. (A 1-row map-column broadcast was tried first: Spark's map
+    * lookup is a linear key scan and the joined map value materializes
+    * per row — measured 16 s vs ~2 s for this shape at sf0.1. The md5
+    * hashing-trick gate x78 remains the zero-shuffle scan-side form.)
+    * Unseen features score 0 (neutral), the natural out-of-vocab policy
+    * for a capped table.
     * Output: doc_id, is_pos, n_feats, score_sum, pred_pos, correct. */
   def trainedClassifier(docs: DataFrame, isPos: Column,
                         maxVocab: Int = 4096): DataFrame = {
     val base = docs.select(col("doc_id"), isPos.as("pos"),
       words(normText(col("text"))).as("ws"))
-    val feats = base.withColumn("fs", concat(col("ws"), shingles(col("ws"), 2)))
-      .select(col("doc_id"), col("pos"), col("fs"))
+    val feats = graft.core.Caches.scoped(
+      base.withColumn("fs", concat(col("ws"), shingles(col("ws"), 2)))
+        .select(col("doc_id"), col("pos"), col("fs")))
     val ex = feats.select(col("pos"), explode(col("fs")).as("t"))
     val counts = ex.groupBy("t").agg(
       sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
@@ -195,13 +200,17 @@ object TextAnalysis {
             / ((col("cneg") + 1L) * (col("pos_tot") + col("v")))), 6)
           * 1000000d + 0.5d).cast("long").as("wgt"))
       .orderBy(col("df").desc, col("t")).limit(maxVocab)
-    val wmap = weights.agg(
-      map_from_entries(collect_list(struct(col("t"), col("wgt")))).as("wm"))
-    feats.crossJoin(broadcast(wmap))
-      .select(col("doc_id"), col("pos").as("is_pos"),
-        size(col("fs")).cast("long").as("n_feats"),
-        aggregate(col("fs"), lit(0L), (a, x) =>
-          a + coalesce(element_at(col("wm"), x), lit(0L))).as("score_sum"))
+    // is_pos/n_feats ride THROUGH the explode and fold as first() in the
+    // same aggregate — no doc-keyed join-back of two corpus-cardinality
+    // tables (that planned as a SortMergeJoin). Every doc survives the
+    // explode: `words` of even an empty text yields one token, so fs is
+    // never empty.
+    feats.select(col("doc_id"), col("pos").as("is_pos"),
+        size(col("fs")).cast("long").as("n_feats"), explode(col("fs")).as("t"))
+      .join(broadcast(weights.select("t", "wgt")), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(first(col("is_pos")).as("is_pos"), first(col("n_feats")).as("n_feats"),
+        sum(coalesce(col("wgt"), lit(0L))).as("score_sum"))
       .withColumn("pred_pos", col("score_sum") >= 0L)
       .withColumn("correct", col("pred_pos") === col("is_pos"))
   }

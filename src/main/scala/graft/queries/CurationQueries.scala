@@ -671,13 +671,19 @@ object CurationQueries {
         targetOcc = SimilarityQueries.TargetOcc,
         maxBits = SimilarityQueries.DedupMaxBits, dim = SimilarityQueries.Dim)
       .filter(col("kept")).select(col("vec_id").as("doc_id"))
-    val surv = graft.core.Caches.scoped(Curation.datasetSplit(
+    // localCheckpoint, not a plain cache: the BPE loop's per-round plans
+    // otherwise EMBED the whole survivor DAG (classifier + line dedup +
+    // semantic dedup) and re-reference it each round — Catalyst analysis
+    // went multiplicative exactly as in the x56 closure lesson (measured
+    // 192 s at sf0.1; severed, the rounds see a LogicalRDD leaf).
+    val surv = graft.core.Caches.scopedCheckpoint(Curation.datasetSplit(
       gated.select("doc_id", "lang", "text")
         .join(lineOk, "doc_id").join(sem, "doc_id"))
-      .select("doc_id", "split", "text"))
-    val enc = graft.core.Caches.scoped(
+      .select("doc_id", "split", "text").localCheckpoint(true))
+    val enc = graft.core.Caches.scopedCheckpoint(
       Tokenizer.bpeEncodeStats(surv.select("doc_id", "text"), rounds = 5)
-        .select(col("doc_id"), col("n_tokens"), col("n_merged")))
+        .select(col("doc_id"), col("n_tokens"), col("n_merged"))
+        .localCheckpoint(true))
     val packIn = surv.join(enc, "doc_id")
       .select(col("doc_id"),
         concat(col("split"), lit("_"),
@@ -698,6 +704,34 @@ object CurationQueries {
         (col("n_tokens").cast("double") / (col("n_bins") * PackBudget.toDouble))
           .as("fill_frac"))
       .orderBy("split")
+  }
+
+  // --- X92: α-temperature mixture weighting — the data-mixing recipe
+  // (weight ∝ n_tokens^½ per source, normalized; implied epochs for a
+  // 10⁶-token budget). sqrt is IEEE-correctly-rounded (cross-engine
+  // exact); the normalizer is the round-6 DECIMAL-sum 1-row broadcast.
+  private val MixBudget = 1000000L
+  val x92 = Query(
+    "x92_mixture_weights",
+    Some(s"""
+      WITH w AS (SELECT source, string_split($normSql, ' ') AS ws
+                 FROM documents),
+      per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CAST(len(ws) AS BIGINT)) AS BIGINT) AS n_tokens
+              FROM w GROUP BY source),
+      pw AS (SELECT source, n_docs, n_tokens,
+               round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS w_raw
+             FROM per),
+      tw AS (SELECT CAST(SUM(CAST(w_raw AS DECIMAL(18,6))) AS DOUBLE) AS tw
+             FROM pw)
+      SELECT source, n_docs, n_tokens,
+             round(w_raw / tw, 6) AS weight,
+             round(round(w_raw / tw, 6) * $MixBudget / n_tokens, 6) AS epochs
+      FROM pw, tw
+      ORDER BY source""")
+  ) { (s, d) =>
+    Curation.mixtureWeights(documents(s, d), budgetTokens = MixBudget)
+      .orderBy("source")
   }
 
   // --- X83: BPE tokenizer APPLICATION — the encode side of x72: run the
@@ -769,5 +803,5 @@ object CurationQueries {
   }
 
   val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74,
-    x77, x80, x83, x85, x87)
+    x77, x80, x83, x85, x87, x92)
 }

@@ -551,7 +551,45 @@ object DedupQueries {
     Dedup.exactSubstringSpans(documents(s, d), k = EsK).orderBy("doc_id")
   }
 
+  // --- X91: exact-substring REMOVAL — the corpus edit x86's report
+  // implies (Lee et al. drop the repeated spans): every token covered by
+  // a duplicated ≥ K-window is removed (all occurrences) and each doc's
+  // surviving token stream is graded as an md5 over the in-order kept
+  // tokens. Coverage = hit positions exploded to their K offsets (bounded
+  // K× blowup of HIT rows only) anti-joined against position-indexed
+  // tokens; reassembly is a per-doc sort_array fold — no window.
+  val x91 = Query(
+    "x91_exact_substring_clean",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      g AS (SELECT doc_id,
+              unnest(range(1, greatest(len(ws) - $EsK + 2, 1))) AS j, ws
+            FROM w),
+      gh AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos,
+                    md5(array_to_string(ws[j:j+$EsK-1], ' ')) AS gh
+             FROM g),
+      dup AS (SELECT gh FROM gh GROUP BY gh HAVING count(*) > 1),
+      hit AS (SELECT doc_id, pos FROM gh SEMI JOIN dup USING (gh)),
+      cov AS (SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + $EsK))
+                AS BIGINT) AS p
+              FROM hit),
+      ti AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS j, ws FROM w),
+      tk AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS p, ws[j] AS w FROM ti),
+      kept AS (SELECT doc_id, p, w FROM tk ANTI JOIN cov USING (doc_id, p)),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_toks,
+               md5(string_agg(w, ' ' ORDER BY p)) AS clean_hash
+             FROM kept GROUP BY doc_id)
+      SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_toks,
+             COALESCE(pd.n_kept_toks, CAST(0 AS BIGINT)) AS n_kept_toks,
+             COALESCE(pd.clean_hash, md5('')) AS clean_hash
+      FROM w LEFT JOIN pd ON pd.doc_id = w.doc_id
+      ORDER BY w.doc_id""")
+  ) { (s, d) =>
+    Dedup.exactSubstringClean(documents(s, d), k = EsK).orderBy("doc_id")
+  }
+
   val all: Seq[Query] =
     Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49, x53, x56,
-      x58, x59, x86)
+      x58, x59, x86, x91)
 }

@@ -266,10 +266,10 @@ object TextQueries {
   // promises, graded: closed-form Naive-Bayes log-odds per unigram/bigram
   // feature, trained against the lang='en' label (distillation: the
   // cheap linear gate learns to mimic a signal), vocabulary capped by
-  // frequency, weights folded into a 1-row broadcast map so SCORING
-  // keeps x78's zero-shuffle column-program shape (PlanShapeSpec pins
-  // no shuffle join). Weights are round-6 ln lifted to BIGINT µ-nats;
-  // the doc score is pure integer arithmetic.
+  // frequency, scoring via broadcast hash join + one doc-keyed
+  // partial→final sum (PlanShapeSpec pins no shuffle join). Weights are
+  // round-6 ln lifted to BIGINT µ-nats; the doc score is pure integer
+  // arithmetic.
   val x89 = Query(
     "x89_classifier_trained",
     Some(s"""

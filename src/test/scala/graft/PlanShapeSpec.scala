@@ -307,8 +307,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
 
   test("x89 trained classifier scores without any shuffle join") {
     // training aggregates (term-keyed exchanges) are allowed; the SCORING
-    // side must stay the x78 shape — a 1-row broadcast map + an aggregate
-    // HOF over the feature array, never a feature-keyed join of the corpus
+    // join must be the BROADCAST of the capped weight table — never a
+    // shuffle join of the corpus against the vocabulary
     val p = plan("x89_classifier_trained")
     assert(!p.contains("SortMergeJoin"), p)
     assert(!p.contains("ShuffledHashJoin"), p)

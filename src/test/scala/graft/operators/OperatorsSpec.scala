@@ -510,5 +510,18 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(out(3L) == ((9L, 9L, 1L, 1.0)))     // whole doc one merged span
     assert(out(4L) == ((5L, 0L, 0L, 0.0)))     // untouched
     assert(out(5L) == ((10L, 6L, 2L, 0.6)))    // [0,3) and [7,10), unbridged
+
+    // the removal half: kept streams are exactly the uncovered tokens,
+    // in order; a fully-covered doc cleans to the empty stream
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val clean = Dedup.exactSubstringClean(d, k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(clean(1L) == ((8L, 4L, h("e f g h"))))
+    assert(clean(2L) == ((10L, 6L, h("x y z q r s"))))
+    assert(clean(3L) == ((9L, 0L, h(""))))
+    assert(clean(4L) == ((5L, 5L, h("pp qq rr ss tt"))))
+    assert(clean(5L) == ((10L, 4L, h("mm nn oo pp2"))))
   }
 }
