@@ -706,4 +706,67 @@ object Dedup {
   }
 
   private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+
+  /** Persist the per-gram COUNT STORE — the corpus-side state of
+    * incremental exact-substring dedup: (gh, cnt) for every k-gram of the
+    * corpus, ~40 B/gram of md5+count vs the text itself. The x41/x81
+    * store convention applied to spans: old text is never rescanned; the
+    * store answers "has this window been seen before, and how often". An
+    * append writes the BATCH's counts as new rows — readers aggregate by
+    * gh, so appends never rewrite old data; compaction (sum-merge of
+    * rows) is a cadence decision like any store rebuild. */
+  def writeGramStore(docs: DataFrame, path: String, k: Int): Unit = {
+    import graft.functions.TextFunctions._
+    docs.select(col("doc_id"), words(normText(col("text"))).as("ws"))
+      .select(posexplode(shingles(col("ws"), k)).as(Seq("pos", "s")))
+      .select(md5(col("s")).as("gh"))
+      .groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .write.mode("append").parquet(path)
+  }
+
+  /** INCREMENTAL exact-substring dedup — [[exactSubstringSpans]] with the
+    * old corpus represented entirely by its gram-count store: a window of
+    * a NEW document is duplicated iff its corpus-wide occurrence count —
+    * batch occurrences plus stored occurrences — is ≥ 2. Old text is
+    * never rescanned (the x41/x81 property; the plan's only inputs are
+    * the new batch and the store parquet), old decisions are immutable,
+    * and the span merge runs only over the new batch's hit positions.
+    * Output: one row per NEW doc — doc_id, n_toks, n_dup_toks, n_spans,
+    * dup_frac. */
+  def exactSubstringSpansIncremental(newDocs: DataFrame, gramStore: DataFrame,
+                                     k: Int): DataFrame = {
+    import graft.functions.TextFunctions._
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.core.Caches.scoped(
+      newDocs.select(col("doc_id"), words(normText(col("text"))).as("ws")))
+    val grams = graft.core.Caches.scoped(
+      toks.select(col("doc_id"),
+          posexplode(shingles(col("ws"), k)).as(Seq("pos", "s")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          md5(col("s")).as("gh")))
+    // appends leave one row per (batch, gh) in the store → sum, not trust
+    val stored = gramStore.groupBy("gh").agg(sum(col("cnt")).as("old_cnt"))
+    val batchCnt = grams.groupBy("gh").agg(count(lit(1)).as("new_cnt"))
+    val dup = batchCnt.join(stored, Seq("gh"), "left")
+      .filter(col("new_cnt") + coalesce(col("old_cnt"), lit(0L)) >= 2L)
+      .select("gh")
+    val hits = grams.join(dup, Seq("gh"), "left_semi")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = hits
+      .withColumn("f", when(lag(col("pos"), 1).over(byPos).isNull
+        || col("pos") > lag(col("pos"), 1).over(byPos) + k, 1).otherwise(0))
+      .withColumn("island", sum(col("f")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = islands.groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("s0"), (max(col("pos")) + k).as("e0"))
+    val perDoc = spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e0") - col("s0")).as("n_dup_toks"))
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_dup_toks"), lit(0L)).as("n_dup_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_toks").cast("double") / col("n_toks"))
+  }
 }

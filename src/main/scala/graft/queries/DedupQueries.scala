@@ -589,7 +589,84 @@ object DedupQueries {
     Dedup.exactSubstringClean(documents(s, d), k = EsK).orderBy("doc_id")
   }
 
+  // --- X93: INCREMENTAL exact-substring dedup — the x41/x81 store
+  // cadence applied to spans: the old corpus (doc_id % 10 < 8) lives
+  // only as its per-gram COUNT store (md5 + count, ~40 B/gram); a new
+  // doc's window is duplicated iff batch + stored occurrences ≥ 2. Old
+  // text is never rescanned (PlanShapeSpec pins the only documents scan
+  // carries the new-batch filter); the span merge runs over new-batch
+  // hits only. The oracle replays the combined counts from the raw
+  // tables.
+  private def gramStorePath(sfDir: String): String = {
+    val f = new java.io.File(sfDir, "documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${f.length}:${f.lastModified}:$EsK".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-gramstore-" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
+  }
+
+  private def ensureGramStore(s: org.apache.spark.sql.SparkSession,
+                              d: String): String = {
+    val path = gramStorePath(d)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Dedup.writeGramStore(
+        documents(s, d).filter(col("doc_id") % 10 < 8), path, k = EsK)
+    path
+  }
+
+  val x93 = Query(
+    "x93_exact_substring_incr",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      g AS (SELECT doc_id,
+              unnest(range(1, greatest(len(ws) - $EsK + 2, 1))) AS j, ws
+            FROM w),
+      gh AS (SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos,
+                    md5(array_to_string(ws[j:j+$EsK-1], ' ')) AS gh
+             FROM g),
+      cnt AS (SELECT gh,
+                CAST(SUM(CASE WHEN doc_id % 10 < 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS old_cnt,
+                CAST(SUM(CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS new_cnt
+              FROM gh GROUP BY gh),
+      dup AS (SELECT gh FROM cnt WHERE new_cnt >= 1
+                AND new_cnt + old_cnt >= 2),
+      hit AS (SELECT doc_id, pos FROM gh SEMI JOIN dup USING (gh)
+              WHERE doc_id % 10 >= 8),
+      fl AS (SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      IS NULL
+                    OR pos > lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) + $EsK
+                    THEN 1 ELSE 0 END AS f
+             FROM hit),
+      isl AS (SELECT doc_id, pos, SUM(f) OVER (PARTITION BY doc_id
+                ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+              FROM fl),
+      sp AS (SELECT doc_id, island, MIN(pos) AS s0, MAX(pos) + $EsK AS e0
+             FROM isl GROUP BY doc_id, island),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                    CAST(SUM(e0 - s0) AS BIGINT) AS n_dup_toks
+             FROM sp GROUP BY doc_id)
+      SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_toks,
+             COALESCE(pd.n_dup_toks, CAST(0 AS BIGINT)) AS n_dup_toks,
+             COALESCE(pd.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+             CAST(COALESCE(pd.n_dup_toks, 0) AS DOUBLE) / len(w.ws)
+               AS dup_frac
+      FROM w LEFT JOIN pd ON pd.doc_id = w.doc_id
+      WHERE w.doc_id % 10 >= 8
+      ORDER BY w.doc_id""")
+  ) { (s, d) =>
+    val store = s.read.parquet(ensureGramStore(s, d))
+    Dedup.exactSubstringSpansIncremental(
+        documents(s, d).filter(col("doc_id") % 10 >= 8), store, k = EsK)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Query] =
     Seq(q16, x01, x02, x03, x21, x25, x31, x36, x41, x42, x49, x53, x56,
-      x58, x59, x86, x91)
+      x58, x59, x86, x91, x93)
 }

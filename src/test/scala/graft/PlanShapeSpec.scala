@@ -315,6 +315,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x93 incremental exact-substring never scans old documents") {
+    // old corpus = the gram-count store parquet; every documents scan
+    // must carry the new-batch filter (the x41 assertion pattern)
+    val p = plan("x93_exact_substring_incr")
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScans.nonEmpty, s"no documents scan found:\n$p")
+    assert(docScans.forall(_.contains("% 10) >= 8")),
+      s"found a documents scan without the new-batch filter:\n${docScans.mkString("\n")}")
+    assert(p.contains("graft-gramstore-"), s"store scan missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x86 exact-substring: inverted index only — no all-pairs, doc-keyed windows") {
     val p = plan("x86_exact_substring")
     assert(!p.contains("CartesianProduct"), p)

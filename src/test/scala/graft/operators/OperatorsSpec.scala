@@ -524,4 +524,33 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(clean(4L) == ((5L, 5L, h("pp qq rr ss tt"))))
     assert(clean(5L) == ((10L, 4L, h("mm nn oo pp2"))))
   }
+
+  test("incremental exact-substring: store spans, batch spans, immutable old side") {
+    // old corpus: docs 1–2 share nothing internally repeated at k=3
+    val old = docs(1L -> "a b c d e f", 2L -> "p q r s t u")
+    val store = java.nio.file.Files.createTempDirectory("graft-gramstore-spec-")
+      .toString + "/grams"
+    Dedup.writeGramStore(old, store, k = 3)
+    // new batch: 10 repeats old doc 1's "a b c d" (dup VS STORE);
+    // 11 + 12 share "x1 x2 x3 x4" (dup WITHIN BATCH); 13 is fresh
+    val batch = docs(
+      10L -> "zz1 a b c d zz2 zz3",
+      11L -> "x1 x2 x3 x4 m1 m2 m3",
+      12L -> "n1 n2 n3 x1 x2 x3 x4",
+      13L -> "f1 f2 f3 f4 f5")
+    val out = Dedup.exactSubstringSpansIncremental(
+        batch, spark.read.parquet(store), k = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(10L, 11L, 12L, 13L), "new docs only")
+    assert(out(10L) == ((7L, 4L, 1L)))  // span [1,5) = "a b c d", via store
+    assert(out(11L) == ((7L, 4L, 1L)))  // span [0,4), via batch-mate 12
+    assert(out(12L) == ((7L, 4L, 1L)))  // span [3,7)
+    assert(out(13L) == ((5L, 0L, 0L)))  // untouched
+    // the store grows by append without rewriting old rows, and readers
+    // SUM per gram (one row per appended batch)
+    val n0 = spark.read.parquet(store).count()
+    Dedup.writeGramStore(batch, store, k = 3)
+    assert(spark.read.parquet(store).count() > n0)
+  }
 }
