@@ -120,5 +120,50 @@ object ExtraQueries {
       ORDER BY vec_id""")
   }
 
-  val all: Seq[Query] = Seq(x15, x16, x38, x45)
+  // --- X94: Z-ORDER layout key — the multi-column clustering lever for
+  // 100 TB pruning: interleave the bits of per-column range buckets
+  // (8 bits each from the 1-row broadcast min/max — no collect) so every
+  // contiguous zkey ZONE has tight min/max rectangles on BOTH columns,
+  // which is exactly what parquet row-group skipping prunes on. Graded:
+  // per-zone stats (the file-footer evidence a z-ordered write yields).
+  // All arithmetic is BIGINT-exact differences, one IEEE division, and
+  // shift/mask interleave — no rounding contract.
+  private val ZBits = 8
+  private val ZShift = 8
+  val x94 = Query(
+    "x94_zorder_layout",
+    Some {
+      def bucketSql(c: String, mn: String, mx: String) =
+        s"CAST(floor(CAST(($c - $mn) AS DOUBLE) * ${1 << ZBits} / ($mx - $mn + 1)) AS BIGINT)"
+      val inter = (0 until ZBits).map(j =>
+        s"(((b1 >> $j) & 1) << ${2 * j}) + (((b2 >> $j) & 1) << ${2 * j + 1})")
+        .mkString(" + ")
+      s"""
+      WITH mm AS (SELECT CAST(min(o_custkey) AS BIGINT) AS mn1,
+                         CAST(max(o_custkey) AS BIGINT) AS mx1,
+                         CAST(min(o_orderkey) AS BIGINT) AS mn2,
+                         CAST(max(o_orderkey) AS BIGINT) AS mx2
+                  FROM orders),
+      b AS (SELECT o_custkey, o_orderkey,
+              ${bucketSql("o_custkey", "mn1", "mx1")} AS b1,
+              ${bucketSql("o_orderkey", "mn2", "mx2")} AS b2
+            FROM orders, mm),
+      z AS (SELECT o_custkey, o_orderkey, CAST($inter AS BIGINT) AS zkey
+            FROM b)
+      SELECT CAST(zkey >> $ZShift AS BIGINT) AS zone,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(min(o_custkey) AS BIGINT) AS c1_min,
+             CAST(max(o_custkey) AS BIGINT) AS c1_max,
+             CAST(min(o_orderkey) AS BIGINT) AS c2_min,
+             CAST(max(o_orderkey) AS BIGINT) AS c2_max
+      FROM z GROUP BY 1 ORDER BY zone"""
+    }
+  ) { (s, d) =>
+    graft.operators.Layout.zorderZoneStats(
+        orders(s, d).select("o_custkey", "o_orderkey"),
+        "o_custkey", "o_orderkey", bits = ZBits, zoneShift = ZShift)
+      .orderBy("zone")
+  }
+
+  val all: Seq[Query] = Seq(x15, x16, x38, x45, x94)
 }

@@ -525,6 +525,29 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(clean(5L) == ((10L, 4L, h("mm nn oo pp2"))))
   }
 
+  test("zorderKey matches a driver bit-interleave replay; zones nest ranges") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = for (a <- 0L until 16L; b <- 0L until 16L) yield (a * 100, b * 7)
+    val df = rows.toDF("ca", "cb")
+    val out = Layout.zorderKey(df, "ca", "cb", bits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val (mn1, mx1) = (0L, 1500L); val (mn2, mx2) = (0L, 105L)
+    def bucket(x: Long, mn: Long, mx: Long) =
+      math.floor((x - mn).toDouble * 16 / (mx - mn + 1)).toLong
+    def interleave(b1: Long, b2: Long) =
+      (0 until 4).map(j => (((b1 >> j) & 1) << (2 * j))
+        | (((b2 >> j) & 1) << (2 * j + 1))).sum
+    rows.foreach { case (a, b) =>
+      val expect = interleave(bucket(a, mn1, mx1), bucket(b, mn2, mx2))
+      assert(out((a, b)) == expect, s"($a, $b)")
+    }
+    // zone stats cover every row exactly once
+    val zs = Layout.zorderZoneStats(df, "ca", "cb", bits = 4, zoneShift = 4)
+      .collect()
+    assert(zs.map(_.getAs[Long]("n_rows")).sum == rows.size)
+  }
+
   test("incremental exact-substring: store spans, batch spans, immutable old side") {
     // old corpus: docs 1–2 share nothing internally repeated at k=3
     val old = docs(1L -> "a b c d e f", 2L -> "p q r s t u")
