@@ -802,6 +802,50 @@ object CurationQueries {
     Curation.bigramLmScore(docs, ref = docs).orderBy("doc_id")
   }
 
+  // --- X95: the bigram LM score under a HELD-OUT reference — the
+  // deployment form x85's doc comment promises (counts from a reference
+  // corpus, scored docs disjoint), graded: ref = doc_id % 3 = 0, scored
+  // = the rest. This exercises the OOV branch IN THE GRADED PATH: scored
+  // docs contain bigrams the reference never saw, which must receive the
+  // add-one floor ln(1/(c1+V)) (and ln(1/V) for unseen w1) via the left
+  // joins — inner joins would silently drop them and bias avg_logp
+  // upward for exactly the word-soup docs the gate exists to catch.
+  val x95 = Query(
+    "x95_lm_score_heldout",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      u AS (SELECT unnest(ws) AS tok FROM w WHERE doc_id % 3 = 0),
+      uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY tok),
+      v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+      rbg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS bg
+              FROM w WHERE doc_id % 3 = 0),
+      bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM rbg GROUP BY bg),
+      dbg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS bg
+              FROM w WHERE doc_id % 3 <> 0),
+      sc AS (SELECT d.doc_id,
+               round(ln((COALESCE(b.c12, 0) + 1) / (COALESCE(u2.c1, 0) + v.v)),
+                 6) AS lp
+             FROM dbg d LEFT JOIN bc b ON b.bg = d.bg
+             LEFT JOIN uc u2 ON u2.tok = string_split(d.bg, ' ')[1]
+             CROSS JOIN v),
+      g AS (SELECT CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+              AS corpus_avg FROM sc),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                 AS avg_logp
+             FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, avg_logp, avg_logp >= g.corpus_avg AS lm_ok
+      FROM pd CROSS JOIN g ORDER BY doc_id""")
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    Curation.bigramLmScore(docs.filter(col("doc_id") % 3 =!= 0),
+        ref = docs.filter(col("doc_id") % 3 === 0))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74,
-    x77, x80, x83, x85, x87, x92)
+    x77, x80, x83, x85, x87, x92, x95)
 }

@@ -315,6 +315,11 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x87 export DAG composes without cartesian products or shuffle joins") {
+    val p = plan("x87_export_pipeline")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x93 incremental exact-substring never scans old documents") {
     // old corpus = the gram-count store parquet; every documents scan
     // must carry the new-batch filter (the x41 assertion pattern)
