@@ -235,6 +235,38 @@ object Curation {
         round(col("weight") * budgetTokens / col("n_tokens"), 6))
   }
 
+  /** TOKEN-BUDGET-CONSTRAINED selection — "take the best documents until
+    * the budget is spent" in a shape that survives any corpus size: docs
+    * land in BOUNDED score buckets (floor(score·1000) clamped to ±500 —
+    * 1001 buckets forever), bucket token totals accumulate best-first
+    * (the one window runs over ≤ 1001 rows, never the corpus), and a
+    * bucket is kept iff its inclusive cumulative total fits the budget
+    * (half the corpus's tokens, read as a 1-row broadcast). The per-doc
+    * verdict is its bucket's. Budget resolution is the bucket width —
+    * the exact cut inside the one boundary bucket is a bounded per-bucket
+    * refinement a caller can add; the wholesale form is deterministic
+    * and window-safe.
+    * Input columns: doc_id, `scoreCol` (double), `ntokCol` (long).
+    * Output: doc_id, bucket, ntok, kept. */
+  def budgetSelect(scored: DataFrame, scoreCol: String, ntokCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dd = graft.core.Caches.scoped(scored.select(col("doc_id"),
+      col(ntokCol).as("ntok"),
+      greatest(lit(-500L), least(lit(500L),
+        floor(col(scoreCol) * 1000).cast("long"))).as("bucket")))
+    val bud = dd.agg(floor(sum(col("ntok")) / 2).cast("long").as("budget"))
+    val bk = dd.groupBy("bucket").agg(sum(col("ntok")).as("btok"))
+    // bounded window: ≤ 1001 bucket rows regardless of corpus size
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keepb = bk.withColumn("cum_tok", sum(col("btok")).over(w))
+      .crossJoin(broadcast(bud))
+      .select(col("bucket"), (col("cum_tok") <= col("budget")).as("kept_bucket"))
+    dd.join(keepb, Seq("bucket"))
+      .select(col("doc_id"), col("bucket"), col("ntok"),
+        col("kept_bucket").as("kept"))
+  }
+
   /** CCNet-style n-gram language-model quality score: train add-one-
     * smoothed bigram probabilities on the corpus itself, then score every
     * document by its mean log P(w₂|w₁) — predictable, fluent text scores

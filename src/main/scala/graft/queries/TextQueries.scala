@@ -270,10 +270,11 @@ object TextQueries {
   // partial→final sum (PlanShapeSpec pins no shuffle join). Weights are
   // round-6 ln lifted to BIGINT µ-nats; the doc score is pure integer
   // arithmetic.
-  val x89 = Query(
-    "x89_classifier_trained",
-    Some(s"""
-      WITH n AS (SELECT doc_id, lang = 'en' AS pos, $normSql AS norm
+  /** x89's training+scoring CTE chain (no leading WITH), ending in
+    * `f (doc_id, pos, fs)` and `ds (doc_id, score_sum)` — x96/x97
+    * compose selection policies on top of the same scores. */
+  private val classifierCtes: String = s"""
+      n AS (SELECT doc_id, lang = 'en' AS pos, $normSql AS norm
                  FROM documents),
       w AS (SELECT doc_id, pos, string_split(norm, ' ') AS ws FROM n),
       f AS (SELECT doc_id, pos, list_concat(ws,
@@ -297,7 +298,12 @@ object TextQueries {
       sx AS (SELECT doc_id, unnest(fs) AS t FROM f),
       ds AS (SELECT sx.doc_id,
                CAST(COALESCE(SUM(w2.wgt), 0) AS BIGINT) AS score_sum
-             FROM sx LEFT JOIN wt w2 ON w2.t = sx.t GROUP BY sx.doc_id)
+             FROM sx LEFT JOIN wt w2 ON w2.t = sx.t GROUP BY sx.doc_id)"""
+
+  val x89 = Query(
+    "x89_classifier_trained",
+    Some(s"""
+      WITH $classifierCtes
       SELECT f.doc_id, f.pos AS is_pos, CAST(len(f.fs) AS BIGINT) AS n_feats,
              COALESCE(ds.score_sum, CAST(0 AS BIGINT)) AS score_sum,
              COALESCE(ds.score_sum, 0) >= 0 AS pred_pos,
@@ -309,5 +315,90 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78, x89)
+  // --- X96: TOP-p% SELECTION by trained-classifier score — the DCLM /
+  // fastText curation step ("keep the best 10% by classifier score"):
+  // per-feature-normalized score (one IEEE division of the BIGINT sums),
+  // threshold = the exact 90th percentile (Spark `percentile` ≡ DuckDB
+  // `quantile_cont`, the proven x19 contract, round-6), applied as a
+  // 1-row broadcast — no sort of the corpus, no window.
+  private val SelPct = 0.9
+  val x96 = Query(
+    "x96_classifier_select",
+    Some(s"""
+      WITH $classifierCtes,
+      sc2 AS (SELECT f.doc_id,
+                CAST(COALESCE(ds.score_sum, 0) AS DOUBLE) / len(f.fs)
+                  AS score_pf
+              FROM f LEFT JOIN ds ON ds.doc_id = f.doc_id),
+      thr AS (SELECT round(quantile_cont(score_pf, $SelPct), 6) AS t FROM sc2)
+      SELECT doc_id, round(score_pf, 6) AS score_pf,
+             score_pf >= thr.t AS selected
+      FROM sc2, thr ORDER BY doc_id""")
+  ) { (s, d) =>
+    val scored = TextAnalysis.trainedClassifier(documents(s, d),
+        isPos = col("lang") === "en")
+      .select(col("doc_id"),
+        (col("score_sum").cast("double") / col("n_feats")).as("score_pf"))
+    val thr = scored.agg(
+      round(expr(s"percentile(score_pf, $SelPct)"), 6).as("t"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), round(col("score_pf"), 6).as("score_pf"),
+        (col("score_pf") >= col("t")).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  // --- X97: TOKEN-BUDGET-CONSTRAINED corpus selection — "take the best
+  // docs until the budget is spent", made scalable: docs land in BOUNDED
+  // score buckets (floor(score_pf·1000), clamped to ±500 — 1001 buckets
+  // at ANY corpus size), bucket token totals accumulate best-first (a
+  // window over ≤ 1001 rows — bounded, never corpus-sized), and a bucket
+  // is kept iff its inclusive cumulative fits the budget (half the
+  // corpus's tokens, a 1-row broadcast — no hand-tuned constant). Per-doc
+  // verdict = the bucket's. Budget resolution is the bucket width; an
+  // exact doc-level cut inside the boundary bucket is a per-bucket
+  // (bounded) refinement left to the caller.
+  val x97 = Query(
+    "x97_budget_select",
+    Some(s"""
+      WITH $classifierCtes,
+      sc2 AS (SELECT f.doc_id, CAST(len(f.fs) AS BIGINT) AS n_feats,
+                CAST(COALESCE(ds.score_sum, 0) AS DOUBLE) / len(f.fs)
+                  AS score_pf
+              FROM f LEFT JOIN ds ON ds.doc_id = f.doc_id),
+      wtok AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT)
+                 AS ntok
+               FROM n),
+      dd AS (SELECT s.doc_id, w2.ntok,
+               CAST(greatest(-500, least(500,
+                 CAST(floor(s.score_pf * 1000) AS BIGINT))) AS BIGINT)
+                 AS bucket
+             FROM sc2 s JOIN wtok w2 ON w2.doc_id = s.doc_id),
+      bud AS (SELECT CAST(floor(SUM(ntok) / 2) AS BIGINT) AS budget FROM dd),
+      bk AS (SELECT bucket, CAST(SUM(ntok) AS BIGINT) AS btok
+             FROM dd GROUP BY bucket),
+      cum AS (SELECT bucket, btok,
+                CAST(SUM(btok) OVER (ORDER BY bucket DESC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+              FROM bk),
+      keepb AS (SELECT bucket, cum_tok, cum_tok <= bud.budget AS kept_bucket
+                FROM cum, bud)
+      SELECT d.doc_id, d.bucket, d.ntok, k.kept_bucket AS kept
+      FROM dd d JOIN keepb k ON k.bucket = d.bucket
+      ORDER BY d.doc_id""")
+  ) { (s, d) =>
+    import graft.functions.TextFunctions._
+    val docs = documents(s, d)
+    val scored = TextAnalysis.trainedClassifier(docs,
+        isPos = col("lang") === "en")
+      .select(col("doc_id"),
+        (col("score_sum").cast("double") / col("n_feats")).as("score_pf"))
+    val withTok = scored.join(
+      docs.select(col("doc_id"),
+        size(words(normText(col("text")))).cast("long").as("ntok")), "doc_id")
+    graft.operators.Curation.budgetSelect(withTok, "score_pf", "ntok")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78, x89,
+    x96, x97)
 }

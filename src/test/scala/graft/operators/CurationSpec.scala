@@ -454,6 +454,30 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(r(1L).getAs[Boolean]("lm_ok") && !r(2L).getAs[Boolean]("lm_ok"))
   }
 
+  test("budgetSelect: kept buckets are a best-first prefix within budget") {
+    val spark2 = spark
+    import spark2.implicits._
+    // scores spread over many buckets; ntok varies
+    val rows = (1L to 200L).map(i => (i, (i % 37).toDouble / 100.0, 10L + i % 13))
+    val df = rows.toDF("doc_id", "sc", "nt")
+    val out = Curation.budgetSelect(df, "sc", "nt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    val budget = rows.map(_._3).sum / 2
+    val keptBuckets = out.values.filter(_._3).map(_._1).toSet
+    val dropBuckets = out.values.filterNot(_._3).map(_._1).toSet
+    // prefix property: every kept bucket outranks every dropped bucket
+    if (keptBuckets.nonEmpty && dropBuckets.nonEmpty)
+      assert(keptBuckets.min > dropBuckets.max)
+    // budget property: kept tokens fit; adding the next bucket would not
+    val keptTok = out.values.filter(_._3).map(_._2).sum
+    assert(keptTok <= budget)
+    if (dropBuckets.nonEmpty) {
+      val nextTok = out.values.filter(v => v._1 == dropBuckets.max).map(_._2).sum
+      assert(keptTok + nextTok > budget, "boundary bucket should not have fit")
+    }
+  }
+
   test("bpeApplyMerges applies the TRAINED merges, not self-derived ones") {
     // trainer sees only the sample (docs 1–2, dominated by "a b"); the
     // encode corpus (doc 10) is dominated by "x y" — a self-training
