@@ -186,14 +186,14 @@ class ValidatorLoopSpec extends AnyFunSuite with SparkTest {
     assert(rows(1).getLong(1) == 1)
   }
 
-  test("stream-static dimension join (R11 metagraph-refresh analogue)") {
+  test("stream-static dimension join (R11 peer-registry-refresh analogue)") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
-    val peers = Seq((1L, "alice", 10.0), (2L, "bob", 5.0)).toDF("uid", "hotkey", "stake")
+    val peers = Seq((1L, "alice", 10.0), (2L, "bob", 5.0)).toDF("uid", "peer_key", "stake")
     val input = MemoryStream[(Long, Double)]
     val joined = input.toDF().toDF("uid", "resp")
       .join(peers, "uid") // static side re-read per micro-batch
-      .select(col("uid"), col("hotkey"), (col("resp") * col("stake")).as("weighted"))
+      .select(col("uid"), col("peer_key"), (col("resp") * col("stake")).as("weighted"))
     val q = joined.writeStream.format("memory").queryName("ss_join_out")
       .outputMode("append").option("checkpointLocation", tmpDir()).start()
     input.addData((1L, 2.0), (2L, 3.0), (99L, 1.0)) // 99 = unregistered → dropped
