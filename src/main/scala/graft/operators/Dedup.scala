@@ -724,6 +724,19 @@ object Dedup {
       .write.mode("append").parquet(path)
   }
 
+  /** COMPACT the gram-count store: sum-merge the per-batch rows appends
+    * accumulate into one row per gram, rewriting the store in place (via
+    * a localCheckpoint so the rewrite never reads its own output — the
+    * recacheByPath hazard). Run on the same cadence as any store rebuild:
+    * appends stay cheap and readers pay one extra sum until then. */
+  def compactGramStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val merged = spark.read.parquet(path)
+      .groupBy("gh").agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(path)
+  }
+
   /** INCREMENTAL exact-substring dedup — [[exactSubstringSpans]] with the
     * old corpus represented entirely by its gram-count store: a window of
     * a NEW document is duplicated iff its corpus-wide occurrence count —

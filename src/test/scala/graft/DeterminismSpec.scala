@@ -39,7 +39,17 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       // within-cell pair counts) and the winner-regroup line dedup
       "x75_quantized_ivf", "x76_semantic_dedup", "x77_line_dedup",
       "x79_semantic_dedup_auto", "x80_curation_pipeline_v3",
-      "x81_semantic_dedup_incr", "x82_semantic_dedup_capped")
+      "x81_semantic_dedup_incr", "x82_semantic_dedup_capped",
+      // round-6: span windows + gram counts, packing folds
+      // (sort_array collect_list), NB weight training (argmax LIMIT +
+      // decimal sums), recall divisions, refined pair counts, store
+      // sums, min/max interleave, exact percentiles, bucket windows
+      "x86_exact_substring", "x87_export_pipeline",
+      "x88_ann_recall_quantized", "x89_classifier_trained",
+      "x90_semantic_dedup_refined", "x91_exact_substring_clean",
+      "x92_mixture_weights", "x93_exact_substring_incr",
+      "x94_zorder_layout", "x95_lm_score_heldout",
+      "x96_classifier_select", "x97_budget_select")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -575,5 +575,15 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     val n0 = spark.read.parquet(store).count()
     Dedup.writeGramStore(batch, store, k = 3)
     assert(spark.read.parquet(store).count() > n0)
+    // compaction sum-merges to one row per gram and preserves totals —
+    // decisions against the compacted store are unchanged
+    val preTotals = spark.read.parquet(store).groupBy("gh")
+      .agg(sum("cnt").as("c")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Dedup.compactGramStore(spark, store)
+    val post = spark.read.parquet(store).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(post.length == preTotals.size, "one row per gram after compaction")
+    assert(post.toMap == preTotals, "compaction must preserve totals")
   }
 }
