@@ -262,7 +262,9 @@ object Curation {
     val keepb = bk.withColumn("cum_tok", sum(col("btok")).over(w))
       .crossJoin(broadcast(bud))
       .select(col("bucket"), (col("cum_tok") <= col("budget")).as("kept_bucket"))
-    dd.join(keepb, Seq("bucket"))
+    // the decision table is ≤ 1001 rows by construction — broadcast it
+    // explicitly so the per-doc join never shuffles the corpus
+    dd.join(broadcast(keepb), Seq("bucket"))
       .select(col("doc_id"), col("bucket"), col("ntok"),
         col("kept_bucket").as("kept"))
   }

@@ -320,6 +320,39 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("x91 span removal: doc-keyed reassembly, no window, no all-pairs") {
+    val p = plan("x91_exact_substring_clean")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p) // sort_array fold, not a window
+  }
+
+  test("x94 z-order: one 1-row min/max broadcast, no sort of the corpus") {
+    val p = plan("x94_zorder_layout")
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the min/max scalar may nest:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("x96 top-p% selection: percentile threshold broadcast, no corpus sort") {
+    val p = plan("x96_classifier_select")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x97 budget selection: the only window runs over bounded bucket rows") {
+    val p = plan("x97_budget_select")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the cumulative window is allowed — but it must consume the BUCKET
+    // aggregate (≤ 1001 rows), never raw doc rows: the window's child
+    // side carries the btok aggregate column
+    val widx = p.indexOf("Window")
+    assert(widx >= 0 && p.substring(widx).contains("btok"), p)
+  }
+
   test("x93 incremental exact-substring never scans old documents") {
     // old corpus = the gram-count store parquet; every documents scan
     // must carry the new-batch filter (the x41 assertion pattern)
