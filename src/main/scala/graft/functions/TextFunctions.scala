@@ -82,6 +82,18 @@ object TextFunctions {
        | + (instr('0123456789abcdef', substr(md5($wordSql), 3, 1)) - 1)
        | - 2048 AS BIGINT)""".stripMargin
 
+  /** Deterministic feature bucket in [0, 4095]: the integer value of the
+    * first THREE hex nibbles of md5(`wordSql`) — [[md5WeightSql]] without
+    * the recentering — as a SQL fragment valid in BOTH Spark SQL and
+    * DuckDB. This is the fixed hashed-feature space of the DSIR
+    * importance estimator (Spark side mirrors it as
+    * `conv(substring(md5(t),1,3),16,10)`). */
+  def md5BucketSql(wordSql: String): String =
+    s"""CAST((instr('0123456789abcdef', substr(md5($wordSql), 1, 1)) - 1) * 256
+       | + (instr('0123456789abcdef', substr(md5($wordSql), 2, 1)) - 1) * 16
+       | + (instr('0123456789abcdef', substr(md5($wordSql), 3, 1)) - 1)
+       | AS BIGINT)""".stripMargin
+
   def md5BitSql(wordSql: String, jSql: String): String =
     s"""CAST(floor(
        |  (instr('0123456789abcdef', substr(md5($wordSql), CAST(floor(($jSql) / 4) AS INT) + 1, 1)) - 1)

@@ -334,6 +334,115 @@ object Curation {
         (col("avg_logp") >= col("corpus_avg")).as("lm_ok"))
   }
 
+  /** DSIR-style importance-weighted data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * estimate hashed-n-gram feature distributions for a TARGET slice and
+    * the RAW corpus, score every document by its mean per-feature
+    * log-importance ln p̂_target(f) − ln p̂_raw(f), then resample via the
+    * Gumbel-top-k trick — add a Gumbel(0,1) draw to each doc's
+    * log-weight and keep the top `keepFrac` by the noised key, which is
+    * exactly sampling-without-replacement proportional to the importance
+    * weights.
+    *
+    * Determinism: the Gumbel draw's uniform is the Knuth multiplicative
+    * hash of doc_id over a 2²⁰ lattice (the [[datasetSplit]] no-RNG
+    * policy — reproducible across engines, retries, and appends), and
+    * the keep threshold is the exact percentile of the noised key (the
+    * proven x19/x96 `percentile` ≡ `quantile_cont` contract) applied as
+    * a 1-row broadcast.
+    *
+    * Scale shape: features hash into a FIXED 4096-bucket space (the
+    * paper's hashing trick), so the λ weight table is ≤ 4096 rows at any
+    * corpus size — one bucket-keyed count aggregation, a 1-row totals
+    * broadcast, then a broadcast hash join of exploded doc features
+    * against λ plus one doc-keyed partial→final sum. No corpus sort (the
+    * percentile aggregates), no window, no driver state.
+    *
+    * Cross-engine float discipline: bucket counts/products are exact
+    * BIGINTs, each λ is one IEEE division → `ln` round-6 → µ-nat
+    * integer lift (the x89 weight discipline); the Gumbel chain rounds
+    * after every `ln`; the final key is one round-6 of two IEEE
+    * divisions plus the add.
+    * Output: doc_id, n_feats, imp_mu (Σλ in µ-nats), gkey, selected. */
+  def dsirSelect(docs: DataFrame, isTarget: Column,
+                 keepFrac: Double = 0.25): DataFrame = {
+    val nBuckets = 4096L
+    val bucket = (c: Column) => conv(substring(md5(c), 1, 3), 16, 10).cast("long")
+    val base = docs.select(col("doc_id"), isTarget.as("tgt"),
+      words(normText(col("text"))).as("ws"))
+    val feats = graft.core.Caches.scoped(
+      base.withColumn("fs", concat(col("ws"), shingles(col("ws"), 2)))
+        .select(col("doc_id"), col("tgt"), col("fs")))
+    // bucket-keyed counts: target slice vs the whole (raw) corpus
+    val counts = feats.select(col("tgt"), explode(col("fs")).as("t"))
+      .select(col("tgt"), bucket(col("t")).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr"))
+    val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    // λ(b) = ln( p̂_t(b) / p̂_r(b) ) with add-one smoothing over the fixed
+    // bucket space: exact BIGINT products (< 2⁵³), one IEEE division,
+    // ln round-6, µ-lifted — x89's weight discipline
+    val lam = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(round(log(
+          ((col("ct") + 1L) * (col("tr") + nBuckets)).cast("double")
+            / ((col("cr") + 1L) * (col("tt") + nBuckets))), 6)
+          * 1000000d + 0.5d).cast("long").as("lam"))
+    // per-doc Σλ: broadcast join against the ≤ 4096-row λ table;
+    // n_feats rides through the explode (no corpus join-back)
+    val scored = feats.select(col("doc_id"),
+        size(col("fs")).cast("long").as("n_feats"), explode(col("fs")).as("t"))
+      .withColumn("b", bucket(col("t")))
+      .join(broadcast(lam), Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(first(col("n_feats")).as("n_feats"),
+        sum(coalesce(col("lam"), lit(0L))).as("imp_mu"))
+    // Gumbel(0,1) from the doc_id lattice uniform: g = −ln(−ln u),
+    // rounding after each ln (libm discipline)
+    // doc_id bounded mod 2³¹−1 first (the datasetSplit guard) so the
+    // Knuth product never overflows BIGINT at production id ranges
+    val u = ((((col("doc_id") % 2147483647L) * 2654435761L) % 1048576L)
+      .cast("double") + 0.5d) / 1048576.0d
+    val keyed = graft.core.Caches.scoped(scored
+      .withColumn("g", round(-log(round(-log(u), 6)), 6))
+      .withColumn("gkey", round(
+        col("imp_mu").cast("double") / 1000000.0d / col("n_feats") + col("g"), 6))
+      .drop("g"))
+    val thr = keyed.agg(
+      round(expr(s"percentile(gkey, ${1.0 - keepFrac})"), 6).as("thr"))
+    keyed.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_feats"), col("imp_mu"), col("gkey"),
+        (col("gkey") >= col("thr")).as("selected"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    * document with the held-out bigram LM ([[bigramLmScore]]) and assign
+    * it to the `head` / `middle` / `tail` third of the corpus by score —
+    * CCNet's downstream contract where head feeds training directly,
+    * middle is candidate, tail is dropped or mined.
+    *
+    * The two cut points are exact corpus terciles (the x19/x96
+    * `percentile` ≡ `quantile_cont` contract), computed in ONE aggregate
+    * and applied as a 1-row broadcast — no corpus sort, no window; the
+    * bucketing adds a single scalar-broadcast stage to the LM-score
+    * plan at any corpus size. Raw (unrounded) `avg_logp` is compared
+    * against round-6 thresholds: both sides of the comparison are
+    * engine-exact (DECIMAL-summed means; round-6 interpolants).
+    * Output: doc_id, n_bigrams, avg_logp, ppl_bucket. */
+  def perplexityBuckets(docs: DataFrame, ref: DataFrame): DataFrame = {
+    val scored = graft.core.Caches.scoped(bigramLmScore(docs, ref)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp")))
+    val thr = scored.agg(
+      round(expr(s"percentile(avg_logp, ${1.0 / 3})"), 6).as("t1"),
+      round(expr(s"percentile(avg_logp, ${2.0 / 3})"), 6).as("t2"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+        when(col("avg_logp") >= col("t2"), "head")
+          .when(col("avg_logp") >= col("t1"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Greedy sequence packing: within each fixed-size shard (doc_id div
     * `shardSize` — shard COUNT grows with the corpus, shard SIZE stays
     * bounded, so the per-group fold below is O(shardSize), never

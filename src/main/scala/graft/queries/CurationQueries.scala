@@ -846,6 +846,54 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // --- X99: CCNet PERPLEXITY BUCKETS — head/middle/tail thirds of the
+  // corpus by held-out bigram-LM score (Wenzek et al. 2020): the CCNet
+  // downstream contract (head → train, middle → candidate, tail →
+  // drop/mine). Cut points are exact corpus terciles (the proven x19/x96
+  // `percentile` ≡ `quantile_cont` contract) computed in one aggregate
+  // and applied as a 1-row broadcast — no corpus sort, no window. Same
+  // held-out split as x95: docs ≡ 0 mod 3 train the LM, the rest are
+  // scored and bucketed.
+  val x99 = Query(
+    "x99_ppl_buckets",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      u AS (SELECT unnest(ws) AS tok FROM w WHERE doc_id % 3 = 0),
+      uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY tok),
+      v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+      rbg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS bg
+              FROM w WHERE doc_id % 3 = 0),
+      bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM rbg GROUP BY bg),
+      dbg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS bg
+              FROM w WHERE doc_id % 3 <> 0),
+      sc AS (SELECT d.doc_id,
+               round(ln((COALESCE(b.c12, 0) + 1) / (COALESCE(u2.c1, 0) + v.v)),
+                 6) AS lp
+             FROM dbg d LEFT JOIN bc b ON b.bg = d.bg
+             LEFT JOIN uc u2 ON u2.tok = string_split(d.bg, ' ')[1]
+             CROSS JOIN v),
+      pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                 AS avg_logp
+             FROM sc GROUP BY doc_id),
+      thr AS (SELECT round(quantile_cont(avg_logp, ${1.0 / 3}), 6) AS t1,
+                     round(quantile_cont(avg_logp, ${2.0 / 3}), 6) AS t2
+              FROM pd)
+      SELECT doc_id, n_bigrams, avg_logp,
+             CASE WHEN avg_logp >= thr.t2 THEN 'head'
+                  WHEN avg_logp >= thr.t1 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM pd, thr ORDER BY doc_id""")
+  ) { (s, d) =>
+    val docs = documents(s, d)
+    Curation.perplexityBuckets(docs.filter(col("doc_id") % 3 =!= 0),
+        ref = docs.filter(col("doc_id") % 3 === 0))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74,
-    x77, x80, x83, x85, x87, x92, x95)
+    x77, x80, x83, x85, x87, x92, x95, x99)
 }

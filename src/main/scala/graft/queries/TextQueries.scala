@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
-import graft.operators.TextAnalysis
+import graft.operators.{Curation, TextAnalysis}
 
 /** Text-analysis suite (north star): language-ID, quality scoring, token
   * counting, fingerprinting — each oracle recomputes the identical
@@ -399,6 +399,59 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // --- X98: DSIR IMPORTANCE-RESAMPLED SELECTION (Xie et al. 2023) —
+  // hashed-n-gram importance weights ln p̂_target/p̂_raw over a FIXED
+  // 4096-bucket feature space (λ table bounded at any corpus size),
+  // per-doc mean log-weight, then Gumbel-top-k resampling: a
+  // deterministic Gumbel(0,1) draw (Knuth-hash uniform — no RNG) added
+  // to the log-weight, keep the top 25% by exact percentile threshold
+  // (1-row broadcast). Sampling-without-replacement proportional to
+  // importance, reproducible across engines, retries, and appends.
+  val x98 = Query(
+    "x98_dsir_select",
+    Some(s"""
+      WITH n AS (SELECT doc_id, lang = 'en' AS tgt, $normSql AS norm
+                 FROM documents),
+      w AS (SELECT doc_id, tgt, string_split(norm, ' ') AS ws FROM n),
+      f AS (SELECT doc_id, tgt, list_concat(ws,
+              list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS fs
+            FROM w),
+      ex AS (SELECT tgt, ${graft.functions.TextFunctions.md5BucketSql("t0.t")} AS b
+             FROM (SELECT tgt, unnest(fs) AS t FROM f) t0),
+      c AS (SELECT b, CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+              CAST(count(*) AS BIGINT) AS cr
+            FROM ex GROUP BY b),
+      tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt2,
+                    CAST(SUM(cr) AS BIGINT) AS tr
+             FROM c),
+      lam AS (SELECT b, CAST(floor(round(ln(CAST((ct + 1) * (tr + 4096) AS DOUBLE)
+                / ((cr + 1) * (tt2 + 4096))), 6) * 1000000 + 0.5) AS BIGINT)
+                AS lam
+              FROM c, tt),
+      sx AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+               unnest(fs) AS t
+             FROM f),
+      sb AS (SELECT doc_id, n_feats,
+               ${graft.functions.TextFunctions.md5BucketSql("t")} AS b
+             FROM sx),
+      ds AS (SELECT sb.doc_id, MIN(sb.n_feats) AS n_feats,
+               CAST(SUM(COALESCE(l.lam, 0)) AS BIGINT) AS imp_mu
+             FROM sb LEFT JOIN lam l ON l.b = sb.b GROUP BY sb.doc_id),
+      gk AS (SELECT doc_id, n_feats, imp_mu,
+               round(CAST(imp_mu AS DOUBLE) / 1000000.0 / n_feats
+                 + round(-ln(round(-ln(
+                     (CAST(((doc_id % 2147483647) * 2654435761) % 1048576
+                        AS DOUBLE) + 0.5) / 1048576.0), 6)), 6), 6) AS gkey
+             FROM ds),
+      thr AS (SELECT round(quantile_cont(gkey, 0.75), 6) AS t FROM gk)
+      SELECT doc_id, n_feats, imp_mu, gkey, gkey >= thr.t AS selected
+      FROM gk, thr ORDER BY doc_id""")
+  ) { (s, d) =>
+    Curation.dsirSelect(documents(s, d), isTarget = col("lang") === "en")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78, x89,
-    x96, x97)
+    x96, x97, x98)
 }

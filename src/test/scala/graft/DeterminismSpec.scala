@@ -49,7 +49,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       "x90_semantic_dedup_refined", "x91_exact_substring_clean",
       "x92_mixture_weights", "x93_exact_substring_incr",
       "x94_zorder_layout", "x95_lm_score_heldout",
-      "x96_classifier_select", "x97_budget_select")
+      "x96_classifier_select", "x97_budget_select",
+      // round-6b: bucket-count λ table + Gumbel percentile; tercile
+      // thresholds over decimal-summed means
+      "x98_dsir_select", "x99_ppl_buckets")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -376,4 +376,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
       .findAllMatchIn(p).map(_.group(1)).toSeq
     assert(specs.nonEmpty && specs.forall(_.startsWith("doc_id")), p)
   }
+
+  test("x98 DSIR: λ table joins broadcast, no corpus sort or window") {
+    val p = plan("x98_dsir_select")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the ≤4096-row λ table must broadcast:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("x99 perplexity buckets: tercile thresholds broadcast, no window") {
+    val p = plan("x99_ppl_buckets")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // every nested-loop join must be a Cross of a BROADCAST build side —
+    // the 1-row scalar nests (V, corpus_avg, terciles; they repeat
+    // through the cached LM-score relation). A non-cross BNLJ would mean
+    // a real join degenerated.
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
+  }
 }

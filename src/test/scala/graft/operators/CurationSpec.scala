@@ -527,4 +527,61 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(r(1L).getAs[Long]("n_bigrams") == 1L
       && r(2L).getAs[Long]("n_bigrams") == 3L)
   }
+
+  test("dsirSelect: target-vocabulary docs outscore off-target docs; keep rate honors the percentile") {
+    // target slice (doc_id ≤ 7) speaks vocabulary A, the rest vocabulary
+    // B. A doc written in A must carry a higher mean importance
+    // ln p̂_t/p̂_r than a doc written in B — the DSIR law.
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "north south east west upper lower"
+    val d = docs((0L to 15L).map { i =>
+      i -> (if (i <= 7) a else b)
+    }: _*)
+    val r = Curation.dsirSelect(d, isTarget = col("doc_id") <= 7)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.size == 16, "every doc is scored")
+    val impA = r(0L).getAs[Long]("imp_mu")
+    val impB = r(15L).getAs[Long]("imp_mu")
+    assert(impA > impB, s"target-vocab importance $impA must beat off-target $impB")
+    // identical texts → identical imp_mu within each group
+    assert((0L to 7L).map(r(_).getAs[Long]("imp_mu")).distinct.size == 1)
+    // ≥-percentile keep at 0.75 over 16 keys: exactly the top quartile
+    // unless ties straddle the threshold (keys are distinct here — the
+    // Gumbel draw is injective over these doc_ids)
+    val kept = r.values.count(_.getAs[Boolean]("selected"))
+    assert(kept >= 4 && kept <= 5, s"expected ~4/16 kept, got $kept")
+  }
+
+  test("dsirSelect is append-stable: a doc's importance key ignores corpus growth ordering") {
+    // the Gumbel key is a pure function of doc_id — growing the corpus
+    // must not reshuffle old docs' draws (the no-RNG policy)
+    val d1 = docs(1L -> "alpha beta", 2L -> "north south")
+    val d2 = docs(1L -> "alpha beta", 2L -> "north south", 3L -> "alpha gamma")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      Curation.dsirSelect(df, isTarget = col("doc_id") === 1L)
+        .collect().map(x => x.getAs[Long]("doc_id") ->
+          (x.getAs[Double]("gkey") - x.getAs[Long]("imp_mu").toDouble / 1e6 /
+            x.getAs[Long]("n_feats"))).toMap
+    val g1 = keys(d1); val g2 = keys(d2)
+    // the Gumbel component (key − mean importance) is identical per doc
+    // up to the round-6 slop of the key itself
+    assert(math.abs(g1(1L) - g2(1L)) < 2e-6 && math.abs(g1(2L) - g2(2L)) < 2e-6)
+  }
+
+  test("perplexityBuckets: fluent docs land in head, word-soup in tail, all docs bucketed") {
+    val ref = docs(10L -> "the quick brown fox jumps over the lazy dog")
+    val d = docs(
+      1L -> "the quick brown fox jumps",   // bigrams all seen in ref
+      2L -> "fox the over lazy quick",     // seen words, unseen bigrams
+      3L -> "zz yy xx ww vv")              // fully OOV
+    val r = Curation.perplexityBuckets(d, ref).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("ppl_bucket")).toMap
+    assert(r.keySet == Set(1L, 2L, 3L), "every doc gets a bucket")
+    // the add-one model ranks: seen bigrams ln(2/(c1+V)) > OOV-word floor
+    // ln(1/V) > seen-word unseen-bigram ln(1/(c1+V)) — in-vocab word soup
+    // is the WORST case (the model knows those words appear in other
+    // contexts), fully-OOV sits at the smoothing floor in between
+    assert(r(1L) == "head" && r(2L) == "tail" && r(3L) == "middle",
+      s"expected fluent=head / in-vocab soup=tail / OOV=middle, got $r")
+  }
 }
