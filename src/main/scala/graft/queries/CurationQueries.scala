@@ -894,6 +894,117 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // --- Y01: curation pipeline v4 — the round-6b DATA-SELECTION layer
+  // composed into one DAG: exact dedup (md5-of-norm winners, q16's
+  // machinery) → DSIR importance resample over the deduped corpus (x98,
+  // keep the top quartile) → held-out perplexity triage of the selected
+  // set (x99: selected docs ≡ 0 mod 3 train the LM, the rest are scored)
+  // → per (ppl_bucket, lang) accounting with exact bigram-token sums and
+  // bucket score extrema. Every stage is graded alone; this grades the
+  // composition (the x53/x74/x80/x87 pattern, curation generation 4).
+  val y01 = Query(
+    "y01_curation_v4",
+    Some(s"""
+      WITH n AS (SELECT doc_id, lang, $normSql AS norm FROM documents),
+      ed AS (SELECT MIN(doc_id) AS doc_id FROM n GROUP BY md5(norm)),
+      d2 AS (SELECT n.doc_id, n.lang, n.norm FROM n
+             JOIN ed ON ed.doc_id = n.doc_id),
+      w2 AS (SELECT doc_id, lang = 'en' AS tgt, string_split(norm, ' ') AS ws
+             FROM d2),
+      f2 AS (SELECT doc_id, tgt, list_concat(ws,
+               list_transform(range(1, len(ws)),
+                 j -> array_to_string(ws[j:j+1], ' '))) AS fs
+             FROM w2),
+      ex2 AS (SELECT tgt, ${graft.functions.TextFunctions.md5BucketSql("t0.t")} AS b
+              FROM (SELECT tgt, unnest(fs) AS t FROM f2) t0),
+      c2 AS (SELECT b, CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(count(*) AS BIGINT) AS cr
+             FROM ex2 GROUP BY b),
+      tt2 AS (SELECT CAST(SUM(ct) AS BIGINT) AS ttot,
+                     CAST(SUM(cr) AS BIGINT) AS tr
+              FROM c2),
+      lam2 AS (SELECT b, CAST(floor(round(ln(CAST((ct + 1) * (tr + 4096) AS DOUBLE)
+                 / ((cr + 1) * (ttot + 4096))), 6) * 1000000 + 0.5) AS BIGINT)
+                 AS lam
+               FROM c2, tt2),
+      sx2 AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+                unnest(fs) AS t
+              FROM f2),
+      sb2 AS (SELECT doc_id, n_feats,
+                ${graft.functions.TextFunctions.md5BucketSql("t")} AS b
+              FROM sx2),
+      ds2 AS (SELECT sb2.doc_id, MIN(sb2.n_feats) AS n_feats,
+                CAST(SUM(COALESCE(l.lam, 0)) AS BIGINT) AS imp_mu
+              FROM sb2 LEFT JOIN lam2 l ON l.b = sb2.b GROUP BY sb2.doc_id),
+      gk2 AS (SELECT doc_id,
+                round(CAST(imp_mu AS DOUBLE) / 1000000.0 / n_feats
+                  + round(-ln(round(-ln(
+                      (CAST(((doc_id % 2147483647) * 2654435761) % 1048576
+                         AS DOUBLE) + 0.5) / 1048576.0), 6)), 6), 6) AS gkey
+              FROM ds2),
+      thr2 AS (SELECT round(quantile_cont(gkey, 0.75), 6) AS t FROM gk2),
+      d3 AS (SELECT d2.doc_id, d2.lang, d2.norm FROM d2
+             JOIN gk2 ON gk2.doc_id = d2.doc_id
+             CROSS JOIN thr2 WHERE gk2.gkey >= thr2.t),
+      w3 AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM d3),
+      u3 AS (SELECT unnest(ws) AS tok FROM w3 WHERE doc_id % 3 = 0),
+      uc3 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1 FROM u3 GROUP BY tok),
+      v3 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc3),
+      rb3 AS (SELECT unnest(list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS bg
+              FROM w3 WHERE doc_id % 3 = 0),
+      bc3 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM rb3 GROUP BY bg),
+      db3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS bg
+              FROM w3 WHERE doc_id % 3 <> 0),
+      sc3 AS (SELECT d.doc_id,
+                round(ln((COALESCE(b.c12, 0) + 1) / (COALESCE(u2.c1, 0) + v3.v)),
+                  6) AS lp
+              FROM db3 d LEFT JOIN bc3 b ON b.bg = d.bg
+              LEFT JOIN uc3 u2 ON u2.tok = string_split(d.bg, ' ')[1]
+              CROSS JOIN v3),
+      pd3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                  AS avg_logp
+              FROM sc3 GROUP BY doc_id),
+      thr3 AS (SELECT round(quantile_cont(avg_logp, ${1.0 / 3}), 6) AS t1,
+                      round(quantile_cont(avg_logp, ${2.0 / 3}), 6) AS t2
+               FROM pd3),
+      bkt AS (SELECT doc_id, n_bigrams, avg_logp,
+                CASE WHEN avg_logp >= thr3.t2 THEN 'head'
+                     WHEN avg_logp >= thr3.t1 THEN 'middle'
+                     ELSE 'tail' END AS ppl_bucket
+              FROM pd3, thr3)
+      SELECT b.ppl_bucket, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(b.n_bigrams) AS BIGINT) AS n_bigrams,
+             round(MIN(b.avg_logp), 6) AS min_logp,
+             round(MAX(b.avg_logp), 6) AS max_logp
+      FROM bkt b JOIN d3 d ON d.doc_id = b.doc_id
+      GROUP BY b.ppl_bucket, d.lang
+      ORDER BY b.ppl_bucket, d.lang""")
+  ) { (s, d) =>
+    import graft.functions.TextFunctions._
+    val docs = documents(s, d)
+    val winners = docs
+      .groupBy(md5(normText(col("text"))).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val d2 = docs.join(winners, "doc_id")
+    val sel = Curation.dsirSelect(d2, isTarget = col("lang") === "en")
+      .filter(col("selected")).select("doc_id")
+    val d3 = graft.core.Caches.scoped(
+      d2.select("doc_id", "lang", "text").join(sel, "doc_id"))
+    val scored = Curation.perplexityBuckets(
+      d3.filter(col("doc_id") % 3 =!= 0),
+      ref = d3.filter(col("doc_id") % 3 === 0))
+    scored.join(d3.select("doc_id", "lang"), "doc_id")
+      .groupBy("ppl_bucket", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        round(min(col("avg_logp")), 6).as("min_logp"),
+        round(max(col("avg_logp")), 6).as("max_logp"))
+      .orderBy("ppl_bucket", "lang")
+  }
+
   val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74,
-    x77, x80, x83, x85, x87, x92, x95, x99)
+    x77, x80, x83, x85, x87, x92, x95, x99, y01)
 }

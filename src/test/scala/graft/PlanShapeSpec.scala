@@ -396,4 +396,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
   }
+
+  test("y01 curation v4: equi-joins only, no window, scalar nests are cross-broadcasts") {
+    val p = plan("y01_curation_v4")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
+  }
 }
