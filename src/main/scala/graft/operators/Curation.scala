@@ -364,36 +364,80 @@ object Curation {
     * after every `ln`; the final key is one round-6 of two IEEE
     * divisions plus the add.
     * Output: doc_id, n_feats, imp_mu (Σλ in µ-nats), gkey, selected. */
-  def dsirSelect(docs: DataFrame, isTarget: Column,
-                 keepFrac: Double = 0.25): DataFrame = {
-    val nBuckets = 4096L
-    val bucket = (c: Column) => conv(substring(md5(c), 1, 3), 16, 10).cast("long")
-    val base = docs.select(col("doc_id"), isTarget.as("tgt"),
-      words(normText(col("text"))).as("ws"))
-    val feats = graft.core.Caches.scoped(
-      base.withColumn("fs", concat(col("ws"), shingles(col("ws"), 2)))
+  /** The DSIR feature-bucket space: 4096 buckets, first three md5 hex
+    * nibbles (mirrored in SQL by `TextFunctions.md5BucketSql`). */
+  val DsirBuckets = 4096
+
+  private def dsirBucket(c: Column): Column =
+    conv(substring(md5(c), 1, 3), 16, 10).cast("long")
+
+  /** doc_id, tgt, fs (unigram+bigram features) — cached: feeds both the
+    * λ estimate and the per-doc scoring pass. */
+  private def dsirFeats(docs: DataFrame, isTarget: Column): DataFrame =
+    graft.core.Caches.scoped(
+      docs.select(col("doc_id"), isTarget.as("tgt"),
+          words(normText(col("text"))).as("ws"))
+        .withColumn("fs", concat(col("ws"), shingles(col("ws"), 2)))
         .select(col("doc_id"), col("tgt"), col("fs")))
-    // bucket-keyed counts: target slice vs the whole (raw) corpus
+
+  /** λ(b) = ln( p̂_target(b) / p̂_raw(b) ) with add-one smoothing over the
+    * fixed bucket space: exact BIGINT products (< 2⁵³), one IEEE
+    * division, ln round-6, µ-lifted — x89's weight discipline. ≤ 4096
+    * rows at any corpus size. */
+  private def dsirLambdaOf(feats: DataFrame): DataFrame = {
+    val nBuckets = DsirBuckets.toLong
     val counts = feats.select(col("tgt"), explode(col("fs")).as("t"))
-      .select(col("tgt"), bucket(col("t")).as("b"))
+      .select(col("tgt"), dsirBucket(col("t")).as("b"))
       .groupBy("b").agg(
         sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
     val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
-    // λ(b) = ln( p̂_t(b) / p̂_r(b) ) with add-one smoothing over the fixed
-    // bucket space: exact BIGINT products (< 2⁵³), one IEEE division,
-    // ln round-6, µ-lifted — x89's weight discipline
-    val lam = counts.crossJoin(broadcast(tot))
+    counts.crossJoin(broadcast(tot))
       .select(col("b"),
         floor(round(log(
           ((col("ct") + 1L) * (col("tr") + nBuckets)).cast("double")
             / ((col("cr") + 1L) * (col("tt") + nBuckets))), 6)
           * 1000000d + 0.5d).cast("long").as("lam"))
+  }
+
+  /** The trained λ table alone (b → µ-nat log-importance) — what a
+    * streaming deployment freezes at train time and ships to the ingest
+    * gate ([[dsirGate]]). */
+  def dsirLambda(docs: DataFrame, isTarget: Column): DataFrame =
+    dsirLambdaOf(dsirFeats(docs, isTarget))
+
+  /** Stateless scan-side DSIR gate for a FROZEN λ table: mean per-feature
+    * importance ≥ `thresholdNats`, computed per row with an O(1)
+    * array-indexed lookup (λ dense over the 4096-bucket space — a map
+    * literal would be a linear key scan per feature, the known
+    * `element_at`-on-map trap). No shuffle, no state: the exact shape an
+    * append-mode stream filter ships in — train λ in batch
+    * ([[dsirLambda]]), freeze it into this Column, gate the ingest
+    * stream. The batch [[dsirSelect]] path adds Gumbel resampling on
+    * top; a fixed-threshold gate is the streaming stand-in (a stream
+    * cannot take a corpus percentile). */
+  def dsirGate(text: Column, lamByBucket: Seq[Long],
+               thresholdNats: Double): Column = {
+    require(lamByBucket.size == DsirBuckets,
+      s"λ array must cover all $DsirBuckets buckets (fill absent with 0)")
+    val ws = words(normText(text))
+    val fs = concat(ws, shingles(ws, 2))
+    val arr = typedlit(lamByBucket)
+    val s = aggregate(transform(fs, t =>
+      element_at(arr, dsirBucket(t).cast("int") + 1)),
+      lit(0L), (a, x) => a + x)
+    s.cast("double") / 1000000.0d / size(fs).cast("double") >= thresholdNats
+  }
+
+  def dsirSelect(docs: DataFrame, isTarget: Column,
+                 keepFrac: Double = 0.25): DataFrame = {
+    val feats = dsirFeats(docs, isTarget)
+    val lam = dsirLambdaOf(feats)
     // per-doc Σλ: broadcast join against the ≤ 4096-row λ table;
     // n_feats rides through the explode (no corpus join-back)
     val scored = feats.select(col("doc_id"),
         size(col("fs")).cast("long").as("n_feats"), explode(col("fs")).as("t"))
-      .withColumn("b", bucket(col("t")))
+      .withColumn("b", dsirBucket(col("t")))
       .join(broadcast(lam), Seq("b"), "left")
       .groupBy("doc_id")
       .agg(first(col("n_feats")).as("n_feats"),

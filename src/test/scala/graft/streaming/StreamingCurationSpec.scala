@@ -65,4 +65,44 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTest {
         "stream fixture should drop some docs and keep some")
     } finally q.stop()
   }
+
+  test("a frozen DSIR λ table gates an append-mode stream statelessly") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // train λ on a batch bootstrap corpus, freeze it into the dense
+    // 4096-slot array, then gate a stream: kept docs must be exactly
+    // those whose batch mean importance clears the threshold
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang")
+      .collect().take(60).map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bootstrap = docs.toSeq.toDF("doc_id", "text", "lang")
+    val lamArr = {
+      val m = Curation.dsirLambda(bootstrap, isTarget = col("lang") === "en")
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      (0 until Curation.DsirBuckets).map(b => m.getOrElse(b, 0L))
+    }
+    val batch = Curation.dsirSelect(bootstrap, isTarget = col("lang") === "en")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("imp_mu").toDouble / 1e6 / r.getAs[Long]("n_feats")))
+    // deployment picks the threshold from the TRAINING batch (a stream
+    // has no corpus percentile): the batch median splits the fixture
+    val tau = batch.map(_._2).sorted.apply(batch.length / 2)
+    val expect = batch.filter(_._2 >= tau).map(_._1).toSet
+    graft.core.Caches.releaseAll()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .filter(Curation.dsirGate(col("text"), lamArr, tau))
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(docs.take(30).map(d => (d._1, d._2)).toSeq)
+      q.processAllAvailable()
+      input.addData(docs.drop(30).map(d => (d._1, d._2)).toSeq)
+      q.processAllAvailable()
+      assert(spark.sql("select doc_id from dsir_gate")
+        .as[Long].collect().toSet == expect)
+      assert(expect.nonEmpty && expect.size < docs.length,
+        "the λ gate should split the fixture")
+    } finally q.stop()
+  }
 }
