@@ -391,6 +391,50 @@ object SimilarityQueries {
       .orderBy("cell")
   }
 
+  // --- Y02: CLUSTER-BALANCED SELECTION — per-centroid quotas over the
+  // trained k-means cells (the diversity lever of cluster-based data
+  // selection: giant near-duplicate clusters cap at Q representatives,
+  // small clusters keep everything, so the selected set covers the
+  // embedding space instead of echoing its densest mode). Keeps the Q
+  // MOST CENTRAL members per cell (assignment cosine DESC — prototype
+  // selection) through the two-phase TopKPerKey, so hot cells cap at Q
+  // per map partition and no corpus-wide window exists; the residual
+  // row_number runs over ≤ Q·cells survivor rows. Per-row output carries
+  // the cell's total population — the selected-vs-population ratio is
+  // the balance evidence.
+  private val CellQuota = 5
+  val y02 = Query(
+    "y02_cluster_quota",
+    Some(s"""
+      WITH $kmeansCtes,
+      r AS (SELECT cell, vec_id, a_cos,
+              CAST(row_number() OVER (PARTITION BY cell
+                ORDER BY a_cos DESC, vec_id) AS INT) AS rk
+            FROM a3),
+      cnt AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cell
+              FROM a3 GROUP BY cell)
+      SELECT r.cell, r.vec_id, r.rk, ROUND(r.a_cos, 6) AS cos, c.n_cell
+      FROM r JOIN cnt c USING (cell) WHERE r.rk <= $CellQuota
+      ORDER BY r.cell, r.rk""")
+  ) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, d)
+    val e = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("vq"))
+    val cb = graft.core.Caches.scoped(
+      Similarity.kmeansCodebook(emb, col("vec_id") % 125 === 0, iters = 2))
+    val assigned = graft.core.Caches.scoped(Similarity.assignCells(e, cb))
+    val kept = graft.plans.TopK.perKey(assigned, Seq(assigned("cell")),
+      Seq(assigned("a_cos").desc, assigned("vec_id")), k = CellQuota)
+    // bounded residual window: ≤ Q rows per cell survive TopKPerKey
+    val w = Window.partitionBy("cell").orderBy(col("a_cos").desc, col("vec_id"))
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n_cell"))
+    kept.withColumn("rk", row_number().over(w))
+      .join(broadcast(counts), "cell")
+      .select(col("cell"), col("vec_id"), col("rk"),
+        round(col("a_cos"), 6).as("cos"), col("n_cell"))
+      .orderBy("cell", "rk")
+  }
+
   // --- X54: TRAINED IVF search END-TO-END — the composition x47 trains
   // for: kmeansCodebook → assignCells → cell-restricted search, all on
   // the 6-decimal-quantized vectors, graded as one flow, with
@@ -590,5 +634,6 @@ object SimilarityQueries {
       .orderBy("probe_id", "rk")
   }
 
-  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55, x61)
+  val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55,
+    x61, y02)
 }

@@ -52,7 +52,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       "x96_classifier_select", "x97_budget_select",
       // round-6b: bucket-count λ table + Gumbel percentile; tercile
       // thresholds over decimal-summed means
-      "x98_dsir_select", "x99_ppl_buckets", "y01_curation_v4")
+      "x98_dsir_select", "x99_ppl_buckets", "y01_curation_v4",
+      "y02_cluster_quota")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

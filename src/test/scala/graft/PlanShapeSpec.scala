@@ -404,4 +404,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
   }
+
+  test("y02 cluster quota: TopKPerKey caps cells; the residual window sees survivors only") {
+    val p = plan("y02_cluster_quota")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerKey"), s"quota must plan through the two-phase operator:\n$p")
+    // the row_number window must consume the TopKPerKey output (≤ Q·cells
+    // rows), never the full assignment: in plan order the window sits
+    // above the custom operator
+    val widx = p.indexOf("Window")
+    val tidx = p.indexOf("TopKPerKey")
+    assert(widx >= 0 && tidx > widx,
+      s"window must be downstream of TopKPerKey:\n$p")
+    // population counts join back as a broadcast (≤ |cells| rows)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
