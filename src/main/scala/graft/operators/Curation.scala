@@ -380,17 +380,23 @@ object Curation {
         .withColumn("fs", concat(col("ws"), shingles(col("ws"), 2)))
         .select(col("doc_id"), col("tgt"), col("fs")))
 
-  /** λ(b) = ln( p̂_target(b) / p̂_raw(b) ) with add-one smoothing over the
-    * fixed bucket space: exact BIGINT products (< 2⁵³), one IEEE
-    * division, ln round-6, µ-lifted — x89's weight discipline. ≤ 4096
-    * rows at any corpus size. */
-  private def dsirLambdaOf(feats: DataFrame): DataFrame = {
-    val nBuckets = DsirBuckets.toLong
-    val counts = feats.select(col("tgt"), explode(col("fs")).as("t"))
+  /** Bucket-keyed target/raw feature counts (b, ct, cr) — the SUFFICIENT
+    * STATISTIC of the DSIR estimator: ≤ 4096 rows, exactly mergeable by
+    * per-bucket addition, which is what makes the estimator incremental
+    * ([[writeDsirStore]] / [[dsirSelectIncremental]]). */
+  private def dsirCountsOf(feats: DataFrame): DataFrame =
+    feats.select(col("tgt"), explode(col("fs")).as("t"))
       .select(col("tgt"), dsirBucket(col("t")).as("b"))
       .groupBy("b").agg(
         sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
         count(lit(1)).as("cr"))
+
+  /** λ(b) = ln( p̂_target(b) / p̂_raw(b) ) with add-one smoothing over the
+    * fixed bucket space: exact BIGINT products (< 2⁵³), one IEEE
+    * division, ln round-6, µ-lifted — x89's weight discipline. ≤ 4096
+    * rows at any corpus size. */
+  private def dsirLambdaFromCounts(counts: DataFrame): DataFrame = {
+    val nBuckets = DsirBuckets.toLong
     val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     counts.crossJoin(broadcast(tot))
       .select(col("b"),
@@ -399,6 +405,9 @@ object Curation {
             / ((col("cr") + 1L) * (col("tt") + nBuckets))), 6)
           * 1000000d + 0.5d).cast("long").as("lam"))
   }
+
+  private def dsirLambdaOf(feats: DataFrame): DataFrame =
+    dsirLambdaFromCounts(dsirCountsOf(feats))
 
   /** The trained λ table alone (b → µ-nat log-importance) — what a
     * streaming deployment freezes at train time and ships to the ingest
@@ -432,7 +441,37 @@ object Curation {
   def dsirSelect(docs: DataFrame, isTarget: Column,
                  keepFrac: Double = 0.25): DataFrame = {
     val feats = dsirFeats(docs, isTarget)
-    val lam = dsirLambdaOf(feats)
+    dsirScoreAndResample(feats, dsirLambdaOf(feats), keepFrac)
+  }
+
+  /** Persist the DSIR sufficient statistic (b, ct, cr — ≤ 4096 rows
+    * regardless of corpus size) so later batches can update the
+    * estimator without rescanning old text: the x41/x81/x93 store
+    * cadence, here with a store ~5 orders of magnitude smaller than a
+    * gram store because the hashing trick already bounded the space. */
+  def writeDsirStore(docs: DataFrame, isTarget: Column, path: String): Unit =
+    dsirCountsOf(dsirFeats(docs, isTarget))
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental DSIR: the estimator over old ∪ batch is recovered by
+    * ADDING the stored bucket counts to the batch's (exactly — the
+    * counts are the sufficient statistic), then only the BATCH is
+    * scored and resampled. Old text is never rescanned; the merge is a
+    * ≤ 4096-row union+sum. Decisions for old docs are immutable (the
+    * store contract shared with the other incremental operators).
+    * Output: the [[dsirSelect]] columns for batch docs only. */
+  def dsirSelectIncremental(batch: DataFrame, isTarget: Column,
+                            store: DataFrame,
+                            keepFrac: Double = 0.25): DataFrame = {
+    val feats = dsirFeats(batch, isTarget)
+    val comb = dsirCountsOf(feats)
+      .unionByName(store.select("b", "ct", "cr"))
+      .groupBy("b").agg(sum("ct").as("ct"), sum("cr").as("cr"))
+    dsirScoreAndResample(feats, dsirLambdaFromCounts(comb), keepFrac)
+  }
+
+  private def dsirScoreAndResample(feats: DataFrame, lam: DataFrame,
+                                   keepFrac: Double): DataFrame = {
     // per-doc Σλ: broadcast join against the ≤ 4096-row λ table;
     // n_feats rides through the explode (no corpus join-back)
     val scored = feats.select(col("doc_id"),

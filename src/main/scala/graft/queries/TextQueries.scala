@@ -452,6 +452,79 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // --- Y03: INCREMENTAL DSIR — the x41/x81/x93 store cadence applied to
+  // the importance estimator: the old corpus (doc_id % 10 < 8) lives
+  // only as its ≤ 4096-row bucket-count store (the estimator's exactly-
+  // mergeable sufficient statistic); a new batch adds its own counts,
+  // re-derives λ over old ∪ batch WITHOUT rescanning old text (plan
+  // guard), and scores/resamples only itself. The oracle replays the
+  // combined counts from the raw table.
+  private def dsirStorePath(sfDir: String): String = {
+    val f = new java.io.File(sfDir, "documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${f.length}:${f.lastModified}:dsir1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-dsirstore-" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
+  }
+
+  private def ensureDsirStore(s: org.apache.spark.sql.SparkSession,
+                              d: String): String = {
+    val path = dsirStorePath(d)
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Curation.writeDsirStore(documents(s, d).filter(col("doc_id") % 10 < 8),
+        isTarget = col("lang") === "en", path)
+    path
+  }
+
+  val y03 = Query(
+    "y03_dsir_incr",
+    Some(s"""
+      WITH n AS (SELECT doc_id, lang = 'en' AS tgt, $normSql AS norm
+                 FROM documents),
+      w AS (SELECT doc_id, tgt, string_split(norm, ' ') AS ws FROM n),
+      f AS (SELECT doc_id, tgt, list_concat(ws,
+              list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS fs
+            FROM w),
+      ex AS (SELECT tgt, ${graft.functions.TextFunctions.md5BucketSql("t0.t")} AS b
+             FROM (SELECT tgt, unnest(fs) AS t FROM f) t0),
+      c AS (SELECT b, CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+              CAST(count(*) AS BIGINT) AS cr
+            FROM ex GROUP BY b),
+      tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt2,
+                    CAST(SUM(cr) AS BIGINT) AS tr
+             FROM c),
+      lam AS (SELECT b, CAST(floor(round(ln(CAST((ct + 1) * (tr + 4096) AS DOUBLE)
+                / ((cr + 1) * (tt2 + 4096))), 6) * 1000000 + 0.5) AS BIGINT)
+                AS lam
+              FROM c, tt),
+      sx AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+               unnest(fs) AS t
+             FROM f WHERE doc_id % 10 >= 8),
+      sb AS (SELECT doc_id, n_feats,
+               ${graft.functions.TextFunctions.md5BucketSql("t")} AS b
+             FROM sx),
+      ds AS (SELECT sb.doc_id, MIN(sb.n_feats) AS n_feats,
+               CAST(SUM(COALESCE(l.lam, 0)) AS BIGINT) AS imp_mu
+             FROM sb LEFT JOIN lam l ON l.b = sb.b GROUP BY sb.doc_id),
+      gk AS (SELECT doc_id, n_feats, imp_mu,
+               round(CAST(imp_mu AS DOUBLE) / 1000000.0 / n_feats
+                 + round(-ln(round(-ln(
+                     (CAST(((doc_id % 2147483647) * 2654435761) % 1048576
+                        AS DOUBLE) + 0.5) / 1048576.0), 6)), 6), 6) AS gkey
+             FROM ds),
+      thr AS (SELECT round(quantile_cont(gkey, 0.75), 6) AS t FROM gk)
+      SELECT doc_id, n_feats, imp_mu, gkey, gkey >= thr.t AS selected
+      FROM gk, thr ORDER BY doc_id""")
+  ) { (s, d) =>
+    val store = s.read.parquet(ensureDsirStore(s, d))
+    Curation.dsirSelectIncremental(
+        documents(s, d).filter(col("doc_id") % 10 >= 8),
+        isTarget = col("lang") === "en", store)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78, x89,
-    x96, x97, x98)
+    x96, x97, x98, y03)
 }

@@ -405,6 +405,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
   }
 
+  test("y03 incremental DSIR never rescans old documents") {
+    val p = plan("y03_dsir_incr")
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("documents.parquet"))
+      .toSeq
+    assert(docScans.nonEmpty, s"no documents scan found:\n$p")
+    assert(docScans.forall(_.contains("% 10) >= 8")),
+      s"found a documents scan without the new-batch filter:\n${docScans.mkString("\n")}")
+    assert(p.contains("graft-dsirstore-"), s"store scan missing:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("y02 cluster quota: TopKPerKey caps cells; the residual window sees survivors only") {
     val p = plan("y02_cluster_quota")
     assert(!p.contains("CartesianProduct"), p)

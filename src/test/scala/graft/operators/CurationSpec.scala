@@ -568,6 +568,27 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(g1(1L) - g2(1L)) < 2e-6 && math.abs(g1(2L) - g2(2L)) < 2e-6)
   }
 
+  test("incremental DSIR recovers the full-corpus importance exactly from the count store") {
+    // the bucket counts are the estimator's sufficient statistic: store
+    // (old slice) + batch counts must give every batch doc the SAME
+    // imp_mu as a full-corpus run — bit-exact, not approximate
+    val all = (0L to 11L).map(i =>
+      i -> (if (i % 2 == 0) "alpha beta gamma" else "north south east west"))
+    val d = docs(all: _*)
+    val old = docs(all.filter(_._1 < 8): _*)
+    val batch = docs(all.filter(_._1 >= 8): _*)
+    val path = java.nio.file.Files.createTempDirectory("dsirstore").toString
+    Curation.writeDsirStore(old, isTarget = col("doc_id") % 2 === 0, path)
+    val full = Curation.dsirSelect(d, isTarget = col("doc_id") % 2 === 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("imp_mu")).toMap
+    val incr = Curation.dsirSelectIncremental(batch,
+        isTarget = col("doc_id") % 2 === 0, spark.read.parquet(path))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("imp_mu")).toMap
+    assert(incr.keySet == Set(8L, 9L, 10L, 11L), "only batch docs scored")
+    assert(incr.forall { case (id, imp) => full(id) == imp },
+      s"incremental imp_mu must equal full-corpus: $incr vs ${full.view.filterKeys(_ >= 8L).toMap}")
+  }
+
   test("perplexityBuckets: fluent docs land in head, word-soup in tail, all docs bucketed") {
     val ref = docs(10L -> "the quick brown fox jumps over the lazy dog")
     val d = docs(
