@@ -988,6 +988,10 @@ object CurationQueries {
     val winners = docs
       .groupBy(md5(normText(col("text"))).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
+    // d2 feeds both the DSIR feature chain and the post-selection join;
+    // deliberately NOT cached — pinning the corpus text column costs
+    // more than re-running the hash-agg + equi-join (measured 6.4 s vs
+    // 4.6 s steady state at sf0.1)
     val d2 = docs.join(winners, "doc_id")
     val sel = Curation.dsirSelect(d2, isTarget = col("lang") === "en")
       .filter(col("selected")).select("doc_id")
