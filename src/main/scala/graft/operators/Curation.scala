@@ -470,17 +470,31 @@ object Curation {
     dsirScoreAndResample(feats, dsirLambdaFromCounts(comb), keepFrac)
   }
 
-  private def dsirScoreAndResample(feats: DataFrame, lam: DataFrame,
-                                   keepFrac: Double): DataFrame = {
-    // per-doc Σλ: broadcast join against the ≤ 4096-row λ table;
-    // n_feats rides through the explode (no corpus join-back)
-    val scored = feats.select(col("doc_id"),
+  /** Public forms for external estimator state (the streaming cadence):
+    * the batch's own mergeable counts, and per-doc importance scored
+    * against counts accumulated elsewhere. */
+  def dsirCounts(docs: DataFrame, isTarget: Column): DataFrame =
+    dsirCountsOf(dsirFeats(docs, isTarget))
+
+  def dsirImportanceAgainst(docs: DataFrame, isTarget: Column,
+                            counts: DataFrame): DataFrame =
+    dsirImportance(dsirFeats(docs, isTarget), dsirLambdaFromCounts(counts))
+
+  /** Per-doc Σλ: broadcast join against the ≤ 4096-row λ table; n_feats
+    * rides through the explode (no corpus join-back).
+    * Output: doc_id, n_feats, imp_mu. */
+  private def dsirImportance(feats: DataFrame, lam: DataFrame): DataFrame =
+    feats.select(col("doc_id"),
         size(col("fs")).cast("long").as("n_feats"), explode(col("fs")).as("t"))
       .withColumn("b", dsirBucket(col("t")))
       .join(broadcast(lam), Seq("b"), "left")
       .groupBy("doc_id")
       .agg(first(col("n_feats")).as("n_feats"),
         sum(coalesce(col("lam"), lit(0L))).as("imp_mu"))
+
+  private def dsirScoreAndResample(feats: DataFrame, lam: DataFrame,
+                                   keepFrac: Double): DataFrame = {
+    val scored = dsirImportance(feats, lam)
     // Gumbel(0,1) from the doc_id lattice uniform: g = −ln(−ln u),
     // rounding after each ln (libm discipline)
     // doc_id bounded mod 2³¹−1 first (the datasetSplit guard) so the
