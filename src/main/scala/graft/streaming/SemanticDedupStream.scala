@@ -29,9 +29,13 @@ import graft.operators.Quantization
   * itself at cos = 1 and the replay would silently drop the whole batch)
   * and survivors are pairwise non-τ-close by construction, so re-deciding
   * against the mutated store flips nothing; `n_close` COUNTS can still
-  * inflate on such a replay (a kept batch-mate is then witnessed both as
-  * its stored copy and as its in-batch row), so the marker remains
-  * load-bearing for the graded count, but never for the decisions.
+  * inflate on the REPLAYED batch's own report (a kept batch-mate is then
+  * witnessed both as its stored copy and as its in-batch row), so the
+  * marker remains load-bearing for that one graded count, but never for
+  * decisions — and never for FUTURE batches: the append anti-joins
+  * already-stored vec_ids, so neither a full replay nor a crash
+  * mid-append can leave duplicate codes in the store (a partial append
+  * heals — the missing remainder lands on the re-run).
   *
   * At 100 TB this is the production loop: the store grows by one batch
   * of codes per interval; the mask stays frozen until an operator-
@@ -77,8 +81,15 @@ object SemanticDedupStream {
     val kept = batch.join(decisions.filter(col("kept"))
       .select("vec_id"), "vec_id")
     if (storeExists)
-      Quantization.appendToCodeStore(kept, spark.read.parquet(storePath),
-        storePath, maxBits, dim)
+      // anti-join append: a replay (or a crash mid-append) may find part
+      // of this batch's codes already stored; appending blindly would
+      // duplicate them and inflate every FUTURE batch's n_close. Writing
+      // only the not-yet-stored survivors makes the append idempotent
+      // AND heals partial appends (the missing remainder lands).
+      Quantization.appendToCodeStore(
+        kept.join(spark.read.parquet(storePath).select("vec_id"),
+          Seq("vec_id"), "left_anti"),
+        spark.read.parquet(storePath), storePath, maxBits, dim)
     else
       // bootstrap: the mask is frozen from the FULL batch's corpus count —
       // the same count semanticDedupAuto derived its cells from. Freezing

@@ -112,5 +112,12 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkTest {
     SemanticDedupStream.processBatch(b1, 1L, store, 4, 8, Dim, (dec, _) =>
       replay = dec.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap)
     assert(replay == first, "crash-window replay must not flip any decision")
+    // ...and the anti-join append must not duplicate 12's stored codes —
+    // future batches would double-witness it in n_close otherwise
+    val ids = spark.read.parquet(store).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size == ids.distinct.size,
+      s"crash-window replay duplicated store rows: $ids")
+    assert(spark.read.parquet(store).count() == n1)
   }
 }
