@@ -589,6 +589,38 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       s"incremental imp_mu must equal full-corpus: $incr vs ${full.view.filterKeys(_ >= 8L).toMap}")
   }
 
+  test("DSIR store compaction preserves the statistic in both layouts") {
+    import spark.implicits._
+    val d1 = docs(1L -> "alpha beta", 2L -> "north south")
+    val d2 = docs(3L -> "alpha gamma")
+    // batch layout: two generations appended, then compacted
+    val p1 = java.nio.file.Files.createTempDirectory("dsircompact").toString
+    Curation.writeDsirStore(d1, isTarget = col("doc_id") === 1L, p1)
+    Curation.dsirCounts(d2, isTarget = lit(false))
+      .write.mode("append").parquet(p1)
+    val pre = spark.read.parquet(p1).groupBy("b")
+      .agg(sum("ct").as("ct"), sum("cr").as("cr")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Curation.compactDsirStore(spark, p1)
+    val post = spark.read.parquet(p1).collect()
+      .map(r => r.getAs[Long]("b") ->
+        ((r.getAs[Long]("ct"), r.getAs[Long]("cr")))).toMap
+    assert(post == pre, "compaction must preserve per-bucket totals")
+    assert(spark.read.parquet(p1).count() == pre.size, "one row per bucket")
+    // streaming layout: batch tags collapse to the -1 sentinel
+    val p2 = java.nio.file.Files.createTempDirectory("dsircompact2").toString
+    Curation.dsirCounts(d1, isTarget = col("doc_id") === 1L)
+      .withColumn("batch_id", lit(0L)).select("batch_id", "b", "ct", "cr")
+      .write.mode("overwrite").parquet(p2)
+    Curation.dsirCounts(d2, isTarget = lit(false))
+      .withColumn("batch_id", lit(1L)).select("batch_id", "b", "ct", "cr")
+      .write.mode("append").parquet(p2)
+    Curation.compactDsirStore(spark, p2)
+    val tags = spark.read.parquet(p2).select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(tags == Seq(-1L), s"compacted stream store must carry the sentinel, got $tags")
+  }
+
   test("perplexityBuckets: fluent docs land in head, word-soup in tail, all docs bucketed") {
     val ref = docs(10L -> "the quick brown fox jumps over the lazy dog")
     val d = docs(
