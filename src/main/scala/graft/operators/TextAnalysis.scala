@@ -215,6 +215,80 @@ object TextAnalysis {
       .withColumn("correct", col("pred_pos") === col("is_pos"))
   }
 
+  /** The hashed-embedding dimensionality ([[hashedEmbedding]]). */
+  val EmbedDim = 64
+
+  /** TEXT → EMBEDDING without a model: the feature-hashing (signed
+    * random-projection) document embedding — every unigram+bigram
+    * feature adds ±1 to one of [[EmbedDim]] buckets (bucket = md5
+    * nibbles mod d, sign = the 4th nibble's top bit), giving each doc a
+    * sparse signed count vector whose cosine approximates feature-set
+    * similarity. This closes the pipeline gap where every embedding
+    * operator assumed vectors arrive from outside: hashed vectors feed
+    * the SAME integer-cosine machinery (the x76 cross-multiplied τ²
+    * test) with zero floats anywhere — components and the squared norm
+    * are exact BIGINTs, so the output is engine-exact by construction,
+    * no rounding contract at all.
+    *
+    * Scale shape: one explode + one (doc_id, bucket)-keyed sum + one
+    * doc-keyed regroup into the dense array (the map lookup runs over a
+    * ≤ d-entry per-doc map — bounded, not the corpus). Output: doc_id,
+    * vec (array<bigint>, length d), norm_sq, nnz. */
+  def hashedEmbedding(docs: DataFrame, dim: Int = EmbedDim): DataFrame = {
+    val base = docs.select(col("doc_id"), words(normText(col("text"))).as("ws"))
+      .withColumn("fs", concat(col("ws"), shingles(col("ws"), 2)))
+      .select(col("doc_id"), explode(col("fs")).as("t"))
+    val signed = base.select(col("doc_id"),
+      (conv(substring(md5(col("t")), 1, 3), 16, 10).cast("long") % dim).as("b"),
+      when(conv(substring(md5(col("t")), 4, 1), 16, 10).cast("long") >= 8L, 1L)
+        .otherwise(-1L).as("s"))
+    val cells = signed.groupBy("doc_id", "b").agg(sum("s").as("v"))
+    cells.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("m"), j.cast("long")), lit(0L))).as("vec"))
+      .withColumn("norm_sq",
+        aggregate(col("vec"), lit(0L), (a, x) => a + x * x))
+      .withColumn("nnz",
+        size(filter(col("vec"), x => x =!= 0L)))
+  }
+
+  /** TEXT-ONLY SEMANTIC NEAR-DUP — the full embedding dedup flow with no
+    * model anywhere: [[hashedEmbedding]] vectors are bucketed by the
+    * sign pattern of their first nbits components (nbits corpus-adaptive
+    * via `autoBits` — occupancy-bounded cells, the x79 lever, so the
+    * within-cell pair space stays linear), and same-cell pairs are
+    * tested with the integer cross-multiplied τ² rule (x76 discipline:
+    * dot² · 10⁴ ≥ τ²bp · ‖a‖² · ‖b‖², zero floats end to end). A doc is
+    * kept iff no lower-id same-cell doc is τ-close.
+    * Output: doc_id, cell, n_close, kept. */
+  def hashedNearDup(docs: DataFrame, tauSqBp: Long = 2025L,
+                    targetOcc: Int = 8, maxBits: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions
+    val v = hashedEmbedding(docs)
+    val n = v.agg(count(lit(1)).as("__n"))
+    val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
+    val cells = graft.core.Caches.scoped(v.crossJoin(broadcast(n))
+      .withColumn("cell", (0 until maxBits).map(j =>
+        when(lit(j) < nbits && element_at(col("vec"), j + 1) >= 0L,
+          lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
+      .select(col("doc_id"), col("vec"), col("norm_sq").as("nsq"), col("cell")))
+    val a = cells.toDF("a_id", "va", "na", "cell")
+    val b = cells.toDF("b_id", "vb", "nb", "cell")
+    val close = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .filter(col("dot") > 0L &&
+        col("dot") * col("dot") * 10000L >= lit(tauSqBp) * col("na") * col("nb"))
+      .groupBy(col("b_id").as("doc_id")).agg(count(lit(1)).as("n_close"))
+    cells.select("doc_id", "cell").join(close, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cell"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        (coalesce(col("n_close"), lit(0L)) === 0L).as("kept"))
+  }
+
   /** Document fingerprints: md5 of normalized text plus min/max seeded
     * shingle hashes (a 1-hash MinHash — the rolling-window signature). */
   def fingerprints(docs: DataFrame): DataFrame = {

@@ -525,6 +525,110 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // --- Y04: HASHED DOCUMENT EMBEDDING — text → vector without a model
+  // (feature hashing / signed random projection): every unigram+bigram
+  // adds ±1 to one of 64 buckets. Components, squared norm, and the
+  // positional checksum are exact BIGINTs — zero floats, no rounding
+  // contract. Graded by integer digests (the x67 discipline: scalar
+  // digests, not array columns): norm², nnz, component sum, and the
+  // position-weighted checksum Σ (j+1)·v[j] that pins every component.
+  val y04 = Query(
+    "y04_hash_embedding",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      f AS (SELECT doc_id, list_concat(ws,
+              list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS fs
+            FROM w),
+      sx AS (SELECT doc_id, unnest(fs) AS t FROM f),
+      sg AS (SELECT doc_id,
+               ${graft.functions.TextFunctions.md5BucketSql("t")} % 64 AS b,
+               CASE WHEN (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)
+                      >= 8 THEN 1 ELSE -1 END AS s
+             FROM sx),
+      cells AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+                FROM sg GROUP BY doc_id, b),
+      dv AS (SELECT d.doc_id, r.j, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+             FROM (SELECT doc_id FROM n) d
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r
+             LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = r.j),
+      vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id)
+      SELECT doc_id,
+             CAST(list_aggregate(list_transform(vec, x -> x * x), 'sum')
+               AS BIGINT) AS norm_sq,
+             CAST(len(list_filter(vec, x -> x <> 0)) AS INT) AS nnz,
+             CAST(list_aggregate(vec, 'sum') AS BIGINT) AS v_sum,
+             CAST(list_aggregate(list_transform(range(1, 65),
+               j -> vec[j] * j), 'sum') AS BIGINT) AS chk
+      FROM vecs ORDER BY doc_id""")
+  ) { (s, d) =>
+    TextAnalysis.hashedEmbedding(documents(s, d))
+      .select(col("doc_id"), col("norm_sq"), col("nnz"),
+        aggregate(col("vec"), lit(0L), (a, x) => a + x).as("v_sum"),
+        aggregate(zip_with(col("vec"),
+            sequence(lit(1L), lit(64L)), (v, j) => v * j),
+          lit(0L), (a, x) => a + x).as("chk"))
+      .orderBy("doc_id")
+  }
+
+  // --- Y05: TEXT-ONLY SEMANTIC NEAR-DUP — the end-to-end story y04
+  // exists for: text → hashed embedding → corpus-adaptive sign-bit
+  // cells → integer cross-multiplied τ² verdicts, no model and no float
+  // anywhere. x76 semantics (kept iff no lower-id same-cell τ-close
+  // doc), exact-dup texts collapse at cos = 1.
+  private val hashCellSql: String =
+    (0 until 8).map(j =>
+      s"(CASE WHEN $j < nbits AND vec[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+  val y05 = Query(
+    "y05_hash_neardup",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      f AS (SELECT doc_id, list_concat(ws,
+              list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS fs
+            FROM w),
+      sx AS (SELECT doc_id, unnest(fs) AS t FROM f),
+      sg AS (SELECT doc_id,
+               ${graft.functions.TextFunctions.md5BucketSql("t")} % 64 AS b,
+               CASE WHEN (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)
+                      >= 8 THEN 1 ELSE -1 END AS s
+             FROM sx),
+      cells AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+                FROM sg GROUP BY doc_id, b),
+      dv AS (SELECT d.doc_id, r.j, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+             FROM (SELECT doc_id FROM n) d
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r
+             LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = r.j),
+      vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id),
+      cnt AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM n),
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(8, 8)} AS INT) AS nbits
+             FROM cnt),
+      vn AS (SELECT doc_id, vec,
+               CAST(list_aggregate(list_transform(vec, x -> x * x), 'sum')
+                 AS BIGINT) AS nsq
+             FROM vecs),
+      ce AS (SELECT doc_id, vec, nsq, CAST($hashCellSql AS INT) AS cell
+             FROM vn, nb),
+      pr AS (SELECT a.doc_id AS a2, b.doc_id AS b2, a.cell,
+               CAST(list_aggregate(list_transform(range(1, 65),
+                 j -> a.vec[j] * b.vec[j]), 'sum') AS BIGINT) AS dot,
+               a.nsq AS na, b.nsq AS nb2
+             FROM ce a JOIN ce b ON a.cell = b.cell AND a.doc_id < b.doc_id),
+      cl AS (SELECT b2 AS doc_id, CAST(count(*) AS BIGINT) AS n_close
+             FROM pr WHERE dot > 0 AND dot * dot * 10000 >= 2025 * na * nb2
+             GROUP BY b2)
+      SELECT ce.doc_id, ce.cell,
+             CAST(COALESCE(cl.n_close, 0) AS BIGINT) AS n_close,
+             COALESCE(cl.n_close, 0) = 0 AS kept
+      FROM ce LEFT JOIN cl ON cl.doc_id = ce.doc_id
+      ORDER BY ce.doc_id""")
+  ) { (s, d) =>
+    TextAnalysis.hashedNearDup(documents(s, d)).orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78, x89,
-    x96, x97, x98, y03)
+    x96, x97, x98, y03, y04, y05)
 }

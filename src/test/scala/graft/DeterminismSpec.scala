@@ -53,7 +53,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       // round-6b: bucket-count λ table + Gumbel percentile; tercile
       // thresholds over decimal-summed means
       "x98_dsir_select", "x99_ppl_buckets", "y01_curation_v4",
-      "y02_cluster_quota", "y03_dsir_incr")
+      "y02_cluster_quota", "y03_dsir_incr", "y04_hash_embedding",
+      "y05_hash_neardup")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -418,6 +418,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Window"), p)
   }
 
+  test("y05 hashed near-dup: cell equi-join only, no all-pairs, no window") {
+    val p = plan("y05_hash_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    // the pair join must key on the cell — an equi join (AQE decides
+    // broadcast vs SMJ); the only nested loops are the 1-row
+    // corpus-count scalar repeated through the cached cells' branches
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("y02 cluster quota: TopKPerKey caps cells; the residual window sees survivors only") {
     val p = plan("y02_cluster_quota")
     assert(!p.contains("CartesianProduct"), p)

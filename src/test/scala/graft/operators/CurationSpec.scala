@@ -621,6 +621,34 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(tags == Seq(-1L), s"compacted stream store must carry the sentinel, got $tags")
   }
 
+  test("hashedEmbedding: exact integer vectors, identical texts collide at cos = 1") {
+    val d = docs(1L -> "alpha beta gamma", 2L -> "alpha  BETA gamma",
+      3L -> "wholly different words here")
+    val r = TextAnalysis.hashedEmbedding(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getSeq[Long](x.fieldIndex("vec")).toList,
+          x.getAs[Long]("norm_sq"))).toMap
+    // normalization makes 1 and 2 the same feature multiset → same vector
+    assert(r(1L)._1 == r(2L)._1 && r(1L)._2 == r(2L)._2)
+    assert(r(1L)._1 != r(3L)._1)
+    // norm_sq is exactly Σ v²; nnz ≤ feature count
+    assert(r(1L)._2 == r(1L)._1.map(v => v * v).sum)
+    assert(r(1L)._1.size == TextAnalysis.EmbedDim)
+  }
+
+  test("hashedNearDup: duplicate text drops against the lower id, dissimilar text survives") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta epsilon",   // exact dup of 1
+      3L -> "qq ww ee rr tt yy uu ii oo pp")    // disjoint vocabulary
+    val r = TextAnalysis.hashedNearDup(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_close"), x.getAs[Boolean]("kept"))).toMap
+    assert(r(1L) == ((0L, true)), s"lowest id must survive: $r")
+    assert(r(2L)._1 >= 1L && !r(2L)._2, s"exact dup must drop: $r")
+    assert(r.size == 3, "every doc gets a verdict")
+  }
+
   test("perplexityBuckets: fluent docs land in head, word-soup in tail, all docs bucketed") {
     val ref = docs(10L -> "the quick brown fox jumps over the lazy dog")
     val d = docs(
