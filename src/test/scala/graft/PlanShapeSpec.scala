@@ -430,6 +430,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("y06 hash recall: probe side broadcasts, no window, no inner nested loop") {
+    val p = plan("y06_hash_recall")
+    assert(!p.contains("Window"), p)
+    // the truth side is a deliberate bounded-probe broadcast cross (the
+    // x43 grading contract); nothing may plan as an ad-hoc inner nest
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("y02 cluster quota: TopKPerKey caps cells; the residual window sees survivors only") {
     val p = plan("y02_cluster_quota")
     assert(!p.contains("CartesianProduct"), p)
