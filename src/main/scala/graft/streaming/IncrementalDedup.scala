@@ -92,13 +92,19 @@ object IncrementalDedup {
     val decisions = graft.core.Caches.scopedCheckpoint(raw.localCheckpoint(true))
     val kept = batch.join(decisions.filter(col("dropped") === 0)
       .select("doc_id"), "doc_id")
-    Dedup.minhashSignatures(kept).write.mode("append").parquet(storePath)
-    // Crash window between the append and the marker write: a replay
-    // would re-append the batch's signatures — harmless ONLY because
-    // downstream consumers fold signatures through distinct-style band
-    // joins (duplicate rows produce duplicate candidate pairs, which
-    // `distinct` absorbs); the marker is a fast-path skip, not the
-    // correctness mechanism.
+    // anti-join append: decisions were already replay-safe (duplicate
+    // signatures only produce duplicate candidate pairs, which the band
+    // joins' `distinct` absorbs), but a crash-window replay would still
+    // BLOAT the store with re-appended rows forever. One row per doc_id
+    // makes the doc-keyed anti-join heal exactly: a partial append's
+    // missing docs land on the re-run, present ones are skipped.
+    val sigs = Dedup.minhashSignatures(kept)
+    val toAppend =
+      if (storeExists)
+        sigs.join(spark.read.parquet(storePath).select("doc_id"),
+          Seq("doc_id"), "left_anti")
+      else sigs
+    toAppend.write.mode("append").parquet(storePath)
     StoreFs.writeMarker(spark, storePath, batchId)
     onBatch(decisions, batchId)
     graft.core.Caches.releaseAll()

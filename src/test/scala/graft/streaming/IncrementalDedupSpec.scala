@@ -92,4 +92,25 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTest {
     IncrementalDedup.processBatch(batch, 7L, store, 0.5, (_, _) => ()) // replay
     assert(spark.read.parquet(store).count() == n1)
   }
+
+  test("crash-window replay (marker lost) does not bloat the store") {
+    import spark.implicits._
+    val store = tmpDir("graft-crash-store-") + "/sigs"
+    IncrementalDedup.processBatch(Seq((1L, A), (2L, B)).toDF("doc_id", "text"),
+      0L, store, 0.5, (_, _) => ())
+    val b1 = Seq((11L, C)).toDF("doc_id", "text")
+    IncrementalDedup.processBatch(b1, 1L, store, 0.5, (_, _) => ())
+    val n1 = spark.read.parquet(store).count()
+    // the append landed but the marker write was lost — the replay must
+    // re-decide (safe) and the anti-join append must skip the
+    // already-stored signatures
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(store, "_graft_batch_1"), false))
+    IncrementalDedup.processBatch(b1, 1L, store, 0.5, (_, _) => ())
+    val ids = spark.read.parquet(store).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size == ids.distinct.size, s"duplicated signature rows: $ids")
+    assert(spark.read.parquet(store).count() == n1)
+  }
 }
