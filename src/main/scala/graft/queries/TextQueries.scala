@@ -722,6 +722,78 @@ object TextQueries {
     TextAnalysis.hashedNearDupRecall(documents(s, d))
   }
 
+  // --- Y07: MULTI-PROBE text-only near-dup — y05's verdict contract
+  // run over the y06-proven candidate neighborhood (all cells within
+  // Hamming 3, recall 0.84 vs single-probe 0.04): the production form
+  // of the model-free dedup. A pair is generated once (the XOR mask
+  // between two cells is unique), verdicts stay integer-exact.
+  val y07 = Query(
+    "y07_hash_neardup_mp",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      f AS (SELECT doc_id, list_concat(ws,
+              list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS fs
+            FROM w),
+      sx AS (SELECT doc_id, unnest(fs) AS t FROM f),
+      sg AS (SELECT doc_id,
+               ${graft.functions.TextFunctions.md5BucketSql("t")} % 64 AS b,
+               CASE WHEN (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)
+                      >= 8 THEN 1 ELSE -1 END AS s
+             FROM sx),
+      cells AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+                FROM sg GROUP BY doc_id, b),
+      dv AS (SELECT d.doc_id, r.j, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+             FROM (SELECT doc_id FROM n) d
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r
+             LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = r.j),
+      vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id),
+      cnt AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM n),
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(8, 8)} AS INT) AS nbits
+             FROM cnt),
+      vn AS (SELECT doc_id, vec,
+               CAST(list_aggregate(list_transform(vec, x -> x * x), 'sum')
+                 AS BIGINT) AS nsq
+             FROM vecs),
+      ce AS (SELECT doc_id, vec, nsq, CAST($hashCellSql AS INT) AS cell
+             FROM vn, nb),
+      msk AS (SELECT 0 AS mk FROM nb
+              UNION ALL
+              SELECT (1 << CAST(i AS INT))
+              FROM (SELECT unnest(range(0, nbits)) AS i FROM nb)
+              UNION ALL
+              SELECT (1 << CAST(a.i AS INT)) + (1 << CAST(b.j AS INT))
+              FROM (SELECT unnest(range(0, nbits)) AS i FROM nb) a,
+                   (SELECT unnest(range(0, nbits)) AS j FROM nb) b
+              WHERE a.i < b.j
+              UNION ALL
+              SELECT (1 << CAST(a.i AS INT)) + (1 << CAST(b.j AS INT))
+                   + (1 << CAST(c.k AS INT))
+              FROM (SELECT unnest(range(0, nbits)) AS i FROM nb) a,
+                   (SELECT unnest(range(0, nbits)) AS j FROM nb) b,
+                   (SELECT unnest(range(0, nbits)) AS k FROM nb) c
+              WHERE a.i < b.j AND b.j < c.k),
+      pr AS (SELECT a.doc_id AS a2, b.doc_id AS b2,
+               CAST(list_aggregate(list_transform(range(1, 65),
+                 j -> a.vec[j] * b.vec[j]), 'sum') AS BIGINT) AS dot,
+               a.nsq AS na, b.nsq AS nb2
+             FROM (SELECT c0.*, m.mk FROM ce c0, msk m) a
+             JOIN ce b ON xor(a.cell, a.mk) = b.cell
+               AND a.doc_id < b.doc_id),
+      cl AS (SELECT b2 AS doc_id, CAST(count(*) AS BIGINT) AS n_close
+             FROM pr WHERE dot > 0 AND dot * dot * 10000 >= 2025 * na * nb2
+             GROUP BY b2)
+      SELECT ce.doc_id, ce.cell,
+             CAST(COALESCE(cl.n_close, 0) AS BIGINT) AS n_close,
+             COALESCE(cl.n_close, 0) = 0 AS kept
+      FROM ce LEFT JOIN cl ON cl.doc_id = ce.doc_id
+      ORDER BY ce.doc_id""")
+  ) { (s, d) =>
+    TextAnalysis.hashedNearDup(documents(s, d), probeHamming = 3)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78, x89,
-    x96, x97, x98, y03, y04, y05, y06)
+    x96, x97, x98, y03, y04, y05, y06, y07)
 }

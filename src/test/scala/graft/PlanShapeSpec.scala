@@ -440,6 +440,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("y07 multi-probe near-dup: still a cell equi-join, no all-pairs") {
+    val p = plan("y07_hash_neardup_mp")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("y02 cluster quota: TopKPerKey caps cells; the residual window sees survivors only") {
     val p = plan("y02_cluster_quota")
     assert(!p.contains("CartesianProduct"), p)

@@ -649,6 +649,24 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(r.size == 3, "every doc gets a verdict")
   }
 
+  test("multi-probe near-dup dominates single-probe: wider neighborhood, same test") {
+    import spark.implicits._
+    val d = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().take(80)
+      .toSeq.toDF("doc_id", "text")
+    val sp = TextAnalysis.hashedNearDup(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_close")).toMap
+    val mp = TextAnalysis.hashedNearDup(d, probeHamming = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_close")).toMap
+    assert(sp.keySet == mp.keySet)
+    // every single-probe witness is also a Hamming<=3 witness — found
+    // sets are monotone in the probe radius, verdicts can only tighten
+    assert(sp.forall { case (id, n) => mp(id) >= n },
+      "multi-probe must witness at least the single-probe partners")
+    assert(mp.values.sum > sp.values.sum,
+      "the fixture has cross-cell tau-close pairs the wider probe must find")
+  }
+
   test("perplexityBuckets: fluent docs land in head, word-soup in tail, all docs bucketed") {
     val ref = docs(10L -> "the quick brown fox jumps over the lazy dog")
     val d = docs(
