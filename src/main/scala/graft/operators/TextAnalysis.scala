@@ -281,7 +281,7 @@ object TextAnalysis {
   }
 
   def hashedNearDup(docs: DataFrame, tauSqBp: Long = 2025L,
-                    targetOcc: Int = 8, maxBits: Int = 8,
+                    targetOcc: Int = 8, maxBits: Int = 12,
                     probeHamming: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions
     val v = hashedEmbedding(docs)
@@ -307,7 +307,11 @@ object TextAnalysis {
         .filter(expr("mask < shiftleft(1, a_nbits)"))
         .withColumn("cell", expr("a_cell ^ mask"))
     val b = cells.toDF("b_id", "vb", "nb", "cell", "b_nbits")
-    val close = a.join(b, Seq("cell"))
+    // the mask-exploded side carries the vector payload ×(neighborhood
+    // size) — at scale it exceeds any hash-relation build budget, so the
+    // pair join must SHUFFLE and spill (sort-merge), never hash-build
+    val aJ = if (probeHamming == 0) a else a.hint("merge")
+    val close = aJ.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
         (x, y) => x * y), lit(0L), (acc, x) => acc + x))
@@ -335,7 +339,7 @@ object TextAnalysis {
     * recall_single, recall_multi, recall_ok (multi vs `bound`). */
   def hashedNearDupRecall(docs: DataFrame, probeMod: Long = 125L,
                           tauSqBp: Long = 2025L, targetOcc: Int = 8,
-                          maxBits: Int = 8, bound: Double = 0.6): DataFrame = {
+                          maxBits: Int = 12, bound: Double = 0.6): DataFrame = {
     import graft.functions.VectorFunctions
     val v = hashedEmbedding(docs)
     val n = v.agg(count(lit(1)).as("__n"))

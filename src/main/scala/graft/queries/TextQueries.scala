@@ -578,7 +578,7 @@ object TextQueries {
   // anywhere. x76 semantics (kept iff no lower-id same-cell τ-close
   // doc), exact-dup texts collapse at cos = 1.
   private val hashCellSql: String =
-    (0 until 8).map(j =>
+    (0 until 12).map(j =>
       s"(CASE WHEN $j < nbits AND vec[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
   val y05 = Query(
@@ -604,7 +604,7 @@ object TextQueries {
              LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = r.j),
       vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id),
       cnt AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM n),
-      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(8, 8)} AS INT) AS nbits
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(8, 12)} AS INT) AS nbits
              FROM cnt),
       vn AS (SELECT doc_id, vec,
                CAST(list_aggregate(list_transform(vec, x -> x * x), 'sum')
@@ -658,7 +658,7 @@ object TextQueries {
              LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = r.j),
       vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id),
       cnt AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM n),
-      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(8, 8)} AS INT) AS nbits
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(8, 12)} AS INT) AS nbits
              FROM cnt),
       vn AS (SELECT doc_id, vec,
                CAST(list_aggregate(list_transform(vec, x -> x * x), 'sum')
@@ -750,7 +750,7 @@ object TextQueries {
              LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = r.j),
       vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id),
       cnt AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM n),
-      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(8, 8)} AS INT) AS nbits
+      nb AS (SELECT CAST(${SimilarityQueries.nbitsSqlFor(8, 12)} AS INT) AS nbits
              FROM cnt),
       vn AS (SELECT doc_id, vec,
                CAST(list_aggregate(list_transform(vec, x -> x * x), 'sum')
