@@ -308,10 +308,14 @@ object TextAnalysis {
         .withColumn("cell", expr("a_cell ^ mask"))
     val b = cells.toDF("b_id", "vb", "nb", "cell", "b_nbits")
     // the mask-exploded side carries the vector payload ×(neighborhood
-    // size) — at scale it exceeds any hash-relation build budget, so the
-    // pair join must SHUFFLE and spill (sort-merge), never hash-build
-    val aJ = if (probeHamming == 0) a else a.hint("merge")
-    val close = aJ.join(b, Seq("cell"))
+    // size) — at scale it exceeds any hash-relation build budget (the
+    // 10× probe died on the 8 GB HashedRelation limit when AQE hash-
+    // built it). Shuffle-hash with the CORPUS side as the build: after
+    // the cell shuffle each partition hash-builds corpus/partitions
+    // rows (bounded) while the wide exploded side streams — no sort of
+    // the ×|masks| payload, no global hash relation.
+    val close = (if (probeHamming == 0) a.join(b, Seq("cell"))
+                 else a.join(b.hint("shuffle_hash"), Seq("cell")))
       .filter(col("a_id") < col("b_id"))
       .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
         (x, y) => x * y), lit(0L), (acc, x) => acc + x))

@@ -446,7 +446,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("Window"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
-    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    // the pair join must shuffle-hash with the CORPUS side as the build
+    // (per-partition bounded) — never sort the ×|masks| payload side,
+    // never a global hash relation
+    assert(p.contains("ShuffledHashJoin"), p)
   }
 
   test("y02 cluster quota: TopKPerKey caps cells; the residual window sees survivors only") {
