@@ -398,11 +398,16 @@ object Curation {
   private def dsirLambdaFromCounts(counts: DataFrame): DataFrame = {
     val nBuckets = DsirBuckets.toLong
     val tot = counts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    // each factor is cast to double BEFORE multiplying: the BIGINT
+    // products would overflow Int64 near corpus totals of ~10¹²
+    // features (Spark wraps silently, DuckDB raises); double products
+    // are exact below 2⁵³ — the whole fixture/bench envelope — and
+    // merely correctly-rounded above it, where λ feeds ln anyway
     counts.crossJoin(broadcast(tot))
       .select(col("b"),
         floor(round(log(
-          ((col("ct") + 1L) * (col("tr") + nBuckets)).cast("double")
-            / ((col("cr") + 1L) * (col("tt") + nBuckets))), 6)
+          ((col("ct") + 1L).cast("double") * (col("tr") + nBuckets).cast("double"))
+            / ((col("cr") + 1L).cast("double") * (col("tt") + nBuckets).cast("double"))), 6)
           * 1000000d + 0.5d).cast("long").as("lam"))
   }
 
@@ -524,8 +529,13 @@ object Curation {
     // Knuth product never overflows BIGINT at production id ranges
     val u = ((((col("doc_id") % 2147483647L) * 2654435761L) % 1048576L)
       .cast("double") + 0.5d) / 1048576.0d
+    // the inner round-6 can collapse −ln(u) to exactly 0 when u sits at
+    // the top of the 2²⁰ lattice (1-in-2²⁰ doc_ids) — clamp at the
+    // smallest round-6 positive so the outer ln never sees 0 (Spark
+    // would yield NULL, DuckDB would raise; both mirrored in the SQL)
     val keyed = graft.core.Caches.scoped(scored
-      .withColumn("g", round(-log(round(-log(u), 6)), 6))
+      .withColumn("g",
+        round(-log(greatest(round(-log(u), 6), lit(0.000001d))), 6))
       .withColumn("gkey", round(
         col("imp_mu").cast("double") / 1000000.0d / col("n_feats") + col("g"), 6))
       .drop("g"))

@@ -218,6 +218,12 @@ object Dedup {
     val pairs = lshBands(newSigs).as("a")
       .join(lshBands(oldSigs).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      // self-exclusion: disjoint old/new ids make this a no-op in the
+      // batch flow, but a streaming crash-replay probes against a store
+      // that already holds the batch's OWN signatures — without it every
+      // kept doc band-matches itself at est = 1 and the whole batch
+      // silently flips to dropped (the SemanticDedupStream lesson)
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val dropped = withEstJaccard(pairs, newSigs, oldSigs)
@@ -287,6 +293,11 @@ object Dedup {
     val noPairs = newBands.as("a")
       .join(lshBands(oldSigs).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      // self-exclusion (see incrementalDropDecisionsFromStore): a
+      // crash-replay's store holds the batch's own signatures; a
+      // self-edge would mark the doc's cluster as containing an "old"
+      // member — itself — and drop every replayed survivor
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // new–old edges feed the frontier AND the union → scoped cache

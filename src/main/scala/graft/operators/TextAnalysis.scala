@@ -263,6 +263,18 @@ object TextAnalysis {
     * dot² · 10⁴ ≥ τ²bp · ‖a‖² · ‖b‖², zero floats end to end). A doc is
     * kept iff no lower-id same-cell doc is τ-close.
     * Output: doc_id, cell, n_close, kept. */
+  /** The cross-multiplied τ² verdict in DECIMAL(38,0): dot²·10⁴ and
+    * τ²bp·‖a‖²·‖b‖² stay exact integers, but BOTH sides overflow Int64
+    * for high-repetition documents (norm² ~ 10¹⁰ → products ~ 10²³ —
+    * Spark wraps silently, DuckDB raises; the oracles mirror this with
+    * HUGEINT). Decimal 38 holds ~10³⁸ — out of physical reach. */
+  private def tauSqTest(dot: Column, tauSqBp: Column,
+                        na: Column, nb: Column): Column = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    dot.cast(dec) * dot.cast(dec) * lit(10000L).cast(dec) >=
+      tauSqBp.cast(dec) * na.cast(dec) * nb.cast(dec)
+  }
+
   /** XOR masks of Hamming weight ≤ `radius` over `maxBits` bits —
     * the multi-probe neighborhood (bounded: 1 + 8 + 28 + 56 = 93 at
     * maxBits = 8, radius 3). */
@@ -319,8 +331,8 @@ object TextAnalysis {
       .filter(col("a_id") < col("b_id"))
       .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
         (x, y) => x * y), lit(0L), (acc, x) => acc + x))
-      .filter(col("dot") > 0L &&
-        col("dot") * col("dot") * 10000L >= lit(tauSqBp) * col("na") * col("nb"))
+      .filter(col("dot") > 0L && tauSqTest(col("dot"), lit(tauSqBp),
+        col("na"), col("nb")))
       .groupBy(col("b_id").as("doc_id")).agg(count(lit(1)).as("n_close"))
     cells.select("doc_id", "cell").join(close, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cell"),
@@ -361,19 +373,15 @@ object TextAnalysis {
       .filter(col("p_id") =!= col("doc_id"))
       .withColumn("dot", aggregate(zip_with(col("pv"), col("vec"),
         (x, y) => x * y), lit(0L), (acc, x) => acc + x))
-      .filter(col("dot") > 0L &&
-        col("dot") * col("dot") * 10000L >= lit(tauSqBp) * col("pn") * col("nsq"))
-    // Hamming ≤ 3 XOR masks over maxBits; per probe only masks inside
-    // its active nbits window apply — each target cell is distinct, so
-    // no candidate is double-counted
-    val masks = Seq(0) ++
-      (0 until maxBits).map(1 << _) ++
-      (for { i <- 0 until maxBits; j <- i + 1 until maxBits }
-        yield (1 << i) | (1 << j)) ++
-      (for { i <- 0 until maxBits; j <- i + 1 until maxBits
-             k <- j + 1 until maxBits } yield (1 << i) | (1 << j) | (1 << k))
+      .filter(col("dot") > 0L && tauSqTest(col("dot"), lit(tauSqBp),
+        col("pn"), col("nsq")))
+    // the SAME Hamming ≤ 3 neighborhood hashedNearDup(probeHamming = 3)
+    // probes — shared generator, so the panel grades exactly the
+    // production candidate set; per probe only masks inside its active
+    // nbits window apply, and each target cell is distinct so no
+    // candidate is double-counted
     val probesMulti = probes
-      .withColumn("mask", explode(array(masks.map(lit): _*)))
+      .withColumn("mask", explode(array(hammingMasks(maxBits, 3).map(lit): _*)))
       .filter(expr("mask < shiftleft(1, p_nbits)"))
       .withColumn("t_cell", expr("p_cell ^ mask"))
     val nTrue = close(cells.crossJoin(broadcast(probes)))

@@ -923,8 +923,8 @@ object CurationQueries {
       tt2 AS (SELECT CAST(SUM(ct) AS BIGINT) AS ttot,
                      CAST(SUM(cr) AS BIGINT) AS tr
               FROM c2),
-      lam2 AS (SELECT b, CAST(floor(round(ln(CAST((ct + 1) * (tr + 4096) AS DOUBLE)
-                 / ((cr + 1) * (ttot + 4096))), 6) * 1000000 + 0.5) AS BIGINT)
+      lam2 AS (SELECT b, CAST(floor(round(ln((CAST(ct + 1 AS DOUBLE) * (tr + 4096))
+                 / (CAST(cr + 1 AS DOUBLE) * (ttot + 4096))), 6) * 1000000 + 0.5) AS BIGINT)
                  AS lam
                FROM c2, tt2),
       sx2 AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
@@ -938,9 +938,9 @@ object CurationQueries {
               FROM sb2 LEFT JOIN lam2 l ON l.b = sb2.b GROUP BY sb2.doc_id),
       gk2 AS (SELECT doc_id,
                 round(CAST(imp_mu AS DOUBLE) / 1000000.0 / n_feats
-                  + round(-ln(round(-ln(
+                  + round(-ln(greatest(round(-ln(
                       (CAST(((doc_id % 2147483647) * 2654435761) % 1048576
-                         AS DOUBLE) + 0.5) / 1048576.0), 6)), 6), 6) AS gkey
+                         AS DOUBLE) + 0.5) / 1048576.0), 6), 0.000001)), 6), 6) AS gkey
               FROM ds2),
       thr2 AS (SELECT round(quantile_cont(gkey, 0.75), 6) AS t FROM gk2),
       d3 AS (SELECT d2.doc_id, d2.lang, d2.norm FROM d2

@@ -425,8 +425,8 @@ object TextQueries {
       tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt2,
                     CAST(SUM(cr) AS BIGINT) AS tr
              FROM c),
-      lam AS (SELECT b, CAST(floor(round(ln(CAST((ct + 1) * (tr + 4096) AS DOUBLE)
-                / ((cr + 1) * (tt2 + 4096))), 6) * 1000000 + 0.5) AS BIGINT)
+      lam AS (SELECT b, CAST(floor(round(ln((CAST(ct + 1 AS DOUBLE) * (tr + 4096))
+                / (CAST(cr + 1 AS DOUBLE) * (tt2 + 4096))), 6) * 1000000 + 0.5) AS BIGINT)
                 AS lam
               FROM c, tt),
       sx AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
@@ -440,9 +440,9 @@ object TextQueries {
              FROM sb LEFT JOIN lam l ON l.b = sb.b GROUP BY sb.doc_id),
       gk AS (SELECT doc_id, n_feats, imp_mu,
                round(CAST(imp_mu AS DOUBLE) / 1000000.0 / n_feats
-                 + round(-ln(round(-ln(
+                 + round(-ln(greatest(round(-ln(
                      (CAST(((doc_id % 2147483647) * 2654435761) % 1048576
-                        AS DOUBLE) + 0.5) / 1048576.0), 6)), 6), 6) AS gkey
+                        AS DOUBLE) + 0.5) / 1048576.0), 6), 0.000001)), 6), 6) AS gkey
              FROM ds),
       thr AS (SELECT round(quantile_cont(gkey, 0.75), 6) AS t FROM gk)
       SELECT doc_id, n_feats, imp_mu, gkey, gkey >= thr.t AS selected
@@ -495,8 +495,8 @@ object TextQueries {
       tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt2,
                     CAST(SUM(cr) AS BIGINT) AS tr
              FROM c),
-      lam AS (SELECT b, CAST(floor(round(ln(CAST((ct + 1) * (tr + 4096) AS DOUBLE)
-                / ((cr + 1) * (tt2 + 4096))), 6) * 1000000 + 0.5) AS BIGINT)
+      lam AS (SELECT b, CAST(floor(round(ln((CAST(ct + 1 AS DOUBLE) * (tr + 4096))
+                / (CAST(cr + 1 AS DOUBLE) * (tt2 + 4096))), 6) * 1000000 + 0.5) AS BIGINT)
                 AS lam
               FROM c, tt),
       sx AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
@@ -510,9 +510,9 @@ object TextQueries {
              FROM sb LEFT JOIN lam l ON l.b = sb.b GROUP BY sb.doc_id),
       gk AS (SELECT doc_id, n_feats, imp_mu,
                round(CAST(imp_mu AS DOUBLE) / 1000000.0 / n_feats
-                 + round(-ln(round(-ln(
+                 + round(-ln(greatest(round(-ln(
                      (CAST(((doc_id % 2147483647) * 2654435761) % 1048576
-                        AS DOUBLE) + 0.5) / 1048576.0), 6)), 6), 6) AS gkey
+                        AS DOUBLE) + 0.5) / 1048576.0), 6), 0.000001)), 6), 6) AS gkey
              FROM ds),
       thr AS (SELECT round(quantile_cont(gkey, 0.75), 6) AS t FROM gk)
       SELECT doc_id, n_feats, imp_mu, gkey, gkey >= thr.t AS selected
@@ -618,7 +618,7 @@ object TextQueries {
                a.nsq AS na, b.nsq AS nb2
              FROM ce a JOIN ce b ON a.cell = b.cell AND a.doc_id < b.doc_id),
       cl AS (SELECT b2 AS doc_id, CAST(count(*) AS BIGINT) AS n_close
-             FROM pr WHERE dot > 0 AND dot * dot * 10000 >= 2025 * na * nb2
+             FROM pr WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(2025 AS HUGEINT) * na * nb2
              GROUP BY b2)
       SELECT ce.doc_id, ce.cell,
              CAST(COALESCE(cl.n_close, 0) AS BIGINT) AS n_close,
@@ -673,14 +673,14 @@ object TextQueries {
                  j -> z.pv[j] * e.vec[j]), 'sum') AS BIGINT) AS dot,
                  z.pn AS pn, e.nsq AS nsq
                FROM ce e, pz z WHERE z.p_id <> e.doc_id) t
-             WHERE dot > 0 AND dot * dot * 10000 >= 2025 * pn * nsq),
+             WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(2025 AS HUGEINT) * pn * nsq),
       fs AS (SELECT CAST(count(*) AS BIGINT) AS c FROM (
                SELECT CAST(list_aggregate(list_transform(range(1, 65),
                  j -> z.pv[j] * e.vec[j]), 'sum') AS BIGINT) AS dot,
                  z.pn AS pn, e.nsq AS nsq
                FROM ce e JOIN pz z ON z.p_cell = e.cell
                WHERE z.p_id <> e.doc_id) t
-             WHERE dot > 0 AND dot * dot * 10000 >= 2025 * pn * nsq),
+             WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(2025 AS HUGEINT) * pn * nsq),
       msk AS (SELECT 0 AS mk FROM nb
               UNION ALL
               SELECT (1 << CAST(i AS INT))
@@ -704,7 +704,7 @@ object TextQueries {
                FROM ce e JOIN (SELECT p.*, m.mk FROM pz p, msk m) z
                  ON xor(z.p_cell, z.mk) = e.cell
                WHERE z.p_id <> e.doc_id) t
-             WHERE dot > 0 AND dot * dot * 10000 >= 2025 * pn * nsq),
+             WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(2025 AS HUGEINT) * pn * nsq),
       np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM pz),
       rec AS (SELECT np.n_probes, tp.c AS n_true, fs.c AS n_single,
                 fm.c AS n_multi,
@@ -782,7 +782,7 @@ object TextQueries {
              JOIN ce b ON xor(a.cell, a.mk) = b.cell
                AND a.doc_id < b.doc_id),
       cl AS (SELECT b2 AS doc_id, CAST(count(*) AS BIGINT) AS n_close
-             FROM pr WHERE dot > 0 AND dot * dot * 10000 >= 2025 * na * nb2
+             FROM pr WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(2025 AS HUGEINT) * na * nb2
              GROUP BY b2)
       SELECT ce.doc_id, ce.cell,
              CAST(COALESCE(cl.n_close, 0) AS BIGINT) AS n_close,

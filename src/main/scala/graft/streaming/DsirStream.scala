@@ -25,11 +25,11 @@ import graft.operators.Curation
   * prior-count read EXCLUDES rows tagged with the replaying batch's own
   * id (self-exclusion at the statistic level — a replay after a crash
   * between append and marker re-derives λ from exactly the counts the
-  * original run saw), and the append itself probes for already-landed
-  * rows under its batch_id before writing — so the append-before-marker
-  * crash window corrupts NOTHING: decisions and future counts are both
-  * replay-exact, and the `_graft_batch_<id>` marker is a pure fast-path
-  * short-circuit.
+  * original run saw), and the append anti-joins rows already landed
+  * under (batch_id, bucket) — so the append-before-marker crash window
+  * corrupts NOTHING: decisions and future counts are both replay-exact,
+  * a partial append heals row-wise on the re-run, and the
+  * `_graft_batch_<id>` marker is a pure fast-path short-circuit.
   *
   * At 100 TB this is the production loop: the store grows by ≤ 4096
   * rows per interval (compaction = sum by bucket over old generations,
@@ -68,11 +68,19 @@ object DsirStream {
     // payload must see one frozen copy
     val bc = graft.core.Caches.scopedCheckpoint(
       Curation.dsirCounts(batch, isTarget).localCheckpoint(true))
+    // a store bootstrapped by the BATCH writer (Curation.writeDsirStore)
+    // has no batch_id column — treat its rows as the −1 generation
+    // sentinel so the stream can take over an existing batch store
+    def readStore() = {
+      val raw = spark.read.parquet(storePath)
+      if (raw.columns.contains("batch_id")) raw
+      else raw.withColumn("batch_id", lit(-1L))
+    }
     val combined =
       if (storeExists)
         // self-exclusion: a crash-replay whose counts already landed must
         // not double-count itself — decisions replay-idempotent
-        bc.unionByName(spark.read.parquet(storePath)
+        bc.unionByName(readStore()
             .filter(col("batch_id") =!= batchId).select("b", "ct", "cr"))
           .groupBy("b").agg(sum("ct").as("ct"), sum("cr").as("cr"))
       else bc
@@ -84,15 +92,19 @@ object DsirStream {
         .localCheckpoint(true))
     val tagged = bc.withColumn("batch_id", lit(batchId))
       .select("batch_id", "b", "ct", "cr")
-    // idempotent append: a crash-replay whose rows already landed must
-    // not double-count this batch for FUTURE λ derivations (the store is
-    // ≤ 4096 rows per generation — the probe is a bounded scan)
-    val alreadyAppended = storeExists && spark.read.parquet(storePath)
-      .filter(col("batch_id") === batchId).limit(1).count() > 0
-    if (!alreadyAppended) {
-      if (storeExists) tagged.write.mode("append").parquet(storePath)
-      else tagged.write.mode("overwrite").parquet(storePath)
-    }
+    // idempotent append at ROW granularity: anti-join on (batch_id, b)
+    // so a full replay appends nothing and a crash MID-append (some of
+    // the ≤ 4096 rows visible, the rest lost) heals — the missing
+    // buckets land on the re-run instead of being skipped wholesale (an
+    // all-or-nothing existence probe would permanently under-count
+    // them). The store side is ≤ 4096 rows per generation — bounded.
+    val toAppend =
+      if (storeExists)
+        tagged.join(readStore().select("batch_id", "b"),
+          Seq("batch_id", "b"), "left_anti")
+      else tagged
+    if (storeExists) toAppend.write.mode("append").parquet(storePath)
+    else toAppend.write.mode("overwrite").parquet(storePath)
     StoreFs.writeMarker(spark, storePath, batchId)
     onBatch(decisions, batchId)
     graft.core.Caches.releaseAll()

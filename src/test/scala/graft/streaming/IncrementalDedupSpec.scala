@@ -93,21 +93,29 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTest {
     assert(spark.read.parquet(store).count() == n1)
   }
 
-  test("crash-window replay (marker lost) does not bloat the store") {
+  test("crash-window replay (marker lost) keeps decisions and does not bloat the store") {
     import spark.implicits._
     val store = tmpDir("graft-crash-store-") + "/sigs"
     IncrementalDedup.processBatch(Seq((1L, A), (2L, B)).toDF("doc_id", "text"),
       0L, store, 0.5, (_, _) => ())
     val b1 = Seq((11L, C)).toDF("doc_id", "text")
-    IncrementalDedup.processBatch(b1, 1L, store, 0.5, (_, _) => ())
+    var first = Map.empty[Long, Int]
+    IncrementalDedup.processBatch(b1, 1L, store, 0.5, (dec, _) =>
+      first = dec.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    assert(first == Map(11L -> 0), "fresh doc must be kept")
     val n1 = spark.read.parquet(store).count()
-    // the append landed but the marker write was lost — the replay must
-    // re-decide (safe) and the anti-join append must skip the
-    // already-stored signatures
+    // the append landed but the marker write was lost — the replay
+    // probes a store holding the batch's OWN signatures. Without the
+    // self-exclusion in incrementalDropDecisionsFromStore every kept
+    // doc would band-match itself at est = 1 and silently flip to
+    // dropped; and the anti-join append must skip already-stored rows.
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sessionState.newHadoopConf())
     assert(fs.delete(new org.apache.hadoop.fs.Path(store, "_graft_batch_1"), false))
-    IncrementalDedup.processBatch(b1, 1L, store, 0.5, (_, _) => ())
+    var replay = Map.empty[Long, Int]
+    IncrementalDedup.processBatch(b1, 1L, store, 0.5, (dec, _) =>
+      replay = dec.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    assert(replay == first, s"crash-window replay flipped decisions: $replay vs $first")
     val ids = spark.read.parquet(store).select("doc_id")
       .collect().map(_.getLong(0)).toSeq
     assert(ids.size == ids.distinct.size, s"duplicated signature rows: $ids")
