@@ -190,14 +190,18 @@ object TextAnalysis {
       sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
     val tot = counts.agg(sum("cpos").as("pos_tot"), sum("cneg").as("neg_tot"),
       count(lit(1)).as("v"))
-    // integer-lifted round-6 log-odds: the products are exact BIGINTs
-    // (< 2⁵³), the division one IEEE op, ln rounded to 6 immediately —
-    // the x85 transcendental discipline, then µ-lifted to a BIGINT weight
+    // round-6 log-odds: each factor is cast to double BEFORE multiplying
+    // (dsirLambdaFromCounts' overflow-safe form — the BIGINT products
+    // would wrap silently near ~10¹² total features; double products are
+    // exact below 2⁵³, the whole fixture/bench envelope, and merely
+    // correctly-rounded above it, where they feed ln anyway), ln rounded
+    // to 6 immediately — the x85 transcendental discipline — then
+    // µ-lifted to a BIGINT weight
     val weights = counts.crossJoin(broadcast(tot))
       .select(col("t"), (col("cpos") + col("cneg")).as("df"),
         floor(round(log(
-          ((col("cpos") + 1L) * (col("neg_tot") + col("v"))).cast("double")
-            / ((col("cneg") + 1L) * (col("pos_tot") + col("v")))), 6)
+          ((col("cpos") + 1L).cast("double") * (col("neg_tot") + col("v")).cast("double"))
+            / ((col("cneg") + 1L).cast("double") * (col("pos_tot") + col("v")).cast("double"))), 6)
           * 1000000d + 0.5d).cast("long").as("wgt"))
       .orderBy(col("df").desc, col("t")).limit(maxVocab)
     // is_pos/n_feats ride THROUGH the explode and fold as first() in the

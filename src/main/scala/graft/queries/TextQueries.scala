@@ -291,8 +291,10 @@ object TextQueries {
                     CAST(count(*) AS BIGINT) AS v
              FROM c),
       wt AS (SELECT t,
-               CAST(floor(round(ln(CAST((cpos + 1) * (neg_tot + v) AS DOUBLE)
-                 / ((cneg + 1) * (pos_tot + v))), 6) * 1000000 + 0.5)
+               CAST(floor(round(ln((CAST(cpos + 1 AS DOUBLE)
+                   * CAST(neg_tot + v AS DOUBLE))
+                 / (CAST(cneg + 1 AS DOUBLE) * CAST(pos_tot + v AS DOUBLE))),
+                 6) * 1000000 + 0.5)
                  AS BIGINT) AS wgt
              FROM c, tt ORDER BY cpos + cneg DESC, t LIMIT 4096),
       sx AS (SELECT doc_id, unnest(fs) AS t FROM f),
