@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Cosine similarity over two `ArrayType(FloatType)` embedding columns as a
   * native Catalyst expression with whole-stage codegen (SURVEY §4's
@@ -119,6 +119,80 @@ case class SelfCosine(child: Expression)
     copy(child = newChild)
 }
 
+/** Exact integer dot product over two `array<bigint>` columns as a native
+  * codegen'd Catalyst expression. The engine-wide idiom it replaces —
+  * `aggregate(zip_with(a, b, _ * _), 0L, _ + _)` — is built from
+  * higher-order functions, which are `CodegenFallback`: every evaluation
+  * leaves the WholeStageCodegen span and runs interpreted, allocating a
+  * zipped intermediate array and closure frames per row. In a candidate
+  * pair join (y05/y07 hashed near-dup, the quantized searches) the dot
+  * runs once per CANDIDATE — hundreds of millions of evaluations at the
+  * 10× probe scale — so the interpreted fold, not the shuffle, dominates
+  * wall time. This expression is the same exact arithmetic (Java long
+  * mul/add wraps exactly like Spark's BIGINT ops) in a tight primitive
+  * loop inside the join's codegen.
+  *
+  * Semantics match the HOF fold on every input the engine produces:
+  * equal-length arrays, null elements propagated to a null result (the
+  * HOF's `acc + null` collapse). Length-mismatched inputs (which the HOF
+  * maps to null via zip_with's null padding) also yield null here.
+  */
+case class DotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (elemOk(left.dataType) && elemOk(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotLong.evalArrays(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.DotLong.evalArrays($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $boxed).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotLong {
+  /** Static helper shared by interpreted eval and generated code. Returns
+    * null (boxed) on length mismatch or any null element — the HOF fold's
+    * collapse — else the exact wrapped-long dot. The null checks cost one
+    * predictable branch per element; the fast path is a primitive loop
+    * over the two unsafe buffers. */
+  def evalArrays(x: ArrayData, y: ArrayData): java.lang.Long = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(dot)
+  }
+}
+
 object SelfCosine {
   /** Static helper (interpreted eval + generated code both call this).
     * Matches full CosineSimilarity(a, a) exactly, including non-finite
@@ -159,6 +233,16 @@ object VectorFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column wrapper for the native integer dot ([[DotLong]]). */
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Reference formulation of [[dotLong]] via built-in HOFs (the
+    * CodegenFallback path; kept for the property cross-check). */
+  def dotLongHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Reference formulation via built-in HOFs (same left fold; used to
     * cross-check the native expression and as the no-custom-code path). */

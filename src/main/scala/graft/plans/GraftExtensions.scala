@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import graft.functions.{CosineSimilarity, SelfCosine}
+import graft.functions.{CosineSimilarity, DotLong, SelfCosine}
 
 /** Engine extensions, installed via `spark.sql.extensions` (SURVEY §4).
   *
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "graft_dot_long"),
+      (children: Seq[Expression]) => DotLong(children(0), children(1))))
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }

@@ -43,6 +43,48 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  private def longVecsDf = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 40).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextInt(4001) - 2000).toLong)))
+      .toDF("id", "v")
+  }
+
+  test("native codegen'd integer dot ≡ HOF formulation, exactly") {
+    val a = longVecsDf.toDF("ida", "va")
+    val b = longVecsDf.toDF("idb", "vb")
+    val both = a.crossJoin(b).select(
+      VectorFunctions.dotLong(col("va"), col("vb")).as("native"),
+      VectorFunctions.dotLongHof(col("va"), col("vb")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+  }
+
+  test("integer dot: null array, null element and length mismatch all yield null") {
+    import spark.implicits._
+    val df = Seq(
+      (Array[java.lang.Long](1L, 2L), Array[java.lang.Long](3L, 4L)),
+      (Array[java.lang.Long](1L, null), Array[java.lang.Long](3L, 4L))
+    ).toDF("a", "b")
+    val r = df.select(VectorFunctions.dotLong(col("a"), col("b")).as("d")).collect()
+    assert(r(0).getLong(0) == 11L)
+    assert(r(1).isNullAt(0)) // null element — the HOF acc+null collapse
+    val n = df.select(VectorFunctions.dotLong(lit(null).cast("array<bigint>"), col("b")))
+      .collect()
+    assert(n.forall(_.isNullAt(0)))
+    // length mismatch → null (the HOF's zip_with null padding collapse)
+    val m = spark.sql("SELECT graft_dot_long(array(1L, 2L, 3L), array(1L, 2L))")
+      .collect()
+    assert(m.forall(_.isNullAt(0)))
+  }
+
+  test("graft_dot_long is registered in SQL via SparkSessionExtensions") {
+    val r = spark.sql("SELECT graft_dot_long(array(2L, 3L), array(5L, 7L))")
+      .first().getLong(0)
+    assert(r == 31L)
+  }
+
   test("lsh bucket ids are stable and within range") {
     val b = vecsDf.select(VectorFunctions.lshBucket(col("v"), nBits = 4, dim = 16).as("bucket"))
       .collect().map(_.getInt(0))
