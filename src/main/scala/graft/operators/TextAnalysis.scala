@@ -300,6 +300,8 @@ object TextAnalysis {
                     targetOcc: Int = 8, maxBits: Int = 12,
                     probeHamming: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions
+    require(0 <= probeHamming && probeHamming <= 3,
+      s"probeHamming ≤ 3 supported, got $probeHamming")
     val v = hashedEmbedding(docs)
     val n = v.agg(count(lit(1)).as("__n"))
     val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
@@ -310,31 +312,55 @@ object TextAnalysis {
           lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
       .select(col("doc_id"), col("vec"), col("norm_sq").as("nsq"),
         col("cell"), col("nbits")))
+    val a = cells.toDF("a_id", "va", "na", "a_cell", "a_nbits")
+    val b = cells.toDF("b_id", "vb", "nb", "b_cell", "b_nbits")
     // probeHamming > 0 widens the candidate neighborhood to all cells
     // within that Hamming distance (the y06-measured recall lever:
-    // 0.04 single-probe → 0.84 at radius 3). The XOR mask between two
-    // cells is unique, so no pair is generated twice.
-    val a0 = cells.toDF("a_id", "va", "na", "a_cell", "a_nbits")
-    val a =
-      if (probeHamming == 0) a0.withColumn("cell", col("a_cell"))
-      else a0
-        .withColumn("mask",
-          explode(array(hammingMasks(maxBits, probeHamming).map(lit): _*)))
-        .filter(expr("mask < shiftleft(1, a_nbits)"))
-        .withColumn("cell", expr("a_cell ^ mask"))
-    val b = cells.toDF("b_id", "vb", "nb", "cell", "b_nbits")
-    // the mask-exploded side carries the vector payload ×(neighborhood
-    // size) — at scale it exceeds any hash-relation build budget (the
-    // 10× probe died on the 8 GB HashedRelation limit when AQE hash-
-    // built it). Shuffle-hash with the CORPUS side as the build: after
-    // the cell shuffle each partition hash-builds corpus/partitions
-    // rows (bounded) while the wide exploded side streams — no sort of
-    // the ×|masks| payload, no global hash relation.
-    val close = (if (probeHamming == 0) a.join(b, Seq("cell"))
-                 else a.join(b.hint("shuffle_hash"), Seq("cell")))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("dot", aggregate(zip_with(col("va"), col("vb"),
-        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+    // 0.04 single-probe → 0.84 at radius 3), generated by PIGEONHOLE
+    // BANDING, not mask enumeration: split the nbits cell key into
+    // radius+1 bands — a pair differing in ≤ radius bits agrees exactly
+    // on ≥ 1 band — so candidates come from radius+1 plain band
+    // equi-joins, each shuffling the corpus payload exactly ONCE. The
+    // earlier mask-explode form shuffled the vector payload ×|masks|
+    // (≤ 299 XOR probes at 12 bits — measured 24.4× wall at 10× data);
+    // banding caps the exchange at (radius+1)× corpus bytes and the
+    // mask family's ~nbits³ growth disappears from the plan entirely.
+    // Same-band collisions that are NOT within the radius are discarded
+    // by an integer popcount filter BEFORE any dot is computed, and a
+    // pair agreeing on several bands is kept only in its first agreeing
+    // band's join — each unordered pair survives exactly once, the same
+    // pair set the unique-XOR-mask argument produced.
+    val pairs =
+      if (probeHamming == 0)
+        a.join(b, col("a_cell") === col("b_cell"))
+          .filter(col("a_id") < col("b_id"))
+      else {
+        val numBands = probeHamming + 1
+        // band width = ceil(nbits / numBands): the bands tile the active
+        // window (runtime scalar — integer arithmetic only)
+        val wE = s"((a_nbits + ${numBands - 1}) div $numBands)"
+        val wBE = s"((b_nbits + ${numBands - 1}) div $numBands)"
+        def bandOf(cellCol: String, wExpr: String, j: Int) =
+          s"shiftright($cellCol, $j * $wExpr) & (shiftleft(1, $wExpr) - 1)"
+        val bandJoins = (0 until numBands).map { j =>
+          val aj = a.withColumn("bk", expr(bandOf("a_cell", wE, j)))
+          val bj = b.withColumn("bk", expr(bandOf("b_cell", wBE, j)))
+          // shuffle-hash: the band key has bounded cardinality, so each
+          // partition hash-builds its band slice of the corpus (bounded)
+          // — never a sort of the payload, never a global hash relation
+          aj.join(bj.hint("shuffle_hash"), Seq("bk"))
+            .filter(col("a_id") < col("b_id"))
+            .withColumn("xr", expr("a_cell ^ b_cell"))
+            .filter(expr(s"bit_count(xr) <= $probeHamming"))
+            .filter(if (j == 0) lit(true)
+              else (0 until j).map(k =>
+                expr(s"(${bandOf("xr", wE, k)}) != 0")).reduce(_ && _))
+            .drop("bk", "xr")
+        }
+        bandJoins.reduce(_.unionByName(_))
+      }
+    val close = pairs
+      .withColumn("dot", VectorFunctions.dotLong(col("va"), col("vb")))
       .filter(col("dot") > 0L && tauSqTest(col("dot"), lit(tauSqBp),
         col("na"), col("nb")))
       .groupBy(col("b_id").as("doc_id")).agg(count(lit(1)).as("n_close"))
@@ -375,8 +401,8 @@ object TextAnalysis {
       .toDF("p_id", "pv", "pn", "p_cell", "p_nbits")
     val close = (c: DataFrame) => c
       .filter(col("p_id") =!= col("doc_id"))
-      .withColumn("dot", aggregate(zip_with(col("pv"), col("vec"),
-        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .withColumn("dot",
+        graft.functions.VectorFunctions.dotLong(col("pv"), col("vec")))
       .filter(col("dot") > 0L && tauSqTest(col("dot"), lit(tauSqBp),
         col("pn"), col("nsq")))
     // the SAME Hamming ≤ 3 neighborhood hashedNearDup(probeHamming = 3)

@@ -440,15 +440,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("y07 multi-probe near-dup: still a cell equi-join, no all-pairs") {
+  test("y07 multi-probe near-dup: banded candidates, no payload×masks exchange") {
     val p = plan("y07_hash_neardup_mp")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
-    // the pair join must shuffle-hash with the CORPUS side as the build
-    // (per-partition bounded) — never sort the ×|masks| payload side,
-    // never a global hash relation
+    // candidates come from pigeonhole band equi-joins: each shuffles the
+    // corpus payload exactly once per band — the old mask-exploded probe
+    // side (vector payload ×|Hamming≤3 masks| through the exchange) must
+    // not exist in any form. The only Generates allowed are the feature
+    // explodes inside hashedEmbedding; no exploded mask column anywhere.
+    assert(!p.contains("mask"), s"mask explode resurfaced:\n$p")
+    // the band joins hash-build their bounded band slices — the payload
+    // sides are never sorted
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
