@@ -202,6 +202,27 @@ object Dedup {
   def writeSignatureStore(docs: DataFrame, path: String): Unit =
     minhashSignatures(docs).write.mode("overwrite").parquet(path)
 
+  /** COMPACT the signature store: per-batch appends leave one small
+    * parquet file per micro-batch (a year of 5-minute batches is ~10⁵
+    * files — the reader's listing/open cost, not row count, is what
+    * grows). Rewrite to a few right-sized files, via a localCheckpoint
+    * so the rewrite never reads its own output (the recacheByPath
+    * hazard — the gram-store discipline). `dropDuplicates` on doc_id
+    * restores the one-row-per-doc invariant defensively (the anti-join
+    * append upholds it in every crash window the specs replay, and
+    * signatures are deterministic functions of the text, so any torn
+    * duplicate would be byte-identical — dropping it is exact). Like
+    * [[graft.operators.Curation.compactDsirStore]], the overwrite erases
+    * replay markers with the directory: run it only when the stream is
+    * checkpoint-quiesced (the store-rebuild cadence). */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    val merged = spark.read.parquet(path)
+      .dropDuplicates("doc_id")
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(path)
+  }
+
   /** The production incremental flow: only the NEW batch is normalized /
     * shingled / hashed; the old corpus is represented entirely by its
     * persisted signature store (`oldSigs` — read from

@@ -372,6 +372,27 @@ object Quantization {
       .write.mode("append").parquet(path)
   }
 
+  /** COMPACT the code store: per-batch appends leave one small parquet
+    * file per micro-batch — the reader's listing/open cost, not row
+    * count, is what grows. Rewrite to a few right-sized files via a
+    * localCheckpoint so the rewrite never reads its own output (the
+    * recacheByPath hazard). `dropDuplicates` on vec_id restores the
+    * one-row-per-vector invariant defensively (the anti-join append
+    * upholds it in every crash window the specs replay, and codes are
+    * deterministic functions of the embedding under the store's FROZEN
+    * nbits mask, so any torn duplicate would be byte-identical). The
+    * frozen `nbits` column rides through unchanged: compaction is a
+    * file-layout rewrite, never a re-bucket. Like the other stores, the
+    * overwrite erases replay markers with the directory: run only when
+    * the stream is checkpoint-quiesced. */
+  def compactCodeStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit = {
+    val merged = spark.read.parquet(path)
+      .dropDuplicates("vec_id")
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(path)
+  }
+
   /** Incremental semantic dedup — the production cadence: only the NEW
     * batch is quantized and bucketed (with the store's FROZEN nbits mask,
     * read as a 1-row broadcast); the old corpus is represented entirely

@@ -93,6 +93,37 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTest {
     assert(spark.read.parquet(store).count() == n1)
   }
 
+  test("signature-store compaction preserves every decision and the row set") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val store = tmpDir("graft-compact-store-") + "/sigs"
+    // two appended batches → multi-file store layout
+    IncrementalDedup.processBatch(Seq((1L, A), (2L, B)).toDF("doc_id", "text"),
+      0L, store, 0.5, (_, _) => ())
+    IncrementalDedup.processBatch(Seq((11L, C)).toDF("doc_id", "text"),
+      1L, store, 0.5, (_, _) => ())
+    val probe = Seq((21L, A), (22L, C), (23L, D)).toDF("doc_id", "text")
+    def decide(): Map[Long, Int] =
+      Dedup.incrementalDropDecisionsFromStore(probe, spark.read.parquet(store), 0.5)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val before = decide()
+    assert(before == Map(21L -> 1, 22L -> 1, 23L -> 0))
+    Dedup.compactSignatureStore(spark, store)
+    assert(decide() == before, "compaction must not change any decision")
+    val ids = spark.read.parquet(store).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 11L), "compaction must preserve the row set")
+    // the cadence continues across a compaction: the next batch still
+    // dedups against the compacted store and appends its survivors
+    var dec2 = Map.empty[Long, Int]
+    IncrementalDedup.processBatch(Seq((31L, C), (32L, D)).toDF("doc_id", "text"),
+      2L, store, 0.5, (dec, _) =>
+        dec2 = dec.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    assert(dec2 == Map(31L -> 1, 32L -> 0))
+    assert(spark.read.parquet(store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L, 32L))
+  }
+
   test("crash-window replay (marker lost) keeps decisions and does not bloat the store") {
     import spark.implicits._
     val store = tmpDir("graft-crash-store-") + "/sigs"

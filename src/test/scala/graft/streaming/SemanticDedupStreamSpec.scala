@@ -88,6 +88,46 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("code-store compaction preserves decisions, the frozen mask, and the row set") {
+    import spark.implicits._
+    import graft.operators.Quantization
+    val store = tmpDir("graft-semcompact-") + "/codes"
+    // two appended batches → multi-file store layout
+    SemanticDedupStream.processBatch(
+      Seq((1L, axis(0)), (2L, axis(1))).toDF("vec_id", "embedding"),
+      0L, store, 4, 8, Dim, (_, _) => ())
+    SemanticDedupStream.processBatch(
+      Seq((11L, axis(2))).toDF("vec_id", "embedding"),
+      1L, store, 4, 8, Dim, (_, _) => ())
+    val probe = Seq((21L, axis(0)), (22L, axis(2)), (23L, axis(3)))
+      .toDF("vec_id", "embedding")
+    def decide(): Map[Long, Boolean] =
+      Quantization.semanticDedupFromStore(probe, spark.read.parquet(store), 8, Dim)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val before = decide()
+    assert(before == Map(21L -> false, 22L -> false, 23L -> true))
+    val nbitsBefore = spark.read.parquet(store).select("nbits")
+      .distinct().collect().map(_.getInt(0)).toSeq
+    Quantization.compactCodeStore(spark, store)
+    assert(decide() == before, "compaction must not change any decision")
+    val stored = spark.read.parquet(store)
+    assert(stored.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 11L), "compaction must preserve the row set")
+    assert(stored.select("nbits").distinct().collect().map(_.getInt(0)).toSeq ==
+      nbitsBefore, "compaction must not touch the frozen mask")
+    // the cadence continues across a compaction: the next batch dedups
+    // against the compacted store and appends its survivors under the
+    // same frozen mask
+    var dec2 = Map.empty[Long, Boolean]
+    SemanticDedupStream.processBatch(
+      Seq((31L, axis(2)), (32L, axis(3))).toDF("vec_id", "embedding"),
+      2L, store, 4, 8, Dim, (dec, _) =>
+        dec2 = dec.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap)
+    assert(dec2 == Map(31L -> false, 32L -> true))
+    assert(spark.read.parquet(store).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L, 32L))
+  }
+
   test("replayed batch in the append-before-marker crash window keeps decisions") {
     import spark.implicits._
     val store = tmpDir("graft-semreplay-") + "/codes"
