@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media as opaque `binary` payloads with typed
@@ -437,4 +437,178 @@ object Multimodal {
         sum(col("width").cast("long")).as("sum_width"),
         sum(col("height").cast("long")).as("sum_height"),
         sum(col("n_frames").cast("long")).as("sum_frames"))
+
+  // --- Image near-duplicate detection (perceptual hash): the image-level
+  // analogue of the text dedup family. A 100 TB multimodal corpus dedups
+  // images as routinely as text — re-encoded, resized, and
+  // brightness-shifted copies of the same picture must land in the same
+  // candidate bucket. The standard primitive is the DIFFERENCE HASH
+  // (dHash): decode → nearest-neighbor downsample to a 9×8 grid → 64 bits,
+  // bit (x,y) = [p(x+1,y) > p(x,y)]. The hash depends only on the
+  // *gradient sign structure* of the image, so it is invariant under
+  // re-encoding and (exactly, for integer NN arithmetic) under uniform
+  // upscaling, and moves only a few bits under small global brightness
+  // shifts — the perceptual radius a Hamming-banded candidate join then
+  // recovers (reference behavior: the engine treats media as opaque
+  // binary + typed metadata; see /root/reference/README.md:18-22 for the
+  // data-plane scope this extends).
+
+  final case class PngImg(img_id: Long, kind: String, png: Array[Byte])
+  final case class ImgHash(img_id: Long, kind: String, hash_hi: Long,
+                           hash_lo: Long)
+
+  /** id offsets for planted variants (disjoint from any doc_id and from
+    * ScaleProbe's r·10⁴ replica offsets). */
+  val ResizedOffset = 10000000L
+  val ShiftedOffset = 20000000L
+
+  /** Decode real PNG bytes, nearest-neighbor upscale by `f`, re-encode —
+    * a REAL resized re-publication of the image (full decode → transform
+    * → encode loop on actual containers). */
+  private[operators] def upscalePng(png: Array[Byte], f: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new java.awt.image.BufferedImage(
+      w * f, h * f, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster
+    val dst = out.getRaster
+    var y = 0
+    while (y < h * f) {
+      var x = 0
+      while (x < w * f) {
+        dst.setSample(x, y, 0, src.getSample(x / f, y / f, 0)); x += 1
+      }
+      y += 1
+    }
+    val bytes = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bytes)
+    bytes.toByteArray
+  }
+
+  /** Decode, add `delta` to every sample mod 256, re-encode — a REAL
+    * brightness-edited copy. */
+  private[operators] def shiftPng(png: Array[Byte], delta: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val raster = img.getRaster
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        raster.setSample(x, y, 0, (raster.getSample(x, y, 0) + delta) % 256)
+        x += 1
+      }
+      y += 1
+    }
+    val bytes = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bytes)
+    bytes.toByteArray
+  }
+
+  /** Image corpus with planted near-duplicates: one original per
+    * `doc_id % 5 = 0` fixture, a 2× nearest-neighbor UPSCALED re-encode
+    * for `doc_id % 10 = 0` (dHash-identical by the floor identity
+    * ⌊⌊2a⌋/2⌋ = ⌊a⌋ — the exact-duplicate family), and a +9 brightness
+    * shift for `doc_id % 10 = 5` (moves a few gradient-wrap bits — the
+    * near-duplicate family). All variants are REAL re-encoded PNG bytes,
+    * built per partition with amortized codec state. */
+  def imageCorpus(docs: DataFrame): Dataset[PngImg] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+      .as[Long].mapPartitions { it =>
+        System.setProperty("java.awt.headless", "true")
+        it.flatMap { id =>
+          val png = pngBytes(id)
+          val variant =
+            if (id % 10 == 0)
+              PngImg(id + ResizedOffset, "resized", upscalePng(png, 2))
+            else
+              PngImg(id + ShiftedOffset, "shifted", shiftPng(png, 9))
+          Iterator(PngImg(id, "orig", png), variant)
+        }
+      }
+  }
+
+  /** dHash over DECODED rasters: nearest-neighbor downsample to a 9×8
+    * grid (sx = ⌊x·w/9⌋, sy = ⌊y·h/8⌋ — the x50 index arithmetic), then
+    * 64 gradient-sign bits packed as two 32-bit halves (rows 0–3 → lo,
+    * rows 4–7 → hi; kept in separate BIGINTs so no value ever touches the
+    * Int64 sign bit — both engines compare plain positive integers). */
+  def dHashPng(media: Dataset[PngImg]): Dataset[ImgHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      System.setProperty("java.awt.headless", "true")
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        def sample(x: Int, y: Int): Int =
+          raster.getSample(x * w / 9, y * h / 8, 0)
+        var hi = 0L
+        var lo = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (sample(x + 1, y) > sample(x, y)) {
+              if (y < 4) lo |= 1L << (y * 8 + x)
+              else hi |= 1L << ((y - 4) * 8 + x)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        ImgHash(m.img_id, m.kind, hi, lo)
+      }
+    }
+  }
+
+  /** Hamming-banded near-dup over perceptual hashes: the y07 pigeonhole
+    * plan applied to images. The 64-bit hash splits into `radius + 1`
+    * bands — any pair within Hamming ≤ radius agrees exactly on ≥ 1 band
+    * — so candidates come from radius+1 plain band equi-joins (each
+    * shuffling the 3-long hash payload once; never an all-pairs join,
+    * never a mask explode). Same-band collisions outside the radius are
+    * discarded by an integer popcount filter before anything else; a pair
+    * agreeing on several bands survives only in its first agreeing band's
+    * join, so each unordered pair is counted exactly once. Output per
+    * image: img_id, kind, hash halves, n_dup (Hamming ≤ radius partners,
+    * both directions), kept (no lower-id partner — the canonical-witness
+    * rule every dedup family here uses). */
+  def imageNearDup(hashes: DataFrame, radius: Int = 3): DataFrame = {
+    require(radius == 3, s"radius 3 = 4 clean 16-bit bands; got $radius")
+    val hs = graft.core.Caches.scoped(hashes)
+    val a = hs.select(col("img_id").as("a_id"), col("hash_hi").as("a_hi"),
+      col("hash_lo").as("a_lo"))
+    val b = hs.select(col("img_id").as("b_id"), col("hash_hi").as("b_hi"),
+      col("hash_lo").as("b_lo"))
+    // band j of (hi, lo): 16-bit slices — j 0/1 from lo, 2/3 from hi
+    def band(hi: Column, lo: Column, j: Int): Column =
+      if (j < 2) shiftright(lo, j * 16) % 65536
+      else shiftright(hi, (j - 2) * 16) % 65536
+    val bandJoins = (0 until 4).map { j =>
+      val aj = a.withColumn("bk", band(col("a_hi"), col("a_lo"), j))
+      val bj = b.withColumn("bk", band(col("b_hi"), col("b_lo"), j))
+      aj.join(bj.hint("shuffle_hash"), Seq("bk"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(expr("bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)")
+          <= lit(radius))
+        .filter(if (j == 0) lit(true)
+          else (0 until j).map(k =>
+            band(expr("a_hi ^ b_hi"), expr("a_lo ^ b_lo"), k) =!= 0L)
+            .reduce(_ && _))
+        .select("a_id", "b_id")
+    }
+    val pairs = bandJoins.reduce(_.unionByName(_))
+    val nDup = pairs.select(explode(array(col("a_id"), col("b_id"))).as("img_id"))
+      .groupBy("img_id").agg(count(lit(1)).as("n_dup"))
+    val shadowed = pairs.select(col("b_id").as("img_id")).distinct()
+      .withColumn("sh", lit(1))
+    hs.join(nDup, Seq("img_id"), "left")
+      .join(shadowed, Seq("img_id"), "left")
+      .select(col("img_id"), col("kind"), col("hash_hi"), col("hash_lo"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        col("sh").isNull.as("kept"))
+  }
 }

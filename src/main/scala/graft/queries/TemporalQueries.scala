@@ -167,6 +167,81 @@ object TemporalQueries {
       .orderBy("doc_id")
   }
 
+  // --- Y08: image perceptual-hash near-dup — the image-level dedup
+  // family: real PNG corpus with planted re-encoded duplicates (2× NN
+  // upscale — dHash-identical by the floor identity) and near-duplicates
+  // (+9 brightness shift — a few gradient-wrap bits move), dHash over the
+  // DECODED rasters, Hamming-banded candidate join (the y07 pigeonhole
+  // plan: 4×16-bit bands cover Hamming ≤ 3 exactly; never all-pairs).
+  // The oracle replays the IDENTICAL integer pipeline in closed form —
+  // fixture pixels, the x50 NN index arithmetic (for the upscaled copy
+  // ⌊⌊x·2w/9⌋/2⌋, for the shift (v+9) mod 256), the same 64 gradient
+  // bits packed into the same two halves, brute-force Hamming ≤ 3 —
+  // so a wrong decode, raster index, bit order, or band/uniqueness bug
+  // in the join all hash-mismatch.
+  val y08 = Query(
+    "y08_image_neardup",
+    Some("""
+      WITH sel AS (
+        SELECT doc_id, CAST(1 + doc_id % 16 AS INT) AS w,
+               CAST(1 + doc_id % 8 AS INT) AS h
+        FROM documents WHERE doc_id % 5 = 0),
+      imgs AS (
+        SELECT doc_id AS img_id, 'orig' AS kind, doc_id AS src,
+               0 AS shift, w, h, 1 AS sc FROM sel
+        UNION ALL
+        SELECT doc_id + 10000000, 'resized', doc_id, 0, w, h, 2
+        FROM sel WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 20000000, 'shifted', doc_id, 9, w, h, 1
+        FROM sel WHERE doc_id % 10 = 5),
+      xs AS (SELECT *, unnest(range(0, 9)) AS x FROM imgs),
+      g AS (SELECT *, unnest(range(0, 8)) AS y FROM xs),
+      px AS (
+        SELECT img_id, kind, x, y,
+               (src * 31 + ((x * (w * sc) // 9) // sc) * 7
+                + ((y * (h * sc) // 8) // sc) + shift) % 256 AS v
+        FROM g),
+      bits AS (
+        SELECT a.img_id, a.kind, a.x, a.y,
+               CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px b
+          ON a.img_id = b.img_id AND b.x = a.x + 1 AND b.y = a.y
+        WHERE a.x < 8),
+      hs AS (
+        SELECT img_id, kind,
+               CAST(SUM(CASE WHEN y >= 4
+                 THEN bit * (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END)
+                 AS BIGINT) AS hash_hi,
+               CAST(SUM(CASE WHEN y < 4
+                 THEN bit * (1::BIGINT << (y * 8 + x)) ELSE 0 END)
+                 AS BIGINT) AS hash_lo
+        FROM bits GROUP BY img_id, kind),
+      pairs AS (
+        SELECT a.img_id AS ai, b.img_id AS bi
+        FROM hs a JOIN hs b ON a.img_id < b.img_id
+        WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+            + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+      nd AS (
+        SELECT img_id, COUNT(*) AS n_dup
+        FROM (SELECT ai AS img_id FROM pairs
+              UNION ALL SELECT bi FROM pairs)
+        GROUP BY img_id),
+      shadowed AS (SELECT DISTINCT bi AS img_id FROM pairs)
+      SELECT h.img_id, h.kind, h.hash_hi, h.hash_lo,
+             CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup,
+             (shadowed.img_id IS NULL) AS kept
+      FROM hs h
+      LEFT JOIN nd ON h.img_id = nd.img_id
+      LEFT JOIN shadowed ON h.img_id = shadowed.img_id
+      ORDER BY h.img_id""")
+  ) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.imageNearDup(
+        Multimodal.dHashPng(Multimodal.imageCorpus(documents(s, d))).toDF())
+      .orderBy("img_id")
+  }
+
   // --- X51: REAL audio codec — javax.sound.sampled WAV round-trip:
   // deterministic 16-bit mono PCM encoded into a real RIFF/WAVE
   // container, decoded back (signature + fmt chunk + frame fold); the
@@ -302,5 +377,5 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50, x51, x57)
+  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50, x51, x57, y08)
 }

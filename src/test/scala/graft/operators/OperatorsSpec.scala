@@ -586,4 +586,43 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     assert(post.length == preTotals.size, "one row per gram after compaction")
     assert(post.toMap == preTotals, "compaction must preserve totals")
   }
+
+  test("dHash is exactly invariant under 2x NN upscale + re-encode") {
+    import spark.implicits._
+    val ids = Seq(10L, 20L, 30L, 40L).toDF("doc_id")
+    val hashes = Multimodal.dHashPng(Multimodal.imageCorpus(ids)).collect()
+    val byId = hashes.map(h => h.img_id -> h).toMap
+    Seq(10L, 20L, 30L, 40L).foreach { id =>
+      val o = byId(id)
+      val r = byId(id + Multimodal.ResizedOffset)
+      assert(o.hash_hi == r.hash_hi && o.hash_lo == r.hash_lo,
+        s"upscaled copy of $id must dHash identically")
+    }
+  }
+
+  test("banded image near-dup equals brute-force Hamming<=3 on all pairs") {
+    import spark.implicits._
+    val ids = (0L until 200L by 5L).toDF("doc_id")
+    val hashes = Multimodal.dHashPng(Multimodal.imageCorpus(ids)).toDF()
+    val rows = hashes.collect().map(r =>
+      (r.getAs[Long]("img_id"), r.getAs[Long]("hash_hi"), r.getAs[Long]("hash_lo")))
+    val brute = for {
+      (ai, ahi, alo) <- rows; (bi, bhi, blo) <- rows
+      if ai < bi &&
+        java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo) <= 3
+    } yield (ai, bi)
+    val nDup = brute.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val shadowed = brute.map(_._2).toSet
+    val out = Multimodal.imageNearDup(hashes).collect()
+    assert(out.length == rows.length, "one verdict row per image")
+    out.foreach { r =>
+      val id = r.getAs[Long]("img_id")
+      assert(r.getAs[Long]("n_dup") == nDup.getOrElse(id, 0L),
+        s"n_dup mismatch for $id")
+      assert(r.getAs[Boolean]("kept") == !shadowed.contains(id),
+        s"kept mismatch for $id")
+    }
+    assert(brute.nonEmpty, "fixture must plant at least one duplicate pair")
+  }
 }
