@@ -762,6 +762,52 @@ object CurationQueries {
     Tokenizer.bpeEncodeStats(documents(s, d), rounds = 5).orderBy("doc_id")
   }
 
+  // --- Y09: BPE DECODE + round-trip grade — the usability proof x87's
+  // packed shards were missing: the trained merge table must be
+  // REVERSIBLE, or the tokenizer is a one-way compressor. The engine
+  // trains 5 rounds (x72), encodes with the TRAINED table (the
+  // deployment encoder, not the self-training form), then detokenizes
+  // with [[Tokenizer.bpeDecodeMerges]] — undoing merges in reverse round
+  // order — and grades md5(decoded) per document. The oracle replays the
+  // 5 encode rounds to pin n_tokens (so a no-op encoder cannot fake the
+  // identity), and states the round-trip md5 IN CLOSED FORM as
+  // md5(normalized original): the engine must PROVE encode∘decode =
+  // identity, byte-for-byte, to hash-match. roundtrip_ok is the same
+  // equality surfaced as a column (oracle: constant TRUE).
+  val y09 = Query(
+    "y09_bpe_roundtrip",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      t0 AS (SELECT doc_id, ' ' || norm || ' ' AS t FROM n),
+      ${(1 to 5).map(bpeRound).mkString(",")}
+      SELECT n.doc_id,
+             CAST(len(string_split(trim(m5.t), ' ')) AS INT) AS n_tokens,
+             md5(n.norm) AS md5_roundtrip,
+             TRUE AS roundtrip_ok
+      FROM n JOIN m5 ON m5.doc_id = n.doc_id
+      ORDER BY n.doc_id""")
+  ) { (s, d) =>
+    import graft.functions.TextFunctions.normText
+    val docs = documents(s, d)
+    // sever: the merge table is 5 rows but its plan is the whole 5-round
+    // trainer; 10 downstream filter(round = r) consumers would each
+    // re-embed it (the x87 Catalyst-analysis lesson)
+    val merges = graft.core.Caches.scopedCheckpoint(
+      Tokenizer.bpeTrain(docs, rounds = 5).localCheckpoint(true))
+    val enc = graft.core.Caches.scopedCheckpoint(
+      Tokenizer.bpeApplyMerges(docs, merges, rounds = 5).localCheckpoint(true))
+    val dec = Tokenizer.bpeDecodeMerges(enc, merges, rounds = 5)
+    val orig = docs.select(col("doc_id"), md5(normText(col("text"))).as("md5_norm"))
+    enc.select(col("doc_id"),
+        size(split(trim(col("t")), " ")).as("n_tokens"))
+      .join(dec.select(col("doc_id"), md5(trim(col("t"))).as("md5_roundtrip")),
+        Seq("doc_id"))
+      .join(orig, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("md5_roundtrip"),
+        (col("md5_roundtrip") === col("md5_norm")).as("roundtrip_ok"))
+      .orderBy("doc_id")
+  }
+
   // --- X85: CCNet-style bigram LM quality score — add-one-smoothed
   // bigram log-probabilities trained on the corpus itself (at 100 TB the
   // counts come from a held-out reference corpus: one upstream swap,
@@ -1010,5 +1056,5 @@ object CurationQueries {
   }
 
   val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74,
-    x77, x80, x83, x85, x87, x92, x95, x99, y01)
+    x77, x80, x83, x85, x87, x92, x95, x99, y01, y09)
 }

@@ -508,6 +508,38 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(self == viaTable)
   }
 
+  test("bpeDecodeMerges inverts bpeApplyMerges, including nested merges") {
+    // corpus engineered so round 2's winning pair CONTAINS round 1's
+    // merged symbol ("a b" -> a_b, then "a_b c" -> a_b_c): reverse-order
+    // undo must re-expose the inner symbol to its own round's undo
+    val d = docs(1L -> ("a b c " * 8), 2L -> ("a b c d " * 3),
+      3L -> "e f g h")
+    val merges = Tokenizer.bpeTrain(d, rounds = 2)
+    val trained = merges.orderBy("round").collect().map(_.getString(1))
+    assert(trained(0) == "a b" && trained(1) == "a_b c",
+      s"fixture must produce a nested merge, got ${trained.toSeq}")
+    val enc = Tokenizer.bpeApplyMerges(d, merges, rounds = 2)
+    assert(enc.collect().map(_.getString(1)).exists(_.contains("a_b_c")),
+      "round-2 symbol must appear in the encoded text")
+    val dec = Tokenizer.bpeDecodeMerges(enc, merges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1).trim).toMap
+    val orig = Seq(1L -> ("a b c " * 8), 2L -> ("a b c d " * 3),
+      3L -> "e f g h")
+      .map { case (id, t) => id -> t.trim.replaceAll("\\s+", " ") }.toMap
+    assert(dec == orig, "decode(encode(x)) must equal normalized x")
+  }
+
+  test("bpeDecodeMerges is an identity pass for rounds beyond the table") {
+    val d = docs(1L -> ("p q " * 5))
+    val merges = Tokenizer.bpeTrain(d, rounds = 1)
+    val enc = Tokenizer.bpeApplyMerges(d, merges, rounds = 1)
+    // ask for 3 undo rounds against a 1-round table: rounds 3 and 2 must
+    // be no-ops (NUL fallback), round 1 undoes the real merge
+    val dec = Tokenizer.bpeDecodeMerges(enc, merges, rounds = 3)
+      .collect().map(_.getString(1).trim)
+    assert(dec.head == ("p q " * 5).trim)
+  }
+
   test("bigramLmScore: OOV bigrams get the smoothed floor under a held-out ref") {
     // ref vocabulary {the, quick, brown, fox}: V = 4, every c1 = 1, only
     // "the quick" / "quick brown" / "brown fox" have c12 = 1. A doc whose
