@@ -66,6 +66,84 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("the COMPOSED curation pipeline: stream over 3 batches ≡ the batch DAG") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // corpus: 45 real docs (classifier/DSIR variety) + a cross-batch
+    // duplicate of an early gated doc + an in-batch duplicate pair + a
+    // page-gate junk doc — every pipeline stage must fire at least once
+    // the synthetic corpus is single-line text without terminal periods —
+    // the page gate would drop ALL of it. Page-shape 2 of every 3 docs
+    // (re-wrap into ≥5-word sentence lines) so c4 passes them and the
+    // classifier splits within them; the raw third exercises the drop arm
+    val real = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang").orderBy("doc_id")
+      .collect().take(45).map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .map { case (id, t, lang) =>
+        val text =
+          if (id % 3 != 0)
+            t.split(" ").grouped(8).map(_.mkString(" ") + ".").mkString("\n")
+          else t
+        (id, text, lang)
+      }
+    val bootstrap = real.toSeq.toDF("doc_id", "text", "lang")
+    val lamArr = {
+      val m = Curation.dsirLambda(bootstrap, isTarget = col("lang") === "en")
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      (0 until Curation.DsirBuckets).map(b => m.getOrElse(b, 0L))
+    }
+    // τ from the TRAINING corpus, over docs that pass both gates, so the
+    // λ stage provably splits the gated survivors
+    val gatedIds = bootstrap
+      .filter(Curation.c4PageGate(col("text")) &&
+        graft.operators.TextAnalysis.classifierGate(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gatedIds.nonEmpty && gatedIds.size < real.length,
+      "fixture must split at the stateless gates")
+    val scores = Curation.dsirSelect(bootstrap, isTarget = col("lang") === "en")
+      .collect().filter(r => gatedIds.contains(r.getAs[Long]("doc_id")))
+      .map(r => r.getAs[Long]("imp_mu").toDouble / 1e6 / r.getAs[Long]("n_feats"))
+    val tau = scores.sorted.apply(scores.length / 2)
+    graft.core.Caches.releaseAll()
+    // the duplicate's ORIGINAL must arrive in batch 1 (first 15 docs), so
+    // "first seen wins" and "lowest id wins" agree for the planted family
+    val dupText = real.take(15).find(d => gatedIds.contains(d._1))
+      .getOrElse(fail("no gated doc in the first batch"))._2
+    val corpus: Seq[(Long, String)] =
+      real.map(d => (d._1, d._2)).toSeq ++
+        Seq(2000L -> dupText, 3000L -> junk, 3001L -> dupText, 3002L -> dupText)
+    val batches = Seq(corpus.take(15), corpus.slice(15, 30) :+ (2000L -> dupText),
+      corpus.slice(30, 45) ++ Seq(3000L -> junk, 3001L -> dupText, 3002L -> dupText))
+        .map(_.distinct)
+    val store = java.nio.file.Files.createTempDirectory("graft-cstream-").toString + "/sigs"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cstream-ckpt-").toString
+    val verdicts = scala.collection.mutable.Map.empty[Long, (Int, Int, Int)]
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.run(input.toDF().toDF("doc_id", "text"), store,
+      estThreshold = 0.5, lam = lamArr, tau = tau, checkpoint = ckpt) { (dec, _) =>
+      dec.collect().foreach(r =>
+        verdicts(r.getLong(0)) = (r.getInt(1), r.getInt(2), r.getInt(3)))
+    }
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val batchDag = CurationStream
+      .curationBatch(corpus.toDF("doc_id", "text"), estThreshold = 0.5,
+        lam = lamArr, tau = tau)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    assert(verdicts.toMap == batchDag,
+      "stream decisions must equal the batch DAG's on the same corpus")
+    val vs = verdicts.values.toSeq
+    assert(vs.exists(_._1 == 0), "page/classifier gate must drop something")
+    assert(vs.exists(v => v._1 == 1 && v._2 == 1), "dedup must drop something")
+    assert(vs.exists(v => v._1 == 1 && v._2 == 0 && v._3 == 0),
+      "the λ gate must drop a gated, non-duplicate doc")
+    assert(vs.exists(_._3 == 1), "something must survive the whole pipeline")
+    assert(verdicts(2000L)._2 == 1, "cross-batch duplicate must be dropped")
+    assert(verdicts(3002L)._2 == 1, "in-batch duplicate must be dropped")
+  }
+
   test("a frozen DSIR λ table gates an append-mode stream statelessly") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
