@@ -39,8 +39,8 @@ object ScaleProbe {
 
   private val Offset = 10000L
 
-  private def synthesize(spark: SparkSession, base: String, out: String,
-                         factor: Int): Unit = {
+  private[graft] def synthesize(spark: SparkSession, base: String,
+                                out: String, factor: Int): Unit = {
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val docReps = (0 until factor).map { r =>
@@ -62,6 +62,20 @@ object ScaleProbe {
     }
     embReps.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
+  }
+
+  /** Synthesize the isomorphic ×factor corpus at `out` unless an
+    * identical-params corpus is already there (marker file). Shared with
+    * [[NotchProbe]] so every probe measures the same synthetic corpus. */
+  private[graft] def ensureSynth(spark: SparkSession, base: String,
+                                 out: String, factor: Int): Unit = {
+    val params = s"factor=$factor base=$base"
+    val marker = new java.io.File(out, "_graft_params")
+    if (!marker.exists() ||
+        new String(java.nio.file.Files.readAllBytes(marker.toPath)) != params) {
+      synthesize(spark, base, out, factor)
+      java.nio.file.Files.write(marker.toPath, params.getBytes)
+    }
   }
 
   private def time(spark: SparkSession, name: String, dir: String,
@@ -92,13 +106,7 @@ object ScaleProbe {
       SparkSession.builder().master(s"local[$cpus]").appName("graft-scale"),
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val params = s"factor=$factor base=$base"
-    val marker = new java.io.File(synthDir, "_graft_params")
-    if (!marker.exists() ||
-        new String(java.nio.file.Files.readAllBytes(marker.toPath)) != params) {
-      synthesize(spark, base, synthDir, factor)
-      java.nio.file.Files.write(marker.toPath, params.getBytes)
-    }
+    ensureSynth(spark, base, synthDir, factor)
     val reps = if (factor >= 100) 1 else 3
     // one untimed warmup pass per dir (JIT at representative volume)
     queries.foreach { n =>

@@ -296,22 +296,34 @@ object TextAnalysis {
       else Nil)
   }
 
+  /** Shared sign-cell builder for the hashed near-dup family: per doc
+    * the 64-long hashed embedding, its norm², the auto-bits sign cell
+    * over the corpus count, and the active nbits. ONE definition, used
+    * by the production operator, the recall panel, and the scale/notch
+    * probes — so every measurement grades the identical cell geometry.
+    * Output: (doc_id, vec, nsq, cell, nbits). */
+  private[graft] def hashedCells(docs: DataFrame, targetOcc: Int = 8,
+                                 maxBits: Int = 12): DataFrame = {
+    import graft.functions.VectorFunctions
+    val v = hashedEmbedding(docs)
+    val n = v.agg(count(lit(1)).as("__n"))
+    val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
+    v.crossJoin(broadcast(n))
+      .withColumn("nbits", nbits)
+      .withColumn("cell", (0 until maxBits).map(j =>
+        when(lit(j) < nbits && element_at(col("vec"), j + 1) >= 0L,
+          lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
+      .select(col("doc_id"), col("vec"), col("norm_sq").as("nsq"),
+        col("cell"), col("nbits"))
+  }
+
   def hashedNearDup(docs: DataFrame, tauSqBp: Long = 2025L,
                     targetOcc: Int = 8, maxBits: Int = 12,
                     probeHamming: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions
     require(0 <= probeHamming && probeHamming <= 3,
       s"probeHamming ≤ 3 supported, got $probeHamming")
-    val v = hashedEmbedding(docs)
-    val n = v.agg(count(lit(1)).as("__n"))
-    val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
-    val cells = graft.core.Caches.scoped(v.crossJoin(broadcast(n))
-      .withColumn("nbits", nbits)
-      .withColumn("cell", (0 until maxBits).map(j =>
-        when(lit(j) < nbits && element_at(col("vec"), j + 1) >= 0L,
-          lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
-      .select(col("doc_id"), col("vec"), col("norm_sq").as("nsq"),
-        col("cell"), col("nbits")))
+    val cells = graft.core.Caches.scoped(hashedCells(docs, targetOcc, maxBits))
     val a = cells.toDF("a_id", "va", "na", "a_cell", "a_nbits")
     val b = cells.toDF("b_id", "vb", "nb", "b_cell", "b_nbits")
     // probeHamming > 0 widens the candidate neighborhood to all cells
@@ -386,17 +398,7 @@ object TextAnalysis {
   def hashedNearDupRecall(docs: DataFrame, probeMod: Long = 125L,
                           tauSqBp: Long = 2025L, targetOcc: Int = 8,
                           maxBits: Int = 12, bound: Double = 0.6): DataFrame = {
-    import graft.functions.VectorFunctions
-    val v = hashedEmbedding(docs)
-    val n = v.agg(count(lit(1)).as("__n"))
-    val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
-    val cells = graft.core.Caches.scoped(v.crossJoin(broadcast(n))
-      .withColumn("nbits", nbits)
-      .withColumn("cell", (0 until maxBits).map(j =>
-        when(lit(j) < nbits && element_at(col("vec"), j + 1) >= 0L,
-          lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
-      .select(col("doc_id"), col("vec"), col("norm_sq").as("nsq"),
-        col("cell"), col("nbits")))
+    val cells = graft.core.Caches.scoped(hashedCells(docs, targetOcc, maxBits))
     val probes = cells.filter(col("doc_id") % probeMod === 0L)
       .toDF("p_id", "pv", "pn", "p_cell", "p_nbits")
     val close = (c: DataFrame) => c
