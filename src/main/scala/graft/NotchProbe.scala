@@ -3,30 +3,31 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The maxBits-NOTCH probe (SCALE.md): measure the hashed-embedding
-  * near-dup family at a large synthetic corpus under the STANDING cap
-  * (maxBits = 12, 4096 cells) versus the next notch (maxBits = 16,
-  * 65536 cells), on identical semantics — same hashed vectors, same
-  * integer τ² test, same auto-bits rule; only the cap differs.
+/** The maxBits-NOTCH and probe-RADIUS probe (SCALE.md): measure the
+  * hashed-embedding near-dup family at a large synthetic corpus under
+  * the STANDING cap (maxBits = 12, 4096 cells) versus the next notch
+  * (maxBits = 16), and across the multi-probe radius ladder, on
+  * identical semantics — same hashed vectors, same integer τ² test,
+  * same auto-bits rule; only the measured parameter differs.
   *
-  * What it turns from extrapolation into measurement: SCALE.md's
-  * "beyond ~65k× occupancy grows again; next notch is a larger maxBits"
-  * contract. At 100× of sf0.1 the corpus (~500k docs) wants
-  * log2(n/targetOcc) ≈ 16 bits; the 12-bit cap pins occupancy ~16× above
-  * target, so the single-probe pair join pays occupancy² per cell while
-  * 16 bits restores it — the notch trade is (occupancy, wall, recall):
-  * more bits → smaller cells → cheaper joins but sign-split pairs →
-  * the multi-probe radius recovers them (re-pinned recall per setting).
+  * What it turns from extrapolation into measurement:
+  *  - SCALE.md's "beyond ~65k× occupancy grows again; next notch is a
+  *    larger maxBits" contract — occupancy and wall per cap;
+  *  - the recall-vs-radius curve at scale: τ-close pairs differ in
+  *    ≈ 0.35·nbits sign bits in expectation, so a FIXED radius loses
+  *    recall as auto-bits grows with the corpus — radius is the dial,
+  *    and its banded cost (selectivity 2^(nbits/(radius+1)) per band)
+  *    is what this probe prices.
   *
-  * Per (maxBits, query) one JSON line: wall seconds plus cell-occupancy
+  * Per measurement one JSON line: wall seconds plus cell-occupancy
   * stats, and for the recall panel the recall values themselves.
   * `probeMod` is scaled with the factor so the panel grades a bounded,
   * constant-size probe set at any corpus size (the graded y06 default
   * probes ∝ n/125 — a grading cost documented as such; here the probe
   * count is the controlled variable, the corpus is the treatment).
   *
-  * Usage: NotchProbe [factor] [synthDir] — defaults 100,
-  * /tmp/graft-scale-x100 (shares ScaleProbe's synth corpus).
+  * Usage: NotchProbe [factor] [synthDir] [radii] — defaults 100,
+  * /tmp/graft-scale-x100, 3 (shares ScaleProbe's synth corpus).
   */
 object NotchProbe {
 
@@ -37,7 +38,7 @@ object NotchProbe {
   }
 
   private def run(spark: SparkSession, docs: DataFrame, maxBits: Int,
-                  probeMod: Long): Unit = {
+                  probeMod: Long, radii: Seq[Int]): Unit = {
     import graft.operators.TextAnalysis
     // cell occupancy under this cap (one pass, reported per setting)
     val occ = TextAnalysis.hashedCells(docs, targetOcc = 8, maxBits = maxBits)
@@ -55,14 +56,16 @@ object NotchProbe {
     }
     measure("y05_single_probe",
       TextAnalysis.hashedNearDup(docs, maxBits = maxBits))
-    measure("y07_multi_probe",
-      TextAnalysis.hashedNearDup(docs, maxBits = maxBits, probeHamming = 3))
-    graft.core.Caches.releaseAll(); spark.catalog.clearCache()
-    val (rec, recSec) = time {
-      TextAnalysis.hashedNearDupRecall(docs, probeMod = probeMod,
-        maxBits = maxBits).collect()(0)
+    radii.foreach { r =>
+      measure(s"y07_multi_probe_r$r",
+        TextAnalysis.hashedNearDup(docs, maxBits = maxBits, probeHamming = r))
+      graft.core.Caches.releaseAll(); spark.catalog.clearCache()
+      val (rec, recSec) = time {
+        TextAnalysis.hashedNearDupRecall(docs, probeMod = probeMod,
+          maxBits = maxBits, radius = r).collect()(0)
+      }
+      println(f"""{"probe":"notch","max_bits":$maxBits,"radius":$r,"query":"y06_recall","sec":$recSec%.1f,"n_probes":${rec.getAs[Long]("n_probes")},"n_true":${rec.getAs[Long]("n_true")},"recall_single":${rec.getAs[Double]("recall_single")},"recall_multi":${rec.getAs[Double]("recall_multi")}}""")
     }
-    println(f"""{"probe":"notch","max_bits":$maxBits,"query":"y06_recall","sec":$recSec%.1f,"n_probes":${rec.getAs[Long]("n_probes")},"n_true":${rec.getAs[Long]("n_true")},"recall_single":${rec.getAs[Double]("recall_single")},"recall_multi":${rec.getAs[Double]("recall_multi")}}""")
     graft.core.Caches.releaseAll(); spark.catalog.clearCache()
   }
 
@@ -70,6 +73,8 @@ object NotchProbe {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val synthDir = args.lift(1).getOrElse(s"/tmp/graft-scale-x$factor")
+    val radii = args.lift(2).map(_.split(",").toSeq.map(_.toInt))
+      .getOrElse(Seq(3))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Engine.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-notch"),
@@ -78,7 +83,7 @@ object NotchProbe {
     ScaleProbe.ensureSynth(spark, base, synthDir, factor)
     val docs = spark.read.parquet(s"$synthDir/documents.parquet")
     val probeMod = 125L * factor // constant probe count at any factor
-    Seq(12, 16).foreach(run(spark, docs, _, probeMod))
+    Seq(12, 16).foreach(run(spark, docs, _, probeMod, radii))
     spark.stop()
   }
 }

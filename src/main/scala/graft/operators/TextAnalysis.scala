@@ -279,21 +279,20 @@ object TextAnalysis {
       tauSqBp.cast(dec) * na.cast(dec) * nb.cast(dec)
   }
 
-  /** XOR masks of Hamming weight ≤ `radius` over `maxBits` bits —
-    * the multi-probe neighborhood (bounded: 1 + 8 + 28 + 56 = 93 at
-    * maxBits = 8, radius 3). */
-  private def hammingMasks(maxBits: Int, radius: Int): Seq[Int] = {
-    require(0 <= radius && radius <= 3, s"radius ≤ 3 supported, got $radius")
-    Seq(0) ++
-      (if (radius >= 1) (0 until maxBits).map(1 << _) else Nil) ++
-      (if (radius >= 2)
-        for { i <- 0 until maxBits; j <- i + 1 until maxBits }
-          yield (1 << i) | (1 << j)
-      else Nil) ++
-      (if (radius >= 3)
-        for { i <- 0 until maxBits; j <- i + 1 until maxBits
-              k <- j + 1 until maxBits } yield (1 << i) | (1 << j) | (1 << k)
-      else Nil)
+  /** XOR masks of Hamming weight ≤ `radius` over `maxBits` bits — the
+    * multi-probe neighborhood (C(maxBits, ≤radius) masks: 93 at
+    * maxBits = 8 radius 3; 6885 at 16/5 — still a broadcast-explode
+    * bound, never corpus-proportional). Enumerated in ascending weight,
+    * within weight by ascending lowest-set-bit — a deterministic order
+    * both engines can replay. */
+  private[graft] def hammingMasks(maxBits: Int, radius: Int): Seq[Int] = {
+    require(0 <= radius && radius <= maxBits,
+      s"0 ≤ radius ≤ maxBits required, got $radius/$maxBits")
+    def combos(start: Int, k: Int): Seq[Int] =
+      if (k == 0) Seq(0)
+      else (start to maxBits - k).flatMap(i =>
+        combos(i + 1, k - 1).map(_ | (1 << i)))
+    (0 to radius).flatMap(combos(0, _))
   }
 
   /** Shared sign-cell builder for the hashed near-dup family: per doc
@@ -321,8 +320,12 @@ object TextAnalysis {
                     targetOcc: Int = 8, maxBits: Int = 12,
                     probeHamming: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions
-    require(0 <= probeHamming && probeHamming <= 3,
-      s"probeHamming ≤ 3 supported, got $probeHamming")
+    // radius is the recall dial (see hashedNearDupRecall): candidate
+    // cost grows as band selectivity 2^(nbits/(radius+1)) shrinks, so
+    // large radii are only affordable at large nbits — bounded here at
+    // the point where 12-bit cells still give ≥ 2-bit bands
+    require(0 <= probeHamming && probeHamming <= 5,
+      s"probeHamming ≤ 5 supported, got $probeHamming")
     val cells = graft.core.Caches.scoped(hashedCells(docs, targetOcc, maxBits))
     val a = cells.toDF("a_id", "va", "na", "a_cell", "a_nbits")
     val b = cells.toDF("b_id", "vb", "nb", "b_cell", "b_nbits")
@@ -348,15 +351,26 @@ object TextAnalysis {
           .filter(col("a_id") < col("b_id"))
       else {
         val numBands = probeHamming + 1
-        // band width = ceil(nbits / numBands): the bands tile the active
-        // window (runtime scalar — integer arithmetic only)
-        val wE = s"((a_nbits + ${numBands - 1}) div $numBands)"
-        val wBE = s"((b_nbits + ${numBands - 1}) div $numBands)"
-        def bandOf(cellCol: String, wExpr: String, j: Int) =
-          s"shiftright($cellCol, $j * $wExpr) & (shiftleft(1, $wExpr) - 1)"
+        // EXACT-COVER band boundaries: band j = bits [⌊j·nbits/B⌋,
+        // ⌊(j+1)·nbits/B⌋) — the B bands tile exactly the nbits active
+        // bits (runtime scalar, integer arithmetic only). The earlier
+        // ceil-width tiling left, at nbits values not divisible by B, a
+        // trailing band whose bits lay partly or wholly ABOVE nbits —
+        // a constant-key (or 2-value-key) band whose equi-join
+        // degenerates to ~n² rows at intermediate corpus sizes (nbits
+        // 9, 13, …). Exact cover has no such band whenever nbits ≥ B;
+        // when nbits < B (= radius + 1, tiny corpora only) some bands
+        // have width 0 → key 0 on every row → an all-pairs fallback
+        // that is semantically EXACT there, because max cell distance
+        // = nbits ≤ radius means every pair is a legitimate candidate.
+        def lo(nb: String, j: Int) = s"(($j * $nb) div $numBands)"
+        def wd(nb: String, j: Int) =
+          s"((${j + 1} * $nb) div $numBands) - ${lo(nb, j)}"
+        def bandOf(cellCol: String, nb: String, j: Int) =
+          s"shiftright($cellCol, ${lo(nb, j)}) & (shiftleft(1, ${wd(nb, j)}) - 1)"
         val bandJoins = (0 until numBands).map { j =>
-          val aj = a.withColumn("bk", expr(bandOf("a_cell", wE, j)))
-          val bj = b.withColumn("bk", expr(bandOf("b_cell", wBE, j)))
+          val aj = a.withColumn("bk", expr(bandOf("a_cell", "a_nbits", j)))
+          val bj = b.withColumn("bk", expr(bandOf("b_cell", "b_nbits", j)))
           // shuffle-hash: the band key has bounded cardinality, so each
           // partition hash-builds its band slice of the corpus (bounded)
           // — never a sort of the payload, never a global hash relation
@@ -366,7 +380,7 @@ object TextAnalysis {
             .filter(expr(s"bit_count(xr) <= $probeHamming"))
             .filter(if (j == 0) lit(true)
               else (0 until j).map(k =>
-                expr(s"(${bandOf("xr", wE, k)}) != 0")).reduce(_ && _))
+                expr(s"(${bandOf("xr", "a_nbits", k)}) != 0")).reduce(_ && _))
             .drop("bk", "xr")
         }
         bandJoins.reduce(_.unionByName(_))
@@ -397,7 +411,8 @@ object TextAnalysis {
     * recall_single, recall_multi, recall_ok (multi vs `bound`). */
   def hashedNearDupRecall(docs: DataFrame, probeMod: Long = 125L,
                           tauSqBp: Long = 2025L, targetOcc: Int = 8,
-                          maxBits: Int = 12, bound: Double = 0.6): DataFrame = {
+                          maxBits: Int = 12, bound: Double = 0.6,
+                          radius: Int = 3): DataFrame = {
     val cells = graft.core.Caches.scoped(hashedCells(docs, targetOcc, maxBits))
     val probes = cells.filter(col("doc_id") % probeMod === 0L)
       .toDF("p_id", "pv", "pn", "p_cell", "p_nbits")
@@ -413,7 +428,8 @@ object TextAnalysis {
     // nbits window apply, and each target cell is distinct so no
     // candidate is double-counted
     val probesMulti = probes
-      .withColumn("mask", explode(array(hammingMasks(maxBits, 3).map(lit): _*)))
+      .withColumn("mask",
+        explode(array(hammingMasks(maxBits, radius).map(lit): _*)))
       .filter(expr("mask < shiftleft(1, p_nbits)"))
       .withColumn("t_cell", expr("p_cell ^ mask"))
     val nTrue = close(cells.crossJoin(broadcast(probes)))
