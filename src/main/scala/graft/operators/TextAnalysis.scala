@@ -316,6 +316,51 @@ object TextAnalysis {
         col("cell"), col("nbits"))
   }
 
+  /** Pigeonhole-banded candidate pairs within Hamming ≤ `radiusCol` of
+    * each other's sign cells. EXACT-COVER band boundaries: band j =
+    * bits [⌊j·nbits/B⌋, ⌊(j+1)·nbits/B⌋) — the B bands tile exactly
+    * the nbits active bits (runtime scalar, integer arithmetic only).
+    * A ceil-width tiling would leave, at nbits values not divisible by
+    * B, a trailing band whose bits lie partly or wholly ABOVE nbits —
+    * a constant-key (or 2-value-key) band whose equi-join degenerates
+    * to ~n² rows at intermediate corpus sizes (nbits 9, 13, …). Exact
+    * cover has no such band whenever nbits ≥ B; when nbits < B (tiny
+    * corpora only) some bands have width 0 → key 0 on every row → an
+    * all-pairs fallback that is semantically EXACT there, because max
+    * cell distance = nbits < B means every pair is within any radius
+    * the caller can ask B bands to cover. Correctness needs only
+    * radius ≤ B − 1 (any pair differing in ≤ B−1 bits agrees exactly
+    * on ≥ 1 of B bands); `radiusCol` may be a runtime column as long
+    * as that bound holds everywhere. Same-band collisions outside the
+    * radius are discarded by an integer popcount filter BEFORE any dot
+    * is computed, and a pair agreeing on several bands is kept only in
+    * its first agreeing band's join — each unordered pair survives
+    * exactly once. Each band join shuffles the corpus payload exactly
+    * ONCE (shuffle-hash: the band key has bounded cardinality, so each
+    * partition hash-builds its band slice — never a sort of the
+    * payload, never a global hash relation). */
+  private def bandedCellPairs(a: DataFrame, b: DataFrame, numBands: Int,
+                              radiusCol: Column): DataFrame = {
+    def lo(nb: String, j: Int) = s"(($j * $nb) div $numBands)"
+    def wd(nb: String, j: Int) =
+      s"((${j + 1} * $nb) div $numBands) - ${lo(nb, j)}"
+    def bandOf(cellCol: String, nb: String, j: Int) =
+      s"shiftright($cellCol, ${lo(nb, j)}) & (shiftleft(1, ${wd(nb, j)}) - 1)"
+    val bandJoins = (0 until numBands).map { j =>
+      val aj = a.withColumn("bk", expr(bandOf("a_cell", "a_nbits", j)))
+      val bj = b.withColumn("bk", expr(bandOf("b_cell", "b_nbits", j)))
+      aj.join(bj.hint("shuffle_hash"), Seq("bk"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("xr", expr("a_cell ^ b_cell"))
+        .filter(expr("bit_count(xr)") <= radiusCol)
+        .filter(if (j == 0) lit(true)
+          else (0 until j).map(k =>
+            expr(s"(${bandOf("xr", "a_nbits", k)}) != 0")).reduce(_ && _))
+        .drop("bk", "xr")
+    }
+    bandJoins.reduce(_.unionByName(_))
+  }
+
   def hashedNearDup(docs: DataFrame, tauSqBp: Long = 2025L,
                     targetOcc: Int = 8, maxBits: Int = 12,
                     probeHamming: Int = 0): DataFrame = {
@@ -349,42 +394,7 @@ object TextAnalysis {
       if (probeHamming == 0)
         a.join(b, col("a_cell") === col("b_cell"))
           .filter(col("a_id") < col("b_id"))
-      else {
-        val numBands = probeHamming + 1
-        // EXACT-COVER band boundaries: band j = bits [⌊j·nbits/B⌋,
-        // ⌊(j+1)·nbits/B⌋) — the B bands tile exactly the nbits active
-        // bits (runtime scalar, integer arithmetic only). The earlier
-        // ceil-width tiling left, at nbits values not divisible by B, a
-        // trailing band whose bits lay partly or wholly ABOVE nbits —
-        // a constant-key (or 2-value-key) band whose equi-join
-        // degenerates to ~n² rows at intermediate corpus sizes (nbits
-        // 9, 13, …). Exact cover has no such band whenever nbits ≥ B;
-        // when nbits < B (= radius + 1, tiny corpora only) some bands
-        // have width 0 → key 0 on every row → an all-pairs fallback
-        // that is semantically EXACT there, because max cell distance
-        // = nbits ≤ radius means every pair is a legitimate candidate.
-        def lo(nb: String, j: Int) = s"(($j * $nb) div $numBands)"
-        def wd(nb: String, j: Int) =
-          s"((${j + 1} * $nb) div $numBands) - ${lo(nb, j)}"
-        def bandOf(cellCol: String, nb: String, j: Int) =
-          s"shiftright($cellCol, ${lo(nb, j)}) & (shiftleft(1, ${wd(nb, j)}) - 1)"
-        val bandJoins = (0 until numBands).map { j =>
-          val aj = a.withColumn("bk", expr(bandOf("a_cell", "a_nbits", j)))
-          val bj = b.withColumn("bk", expr(bandOf("b_cell", "b_nbits", j)))
-          // shuffle-hash: the band key has bounded cardinality, so each
-          // partition hash-builds its band slice of the corpus (bounded)
-          // — never a sort of the payload, never a global hash relation
-          aj.join(bj.hint("shuffle_hash"), Seq("bk"))
-            .filter(col("a_id") < col("b_id"))
-            .withColumn("xr", expr("a_cell ^ b_cell"))
-            .filter(expr(s"bit_count(xr) <= $probeHamming"))
-            .filter(if (j == 0) lit(true)
-              else (0 until j).map(k =>
-                expr(s"(${bandOf("xr", "a_nbits", k)}) != 0")).reduce(_ && _))
-            .drop("bk", "xr")
-        }
-        bandJoins.reduce(_.unionByName(_))
-      }
+      else bandedCellPairs(a, b, probeHamming + 1, lit(probeHamming))
     val close = pairs
       .withColumn("dot", VectorFunctions.dotLong(col("va"), col("vb")))
       .filter(col("dot") > 0L && tauSqTest(col("dot"), lit(tauSqBp),
@@ -392,6 +402,47 @@ object TextAnalysis {
       .groupBy(col("b_id").as("doc_id")).agg(count(lit(1)).as("n_close"))
     cells.select("doc_id", "cell").join(close, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cell"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        (coalesce(col("n_close"), lit(0L)) === 0L).as("kept"))
+  }
+
+  /** The PRODUCTION form of the multi-probe near-dup: the probe radius
+    * is not a constant but a function of the corpus — NotchProbe
+    * measured (SCALE.md) that a τ-close pair differs in ≈ 0.35·nbits
+    * sign bits in expectation, so any FIXED radius loses recall as
+    * auto-bits grows with the corpus (radius 3: recall 0.84 at nbits 6
+    * but 0.49 at nbits 12). The rule radius = clamp(round(nbits/3), 3,
+    * maxRadius) holds recall ≥ 0.6 at every measured operating point
+    * (0.84 / 0.72 / 0.65 at nbits 6 / 12 / 13). The radius is computed
+    * as an integer column from the SAME 1-row count broadcast that
+    * yields nbits — (2·nbits + 3) div 6 is round(nbits/3) in exact
+    * integer arithmetic — so there is no driver-side scalar, and the
+    * plan has ONE shape: maxRadius + 1 pigeonhole bands cover every
+    * radius the rule can choose (pairs differing in ≤ maxRadius bits
+    * agree on ≥ 1 of maxRadius + 1 bands), with the runtime radius
+    * applied in the popcount filter. Output adds the chosen nbits and
+    * radius so the dial itself is graded. */
+  def hashedNearDupAutoRadius(docs: DataFrame, tauSqBp: Long = 2025L,
+                              targetOcc: Int = 8, maxBits: Int = 12,
+                              maxRadius: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(3 <= maxRadius && maxRadius <= 5,
+      s"3 ≤ maxRadius ≤ 5 supported, got $maxRadius")
+    val cells = graft.core.Caches.scoped(
+      hashedCells(docs, targetOcc, maxBits)
+        .withColumn("radius", least(lit(maxRadius),
+          greatest(lit(3), expr("(2 * nbits + 3) div 6"))).cast("int")))
+    val a = cells.toDF("a_id", "va", "na", "a_cell", "a_nbits", "a_radius")
+    val b = cells.toDF("b_id", "vb", "nb", "b_cell", "b_nbits", "b_radius")
+    val pairs = bandedCellPairs(a, b, maxRadius + 1, col("a_radius"))
+    val close = pairs
+      .withColumn("dot", VectorFunctions.dotLong(col("va"), col("vb")))
+      .filter(col("dot") > 0L && tauSqTest(col("dot"), lit(tauSqBp),
+        col("na"), col("nb")))
+      .groupBy(col("b_id").as("doc_id")).agg(count(lit(1)).as("n_close"))
+    cells.select("doc_id", "cell", "nbits", "radius")
+      .join(close, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cell"), col("nbits"), col("radius"),
         coalesce(col("n_close"), lit(0L)).as("n_close"),
         (coalesce(col("n_close"), lit(0L)) === 0L).as("kept"))
   }

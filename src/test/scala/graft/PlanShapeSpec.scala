@@ -457,6 +457,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("y10 auto-radius near-dup: same banded shape, radius from the count broadcast") {
+    val p = plan("y10_hash_neardup_autorad")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
+    assert(!p.contains("mask"), s"mask explode resurfaced:\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
   test("y02 cluster quota: TopKPerKey caps cells; the residual window sees survivors only") {
     val p = plan("y02_cluster_quota")
     assert(!p.contains("CartesianProduct"), p)

@@ -699,6 +699,32 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       "the fixture has cross-cell tau-close pairs the wider probe must find")
   }
 
+  test("auto-radius near-dup: rule picks clamp(round(nbits/3),3,5) and matches fixed radius") {
+    import spark.implicits._
+    val d = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().take(80)
+      .toSeq.toDF("doc_id", "text")
+    val auto = TextAnalysis.hashedNearDupAutoRadius(d).collect()
+    // 80 docs, targetOcc 8 → nbits = #{j : 80 > 8·2^(j−1)} = 4 →
+    // radius = clamp(round(4/3), 3, 5) = 3 on every row
+    assert(auto.forall(r => r.getAs[Int]("nbits") == 4 &&
+      r.getAs[Int]("radius") == 3), "rule must pick nbits 4 → radius 3")
+    // and the verdicts under the chosen radius are EXACTLY the fixed
+    // radius-3 operator's — the 6-band runtime-radius plan changes the
+    // candidate decomposition, never the pair set
+    val fixed = TextAnalysis.hashedNearDup(d, probeHamming = 3).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_close"),
+        r.getAs[Boolean]("kept"))).toMap
+    assert(auto.map(r => r.getLong(0) -> (r.getAs[Long]("n_close"),
+      r.getAs[Boolean]("kept"))).toMap == fixed,
+      "auto at radius 3 must equal fixed radius 3")
+    // the integer rounding form (2·nbits+3) div 6 IS round(nbits/3):
+    // spot-pin the ladder the measurement used
+    for ((nb, want) <- Seq(6 -> 3, 9 -> 3, 12 -> 4, 13 -> 4, 14 -> 5, 16 -> 5))
+      assert(math.min(5, math.max(3, (2 * nb + 3) / 6)) == want,
+        s"rule at nbits $nb must be $want")
+  }
+
   test("perplexityBuckets: fluent docs land in head, word-soup in tail, all docs bucketed") {
     val ref = docs(10L -> "the quick brown fox jumps over the lazy dog")
     val d = docs(
