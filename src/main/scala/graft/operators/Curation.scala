@@ -459,26 +459,27 @@ object Curation {
       .write.mode("overwrite").parquet(path)
 
   /** COMPACT a DSIR count store: sum-merge accumulated rows to one per
-    * bucket (≤ 4096 rows total), rewriting in place via a localCheckpoint
-    * so the rewrite never reads its own output (the recacheByPath
-    * hazard — the gram-store compaction discipline). Handles both
-    * layouts: the batch store (b, ct, cr) and the streaming store, whose
-    * batch_id tags collapse to the −1 generation sentinel — a sentinel
-    * never equals a live batch id, so the stream's self-exclusion filter
-    * stays correct, but compaction erases replay markers with the
-    * directory, so run it only when the stream is checkpoint-quiesced
-    * (the store-rebuild cadence, like freezing a new cell mask). */
+    * bucket (≤ 4096 rows total), swapping the compacted generation in
+    * atomically ([[graft.streaming.StoreFs.swapInCompacted]] — a crash
+    * never leaves the store empty, and the sibling write never reads its
+    * own output, so no localCheckpoint is needed). Handles both layouts:
+    * the batch store (b, ct, cr) and the streaming store, whose batch_id
+    * tags collapse to the −1 generation sentinel — a sentinel never
+    * equals a live batch id, so the stream's self-exclusion filter stays
+    * correct, but the swap drops replay markers with the old directory,
+    * so run it only when the stream is checkpoint-quiesced (the
+    * store-rebuild cadence, like freezing a new cell mask). */
   def compactDsirStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val df = spark.read.parquet(path)
     val summed = df.groupBy("b")
       .agg(sum("ct").as("ct"), sum("cr").as("cr"))
     val merged =
-      (if (df.columns.contains("batch_id"))
-         summed.select(lit(-1L).as("batch_id"), col("b"), col("ct"), col("cr"))
-       else summed)
-        .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(path)
+      if (df.columns.contains("batch_id"))
+        summed.select(lit(-1L).as("batch_id"), col("b"), col("ct"), col("cr"))
+      else summed
+    graft.streaming.StoreFs.swapInCompacted(spark, path)(
+      merged.write.parquet(_))
   }
 
   /** Incremental DSIR: the estimator over old ∪ batch is recovered by

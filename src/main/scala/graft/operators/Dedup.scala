@@ -205,22 +205,25 @@ object Dedup {
   /** COMPACT the signature store: per-batch appends leave one small
     * parquet file per micro-batch (a year of 5-minute batches is ~10⁵
     * files — the reader's listing/open cost, not row count, is what
-    * grows). Rewrite to a few right-sized files, via a localCheckpoint
-    * so the rewrite never reads its own output (the recacheByPath
-    * hazard — the gram-store discipline). `dropDuplicates` on doc_id
-    * restores the one-row-per-doc invariant defensively (the anti-join
-    * append upholds it in every crash window the specs replay, and
-    * signatures are deterministic functions of the text, so any torn
-    * duplicate would be byte-identical — dropping it is exact). Like
-    * [[graft.operators.Curation.compactDsirStore]], the overwrite erases
-    * replay markers with the directory: run it only when the stream is
-    * checkpoint-quiesced (the store-rebuild cadence). */
+    * grows). Rewrite to a few right-sized files via the atomic sibling
+    * swap ([[graft.streaming.StoreFs.swapInCompacted]]): the live
+    * directory is replaced only after the compacted generation is fully
+    * written, so a crash never leaves the store empty — an empty store
+    * would read as a fresh corpus and silently re-admit duplicates.
+    * (Writing to a sibling also means the rewrite never reads its own
+    * output — the recacheByPath hazard needs no localCheckpoint here.)
+    * `dropDuplicates` on doc_id restores the one-row-per-doc invariant
+    * defensively (the anti-join append upholds it in every crash window
+    * the specs replay, and signatures are deterministic functions of the
+    * text, so any torn duplicate would be byte-identical — dropping it
+    * is exact). Like [[graft.operators.Curation.compactDsirStore]], the
+    * swap drops replay markers with the old directory: run it only when
+    * the stream is checkpoint-quiesced (the store-rebuild cadence). */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
                             path: String): Unit = {
-    val merged = spark.read.parquet(path)
-      .dropDuplicates("doc_id")
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(path)
+    val merged = spark.read.parquet(path).dropDuplicates("doc_id")
+    graft.streaming.StoreFs.swapInCompacted(spark, path)(
+      merged.write.parquet(_))
   }
 
   /** The production incremental flow: only the NEW batch is normalized /
@@ -757,16 +760,18 @@ object Dedup {
   }
 
   /** COMPACT the gram-count store: sum-merge the per-batch rows appends
-    * accumulate into one row per gram, rewriting the store in place (via
-    * a localCheckpoint so the rewrite never reads its own output — the
-    * recacheByPath hazard). Run on the same cadence as any store rebuild:
-    * appends stay cheap and readers pay one extra sum until then. */
+    * accumulate into one row per gram, swapping the compacted generation
+    * in atomically ([[graft.streaming.StoreFs.swapInCompacted]] — a
+    * crash never leaves the store empty, and the sibling write never
+    * reads its own output). Run on the same cadence as any store
+    * rebuild: appends stay cheap and readers pay one extra sum until
+    * then. */
   def compactGramStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val merged = spark.read.parquet(path)
       .groupBy("gh").agg(sum(col("cnt")).as("cnt"))
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(path)
+    graft.streaming.StoreFs.swapInCompacted(spark, path)(
+      merged.write.parquet(_))
   }
 
   /** INCREMENTAL exact-substring dedup — [[exactSubstringSpans]] with the

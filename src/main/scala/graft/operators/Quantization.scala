@@ -382,15 +382,17 @@ object Quantization {
     * deterministic functions of the embedding under the store's FROZEN
     * nbits mask, so any torn duplicate would be byte-identical). The
     * frozen `nbits` column rides through unchanged: compaction is a
-    * file-layout rewrite, never a re-bucket. Like the other stores, the
-    * overwrite erases replay markers with the directory: run only when
-    * the stream is checkpoint-quiesced. */
+    * file-layout rewrite, never a re-bucket. The compacted generation is
+    * swapped in atomically ([[graft.streaming.StoreFs.swapInCompacted]]
+    * — a crash never leaves the store empty, and the sibling write never
+    * reads its own output, so no localCheckpoint is needed). Like the
+    * other stores, the swap drops replay markers with the old directory:
+    * run only when the stream is checkpoint-quiesced. */
   def compactCodeStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
-    val merged = spark.read.parquet(path)
-      .dropDuplicates("vec_id")
-      .localCheckpoint(true)
-    merged.write.mode("overwrite").parquet(path)
+    val merged = spark.read.parquet(path).dropDuplicates("vec_id")
+    graft.streaming.StoreFs.swapInCompacted(spark, path)(
+      merged.write.parquet(_))
   }
 
   /** Incremental semantic dedup — the production cadence: only the NEW

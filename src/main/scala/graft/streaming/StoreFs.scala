@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * lives): replay markers would never be seen, every restart would
   * re-process appended batches, and an overwrite-mode bootstrap would
   * destroy the store it failed to detect. */
-private[streaming] object StoreFs {
+private[graft] object StoreFs {
 
   private def fsAndPath(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -27,6 +27,34 @@ private[streaming] object StoreFs {
   def writeMarker(spark: SparkSession, dir: String, batchId: Long): Unit = {
     val (fs, p) = fsAndPath(spark, dir)
     fs.create(new Path(p, s"_graft_batch_$batchId"), true).close()
+  }
+
+  /** Atomic-swap rewrite of a store directory: `writeTo` materializes
+    * the new generation into a sibling `._compact_tmp` directory; only
+    * after it completes is the live directory renamed aside and the new
+    * one renamed into place, and the old generation is deleted LAST. A
+    * crash mid-`writeTo` leaves the live store untouched (stale tmp is
+    * reclaimed on the next call); a crash between the two renames leaves
+    * a complete copy at `._compact_old` — recoverable by hand — instead
+    * of the in-place overwrite's empty directory, which IncrementalDedup
+    * would silently treat as a fresh corpus and re-admit every
+    * duplicate. Renames are metadata-only on HDFS/local FS; the
+    * store-absent window is two namespace ops, never a data copy. */
+  def swapInCompacted(spark: SparkSession, dir: String)
+                     (writeTo: String => Unit): Unit = {
+    val (fs, p) = fsAndPath(spark, dir)
+    val tmp = new Path(p.getParent, p.getName + "._compact_tmp")
+    val old = new Path(p.getParent, p.getName + "._compact_old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    writeTo(tmp.toString)
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new java.io.IOException(s"compact: could not move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // best-effort restore of the live generation
+      throw new java.io.IOException(s"compact: could not move $tmp into place")
+    }
+    fs.delete(old, true)
   }
 
   /** Does the directory hold a parquet store (data files or _SUCCESS)? */
