@@ -45,15 +45,19 @@ object SemanticDedupStream {
 
   /** Start the streaming semantic dedup. `emb` must be a STREAMING
     * DataFrame with (vec_id, embedding). `onBatch` observes each batch's
-    * decisions (vec_id, cell, n_close, kept). */
+    * decisions (vec_id, cell, n_close, kept). `tauNumSq`/`tauDenSq` are
+    * the τ² basis points of the cross-multiplied cosine test (the
+    * x76/x79 dial — default cos ≥ 0.45; a composed text pipeline over
+    * hashed bag-of-words embeddings wants it tighter). */
   def run(emb: DataFrame, storePath: String, targetOcc: Int, maxBits: Int,
-          dim: Int, checkpoint: String)
+          dim: Int, checkpoint: String, tauNumSq: Long = 2025L,
+          tauDenSq: Long = 10000L)
          (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch.toDF(), batchId, storePath, targetOcc, maxBits,
-          dim, onBatch)
+          dim, onBatch, tauNumSq, tauDenSq)
         ()
       }
       .start()
@@ -61,7 +65,8 @@ object SemanticDedupStream {
   /** One micro-batch step, also callable from batch jobs/tests. */
   def processBatch(batch: DataFrame, batchId: Long, storePath: String,
                    targetOcc: Int, maxBits: Int, dim: Int,
-                   onBatch: (DataFrame, Long) => Unit): Unit = {
+                   onBatch: (DataFrame, Long) => Unit,
+                   tauNumSq: Long = 2025L, tauDenSq: Long = 10000L): Unit = {
     if (batch.isEmpty) return
     val spark = batch.sparkSession
     if (StoreFs.markerExists(spark, storePath, batchId))
@@ -74,9 +79,11 @@ object SemanticDedupStream {
     val raw =
       if (storeExists)
         Quantization.semanticDedupFromStore(
-          batch, spark.read.parquet(storePath), maxBits, dim)
+          batch, spark.read.parquet(storePath), maxBits, dim,
+          tauNumSq, tauDenSq)
       else
-        Quantization.semanticDedupAuto(batch, targetOcc, maxBits, dim)
+        Quantization.semanticDedupAuto(batch, targetOcc, maxBits, dim,
+          tauNumSq, tauDenSq)
     val decisions = graft.core.Caches.scopedCheckpoint(raw.localCheckpoint(true))
     val kept = batch.join(decisions.filter(col("kept"))
       .select("vec_id"), "vec_id")

@@ -109,39 +109,66 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTest {
     // "first seen wins" and "lowest id wins" agree for the planted family
     val dupText = real.take(15).find(d => gatedIds.contains(d._1))
       .getOrElse(fail("no gated doc in the first batch"))._2
+    // SEMANTIC near-dup plant: reverse the words inside every line of a
+    // gated batch-1 doc, keeping the terminal period. Every k-shingle
+    // changes (MinHash Jaccard ≈ 0 → survives the shingle stage) but the
+    // unigram half of the hashed embedding's feature mass is shared
+    // (cos ≈ 0.5 > τ = 0.45 → the code-store stage must catch it).
+    val semSrc = real.take(15).filter(d => gatedIds.contains(d._1))
+      .drop(1).headOption.getOrElse(fail("need 2 gated docs in batch 1"))
+    val semText = semSrc._2.split("\n").map { line =>
+      val body = line.stripSuffix(".")
+      body.split(" ").reverse.mkString(" ") + (if (line.endsWith(".")) "." else "")
+    }.mkString("\n")
     val corpus: Seq[(Long, String)] =
       real.map(d => (d._1, d._2)).toSeq ++
-        Seq(2000L -> dupText, 3000L -> junk, 3001L -> dupText, 3002L -> dupText)
+        Seq(2000L -> dupText, 3000L -> junk, 3001L -> dupText, 3002L -> dupText,
+          3003L -> semText)
     val batches = Seq(corpus.take(15), corpus.slice(15, 30) :+ (2000L -> dupText),
-      corpus.slice(30, 45) ++ Seq(3000L -> junk, 3001L -> dupText, 3002L -> dupText))
+      corpus.slice(30, 45) ++ Seq(3000L -> junk, 3001L -> dupText, 3002L -> dupText,
+        3003L -> semText))
         .map(_.distinct)
-    val store = java.nio.file.Files.createTempDirectory("graft-cstream-").toString + "/sigs"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cstream-").toString
+    val store = tmp + "/sigs"
+    val codeStore = tmp + "/codes"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-cstream-ckpt-").toString
-    val verdicts = scala.collection.mutable.Map.empty[Long, (Int, Int, Int)]
+    val verdicts = scala.collection.mutable.Map.empty[Long, (Int, Int, Int, Int)]
     val input = MemoryStream[(Long, String)]
+    // targetOcc pinned ABOVE the whole corpus count, so the stream's
+    // bootstrap mask and the batch DAG's auto mask both resolve to
+    // autoBits = 0 — the stated stream ≡ batch mask condition
     val q = CurationStream.run(input.toDF().toDF("doc_id", "text"), store,
-      estThreshold = 0.5, lam = lamArr, tau = tau, checkpoint = ckpt) { (dec, _) =>
+      codeStore, estThreshold = 0.5, targetOcc = 256,
+      lam = lamArr, tau = tau, checkpoint = ckpt) { (dec, _) =>
       dec.collect().foreach(r =>
-        verdicts(r.getLong(0)) = (r.getInt(1), r.getInt(2), r.getInt(3)))
+        verdicts(r.getLong(0)) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
     }
     try {
       batches.foreach { b => input.addData(b); q.processAllAvailable() }
     } finally q.stop()
     val batchDag = CurationStream
       .curationBatch(corpus.toDF("doc_id", "text"), estThreshold = 0.5,
-        lam = lamArr, tau = tau)
-      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3)))
+        targetOcc = 256, lam = lamArr, tau = tau)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
       .toMap
     assert(verdicts.toMap == batchDag,
       "stream decisions must equal the batch DAG's on the same corpus")
     val vs = verdicts.values.toSeq
     assert(vs.exists(_._1 == 0), "page/classifier gate must drop something")
     assert(vs.exists(v => v._1 == 1 && v._2 == 1), "dedup must drop something")
-    assert(vs.exists(v => v._1 == 1 && v._2 == 0 && v._3 == 0),
+    assert(vs.exists(v => v._1 == 1 && v._2 == 0 && v._3 == 0 && v._4 == 0),
       "the λ gate must drop a gated, non-duplicate doc")
-    assert(vs.exists(_._3 == 1), "something must survive the whole pipeline")
+    assert(vs.exists(_._4 == 1), "something must survive the whole pipeline")
     assert(verdicts(2000L)._2 == 1, "cross-batch duplicate must be dropped")
     assert(verdicts(3002L)._2 == 1, "in-batch duplicate must be dropped")
+    assert(verdicts(3003L)._2 == 0,
+      "the reversed-word plant must SURVIVE the shingle stage")
+    assert(verdicts(3003L)._3 == 1,
+      "the reversed-word plant must be caught by the semantic stage")
+    // the semantic store grew only with semantic survivors' codes
+    assert(!spark.read.parquet(codeStore).select("vec_id")
+      .collect().map(_.getLong(0)).contains(3003L))
   }
 
   test("a frozen DSIR λ table gates an append-mode stream statelessly") {
