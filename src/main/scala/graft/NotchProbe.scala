@@ -20,11 +20,10 @@ import org.apache.spark.sql.functions._
   *    is what this probe prices.
   *
   * Per measurement one JSON line: wall seconds plus cell-occupancy
-  * stats, and for the recall panel the recall values themselves.
-  * `probeMod` is scaled with the factor so the panel grades a bounded,
-  * constant-size probe set at any corpus size (the graded y06 default
-  * probes ∝ n/125 — a grading cost documented as such; here the probe
-  * count is the controlled variable, the corpus is the treatment).
+  * stats, and for the recall panel the recall values themselves. The
+  * panel's probe set is the graded y06 bound itself (hash-ordered
+  * limit 32): constant-size at any corpus factor, so the probe count is
+  * the controlled variable and the corpus is the treatment.
   *
   * Usage: NotchProbe [factor] [synthDir] [radii] — defaults 100,
   * /tmp/graft-scale-x100, 3 (shares ScaleProbe's synth corpus).
@@ -38,7 +37,7 @@ object NotchProbe {
   }
 
   private def run(spark: SparkSession, docs: DataFrame, maxBits: Int,
-                  probeMod: Long, radii: Seq[Int]): Unit = {
+                  radii: Seq[Int]): Unit = {
     import graft.operators.TextAnalysis
     // cell occupancy under this cap (one pass, reported per setting)
     val occ = TextAnalysis.hashedCells(docs, targetOcc = 8, maxBits = maxBits)
@@ -61,7 +60,7 @@ object NotchProbe {
         TextAnalysis.hashedNearDup(docs, maxBits = maxBits, probeHamming = r))
       graft.core.Caches.releaseAll(); spark.catalog.clearCache()
       val (rec, recSec) = time {
-        TextAnalysis.hashedNearDupRecall(docs, probeMod = probeMod,
+        TextAnalysis.hashedNearDupRecall(docs,
           maxBits = maxBits, radius = r).collect()(0)
       }
       println(f"""{"probe":"notch","max_bits":$maxBits,"radius":$r,"query":"y06_recall","sec":$recSec%.1f,"n_probes":${rec.getAs[Long]("n_probes")},"n_true":${rec.getAs[Long]("n_true")},"recall_single":${rec.getAs[Double]("recall_single")},"recall_multi":${rec.getAs[Double]("recall_multi")}}""")
@@ -82,8 +81,7 @@ object NotchProbe {
     spark.sparkContext.setLogLevel("WARN")
     ScaleProbe.ensureSynth(spark, base, synthDir, factor)
     val docs = spark.read.parquet(s"$synthDir/documents.parquet")
-    val probeMod = 125L * factor // constant probe count at any factor
-    Seq(12, 16).foreach(run(spark, docs, _, probeMod, radii))
+    Seq(12, 16).foreach(run(spark, docs, _, radii))
     spark.stop()
   }
 }

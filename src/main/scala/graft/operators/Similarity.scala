@@ -21,6 +21,25 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Deterministic BOUNDED probe-id set: the `nProbes` corpus members
+    * with the smallest (md5(id), id) — a fixed-size query workload at
+    * any corpus size. The recall panels' brute-force truth side is
+    * probes × corpus, so a corpus-FRACTION probe set (`id % mod`) makes
+    * the grading query itself O(n²/mod) — a scale-killer at 100 TB; with
+    * this bound the truth side is O(nProbes · n), linear. Hash ordering
+    * keeps the set deterministic, spread over the id space, and exactly
+    * oracle-replayable (ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT k).
+    * Returned as a driver-side list — a constant-size TakeOrdered over
+    * ids only (never corpus-proportional, the sanctioned bounded-collect
+    * shape) — so the resulting `isInCollection` predicate survives every
+    * operator's internal projection and pushes into the scan. */
+  def boundedProbeIds(emb: DataFrame, nProbes: Int,
+                      idCol: String = "vec_id"): Seq[Long] =
+    emb.select(col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(nProbes)
+      .collect().map(_.getLong(0)).toSeq
+
   /** For each probe row, the exact top-k cosine neighbors.
     * Output: probe_id, neighbor_id, label, cos (rounded 6). */
   def bruteForceTopK(emb: DataFrame, probePred: Column, k: Int): DataFrame = {
@@ -83,22 +102,28 @@ object Similarity {
   }
 
   /** Multi-probe LSH top-k: like `lshBucketed`, but each probe searches
-    * its own bucket PLUS the nBits buckets at Hamming distance 1 (one
-    * hyperplane sign flipped) — the standard recall lever that does NOT
-    * lower the bit count: near neighbors that fall just across one
-    * hyperplane become reachable, candidate volume grows only
-    * (nBits+1)×probes-side (the corpus is never re-bucketed, and each
-    * corpus vector still lives in exactly one bucket, so no candidate is
-    * produced twice). Recall ≥ single-probe at equal nBits by
-    * construction (probe-set ⊇ {own bucket}); OperatorsSpec measures the
-    * strict improvement. Output: probe_id, neighbor_id, bucket, cos, rk. */
+    * its own bucket PLUS every bucket within Hamming distance `radius`
+    * of it (≤ `radius` hyperplane signs flipped) — the standard recall
+    * lever that does NOT lower the bit count: near neighbors that fall
+    * just across a few hyperplanes become reachable, candidate volume
+    * grows only C(nBits, ≤radius)×probes-side (the corpus is never
+    * re-bucketed, and each corpus vector still lives in exactly one
+    * bucket, so no candidate is produced twice). Recall ≥ single-probe
+    * at equal nBits by construction (probe-set ⊇ {own bucket});
+    * OperatorsSpec measures the strict improvement. radius = 1 is the
+    * classic one-flip form; the x55 panel runs radius 2, which is what
+    * clears the ≥ 0.6 production recall bound on the unbiased
+    * hash-ordered probe set (τ-close pairs disagree on ~0.35·nBits sign
+    * bits in expectation — the same geometry as the hashed-text family's
+    * radius dial). Output: probe_id, neighbor_id, bucket, cos, rk. */
   def lshBucketedMultiProbe(emb: DataFrame, probePred: Column, k: Int,
-                            nBits: Int, dim: Int): DataFrame = {
+                            nBits: Int, dim: Int, radius: Int = 1): DataFrame = {
     val bucketed = emb
       .select(col("vec_id"), col("embedding"),
         lshBucket(col("embedding"), nBits, dim).as("bucket"))
-    val probeBuckets = col("bucket") +:
-      (0 until nBits).map(j => col("bucket").bitwiseXOR(lit(1 << j)))
+    // shared mask enumerator with the hashed-text family (0-mask included)
+    val probeBuckets = TextAnalysis.hammingMasks(nBits, radius)
+      .map(m => col("bucket").bitwiseXOR(lit(m)))
     val probes = bucketed.filter(probePred)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         explode(array(probeBuckets: _*)).as("bucket"))

@@ -460,12 +460,20 @@ object TextAnalysis {
     * baseline number), Hamming ≤ 3 multi-probe 0.84 ≥ the 0.6 production
     * bound. Output: one row — n_probes, n_true, n_single, n_multi,
     * recall_single, recall_multi, recall_ok (multi vs `bound`). */
-  def hashedNearDupRecall(docs: DataFrame, probeMod: Long = 125L,
+  def hashedNearDupRecall(docs: DataFrame, probeCount: Int = 32,
                           tauSqBp: Long = 2025L, targetOcc: Int = 8,
                           maxBits: Int = 12, bound: Double = 0.6,
                           radius: Int = 3): DataFrame = {
     val cells = graft.core.Caches.scoped(hashedCells(docs, targetOcc, maxBits))
-    val probes = cells.filter(col("doc_id") % probeMod === 0L)
+    // BOUNDED deterministic probe set (the Similarity.withBoundedProbeFlag
+    // discipline): the probeCount smallest (md5(doc_id), doc_id) members —
+    // the brute-force truth side stays O(nProbes · n) at any corpus
+    // size, where the earlier `doc_id % mod` fraction made the grading
+    // query itself O(n²/mod).
+    val pids: DataFrame = cells.select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(probeCount)
+    val probes = cells.join(broadcast(pids), Seq("doc_id"))
       .toDF("p_id", "pv", "pn", "p_cell", "p_nbits")
     val close = (c: DataFrame) => c
       .filter(col("p_id") =!= col("doc_id"))

@@ -152,11 +152,32 @@ object SimilarityQueries {
   // recall = one integer hit count / one integer denominator — a single
   // double division, no float aggregation order.
   private val RecallBound = 0.3
+  /** Re-benchmarked regression FLOORS for the WEAK baselines on the
+    * unbiased hash-ordered probe set (x43's single-probe LSH at
+    * nBits = 4 honestly finds ~0.06-0.24 of true top-3 across the graded
+    * SFs; single-cell untrained IVF ~0.18-0.35): the floors pin the
+    * baselines so a bucketing collapse (recall -> 0) still flips the
+    * flag, while the production paths (x55 multiprobe/trained) carry the
+    * >= 0.6 grade. The old %50 probe ids overlapped the %125 centroid
+    * lattice (ids % 250 were probes AND centroids), inflating every
+    * panel's recall — the bounded probe rework re-based all bounds on
+    * unbiased probes. */
+  private val LshFloor = 0.05
+  private val IvfFloor = 0.15
+  /** Bounded deterministic probe set for the recall panels (x43/x55 here,
+    * x88/y06 in their suites): the NProbesBound smallest (md5(id), id)
+    * members — fixed-size truth side at any corpus scale, replayed
+    * identically by Spark (`Similarity.withBoundedProbeFlag`). */
+  private[queries] val NProbesBound = 32
+  private[queries] def pidsCteSql(src: String, idCol: String = "vec_id"): String =
+    s"pids AS (SELECT $idCol FROM $src " +
+      s"ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol LIMIT $NProbesBound)"
   val x43 = Query(
     "x43_ann_recall",
     Some(s"""
       WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 50 = 0),
+      ${pidsCteSql("e")},
+      probes AS (SELECT vec_id AS probe_id, v AS pv FROM e JOIN pids USING (vec_id)),
       np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
       ex_scored AS (
         SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
@@ -167,7 +188,7 @@ object SimilarityQueries {
         FROM ex_scored),
       exact AS (SELECT probe_id, neighbor_id FROM ex_ranked WHERE rk <= 3),
       b AS (SELECT vec_id, v, CAST($bucketSql AS INT) AS bucket FROM e),
-      lp AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b WHERE vec_id % 50 = 0),
+      lp AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b JOIN pids USING (vec_id)),
       lc AS (
         SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
         FROM b a JOIN lp USING (bucket) WHERE a.vec_id <> probe_id),
@@ -186,7 +207,7 @@ object SimilarityQueries {
           SELECT *, row_number() OVER (PARTITION BY vec_id
             ORDER BY a_cos DESC, cent_id) AS arn
           FROM assign) WHERE arn = 1),
-      ip AS (SELECT vec_id AS probe_id, v AS pv, cell FROM cells WHERE vec_id % 50 = 0),
+      ip AS (SELECT vec_id AS probe_id, v AS pv, cell FROM cells JOIN pids USING (vec_id)),
       ic AS (
         SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
         FROM cells a JOIN ip USING (cell) WHERE a.vec_id <> probe_id),
@@ -196,22 +217,28 @@ object SimilarityQueries {
         FROM ic),
       ivf AS (SELECT probe_id, neighbor_id FROM ir WHERE rk <= 3),
       hits AS (
-        SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS total_hits
+        SELECT 'lsh' AS method, CAST(count(*) AS BIGINT) AS total_hits,
+               $LshFloor AS bound
         FROM lsh SEMI JOIN exact USING (probe_id, neighbor_id)
         UNION ALL
-        SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS total_hits
+        SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS total_hits,
+               $IvfFloor AS bound
         FROM ivf SEMI JOIN exact USING (probe_id, neighbor_id))
       SELECT method, n_probes, total_hits,
              CAST(total_hits AS DOUBLE) / (n_probes * 3) AS recall,
-             CASE WHEN CAST(total_hits AS DOUBLE) / (n_probes * 3) >= $RecallBound
+             CASE WHEN CAST(total_hits AS DOUBLE) / (n_probes * 3) >= bound
                   THEN 1 ELSE 0 END AS recall_ok
       FROM hits, np
       ORDER BY method""")
   ) { (s, d) =>
-    Similarity.recallAtK(embeddings(s, d),
-        centPred = col("vec_id") % 125 === 0,
-        probePred = col("vec_id") % 50 === 0,
-        k = 3, nBits = NBits, dim = Dim, bound = RecallBound)
+    val emb = embeddings(s, d)
+    val probePred = col("vec_id").isInCollection(
+      Similarity.boundedProbeIds(emb, NProbesBound))
+    Similarity.recallForMethods(emb, probePred, k = 3, Seq(
+        ("lsh", Similarity.lshBucketed(emb, probePred, k = 3,
+          nBits = NBits, dim = Dim), LshFloor),
+        ("ivf", Similarity.ivfTopK(emb,
+          centPred = col("vec_id") % 125 === 0, probePred, k = 3), IvfFloor)))
       .orderBy("method")
   }
 
@@ -447,7 +474,8 @@ object SimilarityQueries {
   // the flow an ANN user actually runs; x34 remains the untrained
   // skeleton.
   private val NProbeCells = 3
-  private val trainedSearchCtes: String = s"""
+  private def trainedSearchCtesFor(probeCond: String,
+                                   nprobe: Int = NProbeCells): String = s"""
       pa AS (
         SELECT vec_id, vq, cell FROM (
           SELECT vec_id, vq, cent_id AS cell,
@@ -455,12 +483,14 @@ object SimilarityQueries {
                    ORDER BY $cosSql DESC, cent_id) AS rn
           FROM (SELECT e.vec_id, e.vq, c.cent_id, e.vq AS pv, c.cv AS av
                 FROM eq e CROSS JOIN c2 c
-                WHERE e.vec_id % 50 = 0))
-        WHERE rn <= $NProbeCells),
+                WHERE $probeCond))
+        WHERE rn <= $nprobe),
       tprobes AS (SELECT vec_id AS probe_id, vq AS pv, cell FROM pa),
       tcands AS (
         SELECT probe_id, a.vec_id AS neighbor_id, a.cell, a.vq AS av, pv
         FROM a3 a JOIN tprobes USING (cell) WHERE a.vec_id <> probe_id)"""
+  private val trainedSearchCtes: String =
+    trainedSearchCtesFor("e.vec_id % 50 = 0")
   val x54 = Query(
     "x54_ivf_trained",
     Some(s"""
@@ -488,18 +518,26 @@ object SimilarityQueries {
   // TRAINED IVF. The good paths carry the user-grade bound (≥ 0.6): a
   // recall regression in the path a user would actually run now flips a
   // graded flag, not just a weak-baseline one.
-  private val WeakBound = 0.3
   private val TrainedBound = 0.6
   private val MultiProbeBound = 0.6
+  /** Production-path dials retuned for the unbiased probe set: the
+    * trained IVF searches 6 nearest cells (3 was tuned on the correlated
+    * probes and reads 0.50 at sf0.1 on unbiased ones) and the
+    * multi-probe LSH flips up to 2 of the 4 hyperplane signs. */
+  private val PanelNProbeCells = 6
+  private val PanelRadius = 2
   val x55 = Query(
     "x55_ann_recall_trained",
     Some {
-      val probeList = ("bucket" +: (0 until NBits).map(j => s"xor(bucket, ${1 << j})"))
+      val masks = (for (i <- 0 until NBits) yield 1 << i) ++
+        (for (i <- 0 until NBits; j <- i + 1 until NBits) yield (1 << i) | (1 << j))
+      val probeList = ("bucket" +: masks.map(m => s"xor(bucket, $m)"))
         .mkString("[", ", ", "]")
       s"""
       WITH $kmeansCtes,
       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id % 50 = 0),
+      ${pidsCteSql("e")},
+      probes AS (SELECT vec_id AS probe_id, v AS pv FROM e JOIN pids USING (vec_id)),
       np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
       ex_scored AS (
         SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
@@ -510,7 +548,7 @@ object SimilarityQueries {
         FROM ex_scored),
       exact AS (SELECT probe_id, neighbor_id FROM ex_ranked WHERE rk <= 3),
       b AS (SELECT vec_id, v, CAST($bucketSql AS INT) AS bucket FROM e),
-      lp AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b WHERE vec_id % 50 = 0),
+      lp AS (SELECT vec_id AS probe_id, v AS pv, bucket FROM b JOIN pids USING (vec_id)),
       lc AS (
         SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
         FROM b a JOIN lp USING (bucket) WHERE a.vec_id <> probe_id),
@@ -522,7 +560,7 @@ object SimilarityQueries {
       mp AS (
         SELECT vec_id AS probe_id, v AS pv,
                CAST(unnest($probeList) AS INT) AS bucket
-        FROM b WHERE vec_id % 50 = 0),
+        FROM b JOIN pids USING (vec_id)),
       mc AS (
         SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
         FROM b a JOIN mp USING (bucket) WHERE a.vec_id <> probe_id),
@@ -541,7 +579,7 @@ object SimilarityQueries {
           SELECT *, row_number() OVER (PARTITION BY vec_id
             ORDER BY a_cos DESC, cent_id) AS arn
           FROM assign) WHERE arn = 1),
-      ip AS (SELECT vec_id AS probe_id, v AS pv, cell FROM cells WHERE vec_id % 50 = 0),
+      ip AS (SELECT vec_id AS probe_id, v AS pv, cell FROM cells JOIN pids USING (vec_id)),
       ic AS (
         SELECT probe_id, a.vec_id AS neighbor_id, a.v AS av, pv
         FROM cells a JOIN ip USING (cell) WHERE a.vec_id <> probe_id),
@@ -550,7 +588,8 @@ object SimilarityQueries {
           ORDER BY $cosSql DESC, neighbor_id) AS rk
         FROM ic),
       ivf AS (SELECT probe_id, neighbor_id FROM ir WHERE rk <= 3),
-      $trainedSearchCtes,
+      ${trainedSearchCtesFor("e.vec_id IN (SELECT vec_id FROM pids)",
+        PanelNProbeCells)},
       tr AS (
         SELECT probe_id, neighbor_id, ROW_NUMBER() OVER (PARTITION BY probe_id
           ORDER BY $cosSql DESC, neighbor_id) AS rk
@@ -558,13 +597,13 @@ object SimilarityQueries {
       tivf AS (SELECT probe_id, neighbor_id FROM tr WHERE rk <= 3),
       hits AS (
         SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS total_hits,
-               $WeakBound AS bound
+               $IvfFloor AS bound
         FROM ivf SEMI JOIN exact USING (probe_id, neighbor_id)
         UNION ALL
         SELECT 'ivf_trained', CAST(count(*) AS BIGINT), $TrainedBound
         FROM tivf SEMI JOIN exact USING (probe_id, neighbor_id)
         UNION ALL
-        SELECT 'lsh', CAST(count(*) AS BIGINT), $WeakBound
+        SELECT 'lsh', CAST(count(*) AS BIGINT), $LshFloor
         FROM lsh SEMI JOIN exact USING (probe_id, neighbor_id)
         UNION ALL
         SELECT 'lsh_multiprobe', CAST(count(*) AS BIGINT), $MultiProbeBound
@@ -578,17 +617,18 @@ object SimilarityQueries {
     }
   ) { (s, d) =>
     val emb = embeddings(s, d)
-    val probePred = col("vec_id") % 50 === 0
+    val probePred = col("vec_id").isInCollection(
+      Similarity.boundedProbeIds(emb, NProbesBound))
     Similarity.recallForMethods(emb, probePred, k = 3, Seq(
       ("ivf", Similarity.ivfTopK(emb,
-        centPred = col("vec_id") % 125 === 0, probePred, k = 3), WeakBound),
+        centPred = col("vec_id") % 125 === 0, probePred, k = 3), IvfFloor),
       ("ivf_trained", Similarity.ivfTrainedTopK(emb,
         initPred = col("vec_id") % 125 === 0, iters = 2, probePred, k = 3,
-        nProbeCells = NProbeCells), TrainedBound),
+        nProbeCells = PanelNProbeCells), TrainedBound),
       ("lsh", Similarity.lshBucketed(emb, probePred, k = 3,
-        nBits = NBits, dim = Dim), WeakBound),
+        nBits = NBits, dim = Dim), LshFloor),
       ("lsh_multiprobe", Similarity.lshBucketedMultiProbe(emb, probePred, k = 3,
-        nBits = NBits, dim = Dim), MultiProbeBound)))
+        nBits = NBits, dim = Dim, radius = PanelRadius), MultiProbeBound)))
       .orderBy("method")
   }
 
