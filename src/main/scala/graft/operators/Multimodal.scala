@@ -564,6 +564,132 @@ object Multimodal {
     }
   }
 
+  // --- Audio near-duplicate detection (band fingerprint): the audio
+  // analogue of y08's image family. A multimodal corpus re-publishes the
+  // same recording gain-adjusted or DC-re-biased as routinely as it
+  // re-encodes images; a fingerprint built from the GRADIENT SIGNS of
+  // per-band energy and zero-crossing counts is invariant under uniform
+  // gain (E scales by exactly g² in integer arithmetic and sign(g·x) =
+  // sign(x), so every comparison bit is unchanged — the exact-duplicate
+  // family) and moves only a few bits under a small DC offset (the
+  // near-duplicate family the Hamming-banded join recovers). Media scope:
+  // the reference treats payloads as opaque binary + typed metadata
+  // (/root/reference/README.md:18-22); this extends its data plane the
+  // same way y08 does for images.
+
+  final case class WavAud(aud_id: Long, kind: String, wav: Array[Byte])
+  final case class AudHash(aud_id: Long, kind: String, hash_hi: Long,
+                           hash_lo: Long)
+
+  /** id offsets for planted audio variants (disjoint from doc ids, the
+    * image offsets, and ScaleProbe's replica offsets). */
+  val GainOffset = 30000000L
+  val DcShiftOffset = 40000000L
+
+  /** Decode a real WAV, scale every PCM sample by `g`, re-encode — a
+    * REAL gain-adjusted re-publication (full decode → transform → encode
+    * on actual RIFF containers). Fixture samples are within ±1001, so
+    * g = 2 stays far inside 16-bit range: the scaling is exact. */
+  private[operators] def gainWav(wav: Array[Byte], g: Int): Array[Byte] =
+    mapWavSamples(wav, s => (s * g).toShort)
+
+  /** Decode, add `d` to every sample, re-encode — a REAL DC-re-biased
+    * copy (±1001 fixture range keeps `d` = 25 clipping-free). */
+  private[operators] def dcShiftWav(wav: Array[Byte], d: Int): Array[Byte] =
+    mapWavSamples(wav, s => (s + d).toShort)
+
+  private def mapWavSamples(wav: Array[Byte], f: Short => Short): Array[Byte] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    val pcm = ais.readAllBytes()
+    var i = 0
+    while (i + 1 < pcm.length) {
+      val s = f((((pcm(i + 1) & 0xFF) << 8) | (pcm(i) & 0xFF)).toShort)
+      pcm(i) = (s & 0xFF).toByte
+      pcm(i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 2
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Audio corpus with planted near-duplicates: one original per
+    * `doc_id % 5 = 0` fixture, a ×2 GAIN re-encode for `doc_id % 10 = 0`
+    * (fingerprint-identical — the exact-duplicate family) and a +25 DC
+    * offset for `doc_id % 10 = 5` (moves a few gradient bits — the
+    * near-duplicate family). All variants are REAL re-encoded WAV
+    * bytes. */
+  def audioCorpus(docs: DataFrame): Dataset[WavAud] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+      .as[Long].mapPartitions { it =>
+        it.flatMap { id =>
+          val wav = wavBytes(id)
+          val variant =
+            if (id % 10 == 0) WavAud(id + GainOffset, "gain", gainWav(wav, 2))
+            else WavAud(id + DcShiftOffset, "dcshift", dcShiftWav(wav, 25))
+          Iterator(WavAud(id, "orig", wav), variant)
+        }
+      }
+  }
+
+  /** Band fingerprint over DECODED PCM frames: the n samples split into
+    * 32 bands by the integer rule band(i) = i·32 div n (the x50 index
+    * arithmetic family — both engines replay it exactly); per band the
+    * exact energy E = Σx² and the strict zero-crossing count
+    * Z = |{i : x_i·x_{i+1} < 0, both in band}|. 62 gradient-sign bits:
+    * lo bit j = [E_{j+1} > E_j], hi bit j = [Z_{j+1} > Z_j] (j ≤ 30) —
+    * the dHash construction transplanted to audio, gain-invariant by
+    * exact integer scaling. */
+  def audioFingerprint(media: Dataset[WavAud]): Dataset[AudHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.wav))
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        def x(i: Int): Int =
+          (((pcm(2 * i + 1) & 0xFF) << 8) | (pcm(2 * i) & 0xFF)).toShort.toInt
+        val e = new Array[Long](32)
+        val z = new Array[Long](32)
+        var i = 0
+        while (i < n) {
+          val b = (i * 32 / n).toInt
+          val v = x(i).toLong
+          e(b) += v * v
+          if (i + 1 < n && (i + 1) * 32 / n == b && x(i).toLong * x(i + 1) < 0)
+            z(b) += 1
+          i += 1
+        }
+        var hi = 0L
+        var lo = 0L
+        var j = 0
+        while (j < 31) {
+          if (e(j + 1) > e(j)) lo |= 1L << j
+          if (z(j + 1) > z(j)) hi |= 1L << j
+          j += 1
+        }
+        AudHash(m.aud_id, m.kind, hi, lo)
+      }
+    }
+  }
+
+  /** Audio near-dup over band fingerprints — the SAME Hamming-banded
+    * join as [[imageNearDup]] (it is generic over any (id, kind, hi, lo)
+    * hash layout; pigeonhole bands hold for the 62-bit audio packing
+    * too). Output: aud_id, kind, hash_hi, hash_lo, n_dup, kept. */
+  def audioNearDup(hashes: DataFrame, radius: Int = 3): DataFrame =
+    imageNearDup(hashes.withColumnRenamed("aud_id", "img_id"), radius)
+      .withColumnRenamed("img_id", "aud_id")
+
   /** Hamming-banded near-dup over perceptual hashes: the y07 pigeonhole
     * plan applied to images. The 64-bit hash splits into `radius + 1`
     * bands — any pair within Hamming ≤ radius agrees exactly on ≥ 1 band

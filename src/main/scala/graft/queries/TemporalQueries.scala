@@ -242,6 +242,93 @@ object TemporalQueries {
       .orderBy("img_id")
   }
 
+  // --- Y11: audio band-fingerprint near-dup — y08's dedup family for
+  // the audio modality: real WAV corpus with planted GAIN ×2 re-encodes
+  // (fingerprint-identical: energies scale by exactly 4, zero crossings
+  // are sign-invariant, so every gradient bit survives) and +25 DC
+  // offsets (a few band-energy/ZCR comparisons flip — the near-dup
+  // family), the 32-band energy/zero-crossing gradient fingerprint over
+  // DECODED PCM frames, and the same Hamming-banded candidate join as
+  // y08. The oracle replays the whole integer pipeline in closed form —
+  // fixture samples, band(i) = i·32 // n, exact Σx² energies, strict
+  // x·x' < 0 crossings, the same 62-bit packing, brute-force Hamming ≤ 3
+  // — so a stubbed decode, band-index slip, or join bug hash-mismatches.
+  val y11 = Query(
+    "y11_audio_neardup",
+    Some("""
+      WITH sel AS (
+        SELECT doc_id, 64 + doc_id % 128 AS n
+        FROM documents WHERE doc_id % 5 = 0),
+      auds AS (
+        SELECT doc_id AS aud_id, 'orig' AS kind, doc_id AS src,
+               1 AS g, 0 AS dc, n FROM sel
+        UNION ALL
+        SELECT doc_id + 30000000, 'gain', doc_id, 2, 0, n
+        FROM sel WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 40000000, 'dcshift', doc_id, 1, 25, n
+        FROM sel WHERE doc_id % 10 = 5),
+      smp AS (
+        SELECT aud_id, kind, n,
+               unnest(range(0, n)) AS i,
+               g, dc, src
+        FROM auds),
+      xv AS (
+        SELECT aud_id, kind, n, i, CAST(i * 32 // n AS INT) AS band,
+               g * ((src * 7 + i * 13) % 2003 - 1001) + dc AS v
+        FROM smp),
+      en AS (
+        SELECT aud_id, kind, band,
+               CAST(SUM(v * v) AS BIGINT) AS e
+        FROM xv GROUP BY aud_id, kind, band),
+      zc AS (
+        SELECT a.aud_id, a.band, CAST(COUNT(*) AS BIGINT) AS z
+        FROM xv a JOIN xv b
+          ON a.aud_id = b.aud_id AND b.i = a.i + 1 AND b.band = a.band
+        WHERE a.v * b.v < 0
+        GROUP BY a.aud_id, a.band),
+      bands AS (
+        SELECT en.aud_id, en.kind, en.band, en.e,
+               COALESCE(zc.z, 0) AS z
+        FROM en LEFT JOIN zc
+          ON zc.aud_id = en.aud_id AND zc.band = en.band),
+      bits AS (
+        SELECT a.aud_id, a.kind, a.band AS j,
+               CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS ebit,
+               CASE WHEN b.z > a.z THEN 1 ELSE 0 END AS zbit
+        FROM bands a JOIN bands b
+          ON a.aud_id = b.aud_id AND b.band = a.band + 1
+        WHERE a.band < 31),
+      hs AS (
+        SELECT aud_id, kind,
+               CAST(SUM(zbit * (1::BIGINT << j)) AS BIGINT) AS hash_hi,
+               CAST(SUM(ebit * (1::BIGINT << j)) AS BIGINT) AS hash_lo
+        FROM bits GROUP BY aud_id, kind),
+      pairs AS (
+        SELECT a.aud_id AS ai, b.aud_id AS bi
+        FROM hs a JOIN hs b ON a.aud_id < b.aud_id
+        WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+            + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+      nd AS (
+        SELECT aud_id, COUNT(*) AS n_dup
+        FROM (SELECT ai AS aud_id FROM pairs
+              UNION ALL SELECT bi FROM pairs)
+        GROUP BY aud_id),
+      shadowed AS (SELECT DISTINCT bi AS aud_id FROM pairs)
+      SELECT h.aud_id, h.kind, h.hash_hi, h.hash_lo,
+             CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup,
+             (shadowed.aud_id IS NULL) AS kept
+      FROM hs h
+      LEFT JOIN nd ON h.aud_id = nd.aud_id
+      LEFT JOIN shadowed ON h.aud_id = shadowed.aud_id
+      ORDER BY h.aud_id""")
+  ) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.audioNearDup(
+        Multimodal.audioFingerprint(Multimodal.audioCorpus(documents(s, d))).toDF())
+      .orderBy("aud_id")
+  }
+
   // --- X51: REAL audio codec — javax.sound.sampled WAV round-trip:
   // deterministic 16-bit mono PCM encoded into a real RIFF/WAVE
   // container, decoded back (signature + fmt chunk + frame fold); the
@@ -377,5 +464,6 @@ object TemporalQueries {
       .orderBy("user_id")
   }
 
-  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50, x51, x57, y08)
+  val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50, x51, x57, y08,
+    y11)
 }

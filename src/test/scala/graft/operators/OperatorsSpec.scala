@@ -625,4 +625,47 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
     }
     assert(brute.nonEmpty, "fixture must plant at least one duplicate pair")
   }
+
+  test("audio band fingerprint is exactly invariant under x2 gain re-encode") {
+    import spark.implicits._
+    val ids = Seq(10L, 20L, 30L, 40L).toDF("doc_id")
+    val hashes = Multimodal.audioFingerprint(Multimodal.audioCorpus(ids)).collect()
+    val byId = hashes.map(h => h.aud_id -> h).toMap
+    Seq(10L, 20L, 30L, 40L).foreach { id =>
+      val o = byId(id)
+      val g = byId(id + Multimodal.GainOffset)
+      assert(o.hash_hi == g.hash_hi && o.hash_lo == g.hash_lo,
+        s"gain-shifted re-encode of $id must fingerprint identically")
+    }
+  }
+
+  test("audio near-dup: DC-shifted copies move few bits; banded = brute force") {
+    import spark.implicits._
+    val ids = (0L until 200L by 5L).toDF("doc_id")
+    val hashes = Multimodal.audioFingerprint(Multimodal.audioCorpus(ids)).toDF()
+    val rows = hashes.collect().map(r =>
+      (r.getAs[Long]("aud_id"), r.getAs[Long]("hash_hi"), r.getAs[Long]("hash_lo")))
+    val brute = for {
+      (ai, ahi, alo) <- rows; (bi, bhi, blo) <- rows
+      if ai < bi &&
+        java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo) <= 3
+    } yield (ai, bi)
+    val nDup = brute.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val shadowed = brute.map(_._2).toSet
+    val out = Multimodal.audioNearDup(hashes).collect()
+    assert(out.length == rows.length, "one verdict row per clip")
+    out.foreach { r =>
+      val id = r.getAs[Long]("aud_id")
+      assert(r.getAs[Long]("n_dup") == nDup.getOrElse(id, 0L),
+        s"n_dup mismatch for $id")
+      assert(r.getAs[Boolean]("kept") == !shadowed.contains(id),
+        s"kept mismatch for $id")
+    }
+    // most DC-shifted plants must land within the banded radius — the
+    // near-dup family is the point of the fixture
+    val dcPaired = brute.count { case (a, b) =>
+      b >= Multimodal.DcShiftOffset && a == b - Multimodal.DcShiftOffset }
+    assert(dcPaired > 10, s"DC-shift family must mostly pair (got $dcPaired)")
+  }
 }
