@@ -564,6 +564,196 @@ object Multimodal {
     }
   }
 
+  // --- Video keyframe near-duplicate detection: the video member of the
+  // per-modality dedup family (y08 images, y11 audio). A republished
+  // video is the same frames in a repacked container, or the same
+  // container with globally re-graded frames; keyframe dHashes recover
+  // both. Fixture honesty follows the repo's codec discipline: the
+  // container is a REAL ISO-BMFF box tree whose mdat carries raw
+  // (uncompressed) frame rasters — the demux (box walk → mvhd frame
+  // count → tkhd dims → mdat offset) is the real metadata+essence pass
+  // any MP4 pipeline runs, and raw essence needs no codec, so nothing is
+  // stubbed; the per-frame compressed-codec call is exactly the one step
+  // the module doc already scopes out. Closed-form frame pixels let the
+  // oracle replay every hash without seeing bytes.
+
+  final case class VidIn(vid_id: Long, kind: String, mp4: Array[Byte])
+  final case class VidFrameHash(vid_id: Long, kind: String, j: Int,
+                                hash_hi: Long, hash_lo: Long)
+
+  /** id offsets for planted video variants (disjoint from every other
+    * family's). */
+  val RepackOffset = 50000000L
+  val VShiftOffset = 60000000L
+
+  /** Per-frame fixture raster: 18×16 gray, p = (id·31 + f·97 + c·x + y)
+    * mod 256 with the per-video gradient c = 7 + id mod 23 — the image
+    * fixture formula extended with a frame term and a video-specific
+    * x-gradient (a constant shared gradient would make every video's
+    * hash a near-equal wrap pattern and cross-pair the whole corpus). */
+  private val VidW = 18
+  private val VidH = 16
+  private def vidFrames(id: Long): Int = (8 + id % 24).toInt
+
+  /** Real ISO-BMFF bytes whose mdat is the concatenated raw frame
+    * rasters (n_frames × 18×16 bytes), mvhd duration = frame count,
+    * tkhd dims = the raster dims. `pad` prepends an extra free box
+    * before mdat (the repack form: byte layout moves, essence does
+    * not); `shift` adds a global brightness delta to every frame
+    * byte. */
+  private[operators] def vidMp4Bytes(id: Long, pad: Int, shift: Int): Array[Byte] = {
+    val n = vidFrames(id)
+    val ftyp = box("ftyp", fourcc("isom"), u32(0x200), fourcc("isom"), fourcc("iso2"))
+    val mvhd = box("mvhd",
+      u32(0), u32(0), u32(0),
+      u32(24), u32(n.toLong),
+      u32(0x00010000), u16(0x0100), u16(0),
+      u32(0), u32(0),
+      unityMatrix,
+      Array.fill(24)(0.toByte),
+      u32(2L))
+    val trak = box("trak", box("tkhd",
+      u32(7), u32(0), u32(0),
+      u32(1L), u32(0),
+      u32(n.toLong),
+      u32(0), u32(0),
+      u16(0), u16(0), u16(0), u16(0),
+      unityMatrix,
+      u32(VidW.toLong << 16), u32(VidH.toLong << 16)))
+    val essence = new Array[Byte](n * VidW * VidH)
+    var f = 0
+    while (f < n) {
+      var y = 0
+      while (y < VidH) {
+        var x = 0
+        while (x < VidW) {
+          essence(f * VidW * VidH + y * VidW + x) =
+            (((id * 31 + f * 97 + x * (7 + id % 23) + y) % 256 + shift) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    val pre =
+      if (pad > 0) box("free", Array.fill(pad)(0.toByte)) else Array.empty[Byte]
+    ftyp ++ box("moov", mvhd, trak) ++ pre ++ box("mdat", essence)
+  }
+
+  /** Video corpus with planted near-duplicates: one original per
+    * `doc_id % 5 = 0`, a REPACKED container for `doc_id % 10 = 0`
+    * (identical essence behind a shifted mdat offset — keyframe hashes
+    * identical iff the demux actually walks the boxes) and a +9
+    * brightness re-grade for `doc_id % 10 = 5` (a few gradient-wrap
+    * bits per frame — the near-duplicate family). */
+  def videoCorpus(docs: DataFrame): Dataset[VidIn] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+      .as[Long].mapPartitions { it =>
+        it.flatMap { id =>
+          val variant =
+            if (id % 10 == 0)
+              VidIn(id + RepackOffset, "repack", vidMp4Bytes(id, pad = 64, shift = 0))
+            else
+              VidIn(id + VShiftOffset, "shifted", vidMp4Bytes(id, pad = 0, shift = 9))
+          Iterator(VidIn(id, "orig", vidMp4Bytes(id, 0, 0)), variant)
+        }
+      }
+  }
+
+  /** Keyframe dHashes over the DEMUXED essence: walk the real box tree
+    * (mvhd frame count, tkhd dims, mdat payload offset — a hardcoded
+    * offset breaks on the repacked variant, which is the point), sample
+    * `k` frame indices with the [[sampleFrames]] grid ⌊j·n/k⌋, NN-
+    * downsample each raw frame to the 9×8 dHash grid (the x50 index
+    * arithmetic) and pack the 64 gradient-sign bits exactly like
+    * [[dHashPng]]. Output: one row per (video, sampled frame). */
+  def videoKeyframeHashes(media: Dataset[VidIn], k: Int = 4): Dataset[VidFrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val b = m.mp4
+        val meta = parseMp4(b)
+        val (w, h) = (meta.width, meta.height)
+        val n = meta.duration_units.toInt
+        val mdat = walkBoxes(b, 0, b.length)
+          .find(_._1 == "mdat")
+          .getOrElse(sys.error(s"no mdat in video ${m.vid_id}"))._2
+        def px(f: Int, x: Int, y: Int): Int =
+          b(mdat + f * w * h + y * w + x) & 0xFF
+        (0 until k).iterator.map { j =>
+          val f = j * n / k
+          def sample(x: Int, y: Int): Int = px(f, x * w / 9, y * h / 8)
+          var hi = 0L
+          var lo = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (sample(x + 1, y) > sample(x, y)) {
+                if (y < 4) lo |= 1L << (y * 8 + x)
+                else hi |= 1L << ((y - 4) * 8 + x)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          VidFrameHash(m.vid_id, m.kind, j, hi, lo)
+        }
+      }
+    }
+  }
+
+  /** Video near-dup over keyframe hash sets: frame-level Hamming-banded
+    * candidate join (the y08 plan, with the sampled frame position `j`
+    * added to every band key — variants share the sampling grid, so
+    * corresponding keyframes align), framewise Hamming ≤ `radius`, and a
+    * video-level verdict when ≥ `minFrames` of the k sampled frames
+    * match. Never an all-pairs join at either level. Output per video:
+    * vid_id, kind, n_frames_matched ( max over partners), n_dup, kept. */
+  def videoNearDup(hashes: DataFrame, radius: Int = 3,
+                   minFrames: Int = 2): DataFrame = {
+    require(radius == 3, s"radius 3 = 4 clean 16-bit bands; got $radius")
+    val hs = graft.core.Caches.scoped(hashes)
+    val a = hs.select(col("vid_id").as("a_id"), col("j"),
+      col("hash_hi").as("a_hi"), col("hash_lo").as("a_lo"))
+    val b = hs.select(col("vid_id").as("b_id"), col("j"),
+      col("hash_hi").as("b_hi"), col("hash_lo").as("b_lo"))
+    def band(hi: Column, lo: Column, bj: Int): Column =
+      if (bj < 2) shiftright(lo, bj * 16) % 65536
+      else shiftright(hi, (bj - 2) * 16) % 65536
+    val bandJoins = (0 until 4).map { bj =>
+      val aj = a.withColumn("bk", band(col("a_hi"), col("a_lo"), bj))
+      val bjd = b.withColumn("bk", band(col("b_hi"), col("b_lo"), bj))
+      aj.join(bjd.hint("shuffle_hash"), Seq("bk", "j"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(expr("bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)")
+          <= lit(radius))
+        .filter(if (bj == 0) lit(true)
+          else (0 until bj).map(kk =>
+            band(expr("a_hi ^ b_hi"), expr("a_lo ^ b_lo"), kk) =!= 0L)
+            .reduce(_ && _))
+        .select("a_id", "b_id", "j")
+    }
+    val framePairs = bandJoins.reduce(_.unionByName(_))
+    val vidPairs = framePairs.groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_frames_matched"))
+      .filter(col("n_frames_matched") >= minFrames)
+    val nDup = vidPairs
+      .select(explode(array(col("a_id"), col("b_id"))).as("vid_id"))
+      .groupBy("vid_id").agg(count(lit(1)).as("n_dup"))
+    val shadowed = vidPairs.select(col("b_id").as("vid_id")).distinct()
+      .withColumn("sh", lit(1))
+    hs.groupBy("vid_id", "kind").agg(count(lit(1)).as("n_keyframes"))
+      .join(nDup, Seq("vid_id"), "left")
+      .join(shadowed, Seq("vid_id"), "left")
+      .select(col("vid_id"), col("kind"), col("n_keyframes"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        col("sh").isNull.as("kept"))
+  }
+
   // --- Audio near-duplicate detection (band fingerprint): the audio
   // analogue of y08's image family. A multimodal corpus re-publishes the
   // same recording gain-adjusted or DC-re-biased as routinely as it

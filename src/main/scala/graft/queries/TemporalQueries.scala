@@ -329,6 +329,88 @@ object TemporalQueries {
       .orderBy("aud_id")
   }
 
+  // --- Y13: video keyframe near-dup — the third modality of the dedup
+  // family (y08 images, y11 audio): real ISO-BMFF containers whose mdat
+  // carries raw frame essence, planted REPACKED copies (identical frames
+  // behind a shifted mdat offset — hash-identical iff the demux really
+  // walks the boxes) and +9 brightness re-grades (a few gradient bits
+  // per frame), dHash per sampled keyframe (the x33 ⌊j·n/k⌋ grid), and a
+  // frame-level Hamming-banded join rolled up to a video verdict when
+  // ≥ 2 of the 4 keyframes match. The oracle replays pixels (per-video
+  // x-gradient 7 + src % 23 — the hash-diversity term), the sampling
+  // grid (w = 18, h = 16 ⇒ the 9×8 NN downsample reads exactly (2x, 2y)),
+  // bit packing, framewise Hamming ≤ 3 and the ≥ 2-frame rollup in
+  // closed form.
+  val y13 = Query(
+    "y13_video_neardup",
+    Some("""
+      WITH sel AS (
+        SELECT doc_id, 8 + doc_id % 24 AS n
+        FROM documents WHERE doc_id % 5 = 0),
+      vids AS (
+        SELECT doc_id AS vid_id, 'orig' AS kind, doc_id AS src,
+               0 AS shift, n FROM sel
+        UNION ALL
+        SELECT doc_id + 50000000, 'repack', doc_id, 0, n
+        FROM sel WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 60000000, 'shifted', doc_id, 9, n
+        FROM sel WHERE doc_id % 10 = 5),
+      kf AS (
+        SELECT vid_id, kind, src, shift, n,
+               CAST(j AS INT) AS j, CAST(j * n // 4 AS INT) AS f
+        FROM vids, (SELECT unnest(range(0, 4)) AS j)),
+      xs AS (SELECT *, unnest(range(0, 9)) AS x FROM kf),
+      g AS (SELECT *, unnest(range(0, 8)) AS y FROM xs),
+      px AS (
+        SELECT vid_id, kind, j, x, y,
+               (src * 31 + f * 97 + 2 * (7 + src % 23) * x + 2 * y + shift) % 256 AS v
+        FROM g),
+      bits AS (
+        SELECT a.vid_id, a.kind, a.j, a.x, a.y,
+               CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        FROM px a JOIN px b
+          ON a.vid_id = b.vid_id AND a.j = b.j
+         AND b.x = a.x + 1 AND b.y = a.y
+        WHERE a.x < 8),
+      hs AS (
+        SELECT vid_id, kind, j,
+               CAST(SUM(CASE WHEN y >= 4
+                 THEN bit * (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END)
+                 AS BIGINT) AS hash_hi,
+               CAST(SUM(CASE WHEN y < 4
+                 THEN bit * (1::BIGINT << (y * 8 + x)) ELSE 0 END)
+                 AS BIGINT) AS hash_lo
+        FROM bits GROUP BY vid_id, kind, j),
+      fpairs AS (
+        SELECT a.vid_id AS ai, b.vid_id AS bi, a.j
+        FROM hs a JOIN hs b ON a.vid_id < b.vid_id AND a.j = b.j
+        WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+            + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3),
+      vpairs AS (
+        SELECT ai, bi, COUNT(*) AS nf
+        FROM fpairs GROUP BY ai, bi HAVING COUNT(*) >= 2),
+      nd AS (
+        SELECT vid_id, COUNT(*) AS n_dup
+        FROM (SELECT ai AS vid_id FROM vpairs
+              UNION ALL SELECT bi FROM vpairs)
+        GROUP BY vid_id),
+      shadowed AS (SELECT DISTINCT bi AS vid_id FROM vpairs)
+      SELECT v.vid_id, v.kind, CAST(4 AS BIGINT) AS n_keyframes,
+             CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup,
+             (shadowed.vid_id IS NULL) AS kept
+      FROM vids v
+      LEFT JOIN nd ON v.vid_id = nd.vid_id
+      LEFT JOIN shadowed ON v.vid_id = shadowed.vid_id
+      ORDER BY v.vid_id""")
+  ) { (s, d) =>
+    import graft.operators.Multimodal
+    Multimodal.videoNearDup(
+        Multimodal.videoKeyframeHashes(Multimodal.videoCorpus(documents(s, d)))
+          .toDF())
+      .orderBy("vid_id")
+  }
+
   // --- X51: REAL audio codec — javax.sound.sampled WAV round-trip:
   // deterministic 16-bit mono PCM encoded into a real RIFF/WAVE
   // container, decoded back (signature + fmt chunk + frame fold); the
@@ -465,5 +547,5 @@ object TemporalQueries {
   }
 
   val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50, x51, x57, y08,
-    y11)
+    y11, y13)
 }

@@ -668,4 +668,50 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       b >= Multimodal.DcShiftOffset && a == b - Multimodal.DcShiftOffset }
     assert(dcPaired > 10, s"DC-shift family must mostly pair (got $dcPaired)")
   }
+
+  test("video keyframe hashes are identical across a container repack") {
+    import spark.implicits._
+    val ids = Seq(10L, 20L, 30L, 40L).toDF("doc_id")
+    val hashes = Multimodal.videoKeyframeHashes(Multimodal.videoCorpus(ids))
+      .collect()
+    val byKey = hashes.map(h => (h.vid_id, h.j) -> ((h.hash_hi, h.hash_lo))).toMap
+    for (id <- Seq(10L, 20L, 30L, 40L); j <- 0 until 4)
+      assert(byKey((id, j)) == byKey((id + Multimodal.RepackOffset, j)),
+        s"repacked container of $id frame $j must hash identically " +
+          "(the demux must find mdat behind the moved offset)")
+  }
+
+  test("video near-dup: banded rollup equals brute-force >=2-frame rule") {
+    import spark.implicits._
+    val ids = (0L until 200L by 5L).toDF("doc_id")
+    val hashes = Multimodal.videoKeyframeHashes(Multimodal.videoCorpus(ids)).toDF()
+    val rows = hashes.collect().map(r =>
+      (r.getAs[Long]("vid_id"), r.getAs[Int]("j"),
+        r.getAs[Long]("hash_hi"), r.getAs[Long]("hash_lo")))
+    val framePairs = for {
+      (ai, aj, ahi, alo) <- rows; (bi, bj, bhi, blo) <- rows
+      if ai < bi && aj == bj &&
+        java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo) <= 3
+    } yield (ai, bi)
+    // .toSeq BEFORE collect: Map.collect yielding tuples rebuilds a Map
+    // keyed by a_id, silently collapsing a video's partner set to one
+    val vidPairs = framePairs.groupBy(identity).toSeq
+      .collect { case (p, hits) if hits.size >= 2 => p }
+    val nDup = vidPairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val shadowed = vidPairs.map(_._2).toSet
+    val out = Multimodal.videoNearDup(hashes).collect()
+    assert(out.length == rows.map(_._1).distinct.length, "one verdict per video")
+    out.foreach { r =>
+      val id = r.getAs[Long]("vid_id")
+      assert(r.getAs[Long]("n_dup") == nDup.getOrElse(id, 0L),
+        s"n_dup mismatch for $id")
+      assert(r.getAs[Boolean]("kept") == !shadowed.contains(id),
+        s"kept mismatch for $id")
+    }
+    val repackPaired = vidPairs.count { case (a, b) =>
+      b >= Multimodal.RepackOffset && b < Multimodal.VShiftOffset &&
+        a == b - Multimodal.RepackOffset }
+    assert(repackPaired == 20, s"every repack must pair (got $repackPaired)")
+  }
 }
