@@ -302,18 +302,26 @@ object TextAnalysis {
     * probes — so every measurement grades the identical cell geometry.
     * Output: (doc_id, vec, nsq, cell, nbits). */
   private[graft] def hashedCells(docs: DataFrame, targetOcc: Int = 8,
-                                 maxBits: Int = 12): DataFrame = {
+                                 maxBits: Int = 12,
+                                 capOfCount: Option[Column => Column] = None)
+      : DataFrame = {
     import graft.functions.VectorFunctions
     val v = hashedEmbedding(docs)
     val n = v.agg(count(lit(1)).as("__n"))
-    val nbits = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
-    v.crossJoin(broadcast(n))
+    val raw = VectorFunctions.autoBits(col("__n"), targetOcc, maxBits)
+    // capOfCount: an optional RUNTIME bit-count cap derived from the same
+    // 1-row count broadcast (the y12 notch-promotion dial) — the static
+    // maxBits stays the hyperplane enumeration bound, the cap only masks.
+    val nbits = capOfCount.map(c => least(raw, c(col("__n")))).getOrElse(raw)
+    val base = v.crossJoin(broadcast(n))
       .withColumn("nbits", nbits)
       .withColumn("cell", (0 until maxBits).map(j =>
         when(lit(j) < nbits && element_at(col("vec"), j + 1) >= 0L,
           lit(1 << j)).otherwise(lit(0))).reduce(_ + _))
-      .select(col("doc_id"), col("vec"), col("norm_sq").as("nsq"),
-        col("cell"), col("nbits"))
+    val cols = Seq(col("doc_id"), col("vec"), col("norm_sq").as("nsq"),
+      col("cell"), col("nbits")) ++
+      capOfCount.map(c => c(col("__n")).as("cap"))
+    base.select(cols: _*)
   }
 
   /** Pigeonhole-banded candidate pairs within Hamming ≤ `radiusCol` of
@@ -443,6 +451,56 @@ object TextAnalysis {
     cells.select("doc_id", "cell", "nbits", "radius")
       .join(close, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cell"), col("nbits"), col("radius"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        (coalesce(col("n_close"), lit(0L)) === 0L).as("kept"))
+  }
+
+  /** [[hashedNearDupAutoRadius]] with the maxBits NOTCH PROMOTION as a
+    * second integer dial from the SAME 1-row count broadcast: the
+    * standing cap `lowCap` = 12 (4096 cells) holds expected occupancy ≤
+    * targetOcc only while n ≤ targetOcc·2^lowCap; past that the capped
+    * cell space saturates and occupancy grows linearly again — the
+    * regime NotchProbe measured at the 50k corpus (occ 16.3 vs 10.3,
+    * every wall 1.3–1.6× higher than the promoted cap; SCALE.md "the
+    * maxBits notch"). The rule: cap = highCap iff n > targetOcc·2^lowCap
+    * else lowCap — one integer comparison, no driver scalar, replayed
+    * bit-for-bit by the oracle. Hyperplanes are enumerated statically at
+    * `highCap` and masked by the runtime bit count (the lshBucketMasked
+    * discipline), so BOTH regimes run one plan shape; the radius dial
+    * (y10's clamp((2·nbits+3)/6, 3, 5)) then tracks the promoted bit
+    * count — at the notch, promotion raises nbits, which raises the
+    * radius the rule picks, which the 6 pigeonhole bands already cover.
+    * Output: doc_id, cell, cap, nbits, radius, n_close, kept. */
+  def hashedNearDupAutoCap(docs: DataFrame, tauSqBp: Long = 2025L,
+                           targetOcc: Int = 8, lowCap: Int = 12,
+                           highCap: Int = 16, maxRadius: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions
+    require(lowCap < highCap && highCap <= 32,
+      s"lowCap < highCap <= 32 required, got $lowCap/$highCap")
+    require(3 <= maxRadius && maxRadius <= 5,
+      s"3 ≤ maxRadius ≤ 5 supported, got $maxRadius")
+    val capOfN = (n: Column) =>
+      when(n > (targetOcc.toLong << lowCap), highCap).otherwise(lowCap)
+    val cells = graft.core.Caches.scoped(
+      hashedCells(docs, targetOcc, highCap, Some(capOfN))
+        .withColumn("radius", least(lit(maxRadius),
+          greatest(lit(3), expr("(2 * nbits + 3) div 6"))).cast("int")))
+    val a = cells.select(col("doc_id").as("a_id"), col("vec").as("va"),
+      col("nsq").as("na"), col("cell").as("a_cell"),
+      col("nbits").as("a_nbits"), col("radius").as("a_radius"))
+    val b = cells.select(col("doc_id").as("b_id"), col("vec").as("vb"),
+      col("nsq").as("nb"), col("cell").as("b_cell"),
+      col("nbits").as("b_nbits"), col("radius").as("b_radius"))
+    val pairs = bandedCellPairs(a, b, maxRadius + 1, col("a_radius"))
+    val close = pairs
+      .withColumn("dot", VectorFunctions.dotLong(col("va"), col("vb")))
+      .filter(col("dot") > 0L && tauSqTest(col("dot"), lit(tauSqBp),
+        col("na"), col("nb")))
+      .groupBy(col("b_id").as("doc_id")).agg(count(lit(1)).as("n_close"))
+    cells.select("doc_id", "cell", "cap", "nbits", "radius")
+      .join(close, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cell"), col("cap"), col("nbits"),
+        col("radius"),
         coalesce(col("n_close"), lit(0L)).as("n_close"),
         (coalesce(col("n_close"), lit(0L)) === 0L).as("kept"))
   }

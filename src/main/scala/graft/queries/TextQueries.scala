@@ -866,6 +866,77 @@ object TextQueries {
     TextAnalysis.hashedNearDupAutoRadius(documents(s, d)).orderBy("doc_id")
   }
 
+  // --- Y12: maxBits NOTCH-PROMOTION near-dup — the second production
+  // dial measured by NotchProbe (SCALE.md "the maxBits notch"): the
+  // standing 12-bit cap saturates once n > targetOcc·2^12 = 32768 and
+  // occupancy grows linearly again; the promotion rule caps the bit
+  // count at 16 past that threshold — one integer comparison on the same
+  // 1-row count broadcast as nbits and the y10 radius. This query grades
+  // the RULE: cap, nbits and radius ride in the output, and the oracle
+  // replays raw autoBits at 16, LEAST with the promoted cap, the radius
+  // clamp, and the brute-force Hamming ≤ radius pair set. At sf0.01 the
+  // corpus sits below the notch (cap 12, nbits 6), so verdicts coincide
+  // with y10's — what is graded beyond y10 is the promotion dial itself;
+  // NotchProbe measures the promoted regime at the 50k corpus.
+  private val hashCellSql16: String =
+    (0 until 16).map(j =>
+      s"(CASE WHEN $j < nbits AND vec[${j + 1}] >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+  val y12 = Query(
+    "y12_hash_neardup_autocap",
+    Some(s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      w AS (SELECT doc_id, string_split(norm, ' ') AS ws FROM n),
+      f AS (SELECT doc_id, list_concat(ws,
+              list_transform(range(1, len(ws)),
+                j -> array_to_string(ws[j:j+1], ' '))) AS fs
+            FROM w),
+      sx AS (SELECT doc_id, unnest(fs) AS t FROM f),
+      sg AS (SELECT doc_id,
+               ${graft.functions.TextFunctions.md5BucketSql("t")} % 64 AS b,
+               CASE WHEN (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)
+                      >= 8 THEN 1 ELSE -1 END AS s
+             FROM sx),
+      cells AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+                FROM sg GROUP BY doc_id, b),
+      dv AS (SELECT d.doc_id, r.j, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+             FROM (SELECT doc_id FROM n) d
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r
+             LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = r.j),
+      vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id),
+      cnt AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM n),
+      nb AS (SELECT CAST(CASE WHEN cnt > 32768 THEN 16 ELSE 12 END AS INT) AS cap,
+               CAST(LEAST(${SimilarityQueries.nbitsSqlFor(8, 16)},
+                 CASE WHEN cnt > 32768 THEN 16 ELSE 12 END) AS INT) AS nbits
+             FROM cnt),
+      rb AS (SELECT cap, nbits,
+               CAST(LEAST(5, GREATEST(3, (2 * nbits + 3) // 6)) AS INT) AS radius
+             FROM nb),
+      vn AS (SELECT doc_id, vec,
+               CAST(list_aggregate(list_transform(vec, x -> x * x), 'sum')
+                 AS BIGINT) AS nsq
+             FROM vecs),
+      ce AS (SELECT doc_id, vec, nsq, CAST($hashCellSql16 AS INT) AS cell,
+               cap, nbits, radius
+             FROM vn, rb),
+      pr AS (SELECT a.doc_id AS a2, b.doc_id AS b2,
+               CAST(list_aggregate(list_transform(range(1, 65),
+                 j -> a.vec[j] * b.vec[j]), 'sum') AS BIGINT) AS dot,
+               a.nsq AS na, b.nsq AS nb2
+             FROM ce a JOIN ce b ON a.doc_id < b.doc_id
+               AND bit_count(xor(a.cell, b.cell)) <= a.radius),
+      cl AS (SELECT b2 AS doc_id, CAST(count(*) AS BIGINT) AS n_close
+             FROM pr WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 10000 >= CAST(2025 AS HUGEINT) * na * nb2
+             GROUP BY b2)
+      SELECT ce.doc_id, ce.cell, ce.cap, ce.nbits, ce.radius,
+             CAST(COALESCE(cl.n_close, 0) AS BIGINT) AS n_close,
+             COALESCE(cl.n_close, 0) = 0 AS kept
+      FROM ce LEFT JOIN cl ON cl.doc_id = ce.doc_id
+      ORDER BY ce.doc_id""")
+  ) { (s, d) =>
+    TextAnalysis.hashedNearDupAutoCap(documents(s, d)).orderBy("doc_id")
+  }
+
   val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78, x89,
-    x96, x97, x98, y03, y04, y05, y06, y07, y10)
+    x96, x97, x98, y03, y04, y05, y06, y07, y10, y12)
 }

@@ -725,6 +725,56 @@ class CurationSpec extends AnyFunSuite with SparkTest {
         s"rule at nbits $nb must be $want")
   }
 
+  test("auto-cap near-dup: notch promotion fires on the count rule, both regimes exact") {
+    import spark.implicits._
+    val d = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().take(80)
+      .toSeq.toDF("doc_id", "text")
+    // 80 docs with scaled-down dials (targetOcc 1, lowCap 3, highCap 5):
+    // the notch threshold is 1·2^3 = 8 < 80, so the cap PROMOTES to 5 and
+    // nbits = min(#{j ≤ 5 : 80 > 2^(j−1)}, 5) = 5; the radius rule gives
+    // clamp((2·5+3) div 6, 3, 5) = 3
+    val promoted = TextAnalysis.hashedNearDupAutoCap(d,
+      targetOcc = 1, lowCap = 3, highCap = 5).collect()
+    assert(promoted.forall(r => r.getAs[Int]("cap") == 5 &&
+      r.getAs[Int]("nbits") == 5 && r.getAs[Int]("radius") == 3),
+      "80 docs past the scaled notch must promote to cap 5, nbits 5")
+    // below the notch (targetOcc 8, lowCap 12: threshold 32768) the same
+    // corpus keeps the standing cap and the verdicts coincide with the
+    // y10 auto-radius operator's — the promotion dial is a no-op there
+    val below = TextAnalysis.hashedNearDupAutoCap(d).collect()
+    assert(below.forall(r => r.getAs[Int]("cap") == 12 &&
+      r.getAs[Int]("nbits") == 4 && r.getAs[Int]("radius") == 3),
+      "below the notch the cap must stay 12, nbits 4")
+    val auto = TextAnalysis.hashedNearDupAutoRadius(d).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_close"),
+        r.getAs[Boolean]("kept"))).toMap
+    assert(below.map(r => r.getLong(0) -> (r.getAs[Long]("n_close"),
+      r.getAs[Boolean]("kept"))).toMap == auto,
+      "below the notch auto-cap verdicts must equal auto-radius verdicts")
+    // promoted-regime verdicts equal brute force over the 5-bit cells:
+    // the banded runtime-radius plan changes decomposition, never pairs
+    val cells = promoted.map(r => (r.getLong(0), r.getAs[Int]("cell"))).toMap
+    val embNorm = TextAnalysis.hashedEmbedding(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toArray, r.getAs[Long]("norm_sq")))).toMap
+    def tauClose(a: Long, b: Long): Boolean = {
+      val (va, na) = embNorm(a); val (vb, nb) = embNorm(b)
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      dot > 0 && BigInt(dot) * BigInt(dot) * 10000 >= BigInt(2025) * BigInt(na) * BigInt(nb)
+    }
+    val ids = cells.keys.toSeq.sorted
+    val bruteClose = (for {
+      a <- ids; b <- ids
+      if a < b && java.lang.Integer.bitCount(cells(a) ^ cells(b)) <= 3 &&
+        tauClose(a, b)
+    } yield b).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    promoted.foreach { r =>
+      assert(r.getAs[Long]("n_close") == bruteClose.getOrElse(r.getLong(0), 0L),
+        s"promoted-regime n_close mismatch for ${r.getLong(0)}")
+    }
+  }
+
   test("perplexityBuckets: fluent docs land in head, word-soup in tail, all docs bucketed") {
     val ref = docs(10L -> "the quick brown fox jumps over the lazy dog")
     val d = docs(
