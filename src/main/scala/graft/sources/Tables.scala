@@ -27,10 +27,21 @@ object Tables {
     * a µs timestamp here (matches DuckDB's µs compare, SURVEY §7.5). */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) fixture flavor: surfaced as long via the
+      // nanosAsLong legacy conf, truncated to µs here.
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      // µs isAdjustedToUTC=false fixture flavor (round-8 regeneration):
+      // Spark infers TIMESTAMP_NTZ, which unix_micros/window arithmetic
+      // reject. The cast interprets the wall-clock value in the session
+      // time zone — pinned to UTC by Engine.configure — so the resulting
+      // instants carry the SAME microsecond values DuckDB sees reading
+      // the column naively; oracle parity is unchanged.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

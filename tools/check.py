@@ -19,6 +19,17 @@ def main(sfdir, outdir):
     import os
     names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
     n_pass = n_fail = n_weak = 0
+    # A declared query with no dump means graft.Verify FAILED it (it logs
+    # the error and moves on): silently comparing only the dirs present
+    # turns a broken query into a smaller-but-green report. Only flag
+    # when the dump looks unfiltered (a filtered Verify run dumps a
+    # deliberate subset — don't fail those).
+    declared = set(oracle)
+    if len(names) >= len(declared) - len(declared) // 10:
+        for name in sorted(declared - set(names)):
+            print(f"  FAIL {name}: declared in oracle_sql.json but not dumped "
+                  "(graft.Verify failed it — see its stderr)")
+            n_fail += 1
     for name in names:
         spark_df = pd.read_parquet(f"{outdir}/{name}")
         if name not in oracle:
