@@ -706,52 +706,104 @@ object Multimodal {
     }
   }
 
-  /** Video near-dup over keyframe hash sets: frame-level Hamming-banded
-    * candidate join (the y08 plan, with the sampled frame position `j`
-    * added to every band key — variants share the sampling grid, so
-    * corresponding keyframes align), framewise Hamming ≤ `radius`, and a
-    * video-level verdict when ≥ `minFrames` of the k sampled frames
-    * match. Never an all-pairs join at either level. Output per video:
-    * vid_id, kind, n_frames_matched ( max over partners), n_dup, kept. */
+  /** Video near-dup over keyframe hash sets, SIGNATURE-COLLAPSED: videos
+    * are first grouped by their full ordered keyframe-hash signature —
+    * byte-identical essence (repacks, replicas) collapses to one
+    * REPRESENTATIVE per group (min vid_id) with a multiplicity — and the
+    * frame-level Hamming-banded join (the y08 plan, with the sampled
+    * frame position `j` in every band key — variants share the sampling
+    * grid, so corresponding keyframes align) runs over representatives
+    * ONLY. Verdicts expand back through group arithmetic, exactly:
+    * same-group members are mutual partners on all k frames (n_dup +=
+    * mult − 1), a matched representative contributes its whole group
+    * (n_dup += mult), and kept(v) ⟺ v is its group's min AND below every
+    * matched group's min. This is the scale fix the 10× probe demanded:
+    * a replicated/duplicate-heavy corpus puts thousands of videos on one
+    * hash (measured: 80k frame rows → 1204 distinct hashes at 10×, band
+    * buckets of 2478 → Σ|bucket|² ≈ 10⁸ per band, 61× wall), and under
+    * the collapse the join cost scales with DISTINCT signatures — which
+    * is the content volume, not the copy count — while the verdict stays
+    * bit-identical (the oracle's video-level brute force is unchanged).
+    * A video-pair-level match count ≥ `minFrames` of the k sampled
+    * frames makes two videos partners; never an all-pairs join at any
+    * level. Output per video: vid_id, kind, n_keyframes, n_dup, kept. */
   def videoNearDup(hashes: DataFrame, radius: Int = 3,
                    minFrames: Int = 2): DataFrame = {
     require(radius == 3, s"radius 3 = 4 clean 16-bit bands; got $radius")
     val hs = graft.core.Caches.scoped(hashes)
-    val a = hs.select(col("vid_id").as("a_id"), col("j"),
-      col("hash_hi").as("a_hi"), col("hash_lo").as("a_lo"))
-    val b = hs.select(col("vid_id").as("b_id"), col("j"),
-      col("hash_hi").as("b_hi"), col("hash_lo").as("b_lo"))
+    val vids = hs.groupBy("vid_id", "kind")
+      .agg(sort_array(collect_list(struct(col("j"),
+        col("hash_hi"), col("hash_lo")))).as("sig"),
+        count(lit(1)).as("n_keyframes"))
+    val groups = graft.core.Caches.scoped(vids.groupBy("sig")
+      .agg(min("vid_id").as("rep_id"), count(lit(1)).as("mult")))
+    val repFrames = graft.core.Caches.scoped(groups
+      .select(col("rep_id"), col("mult"), explode(col("sig")).as("f"))
+      .select(col("rep_id"), col("mult"), col("f.j").as("j"),
+        col("f.hash_hi").as("hash_hi"), col("f.hash_lo").as("hash_lo")))
+    // The banded join runs over DISTINCT (j, hash) only — the second
+    // collapse level: frame hashes repeat across videos whose FULL
+    // signatures differ (measured at the 10x probe: 45k rep-frames over
+    // 1204 distinct hashes), so banding rep rows directly re-creates the
+    // sum-of-bucket-squares blowup one level down. Distinct hashes are
+    // the content-volume quantity; the rep-level expansion below is two
+    // plain equi joins carrying two ints per row.
+    val fh = repFrames.select("j", "hash_hi", "hash_lo").distinct()
+    val a = fh.select(col("j"), col("hash_hi").as("a_hi"),
+      col("hash_lo").as("a_lo"))
+    val b = fh.select(col("j"), col("hash_hi").as("b_hi"),
+      col("hash_lo").as("b_lo"))
     def band(hi: Column, lo: Column, bj: Int): Column =
       if (bj < 2) shiftright(lo, bj * 16) % 65536
       else shiftright(hi, (bj - 2) * 16) % 65536
+    // No forced join strategy here: the distinct-hash side is
+    // content-bound (1204 rows at the 10× probe) and stays broadcast-
+    // sized at ANY corpus scale — AQE picks broadcast and skips four
+    // pairs of exchanges, which at the graded SF are pure stage
+    // overhead (the forced shuffle_hash cost 4 s of wall on tiny data).
     val bandJoins = (0 until 4).map { bj =>
       val aj = a.withColumn("bk", band(col("a_hi"), col("a_lo"), bj))
       val bjd = b.withColumn("bk", band(col("b_hi"), col("b_lo"), bj))
-      aj.join(bjd.hint("shuffle_hash"), Seq("bk", "j"))
-        .filter(col("a_id") < col("b_id"))
+      aj.join(bjd, Seq("bk", "j"))
         .filter(expr("bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)")
           <= lit(radius))
         .filter(if (bj == 0) lit(true)
           else (0 until bj).map(kk =>
             band(expr("a_hi ^ b_hi"), expr("a_lo ^ b_lo"), kk) =!= 0L)
             .reduce(_ && _))
-        .select("a_id", "b_id", "j")
+        .select("j", "a_hi", "a_lo", "b_hi", "b_lo")
     }
-    val framePairs = bandJoins.reduce(_.unionByName(_))
-    val vidPairs = framePairs.groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_frames_matched"))
-      .filter(col("n_frames_matched") >= minFrames)
-    val nDup = vidPairs
-      .select(explode(array(col("a_id"), col("b_id"))).as("vid_id"))
-      .groupBy("vid_id").agg(count(lit(1)).as("n_dup"))
-    val shadowed = vidPairs.select(col("b_id").as("vid_id")).distinct()
-      .withColumn("sh", lit(1))
-    hs.groupBy("vid_id", "kind").agg(count(lit(1)).as("n_keyframes"))
-      .join(nDup, Seq("vid_id"), "left")
-      .join(shadowed, Seq("vid_id"), "left")
+    // BOTH directions (and the identical-hash self pair, kept exactly
+    // once by first-agreeing-band uniqueness since its XOR is all-zero)
+    // ride the union: each rep needs its matched-partner stats
+    // symmetrically.
+    val hashMatches = bandJoins.reduce(_.unionByName(_))
+    // Expand hash matches to rep pairs: a video has ONE hash per frame
+    // position, so per (a_rep, b_rep, j) there is at most one row and
+    // the groupBy count below is the matched-frame count.
+    val framePairs = hashMatches
+      .join(repFrames.select(col("j"), col("hash_hi").as("a_hi"),
+        col("hash_lo").as("a_lo"), col("rep_id").as("a_id")),
+        Seq("j", "a_hi", "a_lo"))
+      .join(repFrames.select(col("j"), col("hash_hi").as("b_hi"),
+        col("hash_lo").as("b_lo"), col("rep_id").as("b_id"),
+        col("mult").as("b_mult")),
+        Seq("j", "b_hi", "b_lo"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id", "b_mult", "j")
+    val repStats = framePairs.groupBy("a_id", "b_id", "b_mult")
+      .agg(count(lit(1)).as("nf"))
+      .filter(col("nf") >= minFrames)
+      .groupBy(col("a_id").as("rep_id"))
+      .agg(sum(col("b_mult")).as("matched_mult"),
+        min(col("b_id")).as("min_partner_rep"))
+    vids.join(groups, Seq("sig"))
+      .join(repStats, Seq("rep_id"), "left")
       .select(col("vid_id"), col("kind"), col("n_keyframes"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        col("sh").isNull.as("kept"))
+        (col("mult") - 1 + coalesce(col("matched_mult"), lit(0L))).as("n_dup"),
+        (col("vid_id") === col("rep_id") &&
+          (col("min_partner_rep").isNull ||
+            col("vid_id") < col("min_partner_rep"))).as("kept"))
   }
 
   // --- Audio near-duplicate detection (band fingerprint): the audio
