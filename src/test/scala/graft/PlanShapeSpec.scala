@@ -467,6 +467,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
+  test("y12 auto-cap near-dup: banded shape, cap and radius from the count broadcast") {
+    val p = plan("y12_hash_neardup_autocap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
+    assert(!p.contains("mask"), s"mask explode resurfaced:\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("y11 audio near-dup: banded candidate join, no all-pairs, no window") {
+    val p = plan("y11_audio_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("y13 video near-dup: signature-collapsed equi joins only, no all-pairs") {
+    val p = plan("y13_video_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
+  }
+
   test("y02 cluster quota: TopKPerKey caps cells; the residual window sees survivors only") {
     val p = plan("y02_cluster_quota")
     assert(!p.contains("CartesianProduct"), p)
