@@ -947,36 +947,60 @@ object Multimodal {
   def imageNearDup(hashes: DataFrame, radius: Int = 3): DataFrame = {
     require(radius == 3, s"radius 3 = 4 clean 16-bit bands; got $radius")
     val hs = graft.core.Caches.scoped(hashes)
-    val a = hs.select(col("img_id").as("a_id"), col("hash_hi").as("a_hi"),
-      col("hash_lo").as("a_lo"))
-    val b = hs.select(col("img_id").as("b_id"), col("hash_hi").as("b_hi"),
-      col("hash_lo").as("b_lo"))
+    // HASH-COLLAPSED (the y13 two-level discipline, one level here since
+    // an image's signature IS its single hash): identical-hash images —
+    // re-encodes, replicas, true copies — fold to one representative
+    // (min id) with a multiplicity, the banded join runs over DISTINCT
+    // hashes only (the content-volume quantity), and verdicts expand
+    // back through exact group arithmetic: same-hash members are mutual
+    // partners (n_dup += mult − 1), a matched hash contributes its whole
+    // group (n_dup += mult), kept(v) ⟺ v is its group's min AND below
+    // every matched group's min. Identical output to the direct pairwise
+    // form (the oracle's brute force is unchanged); the join cost stops
+    // scaling with the copy count.
+    val groups = graft.core.Caches.scoped(hs.groupBy("hash_hi", "hash_lo")
+      .agg(min("img_id").as("rep_id"), count(lit(1)).as("mult")))
+    val a = groups.select(col("hash_hi").as("a_hi"), col("hash_lo").as("a_lo"))
+    val b = groups.select(col("hash_hi").as("b_hi"), col("hash_lo").as("b_lo"))
     // band j of (hi, lo): 16-bit slices — j 0/1 from lo, 2/3 from hi
     def band(hi: Column, lo: Column, j: Int): Column =
       if (j < 2) shiftright(lo, j * 16) % 65536
       else shiftright(hi, (j - 2) * 16) % 65536
+    // no forced join strategy: the distinct-hash side stays broadcast-
+    // sized at any corpus scale (AQE decides — the y13 lesson)
     val bandJoins = (0 until 4).map { j =>
       val aj = a.withColumn("bk", band(col("a_hi"), col("a_lo"), j))
       val bj = b.withColumn("bk", band(col("b_hi"), col("b_lo"), j))
-      aj.join(bj.hint("shuffle_hash"), Seq("bk"))
-        .filter(col("a_id") < col("b_id"))
+      aj.join(bj, Seq("bk"))
         .filter(expr("bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)")
           <= lit(radius))
+        // distinct-DIFFERENT hashes only: the self pair (XOR all-zero)
+        // is the within-group family, handled by mult arithmetic below
+        .filter(col("a_hi") =!= col("b_hi") || col("a_lo") =!= col("b_lo"))
         .filter(if (j == 0) lit(true)
           else (0 until j).map(k =>
             band(expr("a_hi ^ b_hi"), expr("a_lo ^ b_lo"), k) =!= 0L)
             .reduce(_ && _))
-        .select("a_id", "b_id")
+        .select("a_hi", "a_lo", "b_hi", "b_lo")
     }
-    val pairs = bandJoins.reduce(_.unionByName(_))
-    val nDup = pairs.select(explode(array(col("a_id"), col("b_id"))).as("img_id"))
-      .groupBy("img_id").agg(count(lit(1)).as("n_dup"))
-    val shadowed = pairs.select(col("b_id").as("img_id")).distinct()
-      .withColumn("sh", lit(1))
-    hs.join(nDup, Seq("img_id"), "left")
-      .join(shadowed, Seq("img_id"), "left")
+    // both directions ride the union (each group needs its partner stats
+    // symmetrically; per-(h1,h2) uniqueness holds per direction)
+    val hashMatches = bandJoins.reduce(_.unionByName(_))
+    val matchStats = hashMatches
+      .join(groups.select(col("hash_hi").as("a_hi"), col("hash_lo").as("a_lo"),
+        col("rep_id")), Seq("a_hi", "a_lo"))
+      .join(groups.select(col("hash_hi").as("b_hi"), col("hash_lo").as("b_lo"),
+        col("rep_id").as("b_rep"), col("mult").as("b_mult")),
+        Seq("b_hi", "b_lo"))
+      .groupBy("rep_id")
+      .agg(sum(col("b_mult")).as("matched_mult"),
+        min(col("b_rep")).as("min_partner_rep"))
+    hs.join(groups, Seq("hash_hi", "hash_lo"))
+      .join(matchStats, Seq("rep_id"), "left")
       .select(col("img_id"), col("kind"), col("hash_hi"), col("hash_lo"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        col("sh").isNull.as("kept"))
+        (col("mult") - 1 + coalesce(col("matched_mult"), lit(0L))).as("n_dup"),
+        (col("img_id") === col("rep_id") &&
+          (col("min_partner_rep").isNull ||
+            col("img_id") < col("min_partner_rep"))).as("kept"))
   }
 }

@@ -477,13 +477,12 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
-  test("y11 audio near-dup: banded candidate join, no all-pairs, no window") {
+  test("y11 audio near-dup: hash-collapsed equi joins only, no all-pairs") {
     val p = plan("y11_audio_neardup")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
-    assert(p.contains("ShuffledHashJoin"), p)
   }
 
   test("y13 video near-dup: signature-collapsed equi joins only, no all-pairs") {
