@@ -62,6 +62,20 @@ object ScaleProbe {
     }
     embReps.reduce(_ unionAll _).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
+    // events: per-replica user/event id offsets — every replica user owns
+    // the ORIGINAL user's exact event series (same ts, same type mix), so
+    // per-key as-of/session structure is preserved while the key space
+    // grows ×factor (which is how real event stores grow: more users, not
+    // longer per-user histories).
+    val ev = graft.sources.Tables.events(spark, base)
+    val evReps = (0 until factor).map { r =>
+      ev.select(
+        (col("event_id") + lit(r * 100000000L)).as("event_id"),
+        (col("user_id") + lit(r * 1000000L)).as("user_id"),
+        col("event_type"), col("ts"), col("value"), col("props"))
+    }
+    evReps.reduce(_ unionAll _).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
   }
 
   /** Synthesize the isomorphic ×factor corpus at `out` unless an
@@ -69,7 +83,7 @@ object ScaleProbe {
     * [[NotchProbe]] so every probe measures the same synthetic corpus. */
   private[graft] def ensureSynth(spark: SparkSession, base: String,
                                  out: String, factor: Int): Unit = {
-    val params = s"factor=$factor base=$base"
+    val params = s"factor=$factor base=$base tables=docs,emb,events"
     val marker = new java.io.File(out, "_graft_params")
     if (!marker.exists() ||
         new String(java.nio.file.Files.readAllBytes(marker.toPath)) != params) {

@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => DotLong(children(0), children(1))))
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

@@ -478,6 +478,75 @@ object TemporalQueries {
       .orderBy("purchase_id")
   }
 
+  // --- Y14: the SAME as-of semantics through the custom Catalyst
+  // operator (AsOfJoinPlan → AsOfJoinExec, SURVEY §4 item 3): sorted
+  // merge over two key-Exchanges — each side shuffles only its own
+  // columns, no null-padded union row ever exists, and the merge holds
+  // O(1) state instead of a window frame. Producing x11's exact rows
+  // through a disjoint physical plan is the cross-check.
+  val y14 = Query(
+    "y14_asof_custom",
+    Some("""
+      WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id AS click_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase')
+      SELECT purchase_id, p.user_id, click_id,
+             date_diff('microsecond', cts, pts) AS gap_us
+      FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.pts > c.cts
+      ORDER BY purchase_id""")
+  ) { (s, d) =>
+    import graft.plans.AsOf
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    // Strict (`allowExact = false`) matches the oracle's `p.pts > c.cts`;
+    // click_id tiebreak makes equal-ts candidates deterministic (the
+    // fixture has unique per-user ts, but the operator must not rely on
+    // that — x11's own caveat).
+    AsOf.join(purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightTieBreak = Seq("click_id"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("ts_r"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  // --- Y15: tolerance-bounded LEFT OUTER as-of — every purchase keeps a
+  // row; the click attaches only when it happened within 24 h. Tolerance
+  // is monotone in the as-of candidate (the latest prior click has the
+  // smallest gap), so the oracle can post-filter a plain ASOF LEFT JOIN;
+  // the custom exec applies the bound inside the merge.
+  val y15 = Query(
+    "y15_asof_tolerance",
+    Some("""
+      WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, event_id AS click_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, event_id AS purchase_id
+            FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT purchase_id, p.user_id AS user_id, click_id,
+                   date_diff('microsecond', cts, pts) AS gap_us
+            FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pts > c.cts)
+      SELECT purchase_id, user_id,
+             CASE WHEN gap_us <= 86400000000 THEN click_id END AS click_id,
+             CASE WHEN gap_us <= 86400000000 THEN gap_us END AS gap_us
+      FROM j ORDER BY purchase_id""")
+  ) { (s, d) =>
+    import graft.plans.AsOf
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    AsOf.join(purchases, clicks, Seq("user_id"), "ts", "ts",
+        toleranceUs = Some(86400000000L), outer = true,
+        rightTieBreak = Seq("click_id"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("ts_r"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   // --- X12: range (theta) join against a banded dimension
   val x12 = Query(
     "x12_range_join",
@@ -547,5 +616,5 @@ object TemporalQueries {
   }
 
   val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50, x51, x57, y08,
-    y11, y13)
+    y11, y13, y14, y15)
 }

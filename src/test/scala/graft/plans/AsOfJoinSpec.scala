@@ -1,0 +1,109 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** The custom AsOfJoinExec must agree with a brute-force oracle across
+  * inner/outer, strict/exact, and tolerance variants, handle nulls with
+  * SQL key semantics, and plan as two key-Exchanges feeding one merge —
+  * no WindowExec, no Union. */
+class AsOfJoinSpec extends AnyFunSuite with SparkTest {
+
+  // Duplicate keys AND duplicate timestamps on both sides; rv unique so
+  // the tiebreak is total.
+  private lazy val (leftDf, rightDf, leftRows, rightRows) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val l = (1 to 4000).map(i => (rnd.nextInt(31), rnd.nextInt(997).toLong, i.toLong))
+    val r = (1 to 2500).map(i => (rnd.nextInt(31), rnd.nextInt(997).toLong, 100000L + i))
+    (l.toDF("k", "t", "lv").repartition(7),
+     r.toDF("k", "t", "rv").repartition(5), l, r)
+  }
+
+  /** Driver-side oracle: latest right row per left row; ties → max rv. */
+  private def expected(exact: Boolean, tolUs: Option[Long])
+      : Map[Long, Option[Long]] =
+    leftRows.map { case (lk, lt, lv) =>
+      val cand = rightRows.filter { case (rk, rt, _) =>
+        rk == lk && (if (exact) rt <= lt else rt < lt) &&
+          tolUs.forall(tol => lt - rt <= tol)
+      }
+      lv -> (if (cand.isEmpty) None
+             else Some(cand.maxBy(c => (c._2, c._3))._3))
+    }.toMap
+
+  private def got(df: DataFrame): Map[Long, Option[Long]] =
+    df.select("lv", "rv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+
+  test("inner strict as-of matches brute force") {
+    val j = AsOf.join(leftDf, rightDf, Seq("k"), "t", "t",
+      rightTieBreak = Seq("rv"))
+    assert(got(j) == expected(exact = false, None).filter(_._2.isDefined))
+  }
+
+  test("allowExact admits equal timestamps") {
+    val j = AsOf.join(leftDf, rightDf, Seq("k"), "t", "t",
+      allowExact = true, rightTieBreak = Seq("rv"))
+    assert(got(j) == expected(exact = true, None).filter(_._2.isDefined))
+  }
+
+  test("left outer pads unmatched rows with nulls") {
+    val j = AsOf.join(leftDf, rightDf, Seq("k"), "t", "t",
+      outer = true, rightTieBreak = Seq("rv"))
+    assert(j.count() == leftRows.size)
+    assert(got(j) == expected(exact = false, None))
+  }
+
+  test("tolerance bounds the gap (outer)") {
+    val j = AsOf.join(leftDf, rightDf, Seq("k"), "t", "t",
+      toleranceUs = Some(25L), outer = true, rightTieBreak = Seq("rv"))
+    assert(got(j) == expected(exact = false, Some(25L)))
+  }
+
+  test("null keys and times never match; outer keeps the left row") {
+    import spark.implicits._
+    val l = Seq((Some(1), Some(10L), 1L), (None, Some(10L), 2L),
+      (Some(1), None, 3L)).toDF("k", "t", "lv")
+    val r = Seq((Some(1), Some(5L), 9L), (None, Some(1L), 8L),
+      (Some(1), None, 7L)).toDF("k", "t", "rv")
+    val inner = AsOf.join(l, r, Seq("k"), "t", "t")
+    assert(got(inner) == Map(1L -> Some(9L)))
+    val outer = AsOf.join(l, r, Seq("k"), "t", "t", outer = true)
+    assert(got(outer) == Map(1L -> Some(9L), 2L -> None, 3L -> None))
+  }
+
+  test("colliding right columns are suffixed; timestamps normalize to micros") {
+    import spark.implicits._
+    val l = Seq((1, "2024-01-01 00:00:10", 1L)).toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = Seq((1, "2024-01-01 00:00:04", 2L)).toDF("k", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val j = AsOf.join(l, r, Seq("k"), "ts", "ts")
+    assert(j.columns.toSeq == Seq("k", "ts", "v", "k_r", "ts_r", "v_r"))
+    val row = j.select(unix_micros(col("ts")) - unix_micros(col("ts_r"))).head()
+    assert(row.getLong(0) == 6000000L)
+  }
+
+  test("plans as one merge over two key exchanges — no window, no union") {
+    val plan = AsOf.join(leftDf, rightDf, Seq("k"), "t", "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Union"), plan)
+    assert("Exchange hashpartitioning\\(k".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("merge preserves the left side's partitioning for downstream reuse") {
+    // groupBy on the join key directly above the as-of join must not
+    // re-shuffle: the exec declares outputPartitioning = left's.
+    val agg = AsOf.join(leftDf, rightDf, Seq("k"), "t", "t")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(k".r.findAllIn(plan).size == 2,
+      s"expected no extra exchange above the merge:\n$plan")
+  }
+}
