@@ -507,4 +507,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     // population counts join back as a broadcast (≤ |cells| rows)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("y14/y15 as-of plans through the custom merge: no window, no union, two key exchanges") {
+    for (q <- Seq("y14_asof_custom", "y15_asof_tolerance")) {
+      val p = plan(q)
+      assert(p.contains("AsOfJoin"), s"$q must plan through AsOfJoinExec:\n$p")
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("Union"), p)
+      // one hash exchange per side, each carrying only that side's columns
+      assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 2, p)
+    }
+  }
 }
