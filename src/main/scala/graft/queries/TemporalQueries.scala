@@ -547,6 +547,58 @@ object TemporalQueries {
       .orderBy("purchase_id")
   }
 
+  // --- Y16: interval overlap join — view windows (48 h) × click windows
+  // (24 h) per user. The scale-safe shape for interval×interval (neither
+  // side broadcastable at 100 TB, unlike x12's 4-row banded dim): each
+  // interval explodes into the ≤3 coarse 24 h time buckets it covers, the
+  // join is equi on (user_id, bucket), and each qualifying pair is kept
+  // exactly ONCE via the canonical-bucket trick — the row survives only
+  // in bucket max(⌊vlo/B⌋, ⌊clo/B⌋), the first bucket the two intervals
+  // share — so no pair-dedup shuffle ever runs. Candidate volume is
+  // Σ per-bucket |views|·|clicks| per user: bounded by the bucket width
+  // (the skew lever), never |views|·|clicks| per user.
+  val y16 = Query(
+    "y16_interval_join",
+    Some("""
+      WITH v AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS vlo,
+                        epoch_us(CAST(ts AS TIMESTAMP)) + 172800000000 AS vhi
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS clo,
+                   epoch_us(CAST(ts AS TIMESTAMP)) + 86400000000 AS chi
+            FROM events WHERE event_type = 'click'),
+      p AS (SELECT v.user_id AS user_id,
+                   least(vhi, chi) - greatest(vlo, clo) AS ov
+            FROM v JOIN c ON v.user_id = c.user_id
+                         AND vlo <= chi AND clo <= vhi)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(ov) AS BIGINT) AS overlap_us,
+             CAST(MAX(ov) AS BIGINT) AS max_overlap_us
+      FROM p GROUP BY user_id ORDER BY user_id""")
+  ) { (s, d) =>
+    val B = 86400000000L // 24 h bucket width, µs
+    val ev = events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts")).as("vlo"),
+        (unix_micros(col("ts")) + lit(172800000000L)).as("vhi"))
+      .withColumn("b", explode(sequence(floor(col("vlo") / B).cast("long"),
+        floor(col("vhi") / B).cast("long"))))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("clo"),
+        (unix_micros(col("ts")) + lit(86400000000L)).as("chi"))
+      .withColumn("b", explode(sequence(floor(col("clo") / B).cast("long"),
+        floor(col("chi") / B).cast("long"))))
+    v.join(c, Seq("user_id", "b"))
+      .filter(col("vlo") <= col("chi") && col("clo") <= col("vhi") &&
+        col("b") === greatest(floor(col("vlo") / B).cast("long"),
+          floor(col("clo") / B).cast("long")))
+      .select(col("user_id"),
+        (least(col("vhi"), col("chi")) - greatest(col("vlo"), col("clo"))).as("ov"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), sum("ov").as("overlap_us"),
+        max("ov").as("max_overlap_us"))
+      .orderBy("user_id")
+  }
+
   // --- X12: range (theta) join against a banded dimension
   val x12 = Query(
     "x12_range_join",
@@ -616,5 +668,5 @@ object TemporalQueries {
   }
 
   val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50, x51, x57, y08,
-    y11, y13, y14, y15)
+    y11, y13, y14, y15, y16)
 }

@@ -508,6 +508,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("y16 interval join: banded equi-join, no all-pairs, no pair-dedup exchange") {
+    val p = plan("y16_interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    // canonical-bucket uniqueness replaces dropDuplicates: no distinct-
+    // aggregate exchange may exist between the join and the final groupBy
+    assert("HashAggregate".r.findAllIn(p).size <= 4,
+      s"expected only the partial+final user_id aggregate (plus AQE splits):\n$p")
+  }
+
   test("y14/y15 as-of plans through the custom merge: no window, no union, two key exchanges") {
     for (q <- Seq("y14_asof_custom", "y15_asof_tolerance")) {
       val p = plan(q)
