@@ -23,9 +23,11 @@ import graft.functions.TextFunctions._
   * and the final score is rounded to 6 on both sides. */
 object Retrieval {
 
-  /** BM25 top-k docs per query term. Output: term, doc_id, tf, score, rk. */
-  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** All (term, doc) BM25 scores for the query terms — the shared scoring
+    * pass behind [[bm25TopK]] and [[hybridRrf]]. Output: term, doc_id,
+    * tf, score (rounded-6 double). */
+  private[operators] def bm25Scores(docs: DataFrame, terms: Seq[String],
+                                    k1: Double, b: Double): DataFrame = {
     val p = docs
       .withColumn("ws", words(normText(col("text"))))
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
@@ -41,7 +43,7 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
     // df = rows per term in tf (one row per matching doc)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf
+    tf
       .join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("idf", round(
@@ -53,11 +55,72 @@ object Retrieval {
         col("idf") * (col("tf") * lit(k1 + 1.0))
           / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
       .select(col("term"), col("doc_id"), col("tf"), col("score"))
+  }
+
+  /** BM25 top-k docs per query term. Output: term, doc_id, tf, score, rk. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25Scores(docs, terms, k1, b)
     val topk = graft.plans.TopK.perKey(scored, Seq(scored("term")),
       Seq(scored("score").desc, scored("doc_id")), k)
     val w = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
     topk.withColumn("rk", row_number().over(w))
       .select("term", "doc_id", "tf", "score", "rk")
+  }
+
+  /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion:
+    * RRF(d) = Σ_lists 1/(C + rank_list(d)) over the doc's ranks in the
+    * BM25 list and the embedding-dot list (C = 60, the Cormack/Clarke/
+    * Buettcher constant).
+    *
+    * Determinism discipline: per-doc lexical mass is the INTEGER sum of
+    * micro-unit term scores (⌊score·10⁶ + ½⌋ — aggregation-order-proof,
+    * the imp_mu pattern); the semantic score is the exact BIGINT dot of
+    * hashed embeddings ([[graft.operators.TextAnalysis.hashedEmbedding]])
+    * against the probe doc's vector via the codegen'd `graft_dot_long`;
+    * ranks are integers, and the final score is two IEEE divisions added
+    * in fixed order — bit-identical cross-engine.
+    *
+    * Scale shape: both scoring passes are corpus-linear (term-pruned
+    * explode; 1-row probe-vector broadcast); each list is cut to
+    * `kList` by distributed TakeOrdered (never a global sort of the
+    * corpus) and ranked by a window over those kList rows; the fusion
+    * join touches ≤ 2·kList rows. Per-query cost is two scans + two
+    * bounded top-ks — the many-query generalization keys every step by
+    * query_id and swaps TakeOrdered for TopKPerKey.
+    *
+    * Output: doc_id, lex_rk, sem_rk (null = absent from that list),
+    * rrf (rounded-6 double), rk — top `kOut` fused docs. */
+  def hybridRrf(docs: DataFrame, terms: Seq[String], probeDocId: Long,
+                kList: Int = 50, kOut: Int = 20,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lex = bm25Scores(docs, terms, k1, b)
+      .groupBy("doc_id")
+      .agg(sum(floor(col("score") * 1e6 + 0.5).cast("long")).as("lex_int"))
+      .orderBy(col("lex_int").desc, col("doc_id")).limit(kList)
+      .withColumn("lex_rk", row_number().over(
+        Window.orderBy(col("lex_int").desc, col("doc_id"))))
+      .select("doc_id", "lex_rk")
+    val vecs = graft.operators.TextAnalysis.hashedEmbedding(docs)
+      .select(col("doc_id"), col("vec"))
+    val probe = vecs.filter(col("doc_id") === probeDocId)
+      .select(col("vec").as("qvec"))
+    val sem = vecs.filter(col("doc_id") =!= probeDocId)
+      .crossJoin(broadcast(probe))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.dotLong(col("vec"), col("qvec")).as("dot"))
+      .orderBy(col("dot").desc, col("doc_id")).limit(kList)
+      .withColumn("sem_rk", row_number().over(
+        Window.orderBy(col("dot").desc, col("doc_id"))))
+      .select("doc_id", "sem_rk")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("sem_rk")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(kOut)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rk"), col("sem_rk"), col("rrf"), col("rk"))
   }
 
   /** Overlapping fixed-size token chunks — the RAG/embedding ingestion

@@ -47,6 +47,79 @@ object RetrievalQueries {
       .orderBy("term", "rk")
   }
 
+  // --- Y17: HYBRID RETRIEVAL (BM25 ⊕ embedding) fused by Reciprocal
+  // Rank Fusion — the production shape for corpus search: lexical and
+  // semantic lists each cut to 50 by distributed top-k, fused on ranks
+  // alone (1/(60+rk) per list). Every rank input is an exact integer
+  // (micro-unit BM25 mass; BIGINT hashed-embedding dot vs the probe
+  // doc), so the only floats in the output are two IEEE divisions added
+  // in fixed order.
+  private val ProbeDoc = 42L
+
+  val y17 = Query(
+    "y17_hybrid_rrf",
+    Some(s"""
+      WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      p AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avgdl
+            FROM p),
+      tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(ws) AS term FROM p)
+             WHERE term IN $termsSql GROUP BY term, doc_id, dl),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      sc AS (SELECT t.term, t.doc_id, t.tf,
+               ROUND(ROUND(ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+                 * (t.tf * ${K1 + 1.0})
+                 / (t.tf + $K1 * (${1.0 - B} + $B * t.dl / g.avgdl)), 6) AS score
+             FROM tf t JOIN df f USING (term) CROSS JOIN g),
+      lexdoc AS (SELECT doc_id,
+                   CAST(SUM(CAST(floor(score * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS lex_int
+                 FROM sc GROUP BY doc_id),
+      lexr AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY lex_int DESC, doc_id) AS INT)
+                   AS lex_rk
+               FROM lexdoc QUALIFY lex_rk <= 50),
+      fe AS (SELECT doc_id, list_concat(ws,
+               list_transform(range(1, len(ws)),
+                 j -> array_to_string(ws[j:j+1], ' '))) AS fs
+             FROM w),
+      sx AS (SELECT doc_id, unnest(fs) AS t FROM fe),
+      sg AS (SELECT doc_id,
+               ${graft.functions.TextFunctions.md5BucketSql("t")} % 64 AS b,
+               CASE WHEN (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)
+                      >= 8 THEN 1 ELSE -1 END AS s
+             FROM sx),
+      cells AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+                FROM sg GROUP BY doc_id, b),
+      dv AS (SELECT d.doc_id, r.j, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+             FROM (SELECT doc_id FROM w) d
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r
+             LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = r.j),
+      vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id),
+      q AS (SELECT vec AS qvec FROM vecs WHERE doc_id = $ProbeDoc),
+      dots AS (SELECT v.doc_id,
+                 CAST(list_aggregate(list_transform(range(1, 65),
+                   j -> v.vec[j] * q.qvec[j]), 'sum') AS BIGINT) AS dot
+               FROM vecs v CROSS JOIN q WHERE v.doc_id <> $ProbeDoc),
+      semr AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY dot DESC, doc_id) AS INT)
+                   AS sem_rk
+               FROM dots QUALIFY sem_rk <= 50),
+      fuse AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                 l.lex_rk, s.sem_rk,
+                 ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rk), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + s.sem_rk), 0), 6) AS rrf
+               FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+      SELECT doc_id, lex_rk, sem_rk, rrf,
+             CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rk
+      FROM fuse QUALIFY rk <= 20 ORDER BY rk""")
+  ) { (s, d) =>
+    Retrieval.hybridRrf(documents(s, d), Terms, ProbeDoc,
+      kList = 50, kOut = 20, k1 = K1, b = B)
+  }
+
   // --- X67/X68: int8 quantization. Shared oracle CTEs lift vectors to
   // integer micro-units, derive the per-vector integer scale, and code
   // via one IEEE-deterministic double division.
@@ -586,5 +659,5 @@ object RetrievalQueries {
   }
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90)
+    x90, y17)
 }

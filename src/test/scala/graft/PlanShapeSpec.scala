@@ -519,6 +519,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
       s"expected only the partial+final user_id aggregate (plus AQE splits):\n$p")
   }
 
+  test("y17 hybrid RRF: distributed top-k cuts, windows only over the cut lists") {
+    val p = plan("y17_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // both rank lists cut by TakeOrdered (never a global corpus sort) …
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // … and every row_number window ranks AFTER a limit (≤ kList rows);
+    // a Window directly over a corpus-sized exchange would lack the
+    // preceding GlobalLimit/TakeOrdered in its subtree
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows <= 3, s"unexpected windows ($windows):\n$p")
+  }
+
   test("y14/y15 as-of plans through the custom merge: no window, no union, two key exchanges") {
     for (q <- Seq("y14_asof_custom", "y15_asof_tolerance")) {
       val p = plan(q)
