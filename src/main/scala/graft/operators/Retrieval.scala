@@ -123,6 +123,69 @@ object Retrieval {
       .select(col("doc_id"), col("lex_rk"), col("sem_rk"), col("rrf"), col("rk"))
   }
 
+  /** The many-query form of [[hybridRrf]]: a BATCH of (query_id, terms,
+    * probe doc) triples resolved in one pass each over the corpus —
+    * exactly the swap the single-query scaladoc promises: every step
+    * keys by query_id and the bounded list cuts go through the two-phase
+    * [[graft.plans.TopK]] operator instead of a driver-side TakeOrdered,
+    * so adding queries adds broadcast rows and per-key heap state, never
+    * another corpus scan.
+    *
+    * Scale shape: ONE term-pruned BM25 pass over the union of all
+    * queries' terms (scores depend only on the term, so they're shared),
+    * fanned out to queries by a broadcast (query_id, term) join; ONE
+    * embedding pass dotted against the ≤|queries| broadcast probe
+    * vectors. Rank windows run per query over ≤ kList rows.
+    *
+    * Output: query_id, doc_id, lex_rk, sem_rk, rrf, rk. */
+  def hybridRrfBatch(docs: DataFrame,
+                     queries: Seq[(Long, Seq[String], Long)],
+                     kList: Int = 50, kOut: Int = 20,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val unionTerms = queries.flatMap(_._2).distinct
+    val qt = queries.flatMap { case (qid, ts, _) => ts.map(qid -> _) }
+      .toDF("query_id", "term")
+    val qp = queries.map { case (qid, _, p) => (qid, p) }
+      .toDF("query_id", "probe_id")
+
+    val lexAll = bm25Scores(docs, unionTerms, k1, b)
+      .join(broadcast(qt), Seq("term"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(floor(col("score") * 1e6 + 0.5).cast("long")).as("lex_int"))
+    val lexTop = graft.plans.TopK.perKey(lexAll, Seq(lexAll("query_id")),
+      Seq(lexAll("lex_int").desc, lexAll("doc_id")), kList)
+    val lex = lexTop.withColumn("lex_rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("lex_int").desc, col("doc_id"))))
+      .select("query_id", "doc_id", "lex_rk")
+
+    val vecs = graft.operators.TextAnalysis.hashedEmbedding(docs)
+      .select(col("doc_id"), col("vec"))
+    val probes = vecs.join(broadcast(qp), col("doc_id") === col("probe_id"))
+      .select(col("query_id"), col("probe_id"), col("vec").as("qvec"))
+    val semAll = vecs.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.VectorFunctions.dotLong(col("vec"), col("qvec")).as("dot"))
+    val semTop = graft.plans.TopK.perKey(semAll, Seq(semAll("query_id")),
+      Seq(semAll("dot").desc, semAll("doc_id")), kList)
+    val sem = semTop.withColumn("sem_rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dot").desc, col("doc_id"))))
+      .select("query_id", "doc_id", "sem_rk")
+
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("lex_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("sem_rk")), lit(0.0)), 6))
+    val out = graft.plans.TopK.perKey(fused, Seq(fused("query_id")),
+      Seq(fused("rrf").desc, fused("doc_id")), kOut)
+    out.withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("query_id"), col("doc_id"), col("lex_rk"), col("sem_rk"),
+        col("rrf"), col("rk"))
+  }
+
   /** Overlapping fixed-size token chunks — the RAG/embedding ingestion
     * splitter: chunk i covers tokens [i·stride, i·stride + chunkSize) of
     * the normalized word stream; the chunk count is 1 for docs at or

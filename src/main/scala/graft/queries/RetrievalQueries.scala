@@ -120,6 +120,91 @@ object RetrievalQueries {
       kList = 50, kOut = 20, k1 = K1, b = B)
   }
 
+  // --- Y18: the MANY-QUERY form of y17 — a batch of (query_id, terms,
+  // probe doc) resolved in one BM25 pass over the union term set and one
+  // embedding pass against the broadcast probe vectors; every bounded
+  // cut goes through the two-phase TopKPerKey operator keyed by
+  // query_id (the swap y17's scaladoc promises), so query count scales
+  // the broadcasts, never the corpus scans.
+  private val BatchQueries = Seq(
+    (1L, Seq("spark", "window", "stream"), 42L),
+    (2L, Seq("customer", "vector"), 137L))
+
+  val y18 = Query(
+    "y18_hybrid_rrf_batch",
+    Some(s"""
+      WITH qt AS (SELECT CAST(q AS BIGINT) AS query_id, t AS term
+                  FROM (VALUES ${BatchQueries.flatMap { case (q, ts, _) =>
+                    ts.map(t => s"($q,'$t')") }.mkString(",")}) v(q, t)),
+      qp AS (SELECT CAST(q AS BIGINT) AS query_id, CAST(p AS BIGINT) AS probe_id
+             FROM (VALUES ${BatchQueries.map { case (q, _, p) =>
+               s"($q,$p)" }.mkString(",")}) v(q, p)),
+      w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      p AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avgdl
+            FROM p),
+      tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(ws) AS term FROM p)
+             WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      sc AS (SELECT t.term, t.doc_id, t.tf,
+               ROUND(ROUND(ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+                 * (t.tf * ${K1 + 1.0})
+                 / (t.tf + $K1 * (${1.0 - B} + $B * t.dl / g.avgdl)), 6) AS score
+             FROM tf t JOIN df f USING (term) CROSS JOIN g),
+      lexdoc AS (SELECT qt.query_id, sc.doc_id,
+                   CAST(SUM(CAST(floor(score * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS lex_int
+                 FROM sc JOIN qt USING (term) GROUP BY qt.query_id, sc.doc_id),
+      lexr AS (SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY lex_int DESC, doc_id) AS INT) AS lex_rk
+               FROM lexdoc QUALIFY lex_rk <= 50),
+      fe AS (SELECT doc_id, list_concat(ws,
+               list_transform(range(1, len(ws)),
+                 j -> array_to_string(ws[j:j+1], ' '))) AS fs
+             FROM w),
+      sx AS (SELECT doc_id, unnest(fs) AS t FROM fe),
+      sg AS (SELECT doc_id,
+               ${graft.functions.TextFunctions.md5BucketSql("t")} % 64 AS b,
+               CASE WHEN (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)
+                      >= 8 THEN 1 ELSE -1 END AS s
+             FROM sx),
+      cells AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+                FROM sg GROUP BY doc_id, b),
+      dv AS (SELECT d.doc_id, r.j, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+             FROM (SELECT doc_id FROM w) d
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r
+             LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = r.j),
+      vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id),
+      q AS (SELECT qp.query_id, qp.probe_id, v.vec AS qvec
+            FROM vecs v JOIN qp ON v.doc_id = qp.probe_id),
+      dots AS (SELECT q.query_id, v.doc_id,
+                 CAST(list_aggregate(list_transform(range(1, 65),
+                   j -> v.vec[j] * q.qvec[j]), 'sum') AS BIGINT) AS dot
+               FROM vecs v CROSS JOIN q WHERE v.doc_id <> q.probe_id),
+      semr AS (SELECT query_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY dot DESC, doc_id) AS INT) AS sem_rk
+               FROM dots QUALIFY sem_rk <= 50),
+      fuse AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+                 COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                 l.lex_rk, s.sem_rk,
+                 ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rk), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + s.sem_rk), 0), 6) AS rrf
+               FROM lexr l FULL OUTER JOIN semr s
+                 ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+      SELECT query_id, doc_id, lex_rk, sem_rk, rrf,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY rrf DESC, doc_id) AS INT) AS rk
+      FROM fuse QUALIFY rk <= 20 ORDER BY query_id, rk""")
+  ) { (s, d) =>
+    Retrieval.hybridRrfBatch(documents(s, d), BatchQueries,
+        kList = 50, kOut = 20, k1 = K1, b = B)
+      .orderBy("query_id", "rk")
+  }
+
   // --- X67/X68: int8 quantization. Shared oracle CTEs lift vectors to
   // integer micro-units, derive the per-vector integer scale, and code
   // via one IEEE-deterministic double division.
@@ -659,5 +744,5 @@ object RetrievalQueries {
   }
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90, y17)
+    x90, y17, y18)
 }

@@ -531,6 +531,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(windows <= 3, s"unexpected windows ($windows):\n$p")
   }
 
+  test("y18 batch RRF: every list cut is a two-phase TopKPerKey, windows rank cut rows only") {
+    val p = plan("y18_hybrid_rrf_batch")
+    assert(!p.contains("CartesianProduct"), p)
+    // three cuts (lex, sem, fused) × two phases each
+    assert("TopKPerKey".r.findAllIn(p).size >= 6,
+      s"expected partial+final TopKPerKey per list cut:\n$p")
+    // exactly the two intended bounded broadcasts: BM25's 1-row corpus
+    // stats scalar and the |queries|-row probe-vector fan-out
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+  }
+
   test("y14/y15 as-of plans through the custom merge: no window, no union, two key exchanges") {
     for (q <- Seq("y14_asof_custom", "y15_asof_tolerance")) {
       val p = plan(q)
