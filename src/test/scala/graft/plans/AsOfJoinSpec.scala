@@ -97,6 +97,23 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTest {
     assert("Exchange hashpartitioning\\(k".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("bucketed inputs join with ZERO exchanges — the 100 TB event-store layout") {
+    spark.sql("DROP TABLE IF EXISTS b_asof_l")
+    spark.sql("DROP TABLE IF EXISTS b_asof_r")
+    leftDf.write.bucketBy(4, "k").sortBy("k", "t")
+      .mode("overwrite").saveAsTable("b_asof_l")
+    rightDf.write.bucketBy(4, "k").sortBy("k", "t")
+      .mode("overwrite").saveAsTable("b_asof_r")
+    val j = AsOf.join(spark.table("b_asof_l"), spark.table("b_asof_r"),
+      Seq("k"), "t", "t", rightTieBreak = Seq("rv"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of join must not shuffle either side:\n$plan")
+    // values identical to the unbucketed plan
+    assert(got(j) == expected(exact = false, None).filter(_._2.isDefined))
+  }
+
   test("merge preserves the left side's partitioning for downstream reuse") {
     // groupBy on the join key directly above the as-of join must not
     // re-shuffle: the exec declares outputPartitioning = left's.
