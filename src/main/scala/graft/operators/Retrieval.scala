@@ -41,7 +41,15 @@ object Retrieval {
       .filter(col("term").isInCollection(terms))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
-    // df = rows per term in tf (one row per matching doc)
+    scoreTf(tf, stats, k1, b)
+  }
+
+  /** BM25 scoring given a term-frequency table (term, doc_id, dl, tf)
+    * and the 1-row (n_docs, avgdl) scalars — the tail shared by the
+    * scan path ([[bm25Scores]]) and the store path
+    * ([[bm25TopKFromStore]]). */
+  private def scoreTf(tf: DataFrame, stats: DataFrame,
+                      k1: Double, b: Double): DataFrame = {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf
       .join(broadcast(df), Seq("term"))
@@ -57,15 +65,58 @@ object Retrieval {
       .select(col("term"), col("doc_id"), col("tf"), col("score"))
   }
 
-  /** BM25 top-k docs per query term. Output: term, doc_id, tf, score, rk. */
-  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val scored = bm25Scores(docs, terms, k1, b)
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val topk = graft.plans.TopK.perKey(scored, Seq(scored("term")),
       Seq(scored("score").desc, scored("doc_id")), k)
     val w = Window.partitionBy("term").orderBy(col("score").desc, col("doc_id"))
     topk.withColumn("rk", row_number().over(w))
       .select("term", "doc_id", "tf", "score", "rk")
+  }
+
+  /** BM25 top-k docs per query term. Output: term, doc_id, tf, score, rk. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rankTopK(bm25Scores(docs, terms, k1, b), k)
+
+  /** Persist the inverted index: `postings/` = (term, doc_id, dl, tf)
+    * range-partitioned and sorted by term (row-group min/max stats →
+    * a query's term IN-filter prunes to its terms' row groups), plus
+    * `doclen/` = (doc_id, dl) for the corpus scalars. One tokenize pass
+    * over the corpus, ~one row per distinct (term, doc) — the exact
+    * trade the ScaleProbe x66 row measures: the 5× growth there is the
+    * per-query tokenize, which this store pays ONCE. The same
+    * append/compact lifecycle as the signature/gram stores applies
+    * (gram-store pattern, `Dedup.exactSubstringIncremental`). */
+  def writeIndexStore(docs: DataFrame, path: String): Unit = {
+    val p = docs
+      .withColumn("ws", words(normText(col("text"))))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+    p.select(col("doc_id"), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    p.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** [[bm25TopK]] served ENTIRELY from the index store — the query plan
+    * never touches document text: tf comes from the postings' pruned
+    * term filter (O(query-term postings) rows read), the corpus scalars
+    * from the compact doclen table. Byte-identical output to the scan
+    * path by construction (same scoring tail). */
+  def bm25TopKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                        terms: Seq[String], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val doclen = spark.read.parquet(s"$path/doclen")
+    val stats = doclen.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast(DecimalType(18, 0))).cast("double").as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isInCollection(terms))
+    rankTopK(scoreTf(tf, stats, k1, b), k)
   }
 
   /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion:

@@ -47,6 +47,59 @@ object RetrievalQueries {
       .orderBy("term", "rk")
   }
 
+  // --- Y19: x66 served from the persisted INVERTED INDEX — the query
+  // plan never reads document text (plan-pinned): tf rows come from the
+  // postings table's term-pruned scan, corpus scalars from the compact
+  // doclen table. Same oracle as x66 — byte-identical output through a
+  // corpus-scan-free plan is the store's correctness contract (the x41
+  // signature-store move applied to retrieval; the ScaleProbe x66 row
+  // measures exactly the per-query tokenize this store amortizes).
+  private def indexStorePath(sfDir: String): String = {
+    val f = new java.io.File(sfDir, "documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${f.length}:${f.lastModified}:bm25idx1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-bm25index-" +
+      s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
+  }
+
+  private def ensureIndexStore(s: org.apache.spark.sql.SparkSession,
+                               d: String): String = {
+    val path = indexStorePath(d)
+    if (!new java.io.File(s"$path/postings", "_SUCCESS").exists())
+      Retrieval.writeIndexStore(documents(s, d), path)
+    path
+  }
+
+  val y19 = Query(
+    "y19_bm25_store",
+    Some(s"""
+      WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      p AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avgdl
+            FROM p),
+      tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(ws) AS term FROM p)
+             WHERE term IN $termsSql GROUP BY term, doc_id, dl),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      sc AS (SELECT t.term, t.doc_id, t.tf,
+               ROUND(ROUND(ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+                 * (t.tf * ${K1 + 1.0})
+                 / (t.tf + $K1 * (${1.0 - B} + $B * t.dl / g.avgdl)), 6) AS score
+             FROM tf t JOIN df f USING (term) CROSS JOIN g),
+      r AS (SELECT term, doc_id, tf, score,
+              CAST(row_number() OVER (PARTITION BY term
+                ORDER BY score DESC, doc_id) AS INT) AS rk
+            FROM sc)
+      SELECT term, doc_id, tf, score, rk FROM r WHERE rk <= 10
+      ORDER BY term, rk""")
+  ) { (s, d) =>
+    Retrieval.bm25TopKFromStore(s, ensureIndexStore(s, d), Terms,
+        k = 10, k1 = K1, b = B)
+      .orderBy("term", "rk")
+  }
+
   // --- Y17: HYBRID RETRIEVAL (BM25 ⊕ embedding) fused by Reciprocal
   // Rank Fusion — the production shape for corpus search: lexical and
   // semantic lists each cut to 50 by distributed top-k, fused on ranks
@@ -744,5 +797,5 @@ object RetrievalQueries {
   }
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90, y17, y18)
+    x90, y17, y18, y19)
 }

@@ -542,6 +542,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
   }
 
+  test("y19 store-served BM25 never scans document text; postings scan pushes the term filter") {
+    val p = plan("y19_bm25_store")
+    assert(!p.contains("documents.parquet"),
+      s"store path must not read the corpus:\n$p")
+    assert(p.contains("graft-bm25index"), p)
+    assert(p.contains("In(term") || p.contains("term#"),
+      s"term filter must reach the postings scan:\n$p")
+    assert(p.contains("TopKPerKey"), p)
+  }
+
   test("y14/y15 as-of plans through the custom merge: no window, no union, two key exchanges") {
     for (q <- Seq("y14_asof_custom", "y15_asof_tolerance")) {
       val p = plan(q)
