@@ -101,6 +101,26 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$path/postings")
   }
 
+  /** Append a NEW batch of documents to an existing index store — the
+    * incremental ingest cadence (the x41/x93 store move): only the batch
+    * is tokenized; old text is never rescanned. Appended files carry
+    * their own row-group term stats, so term-pruned reads stay pruned
+    * across generations; [[graft.streaming.StoreFs]]-style compaction
+    * can re-sort generations when file sprawl warrants it. */
+  def appendIndexStore(newDocs: DataFrame, path: String): Unit = {
+    val p = newDocs
+      .withColumn("ws", words(normText(col("text"))))
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+    p.select(col("doc_id"), col("dl"))
+      .write.mode("append").parquet(s"$path/doclen")
+    p.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("append").parquet(s"$path/postings")
+  }
+
   /** [[bm25TopK]] served ENTIRELY from the index store — the query plan
     * never touches document text: tf comes from the postings' pruned
     * term filter (O(query-term postings) rows read), the corpus scalars

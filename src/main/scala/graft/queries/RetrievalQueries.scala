@@ -100,6 +100,61 @@ object RetrievalQueries {
       .orderBy("term", "rk")
   }
 
+  // --- Y20: the index store's INCREMENTAL lifecycle — base store built
+  // from 80% of the corpus, the remaining 20% APPENDED as a batch (only
+  // the batch is tokenized, old text never rescanned — the x41/x93
+  // cadence), then the SAME x66 oracle answered from the two-generation
+  // store. Full-corpus-identical answers from an incrementally grown
+  // index is the lifecycle's correctness contract.
+  private def ensureIncrIndexStore(s: org.apache.spark.sql.SparkSession,
+                                   d: String): String = {
+    val path = indexStorePath(d) + "-incr"
+    val appended = new java.io.File(path, "_graft_appended")
+    if (!appended.exists()) {
+      // (re)build both generations from scratch if the append marker is
+      // missing — a partial state would double-append otherwise
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      Retrieval.writeIndexStore(
+        documents(s, d).filter(col("doc_id") % 10 < 8), path)
+      Retrieval.appendIndexStore(
+        documents(s, d).filter(col("doc_id") % 10 >= 8), path)
+      java.nio.file.Files.writeString(appended.toPath, "1")
+    }
+    path
+  }
+
+  val y20 = Query(
+    "y20_bm25_store_incr",
+    Some(s"""
+      WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      p AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avgdl
+            FROM p),
+      tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(ws) AS term FROM p)
+             WHERE term IN $termsSql GROUP BY term, doc_id, dl),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      sc AS (SELECT t.term, t.doc_id, t.tf,
+               ROUND(ROUND(ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+                 * (t.tf * ${K1 + 1.0})
+                 / (t.tf + $K1 * (${1.0 - B} + $B * t.dl / g.avgdl)), 6) AS score
+             FROM tf t JOIN df f USING (term) CROSS JOIN g),
+      r AS (SELECT term, doc_id, tf, score,
+              CAST(row_number() OVER (PARTITION BY term
+                ORDER BY score DESC, doc_id) AS INT) AS rk
+            FROM sc)
+      SELECT term, doc_id, tf, score, rk FROM r WHERE rk <= 10
+      ORDER BY term, rk""")
+  ) { (s, d) =>
+    Retrieval.bm25TopKFromStore(s, ensureIncrIndexStore(s, d), Terms,
+        k = 10, k1 = K1, b = B)
+      .orderBy("term", "rk")
+  }
+
   // --- Y17: HYBRID RETRIEVAL (BM25 ⊕ embedding) fused by Reciprocal
   // Rank Fusion — the production shape for corpus search: lexical and
   // semantic lists each cut to 50 by distributed top-k, fused on ranks
@@ -797,5 +852,5 @@ object RetrievalQueries {
   }
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90, y17, y18, y19)
+    x90, y17, y18, y19, y20)
 }
