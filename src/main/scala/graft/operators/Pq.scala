@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.dotLong
+
+/** Product Quantization (Jégou, Douze, Schmid 2011) — the vector
+  * compression step of the ANN family that int8 symmetric quantization
+  * (x67/x68) and IVF (x34/x54) do not cover: the 100 TB story for
+  * similarity search is codes of a few BYTES per vector, scanned with
+  * integer table lookups, never the float embeddings.
+  *
+  * Capability extends the reference's arbitrary-binary payload scope
+  * (`/root/reference/README.md:18-22`) the same way the rest of the
+  * embedding family does; nothing here ports reference code.
+  *
+  * Determinism contract (cross-engine exact, like the k-means family at
+  * `Similarity.kmeansCodebook`): every vector is lifted ONCE to integer
+  * micro-units (`floor(x·1e6 + 0.5)` per dimension — the x67 convention),
+  * and every quantity after that is integer arithmetic:
+  *
+  *  - subspace split: dim-D vector → m contiguous subvectors of D/m;
+  *  - per-subspace codebooks: Lloyd rounds where assignment is argmin
+  *    INTEGER squared L2 (tie → smaller cent_id) and the update is
+  *    per-dimension `floor(sum/count + 0.5)` — one IEEE double division
+  *    of exact BIGINTs, deterministic in both engines;
+  *  - encoding: per (vector, subspace) the argmin cell — m small ids per
+  *    vector, the PQ code;
+  *  - ADC search: a probe precomputes its distance LUT (m·C integer
+  *    entries, one per (subspace, cell)); the approximate distance to a
+  *    corpus vector is the SUM of m LUT hits selected by the vector's
+  *    code — never a float op against the corpus embedding.
+  *
+  * Scale shape (SCALE.md row "PQ-ADC"): codebooks are C·m rows —
+  * broadcast; training and encoding are one linear pass per Lloyd round
+  * (corpus × C·m bounded integer dots); the LUT is |probes|·m·C rows —
+  * broadcast; the search scans the CODES table (m short ids ≈ bytes per
+  * vector — the corpus-side state, like the x81 code store, ~3 orders
+  * smaller than the embeddings), partial-aggregates the per-subspace
+  * hits map-side to |probes|·n rows keyed by (probe, vec), and bounds
+  * the result with the two-phase TopKPerKey. The embeddings themselves
+  * are read only by training/encoding — a probe batch never rescans
+  * them.
+  */
+object Pq {
+
+  /** Integer micro-unit lift of one double, the x67 convention —
+    * `floor(x·1e6 + 0.5)`; exact in both engines. */
+  private def micro(x: Column): Column =
+    floor(x * lit(1000000d) + lit(0.5d)).cast("long")
+
+  /** Subvector table: one row per (vector, subspace) with the micro-lifted
+    * contiguous slice. Output: vec_id, sub (0-based), svm array<long>. */
+  def subvectors(emb: DataFrame, m: Int, dim: Int,
+                 vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    emb.select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(s.as("sub"),
+            transform(slice(col(vecCol), s * subDim + lit(1), lit(subDim)),
+              x => micro(x.cast("double"))).as("svm")))).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.svm").as("svm"))
+  }
+
+  /** Exact integer squared L2 between two micro arrays via three
+    * codegen'd BIGINT dots: |a−b|² = a·a + b·b − 2·a·b. */
+  def l2sq(a: Column, b: Column): Column =
+    dotLong(a, a) + dotLong(b, b) - lit(2L) * dotLong(a, b)
+
+  /** The deterministic BOUNDED training/codebook sample: subvectors of
+    * the `nCents` corpus ids with the smallest (md5(id), id) — the same
+    * hash-ordered bound as the recall-panel probes, so codebook size is
+    * a constant, never a corpus fraction (the x47 lesson: proportional C
+    * makes assignment quadratic). cent_id = the sample's vec_id. */
+  def sampleCodebooks(sv: DataFrame, nCents: Int): DataFrame = {
+    val sample = sv.select(col("vec_id")).distinct()
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCents)
+    sv.join(broadcast(sample), Seq("vec_id"))
+      .select(col("sub"), col("vec_id").as("cent_id"), col("svm").as("cvm"))
+  }
+
+  /** Per-(vector, subspace) nearest cell against broadcast codebooks:
+    * argmin integer L2², tie → smaller cent_id, via the two-phase
+    * TopKPerKey (k=1). Output: vec_id, sub, svm, cell, d2. */
+  def assign(sv: DataFrame, books: DataFrame): DataFrame = {
+    val scored = sv.join(broadcast(books), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("svm"), col("cent_id"),
+        l2sq(col("svm"), col("cvm")).as("d2"))
+    graft.plans.TopK.perKey(scored, Seq(scored("vec_id"), scored("sub")),
+        Seq(scored("d2"), scored("cent_id")), 1)
+      .select(col("vec_id"), col("sub"), col("svm"),
+        col("cent_id").as("cell"), col("d2"))
+  }
+
+  /** Per-subspace Lloyd codebook training over the micro-integer
+    * subvectors: `iters` rounds of assign → per-(sub, cell, dim)
+    * integer-mean update (`floor(sum/count + 0.5)` — exact BIGINT sum,
+    * one deterministic double division). All m subspaces train in the
+    * SAME pass — the subspace id is just another grouping key, so the
+    * per-round cost is one corpus-linear scored scan + one bounded
+    * aggregation, identical to one k-means round. Empty cells drop
+    * (standard Lloyd), identically in the oracle.
+    * Output: sub, cent_id, cvm array<long>. */
+  def trainCodebooks(emb: DataFrame, m: Int, dim: Int, nCents: Int,
+                     iters: Int, vecCol: String = "embedding"): DataFrame = {
+    val sv = graft.core.Caches.scoped(subvectors(emb, m, dim, vecCol))
+    var books = sampleCodebooks(sv, nCents)
+    for (_ <- 1 to iters) {
+      books = assign(sv, books)
+        .select(col("sub"), col("cell"), posexplode(col("svm")).as(Seq("d", "x")))
+        .groupBy("sub", "cell", "d")
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5d))
+          .cast("long").as("cm"))
+        .groupBy(col("sub"), col("cell").as("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cm")))),
+          s => s.getField("cm")).as("cvm"))
+    }
+    books
+  }
+
+  /** PQ encoding: each vector's m-cell code, one row per (vec_id, sub)
+    * with the chosen cell and its exact residual d2 — the table a code
+    * store would persist (≈ m small ids per vector; the embeddings are
+    * not needed again after this pass). */
+  def encode(emb: DataFrame, books: DataFrame, m: Int, dim: Int,
+             vecCol: String = "embedding"): DataFrame =
+    assign(subvectors(emb, m, dim, vecCol), books)
+      .select(col("vec_id"), col("sub"), col("cell"), col("d2"))
+
+  /** Asymmetric-distance top-k: probes (a BOUNDED id set) compute their
+    * exact integer LUT against the broadcast codebooks; corpus CODES
+    * join the broadcast LUT on (sub, cell) and partial-aggregate the m
+    * per-subspace hits into the ADC distance keyed by (probe, vec) —
+    * map-side combine collapses the m rows before the exchange, so the
+    * shuffle carries |probes|·n rows, and TopKPerKey bounds the output.
+    * Output: probe_id, neighbor_id, adc_d2, rk. */
+  def adcTopK(emb: DataFrame, books: DataFrame, probeIds: Seq[Long], k: Int,
+              m: Int, dim: Int, vecCol: String = "embedding"): DataFrame = {
+    val codes = encode(emb, books, m, dim, vecCol)
+    adcTopKFromCodes(subvectors(emb, m, dim, vecCol), codes, books,
+      probeIds, k)
+  }
+
+  /** [[adcTopK]] split at the production seam: `codes` is the persisted
+    * corpus state; only the PROBES' subvectors are recomputed. */
+  def adcTopKFromCodes(probeSv: DataFrame, codes: DataFrame,
+                       books: DataFrame, probeIds: Seq[Long],
+                       k: Int): DataFrame = {
+    val lut = probeSv
+      .filter(col("vec_id").isInCollection(probeIds))
+      .toDF("probe_id", "sub", "pvm")
+      .join(broadcast(books), Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("cent_id").as("cell"),
+        l2sq(col("pvm"), col("cvm")).as("pd2"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+    val topk = graft.plans.TopK.perKey(scored, Seq(scored("probe_id")),
+      Seq(scored("adc_d2"), scored("neighbor_id")), k)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select(col("probe_id"), col("neighbor_id"), col("adc_d2"), col("rk"))
+  }
+
+  /** Exact integer-L2 brute-force top-k over the FULL micro-lifted
+    * vectors — the truth side PQ approximates (PQ targets L2, so the
+    * panel grades against L2 truth, not the cosine panels' truth).
+    * Broadcast probes, codegen'd BIGINT dots, TopKPerKey bound.
+    * Output: probe_id, neighbor_id, d2, rk. */
+  def l2TopK(emb: DataFrame, probeIds: Seq[Long], k: Int,
+             vecCol: String = "embedding"): DataFrame = {
+    val mv = emb.select(col("vec_id"),
+      transform(col(vecCol), x => micro(x.cast("double"))).as("vm"))
+    val probes = mv.filter(col("vec_id").isInCollection(probeIds))
+      .toDF("probe_id", "pm")
+    val scored = mv.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        l2sq(col("pm"), col("vm")).as("d2"))
+    val topk = graft.plans.TopK.perKey(scored, Seq(scored("probe_id")),
+      Seq(scored("d2"), scored("neighbor_id")), k)
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("neighbor_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select(col("probe_id"), col("neighbor_id"), col("d2"), col("rk"))
+  }
+
+  /** Exact re-rank of a bounded ADC shortlist — the refine stage of the
+    * production PQ design (IVFADC-R): the ADC scan over codes nominates
+    * `kShort` candidates per probe, and ONLY those |probes|·kShort rows
+    * are re-scored with the exact integer L2² against the stored
+    * vectors (the shortlist side broadcasts into the corpus scan — the
+    * full embeddings are never distance-scored corpus-wide). Raises
+    * recall@k to the shortlist's containment rate while the corpus-wide
+    * scan still touches only the m-id codes.
+    * Output: probe_id, neighbor_id, d2, rk. */
+  def adcRerankTopK(emb: DataFrame, books: DataFrame, probeIds: Seq[Long],
+                    kShort: Int, k: Int, m: Int, dim: Int,
+                    vecCol: String = "embedding"): DataFrame = {
+    val short = adcTopK(emb, books, probeIds, kShort, m, dim, vecCol)
+      .select("probe_id", "neighbor_id")
+    val mv = emb.select(col("vec_id"),
+      transform(col(vecCol), x => micro(x.cast("double"))).as("vm"))
+    val probes = mv.filter(col("vec_id").isInCollection(probeIds))
+      .toDF("probe_id", "pm")
+    val scored = mv.join(broadcast(short), mv("vec_id") === short("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        l2sq(col("pm"), col("vm")).as("d2"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  /** Recall panel of ADC paths against exact integer-L2 truth, in the
+    * x43/x55 shape (one row per method: method, n_probes, total_hits,
+    * recall, recall_ok). `variants` = (method, iters, kShort, bound):
+    * kShort = 0 grades the raw ADC scan (measured floor — a training
+    * regression flips it); kShort > 0 grades the re-ranked production
+    * path at the user bound. */
+  def adcRecallPanel(emb: DataFrame, m: Int, dim: Int, nCents: Int,
+                     nProbes: Int, k: Int,
+                     variants: Seq[(String, Int, Int, Double)]): DataFrame = {
+    val probeIds = Similarity.boundedProbeIds(emb, nProbes)
+    val exact = graft.core.Caches.scoped(
+      l2TopK(emb, probeIds, k).select("probe_id", "neighbor_id"))
+    val nP = emb.filter(col("vec_id").isInCollection(probeIds))
+      .select(count(lit(1)).as("n_probes"))
+    Similarity.recallPanel(nP, k,
+      variants.map { case (name, iters, kShort, bound) =>
+        val books = trainCodebooks(emb, m, dim, nCents, iters)
+        val approx =
+          if (kShort > 0) adcRerankTopK(emb, books, probeIds, kShort, k, m, dim)
+          else adcTopK(emb, books, probeIds, k, m, dim)
+        (name, approx, exact, bound)
+      })
+  }
+}

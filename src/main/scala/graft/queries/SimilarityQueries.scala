@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.sources.Tables._
-import graft.operators.Similarity
+import graft.operators.{Pq, Similarity}
 import graft.functions.VectorFunctions
 
 /** Similarity suite (SURVEY §2.13 Q17 + extensions): exact top-k cosine,
@@ -674,6 +674,157 @@ object SimilarityQueries {
       .orderBy("probe_id", "rk")
   }
 
+  // --- Y21/Y22: PRODUCT QUANTIZATION (Jégou et al. 2011) — the vector
+  // compression tier of the ANN family (operators/Pq.scala): m=8
+  // contiguous subspaces of the 64-dim embedding, a C=16 codebook per
+  // subspace (hash-bounded sample init + 1 integer-exact Lloyd round),
+  // codes of m small ids per vector, and asymmetric-distance search
+  // that scans CODES with integer LUT sums — the corpus embeddings are
+  // never touched by a probe batch. All arithmetic is integer
+  // micro-units (the x67 lift), so every assignment, centroid update,
+  // and ADC distance is bit-identical cross-engine.
+  private[queries] val PqM = 8
+  private[queries] val PqSubDim = Dim / PqM
+  private[queries] val PqC = 64
+  private[queries] val PqK = 10
+  /** ADC shortlist size for the exact re-rank stage (IVFADC-R). */
+  private[queries] val PqShort = 100
+  private val PqSampleFloor = 0.15
+  private val PqTrainedFloor = 0.25
+  private val PqRerankBound = 0.6
+  private def pqD2(a: String, b: String, n: Int): String =
+    s"CAST(list_aggregate(list_transform(range(1, ${n + 1}), " +
+      s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j])), 'sum') AS BIGINT)"
+
+  /** Shared PQ oracle CTEs: micro lift → subvector split → sample
+    * codebooks b0 → assignment pa1 (the iters=0 encoding) → integer-mean
+    * update b1 → assignment pa2 (the trained encoding). */
+  private[queries] val pqCtes: String = {
+    def assignPq(name: String, book: String) = s"""
+      $name AS (
+        SELECT vec_id, sub, svm, cell, d2 FROM (
+          SELECT sv.vec_id, sv.sub, sv.svm, b.cent_id AS cell,
+                 ${pqD2("sv.svm", "b.cvm", PqSubDim)} AS d2,
+                 row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+                   ORDER BY ${pqD2("sv.svm", "b.cvm", PqSubDim)}, b.cent_id) AS rn
+          FROM sv JOIN $book b ON sv.sub = b.sub)
+        WHERE rn = 1)"""
+    s"""em AS (SELECT vec_id,
+            list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+          FROM embeddings),
+      sv AS (SELECT vec_id, CAST(s AS INT) AS sub,
+                    list_slice(vm, s * $PqSubDim + 1,
+                               s * $PqSubDim + $PqSubDim) AS svm
+             FROM em, UNNEST(range(0, $PqM)) t(s)),
+      smp AS (SELECT vec_id FROM em
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqC),
+      b0 AS (SELECT sub, sv.vec_id AS cent_id, svm AS cvm
+             FROM sv JOIN smp USING (vec_id)),
+      ${assignPq("pa1", "b0")},
+      pu1 AS (SELECT sub, cell, d,
+                     CAST(floor(CAST(SUM(svm[d]) AS DOUBLE) / COUNT(*) + 0.5)
+                       AS BIGINT) AS cm
+              FROM pa1, UNNEST(range(1, ${PqSubDim + 1})) t(d)
+              GROUP BY sub, cell, d),
+      b1 AS (SELECT sub, cell AS cent_id, list(cm ORDER BY d) AS cvm
+             FROM pu1 GROUP BY sub, cell),
+      ${assignPq("pa2", "b1")}"""
+  }
+
+  // --- Y21: the trained PQ encoding itself — one row per (vector,
+  // subspace) with the chosen cell and exact integer residual. This is
+  // the table a PQ code store persists (≈ m ids/vector; 3 orders
+  // smaller than the float embeddings it replaces on the scan path).
+  val y21 = Query(
+    "y21_pq_encode",
+    Some(s"""
+      WITH $pqCtes
+      SELECT vec_id, sub, cell, d2 FROM pa2 ORDER BY vec_id, sub""")
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    val books = Pq.trainCodebooks(emb, PqM, Dim, PqC, iters = 1)
+    Pq.encode(emb, books, PqM, Dim).orderBy("vec_id", "sub")
+  }
+
+  // --- Y22: ADC recall panel vs exact integer-L2 truth on the bounded
+  // probe set. Three graded rows: the sample-init and Lloyd-trained raw
+  // ADC scans at measured floors (a training regression flips the
+  // trained row), and the PRODUCTION path — exact re-rank of the
+  // kShort-deep ADC shortlist (IVFADC-R; only |probes|·kShort vectors
+  // are ever exactly re-scored) — at the family's ≥ 0.6 user bound.
+  val y22 = Query(
+    "y22_pq_adc_recall",
+    Some {
+      def adcCtes(tag: String, enc: String, book: String) = s"""
+      lut$tag AS (SELECT p.probe_id, b.sub, b.cent_id AS cell,
+                         ${pqD2("p.svm", "b.cvm", PqSubDim)} AS pd2
+                  FROM psv p JOIN $book b ON p.sub = b.sub),
+      adc$tag AS (SELECT l.probe_id, c.vec_id AS neighbor_id,
+                         SUM(l.pd2) AS adc
+                  FROM $enc c JOIN lut$tag l
+                    ON c.sub = l.sub AND c.cell = l.cell
+                  WHERE c.vec_id <> l.probe_id
+                  GROUP BY l.probe_id, c.vec_id),
+      r$tag AS (SELECT probe_id, neighbor_id,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY adc, neighbor_id) AS rk
+                FROM adc$tag),
+      ap$tag AS (SELECT probe_id, neighbor_id FROM r$tag WHERE rk <= $PqK)"""
+      s"""
+      WITH $pqCtes,
+      ${pidsCteSql("em")},
+      probes AS (SELECT vec_id AS probe_id, vm AS pm
+                 FROM em JOIN pids USING (vec_id)),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+      exsc AS (SELECT probe_id, a.vec_id AS neighbor_id,
+                      ${pqD2("a.vm", "p.pm", Dim)} AS d2
+               FROM em a CROSS JOIN probes p WHERE a.vec_id <> p.probe_id),
+      exact AS (SELECT probe_id, neighbor_id FROM (
+                  SELECT probe_id, neighbor_id,
+                         row_number() OVER (PARTITION BY probe_id
+                           ORDER BY d2, neighbor_id) AS rk
+                  FROM exsc) WHERE rk <= $PqK),
+      psv AS (SELECT vec_id AS probe_id, sub, svm
+              FROM sv JOIN pids USING (vec_id)),
+      ${adcCtes("0", "pa1", "b0")},
+      ${adcCtes("2", "pa2", "b1")},
+      shortl AS (SELECT probe_id, neighbor_id FROM r2 WHERE rk <= $PqShort),
+      rr AS (SELECT s.probe_id, s.neighbor_id,
+                    ${pqD2("a.vm", "p.pm", Dim)} AS d2
+             FROM shortl s
+             JOIN em a ON a.vec_id = s.neighbor_id
+             JOIN probes p ON p.probe_id = s.probe_id),
+      apr AS (SELECT probe_id, neighbor_id FROM (
+                SELECT probe_id, neighbor_id,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY d2, neighbor_id) AS rk
+                FROM rr) WHERE rk <= $PqK),
+      hits AS (
+        SELECT 'pq_rerank' AS method, CAST(count(*) AS BIGINT) AS total_hits,
+               $PqRerankBound AS bound
+        FROM apr SEMI JOIN exact USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'pq_sample', CAST(count(*) AS BIGINT), $PqSampleFloor
+        FROM ap0 SEMI JOIN exact USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'pq_trained', CAST(count(*) AS BIGINT), $PqTrainedFloor
+        FROM ap2 SEMI JOIN exact USING (probe_id, neighbor_id))
+      SELECT method, n_probes, total_hits,
+             CAST(total_hits AS DOUBLE) / (n_probes * $PqK) AS recall,
+             CASE WHEN CAST(total_hits AS DOUBLE) / (n_probes * $PqK) >= bound
+                  THEN 1 ELSE 0 END AS recall_ok
+      FROM hits, np
+      ORDER BY method"""
+    }
+  ) { (s, d) =>
+    Pq.adcRecallPanel(embeddings(s, d), PqM, Dim, PqC, NProbesBound, PqK,
+      Seq(("pq_rerank", 1, PqShort, PqRerankBound),
+        ("pq_sample", 0, 0, PqSampleFloor),
+        ("pq_trained", 1, 0, PqTrainedFloor)))
+      .orderBy("method")
+  }
+
   val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55,
-    x61, y02)
+    x61, y02, y21, y22)
 }

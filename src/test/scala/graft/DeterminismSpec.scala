@@ -54,7 +54,10 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       // thresholds over decimal-summed means
       "x98_dsir_select", "x99_ppl_buckets", "y01_curation_v4",
       "y02_cluster_quota", "y03_dsir_incr", "y04_hash_embedding",
-      "y05_hash_neardup", "y06_hash_recall", "y07_hash_neardup_mp")
+      "y05_hash_neardup", "y06_hash_recall", "y07_hash_neardup_mp",
+      // round-8b: PQ — integer Lloyd rounds (sum/count divisions),
+      // argmin assignment ties, LUT partial-agg sums, recall division
+      "y21_pq_encode", "y22_pq_adc_recall")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** Laws of the product-quantization family (operators/Pq.scala). */
+class PqSpec extends AnyFunSuite with SparkTest {
+
+  private val M = 8
+  private val Dim = 64
+  private def emb = graft.sources.Tables.embeddings(spark, sfDir)
+
+  test("subvector split concatenates back to the full micro vector") {
+    val row = emb.orderBy("vec_id").first()
+    val full = row.getAs[scala.collection.Seq[Float]]("embedding")
+      .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val subs = Pq.subvectors(emb, M, Dim)
+      .filter(col("vec_id") === row.getAs[Long]("vec_id"))
+      .orderBy("sub").collect()
+      .flatMap(_.getAs[scala.collection.Seq[Long]]("svm"))
+    assert(subs.toSeq == full.toSeq)
+    assert(subs.length == Dim)
+  }
+
+  test("one Lloyd round does not increase total quantization distortion") {
+    def distortion(iters: Int): Long = {
+      val books = Pq.trainCodebooks(emb, M, Dim, nCents = 8, iters)
+      Pq.encode(emb, books, M, Dim).agg(sum("d2")).first().getLong(0)
+    }
+    val sample = distortion(0)
+    val trained = distortion(1)
+    assert(trained <= sample,
+      s"training increased distortion: $sample -> $trained")
+    assert(trained < sample,
+      s"training left distortion unchanged ($sample) — update step inert?")
+  }
+
+  test("ADC distance is EXACT for vectors that are codebook members") {
+    // iters=0 keeps the sample's own subvectors as centroids, so a sample
+    // member's code reconstructs it exactly (per-sub residual 0) and the
+    // ADC sum telescopes to the true full-vector integer L2².
+    val books = Pq.trainCodebooks(emb, M, Dim, nCents = 8, iters = 0)
+    val sampleIds = books.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val probeId = emb.select("vec_id").collect().map(_.getLong(0))
+      .filterNot(sampleIds).min
+    val n = emb.count().toInt
+    val adc = Pq.adcTopK(emb, books, Seq(probeId), k = n, M, Dim)
+      .filter(col("neighbor_id").isInCollection(sampleIds))
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Long]("adc_d2"))
+      .toMap
+    val exact = Pq.l2TopK(emb, Seq(probeId), k = n)
+      .filter(col("neighbor_id").isInCollection(sampleIds))
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Long]("d2"))
+      .toMap
+    assert(adc.keySet == sampleIds, s"missing sample members: $adc")
+    sampleIds.foreach { id =>
+      assert(adc(id) == exact(id),
+        s"ADC not exact for codebook member $id: ${adc(id)} vs ${exact(id)}")
+    }
+  }
+
+  test("sample-member codes point at themselves with zero residual") {
+    val books = Pq.trainCodebooks(emb, M, Dim, nCents = 8, iters = 0)
+    val sampleIds = books.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val own = Pq.encode(emb, books, M, Dim)
+      .filter(col("vec_id").isInCollection(sampleIds))
+      .collect()
+    assert(own.length == sampleIds.size * M)
+    own.foreach { r =>
+      assert(r.getAs[Long]("d2") == 0L, s"nonzero residual: $r")
+    }
+  }
+
+  test("recall panel grades both variants on the bounded probe set") {
+    val panel = Pq.adcRecallPanel(emb, M, Dim, nCents = 8, nProbes = 8,
+        k = 5, Seq(("pq_rerank", 1, 25, 0.0), ("pq_sample", 0, 0, 0.0),
+          ("pq_trained", 1, 0, 0.0)))
+      .orderBy("method").collect()
+    assert(panel.map(_.getAs[String]("method")).toSeq ==
+      Seq("pq_rerank", "pq_sample", "pq_trained"))
+    panel.foreach { r =>
+      val recall = r.getAs[Double]("recall")
+      assert(recall >= 0.0 && recall <= 1.0, s"recall out of range: $r")
+      assert(recall > 0.0, s"ADC found no true neighbors at all: $r")
+      assert(r.getAs[Int]("recall_ok") == 1)
+    }
+    // Exact re-rank dominates the raw ADC cut by construction: any true
+    // neighbor in ADC top-k is in the (⊇) shortlist, and true top-k
+    // members always survive an exact re-ranking of any subset.
+    val byMethod = panel.map(r =>
+      r.getAs[String]("method") -> r.getAs[Double]("recall")).toMap
+    assert(byMethod("pq_rerank") >= byMethod("pq_trained"),
+      s"re-rank lost recall vs its own shortlist source: $byMethod")
+  }
+}
