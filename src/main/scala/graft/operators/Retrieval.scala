@@ -289,4 +289,88 @@ object Retrieval {
         md5(array_join(slice(col("ws"), (col("start_tok") + 1).cast("int"),
           col("n_toks").cast("int")), " ")).as("chunk_hash"))
   }
+
+  /** Term-pruned POSITIONAL postings: (doc_id, term, pos) with pos the
+    * 0-based token offset in the normalized word stream — the index a
+    * phrase query intersects. One tokenize pass; only rows for `terms`
+    * survive, so downstream joins never see the corpus vocabulary. */
+  def positionalPostings(docs: DataFrame, terms: Seq[String]): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(words(normText(col("text")))).as(Seq("pos", "term")))
+      .filter(col("term").isInCollection(terms))
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+
+  /** Persist the positional index: `positions/` = (term, doc_id, pos)
+    * range-partitioned and sorted by term, the same row-group-pruned
+    * layout as [[writeIndexStore]]'s postings (~1 row per token
+    * occurrence vs the BM25 store's 1 per (term, doc) — positions are
+    * what phrase/proximity queries pay for). The append/compact
+    * lifecycle of the other stores applies unchanged. */
+  def writePositionalStore(docs: DataFrame, path: String): Unit =
+    docs
+      .select(col("doc_id"),
+        posexplode(words(normText(col("text")))).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id", "pos")
+      .write.mode("overwrite").parquet(s"$path/positions")
+
+  /** Shared phrase-match tail over a positional-postings frame: for each
+    * phrase t₀…tₙ₋₁, occurrence starts are the classical positional
+    * intersect — t₀'s postings equi-joined with each tᵢ's postings
+    * shifted by −i on (doc_id, pos). Every join is keyed and touches
+    * only the PHRASE terms' postings (term-pruned source), so candidate
+    * volume is Σᵢ df(tᵢ) rows — never the corpus; per-doc totals come
+    * from one partial→final count and the per-phrase top-k from the
+    * two-phase TopKPerKey (hot phrases cap at k per partition).
+    * Output: phrase, doc_id, n_occ, first_pos, rk. */
+  def phraseMatchTail(pos: DataFrame, phrases: Seq[Seq[String]],
+                      k: Int): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty))
+    val perPhrase = phrases.map { terms =>
+      var m = pos.filter(col("term") === terms.head)
+        .select(col("doc_id"), col("pos"))
+      for ((t, i) <- terms.zipWithIndex.drop(1)) {
+        val pi = pos.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos"))
+        m = m.join(pi, Seq("doc_id", "pos"))
+      }
+      m.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+        .select(lit(terms.mkString(" ")).as("phrase"), col("doc_id"),
+          col("n_occ"), col("first_pos"))
+    }
+    val all = perPhrase.reduce(_.unionAll(_))
+    val topk = graft.plans.TopK.perKey(all, Seq(all("phrase")),
+      Seq(all("n_occ").desc, all("doc_id")), k)
+    val w = Window.partitionBy("phrase")
+      .orderBy(col("n_occ").desc, col("doc_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select(col("phrase"), col("doc_id"), col("n_occ"), col("first_pos"),
+        col("rk"))
+  }
+
+  /** Exact phrase search over the corpus (scan path): tokenize once,
+    * prune to the union of all phrases' terms, intersect positions.
+    * Output: phrase, doc_id, n_occ, first_pos, rk — top `k` docs per
+    * phrase by occurrence count. */
+  def phraseSearch(docs: DataFrame, phrases: Seq[Seq[String]],
+                   k: Int): DataFrame = {
+    val pos = graft.core.Caches.scoped(
+      positionalPostings(docs, phrases.flatten.distinct))
+    phraseMatchTail(pos, phrases, k)
+  }
+
+  /** [[phraseSearch]] served ENTIRELY from the positional store — the
+    * plan never touches document text: the term IN-filter prunes the
+    * positions table to the phrases' row groups. Byte-identical to the
+    * scan path by construction (same tail). */
+  def phraseSearchFromStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String, phrases: Seq[Seq[String]],
+                            k: Int): DataFrame = {
+    val pos = spark.read.parquet(s"$path/positions")
+      .filter(col("term").isInCollection(phrases.flatten.distinct))
+    phraseMatchTail(pos, phrases, k)
+  }
 }

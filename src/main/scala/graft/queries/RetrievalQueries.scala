@@ -851,6 +851,76 @@ object RetrievalQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // --- Y23/Y24: EXACT PHRASE SEARCH over a positional index — the
+  // retrieval capability BM25's bag-of-words postings cannot answer.
+  // Occurrence starts are the classical positional intersect: the first
+  // term's postings equi-joined with each later term's postings shifted
+  // by −i on (doc_id, pos); every join touches only the phrase terms'
+  // postings (term-pruned; at scale, row-group-pruned store reads), so
+  // candidate volume is Σ df(tᵢ) — never the corpus. y23 grades the
+  // scan path; y24 answers the SAME oracle from the persisted
+  // positional store with no document-text scan in the plan.
+  private val Phrases = Seq(Seq("fast", "table"), Seq("table", "part"),
+    Seq("value", "table", "part"))
+  private val PhraseK = 10
+  private val phraseOracleSql: String = {
+    val allTerms = Phrases.flatten.distinct
+      .map(t => s"'$t'").mkString("(", ",", ")")
+    def matchCte(i: Int, ts: Seq[String]) = {
+      val joins = ts.zipWithIndex.drop(1).map { case (t, j) =>
+        s"JOIN pos p$j ON p$j.doc_id = p0.doc_id " +
+          s"AND p$j.pos = p0.pos + $j AND p$j.term = '$t'"
+      }.mkString(" ")
+      s"""m$i AS (
+        SELECT '${ts.mkString(" ")}' AS phrase, p0.doc_id,
+               CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(min(p0.pos) AS BIGINT) AS first_pos
+        FROM pos p0 $joins
+        WHERE p0.term = '${ts.head}'
+        GROUP BY p0.doc_id)"""
+    }
+    val unions = Phrases.indices.map(i => s"SELECT * FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      pos AS (SELECT doc_id, ws[p] AS term, CAST(p - 1 AS BIGINT) AS pos
+              FROM w, UNNEST(range(1, len(ws) + 1)) t(p)
+              WHERE ws[p] IN $allTerms),
+      ${Phrases.zipWithIndex.map { case (ts, i) => matchCte(i, ts) }
+        .mkString(",")},
+      u AS ($unions),
+      r AS (SELECT phrase, doc_id, n_occ, first_pos,
+              CAST(row_number() OVER (PARTITION BY phrase
+                ORDER BY n_occ DESC, doc_id) AS INT) AS rk
+            FROM u)
+      SELECT phrase, doc_id, n_occ, first_pos, rk FROM r WHERE rk <= $PhraseK
+      ORDER BY phrase, rk"""
+  }
+
+  val y23 = Query("y23_phrase_search", Some(phraseOracleSql)) { (s, d) =>
+    Retrieval.phraseSearch(documents(s, d), Phrases, k = PhraseK)
+      .orderBy("phrase", "rk")
+  }
+
+  private def ensurePositionalStore(s: org.apache.spark.sql.SparkSession,
+                                    d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${f.length}:${f.lastModified}:posidx1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-posindex-" +
+      s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
+    if (!new java.io.File(s"$path/positions", "_SUCCESS").exists())
+      Retrieval.writePositionalStore(documents(s, d), path)
+    path
+  }
+
+  val y24 = Query("y24_phrase_store", Some(phraseOracleSql)) { (s, d) =>
+    Retrieval.phraseSearchFromStore(s, ensurePositionalStore(s, d), Phrases,
+        k = PhraseK)
+      .orderBy("phrase", "rk")
+  }
+
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90, y17, y18, y19, y20)
+    x90, y17, y18, y19, y20, y23, y24)
 }

@@ -57,7 +57,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       "y05_hash_neardup", "y06_hash_recall", "y07_hash_neardup_mp",
       // round-8b: PQ — integer Lloyd rounds (sum/count divisions),
       // argmin assignment ties, LUT partial-agg sums, recall division
-      "y21_pq_encode", "y22_pq_adc_recall")
+      "y21_pq_encode", "y22_pq_adc_recall",
+      "y23_phrase_search", "y24_phrase_store")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -552,6 +552,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("y24 store-served phrase search never scans document text; term filter reaches the positions scan") {
+    val p = plan("y24_phrase_store")
+    assert(!p.contains("documents.parquet"),
+      s"store path must not read the corpus:\n$p")
+    assert(p.contains("graft-posindex"), p)
+    assert(p.contains("In(term") || p.contains("term#"),
+      s"term filter must reach the positions scan:\n$p")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("y23 phrase intersect is keyed equi-joins over term-pruned postings") {
+    val p = plan("y23_phrase_search")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TopKPerKey"), p)
+  }
+
   test("y14/y15 as-of plans through the custom merge: no window, no union, two key exchanges") {
     for (q <- Seq("y14_asof_custom", "y15_asof_tolerance")) {
       val p = plan(q)

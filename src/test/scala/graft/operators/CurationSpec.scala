@@ -165,6 +165,40 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("phraseSearch: overlapping occurrences count, boundaries hold, ranking by n_occ") {
+    val d = docs(
+      1L -> "table table table scan",   // "table table" at pos 0 AND 1
+      2L -> "fast table table scan",    // once, at pos 1
+      3L -> "table fast table scan",    // zero ("table table" never adjacent)
+      4L -> "scan fast table")          // "fast table" at the doc tail
+    val r = Retrieval.phraseSearch(d,
+      Seq(Seq("table", "table"), Seq("fast", "table")), k = 10).collect()
+    val tt = r.filter(_.getAs[String]("phrase") == "table table")
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_occ"), x.getAs[Long]("first_pos"), x.getAs[Int]("rk")))
+      .toMap
+    assert(tt.keySet == Set(1L, 2L))
+    assert(tt(1L) == ((2L, 0L, 1)), s"overlap must count twice: $tt")
+    assert(tt(2L) == ((1L, 1L, 2)))
+    val ft = r.filter(_.getAs[String]("phrase") == "fast table")
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("first_pos")).toMap
+    assert(ft == Map(2L -> 0L, 3L -> 1L, 4L -> 1L),
+      s"tail occurrence must match: $ft")
+  }
+
+  test("phraseSearchFromStore answers identically to the scan path") {
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val phrases = Seq(Seq("fast", "table"), Seq("table", "part"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-posidx-test-").toString
+    Retrieval.writePositionalStore(d, path)
+    val scan = Retrieval.phraseSearch(d, phrases, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val store = Retrieval.phraseSearchFromStore(spark, path, phrases, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(scan.nonEmpty && scan == store)
+  }
+
   test("int8 quantization: codes bounded, saturation attained, error bounded") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val st = Quantization.int8Stats(emb).collect()
