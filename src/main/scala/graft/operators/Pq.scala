@@ -216,6 +216,52 @@ object Pq {
       .filter(col("rk") <= k)
   }
 
+  /** Persist the PQ corpus state — `books/` (the frozen per-subspace
+    * codebooks, C·m rows) and `codes/` (vec_id, sub, cell: the m-id
+    * encoding, the ONLY corpus-side table an ADC query reads). The
+    * embeddings are scanned once here and never again by the search
+    * path; the same append/compact lifecycle as the signature/code/gram
+    * stores applies. */
+  def writePqStore(emb: DataFrame, path: String, m: Int, dim: Int,
+                   nCents: Int, iters: Int,
+                   vecCol: String = "embedding"): Unit = {
+    val books = trainCodebooks(emb, m, dim, nCents, iters, vecCol)
+    books.write.mode("overwrite").parquet(s"$path/books")
+    encode(emb, books, m, dim, vecCol)
+      .select("vec_id", "sub", "cell")
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Append a NEW batch under the store's FROZEN codebooks — the
+    * incremental ingest cadence (the x81 code-store move): only the
+    * batch is subvector-split and assigned; old embeddings and old
+    * codes are never recomputed. Codebooks stay frozen per store
+    * generation (retrain = rebuild, the same trade as the LSH mask
+    * width). */
+  def appendToPqStore(spark: org.apache.spark.sql.SparkSession,
+                      newEmb: DataFrame, path: String, m: Int, dim: Int,
+                      vecCol: String = "embedding"): Unit = {
+    val books = spark.read.parquet(s"$path/books")
+    encode(newEmb, books, m, dim, vecCol)
+      .select("vec_id", "sub", "cell")
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** ADC top-k answered ENTIRELY from the store: codes + frozen books
+    * are read back; the embeddings table is touched only for the
+    * BOUNDED probe rows (the id filter pushes into the scan —
+    * plan-pinned in PlanShapeSpec). */
+  def adcTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String, emb: DataFrame, probeIds: Seq[Long],
+                       k: Int, m: Int, dim: Int,
+                       vecCol: String = "embedding"): DataFrame = {
+    val books = spark.read.parquet(s"$path/books")
+    val codes = spark.read.parquet(s"$path/codes")
+    val probeSv = subvectors(
+      emb.filter(col("vec_id").isInCollection(probeIds)), m, dim, vecCol)
+    adcTopKFromCodes(probeSv, codes, books, probeIds, k)
+  }
+
   /** Recall panel of ADC paths against exact integer-L2 truth, in the
     * x43/x55 shape (one row per method: method, n_probes, total_hits,
     * recall, recall_ok). `variants` = (method, iters, kShort, bound):

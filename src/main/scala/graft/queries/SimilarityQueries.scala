@@ -825,6 +825,99 @@ object SimilarityQueries {
       .orderBy("method")
   }
 
+  // --- Y25: the PQ STORE's incremental lifecycle — books trained and
+  // codes written from 80% of the corpus, the remaining 20% APPENDED
+  // under the FROZEN codebooks (only the batch is split/assigned — old
+  // embeddings and old codes never recomputed, the x81 cadence), then
+  // ADC top-k answered entirely from the two-generation store: the
+  // embeddings table is touched only for the bounded probe rows
+  // (id filter pushed into the scan, plan-pinned).
+  val y25 = Query(
+    "y25_pq_store_incr",
+    Some(s"""
+      WITH em AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+            FROM embeddings),
+      sv AS (SELECT vec_id, CAST(s AS INT) AS sub,
+                    list_slice(vm, s * $PqSubDim + 1,
+                               s * $PqSubDim + $PqSubDim) AS svm
+             FROM em, UNNEST(range(0, $PqM)) t(s)),
+      sv80 AS (SELECT * FROM sv WHERE vec_id % 10 < 8),
+      smp AS (SELECT vec_id FROM em WHERE vec_id % 10 < 8
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqC),
+      b0 AS (SELECT sub, sv80.vec_id AS cent_id, svm AS cvm
+             FROM sv80 JOIN smp USING (vec_id)),
+      pa1 AS (
+        SELECT vec_id, sub, svm, cell FROM (
+          SELECT a.vec_id, a.sub, a.svm, b.cent_id AS cell,
+                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+                   ORDER BY ${pqD2("a.svm", "b.cvm", PqSubDim)}, b.cent_id) AS rn
+          FROM sv80 a JOIN b0 b ON a.sub = b.sub)
+        WHERE rn = 1),
+      pu1 AS (SELECT sub, cell, d,
+                     CAST(floor(CAST(SUM(svm[d]) AS DOUBLE) / COUNT(*) + 0.5)
+                       AS BIGINT) AS cm
+              FROM pa1, UNNEST(range(1, ${PqSubDim + 1})) t(d)
+              GROUP BY sub, cell, d),
+      b1 AS (SELECT sub, cell AS cent_id, list(cm ORDER BY d) AS cvm
+             FROM pu1 GROUP BY sub, cell),
+      enc AS (
+        SELECT vec_id, sub, cell FROM (
+          SELECT a.vec_id, a.sub, b.cent_id AS cell,
+                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+                   ORDER BY ${pqD2("a.svm", "b.cvm", PqSubDim)}, b.cent_id) AS rn
+          FROM sv a JOIN b1 b ON a.sub = b.sub)
+        WHERE rn = 1),
+      ${pidsCteSql("em")},
+      psv AS (SELECT vec_id AS probe_id, sub, svm
+              FROM sv JOIN pids USING (vec_id)),
+      lut AS (SELECT p.probe_id, b.sub, b.cent_id AS cell,
+                     ${pqD2("p.svm", "b.cvm", PqSubDim)} AS pd2
+              FROM psv p JOIN b1 b ON p.sub = b.sub),
+      adc AS (SELECT l.probe_id, c.vec_id AS neighbor_id,
+                     CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+              FROM enc c JOIN lut l ON c.sub = l.sub AND c.cell = l.cell
+              WHERE c.vec_id <> l.probe_id
+              GROUP BY l.probe_id, c.vec_id)
+      SELECT probe_id, neighbor_id, adc_d2,
+             CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY adc_d2, neighbor_id) AS INT) AS rk
+      FROM adc QUALIFY rk <= $PqK
+      ORDER BY probe_id, rk""")
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    val probeIds = Similarity.boundedProbeIds(emb, NProbesBound)
+    Pq.adcTopKFromStore(s, ensurePqStore(s, d), emb, probeIds,
+        k = PqK, PqM, Dim)
+      .orderBy("probe_id", "rk")
+  }
+
+  private def ensurePqStore(s: org.apache.spark.sql.SparkSession,
+                            d: String): String = {
+    val f = new java.io.File(d, "embeddings.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${f.length}:${f.lastModified}:pqstore1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-pqstore-" +
+      s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
+    val appended = new java.io.File(path, "_graft_appended")
+    if (!appended.exists()) {
+      // rebuild both generations if the append marker is missing — a
+      // partial state would double-append otherwise (the y20 pattern)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      Pq.writePqStore(embeddings(s, d).filter(col("vec_id") % 10 < 8),
+        path, PqM, Dim, PqC, iters = 1)
+      Pq.appendToPqStore(s, embeddings(s, d).filter(col("vec_id") % 10 >= 8),
+        path, PqM, Dim)
+      java.nio.file.Files.writeString(appended.toPath, "1")
+    }
+    path
+  }
+
   val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55,
-    x61, y02, y21, y22)
+    x61, y02, y21, y22, y25)
 }

@@ -570,6 +570,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("y25 store-served ADC reads codes+books; embeddings scan is probe-filtered") {
+    val p = plan("y25_pq_store_incr")
+    assert(p.contains("graft-pqstore"), s"must read the PQ store:\n$p")
+    // the only embeddings read is the bounded probe-row scan — the id
+    // filter must reach the parquet source
+    assert(p.contains("In(vec_id"), s"probe filter must push down:\n$p")
+    assert(p.contains("TopKPerKey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("y14/y15 as-of plans through the custom merge: no window, no union, two key exchanges") {
     for (q <- Seq("y14_asof_custom", "y15_asof_tolerance")) {
       val p = plan(q)

@@ -74,6 +74,36 @@ class PqSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("store-served ADC answers identically to the recompute path") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pqstore-test-").toString
+    Pq.writePqStore(emb, path, M, Dim, nCents = 8, iters = 1)
+    val books = Pq.trainCodebooks(emb, M, Dim, nCents = 8, iters = 1)
+    val probeIds = Similarity.boundedProbeIds(emb, 4)
+    val direct = Pq.adcTopK(emb, books, probeIds, k = 5, M, Dim)
+      .collect().map(_.toString).sorted.toSeq
+    val stored = Pq.adcTopKFromStore(spark, path, emb, probeIds, k = 5, M, Dim)
+      .collect().map(_.toString).sorted.toSeq
+    assert(direct.nonEmpty && direct == stored)
+  }
+
+  test("incremental append under frozen books == encode-all under the same books") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pqstore-incr-test-").toString
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    Pq.writePqStore(base, path, M, Dim, nCents = 8, iters = 1)
+    Pq.appendToPqStore(spark, batch, path, M, Dim)
+    val books = spark.read.parquet(s"$path/books")
+    val stored = spark.read.parquet(s"$path/codes")
+      .collect().map(_.toString).sorted.toSeq
+    val recomputed = Pq.encode(emb, books, M, Dim)
+      .select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == recomputed,
+      "two-generation codes must equal a full encode under the frozen books")
+  }
+
   test("recall panel grades both variants on the bounded probe set") {
     val panel = Pq.adcRecallPanel(emb, M, Dim, nCents = 8, nProbes = 8,
         k = 5, Seq(("pq_rerank", 1, 25, 0.0), ("pq_sample", 0, 0, 0.0),
