@@ -373,4 +373,51 @@ object Retrieval {
       .filter(col("term").isInCollection(phrases.flatten.distinct))
     phraseMatchTail(pos, phrases, k)
   }
+
+  /** Proximity (NEAR/w) search: for each (term_a, term_b) pair, per-doc
+    * count of position pairs with |pos_a − pos_b| ≤ `window` — the
+    * unordered co-occurrence relaxation of [[phraseSearch]].
+    *
+    * Scale shape: the naive form equi-joins the two terms' postings on
+    * doc_id alone and post-filters the range — df_doc(a)·df_doc(b)
+    * candidate pairs per doc, quadratic for boilerplate terms in long
+    * docs. Here the y16 interval-banding trick bounds it: side b keeps
+    * its coarse band ⌊pos/w⌋, side a explodes to its ≤3 reachable bands
+    * (⌊pos/w⌋−1 … +1), and the join runs on (doc_id, band) — every
+    * qualifying pair lands in EXACTLY one joined row (b's band is
+    * unique and a probes each band once), so no dedup shuffle, and
+    * candidate volume is Σ_band df_band(a)·df_band(b) — window-local,
+    * never df×df. Per-pair top-k docs via TopKPerKey.
+    * Output: term_a, term_b, doc_id, n_pairs, rk. */
+  def proximitySearch(docs: DataFrame, pairs: Seq[(String, String)],
+                      window: Int, k: Int): DataFrame = {
+    require(window >= 1)
+    val pos = graft.core.Caches.scoped(positionalPostings(docs,
+      pairs.flatMap(p => Seq(p._1, p._2)).distinct))
+    val perPair = pairs.map { case (ta, tb) =>
+      val a = pos.filter(col("term") === ta)
+        .select(col("doc_id"), col("pos").as("pos_a"),
+          explode(sequence(floor(col("pos") / window) - 1,
+            floor(col("pos") / window) + 1)).as("band"))
+      val b = pos.filter(col("term") === tb)
+        .select(col("doc_id"), col("pos").as("pos_b"),
+          floor(col("pos") / window).as("band"))
+      a.join(b, Seq("doc_id", "band"))
+        .filter(abs(col("pos_a") - col("pos_b")) <= window &&
+          col("pos_a") =!= col("pos_b"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(lit(ta).as("term_a"), lit(tb).as("term_b"), col("doc_id"),
+          col("n_pairs"))
+    }
+    val all = perPair.reduce(_.unionAll(_))
+    val topk = graft.plans.TopK.perKey(all,
+      Seq(all("term_a"), all("term_b")),
+      Seq(all("n_pairs").desc, all("doc_id")), k)
+    val w = Window.partitionBy("term_a", "term_b")
+      .orderBy(col("n_pairs").desc, col("doc_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select(col("term_a"), col("term_b"), col("doc_id"), col("n_pairs"),
+        col("rk"))
+  }
 }

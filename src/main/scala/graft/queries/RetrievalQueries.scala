@@ -921,6 +921,50 @@ object RetrievalQueries {
       .orderBy("phrase", "rk")
   }
 
+  // --- Y26: PROXIMITY (NEAR/w) SEARCH — the unordered co-occurrence
+  // relaxation of y23: per-doc count of (pos_a, pos_b) pairs within the
+  // window. The engine runs the y16 interval-banding shape (side b
+  // keeps band ⌊pos/w⌋, side a explodes to its ≤3 reachable bands, join
+  // on (doc_id, band) — each qualifying pair lands in exactly one
+  // joined row, candidate volume window-local instead of df×df); the
+  // oracle states the naive doc_id-join + range-filter semantics the
+  // banding provably preserves.
+  private val ProxPairs = Seq(("fast", "table"), ("spark", "window"))
+  private val ProxWindow = 4
+  private val proxOracleSql: String = {
+    val allTerms = ProxPairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(t => s"'$t'").mkString("(", ",", ")")
+    val pairCtes = ProxPairs.zipWithIndex.map { case ((ta, tb), i) =>
+      s"""pr$i AS (
+        SELECT '$ta' AS term_a, '$tb' AS term_b, a.doc_id,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+          AND abs(a.pos - b.pos) <= $ProxWindow AND a.pos <> b.pos
+        WHERE a.term = '$ta' AND b.term = '$tb'
+        GROUP BY a.doc_id)"""
+    }.mkString(",")
+    val unions = ProxPairs.indices.map(i => s"SELECT * FROM pr$i")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      pos AS (SELECT doc_id, ws[p] AS term, CAST(p - 1 AS BIGINT) AS pos
+              FROM w, UNNEST(range(1, len(ws) + 1)) t(p)
+              WHERE ws[p] IN $allTerms),
+      $pairCtes,
+      u AS ($unions)
+      SELECT term_a, term_b, doc_id, n_pairs,
+             CAST(row_number() OVER (PARTITION BY term_a, term_b
+               ORDER BY n_pairs DESC, doc_id) AS INT) AS rk
+      FROM u QUALIFY rk <= $PhraseK
+      ORDER BY term_a, term_b, rk"""
+  }
+
+  val y26 = Query("y26_proximity_search", Some(proxOracleSql)) { (s, d) =>
+    Retrieval.proximitySearch(documents(s, d), ProxPairs,
+        window = ProxWindow, k = PhraseK)
+      .orderBy("term_a", "term_b", "rk")
+  }
+
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90, y17, y18, y19, y20, y23, y24)
+    x90, y17, y18, y19, y20, y23, y24, y26)
 }

@@ -186,6 +186,32 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       s"tail occurrence must match: $ft")
   }
 
+  test("banded proximity search == brute-force window count, boundaries inclusive") {
+    val d = docs(
+      1L -> "fast a b c d table",        // |0-5| = 5 > 4 → no pair
+      2L -> "fast a b c table",          // |0-4| = 4 → exactly at the bound
+      3L -> "table fast x table",        // both orders count: |1-0|, |1-3|
+      4L -> "fast x fast table")         // two a-positions near one b
+    val r = Retrieval.proximitySearch(d, Seq(("fast", "table")),
+      window = 4, k = 10).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("n_pairs")).toMap
+    assert(r == Map(2L -> 1L, 3L -> 2L, 4L -> 2L), s"got $r")
+    // brute-force cross-check on the same docs (reference semantics)
+    val toks = Map(
+      1L -> "fast a b c d table", 2L -> "fast a b c table",
+      3L -> "table fast x table", 4L -> "fast x fast table")
+      .map { case (id, t) => id -> t.split(" ").toSeq }
+    val brute = toks.flatMap { case (id, ws) =>
+      val n = (for {
+        (a, pa) <- ws.zipWithIndex if a == "fast"
+        (b, pb) <- ws.zipWithIndex if b == "table"
+        if math.abs(pa - pb) <= 4 && pa != pb
+      } yield 1).size
+      if (n > 0) Some(id -> n.toLong) else None
+    }
+    assert(r == brute)
+  }
+
   test("phraseSearchFromStore answers identically to the scan path") {
     val d = graft.sources.Tables.documents(spark, sfDir)
     val phrases = Seq(Seq("fast", "table"), Seq("table", "part"))
