@@ -374,6 +374,70 @@ object Retrieval {
     phraseMatchTail(pos, phrases, k)
   }
 
+  /** Subword-hashed TOKEN embedding — the model-free analogue of a
+    * learned token vector (fastText's subword trick on a feature-hash
+    * basis): a token's vector is the ±1 md5-hash sum of its character
+    * trigrams (whole token if shorter) into `dim` buckets, so
+    * morphological variants ("stream"/"streaming") share most
+    * components. All integers. Output: token, tv array<long>. */
+  def tokenVectors(tokens: DataFrame, dim: Int): DataFrame = {
+    val feats = tokens.select(col("token"),
+        explode(transform(
+          sequence(lit(1), greatest(length(col("token")) - 2, lit(1))),
+          j => col("token").substr(j, lit(3)))).as("g"))
+    val signed = feats.select(col("token"),
+      (conv(substring(md5(col("g")), 1, 3), 16, 10).cast("long") % dim).as("b"),
+      when(conv(substring(md5(col("g")), 4, 1), 16, 10).cast("long") >= 8L, 1L)
+        .otherwise(-1L).as("s"))
+    signed.groupBy("token", "b").agg(sum("s").as("v"))
+      .groupBy("token")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
+      .select(col("token"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("m"), j.cast("long")), lit(0L))).as("tv"))
+  }
+
+  /** Late-interaction (MaxSim) retrieval — the ColBERT scoring shape
+    * with no model: score(doc) = Σ_q max over the doc's tokens of the
+    * integer dot between the query term's and the token's subword
+    * vectors, so a query for "streaming" ranks docs containing
+    * "stream" high without an exact match.
+    *
+    * Scale shape: token vectors are built once per DISTINCT token (the
+    * x02 dictionary trick — the vocabulary is the small side by
+    * construction) and dotted against the broadcast |terms| query
+    * vectors (|vocab|·m integer dots, linear); the corpus-side cost is
+    * the distinct (doc, token) table joined to that (token, term, dot)
+    * dictionary — m× token volume with map-side max partial agg keyed
+    * (doc, term), then an m-row-per-doc sum. Everything integer; ranks
+    * break ties by doc_id. Output: doc_id, score, rk. */
+  def maxSimTopK(docs: DataFrame, terms: Seq[String], k: Int,
+                 dim: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val docToks = docs
+      .select(col("doc_id"), explode(words(normText(col("text")))).as("token"))
+      .distinct()
+    val vocabVecs = tokenVectors(docToks.select("token").distinct(), dim)
+    val qVecs = tokenVectors(terms.toDF("token"), dim)
+      .toDF("q_term", "qv")
+    val dots = vocabVecs.crossJoin(broadcast(qVecs))
+      .select(col("token"), col("q_term"),
+        graft.functions.VectorFunctions.dotLong(col("qv"), col("tv")).as("dot"))
+    val perTerm = docToks.join(dots, Seq("token"))
+      .groupBy("doc_id", "q_term")
+      .agg(max(col("dot")).as("max_dot"))
+    val scored = perTerm.groupBy("doc_id")
+      .agg(sum(col("max_dot")).as("score"))
+    // global cut by distributed TakeOrdered (the hybridRrf discipline);
+    // the rank window then runs over ≤ k rows
+    val topk = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.partitionBy(lit(1))
+      .orderBy(col("score").desc, col("doc_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("score"), col("rk"))
+  }
+
   /** Proximity (NEAR/w) search: for each (term_a, term_b) pair, per-doc
     * count of position pairs with |pos_a − pos_b| ≤ `window` — the
     * unordered co-occurrence relaxation of [[phraseSearch]].

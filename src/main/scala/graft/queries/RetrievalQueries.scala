@@ -965,6 +965,65 @@ object RetrievalQueries {
       .orderBy("term_a", "term_b", "rk")
   }
 
+  // --- Y27: LATE-INTERACTION (MaxSim) RETRIEVAL — the ColBERT scoring
+  // shape with no model: token vectors are ±1 md5 sums of the token's
+  // character trigrams (subword hashing — "streaming" shares most
+  // components with "stream"), score(doc) = Σ_q max over doc tokens of
+  // the integer dot. Vectors exist once per DISTINCT token (the x02
+  // dictionary trick); the query terms are deliberately morphological
+  // variants absent from the corpus vocabulary, so the ranking is pure
+  // subword similarity — fuzzy retrieval BM25's exact terms can't do.
+  private val MaxSimTerms = Seq("streaming", "vectors", "tables")
+  private val MaxSimDim = 32
+  private val maxSimOracleSql: String = {
+    val termsList = MaxSimTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+    def vecCtes(tag: String, src: String) = s"""
+      f$tag AS (SELECT token, substr(token, j, 3) AS g
+                FROM $src,
+                UNNEST(range(1, greatest(length(token) - 2, 1) + 1)) t(j)),
+      sg$tag AS (SELECT token,
+                   ${graft.functions.TextFunctions.md5BucketSql("g")}
+                     % $MaxSimDim AS b,
+                   CASE WHEN (instr('0123456789abcdef', substr(md5(g), 4, 1))
+                          - 1) >= 8 THEN 1 ELSE -1 END AS s
+                 FROM f$tag),
+      c$tag AS (SELECT token, b, CAST(SUM(s) AS BIGINT) AS v
+                FROM sg$tag GROUP BY token, b),
+      dv$tag AS (SELECT t.token, r.j, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+                 FROM $src t
+                 CROSS JOIN (SELECT unnest(range(0, $MaxSimDim)) AS j) r
+                 LEFT JOIN c$tag c ON c.token = t.token AND c.b = r.j),
+      vv$tag AS (SELECT token, list(v ORDER BY j) AS tv
+                 FROM dv$tag GROUP BY token)"""
+    s"""
+      WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      dt AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS token
+             FROM n),
+      vocab AS (SELECT DISTINCT token FROM dt),
+      qt AS (SELECT unnest($termsList) AS token),
+      ${vecCtes("v", "vocab")},
+      ${vecCtes("q", "qt")},
+      dots AS (SELECT v.token, q.token AS q_term,
+                 CAST(list_aggregate(list_transform(range(1, $MaxSimDim + 1),
+                   i -> v.tv[i] * q.tv[i]), 'sum') AS BIGINT) AS dot
+               FROM vvv v CROSS JOIN vvq q),
+      pt AS (SELECT d.doc_id, s.q_term, MAX(s.dot) AS max_dot
+             FROM dt d JOIN dots s ON s.token = d.token
+             GROUP BY d.doc_id, s.q_term),
+      sc AS (SELECT doc_id, CAST(SUM(max_dot) AS BIGINT) AS score
+             FROM pt GROUP BY doc_id)
+      SELECT doc_id, score,
+             CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rk
+      FROM sc QUALIFY rk <= $PhraseK
+      ORDER BY rk"""
+  }
+
+  val y27 = Query("y27_maxsim_retrieval", Some(maxSimOracleSql)) { (s, d) =>
+    Retrieval.maxSimTopK(documents(s, d), MaxSimTerms, k = PhraseK,
+        dim = MaxSimDim)
+      .orderBy("rk")
+  }
+
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90, y17, y18, y19, y20, y23, y24, y26)
+    x90, y17, y18, y19, y20, y23, y24, y26, y27)
 }

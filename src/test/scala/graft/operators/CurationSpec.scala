@@ -212,6 +212,22 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(r == brute)
   }
 
+  test("maxSim ranks subword-similar tokens above unrelated ones") {
+    val d = docs(
+      1L -> "stream processing node",
+      2L -> "quick brown fox jumps",
+      3L -> "streaming data here")       // exact-variant match
+    val r = Retrieval.maxSimTopK(d, Seq("streaming"), k = 3).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("score"), x.getAs[Int]("rk"))).toMap
+    // the exact token maxes out (dot = its own norm²), the stem shares
+    // its 4 trigrams, the unrelated doc shares none
+    assert(r(3L)._2 == 1, s"exact variant must rank first: $r")
+    assert(r(1L)._1 > r(2L)._1,
+      s"subword overlap must beat unrelated text: $r")
+    assert(r(1L)._2 == 2 && r(2L)._2 == 3)
+  }
+
   test("phraseSearchFromStore answers identically to the scan path") {
     val d = graft.sources.Tables.documents(spark, sfDir)
     val phrases = Seq(Seq("fast", "table"), Seq("table", "part"))
