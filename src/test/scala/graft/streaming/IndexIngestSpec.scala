@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+import graft.operators.Retrieval
+
+/** Streaming index ingest: the store a stream builds must answer BM25
+  * and phrase queries exactly like the batch-built store over the same
+  * corpus, and the append-before-marker crash window must be
+  * replay-idempotent per table. */
+class IndexIngestSpec extends AnyFunSuite with SparkTest {
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val b0 = Seq(
+    0L -> "fast table scan on the big table",
+    1L -> "spark window functions over a stream",
+    2L -> "fast table part value merge")
+  private val b1 = Seq(
+    10L -> "the table part arrived fast",
+    11L -> "window spark window batch")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("stream-built store answers BM25 + phrase exactly like the batch paths") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val store = tmpDir("graft-idxingest-")
+    val input = MemoryStream[(Long, String)]
+    val q = IndexIngest.run(input.toDF().toDF("doc_id", "text"), store,
+      checkpoint = tmpDir("graft-idxingest-ckpt-"))()
+    try {
+      input.addData(b0: _*)
+      q.processAllAvailable()
+      input.addData(b1: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = (b0 ++ b1).toDF("doc_id", "text")
+    val terms = Seq("table", "spark", "fast")
+    assert(rows(Retrieval.bm25TopKFromStore(spark, store, terms, k = 5)) ==
+      rows(Retrieval.bm25TopK(all, terms, k = 5)))
+    val phrases = Seq(Seq("fast", "table"), Seq("table", "part"))
+    assert(rows(Retrieval.phraseSearchFromStore(spark, store, phrases, k = 5)) ==
+      rows(Retrieval.phraseSearch(all, phrases, k = 5)))
+  }
+
+  test("replayed batch appends nothing; marker short-circuits") {
+    import spark.implicits._
+    val store = tmpDir("graft-idxingest-replay-")
+    val batch = b0.toDF("doc_id", "text")
+    IndexIngest.processBatch(batch, 0L, store)
+    def counts = Seq("doclen", "postings", "positions")
+      .map(s => spark.read.parquet(s"$store/$s").count())
+    val first = counts
+    // marker fast path
+    IndexIngest.processBatch(batch, 0L, store)
+    assert(counts == first)
+    // simulate a crash BEFORE the marker: delete it, replay — the
+    // anti-join must still append zero rows
+    val fs = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("_graft_batch_"))
+    fs.foreach(_.delete())
+    IndexIngest.processBatch(batch, 0L, store)
+    assert(counts == first, "anti-join replay must be a no-op")
+  }
+}
