@@ -438,6 +438,106 @@ object Retrieval {
       .select(col("doc_id"), col("score"), col("rk"))
   }
 
+  /** COMPACT a (batch- or stream-grown) index store: per-batch appends
+    * leave one small file set per generation and lose the global term
+    * sort; compaction deduplicates by natural key (keeping one row per
+    * key — idempotent-append tags collapse), re-range-partitions and
+    * re-sorts each table by term so row-group pruning is restored
+    * across what used to be generation boundaries, and swaps the new
+    * generation in ATOMICALLY (`StoreFs.swapInCompacted` — a crash
+    * never leaves an empty store). Serving answers are provably
+    * unchanged (spec-pinned). */
+  def compactIndexStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    def compact(sub: String, keys: Seq[String], sortCols: Seq[String]): Unit = {
+      val dir = s"$path/$sub"
+      if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
+      val src = spark.read.parquet(dir)
+      // drop the idempotent-append batch tags: rows sharing a natural
+      // key are content-identical by the ingest contract, so the dedup
+      // is deterministic once the tag is gone (stream appends onto a
+      // compacted store fall back to the −1-generation sentinel)
+      val natural = src.drop("batch_id")
+      val merged = natural.dropDuplicates(keys)
+      graft.streaming.StoreFs.swapInCompacted(spark, dir) { tmp =>
+        (if (sortCols.nonEmpty)
+           merged.repartitionByRange(col(sortCols.head))
+             .sortWithinPartitions(sortCols.map(col): _*)
+         else merged)
+          .write.parquet(tmp)
+      }
+    }
+    compact("doclen", Seq("doc_id"), Seq.empty)
+    compact("postings", Seq("term", "doc_id"), Seq("term", "doc_id"))
+    compact("positions", Seq("term", "doc_id", "pos"),
+      Seq("term", "doc_id", "pos"))
+  }
+
+  /** [[phraseSearch]] with COST-BASED intersect ordering — the skew
+    * lever the phrase family's SCALE row names: a stop-word-grade term
+    * in a phrase makes the seed side df(t₀)-sized, so the chain is
+    * reordered to start from the RAREST term (ascending df, original
+    * index as the tie-break) and every later join is bounded by the
+    * rare side. The df probe is one bounded aggregation (|terms| rows,
+    * the sanctioned bounded collect); positions are normalized to the
+    * phrase START (pos − term index) regardless of seed, so the result
+    * is EXACTLY [[phraseSearch]]'s (intersection is commutative) —
+    * spec-pinned. */
+  def phraseSearchRarestFirst(docs: DataFrame, phrases: Seq[Seq[String]],
+                              k: Int): DataFrame = {
+    val pos = graft.core.Caches.scoped(
+      positionalPostings(docs, phrases.flatten.distinct))
+    val dfMap = pos.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val perPhrase = phrases.map { terms =>
+      val ordered = terms.zipWithIndex
+        .sortBy { case (t, i) => (dfMap(t), i) }
+      val (t0, i0) = ordered.head
+      var m = pos.filter(col("term") === t0)
+        .select(col("doc_id"), (col("pos") - i0).as("pos"))
+      for ((t, i) <- ordered.tail) {
+        val pi = pos.filter(col("term") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos"))
+        m = m.join(pi, Seq("doc_id", "pos"))
+      }
+      m.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+        .select(lit(terms.mkString(" ")).as("phrase"), col("doc_id"),
+          col("n_occ"), col("first_pos"))
+    }
+    val all = perPhrase.reduce(_.unionAll(_))
+    val topk = graft.plans.TopK.perKey(all, Seq(all("phrase")),
+      Seq(all("n_occ").desc, all("doc_id")), k)
+    val w = Window.partitionBy("phrase")
+      .orderBy(col("n_occ").desc, col("doc_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select(col("phrase"), col("doc_id"), col("n_occ"), col("first_pos"),
+        col("rk"))
+  }
+
+  /** Keyword-in-context SNIPPETS for the top phrase hits: the ≤
+    * k·|phrases| hit rows broadcast back into ONE documents scan, and
+    * the snippet is the token window [first_pos − context,
+    * first_pos + |phrase| + context) re-joined with spaces — a pure
+    * column program after the bounded join; no per-hit corpus work.
+    * Output: phrase, doc_id, rk, snippet. */
+  def phraseSnippets(docs: DataFrame, phrases: Seq[Seq[String]], k: Int,
+                     context: Int): DataFrame = {
+    val phraseLen = typedLit(phrases.map(p => p.mkString(" ") -> p.length).toMap)
+    val hits = phraseSearch(docs, phrases, k)
+      .select(col("phrase"), col("doc_id"), col("rk"), col("first_pos"))
+    docs.select(col("doc_id"), words(normText(col("text"))).as("ws"))
+      .join(broadcast(hits), Seq("doc_id"))
+      .withColumn("from1",
+        greatest(col("first_pos") - context, lit(0L)) + 1)
+      .withColumn("until1",
+        col("first_pos") + element_at(phraseLen, col("phrase")) + context)
+      .select(col("phrase"), col("doc_id"), col("rk"),
+        array_join(slice(col("ws"), col("from1").cast("int"),
+          (col("until1") - col("from1") + 1).cast("int")), " ").as("snippet"))
+  }
+
   /** Proximity (NEAR/w) search: for each (term_a, term_b) pair, per-doc
     * count of position pairs with |pos_a − pos_b| ≤ `window` — the
     * unordered co-occurrence relaxation of [[phraseSearch]].

@@ -863,7 +863,10 @@ object RetrievalQueries {
   private val Phrases = Seq(Seq("fast", "table"), Seq("table", "part"),
     Seq("value", "table", "part"))
   private val PhraseK = 10
-  private val phraseOracleSql: String = {
+  /** Shared phrase-match CTE chain (through `r`, the ranked hits) —
+    * reused verbatim by y23, the y28 same-oracle/different-plan pair,
+    * and y29's snippet join. */
+  private val phraseCtes: String = {
     val allTerms = Phrases.flatten.distinct
       .map(t => s"'$t'").mkString("(", ",", ")")
     def matchCte(i: Int, ts: Seq[String]) = {
@@ -881,8 +884,7 @@ object RetrievalQueries {
     }
     val unions = Phrases.indices.map(i => s"SELECT * FROM m$i")
       .mkString(" UNION ALL ")
-    s"""
-      WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
       pos AS (SELECT doc_id, ws[p] AS term, CAST(p - 1 AS BIGINT) AS pos
               FROM w, UNNEST(range(1, len(ws) + 1)) t(p)
               WHERE ws[p] IN $allTerms),
@@ -892,10 +894,13 @@ object RetrievalQueries {
       r AS (SELECT phrase, doc_id, n_occ, first_pos,
               CAST(row_number() OVER (PARTITION BY phrase
                 ORDER BY n_occ DESC, doc_id) AS INT) AS rk
-            FROM u)
+            FROM u)"""
+  }
+
+  private val phraseOracleSql: String = s"""
+      WITH $phraseCtes
       SELECT phrase, doc_id, n_occ, first_pos, rk FROM r WHERE rk <= $PhraseK
       ORDER BY phrase, rk"""
-  }
 
   val y23 = Query("y23_phrase_search", Some(phraseOracleSql)) { (s, d) =>
     Retrieval.phraseSearch(documents(s, d), Phrases, k = PhraseK)
@@ -1024,6 +1029,45 @@ object RetrievalQueries {
       .orderBy("rk")
   }
 
+  // --- Y28: COST-BASED phrase planning — y23's exact semantics through
+  // the reordered plan: the intersect chain seeds from the RAREST term
+  // (ascending df, one bounded |terms|-row probe) so a stop-word-grade
+  // phrase term never becomes the seed side; every later join is
+  // bounded by the rare side. Same oracle text as y23 — identical rows
+  // through a different join tree is the optimization's correctness
+  // contract (the y19 store pattern applied to join ordering).
+  val y28 = Query("y28_phrase_rarest_first", Some(phraseOracleSql)) { (s, d) =>
+    Retrieval.phraseSearchRarestFirst(documents(s, d), Phrases, k = PhraseK)
+      .orderBy("phrase", "rk")
+  }
+
+  // --- Y29: keyword-in-context SNIPPETS — the top phrase hits (bounded:
+  // ≤ k·|phrases| rows) broadcast back into ONE documents scan; the
+  // snippet is the ±context token window around the first occurrence,
+  // a pure column program after the bounded join.
+  private val SnippetContext = 3
+  val y29 = Query(
+    "y29_phrase_snippets",
+    Some {
+      val lenCase = Phrases.map(ts =>
+        s"WHEN '${ts.mkString(" ")}' THEN ${ts.length}").mkString(" ")
+      s"""
+      WITH $phraseCtes,
+      h AS (SELECT phrase, doc_id, rk, first_pos FROM r WHERE rk <= $PhraseK)
+      SELECT h.phrase, h.doc_id, h.rk,
+             array_to_string(list_slice(w.ws,
+               greatest(h.first_pos - $SnippetContext, 0) + 1,
+               h.first_pos + (CASE h.phrase $lenCase END) + $SnippetContext),
+               ' ') AS snippet
+      FROM h JOIN w ON w.doc_id = h.doc_id
+      ORDER BY phrase, rk"""
+    }
+  ) { (s, d) =>
+    Retrieval.phraseSnippets(documents(s, d), Phrases, k = PhraseK,
+        context = SnippetContext)
+      .orderBy("phrase", "rk")
+  }
+
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90, y17, y18, y19, y20, y23, y24, y26, y27)
+    x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29)
 }

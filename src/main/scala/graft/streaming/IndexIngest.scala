@@ -64,13 +64,19 @@ object IndexIngest {
       val dir = s"$storePath/$sub"
       val tagged = payload.withColumn("batch_id", lit(batchId))
       val novel =
-        if (StoreFs.storeExists(spark, dir))
+        if (StoreFs.storeExists(spark, dir)) {
+          // a compacted (or batch-written) generation has no batch_id
+          // column — treat its rows as the −1 sentinel generation (the
+          // DsirStream convention), which never collides with a real id
+          val raw = spark.read.parquet(dir)
+          val visible =
+            if (raw.columns.contains("batch_id")) raw
+            else raw.withColumn("batch_id", lit(-1L))
           tagged.join(
-            spark.read.parquet(dir)
-              .filter(col("batch_id") === batchId)
+            visible.filter(col("batch_id") === batchId)
               .select((keys :+ "batch_id").map(col): _*),
             keys :+ "batch_id", "left_anti")
-        else tagged
+        } else tagged
       novel.write.mode("append").parquet(dir)
     }
 

@@ -212,6 +212,29 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(r == brute)
   }
 
+  test("rarest-first phrase planning returns exactly the naive chain's rows") {
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val phrases = Seq(Seq("fast", "table"), Seq("value", "table", "part"),
+      Seq("table", "table"))
+    val naive = Retrieval.phraseSearch(d, phrases, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val planned = Retrieval.phraseSearchRarestFirst(d, phrases, k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(naive.nonEmpty && naive == planned)
+  }
+
+  test("snippets window the normalized tokens around the first hit") {
+    val d = docs(
+      1L -> "aa bb cc fast table dd ee ff",  // interior hit
+      2L -> "fast table xx yy")              // hit at the doc start
+    val r = Retrieval.phraseSnippets(d, Seq(Seq("fast", "table")), k = 10,
+        context = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        x.getAs[String]("snippet")).toMap
+    assert(r(1L) == "bb cc fast table dd ee")
+    assert(r(2L) == "fast table xx yy", "window must clamp at both ends")
+  }
+
   test("maxSim ranks subword-similar tokens above unrelated ones") {
     val d = docs(
       1L -> "stream processing node",

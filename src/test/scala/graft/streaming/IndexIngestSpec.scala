@@ -47,6 +47,28 @@ class IndexIngestSpec extends AnyFunSuite with SparkTest {
       rows(Retrieval.phraseSearch(all, phrases, k = 5)))
   }
 
+  test("compaction preserves answers and survives further stream appends") {
+    import spark.implicits._
+    val store = tmpDir("graft-idxingest-compact-")
+    IndexIngest.processBatch(b0.toDF("doc_id", "text"), 0L, store)
+    IndexIngest.processBatch(b1.take(1).toDF("doc_id", "text"), 1L, store)
+    val terms = Seq("table", "fast", "spark")
+    val phrases = Seq(Seq("fast", "table"))
+    val before = (rows(Retrieval.bm25TopKFromStore(spark, store, terms, 5)),
+      rows(Retrieval.phraseSearchFromStore(spark, store, phrases, 5)))
+    Retrieval.compactIndexStore(spark, store)
+    val after = (rows(Retrieval.bm25TopKFromStore(spark, store, terms, 5)),
+      rows(Retrieval.phraseSearchFromStore(spark, store, phrases, 5)))
+    assert(before == after, "compaction must not change a single answer")
+    // one file set per table, batch tags gone
+    assert(!spark.read.parquet(s"$store/postings").columns.contains("batch_id"))
+    // the stream keeps appending onto the compacted generation
+    IndexIngest.processBatch(b1.drop(1).toDF("doc_id", "text"), 2L, store)
+    val all = (b0 ++ b1).toDF("doc_id", "text")
+    assert(rows(Retrieval.bm25TopKFromStore(spark, store, terms, 5)) ==
+      rows(Retrieval.bm25TopK(all, terms, 5)))
+  }
+
   test("replayed batch appends nothing; marker short-circuits") {
     import spark.implicits._
     val store = tmpDir("graft-idxingest-replay-")
