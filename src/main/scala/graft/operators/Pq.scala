@@ -82,6 +82,117 @@ object Pq {
       .select(col("sub"), col("vec_id").as("cent_id"), col("svm").as("cvm"))
   }
 
+  /** Micro-lifted full vectors: (vec_id, vm array<long>). */
+  def microVectors(emb: DataFrame, vecCol: String = "embedding"): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col(vecCol), x => micro(x.cast("double"))).as("vm"))
+
+  /** Sylvester–Hadamard rotation of a micro vector: rm[i] = Σ_j
+    * (−1)^popcount(i AND j) · vm[j] — an INTEGER orthogonal-up-to-scale
+    * transform (Hᵀ·H = dim·I, so ‖Ha − Hb‖² = dim·‖a − b‖² exactly and
+    * the L2 ranking is provably unchanged). This is the structured
+    * pre-rotation of the OPQ family (energy spread across PQ subspaces
+    * without training a rotation); `dim` must be a power of two. */
+  def hadamardRotate(vm: Column, dim: Int): Column = {
+    require((dim & (dim - 1)) == 0, s"Hadamard needs a power of two, got $dim")
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, j) =>
+        acc + when(bit_count(i.bitwiseAND(j)) % 2 === 0,
+          element_at(vm, (j + 1).cast("int")))
+          .otherwise(-element_at(vm, (j + 1).cast("int")))))
+  }
+
+  /** Subvector split of an ALREADY-micro long-array column — the seam
+    * that lets the PQ stack run on transformed vectors (e.g. the
+    * Hadamard rotation) without a second lift. */
+  def subvectorsMicro(mv: DataFrame, m: Int, dim: Int,
+                      microCol: String = "vm"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    mv.select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(s.as("sub"),
+            slice(col(microCol), s * subDim + lit(1), lit(subDim)).as("svm"))))
+          .as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.svm").as("svm"))
+  }
+
+  /** [[trainCodebooks]] over a prepared subvector frame. */
+  def trainCodebooksSv(svIn: DataFrame, nCents: Int, iters: Int): DataFrame = {
+    val sv = graft.core.Caches.scoped(svIn)
+    var books = sampleCodebooks(sv, nCents)
+    for (_ <- 1 to iters) {
+      books = assign(sv, books)
+        .select(col("sub"), col("cell"), posexplode(col("svm")).as(Seq("d", "x")))
+        .groupBy("sub", "cell", "d")
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5d))
+          .cast("long").as("cm"))
+        .groupBy(col("sub"), col("cell").as("cent_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cm")))),
+          s => s.getField("cm")).as("cvm"))
+    }
+    books
+  }
+
+  /** Exact integer-L2 brute-force top-k over prepared micro vectors. */
+  def l2TopKMicro(mv: DataFrame, probeIds: Seq[Long], k: Int): DataFrame = {
+    val probes = mv.filter(col("vec_id").isInCollection(probeIds))
+      .toDF("probe_id", "pm")
+    val scored = mv.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        l2sq(col("pm"), col("vm")).as("d2"))
+    val topk = graft.plans.TopK.perKey(scored, Seq(scored("probe_id")),
+      Seq(scored("d2"), scored("neighbor_id")), k)
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("neighbor_id"))
+    topk.withColumn("rk", row_number().over(w))
+      .select(col("probe_id"), col("neighbor_id"), col("d2"), col("rk"))
+  }
+
+  /** ROTATED-PQ recall panel: the full trained-ADC + exact-re-rank
+    * pipeline on Hadamard-rotated vectors, graded against the exact-L2
+    * truth on the SAME rotated vectors (provably the identical ranking
+    * as unrotated truth — ‖Ha−Hb‖² = dim·‖a−b‖²; spec-pinned). The
+    * rotation spreads per-dimension energy across all m subspaces, the
+    * standard fix when contiguous dimensions are correlated. Output:
+    * the x43-shaped panel rows. */
+  def rotatedAdcRecallPanel(emb: DataFrame, m: Int, dim: Int, nCents: Int,
+                            nProbes: Int, k: Int, kShort: Int,
+                            rawBound: Double, rerankBound: Double,
+                            vecCol: String = "embedding"): DataFrame = {
+    val probeIds = Similarity.boundedProbeIds(emb, nProbes)
+    val mv = graft.core.Caches.scoped(
+      microVectors(emb, vecCol)
+        .select(col("vec_id"), hadamardRotate(col("vm"), dim).as("vm")))
+    val sv = subvectorsMicro(mv, m, dim)
+    val books = trainCodebooksSv(sv, nCents, iters = 1)
+    val codes = assign(sv, books).select(col("vec_id"), col("sub"),
+      col("cell"), col("d2"))
+    val probeSv = sv.filter(col("vec_id").isInCollection(probeIds))
+    val raw = adcTopKFromCodes(probeSv, codes, books, probeIds, k)
+    val shortl = adcTopKFromCodes(probeSv, codes, books, probeIds, kShort)
+      .select("probe_id", "neighbor_id")
+    val probes = mv.filter(col("vec_id").isInCollection(probeIds))
+      .toDF("probe_id", "pm")
+    val reranked = {
+      val scored = mv
+        .join(broadcast(shortl), mv("vec_id") === shortl("neighbor_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          l2sq(col("pm"), col("vm")).as("d2"))
+      val w = Window.partitionBy("probe_id")
+        .orderBy(col("d2"), col("neighbor_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    }
+    val exact = graft.core.Caches.scoped(
+      l2TopKMicro(mv, probeIds, k).select("probe_id", "neighbor_id"))
+    val nP = emb.filter(col("vec_id").isInCollection(probeIds))
+      .select(count(lit(1)).as("n_probes"))
+    Similarity.recallPanel(nP, k, Seq(
+      ("pq_rot_rerank", reranked, exact, rerankBound),
+      ("pq_rot_trained", raw, exact, rawBound)))
+  }
+
   /** Per-(vector, subspace) nearest cell against broadcast codebooks:
     * argmin integer L2², tie → smaller cent_id, via the two-phase
     * TopKPerKey (k=1). Output: vec_id, sub, svm, cell, d2. */
@@ -105,21 +216,8 @@ object Pq {
     * (standard Lloyd), identically in the oracle.
     * Output: sub, cent_id, cvm array<long>. */
   def trainCodebooks(emb: DataFrame, m: Int, dim: Int, nCents: Int,
-                     iters: Int, vecCol: String = "embedding"): DataFrame = {
-    val sv = graft.core.Caches.scoped(subvectors(emb, m, dim, vecCol))
-    var books = sampleCodebooks(sv, nCents)
-    for (_ <- 1 to iters) {
-      books = assign(sv, books)
-        .select(col("sub"), col("cell"), posexplode(col("svm")).as(Seq("d", "x")))
-        .groupBy("sub", "cell", "d")
-        .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5d))
-          .cast("long").as("cm"))
-        .groupBy(col("sub"), col("cell").as("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("cm")))),
-          s => s.getField("cm")).as("cvm"))
-    }
-    books
-  }
+                     iters: Int, vecCol: String = "embedding"): DataFrame =
+    trainCodebooksSv(subvectors(emb, m, dim, vecCol), nCents, iters)
 
   /** PQ encoding: each vector's m-cell code, one row per (vec_id, sub)
     * with the chosen cell and its exact residual d2 — the table a code

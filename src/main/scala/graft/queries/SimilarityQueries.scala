@@ -918,6 +918,116 @@ object SimilarityQueries {
     path
   }
 
+  // --- Y30: HADAMARD-ROTATED PQ — the structured pre-rotation of the
+  // OPQ family, exactly integer: rm = H·vm with H the Sylvester matrix
+  // ((−1)^popcount(i AND j)), so ‖Ha−Hb‖² = 64·‖a−b‖² and the L2
+  // ranking is provably unchanged while per-dimension energy spreads
+  // across all m subspaces (the fix when contiguous dims are
+  // correlated). Full trained-ADC + exact-re-rank pipeline on the
+  // rotated vectors, graded against rotated exact-L2 truth.
+  private val PqRotRawFloor = 0.2
+  private val PqRotRerankBound = 0.6
+  val y30 = Query(
+    "y30_pq_rotated_recall",
+    Some {
+      val rotSql =
+        s"""list_transform(range(0, $Dim), i ->
+             CAST(list_aggregate(list_transform(range(0, $Dim), j ->
+               CASE WHEN bit_count(i & j) % 2 = 0 THEN mv[j + 1]
+                    ELSE -mv[j + 1] END), 'sum') AS BIGINT))"""
+      s"""
+      WITH e0 AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS mv
+            FROM embeddings),
+      em AS (SELECT vec_id, $rotSql AS vm FROM e0),
+      sv AS (SELECT vec_id, CAST(s AS INT) AS sub,
+                    list_slice(vm, s * $PqSubDim + 1,
+                               s * $PqSubDim + $PqSubDim) AS svm
+             FROM em, UNNEST(range(0, $PqM)) t(s)),
+      smp AS (SELECT vec_id FROM em
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqC),
+      b0 AS (SELECT sub, sv.vec_id AS cent_id, svm AS cvm
+             FROM sv JOIN smp USING (vec_id)),
+      pa1 AS (
+        SELECT vec_id, sub, svm, cell FROM (
+          SELECT a.vec_id, a.sub, a.svm, b.cent_id AS cell,
+                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+                   ORDER BY ${pqD2("a.svm", "b.cvm", PqSubDim)}, b.cent_id) AS rn
+          FROM sv a JOIN b0 b ON a.sub = b.sub)
+        WHERE rn = 1),
+      pu1 AS (SELECT sub, cell, d,
+                     CAST(floor(CAST(SUM(svm[d]) AS DOUBLE) / COUNT(*) + 0.5)
+                       AS BIGINT) AS cm
+              FROM pa1, UNNEST(range(1, ${PqSubDim + 1})) t(d)
+              GROUP BY sub, cell, d),
+      b1 AS (SELECT sub, cell AS cent_id, list(cm ORDER BY d) AS cvm
+             FROM pu1 GROUP BY sub, cell),
+      enc AS (
+        SELECT vec_id, sub, cell FROM (
+          SELECT a.vec_id, a.sub, b.cent_id AS cell,
+                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+                   ORDER BY ${pqD2("a.svm", "b.cvm", PqSubDim)}, b.cent_id) AS rn
+          FROM sv a JOIN b1 b ON a.sub = b.sub)
+        WHERE rn = 1),
+      ${pidsCteSql("em")},
+      probes AS (SELECT vec_id AS probe_id, vm AS pm
+                 FROM em JOIN pids USING (vec_id)),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+      exsc AS (SELECT probe_id, a.vec_id AS neighbor_id,
+                      ${pqD2("a.vm", "p.pm", Dim)} AS d2
+               FROM em a CROSS JOIN probes p WHERE a.vec_id <> p.probe_id),
+      exact AS (SELECT probe_id, neighbor_id FROM (
+                  SELECT probe_id, neighbor_id,
+                         row_number() OVER (PARTITION BY probe_id
+                           ORDER BY d2, neighbor_id) AS rk
+                  FROM exsc) WHERE rk <= $PqK),
+      psv AS (SELECT vec_id AS probe_id, sub, svm
+              FROM sv JOIN pids USING (vec_id)),
+      lut AS (SELECT p.probe_id, b.sub, b.cent_id AS cell,
+                     ${pqD2("p.svm", "b.cvm", PqSubDim)} AS pd2
+              FROM psv p JOIN b1 b ON p.sub = b.sub),
+      adc AS (SELECT l.probe_id, c.vec_id AS neighbor_id, SUM(l.pd2) AS adc
+              FROM enc c JOIN lut l ON c.sub = l.sub AND c.cell = l.cell
+              WHERE c.vec_id <> l.probe_id
+              GROUP BY l.probe_id, c.vec_id),
+      r2 AS (SELECT probe_id, neighbor_id,
+                    row_number() OVER (PARTITION BY probe_id
+                      ORDER BY adc, neighbor_id) AS rk
+             FROM adc),
+      ap2 AS (SELECT probe_id, neighbor_id FROM r2 WHERE rk <= $PqK),
+      shortl AS (SELECT probe_id, neighbor_id FROM r2 WHERE rk <= $PqShort),
+      rr AS (SELECT s.probe_id, s.neighbor_id,
+                    ${pqD2("a.vm", "p.pm", Dim)} AS d2
+             FROM shortl s
+             JOIN em a ON a.vec_id = s.neighbor_id
+             JOIN probes p ON p.probe_id = s.probe_id),
+      apr AS (SELECT probe_id, neighbor_id FROM (
+                SELECT probe_id, neighbor_id,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY d2, neighbor_id) AS rk
+                FROM rr) WHERE rk <= $PqK),
+      hits AS (
+        SELECT 'pq_rot_rerank' AS method, CAST(count(*) AS BIGINT) AS total_hits,
+               $PqRotRerankBound AS bound
+        FROM apr SEMI JOIN exact USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'pq_rot_trained', CAST(count(*) AS BIGINT), $PqRotRawFloor
+        FROM ap2 SEMI JOIN exact USING (probe_id, neighbor_id))
+      SELECT method, n_probes, total_hits,
+             CAST(total_hits AS DOUBLE) / (n_probes * $PqK) AS recall,
+             CASE WHEN CAST(total_hits AS DOUBLE) / (n_probes * $PqK) >= bound
+                  THEN 1 ELSE 0 END AS recall_ok
+      FROM hits, np
+      ORDER BY method"""
+    }
+  ) { (s, d) =>
+    Pq.rotatedAdcRecallPanel(embeddings(s, d), PqM, Dim, PqC, NProbesBound,
+        k = PqK, kShort = PqShort,
+        rawBound = PqRotRawFloor, rerankBound = PqRotRerankBound)
+      .orderBy("method")
+  }
+
   val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55,
-    x61, y02, y21, y22, y25)
+    x61, y02, y21, y22, y25, y30)
 }

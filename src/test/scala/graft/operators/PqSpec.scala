@@ -104,6 +104,22 @@ class PqSpec extends AnyFunSuite with SparkTest {
       "two-generation codes must equal a full encode under the frozen books")
   }
 
+  test("Hadamard rotation scales L2 by exactly dim and preserves the ranking") {
+    val mv = graft.core.Caches.scoped(Pq.microVectors(emb))
+    val rv = mv.select(col("vec_id"), Pq.hadamardRotate(col("vm"), Dim).as("vm"))
+    val probeIds = Similarity.boundedProbeIds(emb, 4)
+    val plain = Pq.l2TopKMicro(mv, probeIds, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("d2")).toMap
+    val rot = Pq.l2TopKMicro(rv, probeIds, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("d2")).toMap
+    assert(plain.keySet == rot.keySet,
+      "rotation must not change the exact top-k ranking")
+    plain.foreach { case (k0, d2) =>
+      assert(rot(k0) == Dim.toLong * d2,
+        s"‖Ha−Hb‖² must equal dim·‖a−b‖² exactly at $k0: ${rot(k0)} vs $d2")
+    }
+  }
+
   test("recall panel grades both variants on the bounded probe set") {
     val panel = Pq.adcRecallPanel(emb, M, Dim, nCents = 8, nProbes = 8,
         k = 5, Seq(("pq_rerank", 1, 25, 0.0), ("pq_sample", 0, 0, 0.0),
