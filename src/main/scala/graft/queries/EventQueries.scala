@@ -173,5 +173,80 @@ object EventQueries {
       .orderBy("event_id")
   }
 
-  val all: Seq[Query] = Seq(q11, q12, q13, x40)
+  // --- Y31: ORDERED FUNNEL (view → click → purchase, each step within
+  // 24 h of the previous, earliest-completion semantics) — the classic
+  // behavioral-analytics shape: |steps| keyed linear passes, no
+  // windows, no per-user sort; all time math on exact epoch-µs
+  // BIGINTs. Conversion is of step 1 (one broadcast 1-row scalar).
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelWithinSec = 86400L
+  val y31 = Query(
+    "y31_funnel",
+    Some {
+      val wUs = FunnelWithinSec * 1000000L
+      s"""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      s1 AS (SELECT user_id, min(tus) AS t FROM ev
+             WHERE event_type = '${FunnelSteps(0)}' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.tus) AS t
+             FROM ev e JOIN s1 p USING (user_id)
+             WHERE e.event_type = '${FunnelSteps(1)}'
+               AND e.tus > p.t AND e.tus <= p.t + $wUs
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.tus) AS t
+             FROM ev e JOIN s2 p USING (user_id)
+             WHERE e.event_type = '${FunnelSteps(2)}'
+               AND e.tus > p.t AND e.tus <= p.t + $wUs
+             GROUP BY e.user_id),
+      n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+      n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+      n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s3),
+      u AS (
+        SELECT CAST(1 AS INT) AS step, '${FunnelSteps(0)}' AS event_type,
+               n AS n_users FROM n1
+        UNION ALL
+        SELECT CAST(2 AS INT), '${FunnelSteps(1)}', n FROM n2
+        UNION ALL
+        SELECT CAST(3 AS INT), '${FunnelSteps(2)}', n FROM n3)
+      SELECT step, event_type, n_users,
+             ROUND(CAST(n_users AS DOUBLE) / n1.n, 6) AS conv_pct
+      FROM u, n1 ORDER BY step"""
+    }
+  ) { (s, d) =>
+    graft.operators.Funnels.funnel(events(s, d), FunnelSteps,
+        withinSec = FunnelWithinSec)
+      .orderBy("step")
+  }
+
+  // --- Y32: COHORT RETENTION — users grouped by the epoch-week of
+  // their first event; each (cohort, offset) cell counts distinct
+  // users active `offset` weeks after their own first event. Integer
+  // division of epoch-µs — no week-rule/calendar dependence.
+  private val RetentionPeriodSec = 604800L
+  val y32 = Query(
+    "y32_retention_cohorts",
+    Some {
+      val p = RetentionPeriodSec * 1000000L
+      s"""
+      WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+      f AS (SELECT user_id, min(tus) AS t0 FROM ev GROUP BY user_id),
+      a AS (SELECT DISTINCT e.user_id, f.t0 // $p AS cohort_w,
+                   (e.tus - f.t0) // $p AS week_offset
+            FROM ev e JOIN f USING (user_id)),
+      na AS (SELECT cohort_w, week_offset, CAST(count(*) AS BIGINT) AS n_active
+             FROM a GROUP BY cohort_w, week_offset),
+      nc AS (SELECT t0 // $p AS cohort_w, CAST(count(*) AS BIGINT) AS n_cohort
+             FROM f GROUP BY 1)
+      SELECT na.cohort_w, na.week_offset, na.n_active, nc.n_cohort,
+             ROUND(CAST(n_active AS DOUBLE) / n_cohort, 6) AS retention
+      FROM na JOIN nc USING (cohort_w)
+      ORDER BY cohort_w, week_offset"""
+    }
+  ) { (s, d) =>
+    graft.operators.Funnels.retentionCohorts(events(s, d),
+        periodSec = RetentionPeriodSec)
+      .orderBy("cohort_w", "week_offset")
+  }
+
+  val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32)
 }
