@@ -53,6 +53,84 @@ object Funnels {
         round(col("n_users").cast("double") / col("n0"), 6).as("conv_pct"))
   }
 
+  /** Event-transition matrix (the Sankey/path-analysis table): for each
+    * ordered (event_type → next event_type) pair within a user's
+    * event-time sequence, the transition count and its share of the
+    * source type's outgoing transitions.
+    *
+    * Scale shape: ONE window keyed by user (per-user history fits a
+    * partition by construction — the x11/x13 argument), then a
+    * partial→final count per (from, to) pair — the output is
+    * |event_types|² rows regardless of corpus size. The share is one
+    * integer/integer division. Output: from_type, to_type, n, out_share. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outs = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_out"))
+    pairs.join(broadcast(outs), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_out"), 6).as("out_share"))
+  }
+
+  /** Two-arm experiment readout: users are assigned to arms by the
+    * deterministic md5 split (the x69 convention — stable under corpus
+    * growth, no RNG), "exposed" = has a `exposureType` event,
+    * "converted" = has a `conversionType` event strictly after their
+    * first exposure; the readout is per-arm integer counts, the
+    * conversion-rate difference, and the pooled two-proportion
+    * z-score (the only transcendental — one sqrt — rounded 6).
+    *
+    * Scale shape: two keyed aggregations (first exposure, any
+    * qualifying conversion) and a 2-row final fold. */
+  def abTest(events: DataFrame, exposureType: String,
+             conversionType: String): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tus"))
+    val arm = (conv(substring(md5(col("user_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % 2).as("arm")
+    val exposed = graft.core.Caches.scoped(
+      ev.filter(col("event_type") === exposureType)
+        .groupBy("user_id").agg(min(col("tus")).as("t_exp"))
+        .select(col("user_id"), arm, col("t_exp")))
+    val converted = ev.filter(col("event_type") === conversionType)
+      .join(exposed.select("user_id", "t_exp"), "user_id")
+      .filter(col("tus") > col("t_exp"))
+      .select("user_id").distinct()
+      .withColumn("conv", lit(1L))
+    val perArm = exposed.join(converted, Seq("user_id"), "left")
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_exposed"),
+        sum(coalesce(col("conv"), lit(0L))).as("n_converted"))
+    // 2-row fold: pivot the arms side by side via a self-join on a
+    // constant (both sides are 1-row aggregates — broadcast scalars)
+    val a0 = perArm.filter(col("arm") === 0)
+      .select(col("n_exposed").as("n0"), col("n_converted").as("c0"))
+    val a1 = perArm.filter(col("arm") === 1)
+      .select(col("n_exposed").as("n1"), col("n_converted").as("c1"))
+    a0.crossJoin(broadcast(a1))
+      .withColumn("p0", col("c0").cast("double") / col("n0"))
+      .withColumn("p1", col("c1").cast("double") / col("n1"))
+      .withColumn("p_pool",
+        (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")))
+      .withColumn("se", sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+        * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(col("p0"), 6).as("rate0"), round(col("p1"), 6).as("rate1"),
+        round(col("p1") - col("p0"), 6).as("lift"),
+        // degenerate readout (0% or 100% pooled conversion) has no
+        // defined z — NULL in both engines, never a division error
+        when(col("se") === 0d, lit(null).cast("double"))
+          .otherwise(round((col("p1") - col("p0")) / col("se"), 6)).as("z"))
+  }
+
   /** Cohort retention: users are grouped by the epoch-period of their
     * FIRST event (cohort), and each (cohort, offset) cell counts the
     * distinct users with any event `offset` periods after their own

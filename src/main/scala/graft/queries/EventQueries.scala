@@ -248,5 +248,69 @@ object EventQueries {
       .orderBy("cohort_w", "week_offset")
   }
 
-  val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32)
+  // --- Y33: EVENT-TRANSITION MATRIX (Sankey/path analysis) — one
+  // user-keyed window (per-user history fits a partition), then a
+  // partial→final (from, to) count; output is |types|² rows at any
+  // corpus size. Share = one exact-int division.
+  val y33 = Query(
+    "y33_event_transitions",
+    Some("""
+      WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id
+                 FROM events),
+      p AS (SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id) AS to_type
+            FROM o),
+      c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+            FROM c GROUP BY from_type)
+      SELECT c.from_type, c.to_type, c.n,
+             ROUND(CAST(c.n AS DOUBLE) / t.n_out, 6) AS out_share
+      FROM c JOIN t USING (from_type)
+      ORDER BY from_type, to_type""")
+  ) { (s, d) =>
+    graft.operators.Funnels.transitions(events(s, d))
+      .orderBy("from_type", "to_type")
+  }
+
+  // --- Y34: TWO-ARM EXPERIMENT READOUT — deterministic md5 user split
+  // (arm = hex-digit parity, the x69 convention: stable under corpus
+  // growth, no RNG), exposed = has a view, converted = purchase
+  // STRICTLY after the user's first exposure; per-arm integer counts +
+  // pooled two-proportion z (one sqrt, rounded 6).
+  val y34 = Query(
+    "y34_ab_test",
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      ex AS (SELECT user_id, min(tus) AS t_exp,
+               CAST((instr('0123456789abcdef',
+                 substr(md5(CAST(user_id AS VARCHAR)), 4, 1)) - 1) % 2
+                 AS BIGINT) AS arm
+             FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      cv AS (SELECT DISTINCT e.user_id
+             FROM ev e JOIN ex USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.tus > ex.t_exp),
+      pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_exposed,
+               CAST(SUM(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_converted
+             FROM ex LEFT JOIN cv ON cv.user_id = ex.user_id
+             GROUP BY arm),
+      a0 AS (SELECT n_exposed AS n0, n_converted AS c0 FROM pa WHERE arm = 0),
+      a1 AS (SELECT n_exposed AS n1, n_converted AS c1 FROM pa WHERE arm = 1)
+      SELECT n0, c0, n1, c1,
+             ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
+             ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
+             ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6) AS lift,
+             ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+               / NULLIF(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                 * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                 * (1.0 / n0 + 1.0 / n1)), 0.0), 6) AS z
+      FROM a0, a1""")
+  ) { (s, d) =>
+    graft.operators.Funnels.abTest(events(s, d),
+      exposureType = "view", conversionType = "purchase")
+  }
+
+  val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32, y33, y34)
 }

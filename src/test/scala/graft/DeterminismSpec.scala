@@ -61,7 +61,8 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       "y23_phrase_search", "y24_phrase_store", "y25_pq_store_incr",
       "y26_proximity_search", "y27_maxsim_retrieval",
       "y28_phrase_rarest_first", "y29_phrase_snippets",
-      "y30_pq_rotated_recall", "y31_funnel", "y32_retention_cohorts")
+      "y30_pq_rotated_recall", "y31_funnel", "y32_retention_cohorts",
+      "y33_event_transitions", "y34_ab_test")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -48,6 +48,41 @@ class FunnelsSpec extends AnyFunSuite with SparkTest {
     assert(r == Map(1 -> 1L, 2 -> 1L))
   }
 
+  test("transitions: in-order pairs per user; shares sum to 1 per source") {
+    val d = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "view", "2024-01-01 12:00:00"),
+      (2L, "view", "2024-01-01 10:00:00"),
+      (2L, "purchase", "2024-01-01 11:00:00"))
+      .withColumn("event_id", col("user_id") * 100 +
+        unix_timestamp(col("ts")) % 100000)
+    val r = Funnels.transitions(d).collect()
+      .map(x => (x.getAs[String]("from_type"), x.getAs[String]("to_type")) ->
+        (x.getAs[Long]("n"), x.getAs[Double]("out_share"))).toMap
+    // u1: view→click, click→view; u2: view→purchase
+    assert(r(("view", "click")) == ((1L, 0.5)))
+    assert(r(("view", "purchase")) == ((1L, 0.5)))
+    assert(r(("click", "view")) == ((1L, 1.0)))
+    assert(r.size == 3)
+  }
+
+  test("abTest: conversion counts only strictly after first exposure") {
+    val d = ev(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "purchase", "2024-01-01 11:00:00"),   // converts
+      (2L, "purchase", "2024-01-02 09:00:00"),   // BEFORE the view
+      (2L, "view", "2024-01-02 10:00:00"),
+      (3L, "view", "2024-01-03 10:00:00"))       // never converts
+    val r = Funnels.abTest(d, "view", "purchase").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n = row.getAs[Long]("n0") + row.getAs[Long]("n1")
+    val c = row.getAs[Long]("c0") + row.getAs[Long]("c1")
+    assert(n == 3L, s"all three viewers are exposed: $row")
+    assert(c == 1L, s"only u1's post-exposure purchase converts: $row")
+  }
+
   test("retention: cohorts anchor on each user's own first event") {
     val d = ev(
       (1L, "view", "2024-01-01 00:00:00"),  // u1 cohort week W
