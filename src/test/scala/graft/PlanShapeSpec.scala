@@ -580,6 +580,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("y31 funnel plans as keyed joins+aggregates — no window, no cartesian") {
+    val p = plan("y31_funnel")
+    assert(!p.contains("Window"), s"funnel must not sort per user:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("y33 transitions uses only the one user-keyed lead window") {
+    val p = plan("y33_event_transitions")
+    // AQE may print the node in both the initial and final plan sections
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows >= 1 && windows <= 2, s"one lead window expected:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("y14/y15 as-of plans through the custom merge: no window, no union, two key exchanges") {
     for (q <- Seq("y14_asof_custom", "y15_asof_tolerance")) {
       val p = plan(q)
