@@ -50,7 +50,12 @@ object Funnels {
     }.reduce(_.unionAll(_))
       .crossJoin(base)
       .select(col("step"), col("event_type"), col("n_users"),
-        round(col("n_users").cast("double") / col("n0"), 6).as("conv_pct"))
+        // NULL-guard the divisor (the z-score's se discipline): with an
+        // empty step 1, Spark's x/0 yields NULL but DuckDB's IEEE
+        // doubles yield inf — a latent cross-engine mismatch
+        when(col("n0") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_users").cast("double") / col("n0"), 6))
+          .as("conv_pct"))
   }
 
   /** Event-transition matrix (the Sankey/path-analysis table): for each
@@ -105,28 +110,41 @@ object Funnels {
       .filter(col("tus") > col("t_exp"))
       .select("user_id").distinct()
       .withColumn("conv", lit(1L))
-    val perArm = exposed.join(converted, Seq("user_id"), "left")
-      .groupBy("arm")
-      .agg(count(lit(1)).as("n_exposed"),
-        sum(coalesce(col("conv"), lit(0L))).as("n_converted"))
-    // 2-row fold: pivot the arms side by side via a self-join on a
-    // constant (both sides are 1-row aggregates — broadcast scalars)
-    val a0 = perArm.filter(col("arm") === 0)
-      .select(col("n_exposed").as("n0"), col("n_converted").as("c0"))
-    val a1 = perArm.filter(col("arm") === 1)
-      .select(col("n_exposed").as("n1"), col("n_converted").as("c1"))
-    a0.crossJoin(broadcast(a1))
-      .withColumn("p0", col("c0").cast("double") / col("n0"))
-      .withColumn("p1", col("c1").cast("double") / col("n1"))
+    // one-row conditional-sum pivot (ADVICE r8): the old per-arm
+    // filter + crossJoin pivot silently produced ZERO rows when either
+    // arm had no exposed users — callers expecting a 1-row readout got
+    // nothing. A single global aggregate always yields exactly one row,
+    // with empty-arm counts coalesced to 0.
+    val flat = exposed.join(converted, Seq("user_id"), "left")
+      .select(col("arm"), coalesce(col("conv"), lit(0L)).as("conv"))
+    def armSum(a: Int, c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(col("arm") === a, c)), lit(0L))
+    flat.agg(
+        armSum(0, lit(1L)).as("n0"), armSum(0, col("conv")).as("c0"),
+        armSum(1, lit(1L)).as("n1"), armSum(1, col("conv")).as("c1"))
+      // an empty arm has no defined rate — NULL, never a 0-divide
+      .withColumn("p0", when(col("n0") === 0L, lit(null).cast("double"))
+        .otherwise(col("c0").cast("double") / col("n0")))
+      .withColumn("p1", when(col("n1") === 0L, lit(null).cast("double"))
+        .otherwise(col("c1").cast("double") / col("n1")))
+      // every divisor is guarded: under ANSI mode (the Spark 4
+      // default) x/0 THROWS — a degenerate pool must read as NULL,
+      // not kill the job
       .withColumn("p_pool",
-        (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")))
-      .withColumn("se", sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
-        * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+        when(col("n0") + col("n1") === 0L, lit(null).cast("double"))
+          .otherwise((col("c0") + col("c1")).cast("double")
+            / (col("n0") + col("n1"))))
+      .withColumn("se",
+        when(col("n0") === 0L || col("n1") === 0L,
+            lit(null).cast("double"))
+          .otherwise(sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+            * (lit(1.0) / col("n0") + lit(1.0) / col("n1")))))
       .select(col("n0"), col("c0"), col("n1"), col("c1"),
         round(col("p0"), 6).as("rate0"), round(col("p1"), 6).as("rate1"),
         round(col("p1") - col("p0"), 6).as("lift"),
-        // degenerate readout (0% or 100% pooled conversion) has no
-        // defined z — NULL in both engines, never a division error
+        // degenerate readout (0% or 100% pooled conversion, or an
+        // empty arm) has no defined z — NULL in both engines, never a
+        // division error
         when(col("se") === 0d, lit(null).cast("double"))
           .otherwise(round((col("p1") - col("p0")) / col("se"), 6)).as("z"))
   }

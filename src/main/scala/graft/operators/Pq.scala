@@ -335,14 +335,41 @@ object Pq {
     * batch is subvector-split and assigned; old embeddings and old
     * codes are never recomputed. Codebooks stay frozen per store
     * generation (retrain = rebuild, the same trade as the LSH mask
-    * width). */
+    * width).
+    *
+    * SAFE TO RETRY (ADVICE r8): appended rows are tagged with
+    * `batchId` and anti-joined against the rows that generation has
+    * already landed, so calling twice with the same batch — or
+    * replaying after a crash mid-append — appends only the missing
+    * rows (the IndexIngest discipline; a duplicate (vec_id, sub) row
+    * would double-count that subspace in every ADC sum). The
+    * `_graft_batch_<id>` marker is the fast-path short-circuit; the
+    * base `writePqStore` generation reads as the −1 sentinel. */
   def appendToPqStore(spark: org.apache.spark.sql.SparkSession,
                       newEmb: DataFrame, path: String, m: Int, dim: Int,
+                      batchId: Long = 0L,
                       vecCol: String = "embedding"): Unit = {
+    val dir = s"$path/codes"
+    if (graft.streaming.StoreFs.markerExists(spark, dir, batchId)) return
     val books = spark.read.parquet(s"$path/books")
-    encode(newEmb, books, m, dim, vecCol)
+    val tagged = encode(newEmb, books, m, dim, vecCol)
       .select("vec_id", "sub", "cell")
-      .write.mode("append").parquet(s"$path/codes")
+      .withColumn("batch_id", lit(batchId))
+    val novel =
+      if (graft.streaming.StoreFs.storeExists(spark, dir)) {
+        // mergeSchema: the dir mixes the tagless base generation with
+        // tagged appends — a single-file schema pick could hide the tag
+        val raw = spark.read.option("mergeSchema", "true").parquet(dir)
+        val visible =
+          if (raw.columns.contains("batch_id")) raw
+          else raw.withColumn("batch_id", lit(-1L))
+        tagged.join(
+          visible.filter(col("batch_id") === batchId)
+            .select("batch_id", "vec_id", "sub"),
+          Seq("batch_id", "vec_id", "sub"), "left_anti")
+      } else tagged
+    novel.write.mode("append").parquet(dir)
+    graft.streaming.StoreFs.writeMarker(spark, dir, batchId)
   }
 
   /** ADC top-k answered ENTIRELY from the store: codes + frozen books

@@ -458,7 +458,13 @@ object Retrieval {
       // is deterministic once the tag is gone (stream appends onto a
       // compacted store fall back to the −1-generation sentinel)
       val natural = src.drop("batch_id")
+      // re-tag the compacted generation with the −1 sentinel so the
+      // store schema stays UNIFORM across compacted + appended files —
+      // otherwise a post-compaction append leaves a mixed-schema dir
+      // whose single-file schema pick can hide batch_id from the
+      // ingest's replay anti-join (ADVICE r8)
       val merged = natural.dropDuplicates(keys)
+        .withColumn("batch_id", lit(-1L))
       graft.streaming.StoreFs.swapInCompacted(spark, dir) { tmp =>
         (if (sortCols.nonEmpty)
            merged.repartitionByRange(col(sortCols.head))

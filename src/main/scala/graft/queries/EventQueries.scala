@@ -209,7 +209,7 @@ object EventQueries {
         UNION ALL
         SELECT CAST(3 AS INT), '${FunnelSteps(2)}', n FROM n3)
       SELECT step, event_type, n_users,
-             ROUND(CAST(n_users AS DOUBLE) / n1.n, 6) AS conv_pct
+             ROUND(CAST(n_users AS DOUBLE) / NULLIF(n1.n, 0), 6) AS conv_pct
       FROM u, n1 ORDER BY step"""
     }
   ) { (s, d) =>
@@ -291,22 +291,30 @@ object EventQueries {
       cv AS (SELECT DISTINCT e.user_id
              FROM ev e JOIN ex USING (user_id)
              WHERE e.event_type = 'purchase' AND e.tus > ex.t_exp),
-      pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_exposed,
-               CAST(SUM(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_converted
-             FROM ex LEFT JOIN cv ON cv.user_id = ex.user_id
-             GROUP BY arm),
-      a0 AS (SELECT n_exposed AS n0, n_converted AS c0 FROM pa WHERE arm = 0),
-      a1 AS (SELECT n_exposed AS n1, n_converted AS c1 FROM pa WHERE arm = 1)
+      -- one-row conditional-sum pivot (matches Funnels.abTest): a
+      -- per-arm filter + cross-product pivot would yield ZERO rows when
+      -- either arm is empty; the single aggregate always yields one row
+      -- with empty-arm counts coalesced to 0 and undefined rates NULL
+      flat AS (SELECT ex.arm,
+                 CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+               FROM ex LEFT JOIN cv ON cv.user_id = ex.user_id),
+      pv AS (SELECT
+               CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN 1 END), 0) AS BIGINT) AS n0,
+               CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN conv END), 0) AS BIGINT) AS c0,
+               CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+               CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN conv END), 0) AS BIGINT) AS c1
+             FROM flat)
       SELECT n0, c0, n1, c1,
-             ROUND(CAST(c0 AS DOUBLE) / n0, 6) AS rate0,
-             ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS rate1,
-             ROUND(CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0, 6) AS lift,
-             ROUND((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+             ROUND(CAST(c0 AS DOUBLE) / NULLIF(n0, 0), 6) AS rate0,
+             ROUND(CAST(c1 AS DOUBLE) / NULLIF(n1, 0), 6) AS rate1,
+             ROUND(CAST(c1 AS DOUBLE) / NULLIF(n1, 0)
+               - CAST(c0 AS DOUBLE) / NULLIF(n0, 0), 6) AS lift,
+             ROUND((CAST(c1 AS DOUBLE) / NULLIF(n1, 0)
+                 - CAST(c0 AS DOUBLE) / NULLIF(n0, 0))
                / NULLIF(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                  * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
                  * (1.0 / n0 + 1.0 / n1)), 0.0), 6) AS z
-      FROM a0, a1""")
+      FROM pv""")
   ) { (s, d) =>
     graft.operators.Funnels.abTest(events(s, d),
       exposureType = "view", conversionType = "purchase")

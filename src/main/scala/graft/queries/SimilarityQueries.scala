@@ -676,8 +676,8 @@ object SimilarityQueries {
 
   // --- Y21/Y22: PRODUCT QUANTIZATION (Jégou et al. 2011) — the vector
   // compression tier of the ANN family (operators/Pq.scala): m=8
-  // contiguous subspaces of the 64-dim embedding, a C=16 codebook per
-  // subspace (hash-bounded sample init + 1 integer-exact Lloyd round),
+  // contiguous subspaces of the 64-dim embedding, a C=PqC=64 codebook
+  // per subspace (hash-bounded sample init + 1 integer-exact Lloyd round),
   // codes of m small ids per vector, and asymmetric-distance search
   // that scans CODES with integer LUT sums — the corpus embeddings are
   // never touched by a probe batch. All arithmetic is integer

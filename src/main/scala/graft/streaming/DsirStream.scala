@@ -72,7 +72,12 @@ object DsirStream {
     // has no batch_id column — treat its rows as the −1 generation
     // sentinel so the stream can take over an existing batch store
     def readStore() = {
-      val raw = spark.read.parquet(storePath)
+      // mergeSchema: once the stream appends tagged rows onto a
+      // batch-bootstrapped (tagless) store the directory mixes schemas,
+      // and the default single-file schema pick could hide batch_id —
+      // breaking both the self-exclusion filter and the append
+      // anti-join on replay (the IndexIngest ADVICE-r8 window)
+      val raw = spark.read.option("mergeSchema", "true").parquet(storePath)
       if (raw.columns.contains("batch_id")) raw
       else raw.withColumn("batch_id", lit(-1L))
     }

@@ -47,7 +47,11 @@ object FunnelStream {
           val buf = prev.buffer ++
             it.map(e => (e.ts_us, e.event_type)).toVector
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (due, pending) = buf.partition(_._1 <= wmUs)
+          // finalize STRICTLY below the watermark: the engine's late-row
+          // filter drops only rows strictly older than it, so an event
+          // with ts == watermark is still admissible later — folding at
+          // equality could lock a completion a future arrival beats
+          val (due, pending) = buf.partition(_._1 < wmUs)
           var times = prev.times
           val out = Vector.newBuilder[StepReach]
           for ((t, ty) <- due.sorted) {

@@ -67,8 +67,15 @@ object IndexIngest {
         if (StoreFs.storeExists(spark, dir)) {
           // a compacted (or batch-written) generation has no batch_id
           // column — treat its rows as the −1 sentinel generation (the
-          // DsirStream convention), which never collides with a real id
-          val raw = spark.read.parquet(dir)
+          // DsirStream convention), which never collides with a real id.
+          // mergeSchema is load-bearing: after a compaction the dir can
+          // MIX tagless compacted files with tagged appended files, and
+          // the default single-file schema pick could hide the batch_id
+          // column entirely — a crash-before-marker replay would then
+          // see every row as the sentinel and re-append the batch
+          // (duplicate postings ⇒ inflated tf). Compaction now also
+          // writes a literal −1 tag, but merge keeps pre-fix stores safe.
+          val raw = spark.read.option("mergeSchema", "true").parquet(dir)
           val visible =
             if (raw.columns.contains("batch_id")) raw
             else raw.withColumn("batch_id", lit(-1L))

@@ -36,7 +36,10 @@ object RetentionStream {
             .getOrElse(RetState(Vector.empty, None, Vector.empty))
           val buf = prev.buffer ++ it.map(_.ts_us).toVector
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (due, pending) = buf.partition(_ <= wmUs)
+          // strictly below the watermark (the FunnelStream rule): an
+          // event with ts == watermark is still admissible later and
+          // could be an earlier-anchor candidate than none folded yet
+          val (due, pending) = buf.partition(_ < wmUs)
           var t0 = prev.t0
           var emitted = prev.emitted.toSet
           val out = Vector.newBuilder[CellReach]

@@ -83,6 +83,35 @@ class FunnelsSpec extends AnyFunSuite with SparkTest {
     assert(c == 1L, s"only u1's post-exposure purchase converts: $row")
   }
 
+  test("abTest: degenerate pools still yield one readout row") {
+    // no exposures at all — the old per-arm filter + cross-product
+    // pivot silently returned ZERO rows here (ADVICE r8)
+    val empty = Funnels.abTest(ev((1L, "click", "2024-01-01 10:00:00")),
+      "view", "purchase").collect()
+    assert(empty.length == 1, "empty pools must yield a degenerate row")
+    assert(empty.head.getAs[Long]("n0") == 0L &&
+      empty.head.getAs[Long]("n1") == 0L)
+    assert(empty.head.isNullAt(empty.head.fieldIndex("rate0")),
+      "an empty arm has no defined rate")
+    // one arm empty: md5-parity arms are data-dependent, so find a uid
+    // for each arm and use only one of them
+    def armOf(uid: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 2
+    }
+    val uid0 = (1L to 100L).find(armOf(_) == 0L).get
+    val one = Funnels.abTest(ev((uid0, "view", "2024-01-01 10:00:00"),
+      (uid0, "purchase", "2024-01-01 11:00:00")), "view", "purchase")
+      .collect()
+    assert(one.length == 1, "a one-arm readout must still be one row")
+    assert(one.head.getAs[Long]("n0") == 1L &&
+      one.head.getAs[Long]("c0") == 1L &&
+      one.head.getAs[Long]("n1") == 0L)
+    assert(one.head.isNullAt(one.head.fieldIndex("rate1")))
+  }
+
   test("retention: cohorts anchor on each user's own first event") {
     val d = ev(
       (1L, "view", "2024-01-01 00:00:00"),  // u1 cohort week W

@@ -95,13 +95,25 @@ class PqSpec extends AnyFunSuite with SparkTest {
     Pq.writePqStore(base, path, M, Dim, nCents = 8, iters = 1)
     Pq.appendToPqStore(spark, batch, path, M, Dim)
     val books = spark.read.parquet(s"$path/books")
-    val stored = spark.read.parquet(s"$path/codes")
+    def stored = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/codes").select("vec_id", "sub", "cell")
       .collect().map(_.toString).sorted.toSeq
     val recomputed = Pq.encode(emb, books, M, Dim)
       .select("vec_id", "sub", "cell")
       .collect().map(_.toString).sorted.toSeq
     assert(stored == recomputed,
       "two-generation codes must equal a full encode under the frozen books")
+    // SAFE TO RETRY (ADVICE r8): the same batch again — marker fast
+    // path — then a crash-before-marker replay; neither may duplicate
+    // a single (vec_id, sub) row (a duplicate would double-count that
+    // subspace in every ADC sum)
+    Pq.appendToPqStore(spark, batch, path, M, Dim)
+    assert(stored == recomputed, "same-batch retry must append nothing")
+    new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("_graft_batch_")).foreach(_.delete())
+    Pq.appendToPqStore(spark, batch, path, M, Dim)
+    assert(stored == recomputed,
+      "crash-before-marker replay must heal, not duplicate")
   }
 
   test("Hadamard rotation scales L2 by exactly dim and preserves the ranking") {

@@ -60,13 +60,55 @@ class IndexIngestSpec extends AnyFunSuite with SparkTest {
     val after = (rows(Retrieval.bm25TopKFromStore(spark, store, terms, 5)),
       rows(Retrieval.phraseSearchFromStore(spark, store, phrases, 5)))
     assert(before == after, "compaction must not change a single answer")
-    // one file set per table, batch tags gone
-    assert(!spark.read.parquet(s"$store/postings").columns.contains("batch_id"))
+    // batch tags collapse to the −1 sentinel GENERATION, kept as a
+    // literal column so the store schema stays uniform under later
+    // tagged appends (the ADVICE-r8 mixed-schema window)
+    val compacted = spark.read.parquet(s"$store/postings")
+    assert(compacted.columns.contains("batch_id"))
+    assert(compacted.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(-1L))
     // the stream keeps appending onto the compacted generation
     IndexIngest.processBatch(b1.drop(1).toDF("doc_id", "text"), 2L, store)
     val all = (b0 ++ b1).toDF("doc_id", "text")
     assert(rows(Retrieval.bm25TopKFromStore(spark, store, terms, 5)) ==
       rows(Retrieval.bm25TopK(all, terms, 5)))
+  }
+
+  test("crash-before-marker replay AFTER a compaction appends nothing") {
+    import spark.implicits._
+    val store = tmpDir("graft-idxingest-compact-replay-")
+    IndexIngest.processBatch(b0.toDF("doc_id", "text"), 0L, store)
+    Retrieval.compactIndexStore(spark, store)
+    // append a post-compaction batch, then simulate the crash window:
+    // rows landed but the marker did not
+    IndexIngest.processBatch(b1.toDF("doc_id", "text"), 1L, store)
+    def counts = Seq("doclen", "postings", "positions")
+      .map(s => spark.read.parquet(s"$store/$s").count())
+    val landed = counts
+    new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("_graft_batch_")).foreach(_.delete())
+    IndexIngest.processBatch(b1.toDF("doc_id", "text"), 1L, store)
+    assert(counts == landed,
+      "replay over a compacted+appended store must not duplicate rows")
+  }
+
+  test("replay onto a batch-built (tagless) store appends nothing") {
+    import spark.implicits._
+    // the pre-fix failure mode: a tagless generation mixed with tagged
+    // appends could hide the batch_id column from a non-merged schema
+    // pick, turning the replay anti-join into a no-op match
+    val store = tmpDir("graft-idxingest-takeover-")
+    Retrieval.writeIndexStore(b0.toDF("doc_id", "text"), store)
+    Retrieval.writePositionalStore(b0.toDF("doc_id", "text"), store)
+    IndexIngest.processBatch(b1.toDF("doc_id", "text"), 1L, store)
+    def counts = Seq("doclen", "postings", "positions")
+      .map(s => spark.read.parquet(s"$store/$s").count())
+    val landed = counts
+    new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("_graft_batch_")).foreach(_.delete())
+    IndexIngest.processBatch(b1.toDF("doc_id", "text"), 1L, store)
+    assert(counts == landed,
+      "replay onto a mixed tagless+tagged store must not duplicate rows")
   }
 
   test("replayed batch appends nothing; marker short-circuits") {
