@@ -155,6 +155,72 @@ object RetrievalQueries {
       .orderBy("term", "rk")
   }
 
+  // --- Y35: x66's oracle answered from a STREAM-BUILT index store —
+  // the y19 contract applied to the §2.10 ingest path itself: the
+  // corpus arrives as a 3-micro-batch file-source STREAM (one file per
+  // trigger, data never driver-side), `IndexIngest.run`'s foreachBatch
+  // appends each batch to doclen/postings/positions with replay-safe
+  // tags, and the finished store serves BM25 with no document-text
+  // scan. Byte-identity with the full-corpus oracle is exactly the
+  // "stream ≡ batch" claim the IndexIngestSpec proves — here put under
+  // the driver's DuckDB contract. (Reference semantics: the validator
+  // loop's continuously maintained state, neurons/validator.py:146,168.)
+  private def ensureStreamIndexStore(s: org.apache.spark.sql.SparkSession,
+                                     d: String): String = {
+    val path = indexStorePath(d) + "-stream"
+    val done = new java.io.File(path, "_graft_stream_done")
+    if (!done.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-y35-stage-").toString
+      // stage the corpus as exactly 3 files = 3 micro-batches
+      documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(3).write.mode("overwrite").parquet(stage)
+      val src = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+      val q = graft.streaming.IndexIngest.run(src, path,
+        checkpoint = java.nio.file.Files
+          .createTempDirectory("graft-y35-ckpt-").toString)()
+      try q.processAllAvailable() finally q.stop()
+      java.nio.file.Files.writeString(done.toPath, "1")
+    }
+    path
+  }
+
+  val y35 = Query(
+    "y35_bm25_stream_store",
+    Some(s"""
+      WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      p AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avgdl
+            FROM p),
+      tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(ws) AS term FROM p)
+             WHERE term IN $termsSql GROUP BY term, doc_id, dl),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      sc AS (SELECT t.term, t.doc_id, t.tf,
+               ROUND(ROUND(ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+                 * (t.tf * ${K1 + 1.0})
+                 / (t.tf + $K1 * (${1.0 - B} + $B * t.dl / g.avgdl)), 6) AS score
+             FROM tf t JOIN df f USING (term) CROSS JOIN g),
+      r AS (SELECT term, doc_id, tf, score,
+              CAST(row_number() OVER (PARTITION BY term
+                ORDER BY score DESC, doc_id) AS INT) AS rk
+            FROM sc)
+      SELECT term, doc_id, tf, score, rk FROM r WHERE rk <= 10
+      ORDER BY term, rk""")
+  ) { (s, d) =>
+    Retrieval.bm25TopKFromStore(s, ensureStreamIndexStore(s, d), Terms,
+        k = 10, k1 = K1, b = B)
+      .orderBy("term", "rk")
+  }
+
   // --- Y17: HYBRID RETRIEVAL (BM25 ⊕ embedding) fused by Reciprocal
   // Rank Fusion — the production shape for corpus search: lexical and
   // semantic lists each cut to 50 by distributed top-k, fused on ranks
@@ -1069,5 +1135,5 @@ object RetrievalQueries {
   }
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29)
+    x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35)
 }
