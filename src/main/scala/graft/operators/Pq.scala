@@ -387,6 +387,184 @@ object Pq {
     adcTopKFromCodes(probeSv, codes, books, probeIds, k)
   }
 
+  // ---- IVFADC (Jégou et al. 2011 §IV): coarse cells + residual PQ ----
+  //
+  // adcTopKFromCodes scans ALL codes per probe batch; the standard
+  // 100 TB shape restricts the scan to the probes' nprobe nearest
+  // COARSE cells and PQ-encodes the RESIDUAL x − c(x) (residuals
+  // cluster far tighter than raw vectors, so the same C spends its
+  // cells on finer structure). Everything below stays in the micro-unit
+  // BIGINT contract: coarse centroids are integer Lloyd means, residuals
+  // are integer subtractions, and the per-(probe, cell) LUT is exact
+  // integer L2² — bit-identical cross-engine.
+
+  /** Coarse quantizer: integer k-means on the FULL micro vector — the
+    * PQ trainer at m = 1 (the subspace id is just a constant grouping
+    * key). Output: ivf_cell, ccvm array<long>. */
+  def trainCoarse(mv: DataFrame, nCells: Int, iters: Int): DataFrame =
+    trainCodebooksSv(
+      mv.select(col("vec_id"), lit(0).as("sub"), col("vm").as("svm")),
+      nCells, iters)
+      .select(col("cent_id").as("ivf_cell"), col("cvm").as("ccvm"))
+
+  /** Coarse assignment + residual: each vector's nearest coarse cell
+    * (argmin integer L2², tie → smaller cell id) and the exact integer
+    * residual rm = vm − centroid. Output: vec_id, ivf_cell, rm. */
+  def coarseResiduals(mv: DataFrame, coarse: DataFrame): DataFrame =
+    assign(
+        mv.select(col("vec_id"), lit(0).as("sub"), col("vm").as("svm")),
+        coarse.select(lit(0).as("sub"), col("ivf_cell").as("cent_id"),
+          col("ccvm").as("cvm")))
+      .join(broadcast(coarse),
+        col("cell") === coarse("ivf_cell"))
+      .select(col("vec_id"), col("ivf_cell"),
+        zip_with(col("svm"), col("ccvm"), (a, b) => a - b).as("rm"))
+
+  /** Residual subvector split CARRYING the coarse cell (the plain
+    * [[subvectorsMicro]] would need a corpus-sized join to restore it).
+    * Output: vec_id, ivf_cell, sub, svm. */
+  def residualSubvectors(res: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    res.select(col("vec_id"), col("ivf_cell"),
+        explode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(s.as("sub"),
+            slice(col("rm"), s * subDim + lit(1), lit(subDim)).as("svm"))))
+          .as("sv"))
+      .select(col("vec_id"), col("ivf_cell"),
+        col("sv.sub").as("sub"), col("sv.svm").as("svm"))
+  }
+
+  /** Persist the IVFADC corpus state: `coarse/` (≤ nCells centroids),
+    * `books/` (residual-PQ codebooks, C·m rows), and `codes/` —
+    * (vec_id, sub, cell) PARTITIONED BY ivf_cell, so a probe batch's
+    * cell list prunes the scan to its nprobe partitions (the
+    * partition-pruning lever applied to ANN serving; plan-pinned in
+    * PlanShapeSpec). The embeddings are scanned only here. */
+  def writeIvfadcStore(emb: DataFrame, path: String, nCells: Int, m: Int,
+                       dim: Int, nCents: Int, iters: Int,
+                       vecCol: String = "embedding"): Unit = {
+    val mv = graft.core.Caches.scoped(microVectors(emb, vecCol))
+    val coarse = graft.core.Caches.scoped(trainCoarse(mv, nCells, iters))
+    coarse.write.mode("overwrite").parquet(s"$path/coarse")
+    val res = graft.core.Caches.scoped(coarseResiduals(mv, coarse))
+    val rsv = graft.core.Caches.scoped(residualSubvectors(res, m, dim))
+    val books = trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters)
+    books.write.mode("overwrite").parquet(s"$path/books")
+    assign(rsv.drop("ivf_cell"), books)
+      .select(col("vec_id"), col("sub"), col("cell"))
+      .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("ivf_cell")
+      .parquet(s"$path/codes")
+  }
+
+  /** IVFADC-R search from the store: probes rank the broadcast coarse
+    * centroids (bounded × ≤ nCells), take their nprobe nearest cells,
+    * and compute a PER-CELL residual LUT (the residual of the SAME
+    * probe differs per cell — the detail that distinguishes IVFADC from
+    * flat ADC). The codes scan reads ONLY the probed cells' partitions
+    * (`isInCollection` over a bounded driver-side cell list — the
+    * sanctioned bounded collect, |probes|·nprobe ids); candidates join
+    * the broadcast LUT on (ivf_cell, sub, cell), partial-aggregate the
+    * m per-subspace hits, and the kShort shortlist is exactly re-ranked
+    * against the full vectors (probe + shortlist filters push into the
+    * embeddings scan). Output: probe_id, neighbor_id, d2, rk. */
+  def ivfadcTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String, emb: DataFrame, probeIds: Seq[Long],
+                          nprobe: Int, kShort: Int, k: Int, m: Int, dim: Int,
+                          vecCol: String = "embedding"): DataFrame = {
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val books = spark.read.parquet(s"$path/books")
+    val shortl = ivfadcShortlist(spark, path, emb, probeIds, nprobe,
+      kShort, m, dim, coarse, books, vecCol)
+    ivfadcRerank(emb, shortl, probeIds, k, vecCol)
+  }
+
+  private def ivfadcShortlist(spark: org.apache.spark.sql.SparkSession,
+                              path: String, emb: DataFrame,
+                              probeIds: Seq[Long], nprobe: Int, kShort: Int,
+                              m: Int, dim: Int, coarse: DataFrame,
+                              books: DataFrame, vecCol: String): DataFrame = {
+    val subDim = dim / m
+    val pmv = microVectors(
+      emb.filter(col("vec_id").isInCollection(probeIds)), vecCol)
+      .toDF("probe_id", "pm")
+    val pcScored = pmv.crossJoin(broadcast(coarse))
+      .select(col("probe_id"), col("pm"), col("ivf_cell"), col("ccvm"),
+        l2sq(col("pm"), col("ccvm")).as("cd2"))
+    val probeCells = graft.core.Caches.scoped(
+      graft.plans.TopK.perKey(pcScored, Seq(pcScored("probe_id")),
+          Seq(pcScored("cd2"), pcScored("ivf_cell")), nprobe)
+        .select(col("probe_id"), col("ivf_cell"),
+          zip_with(col("pm"), col("ccvm"), (a, b) => a - b).as("prm")))
+    // bounded collect (|probes|·nprobe ids) → partition-pruned scan
+    val cellIds = probeCells.select("ivf_cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("ivf_cell").isInCollection(cellIds))
+    val psv = probeCells.select(col("probe_id"), col("ivf_cell"),
+        explode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(s.as("sub"),
+            slice(col("prm"), s * subDim + lit(1), lit(subDim)).as("psvm"))))
+          .as("sv"))
+      .select(col("probe_id"), col("ivf_cell"),
+        col("sv.sub").as("sub"), col("sv.psvm").as("psvm"))
+    val lut = psv.join(broadcast(books), Seq("sub"))
+      .select(col("probe_id"), col("ivf_cell"), col("sub"),
+        col("cent_id").as("cell"), l2sq(col("psvm"), col("cvm")).as("pd2"))
+    val scored = codes.join(broadcast(lut), Seq("ivf_cell", "sub", "cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+    graft.plans.TopK.perKey(scored, Seq(scored("probe_id")),
+        Seq(scored("adc_d2"), scored("neighbor_id")), kShort)
+      .select(col("probe_id"), col("neighbor_id"), col("adc_d2"))
+  }
+
+  private def ivfadcRerank(emb: DataFrame, shortl: DataFrame,
+                           probeIds: Seq[Long], k: Int,
+                           vecCol: String): DataFrame = {
+    val mv = microVectors(emb, vecCol)
+    val probes = mv.filter(col("vec_id").isInCollection(probeIds))
+      .toDF("probe_id", "pm")
+    val sl = shortl.select("probe_id", "neighbor_id")
+    val scored = mv.join(broadcast(sl), mv("vec_id") === sl("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        l2sq(col("pm"), col("vm")).as("d2"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** IVFADC recall panel from the store: the raw cell-restricted ADC
+    * shortlist cut to k (measured floor) and the re-ranked production
+    * path (user bound), both vs exact integer-L2 truth on the bounded
+    * probes. Output: the x43-shaped panel rows. */
+  def ivfadcRecallPanel(spark: org.apache.spark.sql.SparkSession,
+                        path: String, emb: DataFrame, nProbes: Int,
+                        nprobe: Int, kShort: Int, k: Int, m: Int, dim: Int,
+                        rawBound: Double, rerankBound: Double,
+                        vecCol: String = "embedding"): DataFrame = {
+    val probeIds = Similarity.boundedProbeIds(emb, nProbes)
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val books = spark.read.parquet(s"$path/books")
+    val shortl = graft.core.Caches.scoped(ivfadcShortlist(spark, path, emb,
+      probeIds, nprobe, kShort, m, dim, coarse, books, vecCol))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    val raw = shortl.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("probe_id", "neighbor_id")
+    val reranked = ivfadcRerank(emb, shortl, probeIds, k, vecCol)
+      .select("probe_id", "neighbor_id")
+    val exact = graft.core.Caches.scoped(
+      l2TopK(emb, probeIds, k, vecCol).select("probe_id", "neighbor_id"))
+    val nP = emb.filter(col("vec_id").isInCollection(probeIds))
+      .select(count(lit(1)).as("n_probes"))
+    Similarity.recallPanel(nP, k, Seq(
+      ("ivfadc_rerank", reranked, exact, rerankBound),
+      ("ivfadc_raw", raw, exact, rawBound)))
+  }
+
   /** Recall panel of ADC paths against exact integer-L2 truth, in the
     * x43/x55 shape (one row per method: method, n_probes, total_hits,
     * recall, recall_ok). `variants` = (method, iters, kShort, bound):

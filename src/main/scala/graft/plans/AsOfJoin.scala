@@ -225,4 +225,91 @@ object AsOf {
       left.queryExecution.analyzed, r1.queryExecution.analyzed)
     ColumnBridge.ofRows(spark, plan)
   }
+
+  /** [[join]] with TIME-RANGE SALTING — the hot-key skew mitigation.
+    *
+    * [[AsOfJoinExec]] clusters each side by its keys, so ONE
+    * pathological key's entire history lands on one task (the same
+    * property the window formulation has). Here the effective join key
+    * becomes (keys, ⌊time/bucketUs⌋): a hot key's rows spread across
+    * its time buckets, so parallelism scales with the key's time span
+    * instead of pinning at 1.
+    *
+    * Correctness — the boundary handoff: a left row in bucket b may
+    * need the latest right row from an EARLIER bucket. Per (key,
+    * bucket) the latest right row (the "winner") is computed with one
+    * bucket-keyed window (each window partition holds one bucket's
+    * rows — bounded by the bucket width, never the key's history), and
+    * each left bucket receives the latest winner from any strictly
+    * earlier bucket via a bucket-index as-of join over the winners —
+    * a table with ≤ one row per (key, bucket), so that inner join is
+    * small and unskewed by construction. The carried row is replicated
+    * into the left bucket; in-bucket rights are all later than it, so
+    * the final per-bucket merge picks exactly the row the unsalted
+    * merge would. Tolerance/exact/outer compose unchanged (the carried
+    * candidate still passes through the merge's bound check).
+    *
+    * `bucketUs` is the skew/replication lever (the y16 banding trade):
+    * smaller buckets → more parallelism and more carried replicas
+    * (≤ one per populated left bucket). Equal-(key, time) right ties
+    * resolve arbitrarily, exactly like [[join]] without a tie-break.
+    * Spec-pinned equal to [[join]] on a 10⁶-row single-key history
+    * (AsOfJoinSpec). */
+  def joinSalted(left: DataFrame, right: DataFrame, on: Seq[String],
+                 leftTimeCol: String, rightTimeCol: String, bucketUs: Long,
+                 allowExact: Boolean = false,
+                 toleranceUs: Option[Long] = None,
+                 outer: Boolean = false,
+                 suffix: String = "_r"): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val lb = "__graft_asof_bucket"
+    def micros(df: DataFrame, name: String): Column =
+      df.schema(name).dataType match {
+        case TimestampType => unix_micros(col(name))
+        case TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+        case _: NumericType => col(name).cast(LongType)
+        case dt => throw new IllegalArgumentException(
+          s"as-of time column $name: unsupported type $dt")
+      }
+    import org.apache.spark.sql.functions.{expr, row_number}
+    // exact integer floor-division (µs longs stay longs — a double
+    // division would shave precision near 2^53)
+    def withBucket(df: DataFrame, t: String): DataFrame =
+      df.withColumn("__graft_t_us", micros(df, t))
+        .withColumn(lb, expr(s"__graft_t_us div ${bucketUs}L"))
+        .drop("__graft_t_us")
+
+    val r0 = withBucket(right.filter(col(rightTimeCol).isNotNull),
+      rightTimeCol)
+    // latest right per (key, bucket): one window whose partitions hold
+    // one BUCKET of one key — the hot key is already split here
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((on :+ lb).map(col): _*)
+      .orderBy(micros(r0, rightTimeCol).desc)
+    val winners = r0.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    // each populated LEFT bucket pulls the latest winner from any
+    // strictly earlier bucket (bucket-index as-of over ≤ 1 row per
+    // (key, bucket) — bounded, unskewed). Both sides of this inner
+    // as-of compare BUCKET indices (the winner's bucket under a
+    // non-colliding name).
+    val wb = "__graft_winner_bucket"
+    val lWithB = withBucket(left, leftTimeCol)
+    val leftBuckets = lWithB.select((on :+ lb).map(col): _*).distinct()
+    val carriedRaw = join(leftBuckets, winners.withColumnRenamed(lb, wb), on,
+      leftTimeCol = lb, rightTimeCol = wb,
+      allowExact = false, suffix = "__w")
+    // re-assemble carried rows in the RIGHT's own schema, placed into
+    // the left bucket they serve
+    val carried = carriedRaw.select(
+      right.columns.map { c =>
+        val n = if (leftBuckets.columns.contains(c)) c + "__w" else c
+        col(n).as(c)
+      } :+ col(lb): _*)
+    val salted = r0.select(right.columns.map(col) :+ col(lb): _*)
+      .unionByName(carried)
+    join(lWithB, salted, on :+ lb, leftTimeCol, rightTimeCol,
+        allowExact, toleranceUs, outer, rightTieBreak = Nil, suffix)
+      .drop(lb).drop(lb + suffix)
+  }
 }

@@ -1028,6 +1028,176 @@ object SimilarityQueries {
       .orderBy("method")
   }
 
+  // --- Y36: TRUE IVFADC (Jégou et al. 2011 §IV) — the composition the
+  // family was missing: coarse integer k-means cells + PQ over the
+  // RESIDUAL x − c(x), served from a store whose codes are PARTITIONED
+  // BY coarse cell, so a probe batch's nprobe cell list PRUNES the
+  // codes scan to its partitions (plan-pinned in PlanShapeSpec) instead
+  // of y22's all-codes scan. The LUT is per-(probe, cell) — the same
+  // probe's residual differs per probed cell — and the kShort shortlist
+  // is exactly re-ranked (IVFADC-R). Integer micro-units end to end.
+  private val IvfCells = 16
+  private val IvfNprobe = 6
+  private val IvfadcRawFloor = 0.2
+  private val IvfadcRerankBound = 0.6
+
+  private def ensureIvfadcStore(s: org.apache.spark.sql.SparkSession,
+                                d: String): String = {
+    val f = new java.io.File(d, "embeddings.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${f.length}:${f.lastModified}:ivfadc1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfadc-" +
+      s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
+    if (!new java.io.File(s"$path/codes", "_SUCCESS").exists())
+      Pq.writeIvfadcStore(embeddings(s, d), path, IvfCells, PqM, Dim,
+        PqC, iters = 1)
+    path
+  }
+
+  val y36 = Query(
+    "y36_ivfadc_recall",
+    Some {
+      // coarse assignment: argmin integer L2² over the FULL vector,
+      // tie → smaller cent_id (the assign/TopKPerKey contract)
+      def assignFull(name: String, src: String, vcol: String,
+                     book: String) = s"""
+      $name AS (
+        SELECT vec_id, $vcol AS vm, cell, ccvm FROM (
+          SELECT a.vec_id, a.$vcol, b.cent_id AS cell, b.cvm AS ccvm,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY ${pqD2(s"a.$vcol", "b.cvm", Dim)}, b.cent_id) AS rn
+          FROM $src a JOIN $book b ON true)
+        WHERE rn = 1)"""
+      s"""
+      WITH em AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+            FROM embeddings),
+      -- coarse quantizer: $IvfCells-cell integer k-means on the full
+      -- vector (sample init by md5 order + one Lloyd round)
+      csmp AS (SELECT vec_id FROM em
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCells),
+      cb0 AS (SELECT em.vec_id AS cent_id, vm AS cvm
+              FROM em JOIN csmp USING (vec_id)),
+      ${assignFull("ca1", "em", "vm", "cb0")},
+      cu1 AS (SELECT cell, d,
+                     CAST(floor(CAST(SUM(vm[d]) AS DOUBLE) / COUNT(*) + 0.5)
+                       AS BIGINT) AS cm
+              FROM ca1, UNNEST(range(1, ${Dim + 1})) t(d)
+              GROUP BY cell, d),
+      cb1 AS (SELECT cell AS cent_id, list(cm ORDER BY d) AS cvm
+              FROM cu1 GROUP BY cell),
+      ${assignFull("ca2", "em", "vm", "cb1")},
+      -- exact integer residuals in the assigned cell
+      res AS (SELECT vec_id, cell AS ivf_cell,
+                     list_transform(range(1, ${Dim + 1}),
+                       j -> vm[j] - ccvm[j]) AS rm
+              FROM ca2),
+      rsv AS (SELECT vec_id, ivf_cell, CAST(s AS INT) AS sub,
+                     list_slice(rm, s * $PqSubDim + 1,
+                                s * $PqSubDim + $PqSubDim) AS svm
+              FROM res, UNNEST(range(0, $PqM)) t(s)),
+      -- residual-PQ codebooks: $PqC sample init + one Lloyd round
+      smp AS (SELECT vec_id FROM em
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqC),
+      rb0 AS (SELECT sub, rsv.vec_id AS cent_id, svm AS cvm
+              FROM rsv JOIN smp USING (vec_id)),
+      rpa1 AS (
+        SELECT vec_id, sub, svm, cell FROM (
+          SELECT a.vec_id, a.sub, a.svm, b.cent_id AS cell,
+                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+                   ORDER BY ${pqD2("a.svm", "b.cvm", PqSubDim)}, b.cent_id) AS rn
+          FROM rsv a JOIN rb0 b ON a.sub = b.sub)
+        WHERE rn = 1),
+      ru1 AS (SELECT sub, cell, d,
+                     CAST(floor(CAST(SUM(svm[d]) AS DOUBLE) / COUNT(*) + 0.5)
+                       AS BIGINT) AS cm
+              FROM rpa1, UNNEST(range(1, ${PqSubDim + 1})) t(d)
+              GROUP BY sub, cell, d),
+      rb1 AS (SELECT sub, cell AS cent_id, list(cm ORDER BY d) AS cvm
+              FROM ru1 GROUP BY sub, cell),
+      enc AS (
+        SELECT e.vec_id, e.sub, e.cell, r.ivf_cell FROM (
+          SELECT a.vec_id, a.sub, b.cent_id AS cell,
+                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+                   ORDER BY ${pqD2("a.svm", "b.cvm", PqSubDim)}, b.cent_id) AS rn
+          FROM rsv a JOIN rb1 b ON a.sub = b.sub) e
+        JOIN res r USING (vec_id)
+        WHERE e.rn = 1),
+      ${pidsCteSql("em")},
+      probes AS (SELECT vec_id AS probe_id, vm AS pm
+                 FROM em JOIN pids USING (vec_id)),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
+      -- each probe's $IvfNprobe nearest coarse cells + its PER-CELL
+      -- residual (the IVFADC detail: one probe, nprobe residuals)
+      pcs AS (SELECT probe_id, ivf_cell, prm FROM (
+                SELECT p.probe_id, b.cent_id AS ivf_cell,
+                       list_transform(range(1, ${Dim + 1}),
+                         j -> p.pm[j] - b.cvm[j]) AS prm,
+                       row_number() OVER (PARTITION BY p.probe_id
+                         ORDER BY ${pqD2("p.pm", "b.cvm", Dim)}, b.cent_id) AS rn
+                FROM probes p JOIN cb1 b ON true)
+              WHERE rn <= $IvfNprobe),
+      psv AS (SELECT probe_id, ivf_cell, CAST(s AS INT) AS sub,
+                     list_slice(prm, s * $PqSubDim + 1,
+                                s * $PqSubDim + $PqSubDim) AS psvm
+              FROM pcs, UNNEST(range(0, $PqM)) t(s)),
+      lut AS (SELECT p.probe_id, p.ivf_cell, b.sub, b.cent_id AS cell,
+                     ${pqD2("p.psvm", "b.cvm", PqSubDim)} AS pd2
+              FROM psv p JOIN rb1 b ON p.sub = b.sub),
+      adc AS (SELECT l.probe_id, c.vec_id AS neighbor_id,
+                     SUM(l.pd2) AS adc
+              FROM enc c JOIN lut l
+                ON c.ivf_cell = l.ivf_cell AND c.sub = l.sub
+               AND c.cell = l.cell
+              WHERE c.vec_id <> l.probe_id
+              GROUP BY l.probe_id, c.vec_id),
+      radc AS (SELECT probe_id, neighbor_id,
+                      row_number() OVER (PARTITION BY probe_id
+                        ORDER BY adc, neighbor_id) AS rk
+               FROM adc),
+      rawk AS (SELECT probe_id, neighbor_id FROM radc WHERE rk <= $PqK),
+      shortl AS (SELECT probe_id, neighbor_id FROM radc WHERE rk <= $PqShort),
+      rr AS (SELECT s.probe_id, s.neighbor_id,
+                    ${pqD2("a.vm", "p.pm", Dim)} AS d2
+             FROM shortl s
+             JOIN em a ON a.vec_id = s.neighbor_id
+             JOIN probes p ON p.probe_id = s.probe_id),
+      apr AS (SELECT probe_id, neighbor_id FROM (
+                SELECT probe_id, neighbor_id,
+                       row_number() OVER (PARTITION BY probe_id
+                         ORDER BY d2, neighbor_id) AS rk
+                FROM rr) WHERE rk <= $PqK),
+      exsc AS (SELECT probe_id, a.vec_id AS neighbor_id,
+                      ${pqD2("a.vm", "p.pm", Dim)} AS d2
+               FROM em a CROSS JOIN probes p WHERE a.vec_id <> p.probe_id),
+      exact AS (SELECT probe_id, neighbor_id FROM (
+                  SELECT probe_id, neighbor_id,
+                         row_number() OVER (PARTITION BY probe_id
+                           ORDER BY d2, neighbor_id) AS rk
+                  FROM exsc) WHERE rk <= $PqK),
+      hits AS (
+        SELECT 'ivfadc_raw' AS method, CAST(count(*) AS BIGINT) AS total_hits,
+               $IvfadcRawFloor AS bound
+        FROM rawk SEMI JOIN exact USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'ivfadc_rerank', CAST(count(*) AS BIGINT), $IvfadcRerankBound
+        FROM apr SEMI JOIN exact USING (probe_id, neighbor_id))
+      SELECT method, n_probes, total_hits,
+             CAST(total_hits AS DOUBLE) / (n_probes * $PqK) AS recall,
+             CASE WHEN CAST(total_hits AS DOUBLE) / (n_probes * $PqK) >= bound
+                  THEN 1 ELSE 0 END AS recall_ok
+      FROM hits, np
+      ORDER BY method"""
+    }
+  ) { (s, d) =>
+    Pq.ivfadcRecallPanel(s, ensureIvfadcStore(s, d), embeddings(s, d),
+        NProbesBound, IvfNprobe, PqShort, PqK, PqM, Dim,
+        IvfadcRawFloor, IvfadcRerankBound)
+      .orderBy("method")
+  }
+
   val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55,
-    x61, y02, y21, y22, y25, y30)
+    x61, y02, y21, y22, y25, y30, y36)
 }

@@ -580,6 +580,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("y36 IVFADC codes scan is coarse-cell PARTITION-pruned; embeddings probe-filtered") {
+    val p = plan("y36_ivfadc_recall")
+    assert(p.contains("graft-ivfadc"), s"must read the IVFADC store:\n$p")
+    // the probed cells' id list must prune the partitioned codes store —
+    // the scan lists a non-empty PartitionFilters on ivf_cell
+    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+      s"codes scan must carry an ivf_cell partition filter:\n$p")
+    // the only embeddings reads are bounded probe-row scans
+    assert(p.contains("In(vec_id"), s"probe filter must push down:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("y31 funnel plans as keyed joins+aggregates — no window, no cartesian") {
     val p = plan("y31_funnel")
     assert(!p.contains("Window"), s"funnel must not sort per user:\n$p")

@@ -123,4 +123,67 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTest {
     assert("Exchange hashpartitioning\\(k".r.findAllIn(plan).size == 2,
       s"expected no extra exchange above the merge:\n$plan")
   }
+
+  test("salted == unsalted on tie-free data, all variants") {
+    import spark.implicits._
+    // unique right times per key so equal-(key, time) tie arbitrariness
+    // cannot differ between the two physical forms
+    val rnd = new scala.util.Random(43)
+    val l = (1 to 3000).map(i =>
+      (rnd.nextInt(13), rnd.nextInt(100000).toLong, i.toLong))
+    val r = (0 until 2000).map(i =>
+      (i % 13, i.toLong * 50 + (i % 13), 200000L + i))
+    val lDf = l.toDF("k", "t", "lv").repartition(7)
+    val rDf = r.toDF("k", "t", "rv").repartition(5)
+    for ((exact, tol, outer) <- Seq(
+        (false, None, false), (true, None, false),
+        (false, Some(5000L), true), (false, None, true))) {
+      val base = AsOf.join(lDf, rDf, Seq("k"), "t", "t",
+        allowExact = exact, toleranceUs = tol, outer = outer)
+      val salted = AsOf.joinSalted(lDf, rDf, Seq("k"), "t", "t",
+        bucketUs = 7000L, allowExact = exact, toleranceUs = tol,
+        outer = outer)
+      assert(salted.columns.toSeq == base.columns.toSeq)
+      assert(salted.exceptAll(base).isEmpty && base.exceptAll(salted).isEmpty,
+        s"variant (exact=$exact tol=$tol outer=$outer) diverged")
+    }
+  }
+
+  test("salted spreads ONE pathological key across tasks at 1e6 rows") {
+    import spark.implicits._
+    // one key holds the entire history: the unsalted exec necessarily
+    // merges it in a single task; the salted form must (a) produce the
+    // identical result and (b) key the merge by (k, bucket) so the work
+    // spreads across partitions
+    val n = 1000000
+    val rDf = spark.range(n.toLong)
+      .select(lit(7).as("k"), (col("id") * 100L).as("t"),
+        (col("id") + 5000000L).as("rv"))
+    val lDf = spark.range(20000L)
+      .select(lit(7).as("k"), (col("id") * 4999L + 3L).as("t"),
+        col("id").as("lv"))
+    val bucketUs = 1000000L // 1000 buckets over the 1e8-µs span
+    val salted = AsOf.joinSalted(lDf, rDf, Seq("k"), "t", "t", bucketUs)
+    val base = AsOf.join(lDf, rDf, Seq("k"), "t", "t")
+    assert(salted.exceptAll(base).isEmpty && base.exceptAll(salted).isEmpty,
+      "salted must reproduce the unsalted result exactly")
+    // plan: the final merge's keys include the time bucket (AQE wraps
+    // the exec, so assert on the plan text like the other shape pins)
+    val planStr = salted.queryExecution.executedPlan.toString
+    assert(planStr.contains("AsOfJoin") &&
+      planStr.contains("__graft_asof_bucket"),
+      s"final merge must be keyed by (k, bucket):\n$planStr")
+    // runtime: the hot key's rows actually occupy multiple partitions
+    // (AQE coalescing bounds the count at this data size — the contrast
+    // with the unsalted form's single occupied partition is the claim)
+    def occupied(df: org.apache.spark.sql.DataFrame): Int = df.rdd
+      .mapPartitions(it => Iterator.single(if (it.hasNext) 1 else 0))
+      .sum().toInt
+    val baseOcc = occupied(base)
+    val saltedOcc = occupied(salted)
+    assert(baseOcc == 1,
+      s"unsalted: one key must pin one partition, got $baseOcc")
+    assert(saltedOcc > 1,
+      s"salted: the key must spread across tasks, got $saltedOcc partitions")
+  }
 }
