@@ -25,4 +25,29 @@ object Formats {
   def readStream(spark: SparkSession, dir: String, format: String,
                  schema: StructType): DataFrame =
     spark.readStream.format(format).schema(schema).load(dir)
+
+  /** JDBC sink: write `df` as `table` over the given JDBC url (the
+    * dimension-table export path; the built-in JDBC relation provider —
+    * no custom connector). */
+  def writeJdbc(df: DataFrame, url: String, table: String): Unit =
+    df.write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", table).save()
+
+  /** JDBC source: read `table` over the given url. Filters composed on
+    * the result push down to the remote database as SQL (PushedFilters
+    * in the scan — the predicate runs WHERE the data lives, the same
+    * move as parquet row-group pruning; spec-pinned), and
+    * `partitionColumn`/bounds split the read into parallel range
+    * queries — without them a JDBC read is one executor-side cursor,
+    * the classic single-task trap at scale. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               partitionColumn: Option[(String, Long, Long, Int)] = None)
+      : DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    partitionColumn.fold(r) { case (c, lo, hi, n) =>
+      r.option("partitionColumn", c).option("lowerBound", lo)
+        .option("upperBound", hi).option("numPartitions", n)
+    }.load()
+  }
 }

@@ -51,6 +51,34 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("JDBC round trip via embedded Derby; filter pushes to the database") {
+    // the dimension-table import/export path over the built-in JDBC
+    // relation provider, driven against the in-process Derby engine on
+    // the Spark classpath (no network, no external service)
+    val url = "jdbc:derby:memory:graftFmtSpec;create=true"
+    val dim = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type")
+      .filter(col("event_id") < 500)
+    Formats.writeJdbc(dim, url, "dim_events")
+    // parallel range read: 4 partitions over the id space
+    val back = Formats.readJdbc(spark, url, "dim_events",
+      Some(("event_id", 0L, 500L, 4)))
+    assert(back.rdd.getNumPartitions == 4,
+      "partitionColumn bounds must split the read into parallel queries")
+    val exp = dim.agg(count(lit(1)), sum("event_id"), sum("user_id")).first()
+    assert(back.agg(count(lit(1)), sum("event_id"), sum("user_id")).first()
+      == exp)
+    // predicate pushdown: the filter must reach the remote query, not a
+    // Spark-side Filter over a full-table cursor
+    val filtered = Formats.readJdbc(spark, url, "dim_events")
+      .filter(col("user_id") === 7L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"),
+      s"filter must push into the JDBC scan:\n$plan")
+    assert(filtered.count() ==
+      dim.filter(col("user_id") === 7L).count())
+  }
+
   test("rate source streams monotonically increasing (timestamp, value) rows") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "500").load()
