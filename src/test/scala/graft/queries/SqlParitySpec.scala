@@ -48,4 +48,36 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
   test("x23 outer joins: SQL text == DataFrame build") { parity("x23_outer_joins") }
   test("x26 window functions: SQL text == DataFrame build") { parity("x26_window_funcs") }
   test("x28 grouping sets: SQL text == DataFrame build") { parity("x28_grouping_sets") }
+
+  /** [[parity]] with a dialect shim for oracles portable up to one
+    * lexical function mapping: DuckDB spells epoch-µs extraction
+    * `epoch_us(ts)`, Spark `unix_micros(ts)` — same semantics, so the
+    * SAME oracle string modulo that rename exercises the SQL entry
+    * path on the newer behavioral-analytics queries too. */
+  private def parityMapped(name: String): Unit = {
+    import graft.sources.Tables
+    for (t <- Seq("events"))
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    val q = Inventory.byName(name)
+    val viaDf = q.run(spark, sfDir).collect().toSeq
+    // the fixture view registers ts as TIMESTAMP_NTZ; Spark's
+    // unix_micros wants TIMESTAMP, so the bare-column form also gains
+    // the cast y16's oracle already writes inline
+    val viaSql = spark.sql(
+      q.sql.get
+        .replace("epoch_us(ts)", "epoch_us(CAST(ts AS TIMESTAMP))")
+        .replace("epoch_us(", "unix_micros(")).collect().toSeq
+    assert(viaDf.size == viaSql.size, s"$name: row counts differ")
+    assert(viaDf == viaSql, s"$name: SQL text and DataFrame build diverge")
+  }
+
+  test("y16 interval join: oracle text (epoch_us mapped) == DataFrame build") {
+    parityMapped("y16_interval_join")
+  }
+  test("y31 funnel: oracle text (epoch_us mapped) == DataFrame build") {
+    parityMapped("y31_funnel")
+  }
+  test("y33 transitions: oracle text (epoch_us mapped) == DataFrame build") {
+    parityMapped("y33_event_transitions")
+  }
 }
