@@ -458,6 +458,43 @@ object Pq {
       .parquet(s"$path/codes")
   }
 
+  /** Append a NEW batch under the store's FROZEN coarse centroids AND
+    * residual codebooks — the x81/y25 incremental cadence extended to
+    * IVFADC: only the batch is coarse-assigned, residualized and
+    * PQ-encoded; old embeddings and old codes are never recomputed.
+    * Retraining either quantizer = store rebuild (the same trade as the
+    * LSH mask width). Same retry discipline as [[appendToPqStore]]:
+    * batch-tagged rows, anti-join on replay, marker fast path — a
+    * duplicate (vec_id, sub) row would double-count that subspace. */
+  def appendToIvfadcStore(spark: org.apache.spark.sql.SparkSession,
+                          newEmb: DataFrame, path: String, m: Int, dim: Int,
+                          batchId: Long = 0L,
+                          vecCol: String = "embedding"): Unit = {
+    val dir = s"$path/codes"
+    if (graft.streaming.StoreFs.markerExists(spark, dir, batchId)) return
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val books = spark.read.parquet(s"$path/books")
+    val mv = microVectors(newEmb, vecCol)
+    val res = graft.core.Caches.scoped(coarseResiduals(mv, coarse))
+    val rsv = residualSubvectors(res, m, dim)
+    val tagged = assign(rsv.drop("ivf_cell"), books)
+      .select(col("vec_id"), col("sub"), col("cell"))
+      .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id"))
+      .withColumn("batch_id", lit(batchId))
+    val novel = {
+      val raw = spark.read.option("mergeSchema", "true").parquet(dir)
+      val visible =
+        if (raw.columns.contains("batch_id")) raw
+        else raw.withColumn("batch_id", lit(-1L))
+      tagged.join(
+        visible.filter(col("batch_id") === batchId)
+          .select("batch_id", "vec_id", "sub"),
+        Seq("batch_id", "vec_id", "sub"), "left_anti")
+    }
+    novel.write.mode("append").partitionBy("ivf_cell").parquet(dir)
+    graft.streaming.StoreFs.writeMarker(spark, dir, batchId)
+  }
+
   /** IVFADC-R search from the store: probes rank the broadcast coarse
     * centroids (bounded × ≤ nCells), take their nprobe nearest cells,
     * and compute a PER-CELL residual LUT (the residual of the SAME

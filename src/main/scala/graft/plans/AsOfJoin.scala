@@ -272,8 +272,11 @@ object AsOf {
           s"as-of time column $name: unsupported type $dt")
       }
     import org.apache.spark.sql.functions.{expr, row_number}
-    // exact integer floor-division (µs longs stay longs — a double
-    // division would shave precision near 2^53)
+    // exact integer division (µs longs stay longs — a double division
+    // would shave precision near 2^53). `div` truncates toward zero,
+    // so pre-epoch times make bucket 0 span (−bucketUs, bucketUs) —
+    // still MONOTONE non-decreasing in time, which is all correctness
+    // needs; only the widths differ around zero.
     def withBucket(df: DataFrame, t: String): DataFrame =
       df.withColumn("__graft_t_us", micros(df, t))
         .withColumn(lb, expr(s"__graft_t_us div ${bucketUs}L"))

@@ -3,22 +3,32 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
-/** Batch format surface (SURVEY §2.2 EXT): parquet / ORC / JSON / CSV
-  * writers+readers with explicit schema reapplication (CSV/JSON round
-  * trips must not depend on inference), plus the streaming file source.
-  * All built-in `FileFormat` implementations — no custom connectors. */
+/** Batch format surface (SURVEY §2.2 EXT): parquet / ORC / JSON / CSV /
+  * XML writers+readers with explicit schema reapplication (CSV/JSON/XML
+  * round trips must not depend on inference), plus the streaming file
+  * source and a JDBC source/sink. All built-in `FileFormat` /
+  * relation-provider implementations — no custom connectors (XML is
+  * first-party since Spark 4.0). */
 object Formats {
-  val Supported: Seq[String] = Seq("parquet", "orc", "json", "csv")
+  val Supported: Seq[String] = Seq("parquet", "orc", "json", "csv", "xml")
 
   def write(df: DataFrame, dir: String, format: String): Unit = {
     val w = df.write.mode("overwrite").format(format)
-    (if (format == "csv") w.option("header", "true") else w).save(dir)
+    (format match {
+      case "csv" => w.option("header", "true")
+      case "xml" => w.option("rowTag", "row")
+      case _ => w
+    }).save(dir)
   }
 
   def read(spark: SparkSession, dir: String, format: String,
            schema: StructType): DataFrame = {
     val r = spark.read.format(format).schema(schema)
-    (if (format == "csv") r.option("header", "true") else r).load(dir)
+    (format match {
+      case "csv" => r.option("header", "true")
+      case "xml" => r.option("rowTag", "row")
+      case _ => r
+    }).load(dir)
   }
 
   /** Streaming file source over a directory (schema required). */

@@ -116,6 +116,40 @@ class PqSpec extends AnyFunSuite with SparkTest {
       "crash-before-marker replay must heal, not duplicate")
   }
 
+  test("IVFADC store: append under frozen quantizers == full encode; retry heals") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfadc-incr-test-").toString
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    Pq.writeIvfadcStore(base, path, nCells = 4, M, Dim, nCents = 8, iters = 1)
+    Pq.appendToIvfadcStore(spark, batch, path, M, Dim)
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val books = spark.read.parquet(s"$path/books")
+    def stored = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/codes")
+      .select("vec_id", "ivf_cell", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    // full encode of EVERYTHING under the same frozen quantizers
+    val mv = Pq.microVectors(emb)
+    val res = Pq.coarseResiduals(mv, coarse)
+    val recomputed = Pq.assign(
+        Pq.residualSubvectors(res, M, Dim).drop("ivf_cell"), books)
+      .select(col("vec_id"), col("sub"), col("cell"))
+      .join(res.select("vec_id", "ivf_cell"), Seq("vec_id"))
+      .select("vec_id", "ivf_cell", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == recomputed,
+      "two-generation IVFADC codes must equal a full frozen-quantizer encode")
+    // retry + crash-before-marker replay: no duplicates either way
+    Pq.appendToIvfadcStore(spark, batch, path, M, Dim)
+    assert(stored == recomputed, "same-batch retry must append nothing")
+    new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("_graft_batch_")).foreach(_.delete())
+    Pq.appendToIvfadcStore(spark, batch, path, M, Dim)
+    assert(stored == recomputed,
+      "crash-before-marker replay must heal, not duplicate")
+  }
+
   test("Hadamard rotation scales L2 by exactly dim and preserves the ranking") {
     val mv = graft.core.Caches.scoped(Pq.microVectors(emb))
     val rv = mv.select(col("vec_id"), Pq.hadamardRotate(col("vm"), Dim).as("vm"))

@@ -12,7 +12,7 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("graft-fmt-").toString
 
-  test("parquet/orc/json/csv round trips preserve rows and values") {
+  test("parquet/orc/json/csv/xml round trips preserve rows and values") {
     val ev = Tables.events(spark, sfDir)
       .select("event_id", "user_id", "event_type", "value")
     val expected = ev.agg(
