@@ -320,5 +320,45 @@ object EventQueries {
       exposureType = "view", conversionType = "purchase")
   }
 
-  val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32, y33, y34)
+  // --- Y41: SCD TYPE-2 DIMENSION BUILD — the warehouse-maintenance
+  // shape: each user's event_type changes open a new validity interval
+  // (valid_from = the change's time, valid_to = the next change's, NULL
+  // = current). Change detection is one user-keyed lag, interval
+  // construction one user-keyed lead — both windows share the
+  // partitioning, so ONE exchange total; all time math exact epoch-µs
+  // BIGINTs (timestamps stay out of graded output).
+  val y41 = Query(
+    "y41_scd2_dimension",
+    Some("""
+      WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+                 FROM events),
+      s AS (SELECT user_id, event_type, tus, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                     ORDER BY tus, event_id) AS prev_type
+            FROM o),
+      c AS (SELECT user_id, event_type, tus, event_id FROM s
+            WHERE prev_type IS NULL OR prev_type <> event_type),
+      iv AS (SELECT user_id, event_type AS state, tus AS valid_from_us,
+                    lead(tus) OVER (PARTITION BY user_id
+                      ORDER BY tus, event_id) AS valid_to_us
+             FROM c)
+      SELECT user_id, state, valid_from_us, valid_to_us,
+             CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM iv ORDER BY user_id, valid_from_us""")
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val o = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("tus"))
+    o.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("tus").as("valid_from_us"), col("valid_to_us"),
+        when(col("valid_to_us").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32, y33, y34, y41)
 }

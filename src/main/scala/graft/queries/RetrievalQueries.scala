@@ -221,6 +221,33 @@ object RetrievalQueries {
       .orderBy("term", "rk")
   }
 
+  // --- Y38: PREFIX (wildcard) term search from the index store — the
+  // range-pruning face of the term-sorted layout: `term LIKE 'st%'` is
+  // a StringStartsWith filter, which parquet prunes via the sorted
+  // postings' row-group min/max term stats (the same physical lever the
+  // exact-term IN filter uses, applied to a RANGE). No document-text
+  // scan in the plan (pinned); the oracle replays the tokenize.
+  // "s" covers 6 of the word-soup fixture's 31 distinct terms — the
+  // widest prefix family the synthetic vocabulary offers
+  private val PrefixQ = "s"
+  val y38 = Query(
+    "y38_prefix_search",
+    Some(s"""
+      WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      f AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t
+            WHERE term LIKE '$PrefixQ%' GROUP BY term, doc_id)
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS tf_total
+      FROM f GROUP BY term ORDER BY term""")
+  ) { (s, d) =>
+    s.read.parquet(s"${ensureIndexStore(s, d)}/postings")
+      .filter(col("term").startsWith(PrefixQ))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      .orderBy("term")
+  }
+
   // --- Y17: HYBRID RETRIEVAL (BM25 ⊕ embedding) fused by Reciprocal
   // Rank Fusion — the production shape for corpus search: lexical and
   // semantic lists each cut to 50 by distributed top-k, fused on ranks
@@ -1135,5 +1162,5 @@ object RetrievalQueries {
   }
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35)
+    x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38)
 }

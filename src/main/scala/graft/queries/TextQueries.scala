@@ -937,6 +937,53 @@ object TextQueries {
     TextAnalysis.hashedNearDupAutoCap(documents(s, d)).orderBy("doc_id")
   }
 
+  // --- Y39: COUNT-MIN-SKETCH heavy hitters — the frequency-sketch tier
+  // the HLL (q08b) and percentile (x35) sketches don't cover: one CMS
+  // over the full token stream (built-in `count_min_sketch` aggregate,
+  // fixed seed), then the exact top-10 tokens are checked against the
+  // sketch's estimates. Graded via the q08b self-grading pattern —
+  // sketch VALUES never cross engines, only their provable properties:
+  // `overest_ok` (CMS never underestimates — a hard guarantee, not a
+  // probability) and `bound_ok` (est − exact ≤ ε·N at ε = 0.001 —
+  // deterministic for the fixed fixture + seed, verified at both SFs).
+  // The only driver-side data: the 10-row top-k and one ~KB sketch
+  // binary (the sanctioned bounded collect).
+  val y39 = Query(
+    "y39_cms_heavy_hitters",
+    Some(s"""
+      WITH t AS (SELECT unnest(string_split($normSql, ' ')) AS w FROM documents),
+      c AS (SELECT w AS token, CAST(count(*) AS BIGINT) AS exact_n
+            FROM t GROUP BY w)
+      SELECT token, exact_n,
+             CAST(1 AS INT) AS overest_ok, CAST(1 AS INT) AS bound_ok
+      FROM c ORDER BY exact_n DESC, token LIMIT 10""")
+  ) { (s, d) =>
+    import graft.functions.TextFunctions._
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(words(normText(col("text")))).as("token"))
+    val counts = graft.core.Caches.scoped(
+      toks.groupBy("token").agg(count(lit(1)).as("exact_n")))
+    val top = counts.orderBy(col("exact_n").desc, col("token"))
+      .limit(10).collect()
+    val nTotal = counts.agg(sum(col("exact_n"))).head.getLong(0)
+    val eps = 0.001
+    val sketchBytes = toks
+      .agg(expr(s"count_min_sketch(token, ${eps}d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(sketchBytes))
+    val bound = math.ceil(eps * nTotal).toLong
+    top.map { r =>
+      val token = r.getString(0); val exact = r.getLong(1)
+      val est = cms.estimateCount(token)
+      (token, exact,
+        if (est >= exact) 1 else 0,
+        if (est - exact <= bound) 1 else 0)
+    }.toSeq.toDF("token", "exact_n", "overest_ok", "bound_ok")
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
   val all: Seq[Query] = Seq(x06, x07, x08, x09, x22, x32, x39, x60, x78, x89,
-    x96, x97, x98, y03, y04, y05, y06, y07, y10, y12)
+    x96, x97, x98, y03, y04, y05, y06, y07, y10, y12, y39)
 }

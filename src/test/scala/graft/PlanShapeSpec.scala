@@ -592,6 +592,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("y38 prefix search reads only the postings store with the prefix pushed") {
+    val p = plan("y38_prefix_search")
+    assert(!p.contains("documents.parquet"),
+      s"prefix search must not scan document text:\n$p")
+    assert(p.contains("StringStartsWith(term"),
+      s"the prefix must push into the postings scan (range row-group pruning):\n$p")
+  }
+
   test("y31 funnel plans as keyed joins+aggregates — no window, no cartesian") {
     val p = plan("y31_funnel")
     assert(!p.contains("Window"), s"funnel must not sort per user:\n$p")
