@@ -495,6 +495,35 @@ object Pq {
     graft.streaming.StoreFs.writeMarker(spark, dir, batchId)
   }
 
+  /** COMPACT a PQ or IVFADC codes store: per-batch appends leave one
+    * small file set per generation; compaction deduplicates by the
+    * natural key (idempotent-append tags collapse to the −1 sentinel,
+    * kept as a literal column so later tagged appends never produce a
+    * mixed schema — the IndexIngest discipline), preserves the
+    * partition layout when the store is cell-partitioned (IVFADC), and
+    * swaps the new generation in atomically (`StoreFs.swapInCompacted`
+    * — a crash never leaves an empty store). Serving answers are
+    * provably unchanged (spec-pinned). The swap drops replay markers
+    * with the old directory (the compactDsirStore contract): compact
+    * only between fully-recorded appends — a replay of a pre-compaction
+    * batch would re-append rows the compaction already folded into the
+    * −1 generation. */
+  def compactCodesStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val dir = s"$path/codes"
+    if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
+    val src = spark.read.option("mergeSchema", "true").parquet(dir)
+    val partitioned = src.columns.contains("ivf_cell")
+    val keys = if (partitioned) Seq("vec_id", "ivf_cell", "sub")
+               else Seq("vec_id", "sub")
+    val merged = src.drop("batch_id").dropDuplicates(keys)
+      .withColumn("batch_id", lit(-1L))
+    graft.streaming.StoreFs.swapInCompacted(spark, dir) { tmp =>
+      (if (partitioned) merged.write.partitionBy("ivf_cell")
+       else merged.write).parquet(tmp)
+    }
+  }
+
   /** IVFADC-R search from the store: probes rank the broadcast coarse
     * centroids (bounded × ≤ nCells), take their nprobe nearest cells,
     * and compute a PER-CELL residual LUT (the residual of the SAME

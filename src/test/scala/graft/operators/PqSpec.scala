@@ -150,6 +150,35 @@ class PqSpec extends AnyFunSuite with SparkTest {
       "crash-before-marker replay must heal, not duplicate")
   }
 
+  test("codes-store compaction preserves answers and survives further appends") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-compact-test-").toString
+    val base = emb.filter(col("vec_id") % 10 < 6)
+    val mid = emb.filter(col("vec_id") % 10 >= 6 && col("vec_id") % 10 < 8)
+    val late = emb.filter(col("vec_id") % 10 >= 8)
+    Pq.writePqStore(base, path, M, Dim, nCents = 8, iters = 1)
+    Pq.appendToPqStore(spark, mid, path, M, Dim, batchId = 1L)
+    val probeIds = Similarity.boundedProbeIds(emb, 4)
+    def served = Pq.adcTopKFromStore(spark, path, emb, probeIds,
+      k = 5, M, Dim).collect().map(_.toString).sorted.toSeq
+    val before = served
+    Pq.compactCodesStore(spark, path)
+    assert(served == before, "compaction must not change a single answer")
+    // one generation, sentinel-tagged — later tagged appends stay safe
+    val compacted = spark.read.parquet(s"$path/codes")
+    assert(compacted.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(-1L))
+    Pq.appendToPqStore(spark, late, path, M, Dim, batchId = 2L)
+    val books = spark.read.parquet(s"$path/books")
+    val full = Pq.encode(emb, books, M, Dim).select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    val stored = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/codes").select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == full,
+      "appends onto the compacted generation must keep full-encode parity")
+  }
+
   test("Hadamard rotation scales L2 by exactly dim and preserves the ranking") {
     val mv = graft.core.Caches.scoped(Pq.microVectors(emb))
     val rv = mv.select(col("vec_id"), Pq.hadamardRotate(col("vm"), Dim).as("vm"))
