@@ -151,5 +151,68 @@ object RelationalQueries2 {
       .orderBy("p_brand")
   }
 
-  val all: Seq[Query] = Seq(x17, x18, x19, x20, x23, x24)
+  // --- Y42: PIVOT — the wide-reshape face of grouped aggregation:
+  // per-user event counts pivoted to one column per event type. The
+  // pivot VALUES are explicit (the deterministic-schema contract; an
+  // inferred pivot would scan for distinct values first and its column
+  // order would be data-dependent), and absent combinations coalesce
+  // to 0 on both sides. Catalyst rewrites pivot to conditional
+  // aggregation — exactly the oracle's portable formulation.
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  val y42 = Query(
+    "y42_pivot",
+    Some(s"""
+      SELECT user_id,
+             ${EventTypes.map(t =>
+               s"CAST(COALESCE(SUM(CASE WHEN event_type = '$t' THEN 1 END), 0) AS BIGINT) AS n_$t")
+               .mkString(",\n             ")}
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  ) { (s, d) =>
+    val piv = events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    piv.select(col("user_id") +:
+        EventTypes.map(t => coalesce(col(s"`$t`"), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_id")
+  }
+
+  // --- Y43: UNPIVOT (melt) — the inverse reshape: lineitem's three
+  // quantity-ish measures melted to (key, measure, value) rows via the
+  // first-class `unpivot` (Spark 3.4+), graded against the UNION ALL
+  // expansion it is defined as.
+  val y43 = Query(
+    "y43_unpivot",
+    Some("""
+      WITH m AS (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount',
+               CAST(l_discount AS DOUBLE) FROM lineitem)
+      SELECT measure, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM m GROUP BY measure ORDER BY measure""")
+  ) { (s, d) =>
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double"),
+        col("l_extendedprice").cast("double"),
+        col("l_discount").cast("double"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity").as("quantity"),
+          col("l_extendedprice").as("extendedprice"),
+          col("l_discount").as("discount")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("value"), 2).as("total"))
+      .orderBy("measure")
+  }
+
+  val all: Seq[Query] = Seq(x17, x18, x19, x20, x23, x24, y42, y43)
 }
