@@ -1198,6 +1198,92 @@ object SimilarityQueries {
       .orderBy("method")
   }
 
+  // --- Y45: MMR DIVERSE RE-RANKING (Carbonell & Goldstein 1998) — the
+  // result-diversification finisher production retrieval ships: from
+  // the top-20 integer-dot candidates of one probe, greedily pick 5 by
+  // `rel(c) − max_{s∈picked} sim(c, s)` (λ = ½, scaled ×2 so the score
+  // stays one BIGINT subtraction; ties → smaller vec_id). Everything is
+  // micro-unit integer dots, so the greedy is bit-exact cross-engine;
+  // the oracle UNROLLS the 5 steps as chained 1-row CTEs (no recursion
+  // needed at fixed k). Spark side: the 20-row candidate set + its
+  // 64-long vectors are the sanctioned bounded collect; the corpus
+  // contributes one broadcast-probe dot scan + TakeOrdered(20).
+  private val MmrPool = 20
+  private val MmrK = 5
+  private def dotSql(a: String, b: String) =
+    s"CAST(list_aggregate(list_transform(range(1, ${Dim + 1}), " +
+      s"j -> $a[j] * $b[j]), 'sum') AS BIGINT)"
+  val y45 = Query(
+    "y45_mmr_rerank",
+    Some {
+      // step i: the argmax of rel − max(sim to p1..p_{i-1}) among
+      // candidates not yet picked
+      def pick(i: Int): String = {
+        val prev = (1 until i).map(j => s"p$j")
+        val simExpr =
+          if (prev.isEmpty) "CAST(0 AS BIGINT)"
+          else prev.map(p => dotSql("c.vm", s"$p.vm"))
+            .reduce((x, y) => s"greatest($x, $y)")
+        val notPicked =
+          if (prev.isEmpty) "true"
+          else prev.map(p => s"c.vec_id <> $p.vec_id").mkString(" AND ")
+        val fromPrev = if (prev.isEmpty) "" else prev.mkString(", ", ", ", "")
+        s"""p$i AS (SELECT c.vec_id, c.rel, c.vm FROM cand c$fromPrev
+             WHERE $notPicked
+             ORDER BY c.rel - ($simExpr) DESC, c.vec_id LIMIT 1)"""
+      }
+      s"""
+      WITH em AS (SELECT vec_id,
+              list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+            FROM embeddings),
+      probe AS (SELECT vec_id, vm FROM em
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+      cand AS (SELECT e.vec_id, ${dotSql("e.vm", "p.vm")} AS rel, e.vm
+               FROM em e CROSS JOIN probe p
+               WHERE e.vec_id <> p.vec_id
+               ORDER BY rel DESC, e.vec_id LIMIT $MmrPool),
+      ${(1 to MmrK).map(pick).mkString(",\n      ")}
+      ${(1 to MmrK).map(i =>
+          s"SELECT CAST($i AS INT) AS rank, vec_id, rel FROM p$i")
+          .mkString("\n      UNION ALL\n      ")}
+      ORDER BY rank"""
+    }
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = embeddings(s, d)
+    val probeId = Similarity.boundedProbeIds(emb, 1).head
+    val mv = Pq.microVectors(emb)
+    val probe = mv.filter(col("vec_id") === probeId).toDF("probe_id", "pm")
+    val cand = mv.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.dotLong(col("vm"), col("pm"))
+          .as("rel"),
+        col("vm"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrPool)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[Long]](2).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Array[Long])]
+    for (_ <- 1 to MmrK) {
+      val best = cand
+        .filter(c => !picked.exists(_._1 == c._1))
+        .map(c => (c, c._2 -
+          (if (picked.isEmpty) 0L
+           else picked.map(p => dot(c._3, p._3)).max)))
+        .minBy { case (c, score) => (-score, c._1) }._1
+      picked += best
+    }
+    picked.zipWithIndex
+      .map { case ((id, rel, _), i) => (i + 1, id, rel) }.toSeq
+      .toDF("rank", "vec_id", "rel")
+      .orderBy("rank")
+  }
+
   val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55,
-    x61, y02, y21, y22, y25, y30, y36)
+    x61, y02, y21, y22, y25, y30, y36, y45)
 }

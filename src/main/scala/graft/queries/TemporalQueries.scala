@@ -582,6 +582,51 @@ object TemporalQueries {
       .orderBy("purchase_id")
   }
 
+  // --- Y44: TIME-SERIES RESAMPLE + FORWARD FILL — the gap-filling
+  // shape every metrics pipeline needs: each user's event series
+  // resampled onto a daily grid, each grid point carrying the LAST
+  // observed value at-or-before it (or NULL before the first event —
+  // impossible here since the grid starts at the user's own first day).
+  // The fill is exactly an as-of join (allowExact) from the generated
+  // grid to the events — the custom AsOfJoinExec composed into a
+  // realistic pipeline; the grid is a per-user sequence explode (≤ span
+  // days rows, never a cross join with a calendar dim).
+  private val DayUs = 86400000000L
+  val y44 = Query(
+    "y44_resample_ffill",
+    Some(s"""
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                        value, event_id
+                 FROM events),
+      span AS (SELECT user_id, min(tus) // $DayUs AS d_lo,
+                      max(tus) // $DayUs AS d_hi
+               FROM e GROUP BY user_id),
+      grid AS (SELECT user_id, CAST(g.d AS BIGINT) AS day_idx,
+                      CAST(g.d AS BIGINT) * $DayUs AS grid_us
+               FROM span, LATERAL (SELECT UNNEST(range(d_lo, d_hi + 1)) AS d) g),
+      f AS (SELECT grid.user_id, day_idx, e.value
+            FROM grid ASOF LEFT JOIN e
+              ON grid.user_id = e.user_id AND grid.grid_us >= e.tus)
+      SELECT user_id, day_idx, ROUND(value, 6) AS value
+      FROM f ORDER BY user_id, day_idx""")
+  ) { (s, d) =>
+    import graft.plans.AsOf
+    val e = events(s, d).select(col("user_id"),
+      unix_micros(col("ts")).as("tus"), col("value"), col("event_id"))
+    val grid = e.groupBy("user_id")
+      .agg(expr(s"min(tus) div ${DayUs}L").as("d_lo"),
+        expr(s"max(tus) div ${DayUs}L").as("d_hi"))
+      .select(col("user_id"),
+        explode(sequence(col("d_lo"), col("d_hi"))).as("day_idx"))
+      .withColumn("grid_us", col("day_idx") * lit(DayUs))
+    AsOf.join(grid, e.select("user_id", "tus", "value", "event_id"),
+        Seq("user_id"), "grid_us", "tus",
+        allowExact = true, outer = true, rightTieBreak = Seq("event_id"))
+      .select(col("user_id"), col("day_idx"),
+        round(col("value"), 6).as("value"))
+      .orderBy("user_id", "day_idx")
+  }
+
   // --- Y16: interval overlap join — view windows (48 h) × click windows
   // (24 h) per user. The scale-safe shape for interval×interval (neither
   // side broadcastable at 100 TB, unlike x12's 4-row banded dim): each
@@ -703,5 +748,5 @@ object TemporalQueries {
   }
 
   val all: Seq[Query] = Seq(x10, x11, x12, x13, x33, x44, x50, x51, x57, y08,
-    y11, y13, y14, y15, y16, y37)
+    y11, y13, y14, y15, y16, y37, y44)
 }
