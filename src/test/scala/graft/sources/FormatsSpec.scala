@@ -79,6 +79,34 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
       dim.filter(col("user_id") === 7L).count())
   }
 
+  test("malformed JSON rows: PERMISSIVE captures, DROPMALFORMED drops, schema kept") {
+    // the dirty-upstream reality of a 100 TB ingest: a reader must not
+    // die on (or silently mangle) the bad 0.01% — Spark's built-in
+    // parse modes, pinned
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.json"),
+      Seq("""{"id": 1, "v": "ok"}""",
+        """{"id": broken!!""",
+        """{"id": 3, "v": "fine"}""").mkString("\n").getBytes("UTF-8"))
+    val schema = "id BIGINT, v STRING, _corrupt STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+    // cache first: corrupt-record introspection requires the full row
+    val rows = permissive.cache().collect()
+    assert(rows.length == 3)
+    assert(rows.count(r => !r.isNullAt(r.fieldIndex("_corrupt"))) == 1,
+      "exactly the broken line must land in the corrupt column")
+    assert(permissive.filter(col("_corrupt").isNull)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    permissive.unpersist()
+    val dropped = spark.read.schema("id BIGINT, v STRING")
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      "DROPMALFORMED must keep only the parseable rows")
+  }
+
   test("rate source streams monotonically increasing (timestamp, value) rows") {
     val q = spark.readStream.format("rate")
       .option("rowsPerSecond", "500").load()

@@ -111,6 +111,31 @@ class IndexIngestSpec extends AnyFunSuite with SparkTest {
       "replay onto a mixed tagless+tagged store must not duplicate rows")
   }
 
+  test("Trigger.AvailableNow drains a file backlog then stops on its own") {
+    import spark.implicits._
+    // the batch-over-stream production pattern: a scheduled job opens
+    // the stream, processes everything that has arrived, and exits —
+    // same checkpoint, same exactly-once contract as the live stream
+    val store = tmpDir("graft-idxingest-avail-")
+    val stage = tmpDir("graft-idxingest-stage-")
+    b0.toDF("doc_id", "text").repartition(2)
+      .write.mode("overwrite").parquet(stage)
+    val q = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream
+      .option("checkpointLocation", tmpDir("graft-idxingest-avail-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        IndexIngest.processBatch(batch.toDF(), id, store); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow must terminate after draining the backlog")
+    val terms = Seq("table", "fast")
+    assert(rows(Retrieval.bm25TopKFromStore(spark, store, terms, 5)) ==
+      rows(Retrieval.bm25TopK(b0.toDF("doc_id", "text"), terms, 5)))
+  }
+
   test("replayed batch appends nothing; marker short-circuits") {
     import spark.implicits._
     val store = tmpDir("graft-idxingest-replay-")
