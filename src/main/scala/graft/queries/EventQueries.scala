@@ -360,5 +360,37 @@ object EventQueries {
       .orderBy("user_id", "valid_from_us")
   }
 
-  val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32, y33, y34, y41)
+  // --- Y46: SLIDING time windows in BATCH — q12's tumbling buckets
+  // generalized: `window(ts, "2 days", "1 day")`, so every event lands
+  // in exactly TWO epoch-aligned windows (start = day(t) and
+  // day(t) − 1). The oracle replays the assignment arithmetically
+  // (UNNEST over the two offsets); window starts graded as exact
+  // epoch-µs BIGINTs, never formatted timestamps.
+  val y46 = Query(
+    "y46_sliding_window",
+    Some("""
+      WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                        event_type, value
+                 FROM events),
+      w AS (SELECT ((tus // 86400000000) - CAST(k AS BIGINT)) * 86400000000
+                     AS w_start_us,
+                   event_type, value
+            FROM e, UNNEST(range(0, 2)) t(k))
+      SELECT w_start_us, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM w GROUP BY w_start_us, event_type
+      ORDER BY w_start_us, event_type""")
+  ) { (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("w_start_us", "event_type")
+  }
+
+  val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32, y33, y34, y41, y46)
 }

@@ -214,5 +214,59 @@ object RelationalQueries2 {
       .orderBy("measure")
   }
 
-  val all: Seq[Query] = Seq(x17, x18, x19, x20, x23, x24, y42, y43)
+  // --- Y47: CORRELATION / COVARIANCE — the bivariate-stats aggregates
+  // (§2.5 tail). The graded values come from EXACT DECIMAL sufficient
+  // statistics (n, Σx, Σy, Σxy, Σx², Σy²) assembled into the closed
+  // forms in identically-ordered DOUBLE arithmetic — accumulation-order
+  // noise never reaches the output — and Spark's BUILT-IN `corr` is
+  // self-graded against the exact value (|Δ| ≤ 1e-4 flag, the q08b
+  // pattern: a float-accumulated aggregate's value cannot cross
+  // engines, its agreement with the exact form can).
+  val y47 = Query(
+    "y47_corr_stats",
+    Some("""
+      WITH s AS (SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+                 FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             ROUND((n * sxy - sx * sy)
+               / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_xy,
+             ROUND((sxy - sx * sy / n) / n, 6) AS covar_pop_xy,
+             CAST(1 AS INT) AS builtin_ok
+      FROM s ORDER BY l_returnflag""")
+  ) { (s, d) =>
+    val dec = (c: String) =>
+      col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val stats = lineitem(s, d).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec("l_quantity")).cast("double").as("sx"),
+        sum(dec("l_extendedprice")).cast("double").as("sy"),
+        sum(dec("l_quantity") * dec("l_extendedprice")).cast("double").as("sxy"),
+        sum(dec("l_quantity") * dec("l_quantity")).cast("double").as("sxx"),
+        sum(dec("l_extendedprice") * dec("l_extendedprice")).cast("double").as("syy"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_builtin"))
+    stats.select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_xy"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6)
+          .as("covar_pop_xy"),
+        when(abs(col("corr_builtin")
+            - (col("n") * col("sxy") - col("sx") * col("sy"))
+              / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                * (col("n") * col("syy") - col("sy") * col("sy"))))
+            <= 0.0001, 1).otherwise(0).as("builtin_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Query] = Seq(x17, x18, x19, x20, x23, x24, y42, y43, y47)
 }
