@@ -62,7 +62,13 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       "y26_proximity_search", "y27_maxsim_retrieval",
       "y28_phrase_rarest_first", "y29_phrase_snippets",
       "y30_pq_rotated_recall", "y31_funnel", "y32_retention_cohorts",
-      "y33_event_transitions", "y34_ab_test")
+      "y33_event_transitions", "y34_ab_test",
+      // round-9: bucket-salted as-of (carried winners must be invisible
+      // at any partitioning), IVFADC (coarse+residual Lloyd, per-cell
+      // LUT sums, recall division), the greedy MMR over a collected
+      // top-k, forward-fill as-of, exact-stat corr, CMS estimates
+      "y36_ivfadc_recall", "y37_asof_salted", "y39_cms_heavy_hitters",
+      "y44_resample_ffill", "y45_mmr_rerank", "y47_corr_stats")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {
