@@ -392,5 +392,101 @@ object EventQueries {
       .orderBy("w_start_us", "event_type")
   }
 
-  val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32, y33, y34, y41, y46)
+  // --- Y48: BEHAVIORAL MART — funnel ⊕ retention ⊕ transitions
+  // composed into ONE DAG over one events scan family (the x53
+  // composition-grading discipline applied to the behavioral suite):
+  // the three sections normalize into a (section, k1, k2, n, ratio)
+  // union, so the graded artifact is the mart a dashboard would read,
+  // not three independent queries. Each section keeps its own
+  // documented scale shape; the union adds no shuffle.
+  val y48 = Query(
+    "y48_behavior_mart",
+    Some {
+      val wUs = FunnelWithinSec * 1000000L
+      val p = RetentionPeriodSec * 1000000L
+      s"""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+                         event_id
+                  FROM events),
+      s1 AS (SELECT user_id, min(tus) AS t FROM ev
+             WHERE event_type = '${FunnelSteps(0)}' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.tus) AS t
+             FROM ev e JOIN s1 pp USING (user_id)
+             WHERE e.event_type = '${FunnelSteps(1)}'
+               AND e.tus > pp.t AND e.tus <= pp.t + $wUs
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.tus) AS t
+             FROM ev e JOIN s2 pp USING (user_id)
+             WHERE e.event_type = '${FunnelSteps(2)}'
+               AND e.tus > pp.t AND e.tus <= pp.t + $wUs
+             GROUP BY e.user_id),
+      n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+      fun AS (
+        SELECT 'funnel' AS section, '1' AS k1, '${FunnelSteps(0)}' AS k2,
+               n1.n AS n, ROUND(CAST(n1.n AS DOUBLE) / NULLIF(n1.n, 0), 6) AS ratio
+        FROM n1
+        UNION ALL
+        SELECT 'funnel', '2', '${FunnelSteps(1)}', CAST(count(*) AS BIGINT),
+               ROUND(CAST(count(*) AS DOUBLE) / NULLIF((SELECT n FROM n1), 0), 6)
+        FROM s2
+        UNION ALL
+        SELECT 'funnel', '3', '${FunnelSteps(2)}', CAST(count(*) AS BIGINT),
+               ROUND(CAST(count(*) AS DOUBLE) / NULLIF((SELECT n FROM n1), 0), 6)
+        FROM s3),
+      f AS (SELECT user_id, min(tus) AS t0 FROM ev GROUP BY user_id),
+      a AS (SELECT DISTINCT e.user_id, f.t0 // $p AS cohort_w,
+                   (e.tus - f.t0) // $p AS week_offset
+            FROM ev e JOIN f USING (user_id)),
+      na AS (SELECT cohort_w, week_offset,
+                    CAST(count(*) AS BIGINT) AS n_active
+             FROM a GROUP BY cohort_w, week_offset),
+      nc AS (SELECT t0 // $p AS cohort_w, CAST(count(*) AS BIGINT) AS n_cohort
+             FROM f GROUP BY 1),
+      ret AS (
+        SELECT 'retention' AS section,
+               CAST(na.cohort_w AS VARCHAR) AS k1,
+               CAST(na.week_offset AS VARCHAR) AS k2,
+               na.n_active AS n,
+               ROUND(CAST(n_active AS DOUBLE) / n_cohort, 6) AS ratio
+        FROM na JOIN nc USING (cohort_w)),
+      pr AS (SELECT event_type AS from_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY tus, event_id) AS to_type
+             FROM ev),
+      tc AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             FROM pr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      tt AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+             FROM tc GROUP BY from_type),
+      tra AS (
+        SELECT 'transition' AS section, tc.from_type AS k1,
+               tc.to_type AS k2, tc.n,
+               ROUND(CAST(tc.n AS DOUBLE) / tt.n_out, 6) AS ratio
+        FROM tc JOIN tt USING (from_type))
+      SELECT section, k1, k2, n, ratio
+      FROM (SELECT * FROM fun UNION ALL SELECT * FROM ret
+            UNION ALL SELECT * FROM tra)
+      ORDER BY section, k1, k2"""
+    }
+  ) { (s, d) =>
+    val ev = events(s, d)
+    val fun = graft.operators.Funnels
+      .funnel(ev, FunnelSteps, withinSec = FunnelWithinSec)
+      .select(lit("funnel").as("section"),
+        col("step").cast("string").as("k1"), col("event_type").as("k2"),
+        col("n_users").as("n"), col("conv_pct").as("ratio"))
+    val ret = graft.operators.Funnels
+      .retentionCohorts(ev, periodSec = RetentionPeriodSec)
+      .select(lit("retention").as("section"),
+        col("cohort_w").cast("string").as("k1"),
+        col("week_offset").cast("string").as("k2"),
+        col("n_active").as("n"), col("retention").as("ratio"))
+    val tra = graft.operators.Funnels.transitions(ev)
+      .select(lit("transition").as("section"),
+        col("from_type").as("k1"), col("to_type").as("k2"),
+        col("n"), col("out_share").as("ratio"))
+    fun.unionAll(ret).unionAll(tra).orderBy("section", "k1", "k2")
+  }
+
+  val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32, y33, y34, y41,
+    y46, y48)
 }
