@@ -43,9 +43,11 @@ object AsOfSkewProbe {
     val salted = med("asof_hotkey_salted", () =>
       graft.plans.AsOf.joinSalted(left, right, Seq("k"), "t", "t", bucketUs)
         .write.format("noop").mode("overwrite").save())
-    val eq = graft.plans.AsOf.joinSalted(left, right, Seq("k"), "t", "t", bucketUs)
-      .exceptAll(graft.plans.AsOf.join(left, right, Seq("k"), "t", "t"))
-      .isEmpty
+    // both directions (the AsOfJoinSpec discipline): one-sided exceptAll
+    // passes even when the salted form silently DROPS rows
+    val baseDf = graft.plans.AsOf.join(left, right, Seq("k"), "t", "t")
+    val saltDf = graft.plans.AsOf.joinSalted(left, right, Seq("k"), "t", "t", bucketUs)
+    val eq = saltDf.exceptAll(baseDf).isEmpty && baseDf.exceptAll(saltDf).isEmpty
     println(f"""{"salted_over_base":${salted / base}%.2f,"equal":$eq}""")
     spark.stop()
   }

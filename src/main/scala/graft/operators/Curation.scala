@@ -466,9 +466,10 @@ object Curation {
     * the batch store (b, ct, cr) and the streaming store, whose batch_id
     * tags collapse to the −1 generation sentinel — a sentinel never
     * equals a live batch id, so the stream's self-exclusion filter stays
-    * correct, but the swap drops replay markers with the old directory,
-    * so run it only when the stream is checkpoint-quiesced (the
-    * store-rebuild cadence, like freezing a new cell mask). */
+    * correct, and `_graft_batch_*` replay markers ride across the swap
+    * (the `swapInCompacted` contract since ADVICE r9): a checkpoint
+    * replay of a pre-compaction batch appends nothing instead of
+    * double-counting its rows into the −1 generation. */
   def compactDsirStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val df = spark.read.parquet(path)

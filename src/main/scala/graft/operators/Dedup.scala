@@ -216,9 +216,10 @@ object Dedup {
     * defensively (the anti-join append upholds it in every crash window
     * the specs replay, and signatures are deterministic functions of the
     * text, so any torn duplicate would be byte-identical — dropping it
-    * is exact). Like [[graft.operators.Curation.compactDsirStore]], the
-    * swap drops replay markers with the old directory: run it only when
-    * the stream is checkpoint-quiesced (the store-rebuild cadence). */
+    * is exact). `_graft_batch_*` replay markers ride across the swap
+    * (the [[graft.streaming.StoreFs.swapInCompacted]] contract since
+    * ADVICE r9), so a checkpoint replay of a pre-compaction batch still
+    * hits the marker fast path instead of re-appending its rows. */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
                             path: String): Unit = {
     val merged = spark.read.parquet(path).dropDuplicates("doc_id")

@@ -344,17 +344,25 @@ object Pq {
     * rows (the IndexIngest discipline; a duplicate (vec_id, sub) row
     * would double-count that subspace in every ADC sum). The
     * `_graft_batch_<id>` marker is the fast-path short-circuit; the
-    * base `writePqStore` generation reads as the −1 sentinel. */
+    * base `writePqStore` generation reads as the −1 sentinel.
+    *
+    * With `batchId = None` (plain batch callers) there is NO marker
+    * short-circuit: the batch is anti-joined against EVERY visible
+    * (vec_id, sub) row and tagged with the −1 sentinel, so successive
+    * untagged appends of DIFFERENT batches all land (ADVICE r9: a
+    * shared default id made the second such append a silent no-op)
+    * while a retry of the same rows still appends nothing. */
   def appendToPqStore(spark: org.apache.spark.sql.SparkSession,
                       newEmb: DataFrame, path: String, m: Int, dim: Int,
-                      batchId: Long = 0L,
+                      batchId: Option[Long] = None,
                       vecCol: String = "embedding"): Unit = {
     val dir = s"$path/codes"
-    if (graft.streaming.StoreFs.markerExists(spark, dir, batchId)) return
+    if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, dir, _)))
+      return
     val books = spark.read.parquet(s"$path/books")
     val tagged = encode(newEmb, books, m, dim, vecCol)
       .select("vec_id", "sub", "cell")
-      .withColumn("batch_id", lit(batchId))
+      .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
     val novel =
       if (graft.streaming.StoreFs.storeExists(spark, dir)) {
         // mergeSchema: the dir mixes the tagless base generation with
@@ -363,13 +371,15 @@ object Pq {
         val visible =
           if (raw.columns.contains("batch_id")) raw
           else raw.withColumn("batch_id", lit(-1L))
-        tagged.join(
-          visible.filter(col("batch_id") === batchId)
-            .select("batch_id", "vec_id", "sub"),
-          Seq("batch_id", "vec_id", "sub"), "left_anti")
+        val landed = batchId match {
+          case Some(id) => visible.filter(col("batch_id") === id)
+          case None     => visible
+        }
+        tagged.join(landed.select("vec_id", "sub"),
+          Seq("vec_id", "sub"), "left_anti")
       } else tagged
     novel.write.mode("append").parquet(dir)
-    graft.streaming.StoreFs.writeMarker(spark, dir, batchId)
+    batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 
   /** ADC top-k answered ENTIRELY from the store: codes + frozen books
@@ -465,13 +475,16 @@ object Pq {
     * Retraining either quantizer = store rebuild (the same trade as the
     * LSH mask width). Same retry discipline as [[appendToPqStore]]:
     * batch-tagged rows, anti-join on replay, marker fast path — a
-    * duplicate (vec_id, sub) row would double-count that subspace. */
+    * duplicate (vec_id, sub) row would double-count that subspace; and
+    * the same `batchId = None` contract — anti-join against every
+    * visible row, −1 tag, no marker (ADVICE r9). */
   def appendToIvfadcStore(spark: org.apache.spark.sql.SparkSession,
                           newEmb: DataFrame, path: String, m: Int, dim: Int,
-                          batchId: Long = 0L,
+                          batchId: Option[Long] = None,
                           vecCol: String = "embedding"): Unit = {
     val dir = s"$path/codes"
-    if (graft.streaming.StoreFs.markerExists(spark, dir, batchId)) return
+    if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, dir, _)))
+      return
     val coarse = spark.read.parquet(s"$path/coarse")
     val books = spark.read.parquet(s"$path/books")
     val mv = microVectors(newEmb, vecCol)
@@ -480,19 +493,21 @@ object Pq {
     val tagged = assign(rsv.drop("ivf_cell"), books)
       .select(col("vec_id"), col("sub"), col("cell"))
       .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id"))
-      .withColumn("batch_id", lit(batchId))
+      .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
     val novel = {
       val raw = spark.read.option("mergeSchema", "true").parquet(dir)
       val visible =
         if (raw.columns.contains("batch_id")) raw
         else raw.withColumn("batch_id", lit(-1L))
-      tagged.join(
-        visible.filter(col("batch_id") === batchId)
-          .select("batch_id", "vec_id", "sub"),
-        Seq("batch_id", "vec_id", "sub"), "left_anti")
+      val landed = batchId match {
+        case Some(id) => visible.filter(col("batch_id") === id)
+        case None     => visible
+      }
+      tagged.join(landed.select("vec_id", "sub"),
+        Seq("vec_id", "sub"), "left_anti")
     }
     novel.write.mode("append").partitionBy("ivf_cell").parquet(dir)
-    graft.streaming.StoreFs.writeMarker(spark, dir, batchId)
+    batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 
   /** COMPACT a PQ or IVFADC codes store: per-batch appends leave one
@@ -503,11 +518,13 @@ object Pq {
     * partition layout when the store is cell-partitioned (IVFADC), and
     * swaps the new generation in atomically (`StoreFs.swapInCompacted`
     * — a crash never leaves an empty store). Serving answers are
-    * provably unchanged (spec-pinned). The swap drops replay markers
-    * with the old directory (the compactDsirStore contract): compact
-    * only between fully-recorded appends — a replay of a pre-compaction
-    * batch would re-append rows the compaction already folded into the
-    * −1 generation. */
+    * provably unchanged (spec-pinned). `_graft_batch_*` replay markers
+    * ride across the swap (the `swapInCompacted` contract since ADVICE
+    * r9): a PqIngest batch appended (marker written) but whose
+    * checkpoint had not yet committed when compaction ran still hits
+    * the marker fast path on restart — its rows are already folded into
+    * the −1 generation, and re-appending them would duplicate
+    * (vec_id, sub) keys and double-count subspaces in every ADC sum. */
   def compactCodesStore(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit = {
     val dir = s"$path/codes"

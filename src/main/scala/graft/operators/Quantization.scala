@@ -386,8 +386,9 @@ object Quantization {
     * swapped in atomically ([[graft.streaming.StoreFs.swapInCompacted]]
     * — a crash never leaves the store empty, and the sibling write never
     * reads its own output, so no localCheckpoint is needed). Like the
-    * other stores, the swap drops replay markers with the old directory:
-    * run only when the stream is checkpoint-quiesced. */
+    * other stores, `_graft_batch_*` replay markers ride across the swap
+    * (the `swapInCompacted` contract since ADVICE r9), keeping a lagged
+    * checkpoint replay on the marker fast path. */
   def compactCodeStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
     val merged = spark.read.parquet(path).dropDuplicates("vec_id")

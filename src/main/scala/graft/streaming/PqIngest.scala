@@ -40,9 +40,9 @@ object PqIngest {
     if (batch.isEmpty) return
     if (ivfadc)
       Pq.appendToIvfadcStore(batch.sparkSession, batch, storePath, m, dim,
-        batchId)
+        Some(batchId))
     else
       Pq.appendToPqStore(batch.sparkSession, batch, storePath, m, dim,
-        batchId)
+        Some(batchId))
   }
 }

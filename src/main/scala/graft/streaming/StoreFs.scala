@@ -39,7 +39,15 @@ private[graft] object StoreFs {
     * of the in-place overwrite's empty directory, which IncrementalDedup
     * would silently treat as a fresh corpus and re-admit every
     * duplicate. Renames are metadata-only on HDFS/local FS; the
-    * store-absent window is two namespace ops, never a data copy. */
+    * store-absent window is two namespace ops, never a data copy.
+    *
+    * `_graft_batch_<id>` replay markers are CARRIED ACROSS the swap
+    * (copied into the new generation before the rename): a streaming
+    * ingest whose batch was appended (marker written) but whose
+    * checkpoint had not yet committed when compaction ran still hits
+    * the marker fast path on restart — without this, the replay would
+    * re-append every row of that batch onto the compacted generation
+    * and duplicate its natural keys (ADVICE r9). */
   def swapInCompacted(spark: SparkSession, dir: String)
                      (writeTo: String => Unit): Unit = {
     val (fs, p) = fsAndPath(spark, dir)
@@ -48,6 +56,10 @@ private[graft] object StoreFs {
     fs.delete(tmp, true)
     fs.delete(old, true)
     writeTo(tmp.toString)
+    if (fs.exists(p))
+      fs.listStatus(p).map(_.getPath.getName)
+        .filter(_.startsWith("_graft_batch_"))
+        .foreach(n => fs.create(new Path(tmp, n), true).close())
     if (fs.exists(p) && !fs.rename(p, old))
       throw new java.io.IOException(s"compact: could not move $p aside")
     if (!fs.rename(tmp, p)) {

@@ -157,7 +157,7 @@ class PqSpec extends AnyFunSuite with SparkTest {
     val mid = emb.filter(col("vec_id") % 10 >= 6 && col("vec_id") % 10 < 8)
     val late = emb.filter(col("vec_id") % 10 >= 8)
     Pq.writePqStore(base, path, M, Dim, nCents = 8, iters = 1)
-    Pq.appendToPqStore(spark, mid, path, M, Dim, batchId = 1L)
+    Pq.appendToPqStore(spark, mid, path, M, Dim, batchId = Some(1L))
     val probeIds = Similarity.boundedProbeIds(emb, 4)
     def served = Pq.adcTopKFromStore(spark, path, emb, probeIds,
       k = 5, M, Dim).collect().map(_.toString).sorted.toSeq
@@ -168,7 +168,7 @@ class PqSpec extends AnyFunSuite with SparkTest {
     val compacted = spark.read.parquet(s"$path/codes")
     assert(compacted.select("batch_id").distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(-1L))
-    Pq.appendToPqStore(spark, late, path, M, Dim, batchId = 2L)
+    Pq.appendToPqStore(spark, late, path, M, Dim, batchId = Some(2L))
     val books = spark.read.parquet(s"$path/books")
     val full = Pq.encode(emb, books, M, Dim).select("vec_id", "sub", "cell")
       .collect().map(_.toString).sorted.toSeq
@@ -177,6 +177,57 @@ class PqSpec extends AnyFunSuite with SparkTest {
       .collect().map(_.toString).sorted.toSeq
     assert(stored == full,
       "appends onto the compacted generation must keep full-encode parity")
+  }
+
+  test("successive UNTAGGED appends of different batches all land (ADVICE r9)") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-untagged-test-").toString
+    val base = emb.filter(col("vec_id") % 10 < 6)
+    val batchA = emb.filter(col("vec_id") % 10 >= 6 && col("vec_id") % 10 < 8)
+    val batchB = emb.filter(col("vec_id") % 10 >= 8)
+    Pq.writePqStore(base, path, M, Dim, nCents = 8, iters = 1)
+    // neither append passes a batchId — the r9 hazard was a shared
+    // default id whose marker made the SECOND append a silent no-op
+    Pq.appendToPqStore(spark, batchA, path, M, Dim)
+    Pq.appendToPqStore(spark, batchB, path, M, Dim)
+    val books = spark.read.parquet(s"$path/books")
+    val stored = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/codes").select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    val full = Pq.encode(emb, books, M, Dim).select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == full,
+      "both untagged batches must land (no marker short-circuit without an id)")
+    // and a retry of an untagged batch still appends nothing (anti-join)
+    Pq.appendToPqStore(spark, batchB, path, M, Dim)
+    val retried = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/codes").select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    assert(retried == full, "untagged retry must append nothing")
+  }
+
+  test("compaction preserves replay markers: a lagged checkpoint replay appends nothing") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-marker-test-").toString
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    Pq.writePqStore(base, path, M, Dim, nCents = 8, iters = 1)
+    Pq.appendToPqStore(spark, batch, path, M, Dim, batchId = Some(7L))
+    Pq.compactCodesStore(spark, path)
+    assert(new java.io.File(s"$path/codes", "_graft_batch_7").exists(),
+      "the _graft_batch_7 marker must ride across the compaction swap")
+    val before = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    // the ADVICE-r9 scenario: batch 7's append landed but its streaming
+    // checkpoint had not committed when compaction ran — the restart
+    // replays batch 7; the preserved marker must short-circuit it
+    Pq.appendToPqStore(spark, batch, path, M, Dim, batchId = Some(7L))
+    val after = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before,
+      "a replay of a pre-compaction batch must hit the marker fast path")
   }
 
   test("Hadamard rotation scales L2 by exactly dim and preserves the ranking") {
