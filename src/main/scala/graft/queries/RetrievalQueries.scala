@@ -331,9 +331,11 @@ object RetrievalQueries {
     (1L, Seq("spark", "window", "stream"), 42L),
     (2L, Seq("customer", "vector"), 137L))
 
-  val y18 = Query(
-    "y18_hybrid_rrf_batch",
-    Some(s"""
+  // shared by y18 (scan form) and y49 (store-served form): the oracle
+  // is the EXACT hybrid answer, so both forms must reproduce it —
+  // which is why y49's semantic arm is the exact cell-pruned store,
+  // not an approximate ANN shortlist
+  private val hybridBatchOracle = s"""
       WITH qt AS (SELECT CAST(q AS BIGINT) AS query_id, t AS term
                   FROM (VALUES ${BatchQueries.flatMap { case (q, ts, _) =>
                     ts.map(t => s"($q,'$t')") }.mkString(",")}) v(q, t)),
@@ -399,10 +401,50 @@ object RetrievalQueries {
       SELECT query_id, doc_id, lex_rk, sem_rk, rrf,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY rrf DESC, doc_id) AS INT) AS rk
-      FROM fuse QUALIFY rk <= 20 ORDER BY query_id, rk""")
+      FROM fuse QUALIFY rk <= 20 ORDER BY query_id, rk"""
+
+  val y18 = Query(
+    "y18_hybrid_rrf_batch",
+    Some(hybridBatchOracle)
   ) { (s, d) =>
     Retrieval.hybridRrfBatch(documents(s, d), BatchQueries,
         kList = 50, kOut = 20, k1 = K1, b = B)
+      .orderBy("query_id", "rk")
+  }
+
+  // --- Y49: y18 served ENTIRELY from persisted stores — the VERDICT-r9
+  // fix for the repo's last corpus-scan-per-batch plan: the lexical arm
+  // reads the y19 inverted index (term-pruned postings, compact doclen),
+  // the semantic arm reads an ExactIvf vector store (hashed embeddings
+  // persisted PARTITIONED BY coarse cell; Cauchy–Schwarz cell bounds
+  // prune the scan while PROVABLY returning the exact top-50 — the
+  // recall guarantee an ADC shortlist can't give), and the fusion tail
+  // is y18's. Same oracle as y18: byte-identical hybrid answers through
+  // a plan with NO document-text or embedding computation (plan-pinned)
+  // is the store composition's correctness contract.
+  private def ensureVecStore(s: org.apache.spark.sql.SparkSession,
+                             d: String): String = {
+    val f = new java.io.File(d, "documents.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${f.length}:${f.lastModified}:vecstore1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-vecstore-" +
+      s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
+    if (!new java.io.File(s"$path/vecs", "_SUCCESS").exists())
+      graft.operators.ExactIvf.writeVecStore(
+        graft.operators.TextAnalysis.hashedEmbedding(documents(s, d))
+          .select("doc_id", "vec"),
+        path, nCells = 16, iters = 1)
+    path
+  }
+
+  val y49 = Query(
+    "y49_hybrid_store",
+    Some(hybridBatchOracle)
+  ) { (s, d) =>
+    Retrieval.hybridRrfBatchFromStores(s, ensureIndexStore(s, d),
+        ensureVecStore(s, d), BatchQueries,
+        kList = 50, kOut = 20, k1 = K1, b = B, nprobe0 = 4)
       .orderBy("query_id", "rk")
   }
 
@@ -1162,5 +1204,5 @@ object RetrievalQueries {
   }
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38)
+    x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38, y49)
 }

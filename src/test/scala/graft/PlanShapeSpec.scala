@@ -592,6 +592,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("y49 store-served hybrid: no corpus text/embedding pass; vecs scan cell-pruned") {
+    val p = plan("y49_hybrid_store")
+    // the VERDICT-r9 contract: neither arm may recompute from the corpus
+    assert(!p.contains("documents.parquet"),
+      s"store-served hybrid must not read document text:\n$p")
+    assert(p.contains("graft-bm25index"),
+      s"lexical arm must read the inverted index:\n$p")
+    assert(p.contains("graft-vecstore"),
+      s"semantic arm must read the vector store:\n$p")
+    // term-pruned postings + cell-partition-pruned vectors
+    assert(p.contains("In(term") || p.contains("term#"),
+      s"term filter must reach the postings scan:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+      s"vecs scan must carry an ivf_cell partition filter:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerKey"), p)
+  }
+
   test("y38 prefix search reads only the postings store with the prefix pushed") {
     val p = plan("y38_prefix_search")
     assert(!p.contains("documents.parquet"),

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** The exact-IVF contract: the cell-pruned store serve returns EXACTLY
+  * brute-force top-k by (dot DESC, id) — for any clustering, any probe
+  * budget, ties included. Pruning is a performance lever; these specs
+  * pin that it is never a correctness lever. */
+class ExactIvfSpec extends AnyFunSuite with SparkTest {
+
+  private val Dim = 8
+
+  // deterministic integer vectors with repeats (ties) and a heavy skew:
+  // ids 0..9 share one direction (one hot cell), the rest spread out
+  private def fixture(n: Int) = {
+    import spark.implicits._
+    (0L until n).map { i =>
+      val v = (0 until Dim).map { j =>
+        if (i < 10) (j + 1).toLong * 100L            // identical hot docs
+        else ((i * 31 + j * 17) % 201) - 100L
+      }.toArray
+      (i, v)
+    }.toDF("doc_id", "vec")
+  }
+
+  private def brute(vecs: org.apache.spark.sql.DataFrame,
+                    queries: Seq[(Long, Long)], k: Int): Seq[String] = {
+    import spark.implicits._
+    val qp = queries.toDF("query_id", "probe_id")
+    val probes = vecs.join(qp, col("doc_id") === col("probe_id"))
+      .select(col("query_id"), col("probe_id"), col("vec").as("qvec"))
+    vecs.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.VectorFunctions.dotLong(col("vec"), col("qvec"))
+          .as("dot"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dot").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "dot", "rk")
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  private def served(path: String, queries: Seq[(Long, Long)], k: Int,
+                     nprobe0: Int): Seq[String] =
+    ExactIvf.topDotBatchFromStore(spark, path, queries, k, nprobe0)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("dot"), col("rk"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("store serve == brute force, including ties in the hot cell") {
+    val vecs = fixture(300)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-test-").toString
+    ExactIvf.writeVecStore(vecs, path, nCells = 8, iters = 1)
+    val queries = Seq((1L, 3L), (2L, 137L), (3L, 250L))
+    assert(served(path, queries, k = 20, nprobe0 = 2) ==
+      brute(vecs, queries, k = 20))
+  }
+
+  test("minimal phase-1 budget (nprobe0=1) still returns the exact answer") {
+    val vecs = fixture(300)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-np1-test-").toString
+    ExactIvf.writeVecStore(vecs, path, nCells = 8, iters = 1)
+    val queries = Seq((1L, 42L), (2L, 7L))
+    assert(served(path, queries, k = 15, nprobe0 = 1) ==
+      brute(vecs, queries, k = 15))
+  }
+
+  test("k larger than any phase-1 cell set forces the all-cells fallback, still exact") {
+    val vecs = fixture(120)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-deep-test-").toString
+    ExactIvf.writeVecStore(vecs, path, nCells = 12, iters = 1)
+    // k close to the corpus: phase 1 cannot fill k → n < k fallback
+    val queries = Seq((1L, 11L))
+    assert(served(path, queries, k = 110, nprobe0 = 1) ==
+      brute(vecs, queries, k = 110))
+  }
+
+  test("degenerate clustering (nCells=1) degrades to a full scan, never to wrong rows") {
+    val vecs = fixture(150)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-one-test-").toString
+    ExactIvf.writeVecStore(vecs, path, nCells = 1, iters = 1)
+    val queries = Seq((1L, 5L), (2L, 100L))
+    assert(served(path, queries, k = 10, nprobe0 = 3) ==
+      brute(vecs, queries, k = 10))
+  }
+}
