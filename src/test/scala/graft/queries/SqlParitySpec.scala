@@ -80,4 +80,63 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
   test("y33 transitions: oracle text (epoch_us mapped) == DataFrame build") {
     parityMapped("y33_event_transitions")
   }
+
+  // ---- batch 3 (VERDICT r9 item 2): the y38–y48 oracle texts through
+  // the SQL entry. parityXform generalizes the shim to the few purely
+  // LEXICAL dialect renames these need — every mapping is a 1:1 spelling
+  // of the same semantics, so the oracle text still defines the query.
+  private def parityXform(name: String)(xform: String => String): Unit = {
+    import graft.sources.Tables
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings"))
+      Tables.table(spark, sfDir, t).createOrReplaceTempView(t)
+    val q = Inventory.byName(name)
+    val viaDf = q.run(spark, sfDir).collect().toSeq
+    val viaSql = spark.sql(xform(q.sql.get)).collect().toSeq
+    assert(viaDf.size == viaSql.size, s"$name: row counts differ")
+    assert(viaDf == viaSql, s"$name: SQL text and DataFrame build diverge")
+  }
+
+  /** DuckDB `epoch_us` → Spark `unix_micros` (+ the NTZ cast). */
+  private val epochUs = (s: String) =>
+    s.replace("epoch_us(ts)", "epoch_us(CAST(ts AS TIMESTAMP))")
+      .replace("epoch_us(", "unix_micros(")
+  /** DuckDB `//` (integer division) → Spark `div`. */
+  private val intDiv = (s: String) => s.replace(" // ", " div ")
+  /** DuckDB bare `VARCHAR` cast → Spark `STRING`. */
+  private val varcharCast = (s: String) => s.replace("AS VARCHAR)", "AS STRING)")
+
+  test("y42 pivot: SQL text == DataFrame build") { parity("y42_pivot") }
+  test("y43 unpivot: SQL text == DataFrame build") { parity("y43_unpivot") }
+  test("y47 corr/covar: SQL text == DataFrame build") { parity("y47_corr_stats") }
+  test("y41 SCD2 dimension: oracle text (epoch_us mapped) == DataFrame build") {
+    parityXform("y41_scd2_dimension")(epochUs)
+  }
+  test("y32 retention cohorts: oracle text (epoch_us, // mapped) == DataFrame build") {
+    parityXform("y32_retention_cohorts")(epochUs andThen intDiv)
+  }
+  test("y34 A/B readout: oracle text (epoch_us, varchar mapped) == DataFrame build") {
+    parityXform("y34_ab_test")(epochUs andThen varcharCast)
+  }
+  test("y46 sliding windows: oracle text (epoch_us, //, unnest mapped) == DataFrame build") {
+    parityXform("y46_sliding_window")(epochUs andThen intDiv andThen
+      // the two-offset window fan-out: DuckDB's table-function UNNEST
+      // over range(0,2) is Spark's lateral explode over sequence(0,1)
+      (_.replace(", UNNEST(range(0, 2)) t(k)",
+        " LATERAL VIEW explode(sequence(0, 1)) t AS k")))
+  }
+  test("y48 behavior mart: oracle text (epoch_us, //, varchar mapped) == DataFrame build") {
+    parityXform("y48_behavior_mart")(epochUs andThen intDiv andThen varcharCast)
+  }
+  test("y39 CMS heavy hitters: oracle text (split/explode mapped) == DataFrame build") {
+    parityXform("y39_cms_heavy_hitters") { s =>
+      s.replace("unnest(string_split(", "explode(split(")
+        // Spark regexp string literals escape the backslash; DuckDB's
+        // don't — same regex, doubled spelling
+        .replace("\\s+", "\\\\s+")
+        // Spark's regexp_replace replaces ALL matches by default; its
+        // 4th argument is a position, not the 'g' flag
+        .replace(", 'g')", ")")
+    }
+  }
 }
