@@ -327,9 +327,8 @@ object EventQueries {
   // construction one user-keyed lead — both windows share the
   // partitioning, so ONE exchange total; all time math exact epoch-µs
   // BIGINTs (timestamps stay out of graded output).
-  val y41 = Query(
-    "y41_scd2_dimension",
-    Some("""
+  // shared by y41 (batch window form) and y50 (stream-built store form)
+  private val scd2Oracle = """
       WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
                  FROM events),
       s AS (SELECT user_id, event_type, tus, event_id,
@@ -344,7 +343,11 @@ object EventQueries {
              FROM c)
       SELECT user_id, state, valid_from_us, valid_to_us,
              CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
-      FROM iv ORDER BY user_id, valid_from_us""")
+      FROM iv ORDER BY user_id, valid_from_us"""
+
+  val y41 = Query(
+    "y41_scd2_dimension",
+    Some(scd2Oracle)
   ) { (s, d) =>
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("tus"), col("event_id"))
@@ -356,6 +359,86 @@ object EventQueries {
       .withColumn("valid_to_us", lead(col("tus"), 1).over(w))
       .select(col("user_id"), col("event_type").as("state"),
         col("tus").as("valid_from_us"), col("valid_to_us"),
+        when(col("valid_to_us").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
+  // --- Y50: y41's oracle answered from a STREAM-BUILT change-point
+  // store — the y35 contract applied to dimension maintenance: events
+  // arrive as a multi-file stream (data never driver-side),
+  // `Scd2Stream.changes` folds each user's watermark-finalized type
+  // changes and appends them to a parquet store exactly once, and the
+  // dimension (closed intervals AND current NULL-valid_to rows) is
+  // reconstructed by one per-user lead window over the COMPACT change
+  // store (|changes| rows, not |events|). Byte-identity with the batch
+  // window form's oracle is the "stream ≡ batch" claim of Scd2StreamSpec
+  // put under the driver's DuckDB contract. The watermark delay spans
+  // the fixture (unordered file slabs must all stay in-grace — the same
+  // grace/completeness trade a real pipeline tunes down for bounded
+  // disorder), and one sentinel row past max+delay drains every buffer;
+  // the sentinel itself never folds, so the store holds real users only.
+  private def ensureStreamScd2Store(s: org.apache.spark.sql.SparkSession,
+                                    d: String): String = {
+    val f = new java.io.File(d, "events.parquet")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${f.length}:${f.lastModified}:scd2store1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path = s"${sys.props("java.io.tmpdir")}/graft-scd2store-" +
+      s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
+    val done = new java.io.File(path, "_graft_stream_done")
+    if (!done.exists()) {
+      def rm(file: java.io.File): Unit = {
+        Option(file.listFiles()).foreach(_.foreach(rm)); file.delete(); ()
+      }
+      rm(new java.io.File(path))
+      val ev = events(s, d).select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"))
+      val span = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+        .head()
+      val delaySec = (span.getLong(1) - span.getLong(0)) / 1000000L + 3600L
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-y50-stage-").toString
+      ev.repartition(3).write.mode("overwrite").parquet(stage)
+      // the drain sentinel lands as a LATER file (append → later mtime,
+      // so the file source processes it last): ts past max + delay
+      // pushes the watermark over every real event
+      import s.implicits._
+      Seq((-1L, span.getLong(1) + (delaySec + 86400L) * 1000000L))
+        .toDF("user_id", "sent_us")
+        .select(col("user_id"), timestamp_micros(col("sent_us")).as("ts"),
+          col("sent_us").as("ts_us"), lit(-1L).as("event_id"),
+          lit("view").as("event_type"))
+        .coalesce(1).write.mode("append").parquet(stage)
+      val src = s.readStream
+        .schema("user_id BIGINT, ts TIMESTAMP, ts_us BIGINT, " +
+          "event_id BIGINT, event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+      val q = graft.streaming.Scd2Stream.changes(
+          src.withWatermark("ts", s"$delaySec seconds")
+            .as[graft.streaming.Scd2Stream.Ev])
+        .writeStream.format("parquet").option("path", s"$path/changes")
+        .outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-y50-ckpt-").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      java.nio.file.Files.writeString(done.toPath, "1")
+    }
+    path
+  }
+
+  val y50 = Query(
+    "y50_scd2_stream_store",
+    Some(scd2Oracle)
+  ) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("valid_from_us")
+    s.read.parquet(s"${ensureStreamScd2Store(s, d)}/changes")
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .select(col("user_id"), col("state"), col("valid_from_us"),
+        col("valid_to_us"),
         when(col("valid_to_us").isNull, 1).otherwise(0).as("is_current"))
       .orderBy("user_id", "valid_from_us")
   }
@@ -488,5 +571,5 @@ object EventQueries {
   }
 
   val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32, y33, y34, y41,
-    y46, y48)
+    y46, y48, y50)
 }
