@@ -146,4 +146,57 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
     val total = ev.count()
     assert(n0 < total && n1 == total)
   }
+
+  test("avro round trip via the graft-avro DSv2 source preserves rows and values") {
+    // spark-avro is an external module this environment does not ship;
+    // the graft-avro source serves §2.2's Avro row through the DSv2
+    // extension point on avro-core (AvroFiles scaladoc)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+    val dir = tmp()
+    AvroFiles.write(ev, dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("event_id", "user_id", "event_type", "value"))
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toString).sorted.toSeq
+    assert(key(back) == key(ev), "avro round trip must be lossless")
+    // more than one file = more than one read partition (file-granular
+    // parallelism, the binaryFile trade)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".avro")) >= 1)
+  }
+
+  test("avro schema evolution: merged-by-name schema; old files read NULL for new columns") {
+    val dir = tmp()
+    import spark.implicits._
+    // generation 1 writes (id, v); generation 2 adds a `tag` column
+    AvroFiles.write(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"), dir)
+    AvroFiles.write(
+      Seq((3L, 30.0, "new")).toDF("id", "v", "tag").repartition(1), dir)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v", "tag"),
+      s"merged schema must union fields by name: ${back.schema}")
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq
+    assert(rows == Seq((1L, 10.0, null), (2L, 20.0, null),
+      (3L, 30.0, "new")),
+      s"gen-1 rows must read the evolved column as NULL: ${rows.toList}")
+  }
+
+  test("avro scan prunes columns: ReadSchema carries only the projected fields") {
+    val dir = tmp()
+    import spark.implicits._
+    AvroFiles.write(Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "x"), dir)
+    val pruned = spark.read.format("graft-avro").load(dir).select("id")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") || plan.contains("graft-avro") ||
+      pruned.queryExecution.optimizedPlan.schema.fieldNames.toSeq == Seq("id"))
+    assert(pruned.queryExecution.executedPlan.collectLeaves()
+      .exists(_.schema.fieldNames.toSeq == Seq("id")),
+      s"the scan itself must read only `id`:\n$plan")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
 }
