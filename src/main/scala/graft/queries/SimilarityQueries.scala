@@ -1055,13 +1055,10 @@ object SimilarityQueries {
     path
   }
 
-  val y36 = Query(
-    "y36_ivfadc_recall",
-    Some {
-      // coarse assignment: argmin integer L2² over the FULL vector,
-      // tie → smaller cent_id (the assign/TopKPerKey contract)
-      def assignFull(name: String, src: String, vcol: String,
-                     book: String) = s"""
+  // coarse assignment: argmin integer L2² over the FULL vector,
+  // tie → smaller cent_id (the assign/TopKPerKey contract)
+  private def assignFull(name: String, src: String, vcol: String,
+                         book: String) = s"""
       $name AS (
         SELECT vec_id, $vcol AS vm, cell, ccvm FROM (
           SELECT a.vec_id, a.$vcol, b.cent_id AS cell, b.cvm AS ccvm,
@@ -1069,7 +1066,14 @@ object SimilarityQueries {
                    ORDER BY ${pqD2(s"a.$vcol", "b.cvm", Dim)}, b.cent_id) AS rn
           FROM $src a JOIN $book b ON true)
         WHERE rn = 1)"""
-      s"""
+
+  /** The IVFADC oracle replay up THROUGH the served search: store
+    * training (coarse cells + residual codebooks), encode, per-probe
+    * cell probing, ADC shortlist (`radc`), and the exact re-rank
+    * distances (`rr`). Shared by y36 (which appends the recall-panel
+    * tail: exact truth + hits) and y51 (which grades the served rows
+    * themselves — no brute-force term anywhere in its plan). */
+  private def ivfadcCtePrefix: String = s"""
       WITH em AS (SELECT vec_id,
               list_transform(CAST(embedding AS DOUBLE[]),
                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
@@ -1157,13 +1161,17 @@ object SimilarityQueries {
                       row_number() OVER (PARTITION BY probe_id
                         ORDER BY adc, neighbor_id) AS rk
                FROM adc),
-      rawk AS (SELECT probe_id, neighbor_id FROM radc WHERE rk <= $PqK),
       shortl AS (SELECT probe_id, neighbor_id FROM radc WHERE rk <= $PqShort),
       rr AS (SELECT s.probe_id, s.neighbor_id,
                     ${pqD2("a.vm", "p.pm", Dim)} AS d2
              FROM shortl s
              JOIN em a ON a.vec_id = s.neighbor_id
-             JOIN probes p ON p.probe_id = s.probe_id),
+             JOIN probes p ON p.probe_id = s.probe_id)"""
+
+  val y36 = Query(
+    "y36_ivfadc_recall",
+    Some(ivfadcCtePrefix + s""",
+      rawk AS (SELECT probe_id, neighbor_id FROM radc WHERE rk <= $PqK),
       apr AS (SELECT probe_id, neighbor_id FROM (
                 SELECT probe_id, neighbor_id,
                        row_number() OVER (PARTITION BY probe_id
@@ -1189,13 +1197,34 @@ object SimilarityQueries {
              CASE WHEN CAST(total_hits AS DOUBLE) / (n_probes * $PqK) >= bound
                   THEN 1 ELSE 0 END AS recall_ok
       FROM hits, np
-      ORDER BY method"""
-    }
+      ORDER BY method""")
   ) { (s, d) =>
     Pq.ivfadcRecallPanel(s, ensureIvfadcStore(s, d), embeddings(s, d),
         NProbesBound, IvfNprobe, PqShort, PqK, PqM, Dim,
         IvfadcRawFloor, IvfadcRerankBound)
       .orderBy("method")
+  }
+
+  // --- Y51: the IVFADC SERVED PATH alone, graded row-for-row — the
+  // VERDICT-r9 split of serving from grading: y36's recall panel pays a
+  // brute-force exact-truth term (32 probes × corpus) that swamps the
+  // served path's own cost at scale, so this query grades EXACTLY what
+  // production runs — probe the nprobe nearest cells, ADC-shortlist
+  // from the cell-partition-pruned codes store, re-rank kShort
+  // candidates exactly — with no exact-truth scan anywhere in the plan.
+  // Its ScaleProbe row is the served path's own curve (SCALE.md r10).
+  val y51 = Query(
+    "y51_ivfadc_serve",
+    Some(ivfadcCtePrefix + s"""
+      SELECT probe_id, neighbor_id, d2,
+             CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY d2, neighbor_id) AS INT) AS rk
+      FROM rr QUALIFY rk <= $PqK ORDER BY probe_id, rk""")
+  ) { (s, d) =>
+    val probeIds = Similarity.boundedProbeIds(embeddings(s, d), NProbesBound)
+    Pq.ivfadcTopKFromStore(s, ensureIvfadcStore(s, d), embeddings(s, d),
+        probeIds, IvfNprobe, PqShort, PqK, PqM, Dim)
+      .orderBy("probe_id", "rk")
   }
 
   // --- Y45: MMR DIVERSE RE-RANKING (Carbonell & Goldstein 1998) — the
@@ -1285,5 +1314,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55,
-    x61, y02, y21, y22, y25, y30, y36, y45)
+    x61, y02, y21, y22, y25, y30, y36, y45, y51)
 }
