@@ -178,4 +178,86 @@ object Funnels {
         round(col("n_active").cast("double") / col("n_cohort"), 6)
           .as("retention"))
   }
+
+  /** The BEHAVIORAL MART (y48): funnel ⊕ retention ⊕ transitions
+    * normalized into one (section, k1, k2, n, ratio) union over a
+    * single events scan family. */
+  def mart(events: DataFrame, steps: Seq[String], withinSec: Long,
+           periodSec: Long): DataFrame = {
+    val fun = funnel(events, steps, withinSec)
+      .select(lit("funnel").as("section"),
+        col("step").cast("string").as("k1"), col("event_type").as("k2"),
+        col("n_users").as("n"), col("conv_pct").as("ratio"))
+    val ret = retentionCohorts(events, periodSec)
+      .select(lit("retention").as("section"),
+        col("cohort_w").cast("string").as("k1"),
+        col("week_offset").cast("string").as("k2"),
+        col("n_active").as("n"), col("retention").as("ratio"))
+    val tra = transitions(events)
+      .select(lit("transition").as("section"),
+        col("from_type").as("k1"), col("to_type").as("k2"),
+        col("n"), col("out_share").as("ratio"))
+    fun.unionAll(ret).unionAll(tra).orderBy("section", "k1", "k2")
+  }
+
+  /** [[mart]] assembled from the MATERIALIZED stream-twin outputs
+    * instead of raw events — the serving plan a live dashboard reads at
+    * 100 TB: `FunnelStream.StepReach`, `RetentionStream.CellReach` and
+    * `TransitionStream.Pair` rows are per-user FINAL facts (each
+    * emitted exactly once, watermark-finalized), so the mart is three
+    * keyed aggregations over compact reach tables — |reaches| rows,
+    * never the event log. Row-identical to [[mart]] over the finalized
+    * events by construction (spec-pinned in MartStreamSpec):
+    *  - funnel: step counts from StepReach, zero-filled from the step
+    *    spec (an empty step has no reach rows but the mart still
+    *    carries its 0 row), ratio against the step-1 count with the
+    *    same NULL-guarded divisor;
+    *  - retention: n_active = cells per (cohort, offset); n_cohort =
+    *    that cohort's offset-0 cells (every user reaches offset 0 at
+    *    its own anchor);
+    *  - transitions: pair counts + out-share, the batch tail verbatim. */
+  def martFromReaches(stepReaches: DataFrame, cells: DataFrame,
+                      pairs: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = stepReaches.sparkSession
+    import spark.implicits._
+    val counts = stepReaches.groupBy("step")
+      .agg(count(lit(1)).as("n_users"))
+    val spec = steps.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }.toDF("step", "event_type")
+    val filled = broadcast(spec).join(counts, Seq("step"), "left")
+      .select(col("step"), col("event_type"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+    val base = broadcast(filled.filter(col("step") === 1)
+      .select(col("n_users").as("n0")))
+    val fun = filled.crossJoin(base)
+      .select(lit("funnel").as("section"),
+        col("step").cast("string").as("k1"), col("event_type").as("k2"),
+        col("n_users").as("n"),
+        when(col("n0") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("n_users").cast("double") / col("n0"), 6))
+          .as("ratio"))
+    // per-cohort and per-source denominators via KEYED windows over the
+    // already-aggregated rows (|cohorts|·|offsets| and |types|² rows) —
+    // a self-join back onto the same materialized table trips Catalyst's
+    // conflicting-reference check, and the window needs no second scan
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cohort_w")
+    val ret = cells.groupBy("cohort_w", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .withColumn("n_cohort",
+        max(when(col("week_offset") === 0L, col("n_active"))).over(wc))
+      .select(lit("retention").as("section"),
+        col("cohort_w").cast("string").as("k1"),
+        col("week_offset").cast("string").as("k2"),
+        col("n_active").as("n"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("ratio"))
+    val wf = org.apache.spark.sql.expressions.Window.partitionBy("from_type")
+    val tra = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_out", sum(col("n")).over(wf))
+      .select(lit("transition").as("section"),
+        col("from_type").as("k1"), col("to_type").as("k2"), col("n"),
+        round(col("n").cast("double") / col("n_out"), 6).as("ratio"))
+    fun.unionAll(ret).unionAll(tra).orderBy("section", "k1", "k2")
+  }
 }

@@ -551,23 +551,8 @@ object EventQueries {
       ORDER BY section, k1, k2"""
     }
   ) { (s, d) =>
-    val ev = events(s, d)
-    val fun = graft.operators.Funnels
-      .funnel(ev, FunnelSteps, withinSec = FunnelWithinSec)
-      .select(lit("funnel").as("section"),
-        col("step").cast("string").as("k1"), col("event_type").as("k2"),
-        col("n_users").as("n"), col("conv_pct").as("ratio"))
-    val ret = graft.operators.Funnels
-      .retentionCohorts(ev, periodSec = RetentionPeriodSec)
-      .select(lit("retention").as("section"),
-        col("cohort_w").cast("string").as("k1"),
-        col("week_offset").cast("string").as("k2"),
-        col("n_active").as("n"), col("retention").as("ratio"))
-    val tra = graft.operators.Funnels.transitions(ev)
-      .select(lit("transition").as("section"),
-        col("from_type").as("k1"), col("to_type").as("k2"),
-        col("n"), col("out_share").as("ratio"))
-    fun.unionAll(ret).unionAll(tra).orderBy("section", "k1", "k2")
+    graft.operators.Funnels.mart(events(s, d), FunnelSteps,
+      withinSec = FunnelWithinSec, periodSec = RetentionPeriodSec)
   }
 
   val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32, y33, y34, y41,
