@@ -100,4 +100,40 @@ class PqIngestSpec extends AnyFunSuite with SparkTest {
     assert(stored == full,
       "stream-grown IVFADC codes must equal a full frozen-quantizer encode")
   }
+
+  test("Trigger.AvailableNow drains a file backlog into the PQ store then stops") {
+    import spark.implicits._
+    // the batch-over-stream production cadence (the IndexIngest
+    // discipline applied to the code store): a scheduled job opens the
+    // stream, encodes everything that has arrived under the frozen
+    // books, and exits — same checkpoint, same exactly-once contract
+    val path = tmpDir("graft-pqingest-avail-")
+    val stage = tmpDir("graft-pqingest-stage-")
+    Pq.writePqStore(emb.filter(col("vec_id") % 10 < 6), path, M, Dim,
+      nCents = 8, iters = 1)
+    emb.filter(col("vec_id") % 10 >= 6)
+      .select(col("vec_id"), col("embedding"))
+      .repartition(2).write.mode("overwrite").parquet(stage)
+    val q = spark.readStream
+      .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream
+      .option("checkpointLocation", tmpDir("graft-pqingest-avail-ckpt-"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        PqIngest.processBatch(batch.toDF(), id, path, M, Dim,
+          ivfadc = false); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow must terminate after draining the backlog")
+    val books = spark.read.parquet(s"$path/books")
+    val stored = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/codes").select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    val full = Pq.encode(emb, books, M, Dim).select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored == full,
+      "the drained store must equal a full encode under the frozen books")
+  }
 }
