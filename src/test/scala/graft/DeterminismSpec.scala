@@ -68,7 +68,12 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       // LUT sums, recall division), the greedy MMR over a collected
       // top-k, forward-fill as-of, exact-stat corr, CMS estimates
       "y36_ivfadc_recall", "y37_asof_salted", "y39_cms_heavy_hitters",
-      "y44_resample_ffill", "y45_mmr_rerank", "y47_corr_stats")
+      "y44_resample_ffill", "y45_mmr_rerank", "y47_corr_stats",
+      // round-10: store-served hybrid (TopKPerKey tie cuts + integer
+      // lexical mass + exact-IVF bound pruning — the survivor cell set
+      // may differ per partitioning, the ANSWER must not), stream-built
+      // SCD2 store windows, IVFADC served path (per-cell LUT sums)
+      "y49_hybrid_store", "y50_scd2_stream_store", "y51_ivfadc_serve")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {
