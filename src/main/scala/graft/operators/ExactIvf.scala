@@ -67,6 +67,79 @@ object ExactIvf {
       .parquet(s"$path/vecs")
   }
 
+  /** Append a NEW batch under the store's FROZEN coarse cells — the
+    * incremental cadence every persisted store family carries (x41 /
+    * y20 / y25 discipline): only the batch is assigned; old vectors
+    * are never rescanned. TWO-PHASE for bound safety: the per-cell
+    * `r2max` stats are raised FIRST (atomic swap) and the vector rows
+    * appended second — a crash between the phases leaves an INFLATED
+    * bound, which only costs pruning, never rows; the reverse order
+    * could serve a too-small bound and wrongly prune a cell holding a
+    * new top-k vector. Both phases are replay-idempotent: the stats
+    * merge is a max (re-running it is a no-op) and the row append
+    * anti-joins per the [[Pq.appendToPqStore]] contract (marker fast
+    * path with an explicit batchId, plain anti-join without). */
+  def appendToVecStore(spark: SparkSession, newVecs: DataFrame, path: String,
+                       batchId: Option[Long] = None, idCol: String = "doc_id",
+                       vecCol: String = "vec"): Unit = {
+    val dir = s"$path/vecs"
+    if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, dir, _)))
+      return
+    val coarse = spark.read.parquet(s"$path/cells")
+      .select(col("ivf_cell"), col("ccvm"))
+    val mv = graft.core.Caches.scoped(
+      newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("vm")))
+    val res = graft.core.Caches.scoped(Pq.coarseResiduals(mv, coarse))
+    // phase 1: raise r2max (merge-by-max; crash-safe to repeat)
+    val batchStats = res.groupBy("ivf_cell")
+      .agg(max(aggregate(col("rm"), lit(0L), (a, x) => a + x * x))
+        .as("r2_new"))
+    val cells = spark.read.parquet(s"$path/cells")
+    val merged = cells.join(broadcast(batchStats), Seq("ivf_cell"), "left")
+      .select(col("ivf_cell"), col("ccvm"),
+        greatest(col("r2max"), coalesce(col("r2_new"), lit(0L))).as("r2max"))
+    graft.streaming.StoreFs.swapInCompacted(spark, s"$path/cells")(
+      merged.write.parquet(_))
+    // the swap replaced the files under a path Spark may have cached a
+    // listing for — a later read through the stale FileIndex throws
+    // FILE_NOT_EXIST
+    spark.catalog.refreshByPath(s"$path/cells")
+    // phase 2: append the batch's rows (anti-join heals replays)
+    val tagged = mv.join(res.select("vec_id", "ivf_cell"), Seq("vec_id"))
+      .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
+    val novel = {
+      val raw = spark.read.option("mergeSchema", "true").parquet(dir)
+      val visible =
+        if (raw.columns.contains("batch_id")) raw
+        else raw.withColumn("batch_id", lit(-1L))
+      val landed = batchId match {
+        case Some(id) => visible.filter(col("batch_id") === id)
+        case None     => visible
+      }
+      tagged.join(landed.select("vec_id"), Seq("vec_id"), "left_anti")
+    }
+    novel.write.mode("append").partitionBy("ivf_cell").parquet(dir)
+    batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
+  }
+
+  /** COMPACT the vec store: per-batch appends leave one file set per
+    * generation; dedup by vec_id (append rows are deterministic under
+    * the frozen cells, so a torn duplicate is byte-identical), tags
+    * collapse to the −1 sentinel, the ivf_cell partition layout is
+    * preserved, and the swap is atomic with replay markers carried
+    * across (the `swapInCompacted` contract). */
+  def compactVecStore(spark: SparkSession, path: String): Unit = {
+    val dir = s"$path/vecs"
+    if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
+    val src = spark.read.option("mergeSchema", "true").parquet(dir)
+    val merged = src.drop("batch_id").dropDuplicates("vec_id")
+      .withColumn("batch_id", lit(-1L))
+    graft.streaming.StoreFs.swapInCompacted(spark, dir) { tmp =>
+      merged.write.partitionBy("ivf_cell").parquet(tmp)
+    }
+    spark.catalog.refreshByPath(dir)
+  }
+
   /** Exact top-k by inner product for a BATCH of (query_id, probe
     * vec_id) pairs, served entirely from the store. The probe vectors
     * themselves come from the store's bounded id-filtered scan (the

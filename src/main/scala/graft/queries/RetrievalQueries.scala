@@ -448,6 +448,48 @@ object RetrievalQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- Y52: y49 served from INCREMENTALLY-built stores — both arms'
+  // lifecycles under the exact oracle at once: the lexical arm reads
+  // the y20 two-generation index (80% base + 20% appended batch, old
+  // text never re-tokenized) and the semantic arm an 80/20 vec store
+  // grown by `ExactIvf.appendToVecStore` under frozen coarse cells
+  // (bound-safe two-phase append). Exactness is clustering- and
+  // generation-independent by the Cauchy–Schwarz guarantee, so the
+  // incrementally-grown stores must reproduce the full-corpus hybrid
+  // answer byte-for-byte — the strongest form of the y20/y25
+  // "full-corpus-identical answers from an incrementally grown store"
+  // contract, because the graded rows fuse BOTH stores.
+  private def ensureIncrVecStore(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String = {
+    val base = ensureVecStore(s, d) // fingerprint parent for staleness
+    val path = base + "-incr"
+    val appended = new java.io.File(path, "_graft_appended")
+    if (!appended.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      val vecs = graft.operators.TextAnalysis
+        .hashedEmbedding(documents(s, d)).select("doc_id", "vec")
+      graft.operators.ExactIvf.writeVecStore(
+        vecs.filter(col("doc_id") % 10 < 8), path, nCells = 16, iters = 1)
+      graft.operators.ExactIvf.appendToVecStore(s,
+        vecs.filter(col("doc_id") % 10 >= 8), path, batchId = Some(1L))
+      java.nio.file.Files.writeString(appended.toPath, "1")
+    }
+    path
+  }
+
+  val y52 = Query(
+    "y52_hybrid_store_incr",
+    Some(hybridBatchOracle)
+  ) { (s, d) =>
+    Retrieval.hybridRrfBatchFromStores(s, ensureIncrIndexStore(s, d),
+        ensureIncrVecStore(s, d), BatchQueries,
+        kList = 50, kOut = 20, k1 = K1, b = B, nprobe0 = 4)
+      .orderBy("query_id", "rk")
+  }
+
   // --- X67/X68: int8 quantization. Shared oracle CTEs lift vectors to
   // integer micro-units, derive the per-vector integer scale, and code
   // via one IEEE-deterministic double division.
@@ -1204,5 +1246,6 @@ object RetrievalQueries {
   }
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
-    x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38, y49)
+    x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38, y49,
+    y52)
 }

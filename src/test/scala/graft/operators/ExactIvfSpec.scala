@@ -90,4 +90,83 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
     assert(served(path, queries, k = 10, nprobe0 = 3) ==
       brute(vecs, queries, k = 10))
   }
+
+  test("incremental append under frozen cells: exact serving across generations; replay heals") {
+    val vecs = fixture(300)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-incr-test-").toString
+    ExactIvf.writeVecStore(vecs.filter(col("doc_id") % 10 < 8), path,
+      nCells = 8, iters = 1)
+    val batch = vecs.filter(col("doc_id") % 10 >= 8)
+    ExactIvf.appendToVecStore(spark, batch, path, batchId = Some(1L))
+    val queries = Seq((1L, 3L), (2L, 289L)) // probe 289 is an APPENDED row
+    val expect = brute(vecs, queries, k = 20)
+    assert(served(path, queries, k = 20, nprobe0 = 2) == expect,
+      "the two-generation store must serve the exact full-corpus answer")
+    // marker fast path, then a crash-before-marker replay: neither may
+    // duplicate a vec_id (a duplicate would double-appear in top-k)
+    ExactIvf.appendToVecStore(spark, batch, path, batchId = Some(1L))
+    assert(served(path, queries, k = 20, nprobe0 = 2) == expect)
+    new java.io.File(s"$path/vecs").listFiles()
+      .filter(_.getName.startsWith("_graft_batch_")).foreach(_.delete())
+    ExactIvf.appendToVecStore(spark, batch, path, batchId = Some(1L))
+    assert(served(path, queries, k = 20, nprobe0 = 2) == expect,
+      "crash-before-marker replay must heal, not duplicate")
+    // the bound-safety order: r2max can only have grown
+    val r2 = spark.read.parquet(s"$path/cells")
+      .agg(org.apache.spark.sql.functions.min("r2max")).head.getLong(0)
+    assert(r2 >= 0L)
+  }
+
+  test("compaction preserves answers, partition layout and the -1 sentinel") {
+    val vecs = fixture(200)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-compact-test-").toString
+    ExactIvf.writeVecStore(vecs.filter(col("doc_id") % 10 < 7), path,
+      nCells = 6, iters = 1)
+    ExactIvf.appendToVecStore(spark,
+      vecs.filter(col("doc_id") % 10 >= 7), path, batchId = Some(1L))
+    val queries = Seq((1L, 11L), (2L, 197L))
+    val before = served(path, queries, k = 15, nprobe0 = 2)
+    ExactIvf.compactVecStore(spark, path)
+    assert(served(path, queries, k = 15, nprobe0 = 2) == before,
+      "compaction must not change a single answer")
+    val compacted = spark.read.parquet(s"$path/vecs")
+    assert(compacted.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(-1L))
+    assert(compacted.columns.contains("ivf_cell"),
+      "the cell partition layout must survive compaction")
+    // markers ride across the swap: a replay of batch 1 appends nothing
+    assert(new java.io.File(s"$path/vecs", "_graft_batch_1").exists())
+    ExactIvf.appendToVecStore(spark,
+      vecs.filter(col("doc_id") % 10 >= 7), path, batchId = Some(1L))
+    assert(served(path, queries, k = 15, nprobe0 = 2) == before)
+  }
+
+  test("streaming ingest (VecIngest) grows the store; serving stays exact") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val vecs = fixture(250)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-stream-test-").toString
+    ExactIvf.writeVecStore(vecs.filter(col("doc_id") % 10 < 6), path,
+      nCells = 8, iters = 1)
+    val rest = vecs.filter(col("doc_id") % 10 >= 6)
+      .as[(Long, Seq[Long])].collect()
+    val (b1, b2) = rest.partition(_._1 % 10 < 8)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Long])]
+    val q = graft.streaming.VecIngest.run(
+      input.toDF().toDF("doc_id", "vec"), path,
+      checkpoint = java.nio.file.Files
+        .createTempDirectory("graft-exactivf-stream-ckpt-").toString)()
+    try {
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val queries = Seq((1L, 7L), (2L, 246L)) // probe 246 arrived by stream
+    assert(served(path, queries, k = 20, nprobe0 = 2) ==
+      brute(vecs, queries, k = 20),
+      "the stream-grown store must serve the exact full-corpus answer")
+  }
 }
