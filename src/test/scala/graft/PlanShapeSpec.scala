@@ -610,6 +610,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("y52 incremental-store hybrid keeps the y49 shape: no corpus scan, cell pruning") {
+    val p = plan("y52_hybrid_store_incr")
+    assert(!p.contains("documents.parquet"),
+      s"incremental stores must not read the corpus either:\n$p")
+    assert(p.contains("graft-bm25index") && p.contains("-incr"), p)
+    assert(p.contains("graft-vecstore"), p)
+    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+      s"the two-generation vecs scan must stay cell-pruned:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("y38 prefix search reads only the postings store with the prefix pushed") {
     val p = plan("y38_prefix_search")
     assert(!p.contains("documents.parquet"),
