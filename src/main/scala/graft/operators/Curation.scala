@@ -472,6 +472,10 @@ object Curation {
     * double-counting its rows into the −1 generation. */
   def compactDsirStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
+    // torn-append replay safety: seal folded tags as markers first
+    // (counts are SUM-merged, so a post-compaction re-append would
+    // double-count — the strictest form of the hazard)
+    graft.streaming.StoreFs.sealTagMarkers(spark, path)
     val df = spark.read.parquet(path)
     val summed = df.groupBy("b")
       .agg(sum("ct").as("ct"), sum("cr").as("cr"))

@@ -222,7 +222,10 @@ object Dedup {
     * hits the marker fast path instead of re-appending its rows. */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
                             path: String): Unit = {
-    val merged = spark.read.parquet(path).dropDuplicates("doc_id")
+    // torn-append replay safety: seal folded tags as markers first
+    graft.streaming.StoreFs.sealTagMarkers(spark, path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+      .dropDuplicates("doc_id")
     graft.streaming.StoreFs.swapInCompacted(spark, path)(
       merged.write.parquet(_))
   }

@@ -82,22 +82,32 @@ object ExactIvf {
   def appendToVecStore(spark: SparkSession, newVecs: DataFrame, path: String,
                        batchId: Option[Long] = None, idCol: String = "doc_id",
                        vecCol: String = "vec"): Unit = {
+    import spark.implicits._
     val dir = s"$path/vecs"
     if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, dir, _)))
       return
-    val coarse = spark.read.parquet(s"$path/cells")
-      .select(col("ivf_cell"), col("ccvm"))
+    // the cells table is ≤ nCells rows — collect it ONCE (the
+    // sanctioned bounded kind) so the residual assignment below never
+    // references the cells path (the post-swap refreshByPath would
+    // otherwise drop its cache and re-run the assignment in phase 2)
+    val cellRows = spark.read.parquet(s"$path/cells")
+      .select(col("ivf_cell"), col("ccvm"), col("r2max"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val coarse = cellRows.toSeq.map { case (c, v, _) => (c, v) }
+      .toDF("ivf_cell", "ccvm")
     val mv = graft.core.Caches.scoped(
       newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("vm")))
     val res = graft.core.Caches.scoped(Pq.coarseResiduals(mv, coarse))
-    // phase 1: raise r2max (merge-by-max; crash-safe to repeat)
+    // phase 1: raise r2max (merge-by-max; crash-safe to repeat) — the
+    // batch stats are ≤ nCells rows, merged driver-side
     val batchStats = res.groupBy("ivf_cell")
       .agg(max(aggregate(col("rm"), lit(0L), (a, x) => a + x * x))
         .as("r2_new"))
-    val cells = spark.read.parquet(s"$path/cells")
-    val merged = cells.join(broadcast(batchStats), Seq("ivf_cell"), "left")
-      .select(col("ivf_cell"), col("ccvm"),
-        greatest(col("r2max"), coalesce(col("r2_new"), lit(0L))).as("r2max"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = cellRows.toSeq.map { case (c, v, r2) =>
+      (c, v, math.max(r2, batchStats.getOrElse(c, 0L)))
+    }.toDF("ivf_cell", "ccvm", "r2max")
     graft.streaming.StoreFs.swapInCompacted(spark, s"$path/cells")(
       merged.write.parquet(_))
     // the swap replaced the files under a path Spark may have cached a
@@ -131,6 +141,9 @@ object ExactIvf {
   def compactVecStore(spark: SparkSession, path: String): Unit = {
     val dir = s"$path/vecs"
     if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
+    // seal folded tags as markers first (torn-append replay safety —
+    // the compactCodesStore contract)
+    graft.streaming.StoreFs.sealTagMarkers(spark, dir)
     val src = spark.read.option("mergeSchema", "true").parquet(dir)
     val merged = src.drop("batch_id").dropDuplicates("vec_id")
       .withColumn("batch_id", lit(-1L))

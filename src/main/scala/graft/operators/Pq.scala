@@ -529,6 +529,10 @@ object Pq {
                         path: String): Unit = {
     val dir = s"$path/codes"
     if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
+    // seal every folded tag as a marker FIRST: a torn append (rows
+    // committed, marker lost) must replay as a no-op after its tag
+    // collapses to the -1 sentinel (ADVICE r10)
+    graft.streaming.StoreFs.sealTagMarkers(spark, dir)
     val src = spark.read.option("mergeSchema", "true").parquet(dir)
     val partitioned = src.columns.contains("ivf_cell")
     val keys = if (partitioned) Seq("vec_id", "ivf_cell", "sub")

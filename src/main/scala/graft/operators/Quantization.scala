@@ -391,7 +391,10 @@ object Quantization {
     * checkpoint replay on the marker fast path. */
   def compactCodeStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
-    val merged = spark.read.parquet(path).dropDuplicates("vec_id")
+    // torn-append replay safety: seal folded tags as markers first
+    graft.streaming.StoreFs.sealTagMarkers(spark, path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+      .dropDuplicates("vec_id")
     graft.streaming.StoreFs.swapInCompacted(spark, path)(
       merged.write.parquet(_))
   }

@@ -516,6 +516,10 @@ object Retrieval {
     def compact(sub: String, keys: Seq[String], sortCols: Seq[String]): Unit = {
       val dir = s"$path/$sub"
       if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
+      // torn-append replay safety: seal folded tags as markers first —
+      // at the store ROOT, where IndexIngest's fast path looks (root
+      // markers also naturally survive the sub-dir swaps)
+      graft.streaming.StoreFs.sealTagMarkers(spark, dir, Some(path))
       val src = spark.read.parquet(dir)
       // drop the idempotent-append batch tags: rows sharing a natural
       // key are content-identical by the ingest contract, so the dedup

@@ -379,18 +379,9 @@ object EventQueries {
   // the sentinel itself never folds, so the store holds real users only.
   private def ensureStreamScd2Store(s: org.apache.spark.sql.SparkSession,
                                     d: String): String = {
-    val f = new java.io.File(d, "events.parquet")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${f.length}:${f.lastModified}:scd2store1".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-scd2store-" +
-      s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
-    val done = new java.io.File(path, "_graft_stream_done")
-    if (!done.exists()) {
-      def rm(file: java.io.File): Unit = {
-        Option(file.listFiles()).foreach(_.foreach(rm)); file.delete(); ()
-      }
-      rm(new java.io.File(path))
+    val path = StoreFixtures.path("graft-scd2store", d, "events.parquet",
+      "scd2store2")
+    StoreFixtures.onceByMarker(path, "_graft_stream_done") {
       val ev = events(s, d).select(col("user_id"), col("ts"),
         unix_micros(col("ts")).as("ts_us"), col("event_id"),
         col("event_type"))
@@ -424,17 +415,18 @@ object EventQueries {
           .createTempDirectory("graft-y50-ckpt-").toString)
         .start()
       try q.processAllAvailable() finally q.stop()
-      java.nio.file.Files.writeString(done.toPath, "1")
     }
-    path
   }
 
   val y50 = Query(
     "y50_scd2_stream_store",
     Some(scd2Oracle)
   ) { (s, d) =>
+    // ORDER BY change_seq, not valid_from_us: the fold ordinal is the
+    // deterministic tie-break when two changes share a microsecond
+    // (ADVICE r10) — it reproduces the oracle's (tus, event_id) order
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("valid_from_us")
+      .partitionBy("user_id").orderBy("change_seq")
     s.read.parquet(s"${ensureStreamScd2Store(s, d)}/changes")
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
       .select(col("user_id"), col("state"), col("valid_from_us"),

@@ -54,21 +54,16 @@ object RetrievalQueries {
   // corpus-scan-free plan is the store's correctness contract (the x41
   // signature-store move applied to retrieval; the ScaleProbe x66 row
   // measures exactly the per-query tokenize this store amortizes).
-  private def indexStorePath(sfDir: String): String = {
-    val f = new java.io.File(sfDir, "documents.parquet")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${f.length}:${f.lastModified}:bm25idx1".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft-bm25index-" +
-      s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
-  }
+  private def indexStorePath(sfDir: String): String =
+    StoreFixtures.path("graft-bm25index", sfDir, "documents.parquet",
+      "bm25idx1")
 
   private def ensureIndexStore(s: org.apache.spark.sql.SparkSession,
                                d: String): String = {
     val path = indexStorePath(d)
-    if (!new java.io.File(s"$path/postings", "_SUCCESS").exists())
+    StoreFixtures.onceBySuccess(path, "postings") {
       Retrieval.writeIndexStore(documents(s, d), path)
-    path
+    }
   }
 
   val y19 = Query(
@@ -109,21 +104,12 @@ object RetrievalQueries {
   private def ensureIncrIndexStore(s: org.apache.spark.sql.SparkSession,
                                    d: String): String = {
     val path = indexStorePath(d) + "-incr"
-    val appended = new java.io.File(path, "_graft_appended")
-    if (!appended.exists()) {
-      // (re)build both generations from scratch if the append marker is
-      // missing — a partial state would double-append otherwise
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(path))
+    StoreFixtures.onceByMarker(path, "_graft_appended") {
       Retrieval.writeIndexStore(
         documents(s, d).filter(col("doc_id") % 10 < 8), path)
       Retrieval.appendIndexStore(
         documents(s, d).filter(col("doc_id") % 10 >= 8), path)
-      java.nio.file.Files.writeString(appended.toPath, "1")
     }
-    path
   }
 
   val y20 = Query(
@@ -166,14 +152,10 @@ object RetrievalQueries {
   // the driver's DuckDB contract. (Reference semantics: the validator
   // loop's continuously maintained state, neurons/validator.py:146,168.)
   private def ensureStreamIndexStore(s: org.apache.spark.sql.SparkSession,
-                                     d: String): String = {
-    val path = indexStorePath(d) + "-stream"
-    val done = new java.io.File(path, "_graft_stream_done")
-    if (!done.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(path))
+                                     d: String): String =
+    StoreFixtures.onceByMarker(indexStorePath(d) + "-stream",
+        "_graft_stream_done") {
+      val path = indexStorePath(d) + "-stream"
       val stage = java.nio.file.Files
         .createTempDirectory("graft-y35-stage-").toString
       // stage the corpus as exactly 3 files = 3 micro-batches
@@ -187,10 +169,7 @@ object RetrievalQueries {
         checkpoint = java.nio.file.Files
           .createTempDirectory("graft-y35-ckpt-").toString)()
       try q.processAllAvailable() finally q.stop()
-      java.nio.file.Files.writeString(done.toPath, "1")
     }
-    path
-  }
 
   val y35 = Query(
     "y35_bm25_stream_store",
@@ -424,18 +403,14 @@ object RetrievalQueries {
   // is the store composition's correctness contract.
   private def ensureVecStore(s: org.apache.spark.sql.SparkSession,
                              d: String): String = {
-    val f = new java.io.File(d, "documents.parquet")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${f.length}:${f.lastModified}:vecstore1".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-vecstore-" +
-      s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
-    if (!new java.io.File(s"$path/vecs", "_SUCCESS").exists())
+    val path = StoreFixtures.path("graft-vecstore", d, "documents.parquet",
+      "vecstore1")
+    StoreFixtures.onceBySuccess(path, "vecs") {
       graft.operators.ExactIvf.writeVecStore(
         graft.operators.TextAnalysis.hashedEmbedding(documents(s, d))
           .select("doc_id", "vec"),
         path, nCells = 16, iters = 1)
-    path
+    }
   }
 
   val y49 = Query(
@@ -461,23 +436,16 @@ object RetrievalQueries {
   // contract, because the graded rows fuse BOTH stores.
   private def ensureIncrVecStore(s: org.apache.spark.sql.SparkSession,
                                  d: String): String = {
-    val base = ensureVecStore(s, d) // fingerprint parent for staleness
-    val path = base + "-incr"
-    val appended = new java.io.File(path, "_graft_appended")
-    if (!appended.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(path))
+    // fingerprint parent for staleness
+    val path = ensureVecStore(s, d) + "-incr"
+    StoreFixtures.onceByMarker(path, "_graft_appended") {
       val vecs = graft.operators.TextAnalysis
         .hashedEmbedding(documents(s, d)).select("doc_id", "vec")
       graft.operators.ExactIvf.writeVecStore(
         vecs.filter(col("doc_id") % 10 < 8), path, nCells = 16, iters = 1)
       graft.operators.ExactIvf.appendToVecStore(s,
         vecs.filter(col("doc_id") % 10 >= 8), path, batchId = Some(1L))
-      java.nio.file.Files.writeString(appended.toPath, "1")
     }
-    path
   }
 
   val y52 = Query(
@@ -822,29 +790,25 @@ object RetrievalQueries {
   // derived from the OLD corpus count only. PlanShapeSpec pins that
   // every embeddings scan carries the new-batch filter.
   private def codeStorePath(sfDir: String): String = {
-    val f = new java.io.File(sfDir, "embeddings.parquet")
     // fingerprint includes the mask params AND the plane family (via the
     // widest plane's actual components): a store built under different
     // bucketing has different frozen cells and must not be silently reused
     val planeTag = graft.functions.VectorFunctions
       .plane(SimilarityQueries.DedupMaxBits - 1, SimilarityQueries.Dim)
       .map(_.toInt).mkString(",")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest((s"${f.length}:${f.lastModified}:${SimilarityQueries.TargetOcc}" +
-        s":${SimilarityQueries.DedupMaxBits}:$planeTag").getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    s"${sys.props("java.io.tmpdir")}/graft-codestore-" +
-      s"${sfDir.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
+    StoreFixtures.path("graft-codestore", sfDir, "embeddings.parquet",
+      s"${SimilarityQueries.TargetOcc}:${SimilarityQueries.DedupMaxBits}:" +
+        planeTag)
   }
 
   private def ensureCodeStore(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val path = codeStorePath(d)
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    StoreFixtures.onceBySuccess(path, "") {
       Quantization.writeCodeStore(
         embeddings(s, d).filter(col("vec_id") % 10 < 8), path,
         targetOcc = SimilarityQueries.TargetOcc,
         maxBits = SimilarityQueries.DedupMaxBits, dim = SimilarityQueries.Dim)
-    path
+    }
   }
 
   val x81 = Query(
@@ -1086,15 +1050,11 @@ object RetrievalQueries {
 
   private def ensurePositionalStore(s: org.apache.spark.sql.SparkSession,
                                     d: String): String = {
-    val f = new java.io.File(d, "documents.parquet")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${f.length}:${f.lastModified}:posidx1".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-posindex-" +
-      s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
-    if (!new java.io.File(s"$path/positions", "_SUCCESS").exists())
+    val path = StoreFixtures.path("graft-posindex", d, "documents.parquet",
+      "posidx1")
+    StoreFixtures.onceBySuccess(path, "positions") {
       Retrieval.writePositionalStore(documents(s, d), path)
-    path
+    }
   }
 
   val y24 = Query("y24_phrase_store", Some(phraseOracleSql)) { (s, d) =>

@@ -895,27 +895,14 @@ object SimilarityQueries {
 
   private def ensurePqStore(s: org.apache.spark.sql.SparkSession,
                             d: String): String = {
-    val f = new java.io.File(d, "embeddings.parquet")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${f.length}:${f.lastModified}:pqstore1".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-pqstore-" +
-      s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
-    val appended = new java.io.File(path, "_graft_appended")
-    if (!appended.exists()) {
-      // rebuild both generations if the append marker is missing — a
-      // partial state would double-append otherwise (the y20 pattern)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(path))
+    val path = StoreFixtures.path("graft-pqstore", d, "embeddings.parquet",
+      "pqstore1")
+    StoreFixtures.onceByMarker(path, "_graft_appended") {
       Pq.writePqStore(embeddings(s, d).filter(col("vec_id") % 10 < 8),
         path, PqM, Dim, PqC, iters = 1)
       Pq.appendToPqStore(s, embeddings(s, d).filter(col("vec_id") % 10 >= 8),
         path, PqM, Dim)
-      java.nio.file.Files.writeString(appended.toPath, "1")
     }
-    path
   }
 
   // --- Y30: HADAMARD-ROTATED PQ — the structured pre-rotation of the
@@ -1043,16 +1030,12 @@ object SimilarityQueries {
 
   private def ensureIvfadcStore(s: org.apache.spark.sql.SparkSession,
                                 d: String): String = {
-    val f = new java.io.File(d, "embeddings.parquet")
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${f.length}:${f.lastModified}:ivfadc1".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    val path = s"${sys.props("java.io.tmpdir")}/graft-ivfadc-" +
-      s"${d.replaceAll("[^A-Za-z0-9._-]", "_")}-$fp"
-    if (!new java.io.File(s"$path/codes", "_SUCCESS").exists())
+    val path = StoreFixtures.path("graft-ivfadc", d, "embeddings.parquet",
+      "ivfadc1")
+    StoreFixtures.onceBySuccess(path, "codes") {
       Pq.writeIvfadcStore(embeddings(s, d), path, IvfCells, PqM, Dim,
         PqC, iters = 1)
-    path
+    }
   }
 
   // coarse assignment: argmin integer L2² over the FULL vector,

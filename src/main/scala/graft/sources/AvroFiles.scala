@@ -120,25 +120,56 @@ object AvroFiles {
     StructType(fields.toSeq.map { case (n, t) => StructField(n, t, true) })
   }
 
+  /** The session Hadoop conf flattened for executor-side rebuild —
+    * a bare `new Configuration()` on the executor would drop every
+    * spark.hadoop.* setting (credentials, filesystem impls) the driver
+    * resolved (ADVICE r10). */
+  private def confPairs(spark: org.apache.spark.sql.SparkSession)
+      : Array[(String, String)] = {
+    val c = spark.sessionState.newHadoopConf()
+    c.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+  }
+
+  private[sources] def rebuildConf(pairs: Array[(String, String)])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    pairs.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Distributed write: one avro container file per Spark partition,
-    * written on the executors through the Hadoop FileSystem. */
+    * written on the executors through the session's Hadoop FileSystem.
+    *
+    * Task-commit discipline (ADVICE r10): each task writes to a
+    * dot-prefixed `.inprogress` temp name (excluded by the reader's
+    * `*.avro` filter) and renames into place only on success. The
+    * final name is deterministic per (write call, partition) — a
+    * retried or speculative attempt renames onto the SAME target, so
+    * exactly one complete file survives and a failed attempt's partial
+    * file is never visible to readers (stale `.inprogress` files are
+    * reclaimable garbage, not data). */
   def write(df: DataFrame, dir: String): Unit = {
     val st = df.schema
     val schemaJson = recordSchema(st).toString
     val n = df.schema.fields.length
+    // one id per WRITE CALL: distinguishes append generations while
+    // letting same-job attempts collapse onto one target name
+    val jobId = java.util.UUID.randomUUID().toString.take(8)
+    val pairs = confPairs(df.sparkSession)
     df.queryExecution.toRdd.foreachPartition { (it: Iterator[InternalRow]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val schema = new Schema.Parser().parse(schemaJson)
-        // unique suffix: append-generation writes must never collide
-        // with an earlier generation's same-index partition file
-        val p = new Path(dir,
-          f"part-$pid%05d-${java.util.UUID.randomUUID().toString.take(8)}.avro")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(p, true)
+        val target = new Path(dir, f"part-$pid%05d-$jobId.avro")
+        val tmp = new Path(dir,
+          f".part-$pid%05d-$jobId.avro.attempt-${tc.taskAttemptId()}.inprogress")
+        val fs = target.getFileSystem(rebuildConf(pairs))
+        val out = fs.create(tmp, true)
         val w = new DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out)
+        var committed = false
         try {
           for (row <- it) {
             val rec = new GenericData.Record(schema)
@@ -161,7 +192,15 @@ object AvroFiles {
             }
             w.append(rec)
           }
-        } finally w.close()
+          w.close()
+          // commit: last successful attempt wins the deterministic name
+          fs.delete(target, false)
+          if (!fs.rename(tmp, target))
+            throw new java.io.IOException(s"avro commit failed: $tmp -> $target")
+          committed = true
+        } finally {
+          if (!committed) { try w.close() catch { case _: Throwable => () } }
+        }
       }
     }
   }
@@ -229,23 +268,30 @@ private[sources] class AvroScan(dir: String, required: StructType,
       .filter(_.getName.endsWith(".avro")).map(_.toString).sorted
       .map(AvroFilePartition(_): InputPartition)
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(required.json)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the SESSION Hadoop conf: executors rebuilding a bare default
+    // Configuration would lose spark.hadoop.* settings (ADVICE r10)
+    val pairs = spark.sessionState.newHadoopConf()
+      .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    new AvroReaderFactory(required.json, pairs)
+  }
 }
 
-private[sources] class AvroReaderFactory(requiredJson: String)
+private[sources] class AvroReaderFactory(requiredJson: String,
+                                         confPairs: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     val file = partition.asInstanceOf[AvroFilePartition].file
-    new AvroPartitionReader(file, required)
+    new AvroPartitionReader(file, required, confPairs)
   }
 }
 
-private[sources] class AvroPartitionReader(file: String, required: StructType)
+private[sources] class AvroPartitionReader(file: String, required: StructType,
+                                           confPairs: Array[(String, String)])
     extends PartitionReader[InternalRow] {
   private val in = new FsInput(new Path(file),
-    new org.apache.hadoop.conf.Configuration())
+    AvroFiles.rebuildConf(confPairs))
   private val reader = new DataFileReader[GenericRecord](in,
     new GenericDatumReader[GenericRecord]())
   // field-name resolution against THIS file's writer schema: an evolved

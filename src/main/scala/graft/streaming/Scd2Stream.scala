@@ -29,17 +29,25 @@ object Scd2Stream {
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
                       event_id: Long, event_type: String)
-  final case class Change(user_id: Long, state: String, valid_from_us: Long)
+  /** `change_seq` is the user's 0-based change ordinal IN FOLD ORDER —
+    * the deterministic tie-break a store reader's lead window needs:
+    * two changes can share `valid_from_us` (same-microsecond events of
+    * different types, ordered by event_id), and a window ordered by
+    * time alone would reconstruct their intervals in shuffle order. */
+  final case class Change(user_id: Long, state: String, valid_from_us: Long,
+                          change_seq: Long)
   final case class ClosedInterval(user_id: Long, state: String,
                                   valid_from_us: Long, valid_to_us: Long)
   final case class St(buffer: Vector[(Long, Long, String)],
-                      lastType: Option[String], openFrom: Option[Long])
+                      lastType: Option[String], openFrom: Option[Long],
+                      nChanges: Long)
 
   /** The shared fold: one state machine, two output shapes. `onChange`
-    * sees (uid, the open interval if any, the new type, its time) at
-    * every type change — including the user's first event. */
+    * sees (uid, the open interval if any, the new type, its time, the
+    * change ordinal) at every type change — including the user's first
+    * event. */
   private def run[T: Encoder](events: Dataset[Ev])(
-      onChange: (Long, Option[(String, Long)], String, Long) => Option[T])
+      onChange: (Long, Option[(String, Long)], String, Long, Long) => Option[T])
       : Dataset[T] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -47,7 +55,8 @@ object Scd2Stream {
       .flatMapGroupsWithState[St, T](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[St]) =>
-          val prev = state.getOption.getOrElse(St(Vector.empty, None, None))
+          val prev = state.getOption
+            .getOrElse(St(Vector.empty, None, None, 0L))
           val buf = prev.buffer ++
             it.map(e => (e.ts_us, e.event_id, e.event_type))
           val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -57,19 +66,21 @@ object Scd2Stream {
           val (due, pending) = buf.partition(_._1 < wmUs)
           var lastType = prev.lastType
           var openFrom = prev.openFrom
+          var nChanges = prev.nChanges
           val out = Vector.newBuilder[T]
           for ((tus, _, tpe) <- due.sortBy(t => (t._1, t._2))) {
             if (!lastType.contains(tpe)) {
               val open = for { lt <- lastType; of <- openFrom } yield (lt, of)
-              onChange(uid, open, tpe, tus).foreach(out += _)
+              onChange(uid, open, tpe, tus, nChanges).foreach(out += _)
               openFrom = Some(tus)
+              nChanges += 1
             }
             lastType = Some(tpe)
           }
           if (pending.isEmpty && lastType.isEmpty) state.remove()
           else {
             state.update(St(pending.sortBy(t => (t._1, t._2)),
-              lastType, openFrom))
+              lastType, openFrom, nChanges))
             if (pending.nonEmpty)
               state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1L)
           }
@@ -78,15 +89,19 @@ object Scd2Stream {
   }
 
   /** Finalized CHANGE POINTS — the dimension-store ingest stream: each
-    * (user, state, valid_from) row is final when emitted (its time is
-    * its own; later events cannot precede the watermark), so a plain
-    * append sink accumulates the full change history and a per-user
-    * lead window over that compact store reconstructs the dimension —
-    * closed intervals AND the current NULL-valid_to row. */
+    * (user, state, valid_from, change_seq) row is final when emitted
+    * (its time is its own; later events cannot precede the watermark),
+    * so a plain append sink accumulates the full change history and a
+    * per-user lead window ORDERED BY change_seq over that compact store
+    * reconstructs the dimension — closed intervals AND the current
+    * NULL-valid_to row — deterministically even through same-time
+    * changes. */
   def changes(events: Dataset[Ev]): Dataset[Change] = {
     implicit val enc: Encoder[Change] =
       org.apache.spark.sql.Encoders.product[Change]
-    run(events) { (uid, _, tpe, tus) => Some(Change(uid, tpe, tus)) }
+    run(events) { (uid, _, tpe, tus, seq) =>
+      Some(Change(uid, tpe, tus, seq))
+    }
   }
 
   /** CLOSED validity intervals, emitted exactly once as each closing
@@ -95,7 +110,7 @@ object Scd2Stream {
   def closedIntervals(events: Dataset[Ev]): Dataset[ClosedInterval] = {
     implicit val enc: Encoder[ClosedInterval] =
       org.apache.spark.sql.Encoders.product[ClosedInterval]
-    run(events) { (uid, open, _, tus) =>
+    run(events) { (uid, open, _, tus, _) =>
       open.map { case (st, from) => ClosedInterval(uid, st, from, tus) }
     }
   }

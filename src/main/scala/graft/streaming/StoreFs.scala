@@ -69,6 +69,27 @@ private[graft] object StoreFs {
     fs.delete(old, true)
   }
 
+  /** Seal every batch tag PRESENT IN THE STORE as a replay marker —
+    * called by compactors before the tag-collapsing rewrite (ADVICE
+    * r10): an append whose rows committed but whose marker write was
+    * lost (the one crash window the row-level anti-join covers) is
+    * healed pre-compaction by the anti-join seeing its tagged rows;
+    * post-compaction the tags are folded into the −1 sentinel, so the
+    * marker must exist BEFORE the fold or a checkpoint replay of that
+    * batch re-appends every row. Idempotent; ≤ #batches ids collected. */
+  def sealTagMarkers(spark: SparkSession, dir: String,
+                     markerDir: Option[String] = None): Unit = {
+    if (!storeExists(spark, dir)) return
+    val src = spark.read.option("mergeSchema", "true").parquet(dir)
+    if (!src.columns.contains("batch_id")) return
+    // the tagless base generation reads its tag as NULL under
+    // mergeSchema — only real (≥ 0) batch ids become markers
+    src.select("batch_id").distinct().collect()
+      .filter(!_.isNullAt(0)).map(_.getLong(0))
+      .filter(_ >= 0L)
+      .foreach(writeMarker(spark, markerDir.getOrElse(dir), _))
+  }
+
   /** Does the directory hold a parquet store (data files or _SUCCESS)? */
   def storeExists(spark: SparkSession, dir: String): Boolean = {
     val (fs, p) = fsAndPath(spark, dir)

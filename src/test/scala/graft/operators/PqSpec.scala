@@ -206,6 +206,33 @@ class PqSpec extends AnyFunSuite with SparkTest {
     assert(retried == full, "untagged retry must append nothing")
   }
 
+  test("TORN append (rows landed, marker lost) compacted away still replays as a no-op") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-torn-test-").toString
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    Pq.writePqStore(base, path, M, Dim, nCents = 8, iters = 1)
+    Pq.appendToPqStore(spark, batch, path, M, Dim, batchId = Some(3L))
+    // the one crash window the anti-join (not the marker) covers: rows
+    // committed, marker write lost
+    new java.io.File(s"$path/codes", "_graft_batch_3").delete()
+    // compaction folds the tag into the -1 sentinel — it must SEAL the
+    // folded tag as a marker first (ADVICE r10), or the replay below
+    // re-appends the whole batch onto the compacted generation
+    Pq.compactCodesStore(spark, path)
+    assert(new java.io.File(s"$path/codes", "_graft_batch_3").exists(),
+      "compaction must seal folded batch tags as replay markers")
+    val before = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    Pq.appendToPqStore(spark, batch, path, M, Dim, batchId = Some(3L))
+    val after = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "sub", "cell")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before,
+      "a torn pre-compaction batch must replay as a no-op")
+  }
+
   test("compaction preserves replay markers: a lagged checkpoint replay appends nothing") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-pq-marker-test-").toString

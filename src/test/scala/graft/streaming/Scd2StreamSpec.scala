@@ -98,9 +98,13 @@ class Scd2StreamSpec extends AnyFunSuite with SparkTest {
       for (b <- batches) { input.addData(b: _*); q.processAllAvailable() }
     } finally q.stop()
 
-    val w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    // change_seq is the deterministic tie-break: u2's two changes share
+    // valid_from_us = 205 s, and a time-only ordering would reconstruct
+    // their intervals in shuffle order
+    val w = Window.partitionBy("user_id").orderBy("change_seq")
     val dim = spark.read.parquet(store).filter(col("user_id") =!= 99L)
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .select("user_id", "state", "valid_from_us", "valid_to_us")
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
