@@ -139,4 +139,32 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
         .replace(", 'g')", ")")
     }
   }
+
+  // ---- batch 4: the remaining portable core queries, each one lexical
+  // rename away from the oracle text
+  test("x19 percentiles: oracle text (quantile_cont mapped) == DataFrame build") {
+    // the x19 'percentile ≡ quantile_cont' contract, exercised through
+    // the SQL entry: same continuous-interpolation definition
+    parityXform("x19_percentiles")(_.replace("quantile_cont(", "percentile("))
+  }
+  test("x20 string agg: oracle text (string_agg mapped) == DataFrame build") {
+    // Spark 4.1's listagg(DISTINCT …) WITHIN GROUP throws a
+    // ClassCastException at analysis; the ordered-distinct semantics
+    // map exactly onto the sorted-set spelling instead
+    parityXform("x20_string_agg")(_.replace(
+      "string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)",
+      "array_join(array_sort(collect_set(l_linestatus)), ',')"))
+  }
+  test("q16 exact dedup: oracle text (regexp flag mapped) == DataFrame build") {
+    parityXform("q16_dedup_exact")(
+      _.replace("\\s+", "\\\\s+").replace(", 'g')", ")"))
+  }
+  test("q12 time buckets: oracle text (strftime mapped) == DataFrame build") {
+    parityXform("q12_time_buckets")(_.replace(
+      "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')",
+      "date_format(date_trunc('hour', ts), 'yyyy-MM-dd HH:mm:ss')"))
+  }
+  test("q13 EMA replay closed form: SQL text == DataFrame build") {
+    parity("q13_ema_replay")
+  }
 }
