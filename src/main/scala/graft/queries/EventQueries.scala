@@ -377,44 +377,66 @@ object EventQueries {
   // grace/completeness trade a real pipeline tunes down for bounded
   // disorder), and one sentinel row past max+delay drains every buffer;
   // the sentinel itself never folds, so the store holds real users only.
+  /** Stage the events fixture for a watermark-finalized stream build:
+    * 3 parquet files (= 3 micro-batches, data never driver-side) plus a
+    * user −1 DRAIN SENTINEL landing as a LATER file (append → later
+    * mtime, so the file source processes it last). The watermark delay
+    * spans the fixture, so unordered file slabs all stay in-grace, and
+    * the sentinel's ts past max + delay pushes the watermark over every
+    * real event; the sentinel itself never folds. Returns
+    * (stageDir, delaySec). */
+  private def stageEventStream(s: org.apache.spark.sql.SparkSession,
+                               d: String): (String, Long) = {
+    val ev = events(s, d).select(col("user_id"), col("ts"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      col("event_type"))
+    val span = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      .head()
+    val delaySec = (span.getLong(1) - span.getLong(0)) / 1000000L + 3600L
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-evstage-").toString
+    ev.repartition(3).write.mode("overwrite").parquet(stage)
+    import s.implicits._
+    Seq((-1L, span.getLong(1) + (delaySec + 86400L) * 1000000L))
+      .toDF("user_id", "sent_us")
+      .select(col("user_id"), timestamp_micros(col("sent_us")).as("ts"),
+        col("sent_us").as("ts_us"), lit(-1L).as("event_id"),
+        lit("view").as("event_type"))
+      .coalesce(1).write.mode("append").parquet(stage)
+    (stage, delaySec)
+  }
+
+  private def stagedSource(s: org.apache.spark.sql.SparkSession,
+                           stage: String, delaySec: Long)
+      : org.apache.spark.sql.DataFrame =
+    s.readStream
+      .schema("user_id BIGINT, ts TIMESTAMP, ts_us BIGINT, " +
+        "event_id BIGINT, event_type STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+      .withWatermark("ts", s"$delaySec seconds")
+
+  private def runToStore(q: org.apache.spark.sql.Dataset[_], path: String,
+                         name: String): Unit = {
+    val sq = q.writeStream.format("parquet").option("path", path)
+      .outputMode("append")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory(s"graft-$name-ckpt-").toString)
+      .start()
+    try sq.processAllAvailable() finally sq.stop()
+  }
+
   private def ensureStreamScd2Store(s: org.apache.spark.sql.SparkSession,
                                     d: String): String = {
     val path = StoreFixtures.path("graft-scd2store", d, "events.parquet",
       "scd2store2")
     StoreFixtures.onceByMarker(path, "_graft_stream_done") {
-      val ev = events(s, d).select(col("user_id"), col("ts"),
-        unix_micros(col("ts")).as("ts_us"), col("event_id"),
-        col("event_type"))
-      val span = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
-        .head()
-      val delaySec = (span.getLong(1) - span.getLong(0)) / 1000000L + 3600L
-      val stage = java.nio.file.Files
-        .createTempDirectory("graft-y50-stage-").toString
-      ev.repartition(3).write.mode("overwrite").parquet(stage)
-      // the drain sentinel lands as a LATER file (append → later mtime,
-      // so the file source processes it last): ts past max + delay
-      // pushes the watermark over every real event
       import s.implicits._
-      Seq((-1L, span.getLong(1) + (delaySec + 86400L) * 1000000L))
-        .toDF("user_id", "sent_us")
-        .select(col("user_id"), timestamp_micros(col("sent_us")).as("ts"),
-          col("sent_us").as("ts_us"), lit(-1L).as("event_id"),
-          lit("view").as("event_type"))
-        .coalesce(1).write.mode("append").parquet(stage)
-      val src = s.readStream
-        .schema("user_id BIGINT, ts TIMESTAMP, ts_us BIGINT, " +
-          "event_id BIGINT, event_type STRING")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-      val q = graft.streaming.Scd2Stream.changes(
-          src.withWatermark("ts", s"$delaySec seconds")
-            .as[graft.streaming.Scd2Stream.Ev])
-        .writeStream.format("parquet").option("path", s"$path/changes")
-        .outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft-y50-ckpt-").toString)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      val (stage, delaySec) = stageEventStream(s, d)
+      runToStore(graft.streaming.Scd2Stream.changes(
+          stagedSource(s, stage, delaySec)
+            .as[graft.streaming.Scd2Stream.Ev]),
+        s"$path/changes", "y50")
     }
   }
 
@@ -474,12 +496,11 @@ object EventQueries {
   // union, so the graded artifact is the mart a dashboard would read,
   // not three independent queries. Each section keeps its own
   // documented scale shape; the union adds no shuffle.
-  val y48 = Query(
-    "y48_behavior_mart",
-    Some {
-      val wUs = FunnelWithinSec * 1000000L
-      val p = RetentionPeriodSec * 1000000L
-      s"""
+  // shared by y48 (batch composition) and y53 (stream-store-served)
+  private val martOracle: String = {
+    val wUs = FunnelWithinSec * 1000000L
+    val p = RetentionPeriodSec * 1000000L
+    s"""
       WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
                          event_id
                   FROM events),
@@ -541,12 +562,64 @@ object EventQueries {
       FROM (SELECT * FROM fun UNION ALL SELECT * FROM ret
             UNION ALL SELECT * FROM tra)
       ORDER BY section, k1, k2"""
-    }
+  }
+
+  val y48 = Query(
+    "y48_behavior_mart",
+    Some(martOracle)
   ) { (s, d) =>
     graft.operators.Funnels.mart(events(s, d), FunnelSteps,
       withinSec = FunnelWithinSec, periodSec = RetentionPeriodSec)
   }
 
+  // --- Y53: y48's oracle answered from STREAM-BUILT reach stores — the
+  // y35/y50 grading pattern applied to the mart composition: the three
+  // behavioral stream twins (FunnelStream / RetentionStream /
+  // TransitionStream) each drain the staged event stream into a parquet
+  // store of per-user FINAL reach facts (exactly-once, watermark-
+  // finalized), and the mart is `Funnels.martFromReaches` over those
+  // compact tables — three keyed aggregations over |reaches| rows, the
+  // event log never reread at serve time. Byte-identity with the batch
+  // composition's oracle is MartStreamSpec's "stream-served ≡ batch"
+  // claim put under the driver's DuckDB contract.
+  private def ensureMartStores(s: org.apache.spark.sql.SparkSession,
+                               d: String): String = {
+    val path = StoreFixtures.path("graft-martstore", d, "events.parquet",
+      "martstore1")
+    StoreFixtures.onceByMarker(path, "_graft_stream_done") {
+      import s.implicits._
+      val (stage, delaySec) = stageEventStream(s, d)
+      runToStore(graft.streaming.FunnelStream.stepReaches(
+          stagedSource(s, stage, delaySec)
+            .select("user_id", "ts", "ts_us", "event_type")
+            .as[graft.streaming.FunnelStream.Ev],
+          FunnelSteps, FunnelWithinSec * 1000000L),
+        s"$path/steps", "y53-steps")
+      runToStore(graft.streaming.RetentionStream.cellReaches(
+          stagedSource(s, stage, delaySec)
+            .select("user_id", "ts", "ts_us")
+            .as[graft.streaming.RetentionStream.Ev],
+          RetentionPeriodSec * 1000000L),
+        s"$path/cells", "y53-cells")
+      runToStore(graft.streaming.TransitionStream.pairReaches(
+          stagedSource(s, stage, delaySec)
+            .as[graft.streaming.TransitionStream.Ev]),
+        s"$path/pairs", "y53-pairs")
+    }
+  }
+
+  val y53 = Query(
+    "y53_mart_stream_store",
+    Some(martOracle)
+  ) { (s, d) =>
+    val p = ensureMartStores(s, d)
+    graft.operators.Funnels.martFromReaches(
+      s.read.parquet(s"$p/steps").filter(col("user_id") >= 0L),
+      s.read.parquet(s"$p/cells").filter(col("user_id") >= 0L),
+      s.read.parquet(s"$p/pairs").filter(col("user_id") >= 0L),
+      FunnelSteps)
+  }
+
   val all: Seq[Query] = Seq(q11, q12, q13, x40, y31, y32, y33, y34, y41,
-    y46, y48, y50)
+    y46, y48, y50, y53)
 }
