@@ -72,8 +72,11 @@ class DeterminismSpec extends AnyFunSuite with SparkTest {
       // round-10: store-served hybrid (TopKPerKey tie cuts + integer
       // lexical mass + exact-IVF bound pruning — the survivor cell set
       // may differ per partitioning, the ANSWER must not), stream-built
-      // SCD2 store windows, IVFADC served path (per-cell LUT sums)
-      "y49_hybrid_store", "y50_scd2_stream_store", "y51_ivfadc_serve")
+      // SCD2 store windows, IVFADC served path (per-cell LUT sums),
+      // two-generation hybrid stores, stream-served mart (windowed
+      // denominators over the reach stores)
+      "y49_hybrid_store", "y50_scd2_stream_store", "y51_ivfadc_serve",
+      "y52_hybrid_store_incr", "y53_mart_stream_store")
     val before = risky.map(n => n -> snapshot(n)).toMap
     val orig = spark.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -143,6 +143,38 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
     assert(served(path, queries, k = 15, nprobe0 = 2) == before)
   }
 
+  test("Trigger.AvailableNow drains a file backlog into the vec store then stops") {
+    import spark.implicits._
+    // the scheduled batch-over-stream cadence (the IndexIngest/PqIngest
+    // discipline) for the exact-IVF store
+    val vecs = fixture(220)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-avail-test-").toString
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-avail-stage-").toString
+    ExactIvf.writeVecStore(vecs.filter(col("doc_id") % 10 < 6), path,
+      nCells = 8, iters = 1)
+    vecs.filter(col("doc_id") % 10 >= 6)
+      .repartition(2).write.mode("overwrite").parquet(stage)
+    val q = spark.readStream
+      .schema("doc_id BIGINT, vec ARRAY<BIGINT>")
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-exactivf-avail-ckpt-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.streaming.VecIngest.processBatch(batch.toDF(), id, path); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow must terminate after draining the backlog")
+    val queries = Seq((1L, 9L), (2L, 216L))
+    assert(served(path, queries, k = 15, nprobe0 = 2) ==
+      brute(vecs, queries, k = 15),
+      "the drained store must serve the exact full-corpus answer")
+  }
+
   test("streaming ingest (VecIngest) grows the store; serving stays exact") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
