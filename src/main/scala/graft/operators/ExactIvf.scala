@@ -29,6 +29,12 @@ import org.apache.spark.sql.functions._
   * small ‖q‖·r term); CORRECTNESS never depends on it — a degenerate
   * clustering just prunes nothing. Driver-side state is the sanctioned
   * bounded kind: |queries|·nCells (cell bounds) and |queries| (d_k).
+  * Measured honestly ([[graft.ExactIvfProbe]], SCALE.md r10): the
+  * near-isotropic hashed test embeddings barely prune (survivor
+  * fraction ~0.98 at 16 cells), so the serve win there is the
+  * amortized tokenize+embed, with the scan a dense pass over compact
+  * vectors; clustered (real-model) embeddings are the regime where the
+  * cell skip engages, as the clustered-fixture spec demonstrates.
   *
   * Reference semantics: the validator's priority scan over scored
   * completions (neurons/validator.py:146-170) generalized to
@@ -160,9 +166,15 @@ object ExactIvf {
     * from its result (self-search convention shared with the ANN
     * family). Output: query_id, vec_id, dot, rk — identical by
     * construction to brute-force top-k by (dot DESC, vec_id). */
-  def topDotBatchFromStore(spark: SparkSession, path: String,
-                           queries: Seq[(Long, Long)], k: Int,
-                           nprobe0: Int = 4): DataFrame = {
+  /** The bound-pruned serve plan shared by [[topDotBatchFromStore]] and
+    * [[pruneStats]]: probes fetched from the store, per-(query, cell)
+    * Cauchy–Schwarz bounds, phase-1 d_k from the nprobe0 highest-bound
+    * cells, and the surviving (query, cell) pairs the final scan reads.
+    * All driver-side state is the sanctioned bounded kind
+    * (|queries|·nCells at most). */
+  private def planServe(spark: SparkSession, path: String,
+                        queries: Seq[(Long, Long)], k: Int, nprobe0: Int)
+      : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
     import spark.implicits._
     val cells = spark.read.parquet(s"$path/cells")
     val vecs = spark.read.parquet(s"$path/vecs")
@@ -186,26 +198,13 @@ object ExactIvf {
             floor(sqrt(col("qn2").cast("double") * col("r2max").cast("double")))
               .cast("long") + lit(2L)).as("bound")))
 
-    def scanCells(pairs: Seq[(Long, Long)]): DataFrame = {
-      val cellIds = pairs.map(_._2).distinct
-      val pdf = pairs.toDF("query_id", "ivf_cell")
-      vecs.filter(col("ivf_cell").isInCollection(cellIds))
-        .join(broadcast(pdf), Seq("ivf_cell"))
-        .join(broadcast(probes.select("query_id", "probe_id", "qvec")),
-          Seq("query_id"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .select(col("query_id"), col("vec_id"),
-          graft.functions.VectorFunctions.dotLong(col("vm"), col("qvec"))
-            .as("dot"))
-    }
-
     // phase 1: each query's nprobe0 highest-bound cells → running d_k
     // (bounded collects: |queries|·nprobe0 pairs, then |queries| rows)
     val p1Pairs = graft.plans.TopK.perKey(bounds, Seq(bounds("query_id")),
         Seq(bounds("bound").desc, bounds("ivf_cell")), nprobe0)
       .select(col("query_id").cast("long"), col("ivf_cell").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val cand1 = scanCells(p1Pairs)
+    val cand1 = scanCells(vecs, probes, p1Pairs)
     val dk = graft.plans.TopK.perKey(cand1, Seq(cand1("query_id")),
         Seq(cand1("dot").desc, cand1("vec_id")), k)
       .groupBy("query_id")
@@ -220,11 +219,51 @@ object ExactIvf {
       .filter(col("n").isNull || col("n") < k || col("bound") >= col("dk"))
       .select(col("query_id").cast("long"), col("ivf_cell").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val cand2 = scanCells(selPairs)
+    (vecs, probes, selPairs)
+  }
+
+  private def scanCells(vecs: DataFrame, probes: DataFrame,
+                        pairs: Seq[(Long, Long)]): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cellIds = pairs.map(_._2).distinct
+    val pdf = pairs.toDF("query_id", "ivf_cell")
+    vecs.filter(col("ivf_cell").isInCollection(cellIds))
+      .join(broadcast(pdf), Seq("ivf_cell"))
+      .join(broadcast(probes.select("query_id", "probe_id", "qvec")),
+        Seq("query_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.VectorFunctions.dotLong(col("vm"), col("qvec"))
+          .as("dot"))
+  }
+
+  def topDotBatchFromStore(spark: SparkSession, path: String,
+                           queries: Seq[(Long, Long)], k: Int,
+                           nprobe0: Int = 4): DataFrame = {
+    val (vecs, probes, selPairs) = planServe(spark, path, queries, k, nprobe0)
+    val cand2 = scanCells(vecs, probes, selPairs)
     val out = graft.plans.TopK.perKey(cand2, Seq(cand2("query_id")),
       Seq(cand2("dot").desc, cand2("vec_id")), k)
     out.withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dot").desc, col("vec_id"))))
       .select(col("query_id"), col("vec_id"), col("dot"), col("rk"))
+  }
+
+  /** Pruning diagnostics: per query, how many cells the bound let the
+    * final scan SKIP. Output: query_id, n_cells, survivors. The answer
+    * never depends on these numbers (the exactness guarantee); they
+    * measure how much of the store the serve scan reads — the dial is
+    * the clustering (nCells ∝ corpus keeps cells tight as data grows). */
+  def pruneStats(spark: SparkSession, path: String,
+                 queries: Seq[(Long, Long)], k: Int,
+                 nprobe0: Int = 4): DataFrame = {
+    import spark.implicits._
+    val (_, _, selPairs) = planServe(spark, path, queries, k, nprobe0)
+    val nCells = spark.read.parquet(s"$path/cells").count()
+    selPairs.groupBy(_._1).toSeq
+      .map { case (q, ps) => (q, nCells, ps.size.toLong) }
+      .sortBy(_._1)
+      .toDF("query_id", "n_cells", "survivors")
   }
 }

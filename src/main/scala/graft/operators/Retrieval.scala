@@ -253,7 +253,14 @@ object Retrieval {
     val sem = semTop.withColumn("sem_rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dot").desc, col("doc_id"))))
       .select("query_id", "doc_id", "sem_rk")
+    rrfFuse(lex, sem, kOut)
+  }
 
+  /** The per-query RRF fusion tail shared byte-for-byte by the scan
+    * form ([[hybridRrfBatch]]) and the store form
+    * ([[hybridRrfBatchFromStores]]) — sharing it is part of the two
+    * forms' row-identity argument. */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame, kOut: Int): DataFrame = {
     val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(60) + col("lex_rk")), lit(0.0)) +
@@ -308,17 +315,7 @@ object Retrieval {
         queries.map { case (qid, _, p) => (qid, p) }, kList, nprobe0)
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rk").as("sem_rk"))
-
-    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(60) + col("lex_rk")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("sem_rk")), lit(0.0)), 6))
-    val out = graft.plans.TopK.perKey(fused, Seq(fused("query_id")),
-      Seq(fused("rrf").desc, fused("doc_id")), kOut)
-    out.withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))))
-      .select(col("query_id"), col("doc_id"), col("lex_rk"), col("sem_rk"),
-        col("rrf"), col("rk"))
+    rrfFuse(lex, sem, kOut)
   }
 
   /** Overlapping fixed-size token chunks — the RAG/embedding ingestion

@@ -91,6 +91,32 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
       brute(vecs, queries, k = 10))
   }
 
+  test("the bound actually prunes on clustered data (and never costs a row)") {
+    import spark.implicits._
+    // four tight, well-separated clusters: the bound should eliminate
+    // far clusters for a probe inside one of them
+    val vecs = (0L until 400L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(Dim)(0L)
+      base(c * 2) = 10000L
+      base(c * 2 + 1) = -7000L
+      (i, base.zipWithIndex.map { case (v, j) =>
+        v + ((i * 31 + j * 17) % 21) - 10L }) // small intra-cluster noise
+    }.toDF("doc_id", "vec")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-prune-test-").toString
+    ExactIvf.writeVecStore(vecs, path, nCells = 8, iters = 2)
+    val queries = Seq((1L, 0L), (2L, 5L), (3L, 10L))
+    val stats = ExactIvf.pruneStats(spark, path, queries, k = 10, nprobe0 = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(stats.nonEmpty)
+    assert(stats.map(_._2).sum < stats.map(_._1).sum,
+      s"the bound should skip at least one far cluster: ${stats.toSeq}")
+    // and pruning never costs a row
+    assert(served(path, queries, k = 10, nprobe0 = 2) ==
+      brute(vecs, queries, k = 10))
+  }
+
   test("incremental append under frozen cells: exact serving across generations; replay heals") {
     val vecs = fixture(300)
     val path = java.nio.file.Files
