@@ -17,11 +17,24 @@ private[graft] object StoreFs {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Has the `_graft_batch_<id>` replay marker been written? */
+  /** Has `batchId`'s append been recorded — either its own
+    * `_graft_batch_<id>` marker, or a compaction's `_graft_sealed_<n>`
+    * watermark with id ≤ n? The watermark is sound because foreachBatch
+    * commits batches SEQUENTIALLY: if any batch M's rows are in the
+    * store, every batch < M completed fully, so a restart can only ever
+    * replay the store's MAXIMUM id — which the seal covers. */
   def markerExists(spark: SparkSession, dir: String, batchId: Long): Boolean = {
     val (fs, p) = fsAndPath(spark, dir)
-    fs.exists(new Path(p, s"_graft_batch_$batchId"))
+    fs.exists(new Path(p, s"_graft_batch_$batchId")) ||
+      sealedThrough(fs, p).exists(batchId <= _)
   }
+
+  private def sealedThrough(fs: FileSystem, p: Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_graft_sealed_") =>
+        n.stripPrefix("_graft_sealed_").toLong }
+      .maxOption
 
   /** Record that `batchId`'s append landed (idempotent overwrite). */
   def writeMarker(spark: SparkSession, dir: String, batchId: Long): Unit = {
@@ -58,7 +71,8 @@ private[graft] object StoreFs {
     writeTo(tmp.toString)
     if (fs.exists(p))
       fs.listStatus(p).map(_.getPath.getName)
-        .filter(_.startsWith("_graft_batch_"))
+        .filter(n => n.startsWith("_graft_batch_") ||
+          n.startsWith("_graft_sealed_"))
         .foreach(n => fs.create(new Path(tmp, n), true).close())
     if (fs.exists(p) && !fs.rename(p, old))
       throw new java.io.IOException(s"compact: could not move $p aside")
@@ -69,25 +83,42 @@ private[graft] object StoreFs {
     fs.delete(old, true)
   }
 
-  /** Seal every batch tag PRESENT IN THE STORE as a replay marker —
-    * called by compactors before the tag-collapsing rewrite (ADVICE
-    * r10): an append whose rows committed but whose marker write was
-    * lost (the one crash window the row-level anti-join covers) is
-    * healed pre-compaction by the anti-join seeing its tagged rows;
-    * post-compaction the tags are folded into the −1 sentinel, so the
-    * marker must exist BEFORE the fold or a checkpoint replay of that
-    * batch re-appends every row. Idempotent; ≤ #batches ids collected. */
+  /** Seal every batch tag PRESENT IN THE STORE under one
+    * `_graft_sealed_<maxId>` watermark — called by compactors before
+    * the tag-collapsing rewrite (ADVICE r10): an append whose rows
+    * committed but whose marker write was lost (the one crash window
+    * the row-level anti-join covers) is healed pre-compaction by the
+    * anti-join seeing its tagged rows; post-compaction the tags are
+    * folded into the −1 sentinel, so the replay guard must exist
+    * BEFORE the fold or a checkpoint replay of that batch re-appends
+    * every row. One watermark file covers every id ≤ max (sound per
+    * the [[markerExists]] sequential-commit argument), and the
+    * now-redundant per-batch `_graft_batch_*` markers are cleaned up —
+    * marker count stays O(1) instead of growing with stream lifetime
+    * (a year of 5-minute batches is ~10⁵ marker files otherwise).
+    * Idempotent. */
   def sealTagMarkers(spark: SparkSession, dir: String,
                      markerDir: Option[String] = None): Unit = {
     if (!storeExists(spark, dir)) return
     val src = spark.read.option("mergeSchema", "true").parquet(dir)
     if (!src.columns.contains("batch_id")) return
     // the tagless base generation reads its tag as NULL under
-    // mergeSchema — only real (≥ 0) batch ids become markers
-    src.select("batch_id").distinct().collect()
-      .filter(!_.isNullAt(0)).map(_.getLong(0))
-      .filter(_ >= 0L)
-      .foreach(writeMarker(spark, markerDir.getOrElse(dir), _))
+    // mergeSchema — only real (≥ 0) batch ids count
+    val ids = src.select("batch_id").distinct().collect()
+      .filter(!_.isNullAt(0)).map(_.getLong(0)).filter(_ >= 0L)
+    if (ids.isEmpty) return
+    val (fs, p) = fsAndPath(spark, markerDir.getOrElse(dir))
+    val newSeal = math.max(ids.max, sealedThrough(fs, p).getOrElse(-1L))
+    fs.create(new Path(p, s"_graft_sealed_$newSeal"), true).close()
+    // older seals and per-batch markers are subsumed — reclaim them
+    fs.listStatus(p).map(_.getPath).foreach { f =>
+      val n = f.getName
+      if (n.startsWith("_graft_batch_") ||
+          (n.startsWith("_graft_sealed_") &&
+            n.stripPrefix("_graft_sealed_").toLong < newSeal))
+        fs.delete(f, false)
+      ()
+    }
   }
 
   /** Does the directory hold a parquet store (data files or _SUCCESS)? */

@@ -162,8 +162,9 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
       .map(_.getLong(0)).toSeq == Seq(-1L))
     assert(compacted.columns.contains("ivf_cell"),
       "the cell partition layout must survive compaction")
-    // markers ride across the swap: a replay of batch 1 appends nothing
-    assert(new java.io.File(s"$path/vecs", "_graft_batch_1").exists())
+    // the sealed watermark rides across the swap: a replay of batch 1
+    // appends nothing
+    assert(new java.io.File(s"$path/vecs", "_graft_sealed_1").exists())
     ExactIvf.appendToVecStore(spark,
       vecs.filter(col("doc_id") % 10 >= 7), path, batchId = Some(1L))
     assert(served(path, queries, k = 15, nprobe0 = 2) == before)

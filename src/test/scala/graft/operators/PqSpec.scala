@@ -217,11 +217,16 @@ class PqSpec extends AnyFunSuite with SparkTest {
     // committed, marker write lost
     new java.io.File(s"$path/codes", "_graft_batch_3").delete()
     // compaction folds the tag into the -1 sentinel — it must SEAL the
-    // folded tag as a marker first (ADVICE r10), or the replay below
-    // re-appends the whole batch onto the compacted generation
+    // folded tags under the _graft_sealed_<max> watermark first
+    // (ADVICE r10), or the replay below re-appends the whole batch
+    // onto the compacted generation
     Pq.compactCodesStore(spark, path)
-    assert(new java.io.File(s"$path/codes", "_graft_batch_3").exists(),
-      "compaction must seal folded batch tags as replay markers")
+    assert(new java.io.File(s"$path/codes", "_graft_sealed_3").exists(),
+      "compaction must seal folded batch tags under the watermark marker")
+    // marker state stays O(1): the seal subsumes per-batch markers
+    assert(!new java.io.File(s"$path/codes").listFiles()
+      .exists(_.getName.startsWith("_graft_batch_")),
+      "per-batch markers must be reclaimed once sealed")
     val before = spark.read.parquet(s"$path/codes")
       .select("vec_id", "sub", "cell")
       .collect().map(_.toString).sorted.toSeq
@@ -241,8 +246,10 @@ class PqSpec extends AnyFunSuite with SparkTest {
     Pq.writePqStore(base, path, M, Dim, nCents = 8, iters = 1)
     Pq.appendToPqStore(spark, batch, path, M, Dim, batchId = Some(7L))
     Pq.compactCodesStore(spark, path)
-    assert(new java.io.File(s"$path/codes", "_graft_batch_7").exists(),
-      "the _graft_batch_7 marker must ride across the compaction swap")
+    // the per-batch marker is subsumed by the O(1) sealed watermark,
+    // which must ride across the compaction swap
+    assert(new java.io.File(s"$path/codes", "_graft_sealed_7").exists(),
+      "the sealed watermark must ride across the compaction swap")
     val before = spark.read.parquet(s"$path/codes")
       .select("vec_id", "sub", "cell")
       .collect().map(_.toString).sorted.toSeq
