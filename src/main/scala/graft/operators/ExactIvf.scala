@@ -159,24 +159,19 @@ object ExactIvf {
     spark.catalog.refreshByPath(dir)
   }
 
-  /** Exact top-k by inner product for a BATCH of (query_id, probe
-    * vec_id) pairs, served entirely from the store. The probe vectors
-    * themselves come from the store's bounded id-filtered scan (the
-    * y25/y36 probe-fetch discipline); the probe's own row is excluded
-    * from its result (self-search convention shared with the ANN
-    * family). Output: query_id, vec_id, dot, rk — identical by
-    * construction to brute-force top-k by (dot DESC, vec_id). */
   /** The bound-pruned serve plan shared by [[topDotBatchFromStore]] and
     * [[pruneStats]]: probes fetched from the store, per-(query, cell)
     * Cauchy–Schwarz bounds, phase-1 d_k from the nprobe0 highest-bound
-    * cells, and the surviving (query, cell) pairs the final scan reads.
-    * All driver-side state is the sanctioned bounded kind
-    * (|queries|·nCells at most). */
+    * cells, and the surviving (query, cell) pairs the final scan reads
+    * — plus the store's cell count for diagnostics. All driver-side
+    * state is the sanctioned bounded kind (|queries|·nCells at most).
+    * A probe id absent from the store is an argument error, not a
+    * silently dropped query. */
   private def planServe(spark: SparkSession, path: String,
                         queries: Seq[(Long, Long)], k: Int, nprobe0: Int)
-      : (DataFrame, DataFrame, Seq[(Long, Long)]) = {
+      : (DataFrame, DataFrame, Seq[(Long, Long)], Long) = {
     import spark.implicits._
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = graft.core.Caches.scoped(spark.read.parquet(s"$path/cells"))
     val vecs = spark.read.parquet(s"$path/vecs")
     val probeIds = queries.map(_._2).distinct
     val qp = queries.toDF("query_id", "probe_id")
@@ -186,6 +181,9 @@ object ExactIvf {
         .join(broadcast(qp), Seq("probe_id"))
         .withColumn("qn2",
           aggregate(col("qvec"), lit(0L), (a, x) => a + x * x)))
+    val found = probes.select("probe_id").distinct().count()
+    require(found == probeIds.size,
+      s"${probeIds.size - found} probe vec_id(s) absent from $path/vecs")
 
     // per-(query, cell) Cauchy–Schwarz bound. The sqrt runs on doubles
     // whose product can exceed 2^53; the +2 pad dominates the fp error
@@ -219,7 +217,7 @@ object ExactIvf {
       .filter(col("n").isNull || col("n") < k || col("bound") >= col("dk"))
       .select(col("query_id").cast("long"), col("ivf_cell").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    (vecs, probes, selPairs)
+    (vecs, probes, selPairs, cells.count())
   }
 
   private def scanCells(vecs: DataFrame, probes: DataFrame,
@@ -238,10 +236,18 @@ object ExactIvf {
           .as("dot"))
   }
 
+  /** Exact top-k by inner product for a BATCH of (query_id, probe
+    * vec_id) pairs, served entirely from the store. The probe vectors
+    * themselves come from the store's bounded id-filtered scan (the
+    * y25/y36 probe-fetch discipline); the probe's own row is excluded
+    * from its result (self-search convention shared with the ANN
+    * family). Output: query_id, vec_id, dot, rk — identical by
+    * construction to brute-force top-k by (dot DESC, vec_id). */
   def topDotBatchFromStore(spark: SparkSession, path: String,
                            queries: Seq[(Long, Long)], k: Int,
                            nprobe0: Int = 4): DataFrame = {
-    val (vecs, probes, selPairs) = planServe(spark, path, queries, k, nprobe0)
+    val (vecs, probes, selPairs, _) =
+      planServe(spark, path, queries, k, nprobe0)
     val cand2 = scanCells(vecs, probes, selPairs)
     val out = graft.plans.TopK.perKey(cand2, Seq(cand2("query_id")),
       Seq(cand2("dot").desc, cand2("vec_id")), k)
@@ -259,11 +265,11 @@ object ExactIvf {
                  queries: Seq[(Long, Long)], k: Int,
                  nprobe0: Int = 4): DataFrame = {
     import spark.implicits._
-    val (_, _, selPairs) = planServe(spark, path, queries, k, nprobe0)
-    val nCells = spark.read.parquet(s"$path/cells").count()
-    selPairs.groupBy(_._1).toSeq
-      .map { case (q, ps) => (q, nCells, ps.size.toLong) }
-      .sortBy(_._1)
+    val (_, _, selPairs, nCells) =
+      planServe(spark, path, queries, k, nprobe0)
+    val byQuery = selPairs.groupBy(_._1)
+    queries.map(_._1).distinct.sorted
+      .map(q => (q, nCells, byQuery.get(q).map(_.size.toLong).getOrElse(0L)))
       .toDF("query_id", "n_cells", "survivors")
   }
 }

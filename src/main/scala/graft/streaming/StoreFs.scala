@@ -18,23 +18,40 @@ private[graft] object StoreFs {
   }
 
   /** Has `batchId`'s append been recorded — either its own
-    * `_graft_batch_<id>` marker, or a compaction's `_graft_sealed_<n>`
-    * watermark with id ≤ n? The watermark is sound because foreachBatch
-    * commits batches SEQUENTIALLY: if any batch M's rows are in the
-    * store, every batch < M completed fully, so a restart can only ever
-    * replay the store's MAXIMUM id — which the seal covers. */
+    * `_graft_batch_<id>` marker, or a compaction's `_graft_sealed`
+    * watermark covering id ≤ its recorded value? The watermark is
+    * sound because foreachBatch commits batches SEQUENTIALLY: if any
+    * batch M's rows are in the store, every batch < M completed fully,
+    * so a restart can only ever replay the store's MAXIMUM id — which
+    * the seal covers. Cost per call: two bounded RPCs (exists + a
+    * ≤ 32-byte read), never a directory listing — the markers live
+    * beside the data files of a store that can hold thousands of
+    * objects. */
   def markerExists(spark: SparkSession, dir: String, batchId: Long): Boolean = {
     val (fs, p) = fsAndPath(spark, dir)
     fs.exists(new Path(p, s"_graft_batch_$batchId")) ||
       sealedThrough(fs, p).exists(batchId <= _)
   }
 
-  private def sealedThrough(fs: FileSystem, p: Path): Option[Long] =
-    if (!fs.exists(p)) None
-    else fs.listStatus(p).map(_.getPath.getName)
-      .collect { case n if n.startsWith("_graft_sealed_") =>
-        n.stripPrefix("_graft_sealed_").toLong }
-      .maxOption
+  /** The fixed-name `_graft_sealed` file holds the sealed-through id as
+    * text; unreadable/absent/torn content reads as "no seal" — the
+    * conservative direction (a replay runs its anti-join instead of
+    * skipping). */
+  private[streaming] def sealedThrough(fs: FileSystem, p: Path): Option[Long] = {
+    val f = new Path(p, "_graft_sealed")
+    if (!fs.exists(f)) None
+    else
+      try {
+        val in = fs.open(f)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  private def writeSeal(fs: FileSystem, p: Path, id: Long): Unit = {
+    val out = fs.create(new Path(p, "_graft_sealed"), true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Record that `batchId`'s append landed (idempotent overwrite). */
   def writeMarker(spark: SparkSession, dir: String, batchId: Long): Unit = {
@@ -69,11 +86,14 @@ private[graft] object StoreFs {
     fs.delete(tmp, true)
     fs.delete(old, true)
     writeTo(tmp.toString)
-    if (fs.exists(p))
+    if (fs.exists(p)) {
       fs.listStatus(p).map(_.getPath.getName)
-        .filter(n => n.startsWith("_graft_batch_") ||
-          n.startsWith("_graft_sealed_"))
+        .filter(_.startsWith("_graft_batch_"))
         .foreach(n => fs.create(new Path(tmp, n), true).close())
+      // the seal carries CONTENT (the sealed-through id) — copy bytes,
+      // not just the name
+      sealedThrough(fs, p).foreach(writeSeal(fs, tmp, _))
+    }
     if (fs.exists(p) && !fs.rename(p, old))
       throw new java.io.IOException(s"compact: could not move $p aside")
     if (!fs.rename(tmp, p)) {
@@ -109,13 +129,17 @@ private[graft] object StoreFs {
     if (ids.isEmpty) return
     val (fs, p) = fsAndPath(spark, markerDir.getOrElse(dir))
     val newSeal = math.max(ids.max, sealedThrough(fs, p).getOrElse(-1L))
-    fs.create(new Path(p, s"_graft_sealed_$newSeal"), true).close()
-    // older seals and per-batch markers are subsumed — reclaim them
+    writeSeal(fs, p, newSeal)
+    // per-batch markers AT OR BELOW the seal are subsumed — reclaim
+    // them. Markers ABOVE it must stay: a marker-only batch (all rows
+    // gated out or duplicate — a marker written, no tagged rows landed)
+    // has an id past every store tag, and deleting its marker would
+    // make a checkpoint replay re-emit that batch downstream (the
+    // at-most-once guard the marker-before-emit ordering exists for).
     fs.listStatus(p).map(_.getPath).foreach { f =>
       val n = f.getName
-      if (n.startsWith("_graft_batch_") ||
-          (n.startsWith("_graft_sealed_") &&
-            n.stripPrefix("_graft_sealed_").toLong < newSeal))
+      if (n.startsWith("_graft_batch_") &&
+          n.stripPrefix("_graft_batch_").toLong <= newSeal)
         fs.delete(f, false)
       ()
     }

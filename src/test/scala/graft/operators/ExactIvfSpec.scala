@@ -164,7 +164,8 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
       "the cell partition layout must survive compaction")
     // the sealed watermark rides across the swap: a replay of batch 1
     // appends nothing
-    assert(new java.io.File(s"$path/vecs", "_graft_sealed_1").exists())
+    assert(java.nio.file.Files.readString(
+      new java.io.File(s"$path/vecs", "_graft_sealed").toPath).trim == "1")
     ExactIvf.appendToVecStore(spark,
       vecs.filter(col("doc_id") % 10 >= 7), path, batchId = Some(1L))
     assert(served(path, queries, k = 15, nprobe0 = 2) == before)

@@ -217,11 +217,12 @@ class PqSpec extends AnyFunSuite with SparkTest {
     // committed, marker write lost
     new java.io.File(s"$path/codes", "_graft_batch_3").delete()
     // compaction folds the tag into the -1 sentinel — it must SEAL the
-    // folded tags under the _graft_sealed_<max> watermark first
+    // folded tags under the _graft_sealed watermark first
     // (ADVICE r10), or the replay below re-appends the whole batch
     // onto the compacted generation
     Pq.compactCodesStore(spark, path)
-    assert(new java.io.File(s"$path/codes", "_graft_sealed_3").exists(),
+    assert(java.nio.file.Files.readString(
+        new java.io.File(s"$path/codes", "_graft_sealed").toPath).trim == "3",
       "compaction must seal folded batch tags under the watermark marker")
     // marker state stays O(1): the seal subsumes per-batch markers
     assert(!new java.io.File(s"$path/codes").listFiles()
@@ -248,8 +249,9 @@ class PqSpec extends AnyFunSuite with SparkTest {
     Pq.compactCodesStore(spark, path)
     // the per-batch marker is subsumed by the O(1) sealed watermark,
     // which must ride across the compaction swap
-    assert(new java.io.File(s"$path/codes", "_graft_sealed_7").exists(),
-      "the sealed watermark must ride across the compaction swap")
+    assert(java.nio.file.Files.readString(
+        new java.io.File(s"$path/codes", "_graft_sealed").toPath).trim == "7",
+      "the sealed watermark (with its id) must ride across the compaction swap")
     val before = spark.read.parquet(s"$path/codes")
       .select("vec_id", "sub", "cell")
       .collect().map(_.toString).sorted.toSeq

@@ -39,11 +39,11 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
   test("q08 count distinct: SQL text == DataFrame build") { parity("q08_count_distinct") }
   test("q09 rollup: SQL text == DataFrame build") { parity("q09_rollup") }
   test("q10 set ops: SQL text == DataFrame build") { parity("q10_set_ops") }
-  // not portable, excluded: q16 (DuckDB regexp_replace 'g' flag — Spark's
-  // is global by default and its 4th arg means position), q12/x11/x13
-  // (date_diff/epoch micro arithmetic differs), x19/x20/x35 (quantile /
-  // string_agg / sketch syntax), the dedup/similarity family (md5-slice +
-  // list_* functions).
+  // q16/q12/x19/x20 are covered below via batch-4's lexical dialect
+  // shims; still excluded as NOT portable even with a rename: x11/x13
+  // (date_diff/epoch micro arithmetic differs structurally), x35
+  // (sketch syntax), x40 ([...] array literals), and the
+  // dedup/similarity family (md5-slice + list_* functions).
   test("x18 subqueries: SQL text == DataFrame build") { parity("x18_subqueries") }
   test("x23 outer joins: SQL text == DataFrame build") { parity("x23_outer_joins") }
   test("x26 window functions: SQL text == DataFrame build") { parity("x26_window_funcs") }
