@@ -621,6 +621,15 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("y53 stream-served mart reads only the reach stores, never the event log") {
+    val p = plan("y53_mart_stream_store")
+    assert(!p.contains("events.parquet"),
+      s"the mart serve plan must not reread events:\n$p")
+    assert(p.contains("graft-martstore"),
+      s"must read the stream-built reach stores:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("y38 prefix search reads only the postings store with the prefix pushed") {
     val p = plan("y38_prefix_search")
     assert(!p.contains("documents.parquet"),
