@@ -476,7 +476,8 @@ object Curation {
     // (counts are SUM-merged, so a post-compaction re-append would
     // double-count — the strictest form of the hazard)
     graft.streaming.StoreFs.sealTagMarkers(spark, path)
-    val df = spark.read.parquet(path)
+    val df = spark.read
+      .parquet(graft.streaming.StoreFs.dataDir(spark, path))
     val summed = df.groupBy("b")
       .agg(sum("ct").as("ct"), sum("cr").as("cr"))
     val merged =

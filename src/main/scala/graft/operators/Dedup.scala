@@ -224,7 +224,8 @@ object Dedup {
                             path: String): Unit = {
     // torn-append replay safety: seal folded tags as markers first
     graft.streaming.StoreFs.sealTagMarkers(spark, path)
-    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, path))
       .dropDuplicates("doc_id")
     graft.streaming.StoreFs.swapInCompacted(spark, path)(
       merged.write.parquet(_))
@@ -760,7 +761,8 @@ object Dedup {
       .select(posexplode(shingles(col("ws"), k)).as(Seq("pos", "s")))
       .select(md5(col("s")).as("gh"))
       .groupBy("gh").agg(count(lit(1)).as("cnt"))
-      .write.mode("append").parquet(path)
+      .write.mode("append")
+      .parquet(graft.streaming.StoreFs.dataDir(docs.sparkSession, path))
   }
 
   /** COMPACT the gram-count store: sum-merge the per-batch rows appends
@@ -772,7 +774,8 @@ object Dedup {
     * then. */
   def compactGramStore(spark: org.apache.spark.sql.SparkSession,
                        path: String): Unit = {
-    val merged = spark.read.parquet(path)
+    val merged = spark.read
+      .parquet(graft.streaming.StoreFs.dataDir(spark, path))
       .groupBy("gh").agg(sum(col("cnt")).as("cnt"))
     graft.streaming.StoreFs.swapInCompacted(spark, path)(
       merged.write.parquet(_))

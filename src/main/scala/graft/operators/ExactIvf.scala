@@ -83,8 +83,10 @@ object ExactIvf {
     * could serve a too-small bound and wrongly prune a cell holding a
     * new top-k vector. Both phases are replay-idempotent: the stats
     * merge is a max (re-running it is a no-op) and the row append
-    * anti-joins per the [[Pq.appendToPqStore]] contract (marker fast
-    * path with an explicit batchId, plain anti-join without). */
+    * anti-joins on vec_id against every visible row in the batch's
+    * cells (cross-batch unique — ADVICE r10 — with the marker fast
+    * path as the explicit-batchId short-circuit, per the
+    * [[Pq.appendToPqStore]] contract). */
   def appendToVecStore(spark: SparkSession, newVecs: DataFrame, path: String,
                        batchId: Option[Long] = None, idCol: String = "doc_id",
                        vecCol: String = "vec"): Unit = {
@@ -96,7 +98,7 @@ object ExactIvf {
     // sanctioned bounded kind) so the residual assignment below never
     // references the cells path (the post-swap refreshByPath would
     // otherwise drop its cache and re-run the assignment in phase 2)
-    val cellRows = spark.read.parquet(s"$path/cells")
+    val cellRows = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
       .select(col("ivf_cell"), col("ccvm"), col("r2max"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
@@ -120,21 +122,30 @@ object ExactIvf {
     // listing for — a later read through the stale FileIndex throws
     // FILE_NOT_EXIST
     spark.catalog.refreshByPath(s"$path/cells")
-    // phase 2: append the batch's rows (anti-join heals replays)
+    // phase 2: append the batch's rows. The anti-join runs on vec_id
+    // against ALL visible rows — not just this batch's generation
+    // (ADVICE r10): ids are immutable under the frozen-cell contract,
+    // so a vec_id re-ingested in a LATER batch must drop, or
+    // topDotBatchFromStore would return it twice inside top-k until a
+    // compaction dedups. A checkpoint replay heals the same way. The
+    // scan this costs is bounded: cell assignment is deterministic
+    // under the frozen centroids, so a duplicate can only live in the
+    // cells THIS batch maps to — the visible side prunes to those
+    // partitions (≤ nCells, driver-bounded) and reads only the key
+    // column.
     val tagged = mv.join(res.select("vec_id", "ivf_cell"), Seq("vec_id"))
       .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
     val novel = {
-      val raw = spark.read.option("mergeSchema", "true").parquet(dir)
-      val visible =
-        if (raw.columns.contains("batch_id")) raw
-        else raw.withColumn("batch_id", lit(-1L))
-      val landed = batchId match {
-        case Some(id) => visible.filter(col("batch_id") === id)
-        case None     => visible
-      }
-      tagged.join(landed.select("vec_id"), Seq("vec_id"), "left_anti")
+      val visible = spark.read.option("mergeSchema", "true")
+        .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
+      val batchCells = batchStats.keys.toSeq
+      tagged.join(
+        visible.filter(col("ivf_cell").isInCollection(batchCells))
+          .select("vec_id"),
+        Seq("vec_id"), "left_anti")
     }
-    novel.write.mode("append").partitionBy("ivf_cell").parquet(dir)
+    novel.write.mode("append").partitionBy("ivf_cell")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
     batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 
@@ -150,7 +161,8 @@ object ExactIvf {
     // seal folded tags as markers first (torn-append replay safety —
     // the compactCodesStore contract)
     graft.streaming.StoreFs.sealTagMarkers(spark, dir)
-    val src = spark.read.option("mergeSchema", "true").parquet(dir)
+    val src = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
     val merged = src.drop("batch_id").dropDuplicates("vec_id")
       .withColumn("batch_id", lit(-1L))
     graft.streaming.StoreFs.swapInCompacted(spark, dir) { tmp =>
@@ -171,8 +183,9 @@ object ExactIvf {
                         queries: Seq[(Long, Long)], k: Int, nprobe0: Int)
       : (DataFrame, DataFrame, Seq[(Long, Long)], Long) = {
     import spark.implicits._
-    val cells = graft.core.Caches.scoped(spark.read.parquet(s"$path/cells"))
-    val vecs = spark.read.parquet(s"$path/vecs")
+    val cells = graft.core.Caches.scoped(
+      spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/cells")))
+    val vecs = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
     val probeIds = queries.map(_._2).distinct
     val qp = queries.toDF("query_id", "probe_id")
     val probes = graft.core.Caches.scoped(

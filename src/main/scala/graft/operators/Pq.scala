@@ -337,21 +337,18 @@ object Pq {
     * generation (retrain = rebuild, the same trade as the LSH mask
     * width).
     *
-    * SAFE TO RETRY (ADVICE r8): appended rows are tagged with
-    * `batchId` and anti-joined against the rows that generation has
-    * already landed, so calling twice with the same batch — or
-    * replaying after a crash mid-append — appends only the missing
-    * rows (the IndexIngest discipline; a duplicate (vec_id, sub) row
-    * would double-count that subspace in every ADC sum). The
-    * `_graft_batch_<id>` marker is the fast-path short-circuit; the
-    * base `writePqStore` generation reads as the −1 sentinel.
-    *
-    * With `batchId = None` (plain batch callers) there is NO marker
-    * short-circuit: the batch is anti-joined against EVERY visible
-    * (vec_id, sub) row and tagged with the −1 sentinel, so successive
-    * untagged appends of DIFFERENT batches all land (ADVICE r9: a
-    * shared default id made the second such append a silent no-op)
-    * while a retry of the same rows still appends nothing. */
+    * SAFE TO RETRY (ADVICE r8) and CROSS-BATCH UNIQUE (ADVICE r10):
+    * the batch is anti-joined on (vec_id, sub) against EVERY visible
+    * row — a retry, a crash-replay, or a vec_id re-ingested in a
+    * LATER batch all append only the missing rows (a duplicate
+    * (vec_id, sub) row would double-count that subspace in every ADC
+    * sum; ids are immutable under the frozen-books contract, so
+    * dropping the re-ingest is the consistent answer). With an
+    * explicit `batchId` the `_graft_batch_<id>` marker is the
+    * fast-path short-circuit and rows are tagged for compaction's
+    * seal; with `batchId = None` (plain batch callers) there is no
+    * marker and rows carry the −1 sentinel, so successive untagged
+    * appends of DIFFERENT batches all land (ADVICE r9). */
   def appendToPqStore(spark: org.apache.spark.sql.SparkSession,
                       newEmb: DataFrame, path: String, m: Int, dim: Int,
                       batchId: Option[Long] = None,
@@ -365,20 +362,20 @@ object Pq {
       .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
     val novel =
       if (graft.streaming.StoreFs.storeExists(spark, dir)) {
-        // mergeSchema: the dir mixes the tagless base generation with
-        // tagged appends — a single-file schema pick could hide the tag
-        val raw = spark.read.option("mergeSchema", "true").parquet(dir)
-        val visible =
-          if (raw.columns.contains("batch_id")) raw
-          else raw.withColumn("batch_id", lit(-1L))
-        val landed = batchId match {
-          case Some(id) => visible.filter(col("batch_id") === id)
-          case None     => visible
-        }
-        tagged.join(landed.select("vec_id", "sub"),
+        // anti-join against ALL visible (vec_id, sub) rows, not just
+        // this batch's generation (ADVICE r10): encode is
+        // deterministic under the frozen books, so a vec_id
+        // re-ingested in a LATER batch would land duplicate rows and
+        // double-count its subspaces in every ADC sum until a
+        // compaction dedups. The scan reads only the two key columns
+        // of a codes store (no payload width); a replay heals the
+        // same way, with the marker as its fast path.
+        val visible = spark.read.option("mergeSchema", "true")
+          .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
+        tagged.join(visible.select("vec_id", "sub"),
           Seq("vec_id", "sub"), "left_anti")
       } else tagged
-    novel.write.mode("append").parquet(dir)
+    novel.write.mode("append").parquet(graft.streaming.StoreFs.dataDir(spark, dir))
     batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 
@@ -391,7 +388,7 @@ object Pq {
                        k: Int, m: Int, dim: Int,
                        vecCol: String = "embedding"): DataFrame = {
     val books = spark.read.parquet(s"$path/books")
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
     val probeSv = subvectors(
       emb.filter(col("vec_id").isInCollection(probeIds)), m, dim, vecCol)
     adcTopKFromCodes(probeSv, codes, books, probeIds, k)
@@ -474,10 +471,10 @@ object Pq {
     * PQ-encoded; old embeddings and old codes are never recomputed.
     * Retraining either quantizer = store rebuild (the same trade as the
     * LSH mask width). Same retry discipline as [[appendToPqStore]]:
-    * batch-tagged rows, anti-join on replay, marker fast path — a
-    * duplicate (vec_id, sub) row would double-count that subspace; and
-    * the same `batchId = None` contract — anti-join against every
-    * visible row, −1 tag, no marker (ADVICE r9). */
+    * anti-join on (vec_id, sub) against every visible row (cross-batch
+    * unique — ADVICE r10 — here pruned to the batch's coarse cells),
+    * marker fast path with an explicit batchId, −1 sentinel tag and no
+    * marker with `batchId = None` (ADVICE r9). */
   def appendToIvfadcStore(spark: org.apache.spark.sql.SparkSession,
                           newEmb: DataFrame, path: String, m: Int, dim: Int,
                           batchId: Option[Long] = None,
@@ -495,18 +492,23 @@ object Pq {
       .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id"))
       .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
     val novel = {
-      val raw = spark.read.option("mergeSchema", "true").parquet(dir)
-      val visible =
-        if (raw.columns.contains("batch_id")) raw
-        else raw.withColumn("batch_id", lit(-1L))
-      val landed = batchId match {
-        case Some(id) => visible.filter(col("batch_id") === id)
-        case None     => visible
-      }
-      tagged.join(landed.select("vec_id", "sub"),
+      // anti-join on (vec_id, sub) against ALL visible rows (ADVICE
+      // r10 — cross-batch unique ids, same argument as
+      // [[appendToPqStore]]); coarse assignment is deterministic under
+      // the frozen centroids, so a duplicate can only live in the
+      // cells THIS batch maps to — the visible side prunes to those
+      // partitions (bounded by nCells) and reads only the key columns.
+      val batchCells = res.select("ivf_cell").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val visible = spark.read.option("mergeSchema", "true")
+        .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
+      tagged.join(
+        visible.filter(col("ivf_cell").isInCollection(batchCells))
+          .select("vec_id", "sub"),
         Seq("vec_id", "sub"), "left_anti")
     }
-    novel.write.mode("append").partitionBy("ivf_cell").parquet(dir)
+    novel.write.mode("append").partitionBy("ivf_cell")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
     batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 
@@ -533,7 +535,8 @@ object Pq {
     // committed, marker lost) must replay as a no-op after its tag
     // collapses to the -1 sentinel (ADVICE r10)
     graft.streaming.StoreFs.sealTagMarkers(spark, dir)
-    val src = spark.read.option("mergeSchema", "true").parquet(dir)
+    val src = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
     val partitioned = src.columns.contains("ivf_cell")
     val keys = if (partitioned) Seq("vec_id", "ivf_cell", "sub")
                else Seq("vec_id", "sub")
@@ -587,7 +590,7 @@ object Pq {
     // bounded collect (|probes|·nprobe ids) → partition-pruned scan
     val cellIds = probeCells.select("ivf_cell").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
       .filter(col("ivf_cell").isInCollection(cellIds))
     val psv = probeCells.select(col("probe_id"), col("ivf_cell"),
         explode(transform(sequence(lit(0), lit(m - 1)), s =>

@@ -369,7 +369,8 @@ object Quantization {
         col("q"), col("__nbits").as("nbits"))
       .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
         lit(0L), (a, v) => a + v))
-      .write.mode("append").parquet(path)
+      .write.mode("append")
+      .parquet(graft.streaming.StoreFs.dataDir(emb.sparkSession, path))
   }
 
   /** COMPACT the code store: per-batch appends leave one small parquet
@@ -393,7 +394,8 @@ object Quantization {
                        path: String): Unit = {
     // torn-append replay safety: seal folded tags as markers first
     graft.streaming.StoreFs.sealTagMarkers(spark, path)
-    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, path))
       .dropDuplicates("vec_id")
     graft.streaming.StoreFs.swapInCompacted(spark, path)(
       merged.write.parquet(_))

@@ -112,13 +112,15 @@ object Retrieval {
       .withColumn("ws", words(normText(col("text"))))
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
     p.select(col("doc_id"), col("dl"))
-      .write.mode("append").parquet(s"$path/doclen")
+      .write.mode("append")
+      .parquet(graft.streaming.StoreFs.dataDir(newDocs.sparkSession, s"$path/doclen"))
     p.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
       .groupBy("term", "doc_id", "dl")
       .agg(count(lit(1)).as("tf"))
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term")
-      .write.mode("append").parquet(s"$path/postings")
+      .write.mode("append")
+      .parquet(graft.streaming.StoreFs.dataDir(newDocs.sparkSession, s"$path/postings"))
   }
 
   /** [[bm25TopK]] served ENTIRELY from the index store — the query plan
@@ -138,12 +140,12 @@ object Retrieval {
   private def storeScores(spark: org.apache.spark.sql.SparkSession,
                           path: String, terms: Seq[String],
                           k1: Double, b: Double): DataFrame = {
-    val doclen = spark.read.parquet(s"$path/doclen")
+    val doclen = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/doclen"))
     val stats = doclen.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl").cast(DecimalType(18, 0))).cast("double").as("sum_dl"))
       .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
-    val tf = spark.read.parquet(s"$path/postings")
+    val tf = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/postings"))
       .filter(col("term").isInCollection(terms))
     scoreTf(tf, stats, k1, b)
   }
@@ -430,7 +432,7 @@ object Retrieval {
   def phraseSearchFromStore(spark: org.apache.spark.sql.SparkSession,
                             path: String, phrases: Seq[Seq[String]],
                             k: Int): DataFrame = {
-    val pos = spark.read.parquet(s"$path/positions")
+    val pos = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/positions"))
       .filter(col("term").isInCollection(phrases.flatten.distinct))
     phraseMatchTail(pos, phrases, k)
   }
@@ -501,35 +503,53 @@ object Retrieval {
 
   /** COMPACT a (batch- or stream-grown) index store: per-batch appends
     * leave one small file set per generation and lose the global term
-    * sort; compaction deduplicates by natural key (keeping one row per
-    * key — idempotent-append tags collapse), re-range-partitions and
-    * re-sorts each table by term so row-group pruning is restored
-    * across what used to be generation boundaries, and swaps the new
-    * generation in ATOMICALLY (`StoreFs.swapInCompacted` — a crash
-    * never leaves an empty store). Serving answers are provably
-    * unchanged (spec-pinned). */
+    * sort; compaction deduplicates by natural key within each sealed
+    * generation (tags at or below the multi-table seal collapse to the
+    * −1 sentinel; a torn frontier batch's tags are PRESERVED so its
+    * replay heals — ADVICE r10), re-range-partitions and re-sorts each
+    * table by term so row-group pruning is restored across what used
+    * to be generation boundaries, and swaps the new generation in
+    * ATOMICALLY (`StoreFs.swapInCompacted` — a crash never leaves an
+    * empty store). Serving answers are provably unchanged
+    * (spec-pinned). */
   def compactIndexStore(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit = {
+    val subs = Seq("doclen", "postings", "positions")
+    // torn-append replay safety for a MULTI-TABLE store (ADVICE r10,
+    // medium): the seal is computed ONCE for the whole store, BEFORE
+    // any sub compacts, and covers only batch ids fully landed in ALL
+    // three tables (min across subs of each sub's max tag). A torn
+    // frontier batch — doclen landed, crash before postings/positions —
+    // stays ABOVE the seal: its tags are preserved through the fold
+    // below, so the restart's replay anti-join heals each table
+    // independently instead of hitting the seal and silently losing
+    // the unlanded rows. Markers live at the store ROOT, where
+    // IndexIngest's fast path looks (root markers also naturally
+    // survive the sub-dir swaps).
+    val sealId = graft.streaming.StoreFs
+      .sealTagMarkersMulti(spark, path, subs.map(s => s"$path/$s"))
+      .getOrElse(-1L)
     def compact(sub: String, keys: Seq[String], sortCols: Seq[String]): Unit = {
       val dir = s"$path/$sub"
       if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
-      // torn-append replay safety: seal folded tags as markers first —
-      // at the store ROOT, where IndexIngest's fast path looks (root
-      // markers also naturally survive the sub-dir swaps)
-      graft.streaming.StoreFs.sealTagMarkers(spark, dir, Some(path))
-      val src = spark.read.parquet(dir)
-      // drop the idempotent-append batch tags: rows sharing a natural
-      // key are content-identical by the ingest contract, so the dedup
-      // is deterministic once the tag is gone (stream appends onto a
-      // compacted store fall back to the −1-generation sentinel)
-      val natural = src.drop("batch_id")
-      // re-tag the compacted generation with the −1 sentinel so the
-      // store schema stays UNIFORM across compacted + appended files —
-      // otherwise a post-compaction append leaves a mixed-schema dir
-      // whose single-file schema pick can hide batch_id from the
-      // ingest's replay anti-join (ADVICE r8)
-      val merged = natural.dropDuplicates(keys)
-        .withColumn("batch_id", lit(-1L))
+      // mergeSchema: the dir can mix a tagless base generation with
+      // tagged appended files (the IndexIngest ADVICE-r8 lesson)
+      val src = spark.read.option("mergeSchema", "true")
+        .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
+      val tagged0 =
+        if (src.columns.contains("batch_id")) src
+        else src.withColumn("batch_id", lit(-1L))
+      // fold ONLY the tags the seal covers into the −1 sentinel (a
+      // literal column, so the store schema stays UNIFORM across
+      // compacted + appended files — ADVICE r8); frontier tags above
+      // the seal ride through untouched for the replay anti-join.
+      // Rows sharing (natural key, generation) are content-identical
+      // by the ingest contract, so the dedup is deterministic.
+      val merged = tagged0
+        .withColumn("batch_id",
+          when(coalesce(col("batch_id"), lit(-1L)) <= sealId, lit(-1L))
+            .otherwise(col("batch_id")))
+        .dropDuplicates(keys :+ "batch_id")
       graft.streaming.StoreFs.swapInCompacted(spark, dir) { tmp =>
         (if (sortCols.nonEmpty)
            merged.repartitionByRange(col(sortCols.head))

@@ -255,7 +255,7 @@ object DedupQueries {
     val store = ensureSigStore(s, d)
     Dedup.incrementalDropDecisionsFromStore(
         documents(s, d).filter(col("doc_id") % 10 >= 8),
-        s.read.parquet(store), estThreshold = 0.5)
+        s.read.parquet(graft.streaming.StoreFs.dataDir(s, store)), estThreshold = 0.5)
       .orderBy("doc_id")
   }
 
@@ -363,7 +363,7 @@ object DedupQueries {
     val store = ensureSigStore(s, d)
     Dedup.incrementalClusterClosure(
         documents(s, d).filter(col("doc_id") % 10 >= 8),
-        s.read.parquet(store), estThreshold = 0.5)
+        s.read.parquet(graft.streaming.StoreFs.dataDir(s, store)), estThreshold = 0.5)
       .orderBy("doc_id")
   }
 
@@ -660,7 +660,7 @@ object DedupQueries {
       WHERE w.doc_id % 10 >= 8
       ORDER BY w.doc_id""")
   ) { (s, d) =>
-    val store = s.read.parquet(ensureGramStore(s, d))
+    val store = s.read.parquet(graft.streaming.StoreFs.dataDir(s, ensureGramStore(s, d)))
     Dedup.exactSubstringSpansIncremental(
         documents(s, d).filter(col("doc_id") % 10 >= 8), store, k = EsK)
       .orderBy("doc_id")

@@ -449,7 +449,7 @@ object EventQueries {
     // (ADVICE r10) — it reproduces the oracle's (tus, event_id) order
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("change_seq")
-    s.read.parquet(s"${ensureStreamScd2Store(s, d)}/changes")
+    s.read.parquet(graft.streaming.StoreFs.dataDir(s, s"${ensureStreamScd2Store(s, d)}/changes"))
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
       .select(col("user_id"), col("state"), col("valid_from_us"),
         col("valid_to_us"),
@@ -614,9 +614,9 @@ object EventQueries {
   ) { (s, d) =>
     val p = ensureMartStores(s, d)
     graft.operators.Funnels.martFromReaches(
-      s.read.parquet(s"$p/steps").filter(col("user_id") >= 0L),
-      s.read.parquet(s"$p/cells").filter(col("user_id") >= 0L),
-      s.read.parquet(s"$p/pairs").filter(col("user_id") >= 0L),
+      s.read.parquet(graft.streaming.StoreFs.dataDir(s, s"$p/steps")).filter(col("user_id") >= 0L),
+      s.read.parquet(graft.streaming.StoreFs.dataDir(s, s"$p/cells")).filter(col("user_id") >= 0L),
+      s.read.parquet(graft.streaming.StoreFs.dataDir(s, s"$p/pairs")).filter(col("user_id") >= 0L),
       FunnelSteps)
   }
 

@@ -220,7 +220,7 @@ object RetrievalQueries {
              CAST(SUM(tf) AS BIGINT) AS tf_total
       FROM f GROUP BY term ORDER BY term""")
   ) { (s, d) =>
-    s.read.parquet(s"${ensureIndexStore(s, d)}/postings")
+    s.read.parquet(graft.streaming.StoreFs.dataDir(s, s"${ensureIndexStore(s, d)}/postings"))
       .filter(col("term").startsWith(PrefixQ))
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
@@ -841,7 +841,7 @@ object RetrievalQueries {
       WHERE n.vec_id % 10 >= 8
       ORDER BY n.vec_id""")
   ) { (s, d) =>
-    val store = s.read.parquet(ensureCodeStore(s, d))
+    val store = s.read.parquet(graft.streaming.StoreFs.dataDir(s, ensureCodeStore(s, d)))
     Quantization.semanticDedupFromStore(
         embeddings(s, d).filter(col("vec_id") % 10 >= 8), store,
         maxBits = SimilarityQueries.DedupMaxBits, dim = SimilarityQueries.Dim)

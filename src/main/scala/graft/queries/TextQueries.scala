@@ -520,7 +520,7 @@ object TextQueries {
       SELECT doc_id, n_feats, imp_mu, gkey, gkey >= thr.t AS selected
       FROM gk, thr ORDER BY doc_id""")
   ) { (s, d) =>
-    val store = s.read.parquet(ensureDsirStore(s, d))
+    val store = s.read.parquet(graft.streaming.StoreFs.dataDir(s, ensureDsirStore(s, d)))
     Curation.dsirSelectIncremental(
         documents(s, d).filter(col("doc_id") % 10 >= 8),
         isTarget = col("lang") === "en", store)

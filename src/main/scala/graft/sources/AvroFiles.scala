@@ -193,10 +193,19 @@ object AvroFiles {
             w.append(rec)
           }
           w.close()
-          // commit: last successful attempt wins the deterministic name
-          fs.delete(target, false)
-          if (!fs.rename(tmp, target))
-            throw new java.io.IOException(s"avro commit failed: $tmp -> $target")
+          // commit: FIRST successful attempt wins the deterministic
+          // name. Never delete-then-rename (ADVICE r10): with
+          // speculative execution a losing attempt could delete the
+          // winner's committed file and be killed before its own
+          // rename, leaving the partition's output missing while the
+          // job reports success. Attempts write identical content
+          // (same partition iterator), so an existing target IS the
+          // committed output — drop our tmp and report success.
+          if (!fs.rename(tmp, target)) {
+            if (fs.exists(target)) fs.delete(tmp, false)
+            else throw new java.io.IOException(
+              s"avro commit failed: $tmp -> $target")
+          }
           committed = true
         } finally {
           if (!committed) { try w.close() catch { case _: Throwable => () } }
@@ -241,6 +250,13 @@ private[sources] class AvroTable(dir: String, schema: StructType,
     new AvroScanBuilder(dir, schema, spark)
 }
 
+/** Column pruning only — NO filter pushdown (deliberate): Avro is a
+  * row-major container with no row-group statistics, so a pushed
+  * predicate could never skip I/O the way parquet min/max pruning
+  * does; it would only move the same per-row evaluation from Spark's
+  * codegen'd filter (where it vectorizes) into the reader loop.
+  * Pruned columns DO pay: the decoder skips unprojected fields
+  * without materializing them. */
 private[sources] class AvroScanBuilder(dir: String, full: StructType,
                                        spark: org.apache.spark.sql.SparkSession)
     extends ScanBuilder with SupportsPushDownRequiredColumns {

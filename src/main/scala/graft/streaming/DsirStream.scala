@@ -77,7 +77,8 @@ object DsirStream {
       // and the default single-file schema pick could hide batch_id —
       // breaking both the self-exclusion filter and the append
       // anti-join on replay (the IndexIngest ADVICE-r8 window)
-      val raw = spark.read.option("mergeSchema", "true").parquet(storePath)
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(StoreFs.dataDir(spark, storePath))
       if (raw.columns.contains("batch_id")) raw
       else raw.withColumn("batch_id", lit(-1L))
     }
@@ -108,7 +109,8 @@ object DsirStream {
         tagged.join(readStore().select("batch_id", "b"),
           Seq("batch_id", "b"), "left_anti")
       else tagged
-    if (storeExists) toAppend.write.mode("append").parquet(storePath)
+    if (storeExists) toAppend.write.mode("append")
+      .parquet(StoreFs.dataDir(spark, storePath))
     else toAppend.write.mode("overwrite").parquet(storePath)
     StoreFs.writeMarker(spark, storePath, batchId)
     onBatch(decisions, batchId)

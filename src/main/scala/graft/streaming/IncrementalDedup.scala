@@ -72,7 +72,9 @@ object IncrementalDedup {
         val dec =
           if (storeExists)
             Dedup.incrementalClusterClosure(
-              batch, spark.read.parquet(storePath), estThreshold)
+              batch,
+              spark.read.parquet(StoreFs.dataDir(spark, storePath)),
+              estThreshold)
           else Dedup.clusterClosureDecisions(batch, estThreshold)
         dec.select(col("doc_id"), (lit(1) - col("kept")).as("dropped"))
       } else {
@@ -81,7 +83,9 @@ object IncrementalDedup {
         val vsStore =
           if (storeExists)
             Dedup.incrementalDropDecisionsFromStore(
-              batch, spark.read.parquet(storePath), estThreshold)
+              batch,
+              spark.read.parquet(StoreFs.dataDir(spark, storePath)),
+              estThreshold)
               .withColumnRenamed("dropped", "dropped_store")
           else batch.select(col("doc_id"), lit(0).as("dropped_store"))
         inBatch.withColumnRenamed("dropped", "dropped_batch")
@@ -101,10 +105,12 @@ object IncrementalDedup {
     val sigs = Dedup.minhashSignatures(kept)
     val toAppend =
       if (storeExists)
-        sigs.join(spark.read.parquet(storePath).select("doc_id"),
+        sigs.join(spark.read.parquet(StoreFs.dataDir(spark, storePath))
+            .select("doc_id"),
           Seq("doc_id"), "left_anti")
       else sigs
-    toAppend.write.mode("append").parquet(storePath)
+    toAppend.write.mode("append")
+      .parquet(StoreFs.dataDir(spark, storePath))
     StoreFs.writeMarker(spark, storePath, batchId)
     onBatch(decisions, batchId)
     graft.core.Caches.releaseAll()

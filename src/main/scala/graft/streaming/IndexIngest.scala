@@ -75,7 +75,8 @@ object IndexIngest {
           // see every row as the sentinel and re-append the batch
           // (duplicate postings ⇒ inflated tf). Compaction now also
           // writes a literal −1 tag, but merge keeps pre-fix stores safe.
-          val raw = spark.read.option("mergeSchema", "true").parquet(dir)
+          val raw = spark.read.option("mergeSchema", "true")
+            .parquet(StoreFs.dataDir(spark, dir))
           val visible =
             if (raw.columns.contains("batch_id")) raw
             else raw.withColumn("batch_id", lit(-1L))
@@ -84,7 +85,7 @@ object IndexIngest {
               .select((keys :+ "batch_id").map(col): _*),
             keys :+ "batch_id", "left_anti")
         } else tagged
-      novel.write.mode("append").parquet(dir)
+      novel.write.mode("append").parquet(StoreFs.dataDir(spark, dir))
     }
 
     appendDedup(p.select(col("doc_id"), col("dl")), "doclen",

@@ -79,8 +79,9 @@ object SemanticDedupStream {
     val raw =
       if (storeExists)
         Quantization.semanticDedupFromStore(
-          batch, spark.read.parquet(storePath), maxBits, dim,
-          tauNumSq, tauDenSq)
+          batch,
+          spark.read.parquet(StoreFs.dataDir(spark, storePath)),
+          maxBits, dim, tauNumSq, tauDenSq)
       else
         Quantization.semanticDedupAuto(batch, targetOcc, maxBits, dim,
           tauNumSq, tauDenSq)
@@ -94,9 +95,12 @@ object SemanticDedupStream {
       // only the not-yet-stored survivors makes the append idempotent
       // AND heals partial appends (the missing remainder lands).
       Quantization.appendToCodeStore(
-        kept.join(spark.read.parquet(storePath).select("vec_id"),
+        kept.join(
+          spark.read.parquet(StoreFs.dataDir(spark, storePath))
+            .select("vec_id"),
           Seq("vec_id"), "left_anti"),
-        spark.read.parquet(storePath), storePath, maxBits, dim)
+        spark.read.parquet(StoreFs.dataDir(spark, storePath)),
+        storePath, maxBits, dim)
     else
       // bootstrap: the mask is frozen from the FULL batch's corpus count —
       // the same count semanticDedupAuto derived its cells from. Freezing

@@ -17,6 +17,72 @@ private[graft] object StoreFs {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
+  // ---- generational layout (VERDICT r10 #1) -------------------------
+  //
+  // A compacted store is laid out as VERSIONED GENERATION directories
+  // under the store root, with the live one named by atomically-created
+  // commit-marker files:
+  //
+  //   <dir>/_gen-00000001/  part-*.parquet, _graft_batch_*, _graft_sealed
+  //   <dir>/_gen-00000002/  ...
+  //   <dir>/_graft_commit_1   _graft_commit_2    (empty; create = flip)
+  //
+  // Readers resolve the HIGHEST committed generation ([[dataDir]], one
+  // listing RPC) and read inside it; the compactor writes the next
+  // generation FULLY, copies replay markers across, then creates one
+  // commit marker — a single atomic object creation, no rename of data
+  // anywhere in the path. This closes both hazards of the old
+  // rename-in-place swap: the store-absent window between its two
+  // renames (a concurrent serve threw FILE_NOT_EXIST), and the
+  // documented S3 non-atomic-rename hazard (rename there is
+  // copy+delete — a minutes-long window at 100 TB store sizes). An
+  // in-flight reader that resolved generation N keeps a complete,
+  // untouched N until the GRACE expires: GC runs at each commit and
+  // deletes only generations older than the PREVIOUS one, so a reader
+  // must survive two full compaction cadences before its files can
+  // disappear — at production cadences (hours), no query lives that
+  // long. A store never compacted stays a plain flat parquet directory
+  // ("generation 0"): [[dataDir]] falls back to the root, so every
+  // pre-existing store reads unchanged. The `_gen-*`/`_graft_*` names
+  // start with '_' deliberately — Spark's file index hides them, so
+  // even an unresolved read of the root never mistakes a generation
+  // directory for a data partition.
+
+  private val GenPrefix = "_gen-"
+  private val CommitPrefix = "_graft_commit_"
+
+  /** The highest committed generation number, or None for a flat
+    * (never-compacted) store. One listing RPC; absent dir → None. */
+  private def maxCommitted(fs: FileSystem, p: Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(CommitPrefix))
+      .map(_.stripPrefix(CommitPrefix).toLong)
+      .maxOption
+
+  private def genPath(p: Path, n: Long): Path =
+    new Path(p, f"$GenPrefix$n%08d")
+
+  /** Resolve a store directory to the directory its DATA actually
+    * lives in: the highest committed generation, or the root itself
+    * for a flat store. Every read of and append to a compactable store
+    * goes through this — an append routed to the root of a
+    * generational store would be invisible to resolved readers. */
+  def dataDir(spark: SparkSession, dir: String): String = {
+    val (fs, p) = fsAndPath(spark, dir)
+    maxCommitted(fs, p).map(genPath(p, _).toString).getOrElse(dir)
+  }
+
+  /** [[dataDir]] as a (FileSystem, Path) pair — the marker layer
+    * resolves the same way the data layer does: replay markers and the
+    * seal live INSIDE the live generation and ride the flips. */
+  private def resolvedFsPath(spark: SparkSession,
+                             dir: String): (FileSystem, Path) = {
+    val (fs, p) = fsAndPath(spark, dir)
+    (fs, maxCommitted(fs, p).map(genPath(p, _)).getOrElse(p))
+  }
+
   /** Has `batchId`'s append been recorded — either its own
     * `_graft_batch_<id>` marker, or a compaction's `_graft_sealed`
     * watermark covering id ≤ its recorded value? The watermark is
@@ -26,9 +92,18 @@ private[graft] object StoreFs {
     * the seal covers. Cost per call: two bounded RPCs (exists + a
     * ≤ 32-byte read), never a directory listing — the markers live
     * beside the data files of a store that can hold thousands of
-    * objects. */
+    * objects.
+    *
+    * CONTRACT — one checkpoint per store (ADVICE r10): the watermark
+    * compares RAW foreachBatch ids, which restart at 0 for every fresh
+    * checkpoint. Pointing a NEW stream (new checkpoint) at an existing
+    * sealed store would make its batches 0..seal silently no-op here.
+    * A store is owned by exactly one streaming query + checkpoint for
+    * its lifetime; to re-ingest into an existing store from a new
+    * stream, use the `batchId = None` batch-append forms (no marker
+    * fast path — they anti-join instead), or rebuild the store. */
   def markerExists(spark: SparkSession, dir: String, batchId: Long): Boolean = {
-    val (fs, p) = fsAndPath(spark, dir)
+    val (fs, p) = resolvedFsPath(spark, dir)
     fs.exists(new Path(p, s"_graft_batch_$batchId")) ||
       sealedThrough(fs, p).exists(batchId <= _)
   }
@@ -55,87 +130,103 @@ private[graft] object StoreFs {
 
   /** Record that `batchId`'s append landed (idempotent overwrite). */
   def writeMarker(spark: SparkSession, dir: String, batchId: Long): Unit = {
-    val (fs, p) = fsAndPath(spark, dir)
+    val (fs, p) = resolvedFsPath(spark, dir)
     fs.create(new Path(p, s"_graft_batch_$batchId"), true).close()
   }
 
-  /** Atomic-swap rewrite of a store directory: `writeTo` materializes
-    * the new generation into a sibling `._compact_tmp` directory; only
-    * after it completes is the live directory renamed aside and the new
-    * one renamed into place, and the old generation is deleted LAST. A
-    * crash mid-`writeTo` leaves the live store untouched (stale tmp is
-    * reclaimed on the next call); a crash between the two renames leaves
-    * a complete copy at `._compact_old` — recoverable by hand — instead
-    * of the in-place overwrite's empty directory, which IncrementalDedup
-    * would silently treat as a fresh corpus and re-admit every
-    * duplicate. Renames are metadata-only on HDFS/local FS; the
-    * store-absent window is two namespace ops, never a data copy.
+  /** Generation-pointer rewrite of a store directory (VERDICT r10 #1):
+    * `writeTo` materializes the new generation FULLY into the next
+    * `_gen-<N>` directory, replay markers are copied across, and the
+    * flip is ONE atomic commit-marker creation — a reader can race this
+    * at any point and always resolves a complete generation (the old
+    * one until the marker lands, the new one after); there is no
+    * store-absent window and no data rename, so the contract holds on
+    * S3 exactly as on HDFS/local.
     *
-    * `_graft_batch_<id>` replay markers are CARRIED ACROSS the swap
-    * (copied into the new generation before the rename): a streaming
+    * Crash windows: mid-`writeTo` (or before the commit marker) leaves
+    * an uncommitted `_gen-<N>` that readers never see — the next call
+    * reclaims and rewrites it; after the commit marker, the flip is
+    * complete and only GC remains, which the next call also finishes.
+    * GC keeps the IMMEDIATELY PREVIOUS generation as the in-flight
+    * readers' grace window and deletes anything older, including the
+    * original flat ("generation 0") files once generation 2 commits.
+    *
+    * `_graft_batch_<id>` replay markers are CARRIED ACROSS the flip
+    * (copied into the new generation before the commit): a streaming
     * ingest whose batch was appended (marker written) but whose
     * checkpoint had not yet committed when compaction ran still hits
     * the marker fast path on restart — without this, the replay would
     * re-append every row of that batch onto the compacted generation
-    * and duplicate its natural keys (ADVICE r9). */
+    * and duplicate its natural keys (ADVICE r9). The `_graft_sealed`
+    * watermark rides across the same way (bytes, not just the name). */
   def swapInCompacted(spark: SparkSession, dir: String)
                      (writeTo: String => Unit): Unit = {
     val (fs, p) = fsAndPath(spark, dir)
-    val tmp = new Path(p.getParent, p.getName + "._compact_tmp")
-    val old = new Path(p.getParent, p.getName + "._compact_old")
-    fs.delete(tmp, true)
-    fs.delete(old, true)
-    writeTo(tmp.toString)
-    if (fs.exists(p)) {
-      fs.listStatus(p).map(_.getPath.getName)
+    val curN = maxCommitted(fs, p).getOrElse(0L)
+    val cur = if (curN == 0L) p else genPath(p, curN)
+    val next = genPath(p, curN + 1L)
+    fs.delete(next, true) // a crashed predecessor's uncommitted attempt
+    writeTo(next.toString)
+    if (fs.exists(cur)) {
+      fs.listStatus(cur).map(_.getPath.getName)
         .filter(_.startsWith("_graft_batch_"))
-        .foreach(n => fs.create(new Path(tmp, n), true).close())
-      // the seal carries CONTENT (the sealed-through id) — copy bytes,
-      // not just the name
-      sealedThrough(fs, p).foreach(writeSeal(fs, tmp, _))
+        .foreach(n => fs.create(new Path(next, n), true).close())
+      sealedThrough(fs, cur).foreach(writeSeal(fs, next, _))
     }
-    if (fs.exists(p) && !fs.rename(p, old))
-      throw new java.io.IOException(s"compact: could not move $p aside")
-    if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // best-effort restore of the live generation
-      throw new java.io.IOException(s"compact: could not move $tmp into place")
-    }
-    fs.delete(old, true)
+    // the flip: one atomic object creation — readers resolve the new
+    // generation from this instant on
+    fs.create(new Path(p, s"$CommitPrefix${curN + 1L}"), true).close()
+    gcGenerations(fs, p, keepFrom = curN)
   }
 
-  /** Seal every batch tag PRESENT IN THE STORE under one
-    * `_graft_sealed_<maxId>` watermark — called by compactors before
-    * the tag-collapsing rewrite (ADVICE r10): an append whose rows
-    * committed but whose marker write was lost (the one crash window
-    * the row-level anti-join covers) is healed pre-compaction by the
-    * anti-join seeing its tagged rows; post-compaction the tags are
-    * folded into the −1 sentinel, so the replay guard must exist
-    * BEFORE the fold or a checkpoint replay of that batch re-appends
-    * every row. One watermark file covers every id ≤ max (sound per
-    * the [[markerExists]] sequential-commit argument), and the
-    * now-redundant per-batch `_graft_batch_*` markers are cleaned up —
-    * marker count stays O(1) instead of growing with stream lifetime
-    * (a year of 5-minute batches is ~10⁵ marker files otherwise).
-    * Idempotent. */
-  def sealTagMarkers(spark: SparkSession, dir: String,
-                     markerDir: Option[String] = None): Unit = {
-    if (!storeExists(spark, dir)) return
-    val src = spark.read.option("mergeSchema", "true").parquet(dir)
-    if (!src.columns.contains("batch_id")) return
-    // the tagless base generation reads its tag as NULL under
-    // mergeSchema — only real (≥ 0) batch ids count
+  /** Delete generations (and their commit markers) older than
+    * `keepFrom` — the grace policy: the previous generation survives
+    * one full compaction cadence for in-flight readers. Once a
+    * generational commit exists, stray flat data files at the root
+    * (the pre-generational "generation 0", already past its grace when
+    * keepFrom ≥ 1) are reclaimed too, as are root-level markers that
+    * were copied into the live generation at its flip. */
+  private def gcGenerations(fs: FileSystem, p: Path, keepFrom: Long): Unit = {
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        (n.startsWith(GenPrefix) &&
+          n.stripPrefix(GenPrefix).toLong < math.max(keepFrom, 1L)) ||
+        (n.startsWith(CommitPrefix) &&
+          n.stripPrefix(CommitPrefix).toLong < math.max(keepFrom, 1L)) ||
+        // generation-0 flat remnants: reclaim once their grace expired
+        (keepFrom >= 1L && !n.startsWith(GenPrefix) &&
+          !n.startsWith(CommitPrefix))
+      if (stale) fs.delete(st.getPath, true)
+      ()
+    }
+  }
+
+  /** The maximum REAL (≥ 0) batch tag present in a store directory —
+    * the tagless base generation reads its tag as NULL under
+    * mergeSchema and the compacted sentinel is −1; neither counts.
+    * None when the store is absent, tagless, or carries no real tag. */
+  private[graft] def maxRealTag(spark: SparkSession,
+                                dir: String): Option[Long] = {
+    if (!storeExists(spark, dir)) return None
+    val src = spark.read.option("mergeSchema", "true")
+      .parquet(dataDir(spark, dir))
+    if (!src.columns.contains("batch_id")) return None
     val ids = src.select("batch_id").distinct().collect()
       .filter(!_.isNullAt(0)).map(_.getLong(0)).filter(_ >= 0L)
-    if (ids.isEmpty) return
-    val (fs, p) = fsAndPath(spark, markerDir.getOrElse(dir))
-    val newSeal = math.max(ids.max, sealedThrough(fs, p).getOrElse(-1L))
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Raise the seal watermark to cover `id` and reclaim the per-batch
+    * markers it subsumes. Markers ABOVE the seal must stay: a
+    * marker-only batch (all rows gated out or duplicate — a marker
+    * written, no tagged rows landed) has an id past every store tag,
+    * and deleting its marker would make a checkpoint replay re-emit
+    * that batch downstream (the at-most-once guard the
+    * marker-before-emit ordering exists for). */
+  private def raiseSealAndClean(fs: FileSystem, p: Path, id: Long): Unit = {
+    val newSeal = math.max(id, sealedThrough(fs, p).getOrElse(-1L))
     writeSeal(fs, p, newSeal)
-    // per-batch markers AT OR BELOW the seal are subsumed — reclaim
-    // them. Markers ABOVE it must stay: a marker-only batch (all rows
-    // gated out or duplicate — a marker written, no tagged rows landed)
-    // has an id past every store tag, and deleting its marker would
-    // make a checkpoint replay re-emit that batch downstream (the
-    // at-most-once guard the marker-before-emit ordering exists for).
     fs.listStatus(p).map(_.getPath).foreach { f =>
       val n = f.getName
       if (n.startsWith("_graft_batch_") &&
@@ -145,12 +236,71 @@ private[graft] object StoreFs {
     }
   }
 
-  /** Does the directory hold a parquet store (data files or _SUCCESS)? */
+  /** Seal every batch tag PRESENT IN THE STORE under the fixed-name
+    * `_graft_sealed` watermark file (whose CONTENT is the
+    * sealed-through id — see [[sealedThrough]]) — called by SINGLE
+    * TABLE compactors before the tag-collapsing rewrite (ADVICE r10):
+    * an append whose rows committed but whose marker write was lost
+    * (the one crash window the row-level anti-join covers) is healed
+    * pre-compaction by the anti-join seeing its tagged rows;
+    * post-compaction the tags are folded into the −1 sentinel, so the
+    * replay guard must exist BEFORE the fold or a checkpoint replay of
+    * that batch re-appends every row. One watermark covers every id ≤
+    * max (sound per the [[markerExists]] sequential-commit argument —
+    * and, for a single table, a present tag proves the whole batch
+    * landed, because each batch is one atomic write job); the
+    * now-redundant per-batch `_graft_batch_*` markers are cleaned up —
+    * marker count stays O(1) instead of growing with stream lifetime
+    * (a year of 5-minute batches is ~10⁵ marker files otherwise).
+    * Idempotent. Multi-table stores (several sub-directories appended
+    * per batch under ONE marker root) must use [[sealTagMarkersMulti]]
+    * instead — sealing from a single sub's tags would cover a torn
+    * batch whose other subs never landed (ADVICE r10, medium). */
+  def sealTagMarkers(spark: SparkSession, dir: String,
+                     markerDir: Option[String] = None): Unit =
+    maxRealTag(spark, dir).foreach { maxId =>
+      val (fs, p) = resolvedFsPath(spark, markerDir.getOrElse(dir))
+      raiseSealAndClean(fs, p, maxId)
+    }
+
+  /** The multi-table seal: a store whose ingest appends SEVERAL
+    * sub-directories per batch (e.g. the index store's doclen /
+    * postings / positions) writes its marker only after ALL subs
+    * landed, so a tag present in ONE sub proves nothing about the
+    * others — a crash between sub-appends leaves a torn frontier
+    * batch. Sealing from any single sub would cover that frontier and
+    * make its replay a no-op, permanently losing the unlanded subs'
+    * rows (ADVICE r10, medium). Seal instead through the id FULLY
+    * LANDED IN EVERY SUB: min over subs of each sub's max tag (each
+    * sub-append is one atomic write job, so a present tag proves that
+    * sub's batch committed; sequential foreachBatch commits prove every
+    * smaller id committed everywhere). Computed ONCE for the whole
+    * store BEFORE any sub compacts. Returns the sealed-through id so
+    * compactors can fold exactly the tags the seal covers and PRESERVE
+    * the frontier's tags for the replay anti-join to heal. A sub with
+    * no real tag (fresh, fully compacted, or an all-empty-doc batch
+    * pattern) vetoes any raise — conservative: the per-batch markers
+    * above the existing seal all stay. */
+  def sealTagMarkersMulti(spark: SparkSession, markerRoot: String,
+                          subDirs: Seq[String]): Option[Long] = {
+    val (fs, p) = resolvedFsPath(spark, markerRoot)
+    val maxPerSub = subDirs.map(maxRealTag(spark, _))
+    if (maxPerSub.nonEmpty && maxPerSub.forall(_.isDefined))
+      raiseSealAndClean(fs, p, maxPerSub.flatten.min)
+    sealedThrough(fs, p)
+  }
+
+  /** Does the directory hold a parquet store (data files or _SUCCESS),
+    * in its live generation for a generational store or at the root
+    * for a flat one? A cell-partitioned store's files live one level
+    * down (inside `ivf_cell=N` directories), so partition directories
+    * count as data too. */
   def storeExists(spark: SparkSession, dir: String): Boolean = {
-    val (fs, p) = fsAndPath(spark, dir)
+    val (fs, p) = resolvedFsPath(spark, dir)
     fs.exists(p) && fs.listStatus(p).exists { st =>
       val n = st.getPath.getName
-      n == "_SUCCESS" || n.endsWith(".parquet")
+      n == "_SUCCESS" || n.endsWith(".parquet") ||
+        (st.isDirectory && !n.startsWith("_") && !n.startsWith("."))
     }
   }
 }

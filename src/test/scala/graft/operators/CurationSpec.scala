@@ -733,11 +733,12 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       .agg(sum("ct").as("ct"), sum("cr").as("cr")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     Curation.compactDsirStore(spark, p1)
-    val post = spark.read.parquet(p1).collect()
+    val live1 = graft.streaming.StoreFs.dataDir(spark, p1)
+    val post = spark.read.parquet(live1).collect()
       .map(r => r.getAs[Long]("b") ->
         ((r.getAs[Long]("ct"), r.getAs[Long]("cr")))).toMap
     assert(post == pre, "compaction must preserve per-bucket totals")
-    assert(spark.read.parquet(p1).count() == pre.size, "one row per bucket")
+    assert(spark.read.parquet(live1).count() == pre.size, "one row per bucket")
     // streaming layout: batch tags collapse to the -1 sentinel
     val p2 = java.nio.file.Files.createTempDirectory("dsircompact2").toString
     Curation.dsirCounts(d1, isTarget = col("doc_id") === 1L)
@@ -747,7 +748,9 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       .withColumn("batch_id", lit(1L)).select("batch_id", "b", "ct", "cr")
       .write.mode("append").parquet(p2)
     Curation.compactDsirStore(spark, p2)
-    val tags = spark.read.parquet(p2).select("batch_id").distinct()
+    val tags = spark.read
+      .parquet(graft.streaming.StoreFs.dataDir(spark, p2))
+      .select("batch_id").distinct()
       .collect().map(_.getLong(0)).toSeq
     assert(tags == Seq(-1L), s"compacted stream store must carry the sentinel, got $tags")
   }

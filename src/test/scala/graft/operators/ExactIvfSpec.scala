@@ -139,9 +139,33 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
     assert(served(path, queries, k = 20, nprobe0 = 2) == expect,
       "crash-before-marker replay must heal, not duplicate")
     // the bound-safety order: r2max can only have grown
-    val r2 = spark.read.parquet(s"$path/cells")
+    val r2 = spark.read
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
       .agg(org.apache.spark.sql.functions.min("r2max")).head.getLong(0)
     assert(r2 >= 0L)
+  }
+
+  test("a vec_id re-ingested in a LATER batch drops: no duplicate rows inside top-k (ADVICE r10)") {
+    val vecs = fixture(240)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-xbatch-test-").toString
+    ExactIvf.writeVecStore(vecs.filter(col("doc_id") < 200), path,
+      nCells = 8, iters = 1)
+    // batch 1 appends 200..239; batch 2 re-ingests an OVERLAP
+    // (220..239) plus nothing new — before the cross-batch anti-join,
+    // each overlapped vec_id landed twice and served twice inside top-k
+    ExactIvf.appendToVecStore(spark,
+      vecs.filter(col("doc_id") >= 200), path, batchId = Some(1L))
+    ExactIvf.appendToVecStore(spark,
+      vecs.filter(col("doc_id") >= 220), path, batchId = Some(2L))
+    val n = spark.read.parquet(s"$path/vecs")
+      .select("vec_id").distinct().count()
+    assert(spark.read.parquet(s"$path/vecs").count() == n,
+      "every vec_id must appear exactly once across generations")
+    val queries = Seq((1L, 230L), (2L, 5L))
+    assert(served(path, queries, k = 25, nprobe0 = 2) ==
+      brute(vecs, queries, k = 25),
+      "serving must stay exact under cross-batch re-ingest")
   }
 
   test("compaction preserves answers, partition layout and the -1 sentinel") {
@@ -157,15 +181,16 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
     ExactIvf.compactVecStore(spark, path)
     assert(served(path, queries, k = 15, nprobe0 = 2) == before,
       "compaction must not change a single answer")
-    val compacted = spark.read.parquet(s"$path/vecs")
+    val liveVecs = graft.streaming.StoreFs.dataDir(spark, s"$path/vecs")
+    val compacted = spark.read.parquet(liveVecs)
     assert(compacted.select("batch_id").distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(-1L))
     assert(compacted.columns.contains("ivf_cell"),
       "the cell partition layout must survive compaction")
-    // the sealed watermark rides across the swap: a replay of batch 1
+    // the sealed watermark rides across the flip: a replay of batch 1
     // appends nothing
     assert(java.nio.file.Files.readString(
-      new java.io.File(s"$path/vecs", "_graft_sealed").toPath).trim == "1")
+      new java.io.File(liveVecs, "_graft_sealed").toPath).trim == "1")
     ExactIvf.appendToVecStore(spark,
       vecs.filter(col("doc_id") % 10 >= 7), path, batchId = Some(1L))
     assert(served(path, queries, k = 15, nprobe0 = 2) == before)

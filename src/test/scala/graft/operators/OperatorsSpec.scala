@@ -581,7 +581,7 @@ class OperatorsSpec extends AnyFunSuite with SparkTest {
       .agg(sum("cnt").as("c")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     Dedup.compactGramStore(spark, store)
-    val post = spark.read.parquet(store).collect()
+    val post = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, store)).collect()
       .map(r => r.getString(0) -> r.getLong(1))
     assert(post.length == preTotals.size, "one row per gram after compaction")
     assert(post.toMap == preTotals, "compaction must preserve totals")

@@ -150,6 +150,40 @@ class PqSpec extends AnyFunSuite with SparkTest {
       "crash-before-marker replay must heal, not duplicate")
   }
 
+  test("a vec_id re-ingested in a LATER batch drops — PQ and IVFADC (ADVICE r10)") {
+    // cross-batch unique ids: encode is deterministic under the frozen
+    // quantizers, so a re-ingest would land duplicate (vec_id, sub)
+    // rows and double-count those subspaces in every ADC sum
+    val pqPath = java.nio.file.Files
+      .createTempDirectory("graft-pq-xbatch-test-").toString
+    Pq.writePqStore(emb.filter(col("vec_id") % 10 < 6), pqPath,
+      M, Dim, nCents = 8, iters = 1)
+    Pq.appendToPqStore(spark,
+      emb.filter(col("vec_id") % 10 >= 6), pqPath, M, Dim,
+      batchId = Some(1L))
+    Pq.appendToPqStore(spark,
+      emb.filter(col("vec_id") % 10 >= 8), pqPath, M, Dim,
+      batchId = Some(2L)) // overlaps batch 1 entirely
+    val pqCodes = spark.read.option("mergeSchema", "true")
+      .parquet(s"$pqPath/codes").select("vec_id", "sub")
+    assert(pqCodes.count() == pqCodes.distinct().count(),
+      "PQ store must hold exactly one row per (vec_id, sub)")
+    val ivfPath = java.nio.file.Files
+      .createTempDirectory("graft-ivfadc-xbatch-test-").toString
+    Pq.writeIvfadcStore(emb.filter(col("vec_id") % 10 < 6), ivfPath,
+      nCells = 4, M, Dim, nCents = 8, iters = 1)
+    Pq.appendToIvfadcStore(spark,
+      emb.filter(col("vec_id") % 10 >= 6), ivfPath, M, Dim,
+      batchId = Some(1L))
+    Pq.appendToIvfadcStore(spark,
+      emb.filter(col("vec_id") % 10 >= 8), ivfPath, M, Dim,
+      batchId = Some(2L))
+    val ivfCodes = spark.read.option("mergeSchema", "true")
+      .parquet(s"$ivfPath/codes").select("vec_id", "sub")
+    assert(ivfCodes.count() == ivfCodes.distinct().count(),
+      "IVFADC store must hold exactly one row per (vec_id, sub)")
+  }
+
   test("codes-store compaction preserves answers and survives further appends") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-pq-compact-test-").toString
@@ -165,7 +199,8 @@ class PqSpec extends AnyFunSuite with SparkTest {
     Pq.compactCodesStore(spark, path)
     assert(served == before, "compaction must not change a single answer")
     // one generation, sentinel-tagged — later tagged appends stay safe
-    val compacted = spark.read.parquet(s"$path/codes")
+    val compacted = spark.read
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
     assert(compacted.select("batch_id").distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(-1L))
     Pq.appendToPqStore(spark, late, path, M, Dim, batchId = Some(2L))
@@ -173,7 +208,8 @@ class PqSpec extends AnyFunSuite with SparkTest {
     val full = Pq.encode(emb, books, M, Dim).select("vec_id", "sub", "cell")
       .collect().map(_.toString).sorted.toSeq
     val stored = spark.read.option("mergeSchema", "true")
-      .parquet(s"$path/codes").select("vec_id", "sub", "cell")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
+      .select("vec_id", "sub", "cell")
       .collect().map(_.toString).sorted.toSeq
     assert(stored == full,
       "appends onto the compacted generation must keep full-encode parity")
@@ -221,18 +257,20 @@ class PqSpec extends AnyFunSuite with SparkTest {
     // (ADVICE r10), or the replay below re-appends the whole batch
     // onto the compacted generation
     Pq.compactCodesStore(spark, path)
+    val liveDir = graft.streaming.StoreFs.dataDir(spark, s"$path/codes")
     assert(java.nio.file.Files.readString(
-        new java.io.File(s"$path/codes", "_graft_sealed").toPath).trim == "3",
+        new java.io.File(liveDir, "_graft_sealed").toPath).trim == "3",
       "compaction must seal folded batch tags under the watermark marker")
     // marker state stays O(1): the seal subsumes per-batch markers
-    assert(!new java.io.File(s"$path/codes").listFiles()
+    assert(!new java.io.File(liveDir).listFiles()
       .exists(_.getName.startsWith("_graft_batch_")),
       "per-batch markers must be reclaimed once sealed")
-    val before = spark.read.parquet(s"$path/codes")
+    val before = spark.read.parquet(liveDir)
       .select("vec_id", "sub", "cell")
       .collect().map(_.toString).sorted.toSeq
     Pq.appendToPqStore(spark, batch, path, M, Dim, batchId = Some(3L))
-    val after = spark.read.parquet(s"$path/codes")
+    val after = spark.read
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
       .select("vec_id", "sub", "cell")
       .collect().map(_.toString).sorted.toSeq
     assert(after == before,
@@ -248,11 +286,14 @@ class PqSpec extends AnyFunSuite with SparkTest {
     Pq.appendToPqStore(spark, batch, path, M, Dim, batchId = Some(7L))
     Pq.compactCodesStore(spark, path)
     // the per-batch marker is subsumed by the O(1) sealed watermark,
-    // which must ride across the compaction swap
+    // which must ride across the generational flip
     assert(java.nio.file.Files.readString(
-        new java.io.File(s"$path/codes", "_graft_sealed").toPath).trim == "7",
-      "the sealed watermark (with its id) must ride across the compaction swap")
-    val before = spark.read.parquet(s"$path/codes")
+        new java.io.File(
+          graft.streaming.StoreFs.dataDir(spark, s"$path/codes"),
+          "_graft_sealed").toPath).trim == "7",
+      "the sealed watermark (with its id) must ride across the compaction flip")
+    val before = spark.read
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
       .select("vec_id", "sub", "cell")
       .collect().map(_.toString).sorted.toSeq
     // the ADVICE-r9 scenario: batch 7's append landed but its streaming

@@ -104,13 +104,14 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTest {
       1L, store, 0.5, (_, _) => ())
     val probe = Seq((21L, A), (22L, C), (23L, D)).toDF("doc_id", "text")
     def decide(): Map[Long, Int] =
-      Dedup.incrementalDropDecisionsFromStore(probe, spark.read.parquet(store), 0.5)
+      Dedup.incrementalDropDecisionsFromStore(probe,
+        spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, store)), 0.5)
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val before = decide()
     assert(before == Map(21L -> 1, 22L -> 1, 23L -> 0))
     Dedup.compactSignatureStore(spark, store)
     assert(decide() == before, "compaction must not change any decision")
-    val ids = spark.read.parquet(store).select("doc_id")
+    val ids = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, store)).select("doc_id")
       .collect().map(_.getLong(0)).toSeq
     assert(ids.sorted == Seq(1L, 2L, 11L), "compaction must preserve the row set")
     // the cadence continues across a compaction: the next batch still
@@ -120,7 +121,7 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTest {
       2L, store, 0.5, (dec, _) =>
         dec2 = dec.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
     assert(dec2 == Map(31L -> 1, 32L -> 0))
-    assert(spark.read.parquet(store).select("doc_id")
+    assert(spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, store)).select("doc_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L, 32L))
   }
 

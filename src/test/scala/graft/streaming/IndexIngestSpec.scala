@@ -14,6 +14,11 @@ class IndexIngestSpec extends AnyFunSuite with SparkTest {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Resolve a (possibly generational) store sub-dir to its live data
+    * directory — raw-path reads after a compaction see the previous
+    * generation kept for in-flight readers' grace. */
+  private def live(dir: String): String = StoreFs.dataDir(spark, dir)
+
   private val b0 = Seq(
     0L -> "fast table scan on the big table",
     1L -> "spark window functions over a stream",
@@ -63,7 +68,7 @@ class IndexIngestSpec extends AnyFunSuite with SparkTest {
     // batch tags collapse to the −1 sentinel GENERATION, kept as a
     // literal column so the store schema stays uniform under later
     // tagged appends (the ADVICE-r8 mixed-schema window)
-    val compacted = spark.read.parquet(s"$store/postings")
+    val compacted = spark.read.parquet(live(s"$store/postings"))
     assert(compacted.columns.contains("batch_id"))
     assert(compacted.select("batch_id").distinct().collect()
       .map(_.getLong(0)).toSeq == Seq(-1L))
@@ -83,8 +88,10 @@ class IndexIngestSpec extends AnyFunSuite with SparkTest {
     // rows landed but the marker did not
     IndexIngest.processBatch(b1.toDF("doc_id", "text"), 1L, store)
     def counts = Seq("doclen", "postings", "positions")
-      .map(s => spark.read.parquet(s"$store/$s").count())
+      .map(s => spark.read.parquet(live(s"$store/$s")).count())
     val landed = counts
+    // markers live at the (flat) store root — the generational sub-dirs
+    // carry only data; IndexIngest's marker root is the store itself
     new java.io.File(store).listFiles()
       .filter(_.getName.startsWith("_graft_batch_")).foreach(_.delete())
     IndexIngest.processBatch(b1.toDF("doc_id", "text"), 1L, store)
@@ -109,6 +116,51 @@ class IndexIngestSpec extends AnyFunSuite with SparkTest {
     IndexIngest.processBatch(b1.toDF("doc_id", "text"), 1L, store)
     assert(counts == landed,
       "replay onto a mixed tagless+tagged store must not duplicate rows")
+  }
+
+  test("TORN multi-table append: compaction seals only fully-landed ids; replay heals the unlanded tables") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    // ADVICE r10 (medium): batch 1 crashes after doclen landed but
+    // before postings/positions. A seal computed from doclen's tags
+    // alone would cover batch 1, the replay would short-circuit, and
+    // the batch's postings/positions rows would be lost forever
+    // (silently wrong BM25/phrase answers). The multi-table seal stops
+    // at min-across-subs and compaction preserves the frontier's tags,
+    // so the replay's per-table anti-join heals each table.
+    val store = tmpDir("graft-idxingest-torn-")
+    IndexIngest.processBatch(b0.toDF("doc_id", "text"), 0L, store)
+    // simulate the torn batch-1 append: ONLY doclen lands (the exact
+    // rows IndexIngest would write), no marker
+    val p = b1.toDF("doc_id", "text")
+      .select(col("doc_id"), words(normText(col("text"))).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    p.select(col("doc_id"), col("dl")).withColumn("batch_id", lit(1L))
+      .write.mode("append").parquet(s"$store/doclen")
+    Retrieval.compactIndexStore(spark, store)
+    // the torn frontier must NOT be sealed: batch 1 is not covered
+    assert(!StoreFs.markerExists(spark, store, 1L),
+      "seal must stop at the id fully landed in ALL sub-tables")
+    // ... and its doclen tag must survive the fold for the anti-join
+    val doclenTags = spark.read.parquet(live(s"$store/doclen"))
+      .select("batch_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(doclenTags == Set(-1L, 1L))
+    // replay of batch 1: doclen appends nothing, postings/positions land
+    IndexIngest.processBatch(b1.toDF("doc_id", "text"), 1L, store)
+    assert(spark.read.parquet(live(s"$store/doclen")).count() ==
+      (b0.size + b1.size).toLong, "doclen must not duplicate")
+    val all = (b0 ++ b1).toDF("doc_id", "text")
+    val terms = Seq("table", "spark", "fast")
+    assert(rows(Retrieval.bm25TopKFromStore(spark, store, terms, 5)) ==
+      rows(Retrieval.bm25TopK(all, terms, 5)),
+      "healed store must answer exactly like the batch path")
+    assert(rows(Retrieval.phraseSearchFromStore(spark, store,
+        Seq(Seq("table", "part")), 5)) ==
+      rows(Retrieval.phraseSearch(all, Seq(Seq("table", "part")), 5)))
+    // a later compaction (store now consistent) seals through batch 1
+    Retrieval.compactIndexStore(spark, store)
+    assert(StoreFs.markerExists(spark, store, 1L))
   }
 
   test("Trigger.AvailableNow drains a file backlog then stops on its own") {

@@ -102,7 +102,8 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkTest {
     val probe = Seq((21L, axis(0)), (22L, axis(2)), (23L, axis(3)))
       .toDF("vec_id", "embedding")
     def decide(): Map[Long, Boolean] =
-      Quantization.semanticDedupFromStore(probe, spark.read.parquet(store), 8, Dim)
+      Quantization.semanticDedupFromStore(probe,
+        spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, store)), 8, Dim)
         .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     val before = decide()
     assert(before == Map(21L -> false, 22L -> false, 23L -> true))
@@ -110,7 +111,7 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkTest {
       .distinct().collect().map(_.getInt(0)).toSeq
     Quantization.compactCodeStore(spark, store)
     assert(decide() == before, "compaction must not change any decision")
-    val stored = spark.read.parquet(store)
+    val stored = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, store))
     assert(stored.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 11L), "compaction must preserve the row set")
     assert(stored.select("nbits").distinct().collect().map(_.getInt(0)).toSeq ==
@@ -124,7 +125,9 @@ class SemanticDedupStreamSpec extends AnyFunSuite with SparkTest {
       2L, store, 4, 8, Dim, (dec, _) =>
         dec2 = dec.collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap)
     assert(dec2 == Map(31L -> false, 32L -> true))
-    assert(spark.read.parquet(store).select("vec_id")
+    assert(spark.read
+      .parquet(graft.streaming.StoreFs.dataDir(spark, store))
+      .select("vec_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 11L, 32L))
   }
 
