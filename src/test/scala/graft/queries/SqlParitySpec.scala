@@ -167,4 +167,31 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
   test("q13 EMA replay closed form: SQL text == DataFrame build") {
     parity("q13_ema_replay")
   }
+
+  // ---- batch 5 (VERDICT r10 #2): the remaining portable stragglers.
+  // (The store-served tier y49–y53 runs in SqlParityStoreSpec against
+  // store-backed views.) Still excluded as structurally non-portable:
+  // y44 (ASOF JOIN syntax), x65/x73 (1-based array-literal indexing +
+  // regex flag soup), and the md5/list_* families as before.
+  test("q14 chunk roundtrip invariants: SQL text == DataFrame build") {
+    parity("q14_chunk_roundtrip")
+  }
+  test("q15 scoring weights: SQL text == DataFrame build") {
+    parity("q15_scoring_weights")
+  }
+  test("x16 cube: SQL text == DataFrame build") { parity("x16_cube") }
+  test("x17 manual pivot: SQL text == DataFrame build") { parity("x17_pivot") }
+  test("x30 window frames (ntile/percent_rank/cume_dist/nth_value): SQL text == DataFrame build") {
+    parity("x30_window_frames")
+  }
+  test("x37 salted agg: SQL text == DataFrame build") { parity("x37_salted_agg") }
+  test("x69 dataset split: SQL text == DataFrame build") {
+    parity("x69_dataset_split")
+  }
+  test("x24 part predicates: oracle text (regexp_matches mapped) == DataFrame build") {
+    // DuckDB spells boolean regex match regexp_matches; Spark
+    // regexp_like — same semantics, 1:1 rename
+    parityXform("x24_part_predicates")(
+      _.replace("regexp_matches(", "regexp_like("))
+  }
 }

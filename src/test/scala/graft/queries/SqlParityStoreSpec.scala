@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** SQL-parity batch 5 (VERDICT r10 #2): the STORE-SERVED tier. The
+  * y49–y53 oracles are exercised by the driver through DuckDB over the
+  * raw tables; a BI user of THIS engine, though, queries the persisted
+  * stores through `spark.sql` — so each test here registers the store
+  * tables as temp views and asserts that the SQL a user would type
+  * against them returns row-identical results to the DataFrame serving
+  * path (the graded query). Float discipline matches the serving code:
+  * every arithmetic chain is anchored in DOUBLE (bare float literals
+  * parse as DECIMAL in Spark SQL, whose division rounds differently),
+  * and the store-side integer columns (tf, dl, dots) keep the BIGINT
+  * contract end to end. */
+class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
+
+  private def resolved(dir: String): String =
+    graft.streaming.StoreFs.dataDir(spark, dir)
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  // ---- y50: SCD2 dimension served from the stream-built change store --
+
+  test("y50 SCD2 store: BI SQL over the changes view == DataFrame serve") {
+    val viaDf = Inventory.byName("y50_scd2_stream_store").run(spark, sfDir)
+    val path = StoreFixtures.path("graft-scd2store", sfDir, "events.parquet",
+      "scd2store2")
+    spark.read.parquet(resolved(s"$path/changes"))
+      .createOrReplaceTempView("scd2_changes")
+    val viaSql = spark.sql("""
+      SELECT user_id, state, valid_from_us, valid_to_us,
+             CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+      FROM (SELECT user_id, state, valid_from_us,
+              LEAD(valid_from_us) OVER (
+                PARTITION BY user_id ORDER BY change_seq) AS valid_to_us
+            FROM scd2_changes)
+      ORDER BY user_id, valid_from_us""")
+    assert(sortedRows(viaDf) == sortedRows(viaSql),
+      "y50: SQL over the change store and the DataFrame serve diverge")
+  }
+
+  // ---- y53: behavioral mart served from the three reach stores -------
+
+  test("y53 mart stores: BI SQL over the reach views == DataFrame serve") {
+    val viaDf = Inventory.byName("y53_mart_stream_store").run(spark, sfDir)
+    val p = StoreFixtures.path("graft-martstore", sfDir, "events.parquet",
+      "martstore1")
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(resolved(s"$p/steps")).filter(col("user_id") >= 0L)
+      .createOrReplaceTempView("mart_steps")
+    spark.read.parquet(resolved(s"$p/cells")).filter(col("user_id") >= 0L)
+      .createOrReplaceTempView("mart_cells")
+    spark.read.parquet(resolved(s"$p/pairs")).filter(col("user_id") >= 0L)
+      .createOrReplaceTempView("mart_pairs")
+    val viaSql = spark.sql("""
+      WITH spec AS (SELECT * FROM VALUES
+             (1, 'view'), (2, 'click'), (3, 'purchase') AS t(step, event_type)),
+      counts AS (SELECT step, COUNT(*) AS n_users FROM mart_steps GROUP BY step),
+      filled AS (SELECT s.step, s.event_type,
+                   COALESCE(c.n_users, CAST(0 AS BIGINT)) AS n_users
+                 FROM spec s LEFT JOIN counts c USING (step)),
+      base AS (SELECT n_users AS n0 FROM filled WHERE step = 1),
+      fun AS (SELECT 'funnel' AS section, CAST(step AS STRING) AS k1,
+                event_type AS k2, n_users AS n,
+                CASE WHEN n0 = 0 THEN CAST(NULL AS DOUBLE)
+                     ELSE ROUND(CAST(n_users AS DOUBLE) / n0, 6) END AS ratio
+              FROM filled CROSS JOIN base),
+      ret0 AS (SELECT cohort_w, week_offset, COUNT(*) AS n_active
+               FROM mart_cells GROUP BY cohort_w, week_offset),
+      ret AS (SELECT 'retention' AS section, CAST(cohort_w AS STRING) AS k1,
+                CAST(week_offset AS STRING) AS k2, n_active AS n,
+                ROUND(CAST(n_active AS DOUBLE) /
+                  MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                    OVER (PARTITION BY cohort_w), 6) AS ratio
+              FROM ret0),
+      tra0 AS (SELECT from_type, to_type, COUNT(*) AS n
+               FROM mart_pairs GROUP BY from_type, to_type),
+      tra AS (SELECT 'transition' AS section, from_type AS k1, to_type AS k2,
+                n, ROUND(CAST(n AS DOUBLE) /
+                  SUM(n) OVER (PARTITION BY from_type), 6) AS ratio
+              FROM tra0)
+      SELECT * FROM fun UNION ALL SELECT * FROM ret UNION ALL SELECT * FROM tra
+      ORDER BY section, k1, k2""")
+    assert(sortedRows(viaDf) == sortedRows(viaSql),
+      "y53: SQL over the reach stores and the DataFrame serve diverge")
+  }
+
+  // ---- y49 / y52: hybrid RRF served from index + vector stores -------
+
+  /** The BI-SQL formulation of the store-served hybrid batch: BM25 from
+    * the postings/doclen views, exact BIGINT dots from the vec view via
+    * higher-order functions, the y18 RRF fusion tail — correctness
+    * parity only (the SQL scan reads all cells; the cell PRUNING is the
+    * DataFrame path's plan-level lever, pinned in PlanShapeSpec). */
+  private val hybridStoreSql = """
+      WITH qt AS (SELECT CAST(q AS BIGINT) AS query_id, t AS term FROM VALUES
+             (1,'spark'),(1,'window'),(1,'stream'),(2,'customer'),(2,'vector')
+             AS v(q, t)),
+      qp AS (SELECT CAST(q AS BIGINT) AS query_id, CAST(p AS BIGINT) AS probe_id
+             FROM VALUES (1, 42), (2, 137) AS v(q, p)),
+      g AS (SELECT COUNT(*) AS n_docs,
+              CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM idx_doclen),
+      tf AS (SELECT term, doc_id, dl, tf FROM idx_postings
+             WHERE term IN (SELECT term FROM qt)),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      sc AS (SELECT t.term, t.doc_id, t.tf,
+               ROUND(ROUND(LN((CAST(g.n_docs AS DOUBLE) - f.df + 0.5)
+                   / (f.df + CAST(0.5 AS DOUBLE)) + 1.0), 6)
+                 * (t.tf * CAST(2.2 AS DOUBLE))
+                 / (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * t.dl / g.avgdl)), 6) AS score
+             FROM tf t JOIN df f USING (term) CROSS JOIN g),
+      lexdoc AS (SELECT qt.query_id, sc.doc_id,
+                   SUM(CAST(FLOOR(score * CAST(1000000 AS DOUBLE) + 0.5)
+                     AS BIGINT)) AS lex_int
+                 FROM sc JOIN qt USING (term) GROUP BY qt.query_id, sc.doc_id),
+      lexr AS (SELECT query_id, doc_id, lex_rk FROM (
+                 SELECT query_id, doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY lex_int DESC, doc_id) AS INT) AS lex_rk
+                 FROM lexdoc) WHERE lex_rk <= 50),
+      q AS (SELECT qp.query_id, qp.probe_id, v.vm AS qvec
+            FROM vec_vecs v JOIN qp ON v.vec_id = qp.probe_id),
+      dots AS (SELECT q.query_id, v.vec_id AS doc_id,
+                 AGGREGATE(ZIP_WITH(v.vm, q.qvec, (a, b) -> a * b),
+                   CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dot
+               FROM vec_vecs v CROSS JOIN q WHERE v.vec_id <> q.probe_id),
+      semr AS (SELECT query_id, doc_id, sem_rk FROM (
+                 SELECT query_id, doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY dot DESC, doc_id) AS INT) AS sem_rk
+                 FROM dots) WHERE sem_rk <= 50),
+      fuse AS (SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+                 COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rk, s.sem_rk,
+                 ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rk),
+                     CAST(0 AS DOUBLE))
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + s.sem_rk),
+                     CAST(0 AS DOUBLE)), 6) AS rrf
+               FROM lexr l FULL OUTER JOIN semr s
+                 ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+      SELECT query_id, doc_id, lex_rk, sem_rk, rrf, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rrf DESC, doc_id) AS INT) AS rk FROM fuse)
+      WHERE rk <= 20 ORDER BY query_id, rk"""
+
+  private def hybridParity(queryName: String, indexPath: String,
+                           vecPath: String): Unit = {
+    val viaDf = Inventory.byName(queryName).run(spark, sfDir)
+    spark.read.parquet(resolved(s"$indexPath/doclen"))
+      .select("doc_id", "dl")
+      .createOrReplaceTempView("idx_doclen")
+    spark.read.parquet(resolved(s"$indexPath/postings"))
+      .select("term", "doc_id", "dl", "tf")
+      .createOrReplaceTempView("idx_postings")
+    spark.read.option("mergeSchema", "true")
+      .parquet(resolved(s"$vecPath/vecs"))
+      .select("vec_id", "vm")
+      .createOrReplaceTempView("vec_vecs")
+    val viaSql = spark.sql(hybridStoreSql)
+    assert(sortedRows(viaDf) == sortedRows(viaSql),
+      s"$queryName: SQL over the stores and the DataFrame serve diverge")
+  }
+
+  test("y49 hybrid stores: BI SQL over index+vec views == DataFrame serve") {
+    hybridParity("y49_hybrid_store",
+      StoreFixtures.path("graft-bm25index", sfDir, "documents.parquet",
+        "bm25idx1"),
+      StoreFixtures.path("graft-vecstore", sfDir, "documents.parquet",
+        "vecstore1"))
+  }
+
+  test("y52 incremental hybrid stores: the same BI SQL over the two-generation views == DataFrame serve") {
+    hybridParity("y52_hybrid_store_incr",
+      StoreFixtures.path("graft-bm25index", sfDir, "documents.parquet",
+        "bm25idx1") + "-incr",
+      StoreFixtures.path("graft-vecstore", sfDir, "documents.parquet",
+        "vecstore1") + "-incr")
+  }
+
+  // ---- y51: IVFADC served path from coarse/books/codes views ---------
+
+  test("y51 IVFADC stores: BI SQL over coarse/books/codes views == DataFrame serve") {
+    val viaDf = Inventory.byName("y51_ivfadc_serve").run(spark, sfDir)
+    val path = StoreFixtures.path("graft-ivfadc", sfDir, "embeddings.parquet",
+      "ivfadc1")
+    val probeIds = graft.operators.Similarity.boundedProbeIds(
+      graft.sources.Tables.embeddings(spark, sfDir), 32)
+    spark.read.parquet(s"$path/coarse").createOrReplaceTempView("ivf_coarse")
+    spark.read.parquet(s"$path/books").createOrReplaceTempView("ivf_books")
+    spark.read.parquet(resolved(s"$path/codes"))
+      .select("vec_id", "sub", "cell", "ivf_cell")
+      .createOrReplaceTempView("ivf_codes")
+    graft.sources.Tables.embeddings(spark, sfDir)
+      .createOrReplaceTempView("embeddings")
+    // nprobe=6, m=8, subDim=8, kShort=100, k=10 — the y51 constants
+    val viaSql = spark.sql(s"""
+      WITH mv AS (SELECT vec_id, TRANSFORM(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+               AS vm FROM embeddings),
+      pm AS (SELECT vec_id AS probe_id, vm AS pm FROM mv
+             WHERE vec_id IN (${probeIds.mkString(",")})),
+      pc AS (SELECT probe_id, pm, ivf_cell, ccvm,
+               AGGREGATE(ZIP_WITH(pm, ccvm, (a, b) -> (a - b) * (a - b)),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x) AS cd2
+             FROM pm CROSS JOIN ivf_coarse),
+      pcell AS (SELECT probe_id, ivf_cell,
+                  ZIP_WITH(pm, ccvm, (a, b) -> a - b) AS prm FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY cd2, ivf_cell) AS cr FROM pc) WHERE cr <= 6),
+      psv AS (SELECT probe_id, ivf_cell, sub,
+                SLICE(prm, sub * 8 + 1, 8) AS psvm
+              FROM pcell LATERAL VIEW EXPLODE(SEQUENCE(0, 7)) s AS sub),
+      lut AS (SELECT probe_id, ivf_cell, sub, cent_id AS cell,
+                AGGREGATE(ZIP_WITH(psvm, cvm, (a, b) -> (a - b) * (a - b)),
+                  CAST(0 AS BIGINT), (acc, x) -> acc + x) AS pd2
+              FROM psv JOIN ivf_books USING (sub)),
+      sc AS (SELECT probe_id, vec_id AS neighbor_id, SUM(pd2) AS adc_d2
+             FROM ivf_codes JOIN lut USING (ivf_cell, sub, cell)
+             WHERE vec_id <> probe_id GROUP BY probe_id, vec_id),
+      shortl AS (SELECT probe_id, neighbor_id FROM (
+                   SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                     ORDER BY adc_d2, neighbor_id) AS sr FROM sc)
+                 WHERE sr <= 100),
+      rr AS (SELECT s.probe_id, s.neighbor_id,
+               AGGREGATE(ZIP_WITH(v.vm, p.pm, (a, b) -> (a - b) * (a - b)),
+                 CAST(0 AS BIGINT), (acc, x) -> acc + x) AS d2
+             FROM shortl s JOIN mv v ON v.vec_id = s.neighbor_id
+             JOIN pm p ON p.probe_id = s.probe_id)
+      SELECT probe_id, neighbor_id, d2, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+          ORDER BY d2, neighbor_id) AS INT) AS rk FROM rr) WHERE rk <= 10
+      ORDER BY probe_id, rk""")
+    assert(sortedRows(viaDf) == sortedRows(viaSql),
+      "y51: SQL over the IVFADC stores and the DataFrame serve diverge")
+  }
+}
