@@ -1055,6 +1055,306 @@ object CurationQueries {
       .orderBy("ppl_bucket", "lang")
   }
 
+  // --- Y54: the COMPOSED STREAMING CURATION PIPELINE graded end-to-end
+  // (VERDICT r10 #3 — the last spec-only stream twin put under the
+  // DuckDB contract, the y35/y50/y53 pattern): the x64 page fixture is
+  // staged as THREE id-ordered files and driven through
+  // `CurationStream.processBatch` — C4 page gate → hashed-classifier
+  // gate → cross-batch MinHash dedup against the signature store →
+  // cross-batch SEMANTIC dedup against the code store → frozen-λ DSIR
+  // gate — with each doc's final verdict persisted into a VERDICT STORE
+  // as it is decided. The graded query reads ONLY that store (the
+  // corpus text is nowhere in the serve plan — plan-pinned); the oracle
+  // replays the whole composed pipeline from the raw documents table in
+  // DuckDB — INCLUDING the 3 batch boundaries: the incremental stores
+  // hold only KEPT docs, so a doc whose only τ-close partners were
+  // themselves dropped in an EARLIER batch is kept by the stream but
+  // dropped by the one-shot batch DAG (the chain case
+  // StreamingCurationSpec's fixture never hits). The oracle therefore
+  // chains three per-batch CTE stages — in-batch: any lower-id partner;
+  // cross-batch: only store-KEPT partners — which is the stream's exact
+  // decision procedure, deterministic because the id cuts are. The
+  // semantic mask is pinned to autoBits = 0 (targetOcc above any
+  // fixture corpus) so the stream's batch-0 frozen mask and the
+  // oracle's mask agree.
+  // λ/τ are the deployment-frozen inputs: λ trained on the full page
+  // corpus (lang='en' target), τ the round-6 exact median of the page
+  // scores (Spark `percentile` ≡ DuckDB `quantile_cont`, the x19
+  // contract).
+  private val Y54TargetOcc = 1 << 20
+  private val Y54Est = 0.5
+
+  /** The x64 page fixture lifted to whole pages: deterministic reflow +
+    * decoration, one text per doc (lines joined by newline in line_id
+    * order), lang carried for the readout. */
+  private def decoPages(s: org.apache.spark.sql.SparkSession,
+                        d: String): org.apache.spark.sql.DataFrame = {
+    val docs = documents(s, d)
+    val deco = Curation.reflowLines(docs)
+      .select(col("doc_id"), col("line_id"),
+        concat(
+          when(col("doc_id") % 13 === 0 && col("line_id") === 0, "lorem ipsum ")
+            .otherwise(""),
+          col("line"),
+          when((col("doc_id") + col("line_id")) % 3 =!= 0, ".").otherwise(""))
+          .as("line"))
+    deco.groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("line_id"), col("line")))),
+          x => x.getField("line")), "\n").as("text"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+  }
+
+  /** The deployment-frozen λ table (dense 4096 slots) and τ (round-6
+    * exact median of the page scores) the stream gate ships with. */
+  private def y54LamTau(pages: org.apache.spark.sql.DataFrame)
+      : (Seq[Long], Double) = {
+    import graft.functions.TextFunctions._
+    val lamArr = {
+      val m = Curation.dsirLambda(pages, isTarget = col("lang") === "en")
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      (0 until Curation.DsirBuckets).map(b => m.getOrElse(b, 0L))
+    }
+    val arr = typedlit(lamArr)
+    val ws = words(normText(col("text")))
+    val fs = concat(ws, shingles(ws, 2))
+    val imp = aggregate(transform(fs, t =>
+      element_at(arr, conv(substring(md5(t), 1, 3), 16, 10).cast("int") + 1)),
+      lit(0L), (a, x) => a + x)
+    val score = imp.cast("double") / 1000000.0d / size(fs).cast("double")
+    val tau = pages.select(score.as("score"))
+      .agg(round(expr("percentile(score, 0.5)"), 6)).head.getDouble(0)
+    (lamArr, tau)
+  }
+
+  private def ensureCurationStreamStore(s: org.apache.spark.sql.SparkSession,
+                                        d: String): String = {
+    val path = StoreFixtures.path("graft-curationstream", d,
+      "documents.parquet", "curstream1")
+    StoreFixtures.onceByMarker(path, "_graft_stream_done") {
+      val pages = graft.core.Caches.scoped(decoPages(s, d))
+      val (lamArr, tau) = y54LamTau(pages)
+      // stage 3 id-ordered files: sequential writes give ascending
+      // mtimes, so the file source replays them as 3 ordered
+      // micro-batches (arrival order = id order — the stream ≡ batch
+      // winner condition). The id cut list is the sanctioned bounded
+      // collect (fixture-sized, builder-side only).
+      val ids = pages.select("doc_id").collect().map(_.getLong(0)).sorted
+      val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-y54-stage-").toString
+      val src0 = pages.select("doc_id", "text", "lang")
+      src0.filter(col("doc_id") < c1)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      src0.filter(col("doc_id") >= c1 && col("doc_id") < c2)
+        .coalesce(1).write.mode("append").parquet(stage)
+      src0.filter(col("doc_id") >= c2)
+        .coalesce(1).write.mode("append").parquet(stage)
+      graft.core.Caches.releaseAll()
+      val verdicts = s"$path/verdicts"
+      val q = s.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING")
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-y54-ckpt-").toString)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: Long) =>
+            val batch = b.toDF()
+            graft.streaming.CurationStream.processBatch(
+              batch.select("doc_id", "text"), id,
+              s"$path/sigs", s"$path/codes",
+              estThreshold = Y54Est, targetOcc = Y54TargetOcc,
+              lam = lamArr, tau = tau,
+              // verdicts ride CurationStream's marker-before-emit
+              // at-most-once contract: a replayed batch never reaches
+              // this callback, so the plain append is exactly-once
+              onBatch = (dec, _) =>
+                dec.join(batch.select("doc_id", "lang"), "doc_id")
+                  .write.mode("append").parquet(verdicts))
+            ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
+  private def y54Oracle: String = {
+    import graft.functions.TextFunctions.{md5BucketSql, md5WeightSql}
+    val prelude = s"""pn AS (SELECT doc_id, lang, $normSql AS norm FROM documents),
+      pw AS (SELECT doc_id, string_split(norm, ' ') AS pws FROM pn),
+      pli AS (SELECT doc_id, pws,
+                unnest(range(0, CAST(floor((len(pws) + ${W - 1}) / $W) AS INT))) AS i
+              FROM pw),
+      prl AS (SELECT doc_id, CAST(i AS INT) AS line_id,
+                array_to_string(pws[i*$W+1 : i*$W+$W], ' ') AS line
+              FROM pli),
+      pdeco AS MATERIALIZED (SELECT doc_id, line_id,
+                  (CASE WHEN doc_id % 13 = 0 AND line_id = 0
+                        THEN 'lorem ipsum ' ELSE '' END)
+                  || line ||
+                  (CASE WHEN (doc_id + line_id) % 3 <> 0 THEN '.' ELSE '' END) AS line
+                FROM prl),
+      pages AS MATERIALIZED (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_id) AS text
+                FROM pdeco GROUP BY doc_id),
+      c4 AS (SELECT doc_id,
+               (MAX(CASE WHEN line LIKE '%lorem ipsum%' THEN 1 ELSE 0 END) = 0
+                AND SUM(CASE WHEN line LIKE '%.'
+                          AND len(string_split(line, ' ')) >= 5
+                        THEN 1 ELSE 0 END) >= 3) AS page_ok
+             FROM pdeco GROUP BY doc_id),
+      gn AS (SELECT doc_id, $normSql AS norm FROM pages),
+      gw AS (SELECT doc_id, string_split(norm, ' ') AS gws FROM gn),
+      gf AS MATERIALIZED (SELECT doc_id, list_concat(gws,
+               list_transform(range(1, len(gws)),
+                 j -> array_to_string(gws[j:j+1], ' '))) AS fs
+             FROM gw),
+      cls AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+                CAST(list_aggregate(list_transform(fs,
+                  w -> ${md5WeightSql("w")}), 'sum') AS BIGINT) AS score_sum
+              FROM gf),
+      gate AS (SELECT c4.doc_id,
+                 (c4.page_ok AND cls.score_sum * 1000 >= -50 * cls.n_feats) AS ok
+               FROM c4 JOIN cls ON cls.doc_id = c4.doc_id),
+      gated AS MATERIALIZED (SELECT p.doc_id, p.text FROM pages p
+                JOIN gate ON gate.doc_id = p.doc_id AND gate.ok),"""
+    DedupQueries.minhashCandidateCtes(prelude = prelude, src = "gated") + s"""
+      , batf AS MATERIALIZED (SELECT doc_id,
+                   CASE WHEN rn < t.n3 THEN 0 WHEN rn < t.n23 THEN 1 ELSE 2 END
+                     AS bat
+                 FROM (SELECT doc_id,
+                         row_number() OVER (ORDER BY doc_id) - 1 AS rn
+                       FROM pn) r,
+                      (SELECT CAST(floor(count(*) / 3) AS BIGINT) AS n3,
+                              CAST(floor(2 * count(*) / 3) AS BIGINT) AS n23
+                       FROM pn) t),
+      cd AS MATERIALIZED (SELECT c.doc_a, c.doc_b, a.bat AS bat_a, b.bat AS bat_b
+             FROM cand c
+             JOIN batf a ON a.doc_id = c.doc_a
+             JOIN batf b ON b.doc_id = c.doc_b
+             WHERE c.est_jaccard >= $Y54Est),
+      sd0 AS (SELECT DISTINCT doc_b AS doc_id FROM cd
+              WHERE bat_b = 0 AND bat_a = 0),
+      sk0 AS MATERIALIZED (SELECT g.doc_id FROM gated g JOIN batf USING (doc_id)
+              WHERE batf.bat = 0 AND g.doc_id NOT IN (SELECT doc_id FROM sd0)),
+      sd1 AS (SELECT DISTINCT doc_b AS doc_id FROM cd
+              WHERE bat_b = 1 AND (bat_a = 1
+                OR doc_a IN (SELECT doc_id FROM sk0))),
+      sk1 AS MATERIALIZED (SELECT g.doc_id FROM gated g JOIN batf USING (doc_id)
+              WHERE batf.bat = 1 AND g.doc_id NOT IN (SELECT doc_id FROM sd1)),
+      sd2 AS (SELECT DISTINCT doc_b AS doc_id FROM cd
+              WHERE bat_b = 2 AND (bat_a = 2
+                OR doc_a IN (SELECT doc_id FROM sk0)
+                OR doc_a IN (SELECT doc_id FROM sk1))),
+      drops AS MATERIALIZED (SELECT doc_id FROM sd0 UNION
+                SELECT doc_id FROM sd1 UNION
+                SELECT doc_id FROM sd2),
+      surv AS MATERIALIZED (SELECT g.doc_id FROM gated g ANTI JOIN drops USING (doc_id)),
+      sx AS (SELECT f2.doc_id, unnest(f2.fs) AS t FROM gf f2 JOIN surv USING (doc_id)),
+      sg AS (SELECT doc_id, ${md5BucketSql("t")} % 64 AS b,
+               CASE WHEN (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)
+                      >= 8 THEN 1 ELSE -1 END AS sgn
+             FROM sx),
+      vcells AS (SELECT doc_id, b, CAST(SUM(sgn) AS BIGINT) AS v
+                 FROM sg GROUP BY doc_id, b),
+      dv AS (SELECT sdoc.doc_id, r.j, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+             FROM surv sdoc
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r
+             LEFT JOIN vcells c ON c.doc_id = sdoc.doc_id AND c.b = r.j),
+      vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id),
+      xs8 AS (SELECT doc_id, list_transform(vec, v -> v * 1000000) AS xs FROM vecs),
+      sc8 AS (SELECT doc_id, xs,
+                list_aggregate(list_transform(xs, x -> abs(x)), 'max') AS scale_int
+              FROM xs8),
+      q8 AS (SELECT doc_id, list_transform(xs, x -> greatest(-127, least(127,
+               CAST(floor(x * 127.0 / scale_int + 0.5) AS BIGINT)))) AS q
+             FROM sc8),
+      qn AS MATERIALIZED (SELECT doc_id, q,
+               CAST(list_aggregate(list_transform(q, v -> v * v), 'sum') AS BIGINT)
+                 AS nrm
+             FROM q8),
+      semcd AS MATERIALIZED (SELECT pr.lo, pr.hi, a.bat AS bat_lo, b.bat AS bat_hi FROM (
+                  SELECT b.doc_id AS lo, a.doc_id AS hi,
+                    CAST(list_aggregate(list_transform(range(1, 65),
+                      j -> a.q[j] * b.q[j]), 'sum') AS BIGINT) AS dot,
+                    a.nrm AS na, b.nrm AS nb
+                  FROM qn a JOIN qn b ON b.doc_id < a.doc_id) pr
+                JOIN batf a ON a.doc_id = pr.lo
+                JOIN batf b ON b.doc_id = pr.hi
+                WHERE pr.dot > 0 AND CAST(pr.dot AS HUGEINT) * pr.dot * 10000
+                  >= CAST(4900 AS HUGEINT) * pr.na * pr.nb),
+      smd0 AS (SELECT DISTINCT hi AS doc_id FROM semcd
+               WHERE bat_hi = 0 AND bat_lo = 0),
+      smk0 AS MATERIALIZED (SELECT sv.doc_id FROM surv sv JOIN batf USING (doc_id)
+               WHERE batf.bat = 0
+                 AND sv.doc_id NOT IN (SELECT doc_id FROM smd0)),
+      smd1 AS (SELECT DISTINCT hi AS doc_id FROM semcd
+               WHERE bat_hi = 1 AND (bat_lo = 1
+                 OR lo IN (SELECT doc_id FROM smk0))),
+      smk1 AS MATERIALIZED (SELECT sv.doc_id FROM surv sv JOIN batf USING (doc_id)
+               WHERE batf.bat = 1
+                 AND sv.doc_id NOT IN (SELECT doc_id FROM smd1)),
+      smd2 AS (SELECT DISTINCT hi AS doc_id FROM semcd
+               WHERE bat_hi = 2 AND (bat_lo = 2
+                 OR lo IN (SELECT doc_id FROM smk0)
+                 OR lo IN (SELECT doc_id FROM smk1))),
+      semdrop AS MATERIALIZED (SELECT doc_id FROM smd0 UNION
+                  SELECT doc_id FROM smd1 UNION
+                  SELECT doc_id FROM smd2),
+      lb AS (SELECT tgt, ${md5BucketSql("t")} AS b FROM (
+               SELECT pn.lang = 'en' AS tgt, unnest(f3.fs) AS t
+               FROM gf f3 JOIN pn ON pn.doc_id = f3.doc_id)),
+      lc AS (SELECT b, CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(count(*) AS BIGINT) AS cr
+             FROM lb GROUP BY b),
+      lt AS (SELECT CAST(SUM(ct) AS BIGINT) AS ttot, CAST(SUM(cr) AS BIGINT) AS tr
+             FROM lc),
+      lam AS (SELECT b, CAST(floor(round(ln((CAST(ct + 1 AS DOUBLE) * (tr + 4096))
+                / (CAST(cr + 1 AS DOUBLE) * (ttot + 4096))), 6) * 1000000 + 0.5)
+                AS BIGINT) AS lam
+              FROM lc, lt),
+      dsx AS (SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats, unnest(fs) AS t
+              FROM gf),
+      dsb AS (SELECT doc_id, n_feats, ${md5BucketSql("t")} AS b FROM dsx),
+      dsc AS (SELECT dsb.doc_id, MIN(n_feats) AS n_feats,
+                CAST(SUM(COALESCE(l.lam, 0)) AS BIGINT) AS imp
+              FROM dsb LEFT JOIN lam l ON l.b = dsb.b GROUP BY dsb.doc_id),
+      scr AS MATERIALIZED (SELECT doc_id, CAST(imp AS DOUBLE) / 1000000.0 / n_feats AS score
+              FROM dsc),
+      thr AS (SELECT round(quantile_cont(score, 0.5), 6) AS t FROM scr),
+      verdict AS (SELECT pn.doc_id, pn.lang,
+                    CASE WHEN NOT gate.ok THEN 'gated'
+                         WHEN dr.doc_id IS NOT NULL THEN 'dup'
+                         WHEN sd.doc_id IS NOT NULL THEN 'semdup'
+                         WHEN scr.score >= thr.t THEN 'kept'
+                         ELSE 'lowlam' END AS stage
+                  FROM pn JOIN gate ON gate.doc_id = pn.doc_id
+                  LEFT JOIN drops dr ON dr.doc_id = pn.doc_id
+                  LEFT JOIN semdrop sd ON sd.doc_id = pn.doc_id
+                  LEFT JOIN scr ON scr.doc_id = pn.doc_id
+                  CROSS JOIN thr)
+      SELECT stage, lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM verdict GROUP BY stage, lang ORDER BY stage, lang"""
+  }
+
+  val y54 = Query(
+    "y54_curation_stream_store",
+    Some(y54Oracle)
+  ) { (s, d) =>
+    val p = ensureCurationStreamStore(s, d)
+    s.read.parquet(graft.streaming.StoreFs.dataDir(s, s"$p/verdicts"))
+      .select(col("lang"),
+        when(col("gated") === 0, "gated")
+          .when(col("dropped") === 1, "dup")
+          .when(col("semdropped") === 1, "semdup")
+          .when(col("kept") === 1, "kept")
+          .otherwise("lowlam").as("stage"))
+      .groupBy("stage", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("stage", "lang")
+  }
+
   val all: Seq[Query] = Seq(x62, x63, x64, x65, x69, x70, x71, x72, x73, x74,
-    x77, x80, x83, x85, x87, x92, x95, x99, y01, y09)
+    x77, x80, x83, x85, x87, x92, x95, x99, y01, y09, y54)
 }

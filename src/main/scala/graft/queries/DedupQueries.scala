@@ -37,9 +37,9 @@ object DedupQueries {
     * connected-components closure); `prelude` CTEs are inserted right
     * after WITH and `src` names the table the chain reads (x53 feeds it
     * the quality+exact-dedup survivors instead of raw documents). */
-  private def minhashCandidateCtes(recursive: Boolean = false,
-                                   prelude: String = "",
-                                   src: String = "documents"): String = {
+  private[queries] def minhashCandidateCtes(recursive: Boolean = false,
+                                            prelude: String = "",
+                                            src: String = "documents"): String = {
     // Hash contract (mirrors TextFunctions.minhashHex/minhash and
     // MinHashAgg): hexcat = md5(s) || md5('1|' || s), hash i = hex chars
     // [8i, 8i+8), lexicographic min.
