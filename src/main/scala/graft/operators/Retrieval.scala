@@ -302,14 +302,7 @@ object Retrieval {
       .toDF("query_id", "term")
 
     val scored = storeScores(spark, indexPath, unionTerms, k1, b)
-    val lexAll = scored.join(broadcast(qt), Seq("term"))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(floor(col("score") * 1e6 + 0.5).cast("long")).as("lex_int"))
-    val lexTop = graft.plans.TopK.perKey(lexAll, Seq(lexAll("query_id")),
-      Seq(lexAll("lex_int").desc, lexAll("doc_id")), kList)
-    val lex = lexTop.withColumn("lex_rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("lex_int").desc, col("doc_id"))))
-      .select("query_id", "doc_id", "lex_rk")
+    val lex = lexRank(scored.join(broadcast(qt), Seq("term")), kList)
 
     // the exact store-served dot already ranks by (dot DESC, doc_id) —
     // precisely hybridRrfBatch's sem_rk ordering
@@ -318,6 +311,51 @@ object Retrieval {
       .select(col("query_id"), col("vec_id").as("doc_id"),
         col("rk").as("sem_rk"))
     rrfFuse(lex, sem, kOut)
+  }
+
+  /** The query-TABLE form of [[hybridRrfBatchFromStores]]: `queries` is
+    * a DataFrame with (query_id, terms ARRAY&lt;STRING&gt;, probe_id)
+    * columns — a real serving user's query table, not a driver Seq.
+    * The query side enters BOTH arms as a JOIN: the lexical fan-out
+    * joins the exploded (query_id, term) frame against the shared
+    * term-scored postings (no hint — AQE broadcasts a small query side),
+    * and the semantic arm goes through [[ExactIvf]]'s DataFrame serve.
+    * Driver-side state is only what pushdown pruning genuinely needs as
+    * literals: the DISTINCT term list (≤ the index vocabulary — the
+    * lexical analog of the vec serve's cell-id list) and the distinct
+    * surviving cell ids (≤ nCells). Row-identical to the Seq form by
+    * construction (same scoring and fusion tail). */
+  def hybridRrfBatchFromStores(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, vecPath: String,
+                               queries: DataFrame,
+                               kList: Int, kOut: Int,
+                               k1: Double, b: Double,
+                               nprobe0: Int): DataFrame = {
+    val qt = graft.core.Caches.scoped(queries.select(
+      col("query_id").cast("long").as("query_id"),
+      explode(col("terms")).as("term")))
+    val unionTerms = qt.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val scored = storeScores(spark, indexPath, unionTerms, k1, b)
+    val lex = lexRank(scored.join(qt, Seq("term")), kList)
+    val sem = ExactIvf.topDotBatchFromStore(spark, vecPath,
+        queries.select(col("query_id"), col("probe_id")), kList, nprobe0)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rk").as("sem_rk"))
+    rrfFuse(lex, sem, kOut)
+  }
+
+  /** Shared lexical tail of the two store-served hybrid forms: integer
+    * per-(query, doc) mass → two-phase top-kList → rank window. */
+  private def lexRank(scoredByQuery: DataFrame, kList: Int): DataFrame = {
+    val lexAll = scoredByQuery
+      .groupBy("query_id", "doc_id")
+      .agg(sum(floor(col("score") * 1e6 + 0.5).cast("long")).as("lex_int"))
+    val lexTop = graft.plans.TopK.perKey(lexAll, Seq(lexAll("query_id")),
+      Seq(lexAll("lex_int").desc, lexAll("doc_id")), kList)
+    lexTop.withColumn("lex_rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("lex_int").desc, col("doc_id"))))
+      .select("query_id", "doc_id", "lex_rk")
   }
 
   /** Overlapping fixed-size token chunks — the RAG/embedding ingestion

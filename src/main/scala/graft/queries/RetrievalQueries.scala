@@ -458,6 +458,27 @@ object RetrievalQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- Y55: y49 through the query-TABLE serve API (VERDICT r10 #4) —
+  // the same stores, the same oracle, but the queries arrive as a
+  // DataFrame (query_id, terms, probe_id) instead of a driver Seq: the
+  // shape a real serving user has. The query side enters both arms as a
+  // JOIN (probe vectors fetched by join, lexical fan-out joined on
+  // term); the only driver-side literals are the distinct term list
+  // (postings pushdown) and the surviving cell ids (partition pruning),
+  // both bounded by store geometry, not query count. Byte-identical
+  // rows to y49 is the overload's correctness contract.
+  val y55 = Query(
+    "y55_hybrid_store_df",
+    Some(hybridBatchOracle)
+  ) { (s, d) =>
+    import s.implicits._
+    val q = BatchQueries.toDF("query_id", "terms", "probe_id")
+    Retrieval.hybridRrfBatchFromStores(s, ensureIndexStore(s, d),
+        ensureVecStore(s, d), q,
+        kList = 50, kOut = 20, k1 = K1, b = B, nprobe0 = 4)
+      .orderBy("query_id", "rk")
+  }
+
   // --- X67/X68: int8 quantization. Shared oracle CTEs lift vectors to
   // integer micro-units, derive the per-vector integer scale, and code
   // via one IEEE-deterministic double division.
@@ -1207,5 +1228,5 @@ object RetrievalQueries {
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
     x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38, y49,
-    y52)
+    y52, y55)
 }

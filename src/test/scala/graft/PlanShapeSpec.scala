@@ -610,6 +610,32 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("y55 query-table hybrid: query side JOINS (no probe-id literal scan), stores stay pruned") {
+    val p = plan("y55_hybrid_store_df")
+    // the y49 contract carries over unchanged…
+    assert(!p.contains("documents.parquet"),
+      s"store-served hybrid must not read document text:\n$p")
+    assert(p.contains("graft-bm25index") && p.contains("graft-vecstore"), p)
+    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+      s"vecs scan must stay cell-pruned:\n$p")
+    // …and the query table enters as a join: NO collected probe-id
+    // literal list pushed into a vecs scan (the Seq form's In(vec_id…)
+    // shape), because the probe fetch is a join against the query frame
+    assert(!p.contains("In(vec_id"),
+      s"the DataFrame form must fetch probes by join, not literals:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerKey"), p)
+  }
+
+  test("y54 stream-curation serve reads only the verdict store, never the corpus") {
+    val p = plan("y54_curation_stream_store")
+    assert(!p.contains("documents.parquet"),
+      s"the graded serve must answer from the stream-built verdicts:\n$p")
+    assert(p.contains("graft-curationstream"),
+      s"must read the verdict store:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("y52 incremental-store hybrid keeps the y49 shape: no corpus scan, cell pruning") {
     val p = plan("y52_hybrid_store_incr")
     assert(!p.contains("documents.parquet"),

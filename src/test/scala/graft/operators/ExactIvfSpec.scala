@@ -117,6 +117,31 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
       brute(vecs, queries, k = 10))
   }
 
+  test("DataFrame query input: identical rows to the Seq form; the query side joins, not collects") {
+    import spark.implicits._
+    val vecs = fixture(300)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-df-test-").toString
+    ExactIvf.writeVecStore(vecs, path, nCells = 8, iters = 1)
+    val queries = Seq((1L, 3L), (2L, 137L), (3L, 250L))
+    val dfOut = ExactIvf.topDotBatchFromStore(spark, path,
+      queries.toDF("query_id", "probe_id"), k = 20, nprobe0 = 2)
+    assert(dfOut.select(col("query_id"), col("vec_id").as("doc_id"),
+        col("dot"), col("rk")).collect().map(_.toString).sorted.toSeq ==
+      brute(vecs, queries, k = 20))
+    // the probe fetch must be a JOIN against the query frame — no
+    // collected probe-id literal list in the scan (the Seq form's shape)
+    val p = dfOut.queryExecution.executedPlan.toString
+    assert(!p.contains("In(vec_id"),
+      s"DataFrame form must not push a collected probe-id list:\n$p")
+    // a probe id absent from the store still fails loudly
+    val bad = Seq((9L, 999999L)).toDF("query_id", "probe_id")
+    val e = intercept[IllegalArgumentException] {
+      ExactIvf.topDotBatchFromStore(spark, path, bad, k = 5, nprobe0 = 2)
+    }
+    assert(e.getMessage.contains("absent"))
+  }
+
   test("incremental append under frozen cells: exact serving across generations; replay heals") {
     val vecs = fixture(300)
     val path = java.nio.file.Files
