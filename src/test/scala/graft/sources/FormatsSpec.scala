@@ -199,4 +199,32 @@ class FormatsSpec extends AnyFunSuite with SparkTest {
       s"the scan itself must read only `id`:\n$plan")
     assert(pruned.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("avro streaming sink: foreachBatch appends one container generation per micro-batch") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the streaming write path for the graft-avro container: each
+    // micro-batch is one AvroFiles.write call (its own job id, so
+    // generations compose under the merged-by-name reader), riding
+    // foreachBatch's sequential-commit contract like the store ingests
+    val dir = tmp()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "s").writeStream
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          AvroFiles.write(b.toDF(), dir); ()
+      }
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      input.addData((3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "both micro-batch generations must read back merged")
+  }
 }
