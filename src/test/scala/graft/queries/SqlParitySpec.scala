@@ -194,4 +194,70 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
     parityXform("x24_part_predicates")(
       _.replace("regexp_matches(", "regexp_like("))
   }
+
+  // ---- batch 6 (round 11): the rest of the portable tier, including
+  // the two stream-store oracles (their texts replay the event log in
+  // SQL — so this row proves text ≡ the STORE-SERVED DataFrame path,
+  // the strongest parity shape) and the recursive-CTE packer through
+  // Spark 4's WITH RECURSIVE. Still excluded as structurally
+  // non-portable: y14/y15/y37 (DuckDB ASOF JOIN syntax — the operator
+  // exists here as the custom exec, not SQL), x60 (regex-escape soup
+  // inside 4 nested replaces), x65/x73 (array-literal indexing).
+  test("q08b HLL approx: SQL text == DataFrame build") {
+    parity("q08b_hll_approx")
+  }
+  test("x10 multimodal meta: SQL text == DataFrame build") {
+    parity("x10_multimodal_meta")
+  }
+  test("x14 EMA aggregator closed form: SQL text == DataFrame build") {
+    parity("x14_ema_aggregator")
+  }
+  test("x29 seeded EMA closed form: SQL text == DataFrame build") {
+    parity("x29_ema_seeded")
+  }
+  test("x57 multimodal video meta: SQL text == DataFrame build") {
+    parity("x57_multimodal_video")
+  }
+  test("x70 mixture sampling: SQL text == DataFrame build") {
+    parity("x70_mixture_sample")
+  }
+  test("x12 range join: SQL text == DataFrame build (CTE column aliases + VALUES)") {
+    parity("x12_range_join")
+  }
+  test("x52 salted join: SQL text == DataFrame build (CTE column aliases + VALUES)") {
+    parity("x52_salted_join")
+  }
+  test("x94 z-order layout: SQL text == DataFrame build (bit-shift operators)") {
+    parity("x94_zorder_layout")
+  }
+  test("x38 variant: oracle text (json_extract_string mapped) == DataFrame build") {
+    parityXform("x38_variant")(
+      _.replace("json_extract_string(", "get_json_object("))
+  }
+  test("x22 quality sample: oracle text (len/split/regex-flag mapped) == DataFrame build") {
+    parityXform("x22_quality_sample") { s =>
+      s.replace("len(string_split(", "size(split(")
+        .replace("\\s+", "\\\\s+").replace(", 'g')", ")")
+    }
+  }
+  test("x92 mixture weights: oracle text (len/split/regex-flag mapped) == DataFrame build") {
+    parityXform("x92_mixture_weights") { s =>
+      s.replace("string_split(", "split(")
+        .replace("len(ws)", "size(ws)")
+        .replace("\\s+", "\\\\s+").replace(", 'g')", ")")
+    }
+  }
+  test("x71 sequence packing: oracle text through Spark WITH RECURSIVE") {
+    parityXform("x71_sequence_packing") { s =>
+      s.replace("len(string_split(", "size(split(")
+        .replace("\\s+", "\\\\s+").replace(", 'g')", ")")
+    }
+  }
+  test("y50 SCD2 stream store: oracle text (epoch_us mapped) == the STORE-SERVED build") {
+    parityXform("y50_scd2_stream_store")(epochUs)
+  }
+  test("y53 mart stream store: oracle text (epoch_us, //, varchar mapped) == the STORE-SERVED build") {
+    parityXform("y53_mart_stream_store")(
+      epochUs andThen intDiv andThen varcharCast)
+  }
 }
