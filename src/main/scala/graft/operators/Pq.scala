@@ -562,23 +562,46 @@ object Pq {
   def ivfadcTopKFromStore(spark: org.apache.spark.sql.SparkSession,
                           path: String, emb: DataFrame, probeIds: Seq[Long],
                           nprobe: Int, kShort: Int, k: Int, m: Int, dim: Int,
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding"): DataFrame =
+    serveIvfadc(spark, path, emb,
+      emb.filter(col("vec_id").isInCollection(probeIds)),
+      nprobe, kShort, k, m, dim, vecCol)
+
+  /** The probe-TABLE form of [[ivfadcTopKFromStore]]: `probes` is a
+    * DataFrame with a probe_id column — the query side enters the plan
+    * as a JOIN against the embeddings relation instead of a collected
+    * literal id list (the ExactIvf/Retrieval query-table discipline);
+    * driver-side state stays the |probes|·nprobe cell-id list the
+    * partition pruning needs. Row-identical to the Seq form (same
+    * serve tail). */
+  def ivfadcTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String, emb: DataFrame, probes: DataFrame,
+                          nprobe: Int, kShort: Int, k: Int, m: Int, dim: Int,
+                          vecCol: String): DataFrame =
+    serveIvfadc(spark, path, emb,
+      emb.join(probes.select(col("probe_id")),
+        col("vec_id") === col("probe_id")).drop("probe_id"),
+      nprobe, kShort, k, m, dim, vecCol)
+
+  private def serveIvfadc(spark: org.apache.spark.sql.SparkSession,
+                          path: String, emb: DataFrame, probeRows0: DataFrame,
+                          nprobe: Int, kShort: Int, k: Int, m: Int, dim: Int,
+                          vecCol: String): DataFrame = {
+    val probeRows = graft.core.Caches.scoped(probeRows0)
     val coarse = spark.read.parquet(s"$path/coarse")
     val books = spark.read.parquet(s"$path/books")
-    val shortl = ivfadcShortlist(spark, path, emb, probeIds, nprobe,
+    val shortl = ivfadcShortlist(spark, path, probeRows, nprobe,
       kShort, m, dim, coarse, books, vecCol)
-    ivfadcRerank(emb, shortl, probeIds, k, vecCol)
+    ivfadcRerank(emb, shortl, probeRows, k, vecCol)
   }
 
   private def ivfadcShortlist(spark: org.apache.spark.sql.SparkSession,
-                              path: String, emb: DataFrame,
-                              probeIds: Seq[Long], nprobe: Int, kShort: Int,
+                              path: String, probeRows: DataFrame,
+                              nprobe: Int, kShort: Int,
                               m: Int, dim: Int, coarse: DataFrame,
                               books: DataFrame, vecCol: String): DataFrame = {
     val subDim = dim / m
-    val pmv = microVectors(
-      emb.filter(col("vec_id").isInCollection(probeIds)), vecCol)
-      .toDF("probe_id", "pm")
+    val pmv = microVectors(probeRows, vecCol).toDF("probe_id", "pm")
     val pcScored = pmv.crossJoin(broadcast(coarse))
       .select(col("probe_id"), col("pm"), col("ivf_cell"), col("ccvm"),
         l2sq(col("pm"), col("ccvm")).as("cd2"))
@@ -612,11 +635,10 @@ object Pq {
   }
 
   private def ivfadcRerank(emb: DataFrame, shortl: DataFrame,
-                           probeIds: Seq[Long], k: Int,
+                           probeRows: DataFrame, k: Int,
                            vecCol: String): DataFrame = {
     val mv = microVectors(emb, vecCol)
-    val probes = mv.filter(col("vec_id").isInCollection(probeIds))
-      .toDF("probe_id", "pm")
+    val probes = microVectors(probeRows, vecCol).toDF("probe_id", "pm")
     val sl = shortl.select("probe_id", "neighbor_id")
     val scored = mv.join(broadcast(sl), mv("vec_id") === sl("neighbor_id"))
       .join(broadcast(probes), Seq("probe_id"))
@@ -636,15 +658,17 @@ object Pq {
                         rawBound: Double, rerankBound: Double,
                         vecCol: String = "embedding"): DataFrame = {
     val probeIds = Similarity.boundedProbeIds(emb, nProbes)
+    val probeRows = graft.core.Caches.scoped(
+      emb.filter(col("vec_id").isInCollection(probeIds)))
     val coarse = spark.read.parquet(s"$path/coarse")
     val books = spark.read.parquet(s"$path/books")
-    val shortl = graft.core.Caches.scoped(ivfadcShortlist(spark, path, emb,
-      probeIds, nprobe, kShort, m, dim, coarse, books, vecCol))
+    val shortl = graft.core.Caches.scoped(ivfadcShortlist(spark, path,
+      probeRows, nprobe, kShort, m, dim, coarse, books, vecCol))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adc_d2"), col("neighbor_id"))
     val raw = shortl.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k).select("probe_id", "neighbor_id")
-    val reranked = ivfadcRerank(emb, shortl, probeIds, k, vecCol)
+    val reranked = ivfadcRerank(emb, shortl, probeRows, k, vecCol)
       .select("probe_id", "neighbor_id")
     val exact = graft.core.Caches.scoped(
       l2TopK(emb, probeIds, k, vecCol).select("probe_id", "neighbor_id"))

@@ -1196,17 +1196,37 @@ object SimilarityQueries {
   // from the cell-partition-pruned codes store, re-rank kShort
   // candidates exactly — with no exact-truth scan anywhere in the plan.
   // Its ScaleProbe row is the served path's own curve (SCALE.md r10).
-  val y51 = Query(
-    "y51_ivfadc_serve",
-    Some(ivfadcCtePrefix + s"""
+  private val ivfadcServeOracle = ivfadcCtePrefix + s"""
       SELECT probe_id, neighbor_id, d2,
              CAST(row_number() OVER (PARTITION BY probe_id
                ORDER BY d2, neighbor_id) AS INT) AS rk
-      FROM rr QUALIFY rk <= $PqK ORDER BY probe_id, rk""")
+      FROM rr QUALIFY rk <= $PqK ORDER BY probe_id, rk"""
+
+  val y51 = Query(
+    "y51_ivfadc_serve",
+    Some(ivfadcServeOracle)
   ) { (s, d) =>
     val probeIds = Similarity.boundedProbeIds(embeddings(s, d), NProbesBound)
     Pq.ivfadcTopKFromStore(s, ensureIvfadcStore(s, d), embeddings(s, d),
         probeIds, IvfNprobe, PqShort, PqK, PqM, Dim)
+      .orderBy("probe_id", "rk")
+  }
+
+  // --- Y56: y51 through the probe-TABLE serve API — the ExactIvf/
+  // Retrieval query-table discipline applied to the approximate serving
+  // path: probes arrive as a DataFrame and enter the plan as a join
+  // against the embeddings relation; driver-side state stays the
+  // |probes|·nprobe cell-id list partition pruning needs. Same oracle
+  // as y51 — row-identity through the table input is the contract.
+  val y56 = Query(
+    "y56_ivfadc_serve_df",
+    Some(ivfadcServeOracle)
+  ) { (s, d) =>
+    import s.implicits._
+    val probes = Similarity.boundedProbeIds(embeddings(s, d), NProbesBound)
+      .toDF("probe_id")
+    Pq.ivfadcTopKFromStore(s, ensureIvfadcStore(s, d), embeddings(s, d),
+        probes, IvfNprobe, PqShort, PqK, PqM, Dim, "embedding")
       .orderBy("probe_id", "rk")
   }
 
@@ -1297,5 +1317,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55,
-    x61, y02, y21, y22, y25, y30, y36, y45, y51)
+    x61, y02, y21, y22, y25, y30, y36, y45, y51, y56)
 }

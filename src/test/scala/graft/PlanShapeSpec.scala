@@ -592,6 +592,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("y56 probe-table IVFADC serve: probes join (no literal id scan), codes stay cell-pruned") {
+    val p = plan("y56_ivfadc_serve_df")
+    assert(p.contains("graft-ivfadc"), s"must read the IVFADC store:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+      s"codes scan must carry an ivf_cell partition filter:\n$p")
+    // the probe-table form fetches probe rows by JOIN — the Seq form's
+    // pushed In(vec_id…) literal list must be absent
+    assert(!p.contains("In(vec_id"),
+      s"probe fetch must be a join, not a collected literal list:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("y49 store-served hybrid: no corpus text/embedding pass; vecs scan cell-pruned") {
     val p = plan("y49_hybrid_store")
     // the VERDICT-r9 contract: neither arm may recompute from the corpus
