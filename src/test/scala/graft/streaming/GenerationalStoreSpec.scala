@@ -107,6 +107,53 @@ class GenerationalStoreSpec extends AnyFunSuite with SparkTest {
     assert(ls(store).contains("_graft_commit_1"))
   }
 
+  test("a genuinely CONCURRENT reader hammering the store never fails across append+compact cycles") {
+    import spark.implicits._
+    // the interleaved tests above pin a listing and then flip; this one
+    // runs a real racing thread — resolve-pointer → read → assert, in a
+    // tight loop — while the main thread appends and compacts
+    // repeatedly. The contract under test: no read ever throws
+    // (FILE_NOT_EXIST was the old swap's failure mode) and every read
+    // sees at least its resolve-time docs (generations are immutable
+    // once committed; appends only add).
+    val store = tmpDir("graft-gen-race-") + "/sigs"
+    IncrementalDedup.processBatch(
+      Seq((1L, A), (2L, B)).toDF("doc_id", "text"), 0L, store, 0.5,
+      (_, _) => ())
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop.get() && failure.get() == null) {
+        try {
+          val n = spark.read.parquet(StoreFs.dataDir(spark, store))
+            .select("doc_id").distinct().count()
+          if (n < 2) throw new AssertionError(s"read saw only $n docs")
+          reads.incrementAndGet()
+        } catch { case t: Throwable => failure.set(t) }
+      }
+    }, "graft-race-reader")
+    reader.start()
+    try {
+      // four genuinely distinct texts — a near-dup would (correctly) be
+      // dropped by the dedup gate and never reach the store
+      val texts = Seq(C,
+        "orchestration of executor memory fractions under adaptive plans",
+        "watermark semantics for late arriving events in session windows",
+        "columnar shredding of nested structs into leaf streams")
+      for (i <- 1 to 4) {
+        IncrementalDedup.processBatch(
+          Seq((2L + i, texts(i - 1))).toDF("doc_id", "text"),
+          i.toLong, store, 0.5, (_, _) => ())
+        Dedup.compactSignatureStore(spark, store)
+      }
+    } finally { stop.set(true); reader.join(30000) }
+    assert(failure.get() == null,
+      s"a concurrent read failed during the compaction cycles: ${failure.get()}")
+    assert(reads.get() > 0, "the racing reader must have completed reads")
+    assert(ids(StoreFs.dataDir(spark, store)) == (1L to 6L).toSeq)
+  }
+
   test("replay markers and the seal ride the flip; appends land in the live generation") {
     import spark.implicits._
     val store = tmpDir("graft-gen-markers-") + "/sigs"
