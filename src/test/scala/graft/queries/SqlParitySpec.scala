@@ -201,8 +201,8 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
   // the strongest parity shape) and the recursive-CTE packer through
   // Spark 4's WITH RECURSIVE. Still excluded as structurally
   // non-portable: y14/y15/y37 (DuckDB ASOF JOIN syntax — the operator
-  // exists here as the custom exec, not SQL), x60 (regex-escape soup
-  // inside 4 nested replaces), x65/x73 (array-literal indexing).
+  // exists here as the custom exec, not SQL) and x65/x73
+  // (array-literal indexing).
   test("q08b HLL approx: SQL text == DataFrame build") {
     parity("q08b_hll_approx")
   }
@@ -253,6 +253,25 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
         .replace("\\s+", "\\\\s+").replace(", 'g')", ")")
     }
   }
+  test("x60 PII redact: oracle text (backslash/len/flag/varchar mapped) == DataFrame build") {
+    // the regexes are shared verbatim; Spark's SQL string literals
+    // consume backslash escapes that DuckDB's leave alone, so the ONE
+    // uniform transform is doubling every backslash — semantics-neutral
+    // because every backslash in this text lives inside a regex literal
+    parityXform("x60_text_redact") { s =>
+      s.replace("\\", "\\\\")
+        .replace("len(", "size(")
+        .replace(", 'g')", ")")
+        .replace("AS VARCHAR)", "AS STRING)")
+        // DuckDB regexp_extract_all defaults to the full match; Spark
+        // defaults to group 1 (and errors on group-less patterns) —
+        // same semantics spelled with the explicit group 0. Both
+        // extract_all patterns (and only they) end in a bounded
+        // quantifier, so the brace-paren suffix targets exactly them.
+        .replace("}')", "}', 0)")
+    }
+  }
+
   test("y50 SCD2 stream store: oracle text (epoch_us mapped) == the STORE-SERVED build") {
     parityXform("y50_scd2_stream_store")(epochUs)
   }
