@@ -223,26 +223,37 @@ object ExactIvf {
             floor(sqrt(col("qn2").cast("double") * col("r2max").cast("double")))
               .cast("long") + lit(2L)).as("bound")))
 
-    // phase 1: each query's nprobe0 highest-bound cells → running d_k
-    val p1Pairs = graft.plans.TopK.perKey(bounds, Seq(bounds("query_id")),
-        Seq(bounds("bound").desc, bounds("ivf_cell")), nprobe0)
-      .select(col("query_id").cast("long").as("query_id"),
-        col("ivf_cell").cast("long").as("ivf_cell"))
+    // phase 1: each query's nprobe0 highest-bound cells → running d_k.
+    // Both pair sets are cached: each is evaluated twice downstream
+    // (the distinct cell-id collect and the broadcast pair filter), and
+    // they are ≤ |queries|·nCells rows of two longs.
+    val p1Pairs = graft.core.Caches.scoped(
+      graft.plans.TopK.perKey(bounds, Seq(bounds("query_id")),
+          Seq(bounds("bound").desc, bounds("ivf_cell")), nprobe0)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("ivf_cell").cast("long").as("ivf_cell")))
     val cand1 = scanCells(vecs, probes, p1Pairs)
-    val dk = graft.plans.TopK.perKey(cand1, Seq(cand1("query_id")),
-        Seq(cand1("dot").desc, cand1("vec_id")), k)
-      .groupBy("query_id")
-      .agg(count(lit(1)).as("n"), min(col("dot")).as("dk"))
+    // cached: dk heads the phase-1 scan chain, and the DataFrame-shaped
+    // pair sets downstream evaluate it more than once (the cell-id
+    // collect AND the broadcast pair filter) — uncached, each evaluation
+    // re-runs the phase-1 cell scan (measured +0.6–0.8 s per serve in
+    // the r11 worktree A/B). |queries| rows, so the cache is trivial.
+    val dk = graft.core.Caches.scoped(
+      graft.plans.TopK.perKey(cand1, Seq(cand1("query_id")),
+          Seq(cand1("dot").desc, cand1("vec_id")), k)
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n"), min(col("dot")).as("dk")))
 
     // phase 2: keep every cell whose bound could still beat d_k — plus
     // ALL cells for a query whose phase-1 candidates never filled k.
     // Survivor cells necessarily include every true top-k row: a pruned
     // cell has bound < d_k ≤ the true kth dot, and bound dominates the
     // dot of each of its rows. Ties at d_k survive (>= keeps them).
-    val selPairs = bounds.join(broadcast(dk), Seq("query_id"), "left")
-      .filter(col("n").isNull || col("n") < k || col("bound") >= col("dk"))
-      .select(col("query_id").cast("long").as("query_id"),
-        col("ivf_cell").cast("long").as("ivf_cell"))
+    val selPairs = graft.core.Caches.scoped(
+      bounds.join(broadcast(dk), Seq("query_id"), "left")
+        .filter(col("n").isNull || col("n") < k || col("bound") >= col("dk"))
+        .select(col("query_id").cast("long").as("query_id"),
+          col("ivf_cell").cast("long").as("ivf_cell")))
     (vecs, probes, selPairs, cells.count())
   }
 
