@@ -199,10 +199,10 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
   // the two stream-store oracles (their texts replay the event log in
   // SQL — so this row proves text ≡ the STORE-SERVED DataFrame path,
   // the strongest parity shape) and the recursive-CTE packer through
-  // Spark 4's WITH RECURSIVE. Still excluded as structurally
-  // non-portable: y14/y15/y37 (DuckDB ASOF JOIN syntax — the operator
-  // exists here as the custom exec, not SQL) and x65/x73
-  // (array-literal indexing).
+  // Spark 4's WITH RECURSIVE. The only remaining exclusions are
+  // y14/y15/y37 (DuckDB ASOF JOIN syntax — that operator exists here
+  // as the custom exec, not SQL) and the md5-slice/list_* oracle
+  // families whose list-lambda spellings have no 1:1 Spark rename.
   test("q08b HLL approx: SQL text == DataFrame build") {
     parity("q08b_hll_approx")
   }
@@ -269,6 +269,31 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
         // extract_all patterns (and only they) end in a bounded
         // quantifier, so the brace-paren suffix targets exactly them.
         .replace("}')", "}', 0)")
+    }
+  }
+
+  /** DuckDB 1-based array-literal indexing `[a,b,c][i]` → Spark
+    * `element_at(array(a,b,c), i)` (also 1-based — same semantics).
+    * The two URL-fixture literals are shared by x65 and x73. */
+  private val arrayIndex = (s: String) => s
+    .replace("['www.','cdn.','blog.',''][CAST(doc_id % 4 + 1 AS INT)]",
+      "element_at(array('www.','cdn.','blog.',''), CAST(doc_id % 4 + 1 AS INT))")
+    .replace("['.com','.org','.co.uk'][CAST(doc_id % 3 + 1 AS INT)]",
+      "element_at(array('.com','.org','.co.uk'), CAST(doc_id % 3 + 1 AS INT))")
+
+  test("x65 url domains: oracle text (array-index/backslash/flag mapped) == DataFrame build") {
+    parityXform("x65_url_domains") { s =>
+      arrayIndex(s.replace("\\", "\\\\"))
+        .replace(", 'g')", ")")
+        .replace("regexp_matches(", "regexp_like(")
+        .replace("AS VARCHAR)", "AS STRING)")
+    }
+  }
+  test("x73 domain quota: oracle text (array-index/backslash mapped) == DataFrame build") {
+    parityXform("x73_domain_quota") { s =>
+      arrayIndex(s.replace("\\", "\\\\"))
+        .replace("regexp_matches(", "regexp_like(")
+        .replace("AS VARCHAR)", "AS STRING)")
     }
   }
 
