@@ -190,9 +190,13 @@ object ExactIvf {
     val cells = graft.core.Caches.scoped(
       spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/cells")))
     val vecs = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
+    // distinct: a duplicated (query_id, probe_id) row would duplicate
+    // the probe row, then the bounds, then the scan candidates — the
+    // same vec_id would appear twice inside a top-k. Exact duplicates
+    // are idempotent by contract (one probe per query).
     val qp = graft.core.Caches.scoped(qpIn.select(
       col("query_id").cast("long").as("query_id"),
-      col("probe_id").cast("long").as("probe_id")))
+      col("probe_id").cast("long").as("probe_id")).distinct())
     val fetched = probeIds match {
       case Some(ids) =>
         vecs.filter(col("vec_id").isInCollection(ids.distinct))

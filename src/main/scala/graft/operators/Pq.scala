@@ -578,8 +578,10 @@ object Pq {
                           path: String, emb: DataFrame, probes: DataFrame,
                           nprobe: Int, kShort: Int, k: Int, m: Int, dim: Int,
                           vecCol: String): DataFrame =
+    // distinct: a duplicated probe_id row would duplicate the probe's
+    // rows through the LUT join and double-count its per-subspace sums
     serveIvfadc(spark, path, emb,
-      emb.join(probes.select(col("probe_id")),
+      emb.join(probes.select(col("probe_id")).distinct(),
         col("vec_id") === col("probe_id")).drop("probe_id"),
       nprobe, kShort, k, m, dim, vecCol)
 

@@ -124,8 +124,11 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
       .createTempDirectory("graft-exactivf-df-test-").toString
     ExactIvf.writeVecStore(vecs, path, nCells = 8, iters = 1)
     val queries = Seq((1L, 3L), (2L, 137L), (3L, 250L))
+    // a duplicated input row must be idempotent (it would otherwise
+    // duplicate the probe row and every downstream candidate)
     val dfOut = ExactIvf.topDotBatchFromStore(spark, path,
-      queries.toDF("query_id", "probe_id"), k = 20, nprobe0 = 2)
+      (queries ++ Seq((1L, 3L))).toDF("query_id", "probe_id"),
+      k = 20, nprobe0 = 2)
     assert(dfOut.select(col("query_id"), col("vec_id").as("doc_id"),
         col("dot"), col("rk")).collect().map(_.toString).sorted.toSeq ==
       brute(vecs, queries, k = 20))
