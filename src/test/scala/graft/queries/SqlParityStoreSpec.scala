@@ -237,4 +237,27 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
     assert(sortedRows(viaDf) == sortedRows(viaSql),
       "y51: SQL over the IVFADC stores and the DataFrame serve diverge")
   }
+
+  // ---- y54: curation verdicts served from the stream-built store ----
+
+  test("y54 verdict store: BI SQL over the verdicts view == DataFrame serve") {
+    // running the graded query first also builds the fixture store
+    val viaDf = Inventory.byName("y54_curation_stream_store").run(spark, sfDir)
+    val p = StoreFixtures.path("graft-curationstream", sfDir,
+      "documents.parquet", "curstream1")
+    spark.read.parquet(resolved(s"$p/verdicts"))
+      .createOrReplaceTempView("cur_verdicts")
+    val viaSql = spark.sql("""
+      SELECT stage, lang, COUNT(*) AS n_docs
+      FROM (SELECT lang,
+              CASE WHEN gated = 0 THEN 'gated'
+                   WHEN dropped = 1 THEN 'dup'
+                   WHEN semdropped = 1 THEN 'semdup'
+                   WHEN kept = 1 THEN 'kept'
+                   ELSE 'lowlam' END AS stage
+            FROM cur_verdicts)
+      GROUP BY stage, lang ORDER BY stage, lang""")
+    assert(sortedRows(viaDf) == sortedRows(viaSql),
+      "y54: SQL over the verdict store and the DataFrame serve diverge")
+  }
 }
