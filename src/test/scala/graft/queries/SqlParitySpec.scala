@@ -200,9 +200,12 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
   // SQL — so this row proves text ≡ the STORE-SERVED DataFrame path,
   // the strongest parity shape) and the recursive-CTE packer through
   // Spark 4's WITH RECURSIVE. The only remaining exclusions are
-  // y14/y15/y37 (DuckDB ASOF JOIN syntax — that operator exists here
-  // as the custom exec, not SQL) and the md5-slice/list_* oracle
-  // families whose list-lambda spellings have no 1:1 Spark rename.
+  // x11/y14/y15/y37 (DuckDB ASOF JOIN syntax — that operator exists
+  // here as the custom exec, not SQL), x35 (the DataFrame side is a
+  // t-digest sketch, deliberately NOT equal to the oracle's exact
+  // quantile — its error bound is the graded contract), and the long
+  // md5-slice/minhash oracle families whose hex-slice arithmetic has
+  // no bounded set of lexical renames.
   test("q08b HLL approx: SQL text == DataFrame build") {
     parity("q08b_hll_approx")
   }
@@ -294,6 +297,106 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
       arrayIndex(s.replace("\\", "\\\\"))
         .replace("regexp_matches(", "regexp_like(")
         .replace("AS VARCHAR)", "AS STRING)")
+    }
+  }
+
+  test("q17 similarity top-k: oracle text (list_dot_product expanded) == DataFrame build") {
+    // DuckDB list_dot_product ≡ Spark AGGREGATE(ZIP_WITH(·,·,*), 0.0, +)
+    // — both sum strictly left-to-right, so the expansion is
+    // bit-identical, not just mathematically equal (the rank order
+    // depends on the UNROUNDED cosine)
+    def dot(a: String, b: String) =
+      s"AGGREGATE(ZIP_WITH($a, $b, (x, y) -> x * y), " +
+        "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+    parityXform("q17_similarity_topk") { s =>
+      s.replace("CAST(embedding AS DOUBLE[])", "CAST(embedding AS ARRAY<DOUBLE>)")
+        .replace("list_dot_product(av, av)", dot("av", "av"))
+        .replace("list_dot_product(pv, pv)", dot("pv", "pv"))
+        .replace("list_dot_product(pv, av)", dot("pv", "av"))
+    }
+  }
+
+  test("x08 tokenization: oracle text (split/len/list_distinct mapped) == DataFrame build") {
+    parityXform("x08_text_tokens") { s =>
+      s.replace("\\", "\\\\")
+        .replace("regexp_split_to_array(", "split(")
+        .replace("list_distinct(", "array_distinct(")
+        .replace("len(", "size(")
+        .replace("')) AS INT) AS rx_tokens", "', 0)) AS INT) AS rx_tokens")
+        .replace("'))) AS INT) AS rx_distinct", "', 0))) AS INT) AS rx_distinct")
+    }
+  }
+  test("x07 text quality: oracle text (split/len/list_filter mapped) == DataFrame build") {
+    parityXform("x07_text_quality") { s =>
+      s.replace("\\", "\\\\")
+        .replace(", 'g')", ")")
+        .replace("string_split(", "split(")
+        .replace("list_filter(", "filter(")
+        .replace("list_distinct(", "array_distinct(")
+        .replace("len(", "size(")
+    }
+  }
+  test("x40 scalar battery 2: oracle text (date/array dialect mapped) == DataFrame build") {
+    parityXform("x40_scalar_battery2") { s =>
+      s.replace("date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))",
+          "datediff(CAST(ts AS DATE), DATE '2024-01-01')")
+        // DuckDB dayofweek: Sunday = 0; Spark dayofweek: Sunday = 1 —
+        // the oracle's +1 is exactly the offset between them
+        .replace("dayofweek(ts) + 1", "dayofweek(CAST(ts AS TIMESTAMP))")
+        .replace("list_contains([value, 2 * value, -value], round(value, 1))",
+          "array_contains(array(value, 2 * value, -value), round(value, 1))")
+        .replace("list_sort([value, 2 * value, -value])[1]",
+          "element_at(sort_array(array(value, 2 * value, -value)), 1)")
+        .replace("list_filter([value, 2 * value, -value], x -> x > 0)",
+          "filter(array(value, 2 * value, -value), x -> x > 0)")
+        .replace("len(", "size(")
+    }
+  }
+
+  test("x15 json map: oracle text (json_extract_string mapped) == DataFrame build") {
+    parityXform("x15_json_map")(
+      _.replace("json_extract_string(", "get_json_object("))
+  }
+  test("x13 sessionize: oracle text (date_diff expanded) == DataFrame build") {
+    parityXform("x13_sessionize")(_.replace(
+      "date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000",
+      "(unix_micros(ts) - unix_micros(lag(ts) OVER w)) > 1800000000"))
+  }
+  test("x27 sink cadence: oracle text (epoch/strftime mapped) == DataFrame build") {
+    parityXform("x27_sink_cadence") { s =>
+      s.replace("epoch(rt)", "unix_seconds(CAST(rt AS TIMESTAMP))")
+        .replace("epoch(rt0)", "unix_seconds(CAST(rt0 AS TIMESTAMP))")
+        .replace("strftime(rt, '%Y-%m-%d %H:%M:%S')",
+          "date_format(rt, 'yyyy-MM-dd HH:mm:ss')")
+    }
+  }
+  test("x06 language id: oracle text (explode/split mapped) == DataFrame build") {
+    parityXform("x06_text_langid") { s =>
+      s.replace("unnest(string_split(", "explode(split(")
+        .replace("\\s+", "\\\\s+").replace(", 'g')", ")")
+    }
+  }
+  test("x32 top tokens: oracle text (explode/split mapped) == DataFrame build") {
+    parityXform("x32_top_tokens") { s =>
+      s.replace("unnest(string_split(", "explode(split(")
+        .replace("\\s+", "\\\\s+").replace(", 'g')", ")")
+    }
+  }
+  test("x09 fingerprint: oracle text (slice/array dialect mapped) == DataFrame build") {
+    parityXform("x09_text_fingerprint") { s =>
+      s.replace("\\s+", "\\\\s+").replace(", 'g')", ")")
+        .replace("string_split(", "split(")
+        // DuckDB range(1, n) is [1, n); ws[j:j+4] is 1-based INCLUSIVE
+        // (5 elements) — Spark sequence is inclusive, slice takes a length
+        .replace("range(1, len(ws) - 3)", "sequence(1, size(ws) - 4)")
+        .replace("array_to_string(ws[j:j+4], ' ')",
+          "array_join(slice(ws, j, 5), ' ')")
+        .replace("list_transform(", "transform(")
+        .replace("list_distinct(", "array_distinct(")
+        .replace("list_aggregate(hs, 'min')", "array_min(hs)")
+        .replace("list_aggregate(hs, 'max')", "array_max(hs)")
+        .replace("ELSE [] END", "ELSE CAST(array() AS ARRAY<STRING>) END")
+        .replace("len(ws)", "size(ws)")
     }
   }
 
