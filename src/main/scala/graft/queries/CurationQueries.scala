@@ -1134,22 +1134,37 @@ object CurationQueries {
     StoreFixtures.onceByMarker(path, "_graft_stream_done") {
       val pages = graft.core.Caches.scoped(decoPages(s, d))
       val (lamArr, tau) = y54LamTau(pages)
-      // stage 3 id-ordered files: sequential writes give ascending
-      // mtimes, so the file source replays them as 3 ordered
-      // micro-batches (arrival order = id order — the stream ≡ batch
-      // winner condition). The id cut list is the sanctioned bounded
-      // collect (fixture-sized, builder-side only).
+      // stage 3 id-ordered files replayed as 3 ordered micro-batches
+      // (arrival order = id order — the stream ≡ batch winner
+      // condition). The file source orders by modification time, so
+      // each batch's files get an EXPLICIT mtime 1 s apart after its
+      // write — sequential-write mtimes alone could tie at filesystem
+      // timestamp granularity and scramble the batch order. The id cut
+      // list is the sanctioned bounded collect (fixture-sized,
+      // builder-side only).
       val ids = pages.select("doc_id").collect().map(_.getLong(0)).sorted
       val (c1, c2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
       val stage = java.nio.file.Files
         .createTempDirectory("graft-y54-stage-").toString
       val src0 = pages.select("doc_id", "text", "lang")
+      // whole-second stamps anchored well in the past: fresh writes
+      // (mtime ≈ now) are always above the stamped band, and second
+      // granularity survives filesystems that truncate sub-second mtimes
+      val base = System.currentTimeMillis() - 3600000L
+      def stamp(batch: Int): Unit =
+        new java.io.File(stage).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            f.lastModified() > base + 10000L)
+          .foreach { f => f.setLastModified(base + (batch + 1) * 1000L); () }
       src0.filter(col("doc_id") < c1)
         .coalesce(1).write.mode("overwrite").parquet(stage)
+      stamp(0)
       src0.filter(col("doc_id") >= c1 && col("doc_id") < c2)
         .coalesce(1).write.mode("append").parquet(stage)
+      stamp(1)
       src0.filter(col("doc_id") >= c2)
         .coalesce(1).write.mode("append").parquet(stage)
+      stamp(2)
       graft.core.Caches.releaseAll()
       val verdicts = s"$path/verdicts"
       val q = s.readStream
