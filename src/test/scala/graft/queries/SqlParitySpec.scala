@@ -203,9 +203,12 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
   // x11/y14/y15/y37 (DuckDB ASOF JOIN syntax — that operator exists
   // here as the custom exec, not SQL), x35 (the DataFrame side is a
   // t-digest sketch, deliberately NOT equal to the oracle's exact
-  // quantile — its error bound is the graded contract), and the long
-  // md5-slice/minhash oracle families whose hex-slice arithmetic has
-  // no bounded set of lexical renames.
+  // quantile — its error bound is the graded contract), and the very
+  // long multi-stage pipeline oracles (x21/x36/x41/x42/x46/x79…):
+  // their dialect is the SAME set of renames proven here — shingle
+  // slice, explode/split, md5-slice minhash (x01/x02/x03), BM25
+  // (x66 + its three store twins) — applied per-text; each additional
+  // page-long shim re-proves nothing new.
   test("q08b HLL approx: SQL text == DataFrame build") {
     parity("q08b_hll_approx")
   }
@@ -398,6 +401,81 @@ class SqlParitySpec extends AnyFunSuite with SparkTest {
         .replace("ELSE [] END", "ELSE CAST(array() AS ARRAY<STRING>) END")
         .replace("len(ws)", "size(ws)")
     }
+  }
+
+  test("x02 simhash dedup: oracle text (explode/lateral mapped) == DataFrame build") {
+    // instr/substr/md5/pow/conv spell identically in both engines; only
+    // the tokenizer explode and the table-function lateral need renames
+    parityXform("x02_dedup_simhash") { s =>
+      s.replace("unnest(string_split(", "explode(split(")
+        .replace("\\s+", "\\\\s+").replace(", 'g')", ")")
+        .replace("FROM tok, UNNEST(range(0, 16)) AS t(j)",
+          "FROM tok LATERAL VIEW explode(sequence(0, 15)) t AS j")
+    }
+  }
+
+  test("x01 minhash LSH dedup: oracle text (shingle dialect mapped) == DataFrame build") {
+    // the md5-slice minhash arithmetic (md5 || md5, substr hex slices,
+    // lexicographic MIN) spells identically in Spark; the renames are
+    // the tokenizer split, the shingle slice (ws[j:j+2] is 1-based
+    // INCLUSIVE = 3 elements = slice(ws, j, 3)), and the
+    // DISTINCT-over-generator, which Spark wants as a subquery
+    parityXform("x01_dedup_minhash_lsh") { s =>
+      s.replace("\\s+", "\\\\s+").replace(", 'g')", ")")
+        .replace("string_split(", "split(")
+        .replace(
+          """sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                 j -> array_to_string(ws[j:j+2], ' '))) AS s
+        FROM w WHERE len(ws) >= 3)""",
+          """sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+          SELECT doc_id,
+                 explode(transform(sequence(1, size(ws) - 2),
+                   j -> array_join(slice(ws, j, 3), ' '))) AS s
+          FROM w WHERE size(ws) >= 3))""")
+    }
+  }
+
+  test("x03 n-gram jaccard dedup: oracle text (shingle dialect mapped) == DataFrame build") {
+    parityXform("x03_dedup_ngram_jaccard") { s =>
+      s.replace("\\s+", "\\\\s+").replace(", 'g')", ")")
+        .replace("string_split(", "split(")
+        .replace(
+          """sh0 AS (
+        SELECT DISTINCT doc_id, lang,
+               unnest(list_transform(range(1, len(ws) - 1),
+                 j -> array_to_string(ws[j:j+2], ' '))) AS s
+        FROM w WHERE len(ws) >= 3)""",
+          """sh0 AS (
+        SELECT DISTINCT doc_id, lang, s FROM (
+          SELECT doc_id, lang,
+                 explode(transform(sequence(1, size(ws) - 2),
+                   j -> array_join(slice(ws, j, 3), ' '))) AS s
+          FROM w WHERE size(ws) >= 3))""")
+    }
+  }
+
+  /** The BM25 oracle's dialect shim (shared by x66 and its three
+    * store-served twins — the same text grades all four). */
+  private val bm25Shim = (s: String) =>
+    s.replace("\\s+", "\\\\s+").replace(", 'g')", ")")
+      .replace("string_split(", "split(")
+      .replace("len(ws)", "size(ws)")
+      .replace("unnest(ws) AS term", "explode(ws) AS term")
+
+  test("x66 BM25 top-k: oracle text (split/explode mapped) == DataFrame build") {
+    parityXform("x66_bm25_topk")(bm25Shim)
+  }
+  test("y19 BM25 store: oracle text over the corpus == the STORE-SERVED build") {
+    parityXform("y19_bm25_store")(bm25Shim)
+  }
+  test("y20 incremental BM25 store: oracle text == the two-generation STORE-SERVED build") {
+    parityXform("y20_bm25_store_incr")(bm25Shim)
+  }
+  test("y35 stream-built BM25 store: oracle text == the STREAM-STORE-SERVED build") {
+    parityXform("y35_bm25_stream_store")(bm25Shim)
   }
 
   test("y50 SCD2 stream store: oracle text (epoch_us mapped) == the STORE-SERVED build") {
