@@ -53,7 +53,7 @@ private[graft] object StoreFs {
 
   /** The highest committed generation number, or None for a flat
     * (never-compacted) store. One listing RPC; absent dir → None. */
-  private def maxCommitted(fs: FileSystem, p: Path): Option[Long] =
+  private[streaming] def maxCommitted(fs: FileSystem, p: Path): Option[Long] =
     if (!fs.exists(p)) None
     else fs.listStatus(p).iterator
       .map(_.getPath.getName)
@@ -61,8 +61,19 @@ private[graft] object StoreFs {
       .map(_.stripPrefix(CommitPrefix).toLong)
       .maxOption
 
-  private def genPath(p: Path, n: Long): Path =
+  private[streaming] def genPath(p: Path, n: Long): Path =
     new Path(p, f"$GenPrefix$n%08d")
+
+  private[streaming] val genPrefix: String = GenPrefix
+  private[streaming] val commitPrefix: String = CommitPrefix
+
+  private[streaming] def fsPath(spark: SparkSession,
+                                dir: String): (FileSystem, Path) =
+    fsAndPath(spark, dir)
+
+  private[streaming] def resolved(spark: SparkSession,
+                                  dir: String): (FileSystem, Path) =
+    resolvedFsPath(spark, dir)
 
   /** Resolve a store directory to the directory its DATA actually
     * lives in: the highest committed generation, or the root itself
@@ -158,25 +169,76 @@ private[graft] object StoreFs {
     * the marker fast path on restart — without this, the replay would
     * re-append every row of that batch onto the compacted generation
     * and duplicate its natural keys (ADVICE r9). The `_graft_sealed`
-    * watermark rides across the same way (bytes, not just the name). */
-  def swapInCompacted(spark: SparkSession, dir: String)
+    * watermark rides across the same way (bytes, not just the name).
+    *
+    * CONTRACT — one compactor per store at a time. The foreachBatch
+    * cadences satisfy it by construction (compaction runs on the single
+    * sequential batch thread), but an out-of-band operator re-run can
+    * race the cadence, and TWO live compactors break the layout: both
+    * target `_gen-<N+1>`, and the loser's pre-write `delete(next)` can
+    * land AFTER the winner's commit — deleting a COMMITTED generation
+    * (the orphaned-commit state, every read fails). The contract is
+    * enforced by an advisory `_graft_compacting` lock: one atomic
+    * create-no-overwrite to acquire, released on every exit path. A
+    * crashed compactor's stale lock self-heals — a lock older than
+    * `staleLockMs` is taken over (default 24 h: generous enough that a
+    * live 100 TB compaction is never mistaken for a crash; pass the
+    * deployment's real compaction ceiling). A younger lock throws — the
+    * caller is racing a live compactor; [[StoreAudit]] surfaces held
+    * locks with their age for the operator triaging a wedged cadence. */
+  def swapInCompacted(spark: SparkSession, dir: String,
+                      staleLockMs: Long = 24L * 3600 * 1000)
                      (writeTo: String => Unit): Unit = {
     val (fs, p) = fsAndPath(spark, dir)
-    val curN = maxCommitted(fs, p).getOrElse(0L)
-    val cur = if (curN == 0L) p else genPath(p, curN)
-    val next = genPath(p, curN + 1L)
-    fs.delete(next, true) // a crashed predecessor's uncommitted attempt
-    writeTo(next.toString)
-    if (fs.exists(cur)) {
-      fs.listStatus(cur).map(_.getPath.getName)
-        .filter(_.startsWith("_graft_batch_"))
-        .foreach(n => fs.create(new Path(next, n), true).close())
-      sealedThrough(fs, cur).foreach(writeSeal(fs, next, _))
-    }
-    // the flip: one atomic object creation — readers resolve the new
-    // generation from this instant on
-    fs.create(new Path(p, s"$CommitPrefix${curN + 1L}"), true).close()
-    gcGenerations(fs, p, keepFrom = curN)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    acquireCompactionLock(fs, p, staleLockMs)
+    try {
+      val curN = maxCommitted(fs, p).getOrElse(0L)
+      val cur = if (curN == 0L) p else genPath(p, curN)
+      val next = genPath(p, curN + 1L)
+      fs.delete(next, true) // a crashed predecessor's uncommitted attempt
+      writeTo(next.toString)
+      if (fs.exists(cur)) {
+        fs.listStatus(cur).map(_.getPath.getName)
+          .filter(_.startsWith("_graft_batch_"))
+          .foreach(n => fs.create(new Path(next, n), true).close())
+        sealedThrough(fs, cur).foreach(writeSeal(fs, next, _))
+      }
+      // the flip: one atomic object creation — readers resolve the new
+      // generation from this instant on
+      fs.create(new Path(p, s"$CommitPrefix${curN + 1L}"), true).close()
+      gcGenerations(fs, p, keepFrom = curN)
+    } finally fs.delete(new Path(p, LockName), false)
+  }
+
+  private[streaming] val LockName = "_graft_compacting"
+
+  /** Atomic acquire: `create(overwrite = false)` either wins or throws
+    * FileAlreadyExists — the one-RPC mutual exclusion every Hadoop
+    * filesystem (and S3 conditional PUT) provides. A stale holder
+    * (older than `staleLockMs`) is reclaimed by delete + retry once —
+    * two takeover racers then decide at the recreated lock's atomic
+    * create, and the loser throws like any other contender. */
+  private def acquireCompactionLock(fs: FileSystem, p: Path,
+                                    staleLockMs: Long): Unit = {
+    val lock = new Path(p, LockName)
+    def tryOnce(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (tryOnce()) return
+    val ageMs = try System.currentTimeMillis() -
+      fs.getFileStatus(lock).getModificationTime
+    catch { case _: java.io.IOException => -1L } // vanished: holder done
+    if (ageMs >= 0 && ageMs <= staleLockMs)
+      throw new IllegalStateException(
+        s"another compaction holds $lock (age ${ageMs / 1000} s); " +
+          "one compactor per store — if its holder crashed, retry " +
+          s"after the stale window or delete the lock")
+    fs.delete(lock, false)
+    if (!tryOnce())
+      throw new IllegalStateException(
+        s"lost the takeover race for $lock — a concurrent compactor " +
+          "reclaimed the stale lock first")
   }
 
   /** Delete generations (and their commit markers) older than
