@@ -73,7 +73,9 @@ object CurationStream {
           estThreshold: Double, targetOcc: Int,
           lam: Seq[Long], tau: Double, checkpoint: String,
           semTauSqBp: Long = 4900L)
-         (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+         (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    StoreFs.claimOwner(docs.sparkSession, storePath, checkpoint)
+    StoreFs.claimOwner(docs.sparkSession, codeStorePath, checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -82,6 +84,7 @@ object CurationStream {
         ()
       }
       .start()
+  }
 
   /** One micro-batch step, also callable from batch jobs/tests. */
   def processBatch(batch: DataFrame, batchId: Long, storePath: String,

@@ -44,7 +44,8 @@ object DsirStream {
     * (doc_id, n_feats, imp_mu, kept). */
   def run(docs: DataFrame, isTarget: Column, storePath: String,
           thresholdNats: Double, checkpoint: String)
-         (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+         (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    StoreFs.claimOwner(docs.sparkSession, storePath, checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -53,6 +54,7 @@ object DsirStream {
         ()
       }
       .start()
+  }
 
   /** One micro-batch step, also callable from batch jobs/tests. */
   def processBatch(batch: DataFrame, batchId: Long, isTarget: Column,

@@ -38,7 +38,8 @@ object IncrementalDedup {
     * store members always win). */
   def run(docs: DataFrame, storePath: String, estThreshold: Double,
           checkpoint: String, closure: Boolean = false)
-         (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+         (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    StoreFs.claimOwner(docs.sparkSession, storePath, checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -47,6 +48,7 @@ object IncrementalDedup {
         ()
       }
       .start()
+  }
 
   /** One micro-batch step, also callable from batch jobs/tests. */
   def processBatch(batch: DataFrame, batchId: Long, storePath: String,

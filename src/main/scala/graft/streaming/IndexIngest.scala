@@ -33,7 +33,8 @@ import graft.functions.TextFunctions._
 object IndexIngest {
 
   def run(docs: DataFrame, storePath: String, checkpoint: String)
-         (onBatch: Long => Unit = _ => ()): StreamingQuery =
+         (onBatch: Long => Unit = _ => ()): StreamingQuery = {
+    StoreFs.claimOwner(docs.sparkSession, storePath, checkpoint)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -42,6 +43,7 @@ object IndexIngest {
         ()
       }
       .start()
+  }
 
   /** One micro-batch step, also callable from batch jobs/tests. */
   def processBatch(batch: DataFrame, batchId: Long,

@@ -24,7 +24,8 @@ object PqIngest {
 
   def run(emb: DataFrame, storePath: String, m: Int, dim: Int,
           checkpoint: String, ivfadc: Boolean = false)
-         (onBatch: Long => Unit = _ => ()): StreamingQuery =
+         (onBatch: Long => Unit = _ => ()): StreamingQuery = {
+    StoreFs.claimOwner(emb.sparkSession, storePath, checkpoint)
     emb.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -33,6 +34,7 @@ object PqIngest {
         ()
       }
       .start()
+  }
 
   /** One micro-batch step, also callable from batch jobs/tests. */
   def processBatch(batch: DataFrame, batchId: Long, storePath: String,

@@ -52,7 +52,8 @@ object SemanticDedupStream {
   def run(emb: DataFrame, storePath: String, targetOcc: Int, maxBits: Int,
           dim: Int, checkpoint: String, tauNumSq: Long = 2025L,
           tauDenSq: Long = 10000L)
-         (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+         (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    StoreFs.claimOwner(emb.sparkSession, storePath, checkpoint)
     emb.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -61,6 +62,7 @@ object SemanticDedupStream {
         ()
       }
       .start()
+  }
 
   /** One micro-batch step, also callable from batch jobs/tests. */
   def processBatch(batch: DataFrame, batchId: Long, storePath: String,

@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   *     frontier min is the data-loss condition the multi-table seal
   *     exists to prevent (the replay would no-op and the unlanded
   *     subs' rows are gone) — ERROR.
+  *   - `lock`: a held `_graft_compacting` lock is reported with its
+  *     age — a live compaction (info) below the stale ceiling, a crash
+  *     remnant (warn) past it; a `_graft_takeover` file marks a
+  *     takeover in flight or a contender crashed inside the takeover
+  *     window (warn — requires explicit deletion if no compactor is
+  *     live).
+  *   - `owner`: a SEALED store with no recorded owning checkpoint
+  *     predates the [[StoreFs.claimOwner]] guard — the
+  *     one-checkpoint-per-store contract is unenforceable until the
+  *     store is claimed (warn).
   *   - `keys` (deep audit): the visible data must hold each natural
   *     key once — a duplicate means an ingest bypassed the anti-join
   *     contract and top-k / BM25 answers double-count until a
@@ -51,11 +61,19 @@ object StoreAudit {
     * multi-table store pass its sub-table directories in `subDirs`
     * (markers and the seal live at `dir` itself, per the
     * [[StoreFs.sealTagMarkersMulti]] contract); a single-table store
-    * passes none and is checked in place. */
+    * passes none and is checked in place. `keepGens` must match the
+    * compaction cadence's retention (default 1 — one grace generation);
+    * `staleLockMs` must match the cadence's stale-lock ceiling, so a
+    * held compaction lock is reported as in-progress (info) below it
+    * and as a crash remnant (warn) past it. */
   def auditFindings(spark: SparkSession, dir: String,
-                    subDirs: Seq[String] = Seq.empty): Seq[Finding] = {
+                    subDirs: Seq[String] = Seq.empty,
+                    keepGens: Int = 1,
+                    staleLockMs: Long = 24L * 3600 * 1000): Seq[Finding] = {
     val layoutTargets = if (subDirs.isEmpty) Seq(dir) else subDirs
-    val layout = layoutTargets.flatMap(d => generationFindings(spark, d))
+    val layout = layoutTargets.flatMap(d =>
+      generationFindings(spark, d, keepGens) ++
+        lockFindings(spark, d, staleLockMs))
     // marker root: the store dir itself (resolved through its own
     // pointer for single-table stores; multi-table roots are never
     // swapped, so resolution is the identity there)
@@ -63,10 +81,11 @@ object StoreAudit {
     val seal = sealFindings(fs, markerP, dir)
     val sealId = StoreFs.sealedThrough(fs, markerP)
     val markers = markerFindings(fs, markerP, dir, sealId)
+    val owner = ownerFindings(spark, dir, sealId)
     val frontier =
       if (subDirs.isEmpty) Seq.empty
       else frontierFindings(spark, dir, subDirs, sealId)
-    layout ++ seal ++ markers ++ frontier
+    layout ++ seal ++ markers ++ owner ++ frontier
   }
 
   /** Deep audit: the shallow findings plus the natural-key uniqueness
@@ -89,8 +108,10 @@ object StoreAudit {
   /** [[auditFindings]] as a DataFrame — the fleet-audit entry point:
     * union the result over every store path in the estate. */
   def audit(spark: SparkSession, dir: String,
-            subDirs: Seq[String] = Seq.empty): DataFrame =
-    toDf(spark, auditFindings(spark, dir, subDirs))
+            subDirs: Seq[String] = Seq.empty,
+            keepGens: Int = 1,
+            staleLockMs: Long = 24L * 3600 * 1000): DataFrame =
+    toDf(spark, auditFindings(spark, dir, subDirs, keepGens, staleLockMs))
 
   private def toDf(spark: SparkSession, fs: Seq[Finding]): DataFrame = {
     import spark.implicits._
@@ -99,15 +120,30 @@ object StoreAudit {
 
   // ---- generation layout ---------------------------------------------
 
-  private def generationFindings(spark: SparkSession,
-                                 dir: String): Seq[Finding] = {
+  private def generationFindings(spark: SparkSession, dir: String,
+                                 keepGens: Int): Seq[Finding] = {
     val (fs, p) = StoreFs.fsPath(spark, dir)
     if (!fs.exists(p)) return Seq.empty
     val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+    // parse with toLongOption, never .toLong (ADVICE r11): one stray
+    // non-numeric suffix (an editor backup of a commit marker, a
+    // tool's _graft_batch_tmp) must yield a finding on THIS store, not
+    // a NumberFormatException that takes the whole fleet audit down
+    val unparseable = names.filter { n =>
+      (n.startsWith(StoreFs.commitPrefix) &&
+        n.stripPrefix(StoreFs.commitPrefix).toLongOption.isEmpty) ||
+      (n.startsWith(StoreFs.genPrefix) &&
+        n.stripPrefix(StoreFs.genPrefix).toLongOption.isEmpty) ||
+      (n.startsWith("_graft_batch_") &&
+        n.stripPrefix("_graft_batch_").toLongOption.isEmpty)
+    }.map(n => Finding(dir, "generation-layout", "warn",
+      s"layout name '$n' carries a non-numeric suffix — not written by" +
+        " any store cadence; GC and resolution ignore it, but it should" +
+        " be removed"))
     val commits = names.filter(_.startsWith(StoreFs.commitPrefix))
-      .map(_.stripPrefix(StoreFs.commitPrefix).toLong).sorted
+      .flatMap(_.stripPrefix(StoreFs.commitPrefix).toLongOption).sorted
     val gens = names.filter(_.startsWith(StoreFs.genPrefix))
-      .map(_.stripPrefix(StoreFs.genPrefix).toLong).sorted
+      .flatMap(_.stripPrefix(StoreFs.genPrefix).toLongOption).sorted
     val live = commits.maxOption
     val orphanCommits = commits.filterNot(gens.contains)
     val orphan = orphanCommits.map(n => Finding(dir, "generation-layout",
@@ -129,22 +165,82 @@ object StoreAudit {
         s"uncommitted generation _gen-$n awaits a compaction (in" +
           " progress, or a crashed compactor the next run reclaims)"))
     val pastGrace = live.toSeq.flatMap { l =>
-      val stale = gens.filter(n => n < l - 1)
-      val flatRemnants = l >= 2 && names.exists(n =>
+      val stale = gens.filter(n => n < l - keepGens)
+      // a held compaction/takeover lock and the owner record are
+      // NORMAL root residents, not generation-0 remnants (ADVICE r11 —
+      // the old heuristic misreported a legitimately held lock)
+      val flatRemnants = l > keepGens && names.exists(n =>
         !n.startsWith(StoreFs.genPrefix) &&
-          !n.startsWith(StoreFs.commitPrefix) && !n.startsWith("."))
+          !n.startsWith(StoreFs.commitPrefix) && !n.startsWith(".") &&
+          n != StoreFs.LockName && n != StoreFs.TakeoverName &&
+          n != StoreFs.OwnerName)
       stale.map(n => Finding(dir, "generation-layout", "warn",
-        s"generation _gen-$n is past its grace window (live is $l) and" +
-          " should have been GC'd — the compaction cadence may have" +
-          " stopped")) ++
+        s"generation _gen-$n is past its grace window (live is $l," +
+          s" retention $keepGens) and should have been GC'd — the" +
+          " compaction cadence may have stopped, or it runs with a" +
+          " wider retention than this audit assumes")) ++
         (if (flatRemnants)
            Seq(Finding(dir, "generation-layout", "warn",
              "flat generation-0 files remain at the root past their" +
                s" grace window (live is $l)"))
          else Seq.empty)
     }
-    orphan ++ carcass ++ pastGrace
+    orphan ++ carcass ++ pastGrace ++ unparseable
   }
+
+  // ---- compaction lock -------------------------------------------------
+
+  /** Report a held `_graft_compacting` lock with its age — info while
+    * younger than `staleLockMs` (a live compaction), warn past it (a
+    * crashed compactor's remnant that the next contender will take
+    * over) — and any `_graft_takeover` file (a takeover in flight, or a
+    * contender that crashed inside the ~3-RPC takeover window, which
+    * requires explicit operator deletion). */
+  private def lockFindings(spark: SparkSession, dir: String,
+                           staleLockMs: Long): Seq[Finding] = {
+    val (fs, p) = StoreFs.fsPath(spark, dir)
+    if (!fs.exists(p)) return Seq.empty
+    val lock = new Path(p, StoreFs.LockName)
+    val held =
+      try {
+        val st = fs.getFileStatus(lock)
+        val ageMs = System.currentTimeMillis() - st.getModificationTime
+        if (ageMs <= staleLockMs)
+          Seq(Finding(dir, "lock", "info",
+            s"compaction lock held (age ${ageMs / 1000} s) — a" +
+              " compaction is in progress"))
+        else
+          Seq(Finding(dir, "lock", "warn",
+            s"compaction lock held past the stale ceiling (age" +
+              s" ${ageMs / 1000} s > ${staleLockMs / 1000} s) — its" +
+              " holder likely crashed; the next compactor takes it over"))
+      } catch { case _: java.io.IOException => Seq.empty }
+    val takeover =
+      if (fs.exists(new Path(p, StoreFs.TakeoverName)))
+        Seq(Finding(dir, "lock", "warn",
+          s"${StoreFs.TakeoverName} present — a stale-lock takeover is" +
+            " in flight, or its contender crashed inside the takeover" +
+            " window; if no compactor is live, delete it explicitly"))
+      else Seq.empty
+    held ++ takeover
+  }
+
+  // ---- checkpoint-identity owner --------------------------------------
+
+  /** A sealed store with NO recorded owner predates the checkpoint
+    * guard ([[StoreFs.claimOwner]]): the one-checkpoint-per-store
+    * contract is unenforceable on it — a fresh-checkpoint stream would
+    * silently no-op its first batches below the seal. Surface it so
+    * the operator claims the store for its owning stream. */
+  private def ownerFindings(spark: SparkSession, dir: String,
+                            sealId: Option[Long]): Seq[Finding] =
+    if (sealId.isDefined && StoreFs.ownerOf(spark, dir).isEmpty)
+      Seq(Finding(dir, "owner", "warn",
+        s"store is sealed through ${sealId.get} but records no owning" +
+          " checkpoint — a fresh-checkpoint stream's batches 0..seal" +
+          " would silently no-op; claim the store via" +
+          " StoreFs.claimOwner(dir, checkpoint)"))
+    else Seq.empty
 
   // ---- seal + markers ------------------------------------------------
 
@@ -166,7 +262,7 @@ object StoreAudit {
       else {
         val redundant = fs.listStatus(p).map(_.getPath.getName)
           .filter(_.startsWith("_graft_batch_"))
-          .map(_.stripPrefix("_graft_batch_").toLong)
+          .flatMap(_.stripPrefix("_graft_batch_").toLongOption)
           .filter(_ <= seal)
         if (redundant.isEmpty) Seq.empty
         else Seq(Finding(dir, "markers", "warn",

@@ -52,13 +52,16 @@ private[graft] object StoreFs {
   private val CommitPrefix = "_graft_commit_"
 
   /** The highest committed generation number, or None for a flat
-    * (never-compacted) store. One listing RPC; absent dir → None. */
+    * (never-compacted) store. One listing RPC; absent dir → None.
+    * Non-numeric suffixes (a stray editor backup, a tool's temp file)
+    * are ignored, not thrown on — a junk name must never take every
+    * read of the store down (ADVICE r11). */
   private[streaming] def maxCommitted(fs: FileSystem, p: Path): Option[Long] =
     if (!fs.exists(p)) None
     else fs.listStatus(p).iterator
       .map(_.getPath.getName)
       .filter(_.startsWith(CommitPrefix))
-      .map(_.stripPrefix(CommitPrefix).toLong)
+      .flatMap(_.stripPrefix(CommitPrefix).toLongOption)
       .maxOption
 
   private[streaming] def genPath(p: Path, n: Long): Path =
@@ -83,6 +86,148 @@ private[graft] object StoreFs {
   def dataDir(spark: SparkSession, dir: String): String = {
     val (fs, p) = fsAndPath(spark, dir)
     maxCommitted(fs, p).map(genPath(p, _).toString).getOrElse(dir)
+  }
+
+  /** Committed generation numbers, ascending — 0 stands for the flat
+    * (never-compacted) root and is present only before the first flip.
+    * The read side of the snapshot API ([[dataDirAt]]). */
+  def committedGenerations(spark: SparkSession, dir: String): Seq[Long] = {
+    val (fs, p) = fsAndPath(spark, dir)
+    if (!fs.exists(p)) return Seq.empty
+    val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+    val committed = names.filter(_.startsWith(CommitPrefix))
+      .flatMap(_.stripPrefix(CommitPrefix).toLongOption)
+      .filter(n => fs.exists(genPath(p, n))) // past-grace GC'd → gone
+      .sorted
+    if (committed.isEmpty) Seq(0L) else committed
+  }
+
+  /** SNAPSHOT READ (VERDICT r11 #8): resolve the store's data directory
+    * AS OF committed generation `gen` — time travel across compactions.
+    * Generations are immutable once committed (appends land only in the
+    * LIVE generation; a superseded one is never written again), so a
+    * pinned read is a consistent snapshot of the store at that
+    * generation's flip... up to GC: a generation older than the live
+    * one minus the compaction's `keepGens` grace has been reclaimed,
+    * and this throws rather than silently serving the wrong data. Pin
+    * long analyses to a generation AND size `keepGens` to cover them. */
+  def dataDirAt(spark: SparkSession, dir: String, gen: Long): String = {
+    if (gen == 0L) {
+      val (fs, p) = fsAndPath(spark, dir)
+      if (maxCommitted(fs, p).isEmpty) return dir
+      throw new IllegalStateException(
+        s"generation 0 of $dir was compacted away — flat files are " +
+          "reclaimed once their grace window passes; available: " +
+          committedGenerations(spark, dir).mkString(", "))
+    }
+    val (fs, p) = fsAndPath(spark, dir)
+    val g = genPath(p, gen)
+    if (fs.exists(new Path(p, s"$CommitPrefix$gen")) && fs.exists(g))
+      g.toString
+    else throw new IllegalStateException(
+      // commits are sequential, and GC reclaims a generation's commit
+      // marker together with its directory — so a missing generation at
+      // or below the live one was GC'd, and one above it never existed
+      if (gen <= maxCommitted(fs, p).getOrElse(0L))
+        s"generation $gen of $dir was GC'd past its grace window; " +
+          s"available: ${committedGenerations(spark, dir).mkString(", ")}"
+      else
+        s"generation $gen of $dir was never committed; available: " +
+          committedGenerations(spark, dir).mkString(", "))
+  }
+
+  // ---- checkpoint-identity guard (VERDICT r11 #3) --------------------
+
+  private[streaming] val OwnerName = "_graft_owner"
+
+  private def readSmall(fs: FileSystem, f: Path): Option[String] =
+    if (!fs.exists(f)) None
+    else
+      try {
+        val in = fs.open(f)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+        finally in.close()
+      } catch { case _: Exception => None }
+
+  /** Claim (or verify) the store's owning stream identity — the
+    * enforcement of the one-checkpoint-per-store contract stated at
+    * [[markerExists]]: batch-id replay markers compare RAW foreachBatch
+    * ids, which restart at 0 for every fresh checkpoint, so a NEW
+    * stream pointed at a sealed store would silently no-op its first
+    * batches (ids 0..seal all read as "already appended"). Every
+    * streaming `run(...)` cadence calls this with its checkpoint
+    * location before starting: the first claim records the id at the
+    * store ROOT (atomic create — two racing first claims decide there);
+    * a matching re-claim (restart of the same stream) is a no-op; a
+    * MISMATCH fails fast instead of losing data. A first claim on a
+    * store that ALREADY carries ingest state (a seal or any
+    * `_graft_batch_*` marker) is also refused — that is precisely the
+    * pre-guard store the silent no-op eats; such a store must be
+    * adopted explicitly ([[adoptStore]]) after the operator verifies
+    * the new stream's ids line up with the recorded frontier. The
+    * owner file lives at the root, outside the generation directories,
+    * and is excluded from GC — it survives every flip for the store's
+    * lifetime. */
+  def claimOwner(spark: SparkSession, dir: String, ownerId: String): Unit = {
+    require(ownerId.trim.nonEmpty, "ownerId must be non-empty")
+    val (fs, p) = fsAndPath(spark, dir)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    val f = new Path(p, OwnerName)
+    def mismatch(other: String): Nothing = throw new IllegalStateException(
+      s"store $dir is owned by checkpoint '$other' but this stream's " +
+        s"checkpoint is '${ownerId.trim}' — a fresh checkpoint restarts " +
+        "batch ids at 0 and its appends would silently no-op below the " +
+        "seal; re-ingest through the owning checkpoint, or adopt the " +
+        "store explicitly (StoreFs.adoptStore) after verifying the " +
+        "frontier")
+    readSmall(fs, f) match {
+      case Some(o) if o == ownerId.trim => ()
+      case Some(o) => mismatch(o)
+      case None =>
+        val (rfs, rp) = resolvedFsPath(spark, dir)
+        val sealId = sealedThrough(rfs, rp)
+        val markers = rfs.exists(rp) && rfs.listStatus(rp)
+          .exists(_.getPath.getName.startsWith("_graft_batch_"))
+        if (sealId.isDefined || markers)
+          throw new IllegalStateException(
+            s"store $dir carries ingest state (" +
+              sealId.map(s => s"sealed through $s").getOrElse(
+                "per-batch replay markers") +
+              ") but records no owner — it predates the checkpoint " +
+              "guard, and a new stream's batch ids restart at 0 and " +
+              "would silently no-op below that frontier; adopt it " +
+              "explicitly (StoreFs.adoptStore) after verifying the ids " +
+              "line up, or rebuild the store")
+        val won =
+          try {
+            val out = fs.create(f, false)
+            try out.write(ownerId.trim.getBytes("UTF-8")) finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        if (!won) // lost a racing first claim — verify it was ours
+          readSmall(fs, f).filter(_ != ownerId.trim).foreach(mismatch)
+    }
+  }
+
+  /** Explicitly (re-)home a store onto `ownerId` — the operator escape
+    * hatch [[claimOwner]] points at when a pre-guard store (or a store
+    * whose owning checkpoint was retired) must move to a new stream.
+    * Unconditional overwrite: the CALLER asserts the new stream's batch
+    * ids are consistent with the store's seal/marker frontier (start
+    * the new checkpoint's ids past the seal, or clear the seal and let
+    * the anti-joins heal). */
+  def adoptStore(spark: SparkSession, dir: String, ownerId: String): Unit = {
+    require(ownerId.trim.nonEmpty, "ownerId must be non-empty")
+    val (fs, p) = fsAndPath(spark, dir)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    val out = fs.create(new Path(p, OwnerName), true)
+    try out.write(ownerId.trim.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The recorded owning stream identity, if any. */
+  def ownerOf(spark: SparkSession, dir: String): Option[String] = {
+    val (fs, p) = fsAndPath(spark, dir)
+    readSmall(fs, new Path(p, OwnerName))
   }
 
   /** [[dataDir]] as a (FileSystem, Path) pair — the marker layer
@@ -110,9 +255,13 @@ private[graft] object StoreFs {
     * checkpoint. Pointing a NEW stream (new checkpoint) at an existing
     * sealed store would make its batches 0..seal silently no-op here.
     * A store is owned by exactly one streaming query + checkpoint for
-    * its lifetime; to re-ingest into an existing store from a new
-    * stream, use the `batchId = None` batch-append forms (no marker
-    * fast path — they anti-join instead), or rebuild the store. */
+    * its lifetime — ENFORCED by [[claimOwner]], which every streaming
+    * `run(...)` cadence calls with its checkpoint location before
+    * starting (VERDICT r11 #3): the mismatch fails fast instead of
+    * silently losing the new stream's batches. To re-ingest into an
+    * existing store from a new stream, use the `batchId = None`
+    * batch-append forms (no marker fast path — they anti-join
+    * instead), or rebuild the store. */
   def markerExists(spark: SparkSession, dir: String, batchId: Long): Boolean = {
     val (fs, p) = resolvedFsPath(spark, dir)
     fs.exists(new Path(p, s"_graft_batch_$batchId")) ||
@@ -187,8 +336,11 @@ private[graft] object StoreFs {
     * caller is racing a live compactor; [[StoreAudit]] surfaces held
     * locks with their age for the operator triaging a wedged cadence. */
   def swapInCompacted(spark: SparkSession, dir: String,
-                      staleLockMs: Long = 24L * 3600 * 1000)
+                      staleLockMs: Long = 24L * 3600 * 1000,
+                      keepGens: Int = 1)
                      (writeTo: String => Unit): Unit = {
+    require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens " +
+      "(an in-flight reader needs at least one grace cadence)")
     val (fs, p) = fsAndPath(spark, dir)
     if (!fs.exists(p)) fs.mkdirs(p)
     acquireCompactionLock(fs, p, staleLockMs)
@@ -207,24 +359,52 @@ private[graft] object StoreFs {
       // the flip: one atomic object creation — readers resolve the new
       // generation from this instant on
       fs.create(new Path(p, s"$CommitPrefix${curN + 1L}"), true).close()
-      gcGenerations(fs, p, keepFrom = curN)
+      gcGenerations(fs, p, live = curN + 1L, keepGens = keepGens)
     } finally fs.delete(new Path(p, LockName), false)
   }
 
   private[streaming] val LockName = "_graft_compacting"
+  private[streaming] val TakeoverName = "_graft_takeover"
 
   /** Atomic acquire: `create(overwrite = false)` either wins or throws
     * FileAlreadyExists — the one-RPC mutual exclusion every Hadoop
-    * filesystem (and S3 conditional PUT) provides. A stale holder
-    * (older than `staleLockMs`) is reclaimed by delete + retry once —
-    * two takeover racers then decide at the recreated lock's atomic
-    * create, and the loser throws like any other contender. */
+    * filesystem (and S3 conditional PUT) provides.
+    *
+    * STALE TAKEOVER (ADVICE r11, medium): a bare delete-then-create
+    * takeover is NOT atomic — two contenders can both pass the age
+    * check, B's delete can remove A's freshly created lock, and both
+    * then "hold" the mutex (two live compactors both target
+    * `_gen-<N+1>`, and the loser's `delete(next)` can remove a
+    * committed generation). Takeover therefore runs inside a SECOND
+    * atomic create: the contender must win `_graft_takeover` first
+    * (create-no-overwrite — exactly one of N racers wins), and only the
+    * takeover holder may delete the stale main lock and recreate it.
+    * One residual window remains even under the takeover lock: between
+    * the stale lock's delete and its recreate, a FRESH contender's
+    * ordinary first create can win the main lock — so the recreate is
+    * itself create-no-overwrite, and losing it means yielding to that
+    * fresh holder (still exactly one holder). A takeover lock left by a
+    * crash inside this ~3-RPC window is refused automatically — young
+    * OR stale — and reported for explicit operator deletion: the
+    * recursion has to ground out somewhere, and a crash inside a
+    * milliseconds-long critical section is rare enough to hand a human.
+    *
+    * The lock's CONTENT is a diagnostic token (UUID + create epoch) so
+    * [[StoreAudit]] can show who holds it and since when; mutual
+    * exclusion itself rides only on the atomic creates, never on
+    * reading content back (a read-back check has its own TOCTOU). */
   private def acquireCompactionLock(fs: FileSystem, p: Path,
                                     staleLockMs: Long): Unit = {
     val lock = new Path(p, LockName)
     def tryOnce(): Boolean =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = fs.create(lock, false)
+        try out.write(
+          s"${java.util.UUID.randomUUID()} ${System.currentTimeMillis()}"
+            .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
     if (tryOnce()) return
     val ageMs = try System.currentTimeMillis() -
       fs.getFileStatus(lock).getModificationTime
@@ -234,31 +414,62 @@ private[graft] object StoreFs {
         s"another compaction holds $lock (age ${ageMs / 1000} s); " +
           "one compactor per store — if its holder crashed, retry " +
           s"after the stale window or delete the lock")
-    fs.delete(lock, false)
-    if (!tryOnce())
+    val takeover = new Path(p, TakeoverName)
+    val wonTakeover =
+      try { fs.create(takeover, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!wonTakeover)
       throw new IllegalStateException(
-        s"lost the takeover race for $lock — a concurrent compactor " +
-          "reclaimed the stale lock first")
+        s"a stale-lock takeover of $lock is already in progress " +
+          s"($takeover exists) — if ITS holder crashed, delete " +
+          s"$takeover explicitly and retry")
+    try {
+      // re-check under the takeover lock: the original holder may have
+      // finished (lock gone) or a successor may hold a FRESH lock —
+      // only a still-stale lock may be reclaimed
+      val nowAge = try System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.IOException => Long.MaxValue }
+      if (nowAge <= staleLockMs)
+        throw new IllegalStateException(
+          s"the stale lock $lock was replaced by a live holder during " +
+            "takeover — yielding")
+      fs.delete(lock, false)
+      if (!tryOnce())
+        throw new IllegalStateException(
+          s"lost $lock to a fresh contender between the stale delete " +
+            "and the recreate — yielding")
+    } finally fs.delete(takeover, false)
   }
 
-  /** Delete generations (and their commit markers) older than
-    * `keepFrom` — the grace policy: the previous generation survives
-    * one full compaction cadence for in-flight readers. Once a
-    * generational commit exists, stray flat data files at the root
-    * (the pre-generational "generation 0", already past its grace when
-    * keepFrom ≥ 1) are reclaimed too, as are root-level markers that
-    * were copied into the live generation at its flip. */
-  private def gcGenerations(fs: FileSystem, p: Path, keepFrom: Long): Unit = {
+  /** Delete generations (and their commit markers) older than the live
+    * generation minus `keepGens` — the grace policy: the previous
+    * `keepGens` generations survive for in-flight readers (default 1 =
+    * one full compaction cadence; raise it for deployments whose
+    * longest read can span several cadences — VERDICT r11 #4). Once
+    * the grace floor passes generation 0, stray flat data files at the
+    * root (the pre-generational "generation 0") are reclaimed too, as
+    * are root-level markers that were copied into the live generation
+    * at its flip — but NEVER the compaction/takeover locks (the
+    * compactor calling this still HOLDS the lock; deleting it mid-run
+    * would let a second compactor acquire before this one returns —
+    * ADVICE r11) nor the store's owner record. Names whose numeric
+    * suffix does not parse are left alone — GC must never eat a file
+    * it cannot classify. */
+  private[streaming] def gcGenerations(fs: FileSystem, p: Path, live: Long,
+                                       keepGens: Int): Unit = {
+    val floor = math.max(live - keepGens, 1L)
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       val stale =
         (n.startsWith(GenPrefix) &&
-          n.stripPrefix(GenPrefix).toLong < math.max(keepFrom, 1L)) ||
+          n.stripPrefix(GenPrefix).toLongOption.exists(_ < floor)) ||
         (n.startsWith(CommitPrefix) &&
-          n.stripPrefix(CommitPrefix).toLong < math.max(keepFrom, 1L)) ||
+          n.stripPrefix(CommitPrefix).toLongOption.exists(_ < floor)) ||
         // generation-0 flat remnants: reclaim once their grace expired
-        (keepFrom >= 1L && !n.startsWith(GenPrefix) &&
-          !n.startsWith(CommitPrefix))
+        (floor >= 1L && live > keepGens && !n.startsWith(GenPrefix) &&
+          !n.startsWith(CommitPrefix) && n != LockName &&
+          n != TakeoverName && n != OwnerName)
       if (stale) fs.delete(st.getPath, true)
       ()
     }
@@ -292,7 +503,7 @@ private[graft] object StoreFs {
     fs.listStatus(p).map(_.getPath).foreach { f =>
       val n = f.getName
       if (n.startsWith("_graft_batch_") &&
-          n.stripPrefix("_graft_batch_").toLong <= newSeal)
+          n.stripPrefix("_graft_batch_").toLongOption.exists(_ <= newSeal))
         fs.delete(f, false)
       ()
     }

@@ -19,7 +19,8 @@ object VecIngest {
 
   def run(vecs: DataFrame, storePath: String, checkpoint: String,
           idCol: String = "doc_id", vecCol: String = "vec")
-         (onBatch: Long => Unit = _ => ()): StreamingQuery =
+         (onBatch: Long => Unit = _ => ()): StreamingQuery = {
+    StoreFs.claimOwner(vecs.sparkSession, storePath, checkpoint)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -28,6 +29,7 @@ object VecIngest {
         ()
       }
       .start()
+  }
 
   /** One micro-batch step, also callable from batch jobs/tests. */
   def processBatch(batch: DataFrame, batchId: Long, storePath: String,

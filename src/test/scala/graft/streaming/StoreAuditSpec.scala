@@ -86,6 +86,7 @@ class StoreAuditSpec extends AnyFunSuite with SparkTest {
       .toDF("doc_id", "code", "batch_id")
       .write.mode("overwrite").parquet(store)
     StoreFs.sealTagMarkers(spark, store)
+    StoreFs.adoptStore(spark, store, "ckpt-test") // silence the owner check
     assert(findings(store).isEmpty, "a clean seal audits clean")
     // a marker the seal already covers (a seal pass that stopped before
     // cleaning) — and a torn seal file
@@ -135,6 +136,61 @@ class StoreAuditSpec extends AnyFunSuite with SparkTest {
     assert(deep.exists(r => r.getAs[String]("check") == "keys" &&
       r.getAs[String]("level") == "error" &&
       r.getAs[String]("detail").contains("×3")), s"got ${deep.toSeq}")
+  }
+
+  test("a held lock is info below the stale ceiling, warn past it; a takeover file warns") {
+    val store = sigStore("graft-audit-lock-", compact = true)
+    java.nio.file.Files.writeString(
+      new java.io.File(store, StoreFs.LockName).toPath, "holder")
+    val young = findings(store)
+    assert(young.exists(f => f.check == "lock" && f.level == "info" &&
+      f.detail.contains("in progress")), s"got $young")
+    // ... and the flat-remnant heuristic must NOT misreport the held
+    // lock as stale generation-0 files (ADVICE r11)
+    assert(new java.io.File(store, StoreFs.LockName).delete())
+    Dedup.compactSignatureStore(spark, store) // live = 2: remnant clause armed
+    java.nio.file.Files.writeString(
+      new java.io.File(store, StoreFs.LockName).toPath, "holder")
+    val live2 = findings(store)
+    assert(!live2.exists(_.detail.contains("flat generation-0")),
+      s"a held lock is not a generation-0 remnant: $live2")
+    // past the stale ceiling the same lock is a crash remnant
+    assert(new java.io.File(store, StoreFs.LockName)
+      .setLastModified(System.currentTimeMillis() - 100000L))
+    val stale = StoreAudit.auditFindings(spark, store,
+      staleLockMs = 10000L)
+    assert(stale.exists(f => f.check == "lock" && f.level == "warn" &&
+      f.detail.contains("stale ceiling")), s"got $stale")
+    assert(new java.io.File(store, StoreFs.LockName).delete())
+    java.nio.file.Files.writeString(
+      new java.io.File(store, StoreFs.TakeoverName).toPath, "t")
+    val takeover = findings(store)
+    assert(takeover.exists(f => f.check == "lock" && f.level == "warn" &&
+      f.detail.contains("takeover")), s"got $takeover")
+  }
+
+  test("a sealed store with no recorded owner warns; claiming it clears the finding") {
+    import spark.implicits._
+    val store = tmpDir("graft-audit-owner-") + "/codes"
+    Seq((1L, 10L, 0L)).toDF("doc_id", "code", "batch_id")
+      .write.mode("overwrite").parquet(store)
+    StoreFs.sealTagMarkers(spark, store)
+    val unowned = findings(store)
+    assert(unowned.exists(f => f.check == "owner" && f.level == "warn"),
+      s"got $unowned")
+    StoreFs.adoptStore(spark, store, "ckpt-y")
+    assert(!findings(store).exists(_.check == "owner"))
+  }
+
+  test("junk layout names yield findings, never exceptions") {
+    val store = sigStore("graft-audit-junk-", compact = true)
+    java.nio.file.Files.writeString(
+      new java.io.File(store, "_graft_commit_tmp").toPath, "backup")
+    java.nio.file.Files.writeString(
+      new java.io.File(store, "_graft_batch_tmp").toPath, "junk")
+    val fs = findings(store) // before ADVICE r11 this threw NumberFormatException
+    assert(fs.count(f => f.check == "generation-layout" &&
+      f.level == "warn" && f.detail.contains("non-numeric")) == 2, s"got $fs")
   }
 
   test("the fleet shape: audits of many stores union into one health table") {
