@@ -46,6 +46,13 @@ object ExactIvfProbe {
     val tot = stats.map(_.getLong(1)).sum.toDouble
     val sur = stats.map(_.getLong(2)).sum.toDouble
     println(f"""{"sf_dir":"$sfDir","n_cells":$nCells,"mean_survivor_frac":${sur / tot}%.3f}""")
+    // the served answer itself, timed — at high nCells this is the row
+    // that proves the DPP serve plan stays O(1)-size (VERDICT r11 #1:
+    // the old isInCollection list was O(nCells) literals per serve)
+    val t0 = System.nanoTime()
+    val served = graft.operators.ExactIvf
+      .topDotBatchFromStore(spark, path, queries.toSeq, k, nprobe0).count()
+    println(f"""{"serve_rows":$served,"serve_sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     spark.stop()
   }
 }

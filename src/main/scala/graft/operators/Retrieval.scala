@@ -295,22 +295,32 @@ object Retrieval {
                                queries: Seq[(Long, Seq[String], Long)],
                                kList: Int = 50, kOut: Int = 20,
                                k1: Double = 1.2, b: Double = 0.75,
-                               nprobe0: Int = 4): DataFrame = {
+                               nprobe0: Int = 4,
+                               maxBatch: Int = ExactIvf.MaxServeBatch)
+      : DataFrame = {
     import spark.implicits._
-    val unionTerms = queries.flatMap(_._2).distinct
-    val qt = queries.flatMap { case (qid, ts, _) => ts.map(qid -> _) }
-      .toDF("query_id", "term")
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    // the ExactIvf.MaxServeBatch broadcast contract (VERDICT r11 #2):
+    // both arms broadcast per-query frames (the (query, term) fan-out
+    // and the probe vectors), so an oversized batch chunks by query and
+    // the chunk answers union — every step keys by query_id, so the
+    // union is row-identical to the unchunked form by construction
+    queries.distinct.grouped(maxBatch).map { qs =>
+      val unionTerms = qs.flatMap(_._2).distinct
+      val qt = qs.flatMap { case (qid, ts, _) => ts.map(qid -> _) }
+        .toDF("query_id", "term")
 
-    val scored = storeScores(spark, indexPath, unionTerms, k1, b)
-    val lex = lexRank(scored.join(broadcast(qt), Seq("term")), kList)
+      val scored = storeScores(spark, indexPath, unionTerms, k1, b)
+      val lex = lexRank(scored.join(broadcast(qt), Seq("term")), kList)
 
-    // the exact store-served dot already ranks by (dot DESC, doc_id) —
-    // precisely hybridRrfBatch's sem_rk ordering
-    val sem = ExactIvf.topDotBatchFromStore(spark, vecPath,
-        queries.map { case (qid, _, p) => (qid, p) }, kList, nprobe0)
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        col("rk").as("sem_rk"))
-    rrfFuse(lex, sem, kOut)
+      // the exact store-served dot already ranks by (dot DESC, doc_id)
+      // — precisely hybridRrfBatch's sem_rk ordering
+      val sem = ExactIvf.topDotBatchFromStore(spark, vecPath,
+          qs.map { case (qid, _, p) => (qid, p) }, kList, nprobe0)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rk").as("sem_rk"))
+      rrfFuse(lex, sem, kOut)
+    }.reduce(_ unionAll _)
   }
 
   /** The query-TABLE form of [[hybridRrfBatchFromStores]]: `queries` is
@@ -321,28 +331,52 @@ object Retrieval {
     * term-scored postings (no hint — AQE broadcasts a small query side),
     * and the semantic arm goes through [[ExactIvf]]'s DataFrame serve.
     * Driver-side state is only what pushdown pruning genuinely needs as
-    * literals: the DISTINCT term list (≤ the index vocabulary — the
-    * lexical analog of the vec serve's cell-id list) and the distinct
-    * surviving cell ids (≤ nCells). Row-identical to the Seq form by
+    * literals: the DISTINCT term list (≤ the index vocabulary); the
+    * semantic arm's cell pruning is dynamic partition pruning with no
+    * driver cell state. Row-identical to the Seq form by
     * construction (same scoring and fusion tail). */
   def hybridRrfBatchFromStores(spark: org.apache.spark.sql.SparkSession,
                                indexPath: String, vecPath: String,
                                queries: DataFrame,
                                kList: Int, kOut: Int,
                                k1: Double, b: Double,
-                               nprobe0: Int): DataFrame = {
-    val qt = graft.core.Caches.scoped(queries.select(
-      col("query_id").cast("long").as("query_id"),
-      explode(col("terms")).as("term")))
-    val unionTerms = qt.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val scored = storeScores(spark, indexPath, unionTerms, k1, b)
-    val lex = lexRank(scored.join(qt, Seq("term")), kList)
-    val sem = ExactIvf.topDotBatchFromStore(spark, vecPath,
-        queries.select(col("query_id"), col("probe_id")), kList, nprobe0)
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        col("rk").as("sem_rk"))
-    rrfFuse(lex, sem, kOut)
+                               nprobe0: Int): DataFrame =
+    hybridRrfBatchFromStores(spark, indexPath, vecPath, queries, kList,
+      kOut, k1, b, nprobe0, ExactIvf.MaxServeBatch)
+
+  /** [[hybridRrfBatchFromStores]] (query-TABLE form) with an explicit
+    * serve-chunk bound. */
+  def hybridRrfBatchFromStores(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, vecPath: String,
+                               queries: DataFrame,
+                               kList: Int, kOut: Int,
+                               k1: Double, b: Double,
+                               nprobe0: Int,
+                               maxBatch: Int)
+      : DataFrame = {
+    require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    // broadcast-contract chunking (VERDICT r11 #2), DataFrame form: a
+    // deterministic query_id hash keeps each query whole in one chunk
+    val n = queries.select("query_id").distinct().count()
+    val nChunks = math.max(1L, (n + maxBatch - 1) / maxBatch).toInt
+    (0 until nChunks).map { i =>
+      val qs =
+        if (nChunks == 1) queries
+        else queries.filter(
+          pmod(hash(col("query_id")), lit(nChunks)) === i)
+      val qt = graft.core.Caches.scoped(qs.select(
+        col("query_id").cast("long").as("query_id"),
+        explode(col("terms")).as("term")))
+      val unionTerms = qt.select("term").distinct()
+        .collect().map(_.getString(0)).toSeq
+      val scored = storeScores(spark, indexPath, unionTerms, k1, b)
+      val lex = lexRank(scored.join(qt, Seq("term")), kList)
+      val sem = ExactIvf.topDotBatchFromStore(spark, vecPath,
+          qs.select(col("query_id"), col("probe_id")), kList, nprobe0)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rk").as("sem_rk"))
+      rrfFuse(lex, sem, kOut)
+    }.reduce(_ unionAll _)
   }
 
   /** Shared lexical tail of the two store-served hybrid forms: integer

@@ -30,6 +30,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL-native serving surface (VERDICT r11 #7): the store-served
+    // retrieval tier as table functions — each builder drives the SAME
+    // DataFrame serving code and splices its analyzed plan in place,
+    // so SQL and DataFrame forms share one implementation
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_exact_topk"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_exact_topk"),
+      (args: Seq[Expression]) => ServeTableFunctions.exactTopK(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_hybrid_rrf"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_hybrid_rrf"),
+      (args: Seq[Expression]) => ServeTableFunctions.hybridRrf(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_ivfadc_topk"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_ivfadc_topk"),
+      (args: Seq[Expression]) => ServeTableFunctions.ivfadcTopK(args)))
   }
 }
 

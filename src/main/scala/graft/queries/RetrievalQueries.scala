@@ -479,6 +479,29 @@ object RetrievalQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- Y57: the SQL-NATIVE serving surface (VERDICT r11 #7) — the y55
+  // store-served hybrid invoked from PURE SQL through the registered
+  // `graft_hybrid_rrf` TABLE FUNCTION, graded under the same exact
+  // hybrid oracle. Parity is by SHARED IMPLEMENTATION, not a SQL
+  // re-statement: the TVF builder drives the DataFrame serving code and
+  // splices its analyzed plan in place of the call, so a spark.sql-only
+  // user (BI tool, notebook) gets the identical store-served plan —
+  // DPP cell pruning included (pinned in SqlParityStoreSpec). The
+  // TVF's 5-arg form defaults (k1=1.2, b=0.75, nprobe0=4) are exactly
+  // the y55 constants.
+  val y57 = Query(
+    "y57_hybrid_sql_tvf",
+    Some(hybridBatchOracle)
+  ) { (s, d) =>
+    import s.implicits._
+    BatchQueries.toDF("query_id", "terms", "probe_id")
+      .createOrReplaceTempView("y57_queries")
+    s.sql(
+      s"""SELECT * FROM graft_hybrid_rrf('${ensureIndexStore(s, d)}',
+         '${ensureVecStore(s, d)}', 'y57_queries', 50, 20)""")
+      .orderBy("query_id", "rk")
+  }
+
   // --- X67/X68: int8 quantization. Shared oracle CTEs lift vectors to
   // integer micro-units, derive the per-vector integer scale, and code
   // via one IEEE-deterministic double division.
@@ -1228,5 +1251,5 @@ object RetrievalQueries {
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
     x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38, y49,
-    y52, y55)
+    y52, y55, y57)
 }
