@@ -663,6 +663,21 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("TopKPerKey"), p)
   }
 
+  test("y57 SQL-TVF hybrid serve keeps the y55 shape: stores only, DPP, no literals") {
+    val p = plan("y57_hybrid_sql_tvf")
+    // the TVF splices the DataFrame serve's plan — so every y55 pin
+    // must hold verbatim on the SQL surface
+    assert(!p.contains("documents.parquet"),
+      s"the SQL serve must not read document text:\n$p")
+    assert(p.contains("graft-bm25index") && p.contains("graft-vecstore"), p)
+    assert(p.contains("dynamicpruningexpression"),
+      s"DPP cell pruning must survive the SQL surface:\n$p")
+    assert("ivf_cell#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
+      s"no literal cell-id list on the SQL surface:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TopKPerKey"), p)
+  }
+
   test("y54 stream-curation serve reads only the verdict store, never the corpus") {
     val p = plan("y54_curation_stream_store")
     assert(!p.contains("documents.parquet"),
