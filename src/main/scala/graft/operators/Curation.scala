@@ -471,7 +471,7 @@ object Curation {
     * replay of a pre-compaction batch appends nothing instead of
     * double-counting its rows into the −1 generation. */
   def compactDsirStore(spark: org.apache.spark.sql.SparkSession,
-                       path: String): Unit = {
+                       path: String, keepGens: Int = 1): Unit = {
     // torn-append replay safety: seal folded tags as markers first
     // (counts are SUM-merged, so a post-compaction re-append would
     // double-count — the strictest form of the hazard)
@@ -484,8 +484,8 @@ object Curation {
       if (df.columns.contains("batch_id"))
         summed.select(lit(-1L).as("batch_id"), col("b"), col("ct"), col("cr"))
       else summed
-    graft.streaming.StoreFs.swapInCompacted(spark, path)(
-      merged.write.parquet(_))
+    graft.streaming.StoreFs.swapInCompacted(spark, path,
+      keepGens = keepGens)(merged.write.parquet(_))
   }
 
   /** Incremental DSIR: the estimator over old ∪ batch is recovered by

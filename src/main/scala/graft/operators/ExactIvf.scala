@@ -155,7 +155,8 @@ object ExactIvf {
     * collapse to the −1 sentinel, the ivf_cell partition layout is
     * preserved, and the swap is atomic with replay markers carried
     * across (the `swapInCompacted` contract). */
-  def compactVecStore(spark: SparkSession, path: String): Unit = {
+  def compactVecStore(spark: SparkSession, path: String,
+                      keepGens: Int = 1): Unit = {
     val dir = s"$path/vecs"
     if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
     // seal folded tags as markers first (torn-append replay safety —
@@ -165,7 +166,8 @@ object ExactIvf {
       .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
     val merged = src.drop("batch_id").dropDuplicates("vec_id")
       .withColumn("batch_id", lit(-1L))
-    graft.streaming.StoreFs.swapInCompacted(spark, dir) { tmp =>
+    graft.streaming.StoreFs.swapInCompacted(spark, dir,
+        keepGens = keepGens) { tmp =>
       merged.write.partitionBy("ivf_cell").parquet(tmp)
     }
     spark.catalog.refreshByPath(dir)

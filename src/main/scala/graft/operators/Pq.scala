@@ -528,7 +528,7 @@ object Pq {
     * the −1 generation, and re-appending them would duplicate
     * (vec_id, sub) keys and double-count subspaces in every ADC sum. */
   def compactCodesStore(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Unit = {
+                        path: String, keepGens: Int = 1): Unit = {
     val dir = s"$path/codes"
     if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
     // seal every folded tag as a marker FIRST: a torn append (rows
@@ -542,7 +542,8 @@ object Pq {
                else Seq("vec_id", "sub")
     val merged = src.drop("batch_id").dropDuplicates(keys)
       .withColumn("batch_id", lit(-1L))
-    graft.streaming.StoreFs.swapInCompacted(spark, dir) { tmp =>
+    graft.streaming.StoreFs.swapInCompacted(spark, dir,
+        keepGens = keepGens) { tmp =>
       (if (partitioned) merged.write.partitionBy("ivf_cell")
        else merged.write).parquet(tmp)
     }

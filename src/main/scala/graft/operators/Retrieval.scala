@@ -585,7 +585,7 @@ object Retrieval {
     * empty store). Serving answers are provably unchanged
     * (spec-pinned). */
   def compactIndexStore(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Unit = {
+                        path: String, keepGens: Int = 1): Unit = {
     val subs = Seq("doclen", "postings", "positions")
     // torn-append replay safety for a MULTI-TABLE store (ADVICE r10,
     // medium): the seal is computed ONCE for the whole store, BEFORE
@@ -622,7 +622,8 @@ object Retrieval {
           when(coalesce(col("batch_id"), lit(-1L)) <= sealId, lit(-1L))
             .otherwise(col("batch_id")))
         .dropDuplicates(keys :+ "batch_id")
-      graft.streaming.StoreFs.swapInCompacted(spark, dir) { tmp =>
+      graft.streaming.StoreFs.swapInCompacted(spark, dir,
+          keepGens = keepGens) { tmp =>
         (if (sortCols.nonEmpty)
            merged.repartitionByRange(col(sortCols.head))
              .sortWithinPartitions(sortCols.map(col): _*)

@@ -49,6 +49,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(ServeTableFunctions.getClass.getName,
         "graft_ivfadc_topk"),
       (args: Seq[Expression]) => ServeTableFunctions.ivfadcTopK(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bm25_topk"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_bm25_topk"),
+      (args: Seq[Expression]) => ServeTableFunctions.bm25TopK(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_store_audit"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_store_audit"),
+      (args: Seq[Expression]) => ServeTableFunctions.storeAudit(args)))
   }
 }
 

@@ -13,6 +13,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *                                  'my_queries', 50, 20)
   *   SELECT * FROM graft_ivfadc_topk('/stores/ivfadc', 'embeddings',
   *                                   'my_probes', 6, 100, 10, 8, 64)
+  *   SELECT * FROM graft_bm25_topk('/stores/idx', 'spark, shuffle', 10)
+  *   SELECT * FROM graft_store_audit('/stores/idx')   -- the fsck
   *
   * where the query/probe argument names a registered VIEW (the
   * query-table discipline: the query side enters the plan as a
@@ -86,6 +88,43 @@ object ServeTableFunctions {
         str(args(0), "indexPath"), str(args(1), "vecPath"),
         spark.table(str(args(2), "queriesView")),
         int(args(3), "kList"), int(args(4), "kOut"), k1, b, nprobe0)
+      .queryExecution.analyzed
+  }
+
+  /** graft_bm25_topk(indexPath, termsCsv, k [, k1, b]) →
+    * (term, doc_id, tf, score, rk): the store-served BM25 top-k per
+    * term. Terms are a comma-separated literal (the lexical analog of
+    * the path argument — the distinct-term pushdown genuinely needs
+    * literals; a query TABLE belongs to graft_hybrid_rrf). */
+  def bm25TopK(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3 || args.length == 5,
+      "graft_bm25_topk(indexPath, termsCsv, k[, k1, b])")
+    val spark = SparkSession.active
+    val terms = str(args(1), "termsCsv").split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "termsCsv must name at least one term")
+    val (k1, b) =
+      if (args.length == 5) (dbl(args(3), "k1"), dbl(args(4), "b"))
+      else (1.2, 0.75)
+    graft.operators.Retrieval.bm25TopKFromStore(spark,
+        str(args(0), "indexPath"), terms, int(args(2), "k"), k1, b)
+      .queryExecution.analyzed
+  }
+
+  /** graft_store_audit(storeDir [, subDirsCsv]) → the [[graft.streaming
+    * .StoreAudit]] findings table (store, check, level, detail) — the
+    * store fsck reachable from pure SQL, so an operator dashboard can
+    * UNION ALL the estate's stores into one health table without a
+    * Scala session. */
+  def storeAudit(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1 || args.length == 2,
+      "graft_store_audit(storeDir[, subDirsCsv])")
+    val spark = SparkSession.active
+    val subs = if (args.length == 2)
+      str(args(1), "subDirsCsv").split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+    else Seq.empty[String]
+    graft.streaming.StoreAudit.audit(spark, str(args(0), "storeDir"), subs)
       .queryExecution.analyzed
   }
 

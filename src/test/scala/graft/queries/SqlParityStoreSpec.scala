@@ -316,6 +316,31 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
       spark, idx, vec, queries, kList = 5, kOut = 4)
     assert(sortedRows(hybridSql) == sortedRows(hybridDf),
       "graft_hybrid_rrf: the SQL surface and the DataFrame serve diverge")
+
+    val bm25Sql = spark.sql(
+      s"SELECT * FROM graft_bm25_topk('$idx', 'spark, shuffle, joins', 3)")
+    val bm25Df = graft.operators.Retrieval.bm25TopKFromStore(
+      spark, idx, Seq("spark", "shuffle", "joins"), k = 3)
+    assert(sortedRows(bm25Sql) == sortedRows(bm25Df),
+      "graft_bm25_topk: the SQL surface and the DataFrame serve diverge")
+  }
+
+  test("graft_store_audit: the store fsck is reachable from pure SQL") {
+    import spark.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-tvf-audit-").toString + "/codes"
+    Seq((1L, 10L, 0L)).toDF("doc_id", "code", "batch_id")
+      .write.mode("overwrite").parquet(store)
+    graft.streaming.StoreFs.sealTagMarkers(spark, store)
+    // sealed, no owner → the audit's 'owner' warn, via SQL
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_store_audit('$store') WHERE level = 'warn'")
+    assert(viaSql.collect().exists(r =>
+      r.getAs[String]("check") == "owner"),
+      "the SQL audit must surface the unowned sealed store")
+    graft.streaming.StoreFs.adoptStore(spark, store, "ckpt-z")
+    assert(spark.sql(s"SELECT * FROM graft_store_audit('$store')")
+      .count() == 0L, "a claimed healthy store audits clean via SQL")
   }
 
   test("graft_ivfadc_topk: pure SQL drives the IVFADC store serve") {
