@@ -320,7 +320,13 @@ object ExactIvf {
                            maxBatch: Int = MaxServeBatch): DataFrame = {
     import spark.implicits._
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
-    queries.distinct.grouped(maxBatch).map { chunk =>
+    // an empty batch serves once (empty result) — grouped() of an empty
+    // Seq yields NO chunks, and reduce over none would throw
+    val chunks = queries.distinct.grouped(maxBatch).toSeq match {
+      case Seq() => Seq(Seq.empty[(Long, Long)])
+      case cs    => cs
+    }
+    chunks.map { chunk =>
       serve(spark, path, chunk.toDF("query_id", "probe_id"),
         Some(chunk.map(_._2)), k, nprobe0)
     }.reduce(_ unionAll _)

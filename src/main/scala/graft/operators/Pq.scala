@@ -570,7 +570,13 @@ object Pq {
     // oversized probe batch is auto-chunked (per-probe answers are
     // independent; the union is row-identical by construction)
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
-    probeIds.distinct.grouped(maxBatch).map { chunk =>
+    // an empty probe batch serves once (empty result) — grouped() of an
+    // empty Seq yields NO chunks, and reduce over none would throw
+    val chunks = probeIds.distinct.grouped(maxBatch).toSeq match {
+      case Seq() => Seq(Seq.empty[Long])
+      case cs    => cs
+    }
+    chunks.map { chunk =>
       serveIvfadc(spark, path, emb,
         emb.filter(col("vec_id").isInCollection(chunk)),
         nprobe, kShort, k, m, dim, vecCol)

@@ -305,7 +305,13 @@ object Retrieval {
     // and the probe vectors), so an oversized batch chunks by query and
     // the chunk answers union — every step keys by query_id, so the
     // union is row-identical to the unchunked form by construction
-    queries.distinct.grouped(maxBatch).map { qs =>
+    // an empty batch serves once (empty result) — grouped() of an empty
+    // Seq yields NO chunks, and reduce over none would throw
+    val chunks = queries.distinct.grouped(maxBatch).toSeq match {
+      case Seq() => Seq(Seq.empty[(Long, Seq[String], Long)])
+      case cs    => cs
+    }
+    chunks.map { qs =>
       val unionTerms = qs.flatMap(_._2).distinct
       val qt = qs.flatMap { case (qid, ts, _) => ts.map(qid -> _) }
         .toDF("query_id", "term")

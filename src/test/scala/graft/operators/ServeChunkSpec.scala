@@ -43,6 +43,11 @@ class ServeChunkSpec extends AnyFunSuite with SparkTest {
     val single = rows(ExactIvf.topDotBatchFromStore(
       spark, path, queries, k = 10, nprobe0 = 2, maxBatch = 1))
     assert(single == whole)
+    // an EMPTY batch returns an empty frame, not a reduce-on-nothing
+    // crash (the pre-chunking behavior, preserved)
+    assert(ExactIvf.topDotBatchFromStore(
+      spark, path, Seq.empty[(Long, Long)], k = 10, nprobe0 = 2)
+      .count() == 0L)
   }
 
   test("exact-IVF DataFrame serve: hash-chunking keeps each query whole and the union identical") {
