@@ -50,8 +50,10 @@ object ServeTableFunctions {
   }
 
   private def dbl(e: Expression, what: String): Double = litVal(e, what) match {
+    // a SQL `1.2` parses as a DECIMAL literal, whose eval is Spark's
+    // own Decimal — not a java.lang.Number subclass
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
     case n: java.lang.Number => n.doubleValue()
-    case d: java.math.BigDecimal => d.doubleValue()
     case other => throw new IllegalArgumentException(
       s"$what must be a numeric literal, got $other")
   }

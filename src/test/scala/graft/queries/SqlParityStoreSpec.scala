@@ -317,6 +317,14 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
     assert(sortedRows(hybridSql) == sortedRows(hybridDf),
       "graft_hybrid_rrf: the SQL surface and the DataFrame serve diverge")
 
+    // the 8-arg form: SQL decimal literals (k1/b) must parse — a bare
+    // 1.2 evals as Spark's Decimal, not a java Number
+    val hybridSql8 = spark.sql(
+      s"""SELECT * FROM graft_hybrid_rrf('$idx', '$vec', 'tvf_queries',
+         5, 4, 1.2, 0.75, 4)""")
+    assert(sortedRows(hybridSql8) == sortedRows(hybridDf),
+      "graft_hybrid_rrf 8-arg form diverges from the 5-arg defaults")
+
     val bm25Sql = spark.sql(
       s"SELECT * FROM graft_bm25_topk('$idx', 'spark, shuffle, joins', 3)")
     val bm25Df = graft.operators.Retrieval.bm25TopKFromStore(
