@@ -320,11 +320,17 @@ object ExactIvf {
                            maxBatch: Int = MaxServeBatch): DataFrame = {
     import spark.implicits._
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
-    // an empty batch serves once (empty result) — grouped() of an empty
-    // Seq yields NO chunks, and reduce over none would throw
-    val chunks = queries.distinct.grouped(maxBatch).toSeq match {
+    // chunk by QUERY, never positionally: a query_id listed with
+    // several probe rows must land whole in one chunk, or the union
+    // holds two independent per-chunk top-ks for it instead of the
+    // unchunked single ranking. An empty batch serves once (empty
+    // result) — grouped() of an empty Seq yields NO chunks, and
+    // reduce over none would throw.
+    val byQuery = queries.distinct.groupBy(_._1).toSeq
+      .sortBy(_._1).map(_._2)
+    val chunks = byQuery.grouped(maxBatch).toSeq match {
       case Seq() => Seq(Seq.empty[(Long, Long)])
-      case cs    => cs
+      case cs    => cs.map(_.flatten)
     }
     chunks.map { chunk =>
       serve(spark, path, chunk.toDF("query_id", "probe_id"),
@@ -350,15 +356,22 @@ object ExactIvf {
                            nprobe0: Int,
                            maxBatch: Int): DataFrame = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    // PIN the query table before the count + fan-out: the count and
+    // each chunk's filter re-execute the input plan otherwise, and a
+    // nondeterministic source (LIMIT without ORDER BY, sample()) could
+    // yield different rows per execution — silently dropping queries.
+    // The cache populates at the count and every chunk reads it.
+    val q = graft.core.Caches.scoped(
+      queries.select(col("query_id"), col("probe_id")))
     // one cheap count over the (small) query table decides chunking;
     // the chunk assignment is a deterministic hash of query_id, so each
     // query's rows land whole in exactly one chunk
-    val n = queries.select("query_id").distinct().count()
+    val n = q.select("query_id").distinct().count()
     val nChunks = math.max(1L, (n + maxBatch - 1) / maxBatch).toInt
-    if (nChunks == 1) serve(spark, path, queries, None, k, nprobe0)
+    if (nChunks == 1) serve(spark, path, q, None, k, nprobe0)
     else (0 until nChunks).map { i =>
       serve(spark, path,
-        queries.filter(pmod(hash(col("query_id")), lit(nChunks)) === i),
+        q.filter(pmod(hash(col("query_id")), lit(nChunks)) === i),
         None, k, nprobe0)
     }.reduce(_ unionAll _)
   }

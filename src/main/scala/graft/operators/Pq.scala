@@ -606,8 +606,11 @@ object Pq {
                           maxBatch: Int): DataFrame = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // distinct: a duplicated probe_id row would duplicate the probe's
-    // rows through the LUT join and double-count its per-subspace sums
-    val pids = probes.select(col("probe_id")).distinct()
+    // rows through the LUT join and double-count its per-subspace sums.
+    // Pinned before the count + fan-out (the ExactIvf rationale: a
+    // nondeterministic source must not re-execute per chunk).
+    val pids = graft.core.Caches.scoped(
+      probes.select(col("probe_id")).distinct())
     val n = pids.count()
     val nChunks = math.max(1L, (n + maxBatch - 1) / maxBatch).toInt
     // oversized probe batches chunk by a deterministic probe_id hash

@@ -305,11 +305,15 @@ object Retrieval {
     // and the probe vectors), so an oversized batch chunks by query and
     // the chunk answers union — every step keys by query_id, so the
     // union is row-identical to the unchunked form by construction
-    // an empty batch serves once (empty result) — grouped() of an empty
-    // Seq yields NO chunks, and reduce over none would throw
-    val chunks = queries.distinct.grouped(maxBatch).toSeq match {
+    // chunk by QUERY, never positionally (a duplicated query_id must
+    // land whole in one chunk — the ExactIvf rationale); an empty
+    // batch serves once (empty result) — grouped() of an empty Seq
+    // yields NO chunks, and reduce over none would throw
+    val byQuery = queries.distinct.groupBy(_._1).toSeq
+      .sortBy(_._1).map(_._2)
+    val chunks = byQuery.grouped(maxBatch).toSeq match {
       case Seq() => Seq(Seq.empty[(Long, Seq[String], Long)])
-      case cs    => cs
+      case cs    => cs.map(_.flatten)
     }
     chunks.map { qs =>
       val unionTerms = qs.flatMap(_._2).distinct
@@ -362,13 +366,18 @@ object Retrieval {
       : DataFrame = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // broadcast-contract chunking (VERDICT r11 #2), DataFrame form: a
-    // deterministic query_id hash keeps each query whole in one chunk
-    val n = queries.select("query_id").distinct().count()
+    // deterministic query_id hash keeps each query whole in one chunk.
+    // The query table is pinned before the count + fan-out (the
+    // ExactIvf rationale: a nondeterministic source must not
+    // re-execute per chunk).
+    val qAll = graft.core.Caches.scoped(queries.select(
+      col("query_id"), col("terms"), col("probe_id")))
+    val n = qAll.select("query_id").distinct().count()
     val nChunks = math.max(1L, (n + maxBatch - 1) / maxBatch).toInt
     (0 until nChunks).map { i =>
       val qs =
-        if (nChunks == 1) queries
-        else queries.filter(
+        if (nChunks == 1) qAll
+        else qAll.filter(
           pmod(hash(col("query_id")), lit(nChunks)) === i)
       val qt = graft.core.Caches.scoped(qs.select(
         col("query_id").cast("long").as("query_id"),

@@ -27,10 +27,20 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * re-implementation).
   *
   * Arguments must be literals (paths, view names, integers): a table
-  * function's arguments are resolved at analysis time, which is also
-  * why the store geometry (m, dim) is passed explicitly rather than
-  * sniffed from data — analysis must not depend on reading data files
-  * beyond what the serve itself plans. */
+  * function's arguments are resolved at analysis time.
+  *
+  * COST CONTRACT — these functions PLAN A SERVE at analysis time, and
+  * the serve's planning itself runs bounded Spark jobs (the query-table
+  * count that decides auto-chunking, the probe-presence check, the
+  * ≤ nCells cells read) and pins the serve's scoped caches. `EXPLAIN`
+  * over a graft_* call therefore executes those bounded jobs, and
+  * repeated analysis without execution accumulates scoped caches until
+  * the session's next `Caches.releaseAll()` sweep. That is the price of
+  * one shared implementation (plan-identical SQL and DataFrame
+  * surfaces); callers who need plan-only inspection should EXPLAIN the
+  * DataFrame form inside a managed cache scope. The store geometry
+  * (m, dim) is still passed explicitly rather than sniffed from data —
+  * geometry must come from the caller's contract, not a data peek. */
 object ServeTableFunctions {
 
   private def litVal(e: Expression, what: String): Any = {

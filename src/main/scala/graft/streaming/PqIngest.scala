@@ -25,7 +25,9 @@ object PqIngest {
   def run(emb: DataFrame, storePath: String, m: Int, dim: Int,
           checkpoint: String, ivfadc: Boolean = false)
          (onBatch: Long => Unit = _ => ()): StreamingQuery = {
-    StoreFs.claimOwner(emb.sparkSession, storePath, checkpoint)
+    // owner at the MARKER root: PQ and IVFADC appends keep markers and
+    // seal under $path/codes (the VecIngest rationale)
+    StoreFs.claimOwner(emb.sparkSession, s"$storePath/codes", checkpoint)
     emb.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

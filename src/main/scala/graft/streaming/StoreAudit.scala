@@ -227,20 +227,31 @@ object StoreAudit {
 
   // ---- checkpoint-identity owner --------------------------------------
 
-  /** A sealed store with NO recorded owner predates the checkpoint
-    * guard ([[StoreFs.claimOwner]]): the one-checkpoint-per-store
-    * contract is unenforceable on it — a fresh-checkpoint stream would
-    * silently no-op its first batches below the seal. Surface it so
-    * the operator claims the store for its owning stream. */
+  /** A store with ingest state (a seal OR per-batch replay markers)
+    * and NO recorded owner predates the checkpoint guard
+    * ([[StoreFs.claimOwner]]): the one-checkpoint-per-store contract
+    * is unenforceable on it — a fresh-checkpoint stream would silently
+    * no-op its first batches below that frontier, and `claimOwner`
+    * will refuse such a store at the next stream start. The
+    * remediation is the explicit [[StoreFs.adoptStore]] (claimOwner
+    * deliberately refuses first claims on stores in this state). */
   private def ownerFindings(spark: SparkSession, dir: String,
-                            sealId: Option[Long]): Seq[Finding] =
-    if (sealId.isDefined && StoreFs.ownerOf(spark, dir).isEmpty)
+                            sealId: Option[Long]): Seq[Finding] = {
+    if (StoreFs.ownerOf(spark, dir).isDefined) return Seq.empty
+    val (fs, p) = StoreFs.resolved(spark, dir)
+    val markers = fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith("_graft_batch_"))
+    if (sealId.isDefined || markers)
       Seq(Finding(dir, "owner", "warn",
-        s"store is sealed through ${sealId.get} but records no owning" +
-          " checkpoint — a fresh-checkpoint stream's batches 0..seal" +
-          " would silently no-op; claim the store via" +
-          " StoreFs.claimOwner(dir, checkpoint)"))
+        "store carries ingest state (" +
+          sealId.map(s => s"sealed through $s")
+            .getOrElse("per-batch replay markers") +
+          ") but records no owning checkpoint — a fresh-checkpoint" +
+          " stream's early batches would silently no-op, and the" +
+          " guard will refuse its start; adopt the store for its" +
+          " owning stream via StoreFs.adoptStore(dir, checkpoint)"))
     else Seq.empty
+  }
 
   // ---- seal + markers ------------------------------------------------
 

@@ -115,6 +115,16 @@ private[graft] object StoreFs {
     if (gen == 0L) {
       val (fs, p) = fsAndPath(spark, dir)
       if (maxCommitted(fs, p).isEmpty) return dir
+      // superseded, but the flat files survive until their grace
+      // window passes (gcGenerations reclaims them only once
+      // live > keepGens) — a pinned generation-0 reader keeps access
+      // exactly as long as a pinned committed generation would
+      val flatAlive = fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        n == "_SUCCESS" || n.endsWith(".parquet") ||
+          (st.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+      }
+      if (flatAlive) return dir
       throw new IllegalStateException(
         s"generation 0 of $dir was compacted away — flat files are " +
           "reclaimed once their grace window passes; available: " +
@@ -182,6 +192,16 @@ private[graft] object StoreFs {
         "frontier")
     readSmall(fs, f) match {
       case Some(o) if o == ownerId.trim => ()
+      case Some(o) if o.isEmpty =>
+        // a crash between the owner file's create and its content
+        // write leaves an EMPTY record — unowned-but-present; refuse
+        // with the explicit remediation rather than wedging restarts
+        // on a mismatch against ''
+        throw new IllegalStateException(
+          s"store $dir has an empty owner record — a claim crashed " +
+            "mid-write (re-home explicitly via StoreFs.adoptStore " +
+            "after verifying which stream owns it), or a concurrent " +
+            "claim is mid-write (retry)")
       case Some(o) => mismatch(o)
       case None =>
         val (rfs, rp) = resolvedFsPath(spark, dir)
@@ -204,8 +224,19 @@ private[graft] object StoreFs {
             try out.write(ownerId.trim.getBytes("UTF-8")) finally out.close()
             true
           } catch { case _: java.io.IOException => false }
-        if (!won) // lost a racing first claim — verify it was ours
-          readSmall(fs, f).filter(_ != ownerId.trim).foreach(mismatch)
+        if (!won)
+          // either we lost a racing first claim (verify it recorded OUR
+          // id) or the create failed outright (transient FS error) —
+          // in BOTH unverifiable cases fail, never silently return
+          // with no guard installed
+          readSmall(fs, f) match {
+            case Some(o) if o == ownerId.trim => ()
+            case Some(o) => mismatch(o)
+            case None => throw new IllegalStateException(
+              s"could not record ownership of $dir (create failed and " +
+                "no owner is readable) — retry; the store is NOT " +
+                "guarded until a claim succeeds")
+          }
     }
   }
 
@@ -467,7 +498,7 @@ private[graft] object StoreFs {
         (n.startsWith(CommitPrefix) &&
           n.stripPrefix(CommitPrefix).toLongOption.exists(_ < floor)) ||
         // generation-0 flat remnants: reclaim once their grace expired
-        (floor >= 1L && live > keepGens && !n.startsWith(GenPrefix) &&
+        (live > keepGens && !n.startsWith(GenPrefix) &&
           !n.startsWith(CommitPrefix) && n != LockName &&
           n != TakeoverName && n != OwnerName)
       if (stale) fs.delete(st.getPath, true)

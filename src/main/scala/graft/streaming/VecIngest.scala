@@ -20,7 +20,12 @@ object VecIngest {
   def run(vecs: DataFrame, storePath: String, checkpoint: String,
           idCol: String = "doc_id", vecCol: String = "vec")
          (onBatch: Long => Unit = _ => ()): StreamingQuery = {
-    StoreFs.claimOwner(vecs.sparkSession, storePath, checkpoint)
+    // the owner record must live at the MARKER root — for the vec
+    // store that is $path/vecs (where appendToVecStore keeps its
+    // replay markers and seal), not the enclosing store root: the
+    // guard's pre-claim ingest-state probe and StoreAudit's owner
+    // check both resolve the same directory the markers do
+    StoreFs.claimOwner(vecs.sparkSession, s"$storePath/vecs", checkpoint)
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

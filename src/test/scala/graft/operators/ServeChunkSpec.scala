@@ -48,6 +48,16 @@ class ServeChunkSpec extends AnyFunSuite with SparkTest {
     assert(ExactIvf.topDotBatchFromStore(
       spark, path, Seq.empty[(Long, Long)], k = 10, nprobe0 = 2)
       .count() == 0L)
+    // a query_id listed with SEVERAL probe rows must land whole in one
+    // chunk — positional grouping would split it and union two
+    // independent per-chunk rankings (review r12)
+    val multi = Seq((1L, 3L), (2L, 43L), (1L, 83L), (3L, 123L))
+    val wholeM = rows(ExactIvf.topDotBatchFromStore(
+      spark, path, multi, k = 10, nprobe0 = 2))
+    val chunkedM = rows(ExactIvf.topDotBatchFromStore(
+      spark, path, multi, k = 10, nprobe0 = 2, maxBatch = 2))
+    assert(chunkedM == wholeM,
+      "a multi-probe query must not split across chunks")
   }
 
   test("exact-IVF DataFrame serve: hash-chunking keeps each query whole and the union identical") {

@@ -27,6 +27,10 @@ class StoreAuditSpec extends AnyFunSuite with SparkTest {
     IncrementalDedup.processBatch(
       Seq((3L, C)).toDF("doc_id", "text"), 1L, store, 0.5, (_, _) => ())
     if (compact) Dedup.compactSignatureStore(spark, store)
+    // a HEALTHY stream-built store records its owning checkpoint (the
+    // run() cadence claims it; direct processBatch fixtures adopt) —
+    // an ingested-but-unowned store is itself a finding since r12
+    StoreFs.adoptStore(spark, store, "ckpt-test")
     store
   }
 
@@ -107,6 +111,7 @@ class StoreAuditSpec extends AnyFunSuite with SparkTest {
     val root = tmpDir("graft-audit-index-") + "/idx"
     val docs = Seq((1L, A), (2L, B)).toDF("doc_id", "text")
     IndexIngest.processBatch(docs, 0L, root)
+    StoreFs.adoptStore(spark, root, "ckpt-test") // markers → owned or warn
     val subs = Seq("doclen", "postings", "positions").map(s => s"$root/$s")
     assert(findings(root, subs).isEmpty, "a fully-landed index audits clean")
     // torn frontier: batch 1's doclen landed, crash before postings/
@@ -176,10 +181,20 @@ class StoreAuditSpec extends AnyFunSuite with SparkTest {
       .write.mode("overwrite").parquet(store)
     StoreFs.sealTagMarkers(spark, store)
     val unowned = findings(store)
-    assert(unowned.exists(f => f.check == "owner" && f.level == "warn"),
-      s"got $unowned")
+    assert(unowned.exists(f => f.check == "owner" && f.level == "warn" &&
+      f.detail.contains("adoptStore")), s"got $unowned")
     StoreFs.adoptStore(spark, store, "ckpt-y")
     assert(!findings(store).exists(_.check == "owner"))
+    // markers-only ingest state (no seal yet) is the SAME refused
+    // state and must warn the same way
+    import spark.implicits._
+    val marked = tmpDir("graft-audit-owner2-") + "/sigs"
+    Seq((1L, 2L)).toDF("doc_id", "sig")
+      .write.mode("overwrite").parquet(marked)
+    StoreFs.writeMarker(spark, marked, 0L)
+    val m = findings(marked)
+    assert(m.exists(f => f.check == "owner" && f.level == "warn" &&
+      f.detail.contains("replay markers")), s"got $m")
   }
 
   test("junk layout names yield findings, never exceptions") {

@@ -177,10 +177,15 @@ class StoreGuardSpec extends AnyFunSuite with SparkTest {
     val never = intercept[IllegalStateException](
       StoreFs.dataDirAt(spark, store, 9L))
     assert(never.getMessage.contains("never committed"))
+    // generation 0 is superseded but its flat files are still inside
+    // their grace window (live = 2, keepGens = 2) — a pinned gen-0
+    // reader keeps access exactly like a pinned committed generation
+    assert(StoreFs.dataDirAt(spark, store, 0L) == store)
+    assert(readIds(store) == Seq(1L, 2L))
+    compactTo(store, Seq(1L, 2L, 3L, 4L), keepGens = 1)     // gen 3, GC to 2
     val flatGone = intercept[IllegalStateException](
       StoreFs.dataDirAt(spark, store, 0L))
     assert(flatGone.getMessage.contains("compacted away"))
-    compactTo(store, Seq(1L, 2L, 3L, 4L), keepGens = 1)     // gen 3, GC to 2
     compactTo(store, Seq(1L, 2L, 3L, 4L), keepGens = 1)     // gen 4, GC to 3
     val gone = intercept[IllegalStateException](
       StoreFs.dataDirAt(spark, store, 1L))
@@ -221,6 +226,45 @@ class StoreGuardSpec extends AnyFunSuite with SparkTest {
     val e2 = intercept[IllegalStateException](
       StoreFs.claimOwner(spark, store2, "ckpt-new"))
     assert(e2.getMessage.contains("replay markers"))
+  }
+
+  test("an empty owner record (claim crashed mid-write) is refused with the adopt remediation") {
+    val store = tmpDir("graft-owner-empty-") + "/s"
+    StoreFs.claimOwner(spark, store, "ckpt-A")
+    java.nio.file.Files.writeString(
+      new java.io.File(store, StoreFs.OwnerName).toPath, "")
+    val e = intercept[IllegalStateException](
+      StoreFs.claimOwner(spark, store, "ckpt-A"))
+    assert(e.getMessage.contains("empty owner record"))
+    assert(e.getMessage.contains("adoptStore"))
+  }
+
+  test("subdir-layout stores (vec/PQ) claim their owner at the MARKER root") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // the silent-loss scenario the review caught: vec-store markers
+    // live at $path/vecs — an owner recorded anywhere else would let a
+    // fresh checkpoint's first claim succeed against a marked store
+    val path = tmpDir("graft-owner-vec-")
+    graft.operators.ExactIvf.writeVecStore(
+      (0L until 40L).map(i => (i, (0 until 4).map(j =>
+        ((i * 31 + j * 17) % 201) - 100L).toArray)).toDF("doc_id", "vec"),
+      path, nCells = 2, iters = 1)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Long])]
+    val ckptA = tmpDir("graft-owner-vec-ckptA-")
+    val q = VecIngest.run(input.toDF().toDF("doc_id", "vec"), path, ckptA)()
+    try {
+      input.addData((100L, Seq(1L, 2L, 3L, 4L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(StoreFs.ownerOf(spark, s"$path/vecs").contains(ckptA),
+      "the owner must be recorded at the marker root ($path/vecs)")
+    val e = intercept[IllegalStateException] {
+      VecIngest.run(input.toDF().toDF("doc_id", "vec"), path,
+        tmpDir("graft-owner-vec-ckptB-"))()
+    }
+    assert(e.getMessage.contains("owned by checkpoint"))
   }
 
   test("a fresh-checkpoint stream pointed at an owned store errors at start, not silently") {
