@@ -231,6 +231,10 @@ private[graft] object StoreFs {
           // with no guard installed
           readSmall(fs, f) match {
             case Some(o) if o == ownerId.trim => ()
+            case Some(o) if o.isEmpty => throw new IllegalStateException(
+              s"store $dir lost the owner-claim race to a writer still " +
+                "mid-write — retry; the store is NOT guarded until a " +
+                "claim succeeds")
             case Some(o) => mismatch(o)
             case None => throw new IllegalStateException(
               s"could not record ownership of $dir (create failed and " +
