@@ -281,17 +281,41 @@ object ExactIvf {
     * own BroadcastExchange for it (`SubqueryAdaptiveBroadcast`). The
     * (query, cell) pair filter itself stays distributed as the same
     * broadcast join (pair volume ≤ |queries|·survivors — oversized
-    * serve batches are auto-chunked by the public entry points). */
+    * serve batches are auto-chunked by the public entry points).
+    *
+    * FALLBACK (ADVICE r12, medium): DPP is an OPTIMIZER service — a
+    * session that disables `spark.sql.optimizer.dynamicPartitionPruning
+    * .enabled` (or a Spark upgrade that re-tunes the pruning gate)
+    * would silently turn this join into a FULL vec-store scan, where
+    * the pre-r12 literal list pruned unconditionally. The serve
+    * therefore checks the conf and, when DPP cannot fire, collects the
+    * pair set's distinct cell ids (bounded by the store's nCells; the
+    * pair frame is cached upstream, so this is a memory scan) and
+    * prunes with the static `isInCollection` predicate — the exact
+    * pre-r12 plan, O(nCells) literals but never an unpruned scan. */
   private def scanCells(vecs: DataFrame, probes: DataFrame,
-                        pairs: DataFrame): DataFrame =
-    vecs.join(broadcast(pairs.filter(col("ivf_cell") >= 0)),
-        Seq("ivf_cell"))
+                        pairs: DataFrame): DataFrame = {
+    val dpp = vecs.sparkSession.conf
+      .get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      .toBoolean
+    val cellPruned =
+      if (dpp)
+        vecs.join(broadcast(pairs.filter(col("ivf_cell") >= 0)),
+          Seq("ivf_cell"))
+      else {
+        val cellIds = pairs.select("ivf_cell").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        vecs.filter(col("ivf_cell").isInCollection(cellIds))
+          .join(broadcast(pairs), Seq("ivf_cell"))
+      }
+    cellPruned
       .join(broadcast(probes.select("query_id", "probe_id", "qvec")),
         Seq("query_id"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("query_id"), col("vec_id"),
         graft.functions.VectorFunctions.dotLong(col("vm"), col("qvec"))
           .as("dot"))
+  }
 
   /** The serve-batch broadcast contract, ENFORCED (VERDICT r11 #2):
     * the serve broadcasts the probe vectors and the (query, cell) pair

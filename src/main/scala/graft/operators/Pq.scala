@@ -658,8 +658,21 @@ object Pq {
     // literal predicate; the `ivf_cell >= 0` filter is a semantic no-op
     // (trainCoarse numbers cells 0..nCells−1) that satisfies the
     // likely-selective gate so the DPP subquery is inserted on the
-    // partition-column key of the (ivf_cell, sub, cell) join
-    val codes = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
+    // partition-column key of the (ivf_cell, sub, cell) join.
+    // FALLBACK (ADVICE r12, medium — the ExactIvf.scanCells rationale):
+    // with the DPP optimizer rule disabled the join would silently scan
+    // EVERY cell's codes; the serve checks the conf and falls back to
+    // the bounded literal cell-id list (≤ |probes|·nprobe ids, read
+    // from the cached probeCells frame) so pruning never vanishes.
+    val dpp = spark.conf
+      .get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      .toBoolean
+    val codesAll = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
+    val codes =
+      if (dpp) codesAll
+      else codesAll.filter(col("ivf_cell").isInCollection(
+        probeCells.select("ivf_cell").distinct()
+          .collect().map(_.getLong(0)).toSeq))
     val psv = probeCells.select(col("probe_id"), col("ivf_cell"),
         explode(transform(sequence(lit(0), lit(m - 1)), s =>
           struct(s.as("sub"),
@@ -667,10 +680,10 @@ object Pq {
           .as("sv"))
       .select(col("probe_id"), col("ivf_cell"),
         col("sv.sub").as("sub"), col("sv.psvm").as("psvm"))
-    val lut = psv.join(broadcast(books), Seq("sub"))
+    val lut0 = psv.join(broadcast(books), Seq("sub"))
       .select(col("probe_id"), col("ivf_cell"), col("sub"),
         col("cent_id").as("cell"), l2sq(col("psvm"), col("cvm")).as("pd2"))
-      .filter(col("ivf_cell") >= 0)
+    val lut = if (dpp) lut0.filter(col("ivf_cell") >= 0) else lut0
     val scored = codes.join(broadcast(lut), Seq("ivf_cell", "sub", "cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))

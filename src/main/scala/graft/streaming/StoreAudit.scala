@@ -234,10 +234,25 @@ object StoreAudit {
     * no-op its first batches below that frontier, and `claimOwner`
     * will refuse such a store at the next stream start. The
     * remediation is the explicit [[StoreFs.adoptStore]] (claimOwner
-    * deliberately refuses first claims on stores in this state). */
+    * deliberately refuses first claims on stores in this state).
+    *
+    * An EMPTY owner record is its own warn (ADVICE r12): a claim that
+    * crashed between the file's create and its content write leaves
+    * `_graft_owner` present-but-blank, and `claimOwner` refuses EVERY
+    * stream start on that store — without this finding the fsck
+    * reported exactly that wedged store as clean (`ownerOf` answered
+    * `Some("")`, which read as "owned"). */
   private def ownerFindings(spark: SparkSession, dir: String,
                             sealId: Option[Long]): Seq[Finding] = {
-    if (StoreFs.ownerOf(spark, dir).isDefined) return Seq.empty
+    StoreFs.ownerOf(spark, dir) match {
+      case Some(o) if o.nonEmpty => return Seq.empty
+      case Some(_) => return Seq(Finding(dir, "owner", "warn",
+        "owner record exists but is EMPTY — a claim crashed between" +
+          " create and content write (or a concurrent claim is" +
+          " mid-write); claimOwner refuses every stream start on this" +
+          " store until it is re-homed via StoreFs.adoptStore"))
+      case None => ()
+    }
     val (fs, p) = StoreFs.resolved(spark, dir)
     val markers = fs.exists(p) && fs.listStatus(p)
       .exists(_.getPath.getName.startsWith("_graft_batch_"))

@@ -177,7 +177,27 @@ private[graft] object StoreFs {
     * the new stream's ids line up with the recorded frontier. The
     * owner file lives at the root, outside the generation directories,
     * and is excluded from GC — it survives every flip for the store's
-    * lifetime. */
+    * lifetime.
+    *
+    * MIGRATION (ADVICE r12, medium): the pre-guard refusal is a
+    * fleet-wide operational break on the upgrade that introduces the
+    * guard — every pre-existing pipeline, including a restart of the
+    * store's OWN original stream with its original checkpoint, fails
+    * at start until an operator adopts each store by hand. The opt-in
+    * escape is the session conf `spark.graft.store.autoAdopt=true`:
+    * when the claiming ownerId is a real checkpoint location whose
+    * COMMITTED BATCH FRONTIER (highest file under
+    * `<checkpoint>/commits/` — Structured Streaming's public
+    * checkpoint layout) covers the store's ingest frontier (the seal
+    * and every replay marker), the claim adopts automatically: that
+    * checkpoint demonstrably produced (or outran) every batch the
+    * store has seen, so its restart ids are consistent with the
+    * markers and the silent no-op the guard exists for cannot occur.
+    * A FRESH checkpoint (no commits) or one whose frontier lags the
+    * store still refuses — auto-adopt never waves through the actual
+    * hazard, it only removes the manual step for the same-stream
+    * restart case. Default off: adoption stays an explicit operator
+    * decision unless the deployment opts in. */
   def claimOwner(spark: SparkSession, dir: String, ownerId: String): Unit = {
     require(ownerId.trim.nonEmpty, "ownerId must be non-empty")
     val (fs, p) = fsAndPath(spark, dir)
@@ -206,10 +226,24 @@ private[graft] object StoreFs {
       case None =>
         val (rfs, rp) = resolvedFsPath(spark, dir)
         val sealId = sealedThrough(rfs, rp)
-        val markers = rfs.exists(rp) && rfs.listStatus(rp)
-          .exists(_.getPath.getName.startsWith("_graft_batch_"))
-        if (sealId.isDefined || markers)
-          throw new IllegalStateException(
+        val markerIds =
+          if (!rfs.exists(rp)) Seq.empty[Long]
+          else rfs.listStatus(rp).iterator.map(_.getPath.getName)
+            .filter(_.startsWith("_graft_batch_"))
+            .flatMap(_.stripPrefix("_graft_batch_").toLongOption)
+            .toSeq
+        if (sealId.isDefined || markerIds.nonEmpty) {
+          // opt-in migration path (ADVICE r12): adopt automatically
+          // when THIS checkpoint's committed frontier provably covers
+          // the store's ingest frontier — see the scaladoc
+          val autoAdopt = spark.conf
+            .get("spark.graft.store.autoAdopt", "false").toBoolean
+          val storeFrontier = (sealId.toSeq ++ markerIds).max
+          val consistent = autoAdopt &&
+            checkpointFrontier(spark, ownerId.trim)
+              .exists(_ >= storeFrontier)
+          if (consistent) { adoptStore(spark, dir, ownerId); return }
+          else throw new IllegalStateException(
             s"store $dir carries ingest state (" +
               sealId.map(s => s"sealed through $s").getOrElse(
                 "per-batch replay markers") +
@@ -217,7 +251,17 @@ private[graft] object StoreFs {
               "guard, and a new stream's batch ids restart at 0 and " +
               "would silently no-op below that frontier; adopt it " +
               "explicitly (StoreFs.adoptStore) after verifying the ids " +
-              "line up, or rebuild the store")
+              "line up, or rebuild the store" +
+              (if (autoAdopt)
+                 s" (autoAdopt is on, but this checkpoint's committed " +
+                   s"frontier ${checkpointFrontier(spark, ownerId.trim)
+                     .fold("<none>")(_.toString)} does not cover the " +
+                   s"store frontier $storeFrontier)"
+               else
+                 "; same-stream restarts across the guard upgrade can " +
+                   "opt in to automatic adoption with " +
+                   "spark.graft.store.autoAdopt=true"))
+        } else ()
         val won =
           try {
             val out = fs.create(f, false)
@@ -243,6 +287,22 @@ private[graft] object StoreFs {
           }
     }
   }
+
+  /** A Structured Streaming checkpoint's COMMITTED batch frontier: the
+    * highest numeric file name under `<checkpoint>/commits` (the public
+    * checkpoint layout — one commit file per fully completed batch;
+    * temp/metadata names don't parse and are skipped). None for a fresh
+    * checkpoint, a non-checkpoint path, or an unreadable location — the
+    * conservative answer for the auto-adopt gate (refuse). */
+  def checkpointFrontier(spark: SparkSession,
+                         checkpointLoc: String): Option[Long] =
+    try {
+      val (fs, p) = fsAndPath(spark, checkpointLoc)
+      val commits = new Path(p, "commits")
+      if (!fs.exists(commits)) None
+      else fs.listStatus(commits).iterator
+        .map(_.getPath.getName).flatMap(_.toLongOption).maxOption
+    } catch { case _: Exception => None }
 
   /** Explicitly (re-)home a store onto `ownerId` — the operator escape
     * hatch [[claimOwner]] points at when a pre-guard store (or a store

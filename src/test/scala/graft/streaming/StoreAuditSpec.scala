@@ -197,6 +197,23 @@ class StoreAuditSpec extends AnyFunSuite with SparkTest {
       f.detail.contains("replay markers")), s"got $m")
   }
 
+  test("an EMPTY owner record is a warn naming adoptStore — the wedged state claimOwner refuses") {
+    val store = sigStore("graft-audit-emptyowner-")
+    // simulate a claim that crashed between the owner file's create and
+    // its content write: the record exists but is blank — before ADVICE
+    // r12 the audit read this as "owned" and reported the store clean
+    // while claimOwner refused every restart on it
+    java.nio.file.Files.writeString(
+      new java.io.File(store, StoreFs.OwnerName).toPath, "")
+    val fs = findings(store)
+    assert(fs.exists(f => f.check == "owner" && f.level == "warn" &&
+      f.detail.contains("EMPTY") && f.detail.contains("adoptStore")),
+      s"got $fs")
+    // re-homing the store clears the finding
+    StoreFs.adoptStore(spark, store, "ckpt-test")
+    assert(!findings(store).exists(_.check == "owner"))
+  }
+
   test("junk layout names yield findings, never exceptions") {
     val store = sigStore("graft-audit-junk-", compact = true)
     java.nio.file.Files.writeString(

@@ -228,6 +228,50 @@ class StoreGuardSpec extends AnyFunSuite with SparkTest {
     assert(e2.getMessage.contains("replay markers"))
   }
 
+  test("autoAdopt migration: a consistent checkpoint adopts; fresh or lagging ones still refuse") {
+    import spark.implicits._
+    // a pre-guard store sealed through batch 1 — the ADVICE r12 medium:
+    // without a migration path, even the store's OWN stream restarting
+    // with its ORIGINAL checkpoint hard-fails after the guard upgrade
+    val store = tmpDir("graft-owner-migrate-") + "/s"
+    Seq((1L, 0L), (2L, 1L)).toDF("doc_id", "batch_id")
+      .write.mode("overwrite").parquet(store)
+    StoreFs.sealTagMarkers(spark, store)
+    // the store's original checkpoint: committed through batch 1
+    val ckpt = tmpDir("graft-owner-migrate-ckpt-")
+    assert(new java.io.File(ckpt, "commits").mkdirs())
+    touch(s"$ckpt/commits", "0", "v1")
+    touch(s"$ckpt/commits", "1", "v1")
+    assert(StoreFs.checkpointFrontier(spark, ckpt).contains(1L))
+    // default (opt-in off): adoption stays an explicit operator step
+    val e0 = intercept[IllegalStateException](
+      StoreFs.claimOwner(spark, store, ckpt))
+    assert(e0.getMessage.contains("autoAdopt"))
+    try {
+      spark.conf.set("spark.graft.store.autoAdopt", "true")
+      // a FRESH checkpoint (no commits) is the actual hazard the guard
+      // exists for — auto-adopt must never wave it through
+      val fresh = tmpDir("graft-owner-migrate-fresh-")
+      val e1 = intercept[IllegalStateException](
+        StoreFs.claimOwner(spark, store, fresh))
+      assert(e1.getMessage.contains("does not cover"))
+      // a LAGGING checkpoint (frontier 0 < seal 1) refuses the same way
+      val lag = tmpDir("graft-owner-migrate-lag-")
+      assert(new java.io.File(lag, "commits").mkdirs())
+      touch(s"$lag/commits", "0", "v1")
+      val e2 = intercept[IllegalStateException](
+        StoreFs.claimOwner(spark, store, lag))
+      assert(e2.getMessage.contains("does not cover"))
+      assert(StoreFs.ownerOf(spark, store).isEmpty,
+        "a refused auto-adopt must not record any owner")
+      // the consistent original checkpoint adopts and proceeds
+      StoreFs.claimOwner(spark, store, ckpt)
+      assert(StoreFs.ownerOf(spark, store).contains(ckpt))
+      // subsequent claims are the ordinary owned fast path
+      StoreFs.claimOwner(spark, store, ckpt)
+    } finally spark.conf.unset("spark.graft.store.autoAdopt")
+  }
+
   test("an empty owner record (claim crashed mid-write) is refused with the adopt remediation") {
     val store = tmpDir("graft-owner-empty-") + "/s"
     StoreFs.claimOwner(spark, store, "ckpt-A")
