@@ -69,11 +69,13 @@ object StoreAudit {
   def auditFindings(spark: SparkSession, dir: String,
                     subDirs: Seq[String] = Seq.empty,
                     keepGens: Int = 1,
-                    staleLockMs: Long = 24L * 3600 * 1000): Seq[Finding] = {
+                    staleLockMs: Long = 24L * 3600 * 1000,
+                    readerSlaMs: Long = 0L): Seq[Finding] = {
     val layoutTargets = if (subDirs.isEmpty) Seq(dir) else subDirs
     val layout = layoutTargets.flatMap(d =>
       generationFindings(spark, d, keepGens) ++
-        lockFindings(spark, d, staleLockMs))
+        lockFindings(spark, d, staleLockMs) ++
+        retentionFindings(spark, d, keepGens, readerSlaMs))
     // marker root: the store dir itself (resolved through its own
     // pointer for single-table stores; multi-table roots are never
     // swapped, so resolution is the identity there)
@@ -85,8 +87,38 @@ object StoreAudit {
     val frontier =
       if (subDirs.isEmpty) Seq.empty
       else frontierFindings(spark, dir, subDirs, sealId)
-    layout ++ seal ++ markers ++ owner ++ frontier
+    val snapshots = snapshotFindings(spark, dir)
+    layout ++ seal ++ markers ++ owner ++ frontier ++ snapshots
   }
+
+  /** Multi-table snapshot manifests at the store root (VERDICT r12
+    * #4): a manifest pinning a generation that GC has since reclaimed
+    * makes every time-travel read through it fail — surfaced as an
+    * error so the operator retires the manifest or widens retention
+    * BEFORE an analysis job dies on it. Bounded: one listing plus one
+    * existence probe per recorded sub-table. */
+  private def snapshotFindings(spark: SparkSession,
+                               dir: String): Seq[Finding] =
+    StoreFs.listSnapshots(spark, dir).flatMap { id =>
+      try {
+        StoreFs.snapshotGens(spark, dir, id).toSeq.flatMap {
+          case (sub, g) =>
+            try { StoreFs.dataDirAt(spark, sub, g); None }
+            catch {
+              case e: IllegalStateException => Some(
+                Finding(dir, "snapshot", "error",
+                  s"snapshot $id pins generation $g of $sub, which no " +
+                    s"longer resolves (${e.getMessage}) — time travel " +
+                    "through this snapshot fails; retire the manifest " +
+                    "or widen the compaction retention " +
+                    "(keepGens/keepAgeMs)"))
+            }
+        }
+      } catch {
+        case e: IllegalStateException => Seq(Finding(dir, "snapshot",
+          "warn", s"snapshot $id is unreadable: ${e.getMessage}"))
+      }
+    }
 
   /** Deep audit: the shallow findings plus the natural-key uniqueness
     * scan over the visible data. `keyCols` is the store's natural key
@@ -110,8 +142,10 @@ object StoreAudit {
   def audit(spark: SparkSession, dir: String,
             subDirs: Seq[String] = Seq.empty,
             keepGens: Int = 1,
-            staleLockMs: Long = 24L * 3600 * 1000): DataFrame =
-    toDf(spark, auditFindings(spark, dir, subDirs, keepGens, staleLockMs))
+            staleLockMs: Long = 24L * 3600 * 1000,
+            readerSlaMs: Long = 0L): DataFrame =
+    toDf(spark, auditFindings(spark, dir, subDirs, keepGens, staleLockMs,
+      readerSlaMs))
 
   private def toDf(spark: SparkSession, fs: Seq[Finding]): DataFrame = {
     import spark.implicits._
@@ -186,6 +220,50 @@ object StoreAudit {
          else Seq.empty)
     }
     orphan ++ carcass ++ pastGrace ++ unparseable
+  }
+
+  // ---- reader-SLA retention (VERDICT r12 #6) --------------------------
+
+  /** With a reader SLA declared (`readerSlaMs > 0`), warn when the
+    * store's RETAINED grace window spans less wall-clock than that SLA:
+    * the window's boundaries are observable as the surviving commit
+    * markers' mtimes (generation `live − keepGens` is the oldest
+    * retained one, and it stops being safe the moment it is GC'd —
+    * which the next compaction does). A window narrower than the SLA
+    * means a read started just before the oldest retained flip can
+    * outlive its files under count-based grace alone — the compaction
+    * cadence should pass `keepAgeMs` (the [[StoreFs.swapInCompacted]]
+    * age floor) or a wider `keepGens`. Bounded: two mtime RPCs. */
+  private def retentionFindings(spark: SparkSession, dir: String,
+                                keepGens: Int,
+                                readerSlaMs: Long): Seq[Finding] = {
+    if (readerSlaMs <= 0L) return Seq.empty
+    val (fs, p) = StoreFs.fsPath(spark, dir)
+    if (!fs.exists(p)) return Seq.empty
+    val commits = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(StoreFs.commitPrefix))
+      .flatMap(_.stripPrefix(StoreFs.commitPrefix).toLongOption).sorted
+    if (commits.isEmpty) return Seq.empty
+    val live = commits.last
+    val oldest = commits.head
+    // only meaningful once the count floor has actually engaged —
+    // before that every generation still exists
+    if (live - oldest < keepGens) return Seq.empty
+    def mtime(n: Long): Option[Long] =
+      try Some(fs.getFileStatus(
+        new Path(p, s"${StoreFs.commitPrefix}$n")).getModificationTime)
+      catch { case _: java.io.IOException => None }
+    (for { lo <- mtime(oldest); hi <- mtime(live) } yield {
+      val span = hi - lo
+      if (span < readerSlaMs)
+        Seq(Finding(dir, "retention", "warn",
+          s"the retained grace window spans ${span / 1000} s (commits " +
+            s"$oldest..$live) — narrower than the declared reader SLA " +
+            s"(${readerSlaMs / 1000} s); a long read can lose its " +
+            "generation under count-based grace; pass keepAgeMs to the " +
+            "compaction cadence or widen keepGens"))
+      else Seq.empty
+    }).getOrElse(Seq.empty)
   }
 
   // ---- compaction lock -------------------------------------------------

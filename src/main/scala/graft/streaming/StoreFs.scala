@@ -146,6 +146,104 @@ private[graft] object StoreFs {
           committedGenerations(spark, dir).mkString(", "))
   }
 
+  // ---- multi-table snapshots (VERDICT r12 #4) ------------------------
+
+  private[graft] val SnapshotPrefix = "_graft_snapshot_"
+
+  /** Pin a CONSISTENT generation tuple across a multi-table store
+    * (VERDICT r12 #4): [[dataDirAt]] pins ONE table's generation, but a
+    * hybrid store is several sub-tables (index: doclen+postings; vec:
+    * vecs+cells) compacting independently — time travel that pins each
+    * sub separately can straddle one sub's compaction and read a TORN
+    * cross-table state. The manifest records every sub-table's
+    * currently-committed generation in ONE atomically-created
+    * `_graft_snapshot_<id>` file at `root` (monotonic id; the create
+    * is create-no-overwrite, so two racing snapshots get distinct
+    * ids or one retries), and [[snapshotDataDirs]] resolves the WHOLE
+    * tuple or fails — never half.
+    *
+    * Snapshots do NOT pin GC: a generation referenced by a snapshot
+    * still expires under the compaction cadence's `keepGens` /
+    * `keepAgeMs` policy, after which resolving the snapshot ERRORS
+    * (the [[dataDirAt]] contract — never silently wrong data) and
+    * [[StoreAudit]] reports the broken manifest. Size retention to
+    * cover the longest-lived snapshot, and delete the manifest file
+    * to retire one.
+    *
+    * CONSISTENCY CAVEAT, stated honestly: the manifest records each
+    * sub's generation at manifest-write time. Take snapshots from the
+    * store's single writer thread (the foreachBatch cadence between
+    * batches, or with ingest quiesced) — a snapshot racing a
+    * mid-flight multi-sub append can record sub A before the batch
+    * and sub B after it, exactly the torn frontier the multi-table
+    * seal guards. The atomicity this API adds is on the READ side:
+    * all-or-nothing resolution of one recorded tuple. */
+  def createSnapshot(spark: SparkSession, root: String,
+                     subDirs: Seq[String]): Long = {
+    require(subDirs.nonEmpty, "a snapshot needs at least one sub-table")
+    val (fs, p) = fsAndPath(spark, root)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    val gens = subDirs.map { d =>
+      val (sfs, sp) = fsAndPath(spark, d)
+      d -> maxCommitted(sfs, sp).getOrElse(0L)
+    }
+    val body = gens.map { case (d, g) => s"$d=$g" }.mkString("\n")
+      .getBytes("UTF-8")
+    var id = listSnapshots(spark, root).lastOption.getOrElse(0L) + 1L
+    var won = false
+    while (!won) {
+      try {
+        val out = fs.create(new Path(p, f"$SnapshotPrefix$id%08d"), false)
+        try out.write(body) finally out.close()
+        won = true
+      } catch {
+        // lost the id to a racing snapshot — take the next one
+        case _: java.io.IOException => id += 1L
+      }
+    }
+    id
+  }
+
+  /** Snapshot ids recorded at `root`, ascending. */
+  def listSnapshots(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, p) = fsAndPath(spark, root)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(SnapshotPrefix))
+      .flatMap(_.stripPrefix(SnapshotPrefix).toLongOption)
+      .toSeq.sorted
+  }
+
+  /** The generation tuple snapshot `id` recorded (subDir → generation);
+    * errors on a missing/unparseable manifest. */
+  def snapshotGens(spark: SparkSession, root: String,
+                   id: Long): Map[String, Long] = {
+    val (fs, p) = fsAndPath(spark, root)
+    val f = new Path(p, f"$SnapshotPrefix$id%08d")
+    val body = readSmall(fs, f).getOrElse(throw new IllegalStateException(
+      s"snapshot $id of $root does not exist; available: " +
+        listSnapshots(spark, root).mkString(", ")))
+    val gens = body.linesIterator.flatMap { line =>
+      line.split("=", 2) match {
+        case Array(d, g) => g.trim.toLongOption.map(d.trim -> _)
+        case _           => None
+      }
+    }.toMap
+    if (gens.isEmpty) throw new IllegalStateException(
+      s"snapshot $id of $root is empty or unparseable")
+    gens
+  }
+
+  /** Resolve snapshot `id` to concrete data directories for EVERY
+    * recorded sub-table — all or nothing: one GC'd generation fails
+    * the whole resolution (with [[dataDirAt]]'s diagnosis), so a
+    * hybrid serve can never read half a snapshot. */
+  def snapshotDataDirs(spark: SparkSession, root: String,
+                       id: Long): Map[String, String] =
+    snapshotGens(spark, root, id).map { case (d, g) =>
+      d -> dataDirAt(spark, d, g)
+    }
+
   // ---- checkpoint-identity guard (VERDICT r11 #3) --------------------
 
   private[streaming] val OwnerName = "_graft_owner"
@@ -285,6 +383,48 @@ private[graft] object StoreFs {
                 "no owner is readable) — retry; the store is NOT " +
                 "guarded until a claim succeeds")
           }
+    }
+  }
+
+  // ---- store geometry manifest (VERDICT r12 #9) ----------------------
+
+  private[graft] val GeometryName = "_graft_geometry"
+
+  /** Record the store's GEOMETRY — the build-time parameters a serve
+    * call must agree with (nCells, bucket count, m, dim, vector column
+    * …) — as `key=value` lines at the store-family root. Before the
+    * manifest, geometry travelled only through the caller's contract
+    * (the `graft_ivfadc_topk` 8-argument signature is the ergonomic
+    * cost) and a mismatched caller produced silently wrong answers;
+    * with it, serves validate the caller against the store and fail
+    * fast naming the recorded geometry. The file sits OUTSIDE the
+    * generation directories (like the owner record): geometry is
+    * frozen at build time — retraining is a rebuild — so it survives
+    * every compaction flip and is excluded from GC only because GC
+    * runs inside sub-table dirs, not the family root. */
+  def writeGeometry(spark: SparkSession, dir: String,
+                    kv: Seq[(String, String)]): Unit = {
+    val (fs, p) = fsAndPath(spark, dir)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    val out = fs.create(new Path(p, GeometryName), true)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The recorded geometry, or empty for a pre-manifest store —
+    * callers treat absence as "trust the caller" (the pre-r13
+    * contract), so old stores keep serving unchanged. */
+  def readGeometry(spark: SparkSession, dir: String): Map[String, String] = {
+    val (fs, p) = fsAndPath(spark, dir)
+    readSmall(fs, new Path(p, GeometryName)) match {
+      case None => Map.empty
+      case Some(s) => s.linesIterator.flatMap { line =>
+        line.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _           => None
+        }
+      }.toMap
     }
   }
 
@@ -432,7 +572,8 @@ private[graft] object StoreFs {
     * locks with their age for the operator triaging a wedged cadence. */
   def swapInCompacted(spark: SparkSession, dir: String,
                       staleLockMs: Long = 24L * 3600 * 1000,
-                      keepGens: Int = 1)
+                      keepGens: Int = 1,
+                      keepAgeMs: Long = 0L)
                      (writeTo: String => Unit): Unit = {
     require(keepGens >= 1, s"keepGens must be >= 1, got $keepGens " +
       "(an in-flight reader needs at least one grace cadence)")
@@ -454,7 +595,8 @@ private[graft] object StoreFs {
       // the flip: one atomic object creation — readers resolve the new
       // generation from this instant on
       fs.create(new Path(p, s"$CommitPrefix${curN + 1L}"), true).close()
-      gcGenerations(fs, p, live = curN + 1L, keepGens = keepGens)
+      gcGenerations(fs, p, live = curN + 1L, keepGens = keepGens,
+        keepAgeMs = keepAgeMs)
     } finally fs.delete(new Path(p, LockName), false)
   }
 
@@ -550,21 +692,49 @@ private[graft] object StoreFs {
     * would let a second compactor acquire before this one returns —
     * ADVICE r11) nor the store's owner record. Names whose numeric
     * suffix does not parse are left alone — GC must never eat a file
-    * it cannot classify. */
+    * it cannot classify.
+    *
+    * `keepAgeMs` is the TIME-BASED retention floor (VERDICT r12 #6):
+    * count-based grace ties reader safety to the COMPACTION CADENCE —
+    * a burst of quick compactions (backfill, repeated operator re-runs)
+    * can cycle `keepGens` generations in minutes and reclaim the one a
+    * long analysis still reads. With `keepAgeMs > 0`, a generation is
+    * reclaimed only when it has ALSO been superseded for at least that
+    * long — supersession is observable as the NEXT generation's commit
+    * marker mtime (generation n stops being live the instant
+    * `_graft_commit_(n+1)` lands; a marker already GC'd means the
+    * supersession is long past). Size it to the deployment's reader
+    * SLA: no read older than `keepAgeMs` can lose its files, however
+    * fast compactions come. */
   private[streaming] def gcGenerations(fs: FileSystem, p: Path, live: Long,
-                                       keepGens: Int): Unit = {
+                                       keepGens: Int,
+                                       keepAgeMs: Long = 0L): Unit = {
     val floor = math.max(live - keepGens, 1L)
+    // supersededLongEnough(n): generation n's successor committed at
+    // least keepAgeMs ago (or its marker is itself already reclaimed —
+    // an even older supersession)
+    def supersededLongEnough(n: Long): Boolean =
+      keepAgeMs <= 0L || {
+        val successor = new Path(p, s"$CommitPrefix${n + 1L}")
+        try System.currentTimeMillis() -
+          fs.getFileStatus(successor).getModificationTime >= keepAgeMs
+        catch { case _: java.io.IOException => true }
+      }
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       val stale =
         (n.startsWith(GenPrefix) &&
-          n.stripPrefix(GenPrefix).toLongOption.exists(_ < floor)) ||
+          n.stripPrefix(GenPrefix).toLongOption
+            .exists(g => g < floor && supersededLongEnough(g))) ||
         (n.startsWith(CommitPrefix) &&
-          n.stripPrefix(CommitPrefix).toLongOption.exists(_ < floor)) ||
+          n.stripPrefix(CommitPrefix).toLongOption
+            .exists(g => g < floor && supersededLongEnough(g))) ||
         // generation-0 flat remnants: reclaim once their grace expired
-        (live > keepGens && !n.startsWith(GenPrefix) &&
-          !n.startsWith(CommitPrefix) && n != LockName &&
-          n != TakeoverName && n != OwnerName)
+        (live > keepGens && supersededLongEnough(0L) &&
+          !n.startsWith(GenPrefix) &&
+          !n.startsWith(CommitPrefix) && !n.startsWith(SnapshotPrefix) &&
+          n != LockName &&
+          n != TakeoverName && n != OwnerName && n != GeometryName)
       if (stale) fs.delete(st.getPath, true)
       ()
     }

@@ -197,6 +197,24 @@ class StoreAuditSpec extends AnyFunSuite with SparkTest {
       f.detail.contains("replay markers")), s"got $m")
   }
 
+  test("a grace window narrower than the declared reader SLA is a retention warning") {
+    val store = sigStore("graft-audit-sla-", compact = true)
+    Dedup.compactSignatureStore(spark, store) // live = 2: count floor engaged
+    // the two surviving commit markers are seconds apart — a 1 h reader
+    // SLA cannot be covered by count-based grace at this cadence
+    val slaMs = 3600L * 1000
+    val fs = StoreAudit.auditFindings(spark, store, readerSlaMs = slaMs)
+    assert(fs.exists(f => f.check == "retention" && f.level == "warn" &&
+      f.detail.contains("keepAgeMs")), s"got $fs")
+    // no SLA declared → no finding (the default audit stays quiet)
+    assert(!findings(store).exists(_.check == "retention"))
+    // a window wider than the SLA audits clean
+    assert(new java.io.File(store, "_graft_commit_1")
+      .setLastModified(System.currentTimeMillis() - 2 * slaMs))
+    assert(!StoreAudit.auditFindings(spark, store, readerSlaMs = slaMs)
+      .exists(_.check == "retention"))
+  }
+
   test("an EMPTY owner record is a warn naming adoptStore — the wedged state claimOwner refuses") {
     val store = sigStore("graft-audit-emptyowner-")
     // simulate a claim that crashed between the owner file's create and

@@ -33,8 +33,9 @@ class StoreGuardSpec extends AnyFunSuite with SparkTest {
 
   private def compactTo(store: String, ids: Seq[Long],
                         staleLockMs: Long = 24L * 3600 * 1000,
-                        keepGens: Int = 1): Unit =
-    StoreFs.swapInCompacted(spark, store, staleLockMs, keepGens)(
+                        keepGens: Int = 1,
+                        keepAgeMs: Long = 0L): Unit =
+    StoreFs.swapInCompacted(spark, store, staleLockMs, keepGens, keepAgeMs)(
       writeRows(_, ids))
 
   // ---- lock takeover (ADVICE r11, medium) ----------------------------
@@ -154,6 +155,33 @@ class StoreGuardSpec extends AnyFunSuite with SparkTest {
     assert(!new java.io.File(store, "_gen-00000001").exists(),
       "generation 1's widened grace expires at live = 4")
     assert(new java.io.File(store, "_gen-00000002").exists())
+    assert(readIds(StoreFs.dataDir(spark, store)) == (1L to 5L))
+  }
+
+  test("keepAgeMs: the age floor keeps a generation that count-based grace alone would expire") {
+    val hour = 3600L * 1000
+    val store = tmpDir("graft-age-retention-") + "/s"
+    writeRows(store, Seq(1L, 2L))
+    // three compactions in quick succession — the backfill/re-run burst
+    // that cycles count-based grace in minutes (VERDICT r12 #6)
+    compactTo(store, Seq(1L, 2L), keepAgeMs = hour)             // live 1
+    compactTo(store, Seq(1L, 2L, 3L), keepAgeMs = hour)         // live 2
+    compactTo(store, Seq(1L, 2L, 3L, 4L), keepAgeMs = hour)     // live 3
+    // under keepGens = 1 alone, generation 1 is reclaimed at live = 3;
+    // its supersession (commit 2) is seconds old, so the age floor
+    // keeps it — a reader inside the 1 h SLA cannot lose its files
+    assert(new java.io.File(store, "_gen-00000001").exists(),
+      "a generation superseded seconds ago must survive the age floor")
+    assert(readIds(s"$store/_gen-00000001") == Seq(1L, 2L))
+    // age out generation 1 (its supersession = commit 2's mtime) while
+    // generation 2's supersession (commit 3) stays young
+    assert(new java.io.File(store, "_graft_commit_2")
+      .setLastModified(System.currentTimeMillis() - 2 * hour))
+    compactTo(store, Seq(1L, 2L, 3L, 4L, 5L), keepAgeMs = hour) // live 4
+    assert(!new java.io.File(store, "_gen-00000001").exists(),
+      "past the SLA the count-expired generation is reclaimed")
+    assert(new java.io.File(store, "_gen-00000002").exists(),
+      "a young supersession still holds its generation past the count floor")
     assert(readIds(StoreFs.dataDir(spark, store)) == (1L to 5L))
   }
 
