@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * bound lets the serve scan skip. The served answer never depends on
   * these numbers (exactness is unconditional); they measure read
   * volume — the dial is nCells ∝ corpus.
-  * Usage: ExactIvfProbe [sfDir] [nCells] [k] [nprobe0]
+  * Usage: ExactIvfProbe [sfDir] [nCells] [k] [nprobe0] [nBuckets]
+  * (`nBuckets`: −1 = the auto-bucketed default layout, 0 = the legacy
+  * one-directory-per-cell layout — the r12 metadata-wall comparison
+  * point, VERDICT r12 #1)
   */
 object ExactIvfProbe {
   def main(args: Array[String]): Unit = {
@@ -18,6 +21,7 @@ object ExactIvfProbe {
     val nCells = args.lift(1).map(_.toInt).getOrElse(16)
     val k = args.lift(2).map(_.toInt).getOrElse(50)
     val nprobe0 = args.lift(3).map(_.toInt).getOrElse(4)
+    val nBuckets = args.lift(4).map(_.toInt).getOrElse(-1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.core.Engine.configure(
       SparkSession.builder().master(s"local[$cpus]")
@@ -30,7 +34,8 @@ object ExactIvfProbe {
       .select("doc_id", "vec")
     val path = java.nio.file.Files
       .createTempDirectory("graft-exactivf-probe-").toString
-    graft.operators.ExactIvf.writeVecStore(vecs, path, nCells, iters = 1)
+    graft.operators.ExactIvf.writeVecStore(vecs, path, nCells, iters = 1,
+      nBuckets = nBuckets)
     // probes: the y18/y49 convention — a handful of corpus docs
     val probeIds = vecs.select("doc_id")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
@@ -45,7 +50,9 @@ object ExactIvfProbe {
     }
     val tot = stats.map(_.getLong(1)).sum.toDouble
     val sur = stats.map(_.getLong(2)).sum.toDouble
-    println(f"""{"sf_dir":"$sfDir","n_cells":$nCells,"mean_survivor_frac":${sur / tot}%.3f}""")
+    val layoutBuckets = graft.streaming.StoreFs.readGeometry(spark, path)
+      .getOrElse("n_buckets", "0")
+    println(f"""{"sf_dir":"$sfDir","n_cells":$nCells,"n_buckets":$layoutBuckets,"mean_survivor_frac":${sur / tot}%.3f}""")
     // the served answer itself, timed — at high nCells this is the row
     // that proves the DPP serve plan stays O(1)-size (VERDICT r11 #1:
     // the old isInCollection list was O(nCells) literals per serve)

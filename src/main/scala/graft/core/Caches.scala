@@ -52,6 +52,12 @@ object Caches {
     df
   }
 
+  /** Number of currently registered (un-swept) cache pins — the
+    * observable the lazy-TVF spec flattens: analysis of a `graft_*`
+    * call must register NOTHING (VERDICT r12 #2 / ADVICE r12 low);
+    * only executing a serve may pin, and `releaseAll()` drains it. */
+  def pinnedCount: Int = registered.size + registeredRdds.size
+
   /** Unpersist every registered cache and checkpoint RDD (non-blocking).
     * Idempotent. */
   def releaseAll(): Unit = {

@@ -50,15 +50,41 @@ import org.apache.spark.sql.functions._
   */
 object ExactIvf {
 
-  /** Persist the exact-IVF vector store: `vecs/` = (vec_id, vm)
-    * PARTITIONED BY ivf_cell — the serving scan's pruning lever — and
-    * `cells/` = (ivf_cell, ccvm, r2max): each cell's integer centroid
-    * and max residual L2², the two numbers the bound needs. One
-    * clustering pass over the vectors; the source table is never read
-    * again by the serving path. */
+  /** The default ceiling on PARTITION DIRECTORIES for a cell-laid
+    * store (VERDICT r12 #1): partitioning by raw `ivf_cell` makes the
+    * directory count O(nCells) — at SemDeDup-scale 10⁵–10⁶ cells the
+    * FileIndex listing is O(nCells) metadata RPCs per serve and every
+    * cell is a tiny-file open (the 2048-cell probe's serve wall,
+    * SCALE.md Round-12, was listing-dominated). The bucketed layout
+    * caps directories at `min(nCells, DefaultBuckets)` with
+    * `cell_bucket = ivf_cell % nBuckets` as the partition column (the
+    * cell id stays a DATA column, files sorted by it for row-group
+    * stats), DPP prunes on the bucket, and the cell-level equi-join
+    * drops the co-bucketed strangers — per-serve read volume is
+    * (survivor buckets)·(corpus/nBuckets) rows at O(nBuckets) metadata
+    * cost, whatever nCells grows to. */
+  val DefaultBuckets = 64
+
+  private[operators] def resolveBuckets(nBuckets: Int, nCells: Int): Int =
+    if (nBuckets < 0) math.min(nCells, DefaultBuckets) else nBuckets
+
+  /** Persist the exact-IVF vector store: `vecs/` = (vec_id, vm,
+    * ivf_cell) PARTITIONED BY `cell_bucket = ivf_cell % nBuckets` —
+    * the serving scan's pruning lever with a BOUNDED directory count
+    * (see [[DefaultBuckets]]) — and `cells/` = (ivf_cell, ccvm,
+    * r2max): each cell's integer centroid and max residual L2², the
+    * two numbers the bound needs. One clustering pass over the
+    * vectors; the source table is never read again by the serving
+    * path. `nBuckets`: −1 (default) = `min(nCells, DefaultBuckets)`;
+    * 0 = the legacy one-directory-per-cell layout (pre-r13 stores
+    * keep reading/serving unchanged — the serve detects the layout
+    * from the geometry manifest). The store records its geometry
+    * (`StoreFs.writeGeometry`) so appends and serves agree with the
+    * build by construction. */
   def writeVecStore(vecs: DataFrame, path: String, nCells: Int,
                     iters: Int, idCol: String = "doc_id",
-                    vecCol: String = "vec"): Unit = {
+                    vecCol: String = "vec", nBuckets: Int = -1): Unit = {
+    val buckets = resolveBuckets(nBuckets, nCells)
     val mv = graft.core.Caches.scoped(
       vecs.select(col(idCol).as("vec_id"), col(vecCol).as("vm")))
     val coarse = graft.core.Caches.scoped(Pq.trainCoarse(mv, nCells, iters))
@@ -68,9 +94,66 @@ object ExactIvf {
       .join(broadcast(coarse), Seq("ivf_cell"))
       .select("ivf_cell", "ccvm", "r2max")
       .write.mode("overwrite").parquet(s"$path/cells")
-    mv.join(res.select("vec_id", "ivf_cell"), Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("ivf_cell")
-      .parquet(s"$path/vecs")
+    val rows = mv.join(res.select("vec_id", "ivf_cell"), Seq("vec_id"))
+    writeCellLaid(rows, buckets, s"$path/vecs", overwrite = true)
+    graft.streaming.StoreFs.writeGeometry(vecs.sparkSession, path, Seq(
+      "family" -> "exact_ivf", "n_cells" -> nCells.toString,
+      "n_buckets" -> buckets.toString))
+  }
+
+  /** Write a cell-assigned frame in the store's partition layout:
+    * bucketed (`cell_bucket` directories, files range-placed and
+    * SORTED by ivf_cell so parquet row-group min/max stats stay
+    * selective inside a bucket) or legacy per-cell directories. */
+  private[operators] def writeCellLaid(rows: DataFrame, buckets: Int,
+                                       dir: String,
+                                       overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
+    if (buckets > 0)
+      rows.withColumn("cell_bucket",
+          pmod(col("ivf_cell"), lit(buckets.toLong)))
+        .repartitionByRange(col("cell_bucket"), col("ivf_cell"))
+        .sortWithinPartitions("ivf_cell")
+        .write.mode(mode).partitionBy("cell_bucket").parquet(dir)
+    else
+      rows.write.mode(mode).partitionBy("ivf_cell").parquet(dir)
+  }
+
+  /** Restrict a cell-laid store scan to the cells a batch touches —
+    * the ingest-side pruning shape (VERDICT r12 #8): `batchCells` is a
+    * frame exposing the batch's `ivf_cell` assignments, mapped to
+    * partition values for the store's layout (bucket ids for a
+    * bucketed store — a SUPERSET of the batch's cells, safe for the
+    * anti-joins because a duplicate vec_id can only be visible
+    * somewhere in the matched partitions). The restriction enters the
+    * plan as a broadcast join against the bounded cell relation, so
+    * Spark plants a `dynamicpruningexpression` on the scan instead of
+    * an O(|cells|) literal predicate; with the DPP rule disabled the
+    * bounded literal list is the fallback (the DppFallback contract). */
+  private[operators] def pruneToCells(spark: SparkSession,
+                                      visible: DataFrame,
+                                      batchCells: DataFrame,
+                                      buckets: Int): DataFrame = {
+    val partCol = if (buckets > 0) "cell_bucket" else "ivf_cell"
+    // NOTE the cells frame must be a DISTRIBUTED plan (both call sites
+    // pass a projection of the batch's cached residual frame): a
+    // driver-built LocalRelation gets its arming filter constant-folded
+    // away by ConvertToLocalRelation before PartitionPruning runs, and
+    // the DPP subquery silently never plants (trap found spec-first)
+    val keyed =
+      if (buckets > 0)
+        batchCells.select(pmod(col("ivf_cell"), lit(buckets.toLong))
+          .as("cell_bucket"))
+      else batchCells.select(col("ivf_cell"))
+    val parts = keyed.distinct()
+    val dpp = spark.conf
+      .get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      .toBoolean
+    if (dpp)
+      visible.join(broadcast(parts.filter(col(partCol) >= 0)),
+        Seq(partCol))
+    else visible.filter(col(partCol).isInCollection(
+      parts.collect().map(_.getLong(0)).toSeq))
   }
 
   /** Append a NEW batch under the store's FROZEN coarse cells — the
@@ -133,19 +216,29 @@ object ExactIvf {
     // cells THIS batch maps to — the visible side prunes to those
     // partitions (≤ nCells, driver-bounded) and reads only the key
     // column.
+    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
+      .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
     val tagged = mv.join(res.select("vec_id", "ivf_cell"), Seq("vec_id"))
       .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
     val novel = {
       val visible = spark.read.option("mergeSchema", "true")
         .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
-      val batchCells = batchStats.keys.toSeq
+      // VERDICT r12 #8: the visible side prunes to the batch's cells
+      // through the SAME dynamic-partition-pruning shape the serve
+      // uses — the batch's cell assignments enter from the CACHED
+      // residual frame and the DPP subquery prunes the
+      // partition column, so the append plan carries no cell literal
+      // and stays O(1)-size at production batch spreads. With the DPP
+      // rule disabled, the bounded literal list (the pre-r13 shape) is
+      // the fallback — pruning never vanishes (the DppFallback
+      // contract).
       tagged.join(
-        visible.filter(col("ivf_cell").isInCollection(batchCells))
+        pruneToCells(spark, visible, res.select("ivf_cell"), buckets)
           .select("vec_id"),
         Seq("vec_id"), "left_anti")
     }
-    novel.write.mode("append").partitionBy("ivf_cell")
-      .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
+    writeCellLaid(novel, buckets,
+      graft.streaming.StoreFs.dataDir(spark, dir), overwrite = false)
     batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 
@@ -164,11 +257,14 @@ object ExactIvf {
     graft.streaming.StoreFs.sealTagMarkers(spark, dir)
     val src = spark.read.option("mergeSchema", "true")
       .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
-    val merged = src.drop("batch_id").dropDuplicates("vec_id")
+    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
+      .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
+    val merged = src.drop("batch_id", "cell_bucket")
+      .dropDuplicates("vec_id")
       .withColumn("batch_id", lit(-1L))
     graft.streaming.StoreFs.swapInCompacted(spark, dir,
         keepGens = keepGens) { tmp =>
-      merged.write.partitionBy("ivf_cell").parquet(tmp)
+      writeCellLaid(merged, buckets, tmp, overwrite = true)
     }
     spark.catalog.refreshByPath(dir)
   }
@@ -189,11 +285,21 @@ object ExactIvf {
     * argument error, not a silently dropped query. */
   private def planServe(spark: SparkSession, path: String,
                         qpIn: DataFrame, probeIds: Option[Seq[Long]],
-                        k: Int, nprobe0: Int)
-      : (DataFrame, DataFrame, DataFrame, Long) = {
-    val cells = graft.core.Caches.scoped(
-      spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/cells")))
-    val vecs = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
+                        k: Int, nprobe0: Int,
+                        dirs: Option[(String, String)])
+      : (DataFrame, DataFrame, DataFrame, Long, Int) = {
+    // the store's partition layout (bucketed vs legacy per-cell) comes
+    // from its geometry manifest — absent = pre-r13 legacy layout.
+    // `dirs` = (cellsDir, vecsDir) pins a SNAPSHOT's resolved
+    // generation pair (VERDICT r12 #4); None = the live generations.
+    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
+      .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
+    val cellsDir = dirs.map(_._1).getOrElse(
+      graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
+    val vecsDir = dirs.map(_._2).getOrElse(
+      graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
+    val cells = graft.core.Caches.scoped(spark.read.parquet(cellsDir))
+    val vecs = spark.read.parquet(vecsDir)
     // distinct: a duplicated (query_id, probe_id) row would duplicate
     // the probe row, then the bounds, then the scan candidates — the
     // same vec_id would appear twice inside a top-k. Exact duplicates
@@ -240,7 +346,7 @@ object ExactIvf {
           Seq(bounds("bound").desc, bounds("ivf_cell")), nprobe0)
         .select(col("query_id").cast("long").as("query_id"),
           col("ivf_cell").cast("long").as("ivf_cell")))
-    val cand1 = scanCells(vecs, probes, p1Pairs)
+    val cand1 = scanCells(vecs, probes, p1Pairs, buckets)
     // cached: dk heads the phase-1 scan chain, and the DataFrame-shaped
     // pair sets downstream evaluate it more than once (the cell-id
     // collect AND the broadcast pair filter) — uncached, each evaluation
@@ -262,7 +368,7 @@ object ExactIvf {
         .filter(col("n").isNull || col("n") < k || col("bound") >= col("dk"))
         .select(col("query_id").cast("long").as("query_id"),
           col("ivf_cell").cast("long").as("ivf_cell")))
-    (vecs, probes, selPairs, cells.count())
+    (vecs, probes, selPairs, cells.count(), buckets)
   }
 
   /** Scan the pair set's cells through DYNAMIC PARTITION PRUNING
@@ -294,19 +400,31 @@ object ExactIvf {
     * prunes with the static `isInCollection` predicate — the exact
     * pre-r12 plan, O(nCells) literals but never an unpruned scan. */
   private def scanCells(vecs: DataFrame, probes: DataFrame,
-                        pairs: DataFrame): DataFrame = {
+                        pairs: DataFrame, buckets: Int): DataFrame = {
     val dpp = vecs.sparkSession.conf
       .get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
       .toBoolean
+    // bucketed layout (VERDICT r12 #1): the partition column is
+    // cell_bucket — DPP prunes DIRECTORIES on the bucket (≤ nBuckets of
+    // them at any store geometry) while the ivf_cell key of the same
+    // equi-join drops co-bucketed strangers row-side (their row groups
+    // mostly skip via the ivf_cell sort + min/max stats)
+    val partCol = if (buckets > 0) "cell_bucket" else "ivf_cell"
+    val joinKeys =
+      if (buckets > 0) Seq("cell_bucket", "ivf_cell") else Seq("ivf_cell")
+    val pairsK =
+      if (buckets > 0)
+        pairs.withColumn("cell_bucket",
+          pmod(col("ivf_cell"), lit(buckets.toLong)))
+      else pairs
     val cellPruned =
       if (dpp)
-        vecs.join(broadcast(pairs.filter(col("ivf_cell") >= 0)),
-          Seq("ivf_cell"))
+        vecs.join(broadcast(pairsK.filter(col(partCol) >= 0)), joinKeys)
       else {
-        val cellIds = pairs.select("ivf_cell").distinct()
+        val partIds = pairsK.select(partCol).distinct()
           .collect().map(_.getLong(0)).toSeq
-        vecs.filter(col("ivf_cell").isInCollection(cellIds))
-          .join(broadcast(pairs), Seq("ivf_cell"))
+        vecs.filter(col(partCol).isInCollection(partIds))
+          .join(broadcast(pairsK), joinKeys)
       }
     cellPruned
       .join(broadcast(probes.select("query_id", "probe_id", "qvec")),
@@ -341,7 +459,58 @@ object ExactIvf {
   def topDotBatchFromStore(spark: SparkSession, path: String,
                            queries: Seq[(Long, Long)], k: Int,
                            nprobe0: Int = 4,
-                           maxBatch: Int = MaxServeBatch): DataFrame = {
+                           maxBatch: Int = MaxServeBatch): DataFrame =
+    topDotSeqResolved(spark, path, queries, k, nprobe0, maxBatch, None)
+
+  /** [[topDotBatchFromStore]] AT a pinned multi-table snapshot
+    * (VERDICT r12 #4): both the `cells` and `vecs` generations come
+    * from ONE `StoreFs.createSnapshot` manifest ([[snapshotVecStore]]),
+    * resolved all-or-nothing — a compaction of either sub-table after
+    * the snapshot cannot tear the pair, and a GC'd generation errors
+    * instead of silently serving mixed state. */
+  def topDotBatchFromStoreSnapshot(spark: SparkSession, path: String,
+                                   snapshotId: Long,
+                                   queries: Seq[(Long, Long)], k: Int,
+                                   nprobe0: Int = 4): DataFrame = {
+    val dirs = graft.streaming.StoreFs.snapshotDataDirs(spark, path,
+      snapshotId)
+    def need(sub: String): String = dirs.getOrElse(s"$path/$sub",
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId of $path does not record $path/$sub; " +
+          s"recorded: ${dirs.keys.mkString(", ")}"))
+    topDotSeqResolved(spark, path, queries, k, nprobe0, MaxServeBatch,
+      Some((need("cells"), need("vecs"))))
+  }
+
+  /** Record the vec store's current (cells, vecs) generation pair as
+    * one consistent snapshot; returns the snapshot id for
+    * [[topDotBatchFromStoreSnapshot]].
+    *
+    * `freeze` (default true) COMPACTS the vecs table right after the
+    * manifest lands, flipping the live generation — the detail that
+    * makes the snapshot genuinely immutable: vecs appends write INTO
+    * the live generation (the dataDirAt contract), so a pinned
+    * still-live generation would keep tracking ingest — worse, with
+    * the pinned cells' old r2max, later-added vectors could read
+    * UNDER-bounded and the exactness guarantee breaks. Freezing
+    * supersedes the pinned generation immediately (compaction is
+    * answer-preserving, so the snapshot still answers as of snapshot
+    * time); cells need no freeze — their appends always swap in a new
+    * generation. Pass `freeze = false` only when ingest is quiesced
+    * and you will compact before it resumes. */
+  def snapshotVecStore(spark: SparkSession, path: String,
+                       freeze: Boolean = true): Long = {
+    val id = graft.streaming.StoreFs.createSnapshot(spark, path,
+      Seq(s"$path/cells", s"$path/vecs"))
+    if (freeze) compactVecStore(spark, path)
+    id
+  }
+
+  private[operators] def topDotSeqResolved(spark: SparkSession, path: String,
+                                queries: Seq[(Long, Long)], k: Int,
+                                nprobe0: Int, maxBatch: Int,
+                                dirs: Option[(String, String)])
+      : DataFrame = {
     import spark.implicits._
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // chunk by QUERY, never positionally: a query_id listed with
@@ -358,7 +527,7 @@ object ExactIvf {
     }
     chunks.map { chunk =>
       serve(spark, path, chunk.toDF("query_id", "probe_id"),
-        Some(chunk.map(_._2)), k, nprobe0)
+        Some(chunk.map(_._2)), k, nprobe0, dirs)
     }.reduce(_ unionAll _)
   }
 
@@ -402,10 +571,11 @@ object ExactIvf {
 
   private def serve(spark: SparkSession, path: String, qp: DataFrame,
                     probeIds: Option[Seq[Long]], k: Int,
-                    nprobe0: Int): DataFrame = {
-    val (vecs, probes, selPairs, _) =
-      planServe(spark, path, qp, probeIds, k, nprobe0)
-    val cand2 = scanCells(vecs, probes, selPairs)
+                    nprobe0: Int,
+                    dirs: Option[(String, String)] = None): DataFrame = {
+    val (vecs, probes, selPairs, _, buckets) =
+      planServe(spark, path, qp, probeIds, k, nprobe0, dirs)
+    val cand2 = scanCells(vecs, probes, selPairs, buckets)
     val out = graft.plans.TopK.perKey(cand2, Seq(cand2("query_id")),
       Seq(cand2("dot").desc, cand2("vec_id")), k)
     out.withColumn("rk", row_number().over(
@@ -422,9 +592,9 @@ object ExactIvf {
                  queries: Seq[(Long, Long)], k: Int,
                  nprobe0: Int = 4): DataFrame = {
     import spark.implicits._
-    val (_, _, selPairs, nCells) = planServe(spark, path,
+    val (_, _, selPairs, nCells, _) = planServe(spark, path,
       queries.toDF("query_id", "probe_id"), Some(queries.map(_._2)),
-      k, nprobe0)
+      k, nprobe0, None)
     queries.map(_._1).distinct.sorted.toDF("query_id")
       .join(selPairs.groupBy("query_id")
         .agg(count(lit(1)).as("survivors")), Seq("query_id"), "left")

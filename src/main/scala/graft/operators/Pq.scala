@@ -444,13 +444,21 @@ object Pq {
 
   /** Persist the IVFADC corpus state: `coarse/` (≤ nCells centroids),
     * `books/` (residual-PQ codebooks, C·m rows), and `codes/` —
-    * (vec_id, sub, cell) PARTITIONED BY ivf_cell, so a probe batch's
-    * cell list prunes the scan to its nprobe partitions (the
-    * partition-pruning lever applied to ANN serving; plan-pinned in
-    * PlanShapeSpec). The embeddings are scanned only here. */
+    * (vec_id, sub, cell, ivf_cell) PARTITIONED BY
+    * `cell_bucket = ivf_cell % nBuckets` (the bounded-directory layout,
+    * [[ExactIvf.DefaultBuckets]] — VERDICT r12 #1), so a probe batch's
+    * cell list prunes the scan to its buckets at O(nBuckets) metadata
+    * cost whatever nCells is; `nBuckets = 0` keeps the legacy
+    * one-directory-per-cell layout. The store records its geometry
+    * (family, nCells, nBuckets, m, dim, nCents, vecCol) so serves
+    * validate the caller's contract and the SQL surface can read
+    * (m, dim) instead of demanding 8 arguments. The embeddings are
+    * scanned only here. */
   def writeIvfadcStore(emb: DataFrame, path: String, nCells: Int, m: Int,
                        dim: Int, nCents: Int, iters: Int,
-                       vecCol: String = "embedding"): Unit = {
+                       vecCol: String = "embedding",
+                       nBuckets: Int = -1): Unit = {
+    val buckets = ExactIvf.resolveBuckets(nBuckets, nCells)
     val mv = graft.core.Caches.scoped(microVectors(emb, vecCol))
     val coarse = graft.core.Caches.scoped(trainCoarse(mv, nCells, iters))
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
@@ -458,11 +466,16 @@ object Pq {
     val rsv = graft.core.Caches.scoped(residualSubvectors(res, m, dim))
     val books = trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters)
     books.write.mode("overwrite").parquet(s"$path/books")
-    assign(rsv.drop("ivf_cell"), books)
-      .select(col("vec_id"), col("sub"), col("cell"))
-      .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id"))
-      .write.mode("overwrite").partitionBy("ivf_cell")
-      .parquet(s"$path/codes")
+    ExactIvf.writeCellLaid(
+      assign(rsv.drop("ivf_cell"), books)
+        .select(col("vec_id"), col("sub"), col("cell"))
+        .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id")),
+      buckets, s"$path/codes", overwrite = true)
+    graft.streaming.StoreFs.writeGeometry(emb.sparkSession, path, Seq(
+      "family" -> "ivfadc", "n_cells" -> nCells.toString,
+      "n_buckets" -> buckets.toString, "m" -> m.toString,
+      "dim" -> dim.toString, "n_cents" -> nCents.toString,
+      "vec_col" -> vecCol))
   }
 
   /** Append a NEW batch under the store's FROZEN coarse centroids AND
@@ -491,24 +504,28 @@ object Pq {
       .select(col("vec_id"), col("sub"), col("cell"))
       .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id"))
       .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
+    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
+      .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
     val novel = {
       // anti-join on (vec_id, sub) against ALL visible rows (ADVICE
       // r10 — cross-batch unique ids, same argument as
       // [[appendToPqStore]]); coarse assignment is deterministic under
       // the frozen centroids, so a duplicate can only live in the
       // cells THIS batch maps to — the visible side prunes to those
-      // partitions (bounded by nCells) and reads only the key columns.
-      val batchCells = res.select("ivf_cell").distinct()
-        .collect().map(_.getLong(0)).toSeq
+      // partitions (bounded by nCells) through the DPP join shape
+      // (VERDICT r12 #8: no cell literal in the append plan; the
+      // literal list is the DPP-off fallback) and reads only the key
+      // columns.
       val visible = spark.read.option("mergeSchema", "true")
         .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
       tagged.join(
-        visible.filter(col("ivf_cell").isInCollection(batchCells))
+        ExactIvf.pruneToCells(spark, visible, res.select("ivf_cell"),
+            buckets)
           .select("vec_id", "sub"),
         Seq("vec_id", "sub"), "left_anti")
     }
-    novel.write.mode("append").partitionBy("ivf_cell")
-      .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
+    ExactIvf.writeCellLaid(novel, buckets,
+      graft.streaming.StoreFs.dataDir(spark, dir), overwrite = false)
     batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 
@@ -538,14 +555,17 @@ object Pq {
     val src = spark.read.option("mergeSchema", "true")
       .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
     val partitioned = src.columns.contains("ivf_cell")
+    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
+      .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
     val keys = if (partitioned) Seq("vec_id", "ivf_cell", "sub")
                else Seq("vec_id", "sub")
-    val merged = src.drop("batch_id").dropDuplicates(keys)
+    val merged = src.drop("batch_id", "cell_bucket").dropDuplicates(keys)
       .withColumn("batch_id", lit(-1L))
     graft.streaming.StoreFs.swapInCompacted(spark, dir,
         keepGens = keepGens) { tmp =>
-      (if (partitioned) merged.write.partitionBy("ivf_cell")
-       else merged.write).parquet(tmp)
+      if (partitioned) ExactIvf.writeCellLaid(merged, buckets, tmp,
+        overwrite = true)
+      else merged.write.parquet(tmp)
     }
   }
 
@@ -629,6 +649,19 @@ object Pq {
                           path: String, emb: DataFrame, probeRows0: DataFrame,
                           nprobe: Int, kShort: Int, k: Int, m: Int, dim: Int,
                           vecCol: String): DataFrame = {
+    // geometry-manifest validation (VERDICT r12 #9): a caller whose
+    // (m, dim) disagree with the build would silently mis-slice every
+    // probe residual — fail fast naming the recorded geometry instead.
+    // Manifest absent (pre-r13 store) = trust the caller, as before.
+    val geo = graft.streaming.StoreFs.readGeometry(spark, path)
+    for (gm <- geo.get("m").flatMap(_.toIntOption))
+      require(gm == m,
+        s"store $path was built with m=$gm but the caller passed m=$m " +
+          s"(recorded geometry: $geo)")
+    for (gd <- geo.get("dim").flatMap(_.toIntOption))
+      require(gd == dim,
+        s"store $path was built with dim=$gd but the caller passed " +
+          s"dim=$dim (recorded geometry: $geo)")
     val probeRows = graft.core.Caches.scoped(probeRows0)
     val coarse = spark.read.parquet(s"$path/coarse")
     val books = spark.read.parquet(s"$path/books")
@@ -667,12 +700,27 @@ object Pq {
     val dpp = spark.conf
       .get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
       .toBoolean
+    // bucketed layout (VERDICT r12 #1, the ExactIvf.scanCells shape):
+    // DPP prunes bucket DIRECTORIES; the ivf_cell key of the same
+    // equi-join drops co-bucketed strangers row-side
+    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
+      .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
+    val partCol = if (buckets > 0) "cell_bucket" else "ivf_cell"
+    val joinKeys =
+      if (buckets > 0) Seq("cell_bucket", "ivf_cell", "sub", "cell")
+      else Seq("ivf_cell", "sub", "cell")
     val codesAll = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
     val codes =
       if (dpp) codesAll
-      else codesAll.filter(col("ivf_cell").isInCollection(
-        probeCells.select("ivf_cell").distinct()
-          .collect().map(_.getLong(0)).toSeq))
+      else {
+        val cellIds = probeCells.select("ivf_cell").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val partIds =
+          if (buckets > 0)
+            cellIds.map(math.floorMod(_, buckets.toLong)).distinct
+          else cellIds
+        codesAll.filter(col(partCol).isInCollection(partIds))
+      }
     val psv = probeCells.select(col("probe_id"), col("ivf_cell"),
         explode(transform(sequence(lit(0), lit(m - 1)), s =>
           struct(s.as("sub"),
@@ -683,8 +731,13 @@ object Pq {
     val lut0 = psv.join(broadcast(books), Seq("sub"))
       .select(col("probe_id"), col("ivf_cell"), col("sub"),
         col("cent_id").as("cell"), l2sq(col("psvm"), col("cvm")).as("pd2"))
-    val lut = if (dpp) lut0.filter(col("ivf_cell") >= 0) else lut0
-    val scored = codes.join(broadcast(lut), Seq("ivf_cell", "sub", "cell"))
+    val lut1 =
+      if (buckets > 0)
+        lut0.withColumn("cell_bucket",
+          pmod(col("ivf_cell"), lit(buckets.toLong)))
+      else lut0
+    val lut = if (dpp) lut1.filter(col(partCol) >= 0) else lut1
+    val scored = codes.join(broadcast(lut), joinKeys)
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("pd2")).as("adc_d2"))

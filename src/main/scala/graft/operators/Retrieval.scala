@@ -139,16 +139,77 @@ object Retrieval {
     * path produces, with document text nowhere in the plan. */
   private def storeScores(spark: org.apache.spark.sql.SparkSession,
                           path: String, terms: Seq[String],
-                          k1: Double, b: Double): DataFrame = {
-    val doclen = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/doclen"))
-    val stats = doclen.agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("dl").cast(DecimalType(18, 0))).cast("double").as("sum_dl"))
-      .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
-    val tf = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/postings"))
+                          k1: Double, b: Double): DataFrame =
+    storeScoresResolved(spark,
+      graft.streaming.StoreFs.dataDir(spark, s"$path/doclen"),
+      graft.streaming.StoreFs.dataDir(spark, s"$path/postings"),
+      terms, k1, b)
+
+  private def storeScoresResolved(spark: org.apache.spark.sql.SparkSession,
+                                  doclenDir: String, postingsDir: String,
+                                  terms: Seq[String],
+                                  k1: Double, b: Double): DataFrame = {
+    val tf = spark.read.parquet(postingsDir)
       .filter(col("term").isInCollection(terms))
-    scoreTf(tf, stats, k1, b)
+    scoreTf(tf, statsFromDir(spark, doclenDir), k1, b)
   }
+
+  /** The (n_docs, avgdl) corpus scalars from the compact doclen table. */
+  private def statsFromDir(spark: org.apache.spark.sql.SparkSession,
+                           doclenDir: String): DataFrame =
+    spark.read.parquet(doclenDir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl").cast(DecimalType(18, 0))).cast("double").as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
+
+  /** The pushdown ceiling for the query-TABLE BM25 form: up to this
+    * many DISTINCT terms are collected and pushed as the postings
+    * scan's literal IN filter — row-group min/max pruning on the
+    * term-sorted store genuinely NEEDS analysis-time literals (the
+    * postings table is sorted, not directory-partitioned, so the DPP
+    * lever has nothing to prune), and the collect is bounded by the
+    * REQUEST's own vocabulary — the same sanctioned bound as the
+    * hybrid form's term list. Above it, the terms stay a broadcast
+    * JOIN: one unpruned postings pass, no driver literal — at that
+    * vocabulary a request reads a corpus-scale slice regardless, and
+    * an unbounded literal list would blow the plan instead. */
+  val MaxTermPushdown = 4096
+
+  /** The query-TABLE form of [[bm25TopKFromStore]] (VERDICT r12 #3):
+    * `terms` is a relation with a `term` column — the shape a real
+    * serving user (or the `graft_bm25_topk_table` SQL surface) has.
+    * Duplicates collapse; a term absent from the store simply scores
+    * nothing. Row-identical to the Seq form for the same distinct
+    * term set by construction (same scoring tail); the pruning
+    * contract is [[MaxTermPushdown]]'s two-regime shape. */
+  def bm25TopKFromStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String, terms: DataFrame, k: Int,
+                        k1: Double, b: Double,
+                        maxTermPushdown: Int): DataFrame = {
+    // pinned: the count and the downstream fan-out must see the same
+    // rows from a nondeterministic source (the ExactIvf rationale)
+    val t = graft.core.Caches.scoped(
+      terms.select(col("term").cast("string").as("term")).distinct())
+    val scored =
+      if (t.count() <= maxTermPushdown)
+        storeScores(spark, path,
+          t.collect().map(_.getString(0)).toSeq, k1, b)
+      else {
+        val tf = spark.read.parquet(
+            graft.streaming.StoreFs.dataDir(spark, s"$path/postings"))
+          .join(broadcast(t), Seq("term"))
+        scoreTf(tf, statsFromDir(spark,
+          graft.streaming.StoreFs.dataDir(spark, s"$path/doclen")), k1, b)
+      }
+    rankTopK(scored, k)
+  }
+
+  /** [[bm25TopKFromStore]] (query-TABLE form) with the default
+    * pushdown ceiling. */
+  def bm25TopKFromStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String, terms: DataFrame, k: Int,
+                        k1: Double, b: Double): DataFrame =
+    bm25TopKFromStore(spark, path, terms, k, k1, b, MaxTermPushdown)
 
   /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion:
     * RRF(d) = Σ_lists 1/(C + rank_list(d)) over the doc's ranks in the
@@ -297,6 +358,70 @@ object Retrieval {
                                k1: Double = 1.2, b: Double = 0.75,
                                nprobe0: Int = 4,
                                maxBatch: Int = ExactIvf.MaxServeBatch)
+      : DataFrame =
+    hybridSeqResolved(spark, indexPath, vecPath, queries, kList, kOut,
+      k1, b, nprobe0, maxBatch, idxDirs = None, vecDirs = None)
+
+  /** Record the index store's current generation tuple (doclen +
+    * postings + positions where present) as one consistent snapshot
+    * (VERDICT r12 #4); returns the id for
+    * [[hybridRrfBatchFromStoresSnapshot]]. `freeze` (default true)
+    * compacts the store right after the manifest lands so the pinned
+    * generations are superseded — index appends write INTO the live
+    * generation, so an unfrozen pin would keep tracking ingest (the
+    * [[graft.operators.ExactIvf.snapshotVecStore]] rationale). */
+  def snapshotIndexStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String, freeze: Boolean = true): Long = {
+    val subs = Seq("doclen", "postings", "positions")
+      .map(s => s"$path/$s")
+      .filter(d => graft.streaming.StoreFs.storeExists(spark, d))
+    val id = graft.streaming.StoreFs.createSnapshot(spark, path, subs)
+    if (freeze) compactIndexStore(spark, path)
+    id
+  }
+
+  /** [[hybridRrfBatchFromStores]] AT pinned snapshots of BOTH stores
+    * (VERDICT r12 #4): the lexical arm reads the index snapshot's
+    * (doclen, postings) generation pair and the semantic arm the vec
+    * snapshot's (cells, vecs) pair — each tuple recorded by ONE
+    * manifest and resolved all-or-nothing, so time travel across a
+    * sub-table compaction can never fuse one arm's past with the
+    * other's present (the torn cross-table state dataDirAt alone
+    * permitted). A GC'd generation errors with the dataDirAt
+    * diagnosis. */
+  def hybridRrfBatchFromStoresSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, indexSnapshotId: Long,
+      vecPath: String, vecSnapshotId: Long,
+      queries: Seq[(Long, Seq[String], Long)],
+      kList: Int = 50, kOut: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      nprobe0: Int = 4): DataFrame = {
+    val idx = graft.streaming.StoreFs.snapshotDataDirs(spark, indexPath,
+      indexSnapshotId)
+    val vec = graft.streaming.StoreFs.snapshotDataDirs(spark, vecPath,
+      vecSnapshotId)
+    def need(dirs: Map[String, String], root: String, sub: String,
+             id: Long): String =
+      dirs.getOrElse(s"$root/$sub", throw new IllegalArgumentException(
+        s"snapshot $id of $root does not record $root/$sub; recorded: " +
+          dirs.keys.mkString(", ")))
+    hybridSeqResolved(spark, indexPath, vecPath, queries, kList, kOut,
+      k1, b, nprobe0, ExactIvf.MaxServeBatch,
+      idxDirs = Some((need(idx, indexPath, "doclen", indexSnapshotId),
+        need(idx, indexPath, "postings", indexSnapshotId))),
+      vecDirs = Some((need(vec, vecPath, "cells", vecSnapshotId),
+        need(vec, vecPath, "vecs", vecSnapshotId))))
+  }
+
+  private def hybridSeqResolved(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String, vecPath: String,
+                                queries: Seq[(Long, Seq[String], Long)],
+                                kList: Int, kOut: Int,
+                                k1: Double, b: Double,
+                                nprobe0: Int, maxBatch: Int,
+                                idxDirs: Option[(String, String)],
+                                vecDirs: Option[(String, String)])
       : DataFrame = {
     import spark.implicits._
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
@@ -320,13 +445,18 @@ object Retrieval {
       val qt = qs.flatMap { case (qid, ts, _) => ts.map(qid -> _) }
         .toDF("query_id", "term")
 
-      val scored = storeScores(spark, indexPath, unionTerms, k1, b)
+      val scored = idxDirs match {
+        case Some((dl, po)) =>
+          storeScoresResolved(spark, dl, po, unionTerms, k1, b)
+        case None => storeScores(spark, indexPath, unionTerms, k1, b)
+      }
       val lex = lexRank(scored.join(broadcast(qt), Seq("term")), kList)
 
       // the exact store-served dot already ranks by (dot DESC, doc_id)
       // — precisely hybridRrfBatch's sem_rk ordering
-      val sem = ExactIvf.topDotBatchFromStore(spark, vecPath,
-          qs.map { case (qid, _, p) => (qid, p) }, kList, nprobe0)
+      val sem = ExactIvf.topDotSeqResolved(spark, vecPath,
+          qs.map { case (qid, _, p) => (qid, p) }, kList, nprobe0,
+          maxBatch, vecDirs)
         .select(col("query_id"), col("vec_id").as("doc_id"),
           col("rk").as("sem_rk"))
       rrfFuse(lex, sem, kOut)

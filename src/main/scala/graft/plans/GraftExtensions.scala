@@ -30,10 +30,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => SelfCosineRewrite)
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => DeferredServeStrategy)
     // SQL-native serving surface (VERDICT r11 #7): the store-served
     // retrieval tier as table functions — each builder drives the SAME
-    // DataFrame serving code and splices its analyzed plan in place,
-    // so SQL and DataFrame forms share one implementation
+    // DataFrame serving code, resolved LAZILY through a DeferredServe
+    // leaf (VERDICT r12 #2: analysis runs zero jobs, pins zero caches;
+    // the serve builds at execution), so SQL and DataFrame forms share
+    // one implementation
     ext.injectTableFunction((
       FunctionIdentifier("graft_exact_topk"),
       new ExpressionInfo(ServeTableFunctions.getClass.getName,
@@ -54,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(ServeTableFunctions.getClass.getName,
         "graft_bm25_topk"),
       (args: Seq[Expression]) => ServeTableFunctions.bm25TopK(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bm25_topk_table"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_bm25_topk_table"),
+      (args: Seq[Expression]) => ServeTableFunctions.bm25TopKTable(args)))
     ext.injectTableFunction((
       FunctionIdentifier("graft_store_audit"),
       new ExpressionInfo(ServeTableFunctions.getClass.getName,

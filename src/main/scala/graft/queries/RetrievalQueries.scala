@@ -404,7 +404,7 @@ object RetrievalQueries {
   private def ensureVecStore(s: org.apache.spark.sql.SparkSession,
                              d: String): String = {
     val path = StoreFixtures.path("graft-vecstore", d, "documents.parquet",
-      "vecstore1")
+      "vecstore2")
     StoreFixtures.onceBySuccess(path, "vecs") {
       graft.operators.ExactIvf.writeVecStore(
         graft.operators.TextAnalysis.hashedEmbedding(documents(s, d))

@@ -1031,7 +1031,7 @@ object SimilarityQueries {
   private def ensureIvfadcStore(s: org.apache.spark.sql.SparkSession,
                                 d: String): String = {
     val path = StoreFixtures.path("graft-ivfadc", d, "embeddings.parquet",
-      "ivfadc1")
+      "ivfadc2")
     StoreFixtures.onceBySuccess(path, "codes") {
       Pq.writeIvfadcStore(embeddings(s, d), path, IvfCells, PqM, Dim,
         PqC, iters = 1)

@@ -585,13 +585,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(p.contains("graft-ivfadc"), s"must read the IVFADC store:\n$p")
     // the probed cells' id list must prune the partitioned codes store —
     // the scan lists a non-empty PartitionFilters on ivf_cell
-    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+    assert("PartitionFilters: \\[[^\\]]*(ivf_cell|cell_bucket)".r.findFirstIn(p).isDefined,
       s"codes scan must carry an ivf_cell partition filter:\n$p")
     // VERDICT r11 #1: the cell pruning must be DYNAMIC partition
     // pruning, not an O(nCells) literal list baked into the plan
     assert(p.contains("dynamicpruningexpression"),
       s"cell pruning must be DPP, not literals:\n$p")
-    assert("ivf_cell#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
+    assert("(ivf_cell|cell_bucket)#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
       s"no literal cell-id list may survive in the plan:\n$p")
     // the only embeddings reads are bounded probe-row scans
     assert(p.contains("In(vec_id"), s"probe filter must push down:\n$p")
@@ -601,13 +601,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
   test("y56 probe-table IVFADC serve: probes join (no literal id scan), codes stay cell-pruned") {
     val p = plan("y56_ivfadc_serve_df")
     assert(p.contains("graft-ivfadc"), s"must read the IVFADC store:\n$p")
-    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+    assert("PartitionFilters: \\[[^\\]]*(ivf_cell|cell_bucket)".r.findFirstIn(p).isDefined,
       s"codes scan must carry an ivf_cell partition filter:\n$p")
     // VERDICT r11 #1: the cell pruning must be DYNAMIC partition
     // pruning, not an O(nCells) literal list baked into the plan
     assert(p.contains("dynamicpruningexpression"),
       s"cell pruning must be DPP, not literals:\n$p")
-    assert("ivf_cell#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
+    assert("(ivf_cell|cell_bucket)#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
       s"no literal cell-id list may survive in the plan:\n$p")
     // the probe-table form fetches probe rows by JOIN — the Seq form's
     // pushed In(vec_id…) literal list must be absent
@@ -628,13 +628,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     // term-pruned postings + cell-partition-pruned vectors
     assert(p.contains("In(term") || p.contains("term#"),
       s"term filter must reach the postings scan:\n$p")
-    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+    assert("PartitionFilters: \\[[^\\]]*(ivf_cell|cell_bucket)".r.findFirstIn(p).isDefined,
       s"vecs scan must carry an ivf_cell partition filter:\n$p")
     // VERDICT r11 #1: the cell pruning must be DYNAMIC partition
     // pruning, not an O(nCells) literal list baked into the plan
     assert(p.contains("dynamicpruningexpression"),
       s"cell pruning must be DPP, not literals:\n$p")
-    assert("ivf_cell#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
+    assert("(ivf_cell|cell_bucket)#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
       s"no literal cell-id list may survive in the plan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TopKPerKey"), p)
@@ -646,13 +646,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("documents.parquet"),
       s"store-served hybrid must not read document text:\n$p")
     assert(p.contains("graft-bm25index") && p.contains("graft-vecstore"), p)
-    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+    assert("PartitionFilters: \\[[^\\]]*(ivf_cell|cell_bucket)".r.findFirstIn(p).isDefined,
       s"vecs scan must stay cell-pruned:\n$p")
     // VERDICT r11 #1: the cell pruning must be DYNAMIC partition
     // pruning, not an O(nCells) literal list baked into the plan
     assert(p.contains("dynamicpruningexpression"),
       s"cell pruning must be DPP, not literals:\n$p")
-    assert("ivf_cell#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
+    assert("(ivf_cell|cell_bucket)#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
       s"no literal cell-id list may survive in the plan:\n$p")
     // …and the query table enters as a join: NO collected probe-id
     // literal list pushed into a vecs scan (the Seq form's In(vec_id…)
@@ -664,15 +664,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
   }
 
   test("y57 SQL-TVF hybrid serve keeps the y55 shape: stores only, DPP, no literals") {
-    val p = plan("y57_hybrid_sql_tvf")
-    // the TVF splices the DataFrame serve's plan — so every y55 pin
-    // must hold verbatim on the SQL surface
+    // the TVF analyzes to a DeferredServe leaf (VERDICT r12 #2) whose
+    // serve resolves at EXECUTION — the outer plan must run zero jobs
+    // and carry no store scan; the y55 pins hold on the resolved INNER
+    // plan, which drives the same DataFrame serving code
+    val df = graft.SparkEntry.queries("y57_hybrid_sql_tvf")(spark, sfDir)
+    val outer = df.queryExecution.executedPlan.toString
+    assert(outer.contains("DeferredServeExec"),
+      s"the TVF must analyze to the deferred leaf:\n$outer")
+    df.collect() // resolve the serve
+    def descend(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[graft.plans.DeferredServeExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        descend(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        descend(q.plan) // materialized stages wrap children as leaves
+      case d: graft.plans.DeferredServeExec => Seq(d)
+      case other => other.children.flatMap(descend)
+    }
+    val inner = descend(df.queryExecution.executedPlan)
+    assert(inner.nonEmpty, s"no DeferredServeExec found:\n$outer")
+    val p = inner.map(_.inner.queryExecution.executedPlan.toString)
+      .mkString("\n")
     assert(!p.contains("documents.parquet"),
       s"the SQL serve must not read document text:\n$p")
     assert(p.contains("graft-bm25index") && p.contains("graft-vecstore"), p)
     assert(p.contains("dynamicpruningexpression"),
       s"DPP cell pruning must survive the SQL surface:\n$p")
-    assert("ivf_cell#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
+    assert("(ivf_cell|cell_bucket)#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
       s"no literal cell-id list on the SQL surface:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("TopKPerKey"), p)
@@ -693,13 +712,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
       s"incremental stores must not read the corpus either:\n$p")
     assert(p.contains("graft-bm25index") && p.contains("-incr"), p)
     assert(p.contains("graft-vecstore"), p)
-    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+    assert("PartitionFilters: \\[[^\\]]*(ivf_cell|cell_bucket)".r.findFirstIn(p).isDefined,
       s"the two-generation vecs scan must stay cell-pruned:\n$p")
     // VERDICT r11 #1: the cell pruning must be DYNAMIC partition
     // pruning, not an O(nCells) literal list baked into the plan
     assert(p.contains("dynamicpruningexpression"),
       s"cell pruning must be DPP, not literals:\n$p")
-    assert("ivf_cell#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
+    assert("(ivf_cell|cell_bucket)#\\d+L? (IN \\(|INSET)".r.findFirstIn(p).isEmpty,
       s"no literal cell-id list may survive in the plan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }

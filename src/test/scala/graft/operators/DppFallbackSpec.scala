@@ -52,7 +52,7 @@ class DppFallbackSpec extends AnyFunSuite with SparkTest {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("dynamicpruningexpression"),
         s"no DPP subquery may plan with the optimizer rule off:\n$p")
-      assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+      assert("PartitionFilters: \\[[^\\]]*(ivf_cell|cell_bucket)".r.findFirstIn(p).isDefined,
         s"the fallback must still prune cell partitions (literal list):\n$p")
     }
   }
@@ -74,7 +74,7 @@ class DppFallbackSpec extends AnyFunSuite with SparkTest {
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("dynamicpruningexpression"),
         s"no DPP subquery may plan with the optimizer rule off:\n$p")
-      assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(p).isDefined,
+      assert("PartitionFilters: \\[[^\\]]*(ivf_cell|cell_bucket)".r.findFirstIn(p).isDefined,
         s"the fallback must still prune cell partitions (literal list):\n$p")
     }
   }

