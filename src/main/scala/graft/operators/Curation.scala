@@ -471,7 +471,8 @@ object Curation {
     * replay of a pre-compaction batch appends nothing instead of
     * double-counting its rows into the −1 generation. */
   def compactDsirStore(spark: org.apache.spark.sql.SparkSession,
-                       path: String, keepGens: Int = 1): Unit = {
+                       path: String, keepGens: Int = 1,
+                       keepAgeMs: Long = 0L): Unit = {
     // torn-append replay safety: seal folded tags as markers first
     // (counts are SUM-merged, so a post-compaction re-append would
     // double-count — the strictest form of the hazard)
@@ -485,7 +486,7 @@ object Curation {
         summed.select(lit(-1L).as("batch_id"), col("b"), col("ct"), col("cr"))
       else summed
     graft.streaming.StoreFs.swapInCompacted(spark, path,
-      keepGens = keepGens)(merged.write.parquet(_))
+      keepGens = keepGens, keepAgeMs = keepAgeMs)(merged.write.parquet(_))
   }
 
   /** Incremental DSIR: the estimator over old ∪ batch is recovered by

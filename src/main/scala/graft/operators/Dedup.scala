@@ -221,14 +221,15 @@ object Dedup {
     * ADVICE r9), so a checkpoint replay of a pre-compaction batch still
     * hits the marker fast path instead of re-appending its rows. */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
-                            path: String, keepGens: Int = 1): Unit = {
+                            path: String, keepGens: Int = 1,
+                            keepAgeMs: Long = 0L): Unit = {
     // torn-append replay safety: seal folded tags as markers first
     graft.streaming.StoreFs.sealTagMarkers(spark, path)
     val merged = spark.read.option("mergeSchema", "true")
       .parquet(graft.streaming.StoreFs.dataDir(spark, path))
       .dropDuplicates("doc_id")
     graft.streaming.StoreFs.swapInCompacted(spark, path,
-      keepGens = keepGens)(merged.write.parquet(_))
+      keepGens = keepGens, keepAgeMs = keepAgeMs)(merged.write.parquet(_))
   }
 
   /** The production incremental flow: only the NEW batch is normalized /
@@ -773,12 +774,13 @@ object Dedup {
     * rebuild: appends stay cheap and readers pay one extra sum until
     * then. */
   def compactGramStore(spark: org.apache.spark.sql.SparkSession,
-                       path: String, keepGens: Int = 1): Unit = {
+                       path: String, keepGens: Int = 1,
+                       keepAgeMs: Long = 0L): Unit = {
     val merged = spark.read
       .parquet(graft.streaming.StoreFs.dataDir(spark, path))
       .groupBy("gh").agg(sum(col("cnt")).as("cnt"))
     graft.streaming.StoreFs.swapInCompacted(spark, path,
-      keepGens = keepGens)(merged.write.parquet(_))
+      keepGens = keepGens, keepAgeMs = keepAgeMs)(merged.write.parquet(_))
   }
 
   /** INCREMENTAL exact-substring dedup — [[exactSubstringSpans]] with the

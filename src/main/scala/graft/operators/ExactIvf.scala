@@ -68,6 +68,22 @@ object ExactIvf {
   private[operators] def resolveBuckets(nBuckets: Int, nCells: Int): Int =
     if (nBuckets < 0) math.min(nCells, DefaultBuckets) else nBuckets
 
+  /** ONE definition of "can DPP fire in this session" and of the
+    * bucket-column derivation — shared by the serve scans, the ingest
+    * prunes, and the IVFADC shortlist (review r13: three drifting
+    * copies would let a conf-key or layout change silently miss one). */
+  private[operators] def dppEnabled(spark: SparkSession): Boolean =
+    spark.conf
+      .get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      .toBoolean
+
+  private[operators] def withBucketCol(df: DataFrame,
+                                       buckets: Int): DataFrame =
+    if (buckets > 0)
+      df.withColumn("cell_bucket",
+        pmod(col("ivf_cell"), lit(buckets.toLong)))
+    else df
+
   /** Persist the exact-IVF vector store: `vecs/` = (vec_id, vm,
     * ivf_cell) PARTITIONED BY `cell_bucket = ivf_cell % nBuckets` —
     * the serving scan's pruning lever with a BOUNDED directory count
@@ -85,6 +101,15 @@ object ExactIvf {
                     iters: Int, idCol: String = "doc_id",
                     vecCol: String = "vec", nBuckets: Int = -1): Unit = {
     val buckets = resolveBuckets(nBuckets, nCells)
+    // manifest BEFORE data (review r13): a crash after bucketed data
+    // but before the manifest would make the next append read
+    // "legacy" and write ivf_cell= directories beside cell_bucket=
+    // ones — partition discovery then fails for every reader. The
+    // reverse crash (manifest, no data) is harmless: storeExists is
+    // false and the rebuild overwrites the manifest.
+    graft.streaming.StoreFs.writeGeometry(vecs.sparkSession, path, Seq(
+      "family" -> "exact_ivf", "n_cells" -> nCells.toString,
+      "n_buckets" -> buckets.toString))
     val mv = graft.core.Caches.scoped(
       vecs.select(col(idCol).as("vec_id"), col(vecCol).as("vm")))
     val coarse = graft.core.Caches.scoped(Pq.trainCoarse(mv, nCells, iters))
@@ -96,9 +121,6 @@ object ExactIvf {
       .write.mode("overwrite").parquet(s"$path/cells")
     val rows = mv.join(res.select("vec_id", "ivf_cell"), Seq("vec_id"))
     writeCellLaid(rows, buckets, s"$path/vecs", overwrite = true)
-    graft.streaming.StoreFs.writeGeometry(vecs.sparkSession, path, Seq(
-      "family" -> "exact_ivf", "n_cells" -> nCells.toString,
-      "n_buckets" -> buckets.toString))
   }
 
   /** Write a cell-assigned frame in the store's partition layout:
@@ -110,8 +132,7 @@ object ExactIvf {
                                        overwrite: Boolean): Unit = {
     val mode = if (overwrite) "overwrite" else "append"
     if (buckets > 0)
-      rows.withColumn("cell_bucket",
-          pmod(col("ivf_cell"), lit(buckets.toLong)))
+      withBucketCol(rows, buckets)
         .repartitionByRange(col("cell_bucket"), col("ivf_cell"))
         .sortWithinPartitions("ivf_cell")
         .write.mode(mode).partitionBy("cell_bucket").parquet(dir)
@@ -140,16 +161,9 @@ object ExactIvf {
     // driver-built LocalRelation gets its arming filter constant-folded
     // away by ConvertToLocalRelation before PartitionPruning runs, and
     // the DPP subquery silently never plants (trap found spec-first)
-    val keyed =
-      if (buckets > 0)
-        batchCells.select(pmod(col("ivf_cell"), lit(buckets.toLong))
-          .as("cell_bucket"))
-      else batchCells.select(col("ivf_cell"))
-    val parts = keyed.distinct()
-    val dpp = spark.conf
-      .get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
-      .toBoolean
-    if (dpp)
+    val parts = withBucketCol(batchCells.select(col("ivf_cell")), buckets)
+      .select(partCol).distinct()
+    if (dppEnabled(spark))
       visible.join(broadcast(parts.filter(col(partCol) >= 0)),
         Seq(partCol))
     else visible.filter(col(partCol).isInCollection(
@@ -177,6 +191,21 @@ object ExactIvf {
     val dir = s"$path/vecs"
     if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, dir, _)))
       return
+    // layout guard BEFORE any store mutation (review r13): the
+    // manifest and the data must agree — appending the OTHER layout
+    // would mix cell_bucket= and ivf_cell= partition dirs and fail
+    // partition discovery for every reader. Checked here (a schema
+    // footer probe), ahead of the phase-1 cells swap.
+    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
+      .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
+    val visible0 = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
+    require(visible0.columns.contains("cell_bucket") == (buckets > 0),
+      s"store layout mismatch at $dir: data is " +
+        s"${if (visible0.columns.contains("cell_bucket")) "bucketed"
+           else "legacy"} but the geometry " +
+        s"manifest records n_buckets=$buckets — restore the manifest " +
+        "(StoreFs.writeGeometry) before appending")
     // the cells table is ≤ nCells rows — collect it ONCE (the
     // sanctioned bounded kind) so the residual assignment below never
     // references the cells path (the post-swap refreshByPath would
@@ -216,8 +245,6 @@ object ExactIvf {
     // cells THIS batch maps to — the visible side prunes to those
     // partitions (≤ nCells, driver-bounded) and reads only the key
     // column.
-    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
-      .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
     val tagged = mv.join(res.select("vec_id", "ivf_cell"), Seq("vec_id"))
       .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
     val novel = {
@@ -249,7 +276,7 @@ object ExactIvf {
     * preserved, and the swap is atomic with replay markers carried
     * across (the `swapInCompacted` contract). */
   def compactVecStore(spark: SparkSession, path: String,
-                      keepGens: Int = 1): Unit = {
+                      keepGens: Int = 1, keepAgeMs: Long = 0L): Unit = {
     val dir = s"$path/vecs"
     if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
     // seal folded tags as markers first (torn-append replay safety —
@@ -263,7 +290,7 @@ object ExactIvf {
       .dropDuplicates("vec_id")
       .withColumn("batch_id", lit(-1L))
     graft.streaming.StoreFs.swapInCompacted(spark, dir,
-        keepGens = keepGens) { tmp =>
+        keepGens = keepGens, keepAgeMs = keepAgeMs) { tmp =>
       writeCellLaid(merged, buckets, tmp, overwrite = true)
     }
     spark.catalog.refreshByPath(dir)
@@ -401,9 +428,6 @@ object ExactIvf {
     * pre-r12 plan, O(nCells) literals but never an unpruned scan. */
   private def scanCells(vecs: DataFrame, probes: DataFrame,
                         pairs: DataFrame, buckets: Int): DataFrame = {
-    val dpp = vecs.sparkSession.conf
-      .get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
-      .toBoolean
     // bucketed layout (VERDICT r12 #1): the partition column is
     // cell_bucket — DPP prunes DIRECTORIES on the bucket (≤ nBuckets of
     // them at any store geometry) while the ivf_cell key of the same
@@ -412,13 +436,9 @@ object ExactIvf {
     val partCol = if (buckets > 0) "cell_bucket" else "ivf_cell"
     val joinKeys =
       if (buckets > 0) Seq("cell_bucket", "ivf_cell") else Seq("ivf_cell")
-    val pairsK =
-      if (buckets > 0)
-        pairs.withColumn("cell_bucket",
-          pmod(col("ivf_cell"), lit(buckets.toLong)))
-      else pairs
+    val pairsK = withBucketCol(pairs, buckets)
     val cellPruned =
-      if (dpp)
+      if (dppEnabled(vecs.sparkSession))
         vecs.join(broadcast(pairsK.filter(col(partCol) >= 0)), joinKeys)
       else {
         val partIds = pairsK.select(partCol).distinct()
@@ -497,12 +517,17 @@ object ExactIvf {
     * answer-preserving, so the snapshot still answers as of snapshot
     * time); cells need no freeze — their appends always swap in a new
     * generation. Pass `freeze = false` only when ingest is quiesced
-    * and you will compact before it resumes. */
+    * and you will compact before it resumes. The freeze compaction
+    * runs under the CALLER's retention (`keepGens`/`keepAgeMs` — pass
+    * the deployment's policy): a hardcoded default here would GC the
+    * generations OLDER snapshots still pin (review r13). */
   def snapshotVecStore(spark: SparkSession, path: String,
-                       freeze: Boolean = true): Long = {
+                       freeze: Boolean = true,
+                       keepGens: Int = 1,
+                       keepAgeMs: Long = 0L): Long = {
     val id = graft.streaming.StoreFs.createSnapshot(spark, path,
       Seq(s"$path/cells", s"$path/vecs"))
-    if (freeze) compactVecStore(spark, path)
+    if (freeze) compactVecStore(spark, path, keepGens, keepAgeMs)
     id
   }
 

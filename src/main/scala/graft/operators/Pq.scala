@@ -459,6 +459,14 @@ object Pq {
                        vecCol: String = "embedding",
                        nBuckets: Int = -1): Unit = {
     val buckets = ExactIvf.resolveBuckets(nBuckets, nCells)
+    // manifest BEFORE data — the ExactIvf.writeVecStore rationale
+    // (review r13): a post-data crash window would let the next
+    // append write the other layout into the same directory
+    graft.streaming.StoreFs.writeGeometry(emb.sparkSession, path, Seq(
+      "family" -> "ivfadc", "n_cells" -> nCells.toString,
+      "n_buckets" -> buckets.toString, "m" -> m.toString,
+      "dim" -> dim.toString, "n_cents" -> nCents.toString,
+      "vec_col" -> vecCol))
     val mv = graft.core.Caches.scoped(microVectors(emb, vecCol))
     val coarse = graft.core.Caches.scoped(trainCoarse(mv, nCells, iters))
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
@@ -471,11 +479,6 @@ object Pq {
         .select(col("vec_id"), col("sub"), col("cell"))
         .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id")),
       buckets, s"$path/codes", overwrite = true)
-    graft.streaming.StoreFs.writeGeometry(emb.sparkSession, path, Seq(
-      "family" -> "ivfadc", "n_cells" -> nCells.toString,
-      "n_buckets" -> buckets.toString, "m" -> m.toString,
-      "dim" -> dim.toString, "n_cents" -> nCents.toString,
-      "vec_col" -> vecCol))
   }
 
   /** Append a NEW batch under the store's FROZEN coarse centroids AND
@@ -518,6 +521,13 @@ object Pq {
       // columns.
       val visible = spark.read.option("mergeSchema", "true")
         .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
+      // layout guard (review r13) — the appendToVecStore rationale
+      val bucketed = visible.columns.contains("cell_bucket")
+      require(bucketed == (buckets > 0),
+        s"store layout mismatch at $dir: data is " +
+          s"${if (bucketed) "bucketed" else "legacy"} but the geometry " +
+          s"manifest records n_buckets=$buckets — restore the manifest " +
+          "(StoreFs.writeGeometry) before appending")
       tagged.join(
         ExactIvf.pruneToCells(spark, visible, res.select("ivf_cell"),
             buckets)
@@ -545,7 +555,8 @@ object Pq {
     * the −1 generation, and re-appending them would duplicate
     * (vec_id, sub) keys and double-count subspaces in every ADC sum. */
   def compactCodesStore(spark: org.apache.spark.sql.SparkSession,
-                        path: String, keepGens: Int = 1): Unit = {
+                        path: String, keepGens: Int = 1,
+                        keepAgeMs: Long = 0L): Unit = {
     val dir = s"$path/codes"
     if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
     // seal every folded tag as a marker FIRST: a torn append (rows
@@ -562,7 +573,7 @@ object Pq {
     val merged = src.drop("batch_id", "cell_bucket").dropDuplicates(keys)
       .withColumn("batch_id", lit(-1L))
     graft.streaming.StoreFs.swapInCompacted(spark, dir,
-        keepGens = keepGens) { tmp =>
+        keepGens = keepGens, keepAgeMs = keepAgeMs) { tmp =>
       if (partitioned) ExactIvf.writeCellLaid(merged, buckets, tmp,
         overwrite = true)
       else merged.write.parquet(tmp)
@@ -697,9 +708,7 @@ object Pq {
     // EVERY cell's codes; the serve checks the conf and falls back to
     // the bounded literal cell-id list (≤ |probes|·nprobe ids, read
     // from the cached probeCells frame) so pruning never vanishes.
-    val dpp = spark.conf
-      .get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
-      .toBoolean
+    val dpp = ExactIvf.dppEnabled(spark)
     // bucketed layout (VERDICT r12 #1, the ExactIvf.scanCells shape):
     // DPP prunes bucket DIRECTORIES; the ivf_cell key of the same
     // equi-join drops co-bucketed strangers row-side
@@ -731,11 +740,7 @@ object Pq {
     val lut0 = psv.join(broadcast(books), Seq("sub"))
       .select(col("probe_id"), col("ivf_cell"), col("sub"),
         col("cent_id").as("cell"), l2sq(col("psvm"), col("cvm")).as("pd2"))
-    val lut1 =
-      if (buckets > 0)
-        lut0.withColumn("cell_bucket",
-          pmod(col("ivf_cell"), lit(buckets.toLong)))
-      else lut0
+    val lut1 = ExactIvf.withBucketCol(lut0, buckets)
     val lut = if (dpp) lut1.filter(col(partCol) >= 0) else lut1
     val scored = codes.join(broadcast(lut), joinKeys)
       .filter(col("vec_id") =!= col("probe_id"))

@@ -391,14 +391,15 @@ object Quantization {
     * (the `swapInCompacted` contract since ADVICE r9), keeping a lagged
     * checkpoint replay on the marker fast path. */
   def compactCodeStore(spark: org.apache.spark.sql.SparkSession,
-                       path: String, keepGens: Int = 1): Unit = {
+                       path: String, keepGens: Int = 1,
+                       keepAgeMs: Long = 0L): Unit = {
     // torn-append replay safety: seal folded tags as markers first
     graft.streaming.StoreFs.sealTagMarkers(spark, path)
     val merged = spark.read.option("mergeSchema", "true")
       .parquet(graft.streaming.StoreFs.dataDir(spark, path))
       .dropDuplicates("vec_id")
     graft.streaming.StoreFs.swapInCompacted(spark, path,
-      keepGens = keepGens)(merged.write.parquet(_))
+      keepGens = keepGens, keepAgeMs = keepAgeMs)(merged.write.parquet(_))
   }
 
   /** Incremental semantic dedup — the production cadence: only the NEW

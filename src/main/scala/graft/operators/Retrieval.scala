@@ -369,14 +369,19 @@ object Retrieval {
     * compacts the store right after the manifest lands so the pinned
     * generations are superseded — index appends write INTO the live
     * generation, so an unfrozen pin would keep tracking ingest (the
-    * [[graft.operators.ExactIvf.snapshotVecStore]] rationale). */
+    * [[graft.operators.ExactIvf.snapshotVecStore]] rationale). The
+    * freeze compaction runs under the CALLER's retention
+    * (`keepGens`/`keepAgeMs`): a hardcoded default would GC the
+    * generations OLDER snapshots still pin (review r13). */
   def snapshotIndexStore(spark: org.apache.spark.sql.SparkSession,
-                         path: String, freeze: Boolean = true): Long = {
+                         path: String, freeze: Boolean = true,
+                         keepGens: Int = 1,
+                         keepAgeMs: Long = 0L): Long = {
     val subs = Seq("doclen", "postings", "positions")
       .map(s => s"$path/$s")
       .filter(d => graft.streaming.StoreFs.storeExists(spark, d))
     val id = graft.streaming.StoreFs.createSnapshot(spark, path, subs)
-    if (freeze) compactIndexStore(spark, path)
+    if (freeze) compactIndexStore(spark, path, keepGens, keepAgeMs)
     id
   }
 
@@ -730,7 +735,8 @@ object Retrieval {
     * empty store). Serving answers are provably unchanged
     * (spec-pinned). */
   def compactIndexStore(spark: org.apache.spark.sql.SparkSession,
-                        path: String, keepGens: Int = 1): Unit = {
+                        path: String, keepGens: Int = 1,
+                        keepAgeMs: Long = 0L): Unit = {
     val subs = Seq("doclen", "postings", "positions")
     // torn-append replay safety for a MULTI-TABLE store (ADVICE r10,
     // medium): the seal is computed ONCE for the whole store, BEFORE
@@ -768,7 +774,7 @@ object Retrieval {
             .otherwise(col("batch_id")))
         .dropDuplicates(keys :+ "batch_id")
       graft.streaming.StoreFs.swapInCompacted(spark, dir,
-          keepGens = keepGens) { tmp =>
+          keepGens = keepGens, keepAgeMs = keepAgeMs) { tmp =>
         (if (sortCols.nonEmpty)
            merged.repartitionByRange(col(sortCols.head))
              .sortWithinPartitions(sortCols.map(col): _*)

@@ -156,11 +156,12 @@ private[graft] object StoreFs {
     * vecs+cells) compacting independently — time travel that pins each
     * sub separately can straddle one sub's compaction and read a TORN
     * cross-table state. The manifest records every sub-table's
-    * currently-committed generation in ONE atomically-created
-    * `_graft_snapshot_<id>` file at `root` (monotonic id; the create
-    * is create-no-overwrite, so two racing snapshots get distinct
-    * ids or one retries), and [[snapshotDataDirs]] resolves the WHOLE
-    * tuple or fails — never half.
+    * currently-committed generation in ONE `_graft_snapshot_<id>`
+    * file at `root`, materialized by write-then-ATOMIC-RENAME
+    * (monotonic id; the rename fails rather than overwrites, so two
+    * racing snapshots get distinct ids, and a reader can never
+    * observe a partially written manifest), and [[snapshotDataDirs]]
+    * resolves the WHOLE tuple or fails — never half.
     *
     * Snapshots do NOT pin GC: a generation referenced by a snapshot
     * still expires under the compaction cadence's `keepGens` /
@@ -189,19 +190,32 @@ private[graft] object StoreFs {
     }
     val body = gens.map { case (d, g) => s"$d=$g" }.mkString("\n")
       .getBytes("UTF-8")
-    var id = listSnapshots(spark, root).lastOption.getOrElse(0L) + 1L
-    var won = false
-    while (!won) {
-      try {
-        val out = fs.create(new Path(p, f"$SnapshotPrefix$id%08d"), false)
-        try out.write(body) finally out.close()
-        won = true
-      } catch {
-        // lost the id to a racing snapshot — take the next one
-        case _: java.io.IOException => id += 1L
+    // write-then-RENAME: readers must never observe a partially written
+    // manifest (a truncated body would parse as a SUBSET of sub-tables
+    // and resolve a torn tuple — the exact state this API exists to
+    // prevent); the temp name is unique per attempt and the rename is
+    // the atomic claim of the id (it fails, not overwrites, when a
+    // racing snapshot took it)
+    val tmp = new Path(p,
+      s".${SnapshotPrefix}tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    try {
+      var id = listSnapshots(spark, root).lastOption.getOrElse(0L) + 1L
+      var won = false
+      while (!won) {
+        val dst = new Path(p, f"$SnapshotPrefix$id%08d")
+        val renamed =
+          try fs.rename(tmp, dst)
+          catch { case _: java.io.IOException => false }
+        if (renamed) won = true
+        else if (fs.exists(dst)) id += 1L // lost the id to a racing snapshot
+        else throw new java.io.IOException(
+          s"could not materialize snapshot manifest $dst (rename failed " +
+            "and the id is not taken) — filesystem error, not a race")
       }
-    }
-    id
+      id
+    } finally { fs.delete(tmp, false); () }
   }
 
   /** Snapshot ids recorded at `root`, ascending. */
@@ -718,7 +732,15 @@ private[graft] object StoreFs {
         val successor = new Path(p, s"$CommitPrefix${n + 1L}")
         try System.currentTimeMillis() -
           fs.getFileStatus(successor).getModificationTime >= keepAgeMs
-        catch { case _: java.io.IOException => true }
+        catch {
+          // marker genuinely gone = GC'd long ago = old supersession
+          case _: java.io.FileNotFoundException => true
+          // any OTHER filesystem error must fail toward KEEPING the
+          // generation — mapping a transient RPC failure to "old"
+          // would let one flaky call reclaim a generation a reader
+          // inside the SLA still holds (review r13)
+          case _: java.io.IOException => false
+        }
       }
     fs.listStatus(p).foreach { st =>
       val n = st.getPath.getName

@@ -673,16 +673,7 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(outer.contains("DeferredServeExec"),
       s"the TVF must analyze to the deferred leaf:\n$outer")
     df.collect() // resolve the serve
-    def descend(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[graft.plans.DeferredServeExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        descend(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        descend(q.plan) // materialized stages wrap children as leaves
-      case d: graft.plans.DeferredServeExec => Seq(d)
-      case other => other.children.flatMap(descend)
-    }
-    val inner = descend(df.queryExecution.executedPlan)
+    val inner = deferredServeNodes(df)
     assert(inner.nonEmpty, s"no DeferredServeExec found:\n$outer")
     val p = inner.map(_.inner.queryExecution.executedPlan.toString)
       .mkString("\n")

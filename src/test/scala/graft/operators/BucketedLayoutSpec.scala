@@ -153,6 +153,32 @@ class BucketedLayoutSpec extends AnyFunSuite with SparkTest {
       s"pruned cells must be the chosen buckets' cells ($expected)")
   }
 
+  test("a lost geometry manifest fails an append fast instead of mixing partition layouts") {
+    val vecs = vecFixture(80)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bucket-lostgeo-").toString
+    ExactIvf.writeVecStore(vecs.filter(col("doc_id") % 2 === 0), path,
+      nCells = 4, iters = 1, nBuckets = 2)
+    // simulate the manifest lost/overwritten out-of-band: the append
+    // would then read "legacy" and write ivf_cell= directories beside
+    // the cell_bucket= ones — partition discovery fails for every
+    // reader after that (review r13); the layout guard refuses instead
+    assert(new java.io.File(path,
+      graft.streaming.StoreFs.GeometryName).delete())
+    val e = intercept[IllegalArgumentException](
+      ExactIvf.appendToVecStore(spark,
+        vecs.filter(col("doc_id") % 2 === 1), path, batchId = Some(1L)))
+    assert(e.getMessage.contains("layout mismatch"))
+    // restoring the manifest lets the append proceed
+    graft.streaming.StoreFs.writeGeometry(spark, path, Seq(
+      "family" -> "exact_ivf", "n_cells" -> "4", "n_buckets" -> "2"))
+    ExactIvf.appendToVecStore(spark,
+      vecs.filter(col("doc_id") % 2 === 1), path, batchId = Some(1L))
+    assert(spark.read.parquet(
+      graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
+      .select("vec_id").distinct().count() == 80L)
+  }
+
   test("bucketed IVFADC: identical answers to legacy; geometry validates the caller") {
     val emb = vecFixture(200).toDF("vec_id", "embedding")
     val legacy = java.nio.file.Files

@@ -118,6 +118,25 @@ class SnapshotServeSpec extends AnyFunSuite with SparkTest {
         "from BOTH arms")
   }
 
+  test("a later snapshot's freeze compaction honors the caller's retention — it cannot GC an older snapshot") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-snapserve-ret-").toString
+    ExactIvf.writeVecStore(vecFixture(0L until 120L), path,
+      nCells = 4, iters = 1)
+    val queries = Seq((0L, 3L), (1L, 53L))
+    val r1 = rows(ExactIvf.topDotBatchFromStore(
+      spark, path, queries, k = 5, nprobe0 = 2))
+    // keepGens = 2: the deployment's retention covers two snapshots —
+    // before the review-r13 fix the freeze compacted with the DEFAULT
+    // keepGens = 1 and taking s2/s3 destroyed s1's pinned generations
+    val s1 = ExactIvf.snapshotVecStore(spark, path, keepGens = 2)
+    ExactIvf.snapshotVecStore(spark, path, keepGens = 2)
+    assert(rows(ExactIvf.topDotBatchFromStoreSnapshot(
+      spark, path, s1, queries, k = 5, nprobe0 = 2)) == r1,
+      "an older snapshot must survive a newer snapshot's freeze " +
+        "under covering retention")
+  }
+
   test("snapshot manifests: monotonic ids, all-or-nothing resolution, healthy audit is quiet") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-snapserve-man-").toString

@@ -276,16 +276,7 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
     * the frame (the serve resolves at execution), after which every
     * DeferredServeExec in the tree exposes its resolved inner plan. */
   private def innerPlans(df: org.apache.spark.sql.DataFrame): String = {
-    def descend(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[graft.plans.DeferredServeExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        descend(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        descend(q.plan) // materialized stages wrap children as leaves
-      case d: graft.plans.DeferredServeExec => Seq(d)
-      case other => other.children.flatMap(descend)
-    }
-    val found = descend(df.queryExecution.executedPlan)
+    val found = deferredServeNodes(df)
     assert(found.nonEmpty, "no DeferredServeExec in the TVF plan — " +
       "did the deferred strategy unregister?")
     found.map(_.inner.queryExecution.executedPlan.toString).mkString("\n")
