@@ -502,6 +502,108 @@ object RetrievalQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- Y59: SNAPSHOT-pinned hybrid serving graded under the exact
+  // oracle (VERDICT r12 #4 made adversarial): dedicated index + vec
+  // stores are built over the corpus, snapshotted (freeze), and then
+  // POISONED — decoy documents stuffed with the batch queries' own
+  // terms (tf far above any real doc) enter the live index, and the
+  // probes' own vectors scaled 1000× enter the live vec store, so the
+  // LIVE hybrid answer is provably different on every query. The
+  // graded query serves AT the snapshot and must still hash-match the
+  // DuckDB oracle over the ORIGINAL documents table: one leaked decoy
+  // row — a torn sub-table pin, a snapshot reading the live
+  // generation, a bound computed against post-snapshot cells — flips
+  // the hash. Time travel correctness, graded.
+  private def ensureSnapshotStores(s: org.apache.spark.sql.SparkSession,
+                                   d: String)
+      : (String, String, Long, Long) = {
+    import s.implicits._
+    val root = StoreFixtures.path("graft-snapstores", d,
+      "documents.parquet", "snapstores1")
+    val idsFile = new java.io.File(root, "_graft_snap_ids")
+    StoreFixtures.onceByMarker(root, "_graft_snap_done") {
+      val docs = documents(s, d)
+      Retrieval.writeIndexStore(docs, s"$root/idx")
+      graft.operators.ExactIvf.writeVecStore(
+        graft.operators.TextAnalysis.hashedEmbedding(docs)
+          .select("doc_id", "vec"),
+        s"$root/vec", nCells = 16, iters = 1)
+      val idxSnap = Retrieval.snapshotIndexStore(s, s"$root/idx")
+      val vecSnap = graft.operators.ExactIvf.snapshotVecStore(s, s"$root/vec")
+      // poison the LIVE stores: per-query term-stuffed decoy docs...
+      val decoyDocs = BatchQueries.zipWithIndex.map { case ((_, ts, _), i) =>
+        (9000000L + i, Seq.fill(12)(ts).flatten.mkString(" "))
+      }.toDF("doc_id", "text")
+      Retrieval.appendIndexStore(decoyDocs, s"$root/idx")
+      // ...and the probes' own vectors scaled 1000× (dot(q, 1000q) =
+      // 1000·‖q‖² provably tops every live ranking)
+      val probeIds = BatchQueries.map(_._3)
+      val decoyVecs = graft.operators.TextAnalysis.hashedEmbedding(docs)
+        .filter(col("doc_id").isInCollection(probeIds))
+        .select((col("doc_id") + 9100000L).as("doc_id"),
+          transform(col("vec"), x => x * 1000L).as("vec"))
+      graft.operators.ExactIvf.appendToVecStore(s, decoyVecs,
+        s"$root/vec", batchId = Some(1L))
+      java.nio.file.Files.writeString(idsFile.toPath, s"$idxSnap,$vecSnap")
+      ()
+    }
+    val Array(i, v) = java.nio.file.Files.readString(idsFile.toPath)
+      .trim.split(",")
+    (s"$root/idx", s"$root/vec", i.toLong, v.toLong)
+  }
+
+  val y59 = Query(
+    "y59_hybrid_snapshot_serve",
+    Some(hybridBatchOracle)
+  ) { (s, d) =>
+    val (idx, vec, idxSnap, vecSnap) = ensureSnapshotStores(s, d)
+    Retrieval.hybridRrfBatchFromStoresSnapshot(s, idx, idxSnap, vec,
+        vecSnap, BatchQueries, kList = 50, kOut = 20, k1 = K1, b = B,
+        nprobe0 = 4)
+      .orderBy("query_id", "rk")
+  }
+
+  // --- Y58: the query-TABLE BM25 surface (VERDICT r12 #3) graded under
+  // the exact x66/y19 oracle: the terms enter as a RELATION (a temp
+  // view with duplicates — the dedup is part of the contract) through
+  // the graft_bm25_topk_table TVF, which analyzes to the DeferredServe
+  // leaf and resolves the SAME store-served scoring code at execution.
+  // Identical rows to y19 through a pure-SQL, relation-terms entry
+  // point is the surface's correctness contract.
+  val y58 = Query(
+    "y58_bm25_table_tvf",
+    Some(s"""
+      WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      p AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
+      g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avgdl
+            FROM p),
+      tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+             FROM (SELECT doc_id, dl, unnest(ws) AS term FROM p)
+             WHERE term IN $termsSql GROUP BY term, doc_id, dl),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      sc AS (SELECT t.term, t.doc_id, t.tf,
+               ROUND(ROUND(ln((g.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0), 6)
+                 * (t.tf * ${K1 + 1.0})
+                 / (t.tf + $K1 * (${1.0 - B} + $B * t.dl / g.avgdl)), 6) AS score
+             FROM tf t JOIN df f USING (term) CROSS JOIN g),
+      r AS (SELECT term, doc_id, tf, score,
+              CAST(row_number() OVER (PARTITION BY term
+                ORDER BY score DESC, doc_id) AS INT) AS rk
+            FROM sc)
+      SELECT term, doc_id, tf, score, rk FROM r WHERE rk <= 10
+      ORDER BY term, rk""")
+  ) { (s, d) =>
+    import s.implicits._
+    // duplicates collapse on the serve side; the oracle's IN-set is the
+    // same distinct vocabulary
+    (Terms ++ Terms.take(2)).toDF("term")
+      .createOrReplaceTempView("y58_terms")
+    s.sql(s"""SELECT * FROM graft_bm25_topk_table(
+         '${ensureIndexStore(s, d)}', 'y58_terms', 10, $K1, $B)""")
+      .orderBy("term", "rk")
+  }
+
   // --- X67/X68: int8 quantization. Shared oracle CTEs lift vectors to
   // integer micro-units, derive the per-vector integer scale, and code
   // via one IEEE-deterministic double division.
@@ -1251,5 +1353,5 @@ object RetrievalQueries {
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
     x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38, y49,
-    y52, y55, y57)
+    y52, y55, y57, y58, y59)
 }
