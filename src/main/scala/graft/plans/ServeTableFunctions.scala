@@ -166,24 +166,30 @@ object ServeTableFunctions {
         spark.table(view), k, k1, b))
   }
 
-  /** graft_store_audit(storeDir [, subDirsCsv]) → the [[graft.streaming
-    * .StoreAudit]] findings table (store, check, level, detail) — the
-    * store fsck reachable from pure SQL, so an operator dashboard can
-    * UNION ALL the estate's stores into one health table without a
-    * Scala session. Deferred like the serves: the audit's filesystem
-    * RPCs run when the query executes, not when a dashboard re-plans
-    * it. */
+  /** graft_store_audit(storeDir [, subDirsCsv [, readerSlaSec]]) → the
+    * [[graft.streaming.StoreAudit]] findings table (store, check,
+    * level, detail) — the store fsck reachable from pure SQL, so an
+    * operator dashboard can UNION ALL the estate's stores into one
+    * health table without a Scala session. `readerSlaSec` declares the
+    * deployment's longest-read SLA and arms the retention check
+    * (VERDICT r12 #6). Deferred like the serves: the audit's
+    * filesystem RPCs run when the query executes, not when a dashboard
+    * re-plans it. */
   def storeAudit(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 1 || args.length == 2,
-      "graft_store_audit(storeDir[, subDirsCsv])")
+    require(args.length >= 1 && args.length <= 3,
+      "graft_store_audit(storeDir[, subDirsCsv[, readerSlaSec]])")
     val spark = SparkSession.active
-    val subs = if (args.length == 2)
+    val subs = if (args.length >= 2)
       str(args(1), "subDirsCsv").split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq
     else Seq.empty[String]
+    val slaMs = if (args.length == 3)
+      int(args(2), "readerSlaSec").toLong * 1000L
+    else 0L
     val dir = str(args(0), "storeDir")
     DeferredServe("graft_store_audit", AuditSchema, () =>
-      graft.streaming.StoreAudit.audit(spark, dir, subs))
+      graft.streaming.StoreAudit.audit(spark, dir, subs,
+        readerSlaMs = slaMs))
   }
 
   /** graft_ivfadc_topk(storePath, embView, probesView, nprobe, kShort,

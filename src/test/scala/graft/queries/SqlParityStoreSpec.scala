@@ -400,6 +400,17 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
     graft.streaming.StoreFs.adoptStore(spark, store, "ckpt-z")
     assert(spark.sql(s"SELECT * FROM graft_store_audit('$store')")
       .count() == 0L, "a claimed healthy store audits clean via SQL")
+    // the 3-arg form arms the reader-SLA retention check from SQL:
+    // two quick compactions leave a grace window of seconds — a 1 h
+    // SLA must warn
+    graft.operators.Dedup.compactSignatureStore(spark, store)
+    graft.operators.Dedup.compactSignatureStore(spark, store)
+    val sla = spark.sql(
+      s"SELECT * FROM graft_store_audit('$store', '', 3600)")
+      .collect()
+    assert(sla.exists(r => r.getAs[String]("check") == "retention" &&
+      r.getAs[String]("level") == "warn"),
+      s"the SQL form must arm the retention check: ${sla.toSeq}")
   }
 
   test("graft_ivfadc_topk: pure SQL drives the IVFADC store serve") {
