@@ -157,11 +157,13 @@ private[graft] object StoreFs {
     * sub separately can straddle one sub's compaction and read a TORN
     * cross-table state. The manifest records every sub-table's
     * currently-committed generation in ONE `_graft_snapshot_<id>`
-    * file at `root`, materialized by write-then-ATOMIC-RENAME
-    * (monotonic id; the rename fails rather than overwrites, so two
-    * racing snapshots get distinct ids, and a reader can never
-    * observe a partially written manifest), and [[snapshotDataDirs]]
-    * resolves the WHOLE tuple or fails — never half.
+    * file at `root` (monotonic id, claimed by an ATOMIC
+    * create-no-overwrite — two racing snapshots get distinct ids on
+    * every Hadoop filesystem, local included; the body is FRAMED with
+    * a `#v2` header and `#end` terminator so a reader racing the write
+    * refuses a truncated manifest instead of resolving a subset), and
+    * [[snapshotDataDirs]] resolves the WHOLE tuple or fails — never
+    * half.
     *
     * Snapshots do NOT pin GC: a generation referenced by a snapshot
     * still expires under the compaction cadence's `keepGens` /
@@ -188,34 +190,51 @@ private[graft] object StoreFs {
       val (sfs, sp) = fsAndPath(spark, d)
       d -> maxCommitted(sfs, sp).getOrElse(0L)
     }
-    val body = gens.map { case (d, g) => s"$d=$g" }.mkString("\n")
-      .getBytes("UTF-8")
-    // write-then-RENAME: readers must never observe a partially written
-    // manifest (a truncated body would parse as a SUBSET of sub-tables
-    // and resolve a torn tuple — the exact state this API exists to
-    // prevent); the temp name is unique per attempt and the rename is
-    // the atomic claim of the id (it fails, not overwrites, when a
-    // racing snapshot took it)
-    val tmp = new Path(p,
-      s".${SnapshotPrefix}tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(body) finally out.close()
-    try {
-      var id = listSnapshots(spark, root).lastOption.getOrElse(0L) + 1L
-      var won = false
-      while (!won) {
-        val dst = new Path(p, f"$SnapshotPrefix$id%08d")
-        val renamed =
-          try fs.rename(tmp, dst)
-          catch { case _: java.io.IOException => false }
-        if (renamed) won = true
-        else if (fs.exists(dst)) id += 1L // lost the id to a racing snapshot
-        else throw new java.io.IOException(
-          s"could not materialize snapshot manifest $dst (rename failed " +
-            "and the id is not taken) — filesystem error, not a race")
+    // framed body (ADVICE r13): the id is claimed by an ATOMIC
+    // create-no-overwrite of the final name — the same one-RPC mutual
+    // exclusion claimOwner and the compaction lock ride on — because
+    // the old write-then-rename claim was atomic only on HDFS/S3A:
+    // Hadoop's LOCAL filesystem delegates rename to File.renameTo,
+    // which on POSIX silently REPLACES an existing destination, so two
+    // racing snapshots could both "win" one id and a manifest was
+    // silently lost. With the body now written INTO the claimed file
+    // (not renamed over it), a reader can race the write — so the body
+    // is FRAMED: the `#v2` header opens it and the `#end` terminator
+    // closes it, and [[snapshotGens]] refuses a v2 manifest without its
+    // terminator instead of resolving a truncated SUBSET of sub-tables
+    // (pre-r14 rename-built manifests have no header and stay readable
+    // — they were complete by construction).
+    val body = (s"#v2 ${java.util.UUID.randomUUID()}" +:
+      gens.map { case (d, g) => s"$d=$g" } :+ "#end")
+      .mkString("\n").getBytes("UTF-8")
+    var id = listSnapshots(spark, root).lastOption.getOrElse(0L) + 1L
+    var claimed: Option[Path] = None
+    while (claimed.isEmpty) {
+      val dst = new Path(p, f"$SnapshotPrefix$id%08d")
+      val out =
+        try Some(fs.create(dst, false))
+        catch { case _: java.io.IOException => None }
+      out match {
+        case Some(o) =>
+          // a crash/failure mid-write leaves a TORN manifest holding the
+          // claimed id: readers refuse it (no #end), and the thrown
+          // error names the file for explicit operator deletion — never
+          // a silently-resolvable half manifest
+          try { o.write(body); claimed = Some(dst) }
+          catch { case e: java.io.IOException =>
+            throw new java.io.IOException(
+              s"snapshot manifest $dst claimed but its body write " +
+                "failed — readers will refuse the torn manifest; " +
+                "delete it and retry", e)
+          } finally o.close()
+        case None =>
+          if (fs.exists(dst)) id += 1L // lost the id to a racing snapshot
+          else throw new java.io.IOException(
+            s"could not create snapshot manifest $dst (create failed " +
+              "and the id is not taken) — filesystem error, not a race")
       }
-      id
-    } finally { fs.delete(tmp, false); () }
+    }
+    id
   }
 
   /** Snapshot ids recorded at `root`, ascending. */
@@ -237,6 +256,19 @@ private[graft] object StoreFs {
     val body = readSmall(fs, f).getOrElse(throw new IllegalStateException(
       s"snapshot $id of $root does not exist; available: " +
         listSnapshots(spark, root).mkString(", ")))
+    // v2 frame check (ADVICE r13): a manifest written in-place (not
+    // renamed) can be observed mid-write — the missing #end terminator
+    // distinguishes a truncated body from a complete one, and resolving
+    // a truncated SUBSET of sub-tables is exactly the torn state this
+    // API exists to prevent. Pre-v2 (rename-built) manifests carry no
+    // header and skip the check.
+    val lines = body.linesIterator.toSeq
+    if (lines.headOption.exists(_.startsWith("#v2")) &&
+        !lines.lastOption.contains("#end"))
+      throw new IllegalStateException(
+        s"snapshot manifest $f is torn (header present, no terminator) " +
+          "— its writer crashed mid-write or is still writing; retry, " +
+          "or delete the manifest if its writer is gone")
     val gens = body.linesIterator.flatMap { line =>
       line.split("=", 2) match {
         case Array(d, g) => g.trim.toLongOption.map(d.trim -> _)
@@ -354,7 +386,11 @@ private[graft] object StoreFs {
           val consistent = autoAdopt &&
             checkpointFrontier(spark, ownerId.trim)
               .exists(_ >= storeFrontier)
-          if (consistent) { adoptStore(spark, dir, ownerId); return }
+          // adopt with the TRIMMED id (ADVICE r13): the frontier above
+          // was computed for ownerId.trim, and every later claim
+          // compares against the trimmed form — recording the raw
+          // string would wedge the next restart on a whitespace diff
+          if (consistent) { adoptStore(spark, dir, ownerId.trim); return }
           else throw new IllegalStateException(
             s"store $dir carries ingest state (" +
               sealId.map(s => s"sealed through $s").getOrElse(
@@ -420,10 +456,28 @@ private[graft] object StoreFs {
                     kv: Seq[(String, String)]): Unit = {
     val (fs, p) = fsAndPath(spark, dir)
     if (!fs.exists(p)) fs.mkdirs(p)
-    val out = fs.create(new Path(p, GeometryName), true)
+    // temp-then-rename (ADVICE r13): an in-place overwrite could be
+    // observed truncated by a reader racing a rebuild — a partial body
+    // that drops n_buckets parses as the LEGACY layout and the serve
+    // scans the wrong partition column. The consequence was fail-fast
+    // (the append layout guard) rather than wrong answers, but the
+    // bucketed writers' manifest-before-data crash reasoning wants a
+    // manifest that is complete whenever it exists. The delete+rename
+    // pair leaves a manifest-ABSENT window (rename won't overwrite on
+    // HDFS), which reads as "trust the caller" — the documented
+    // pre-manifest contract, strictly safer than a torn parse.
+    val dst = new Path(p, GeometryName)
+    val tmp = new Path(p, s".$GeometryName.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
       .getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"could not materialize geometry manifest $dst (rename failed)")
+    }
   }
 
   /** The recorded geometry, or empty for a pre-manifest store —

@@ -156,4 +156,26 @@ class SnapshotServeSpec extends AnyFunSuite with SparkTest {
     assert(!StoreAudit.auditFindings(spark, path)
       .exists(_.check == "snapshot"))
   }
+
+  test("a torn v2 manifest (writer crashed mid-body) is refused, never resolved as a subset") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-snapserve-torn-").toString
+    ExactIvf.writeVecStore(vecFixture(0L until 40L), path,
+      nCells = 2, iters = 1)
+    val s1 = ExactIvf.snapshotVecStore(spark, path, freeze = false)
+    // simulate a crash mid-write: a v2 header with ONE of the two
+    // sub-table lines and no #end terminator — the pre-r14 parser would
+    // happily resolve this as a one-table snapshot (the torn tuple)
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(path, f"${StoreFs.SnapshotPrefix}${s1 + 1}%08d"),
+      s"#v2 deadbeef\n$path/cells=1\n")
+    val e = intercept[IllegalStateException](
+      StoreFs.snapshotGens(spark, path, s1 + 1))
+    assert(e.getMessage.contains("torn"), e.getMessage)
+    // the complete manifest still resolves, and new ids skip past the
+    // torn one (listSnapshots sees it)
+    assert(StoreFs.snapshotGens(spark, path, s1).nonEmpty)
+    val s3 = ExactIvf.snapshotVecStore(spark, path, freeze = false)
+    assert(s3 == s1 + 2, "a fresh snapshot claims the next free id")
+  }
 }
