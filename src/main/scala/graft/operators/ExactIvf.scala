@@ -68,6 +68,43 @@ object ExactIvf {
   private[operators] def resolveBuckets(nBuckets: Int, nCells: Int): Int =
     if (nBuckets < 0) math.min(nCells, DefaultBuckets) else nBuckets
 
+  /** Default CELL-GROUP count for the coarse-over-coarse bound level
+    * (VERDICT r13 #1): [[planServe]] bounds every (query, cell) pair —
+    * distributed, but quadratic in serve geometry: at SemDeDup-scale
+    * 10⁵–10⁶ cells a 4096-query chunk pays 10⁹–10¹⁰ centroid dots per
+    * serve batch. The fix is a second bound LEVEL: cells are k-means'd
+    * into √nCells groups at build time, each group carries (gcvm, max
+    * over member cells of ‖cc − gc‖ + r_c), and a query bounds GROUPS
+    * first — a pruned group's member cells are never bounded at all.
+    * The group bound dominates every member cell's bound (dot(q, cc) ≤
+    * dot(q, gc) + ‖q‖·‖cc − gc‖ by Cauchy–Schwarz, so dot(q, gc) +
+    * ‖q‖·(‖cc−gc‖ + r_c) ≥ dot(q, cc) + ‖q‖·r_c ≥ every member dot),
+    * so group pruning composes with the per-cell bound at FULL recall —
+    * exactness stays unconditional. Bound rows per query fall from
+    * nCells to √nCells + (cells in surviving groups): sub-quadratic
+    * whenever the clustering prunes, never MORE than flat + √nCells. */
+  private[operators] def resolveGroups(nGroups: Int, nCells: Int): Int =
+    if (nGroups < 0) math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    else nGroups
+
+  /** Below this many (query, cell) PAIRS per serve chunk the serve
+    * keeps the single-level bound: the quadratic term is |queries|·
+    * nCells, so the gate is the product, not the cell count alone — an
+    * 8-probe diagnostic against a 10⁴-cell store is 10⁵ trivial pairs
+    * (flat), a 1024-query production batch against a 10⁵-cell store is
+    * 10⁸ (grouped). Measured at the default (GroupBoundProbe, 10⁵
+    * cells, SCALE.md Round-14): the grouped bound pass undercuts flat
+    * in rows by 13–28× and in wall once past the crossover, while the
+    * ~6 extra stages it costs stay a fixed ~1.5 s — which is why small
+    * serves keep the flat plan. Session-overridable so specs drive the
+    * grouped path at fixture scale (`spark.graft.exactivf.groupFloor`,
+    * interpreted as the pair floor). */
+  private[operators] val DefaultGroupServeFloor = 8000000L
+
+  private[operators] def groupServeFloor(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.exactivf.groupFloor",
+      DefaultGroupServeFloor.toString).toLong
+
   /** ONE definition of "can DPP fire in this session" and of the
     * bucket-column derivation — shared by the serve scans, the ingest
     * prunes, and the IVFADC shortlist (review r13: three drifting
@@ -99,27 +136,79 @@ object ExactIvf {
     * build by construction. */
   def writeVecStore(vecs: DataFrame, path: String, nCells: Int,
                     iters: Int, idCol: String = "doc_id",
-                    vecCol: String = "vec", nBuckets: Int = -1): Unit = {
+                    vecCol: String = "vec", nBuckets: Int = -1,
+                    nGroups: Int = -1): Unit = {
+    val mv = graft.core.Caches.scoped(
+      vecs.select(col(idCol).as("vec_id"), col(vecCol).as("vm")))
+    val coarse = graft.core.Caches.scoped(Pq.trainCoarse(mv, nCells, iters))
+    val res = graft.core.Caches.scoped(Pq.coarseResiduals(mv, coarse))
+    writeAssigned(mv.sparkSession,
+      mv.join(res.select("vec_id", "ivf_cell"), Seq("vec_id")),
+      coarse, path, nCells, iters, nBuckets, nGroups)
+  }
+
+  /** [[writeVecStore]] for EXTERNALLY-CLUSTERED corpora: `assigned` is
+    * (vec_id, vm, ivf_cell) with the cell assignment already decided —
+    * centroids trained offline (a faiss/GPU pipeline, a prior store's
+    * frozen coarse level) imported as `centroids` (ivf_cell, ccvm).
+    * Exactness does not need nearest-cell assignment: the serve bound
+    * only requires each cell's recorded r2max to cover its ACTUAL
+    * members' residuals, which this computes from the given assignment
+    * — a worse clustering only prunes less. */
+  def writeVecStoreAssigned(spark: SparkSession, assigned: DataFrame,
+                            centroids: DataFrame, path: String,
+                            iters: Int = 2, nBuckets: Int = -1,
+                            nGroups: Int = -1): Unit = {
+    val coarse = graft.core.Caches.scoped(
+      centroids.select(col("ivf_cell"), col("ccvm")))
+    writeAssigned(spark, assigned, coarse, path, coarse.count().toInt,
+      iters, nBuckets, nGroups)
+  }
+
+  /** The shared store-build tail: geometry manifest, the
+    * coarse-over-coarse group level, per-cell stats from the ACTUAL
+    * member residuals, and the cell-laid vec rows. */
+  private def writeAssigned(spark: SparkSession, assignedIn: DataFrame,
+                            coarse: DataFrame, path: String, nCells: Int,
+                            iters: Int, nBuckets: Int,
+                            nGroups: Int): Unit = {
     val buckets = resolveBuckets(nBuckets, nCells)
+    val groups = resolveGroups(nGroups, nCells)
     // manifest BEFORE data (review r13): a crash after bucketed data
     // but before the manifest would make the next append read
     // "legacy" and write ivf_cell= directories beside cell_bucket=
     // ones — partition discovery then fails for every reader. The
     // reverse crash (manifest, no data) is harmless: storeExists is
     // false and the rebuild overwrites the manifest.
-    graft.streaming.StoreFs.writeGeometry(vecs.sparkSession, path, Seq(
+    graft.streaming.StoreFs.writeGeometry(spark, path, Seq(
       "family" -> "exact_ivf", "n_cells" -> nCells.toString,
-      "n_buckets" -> buckets.toString))
-    val mv = graft.core.Caches.scoped(
-      vecs.select(col(idCol).as("vec_id"), col(vecCol).as("vm")))
-    val coarse = graft.core.Caches.scoped(Pq.trainCoarse(mv, nCells, iters))
-    val res = graft.core.Caches.scoped(Pq.coarseResiduals(mv, coarse))
-    res.groupBy("ivf_cell")
-      .agg(max(aggregate(col("rm"), lit(0L), (a, x) => a + x * x)).as("r2max"))
+      "n_buckets" -> buckets.toString, "n_groups" -> groups.toString))
+    val rows = graft.core.Caches.scoped(
+      assignedIn.select(col("vec_id"), col("vm"), col("ivf_cell")))
+    // the coarse-over-coarse level ([[resolveGroups]]): a second integer
+    // k-means over the ≤ nCells CENTROIDS — O(nCells·√nCells·iters)
+    // dots, a rounding error next to the corpus clustering pass. The
+    // assignment is FROZEN with the cells (appends never add cells), so
+    // the group level needs no incremental maintenance: per-group radii
+    // are derived at serve time from the live cells table, so an
+    // append's r2max raise propagates to the group bound by
+    // construction.
+    val cmv = coarse.select(col("ivf_cell").as("vec_id"),
+      col("ccvm").as("vm"))
+    val gcent = graft.core.Caches.scoped(Pq.trainCoarse(cmv, groups, iters))
+    val asg = Pq.coarseResiduals(cmv, gcent)
+      .select(col("vec_id").as("ivf_cell"), col("ivf_cell").as("cell_group"))
+    gcent.select(col("ivf_cell").as("cell_group"), col("ccvm").as("gcvm"))
+      .write.mode("overwrite").parquet(s"$path/groups")
+    rows.join(broadcast(coarse), Seq("ivf_cell"))
+      .select(col("ivf_cell"),
+        aggregate(zip_with(col("vm"), col("ccvm"), (a, b) => a - b),
+          lit(0L), (a, x) => a + x * x).as("r2"))
+      .groupBy("ivf_cell").agg(max(col("r2")).as("r2max"))
       .join(broadcast(coarse), Seq("ivf_cell"))
-      .select("ivf_cell", "ccvm", "r2max")
+      .join(broadcast(asg), Seq("ivf_cell"))
+      .select("ivf_cell", "ccvm", "r2max", "cell_group")
       .write.mode("overwrite").parquet(s"$path/cells")
-    val rows = mv.join(res.select("vec_id", "ivf_cell"), Seq("vec_id"))
     writeCellLaid(rows, buckets, s"$path/vecs", overwrite = true)
   }
 
@@ -209,12 +298,21 @@ object ExactIvf {
     // the cells table is ≤ nCells rows — collect it ONCE (the
     // sanctioned bounded kind) so the residual assignment below never
     // references the cells path (the post-swap refreshByPath would
-    // otherwise drop its cache and re-run the assignment in phase 2)
-    val cellRows = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
-      .select(col("ivf_cell"), col("ccvm"), col("r2max"))
+    // otherwise drop its cache and re-run the assignment in phase 2).
+    // `cell_group` (the coarse-over-coarse assignment, VERDICT r13 #1)
+    // rides the merge untouched when present — the assignment is frozen
+    // with the cells; only r2max moves. Pre-r14 stores lack the column
+    // and keep their three-column schema.
+    val cellsDf = spark.read.parquet(
+      graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
+    val hasGroup = cellsDf.columns.contains("cell_group")
+    val cellRows = cellsDf
+      .select(col("ivf_cell"), col("ccvm"), col("r2max"),
+        (if (hasGroup) col("cell_group") else lit(-1L)).as("cell_group"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-    val coarse = cellRows.toSeq.map { case (c, v, _) => (c, v) }
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2),
+        r.getLong(3)))
+    val coarse = cellRows.toSeq.map { case (c, v, _, _) => (c, v) }
       .toDF("ivf_cell", "ccvm")
     val mv = graft.core.Caches.scoped(
       newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("vm")))
@@ -225,9 +323,13 @@ object ExactIvf {
       .agg(max(aggregate(col("rm"), lit(0L), (a, x) => a + x * x))
         .as("r2_new"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val merged = cellRows.toSeq.map { case (c, v, r2) =>
-      (c, v, math.max(r2, batchStats.getOrElse(c, 0L)))
-    }.toDF("ivf_cell", "ccvm", "r2max")
+    val mergedRows = cellRows.toSeq.map { case (c, v, r2, g) =>
+      (c, v, math.max(r2, batchStats.getOrElse(c, 0L)), g)
+    }
+    val merged =
+      if (hasGroup) mergedRows.toDF("ivf_cell", "ccvm", "r2max", "cell_group")
+      else mergedRows.map { case (c, v, r2, _) => (c, v, r2) }
+        .toDF("ivf_cell", "ccvm", "r2max")
     graft.streaming.StoreFs.swapInCompacted(spark, s"$path/cells")(
       merged.write.parquet(_))
     // the swap replaced the files under a path Spark may have cached a
@@ -310,17 +412,27 @@ object ExactIvf {
     * the DataFrame entry point passes None and fetches by join, keeping
     * the query side distributed. A probe id absent from the store is an
     * argument error, not a silently dropped query. */
+  /** What [[planServe]] hands the scan tail: the store's vecs relation,
+    * the cached probe rows, the surviving (query, cell) pairs, the
+    * store's cell count, the partition layout, and a per-query count of
+    * BOUND ROWS the plan evaluated (the VERDICT r13 #1 scale metric:
+    * flat = nCells per probe row; grouped = √nCells group bounds + the
+    * cells of seed + surviving groups only). */
+  private case class ServePlan(vecs: DataFrame, probes: DataFrame,
+                               selPairs: DataFrame, nCells: Long,
+                               buckets: Int, boundRows: DataFrame)
+
   private def planServe(spark: SparkSession, path: String,
                         qpIn: DataFrame, probeIds: Option[Seq[Long]],
                         k: Int, nprobe0: Int,
                         dirs: Option[(String, String)])
-      : (DataFrame, DataFrame, DataFrame, Long, Int) = {
+      : ServePlan = {
     // the store's partition layout (bucketed vs legacy per-cell) comes
     // from its geometry manifest — absent = pre-r13 legacy layout.
     // `dirs` = (cellsDir, vecsDir) pins a SNAPSHOT's resolved
     // generation pair (VERDICT r12 #4); None = the live generations.
-    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
-      .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
+    val geo = graft.streaming.StoreFs.readGeometry(spark, path)
+    val buckets = geo.get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
     val cellsDir = dirs.map(_._1).getOrElse(
       graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
     val vecsDir = dirs.map(_._2).getOrElse(
@@ -357,45 +469,133 @@ object ExactIvf {
     // whose product can exceed 2^53; the +2 pad dominates the fp error
     // (≤ sqrt(x)·2⁻⁵¹ ≪ 1 at any physical vector magnitude), keeping
     // the bound an upper bound — slack only costs pruning, never rows.
-    val bounds = graft.core.Caches.scoped(
-      probes.crossJoin(broadcast(cells))
-        .select(col("query_id"), col("ivf_cell"),
-          (graft.functions.VectorFunctions.dotLong(col("qvec"), col("ccvm")) +
-            floor(sqrt(col("qn2").cast("double") * col("r2max").cast("double")))
-              .cast("long") + lit(2L)).as("bound")))
+    def boundCol: org.apache.spark.sql.Column =
+      (graft.functions.VectorFunctions.dotLong(col("qvec"), col("ccvm")) +
+        floor(sqrt(col("qn2").cast("double") * col("r2max").cast("double")))
+          .cast("long") + lit(2L)).as("bound")
 
-    // phase 1: each query's nprobe0 highest-bound cells → running d_k.
-    // Both pair sets are cached: each is evaluated twice downstream
-    // (the distinct cell-id collect and the broadcast pair filter), and
-    // they are ≤ |queries|·nCells rows of two longs.
-    val p1Pairs = graft.core.Caches.scoped(
-      graft.plans.TopK.perKey(bounds, Seq(bounds("query_id")),
-          Seq(bounds("bound").desc, bounds("ivf_cell")), nprobe0)
-        .select(col("query_id").cast("long").as("query_id"),
-          col("ivf_cell").cast("long").as("ivf_cell")))
-    val cand1 = scanCells(vecs, probes, p1Pairs, buckets)
-    // cached: dk heads the phase-1 scan chain, and the DataFrame-shaped
-    // pair sets downstream evaluate it more than once (the cell-id
-    // collect AND the broadcast pair filter) — uncached, each evaluation
-    // re-runs the phase-1 cell scan (measured +0.6–0.8 s per serve in
-    // the r11 worktree A/B). |queries| rows, so the cache is trivial.
-    val dk = graft.core.Caches.scoped(
-      graft.plans.TopK.perKey(cand1, Seq(cand1("query_id")),
-          Seq(cand1("dot").desc, cand1("vec_id")), k)
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n"), min(col("dot")).as("dk")))
-
+    // the phase-1 → d_k → phase-2 tail shared by the flat and grouped
+    // paths: `p1Bounds` seeds d_k, `p2Bounds` is filtered against it.
+    // dk is cached: it heads the phase-1 scan chain and the pair sets
+    // downstream evaluate it more than once (the cell-id collect AND
+    // the broadcast pair filter) — uncached, each evaluation re-runs
+    // the phase-1 cell scan (measured +0.6–0.8 s per serve in the r11
+    // worktree A/B). |queries| rows, so the cache is trivial.
+    def dkOf(p1Bounds: DataFrame): DataFrame = {
+      val p1Pairs = graft.core.Caches.scoped(
+        graft.plans.TopK.perKey(p1Bounds, Seq(p1Bounds("query_id")),
+            Seq(p1Bounds("bound").desc, p1Bounds("ivf_cell")), nprobe0)
+          .select(col("query_id").cast("long").as("query_id"),
+            col("ivf_cell").cast("long").as("ivf_cell")))
+      val cand1 = scanCells(vecs, probes, p1Pairs, buckets)
+      graft.core.Caches.scoped(
+        graft.plans.TopK.perKey(cand1, Seq(cand1("query_id")),
+            Seq(cand1("dot").desc, cand1("vec_id")), k)
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n"), min(col("dot")).as("dk")))
+    }
     // phase 2: keep every cell whose bound could still beat d_k — plus
     // ALL cells for a query whose phase-1 candidates never filled k.
     // Survivor cells necessarily include every true top-k row: a pruned
     // cell has bound < d_k ≤ the true kth dot, and bound dominates the
     // dot of each of its rows. Ties at d_k survive (>= keeps them).
-    val selPairs = graft.core.Caches.scoped(
+    def survivors(bounds: DataFrame, dk: DataFrame,
+                  keyCol: String): DataFrame =
       bounds.join(broadcast(dk), Seq("query_id"), "left")
-        .filter(col("n").isNull || col("n") < k || col("bound") >= col("dk"))
+        .filter(col("n").isNull || col("n") < k ||
+          col("bound") >= col("dk"))
         .select(col("query_id").cast("long").as("query_id"),
-          col("ivf_cell").cast("long").as("ivf_cell")))
-    (vecs, probes, selPairs, cells.count(), buckets)
+          col(keyCol).cast("long").as(keyCol))
+
+    val nCells = cells.count()
+    val useGroups = geo.get("n_groups").flatMap(_.toIntOption).exists(_ > 0) &&
+      cells.columns.contains("cell_group") &&
+      asked * nCells >= groupServeFloor(spark)
+
+    if (!useGroups) {
+      // single-level bound: every (query, cell) pair — fine below the
+      // group floor, quadratic in serve geometry above it (VERDICT
+      // r13 #1). Cached: evaluated by both the phase-1 top-k and the
+      // phase-2 filter; ≤ |queries|·nCells rows of two longs.
+      val bounds = graft.core.Caches.scoped(
+        probes.crossJoin(broadcast(cells
+            .select("ivf_cell", "ccvm", "r2max")))
+          .select(col("query_id"), col("ivf_cell"), boundCol))
+      val dk = dkOf(bounds)
+      val selPairs = graft.core.Caches.scoped(
+        survivors(bounds, dk, "ivf_cell"))
+      val boundRows = bounds.groupBy("query_id")
+        .agg(count(lit(1)).as("bound_rows"))
+      ServePlan(vecs, probes, selPairs, nCells, buckets, boundRows)
+    } else {
+      // coarse-over-coarse level (VERDICT r13 #1, see [[resolveGroups]]
+      // for the dominance proof): bound the √nCells GROUPS first, and
+      // evaluate per-cell bounds only inside seed + surviving groups —
+      // a pruned group's member cells are never bounded at all. The
+      // per-cell pass also stops BROADCASTING the cells table (the flat
+      // shape's hidden wall: 10⁶ centroids would be a multi-hundred-MB
+      // broadcast): cells stay a distributed scan joined on cell_group
+      // against the bounded pair frame (AQE broadcasts the pair side),
+      // and the probe vectors enter as the bounded probe broadcast.
+      val groupsT = spark.read.parquet(
+        graft.streaming.StoreFs.dataDir(spark, s"$path/groups"))
+      // per-group radius, derived LIVE from the cells table (one linear
+      // pass over ≤ nCells rows) so an append's r2max raise propagates
+      // into the group bound with zero incremental group maintenance.
+      // Every radius term is rounded UP (+2 slack) — fp error can only
+      // make group pruning conservative, never wrong.
+      val rads = cells.join(broadcast(groupsT), Seq("cell_group"))
+        .select(col("cell_group"),
+          ((ceil(sqrt(Pq.l2sq(col("ccvm"), col("gcvm")).cast("double"))) +
+            ceil(sqrt(col("r2max").cast("double")))).cast("long") + lit(2L))
+            .as("rad"))
+        .groupBy("cell_group").agg(max(col("rad")).as("grad"))
+      val gstats = graft.core.Caches.scoped(
+        rads.join(broadcast(groupsT), Seq("cell_group")))
+      // group bound: dot(q, gc) + ‖q‖·max_c(‖cc−gc‖ + r_c) — dominates
+      // every member cell's bound, hence every member dot. ceil + 2
+      // keeps it an upper bound under fp. |queries|·√nCells rows.
+      val gBounds = graft.core.Caches.scoped(
+        probes.crossJoin(broadcast(gstats))
+          .select(col("query_id"), col("cell_group"),
+            (graft.functions.VectorFunctions.dotLong(col("qvec"), col("gcvm")) +
+              ceil(sqrt(col("qn2").cast("double")) * col("grad").cast("double"))
+                .cast("long") + lit(2L)).as("bound")))
+      def cellBoundsIn(qg: DataFrame): DataFrame =
+        cells.join(qg, Seq("cell_group"))
+          .join(broadcast(probes.select("query_id", "qvec", "qn2")),
+            Seq("query_id"))
+          .select(col("query_id"), col("ivf_cell"), boundCol)
+      // phase-1 seed: the nprobe0 highest-bound GROUPS, then the
+      // nprobe0 highest-bound cells inside them. Correctness never
+      // depends on the seed (an empty/weak seed just weakens d_k and
+      // phase 2 keeps more); the group bound ordering makes it a good
+      // one.
+      val seedGroups = graft.plans.TopK.perKey(gBounds,
+          Seq(gBounds("query_id")),
+          Seq(gBounds("bound").desc, gBounds("cell_group")), nprobe0)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("cell_group").cast("long").as("cell_group"))
+      val seedBounds = graft.core.Caches.scoped(cellBoundsIn(seedGroups))
+      val dk = dkOf(seedBounds)
+      // group-level phase 2, then cell-level phase 2 inside survivors —
+      // the same ≥-keeps-ties filter at both levels
+      val survGroups = graft.core.Caches.scoped(
+        survivors(gBounds, dk, "cell_group"))
+      val selBounds = graft.core.Caches.scoped(cellBoundsIn(survGroups))
+      val selPairs = graft.core.Caches.scoped(
+        survivors(selBounds, dk, "ivf_cell"))
+      val boundRows = gBounds.groupBy("query_id")
+        .agg(count(lit(1)).as("g"))
+        .join(seedBounds.groupBy("query_id")
+          .agg(count(lit(1)).as("s")), Seq("query_id"), "left")
+        .join(selBounds.groupBy("query_id")
+          .agg(count(lit(1)).as("v")), Seq("query_id"), "left")
+        .select(col("query_id"),
+          (col("g") + coalesce(col("s"), lit(0L)) +
+            coalesce(col("v"), lit(0L))).as("bound_rows"))
+      ServePlan(vecs, probes, selPairs, nCells, buckets, boundRows)
+    }
   }
 
   /** Scan the pair set's cells through DYNAMIC PARTITION PRUNING
@@ -572,7 +772,49 @@ object ExactIvf {
   def topDotBatchFromStore(spark: SparkSession, path: String,
                            queries: DataFrame, k: Int,
                            nprobe0: Int,
-                           maxBatch: Int): DataFrame = {
+                           maxBatch: Int): DataFrame =
+    topDotTableResolved(spark, path, queries, k, nprobe0, maxBatch, None)
+
+  /** [[topDotBatchFromStoreSnapshot]] in the query-TABLE form — the
+    * shape the `graft_exact_topk_at` SQL surface drives (VERDICT
+    * r13 #2: pure-SQL users could not time-travel at all). */
+  def topDotBatchFromStoreSnapshot(spark: SparkSession, path: String,
+                                   snapshotId: Long, queries: DataFrame,
+                                   k: Int, nprobe0: Int): DataFrame =
+    topDotBatchFromStoreSnapshot(spark, path, snapshotId, queries, k,
+      nprobe0, MaxServeBatch)
+
+  /** [[topDotBatchFromStoreSnapshot]] (query-TABLE form) with an
+    * explicit serve-chunk bound. */
+  def topDotBatchFromStoreSnapshot(spark: SparkSession, path: String,
+                                   snapshotId: Long, queries: DataFrame,
+                                   k: Int, nprobe0: Int,
+                                   maxBatch: Int)
+      : DataFrame = {
+    val dirs = graft.streaming.StoreFs.snapshotDataDirs(spark, path,
+      snapshotId)
+    def need(sub: String): String = dirs.getOrElse(s"$path/$sub",
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId of $path does not record $path/$sub; " +
+          s"recorded: ${dirs.keys.mkString(", ")}"))
+    topDotTableResolved(spark, path, queries, k, nprobe0, maxBatch,
+      Some((need("cells"), need("vecs"))))
+  }
+
+  /** The hybrid serve's hook into the dir-resolved query-table form —
+    * its vec arm re-resolves the SAME pinned (cells, vecs) pair every
+    * chunk. */
+  private[operators] def topDotTableResolvedDirs(
+      spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      nprobe0: Int, dirs: Option[(String, String)]): DataFrame =
+    topDotTableResolved(spark, path, queries, k, nprobe0, MaxServeBatch,
+      dirs)
+
+  private def topDotTableResolved(spark: SparkSession, path: String,
+                                  queries: DataFrame, k: Int,
+                                  nprobe0: Int, maxBatch: Int,
+                                  dirs: Option[(String, String)])
+      : DataFrame = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // PIN the query table before the count + fan-out: the count and
     // each chunk's filter re-execute the input plan otherwise, and a
@@ -586,11 +828,11 @@ object ExactIvf {
     // query's rows land whole in exactly one chunk
     val n = q.select("query_id").distinct().count()
     val nChunks = math.max(1L, (n + maxBatch - 1) / maxBatch).toInt
-    if (nChunks == 1) serve(spark, path, q, None, k, nprobe0)
+    if (nChunks == 1) serve(spark, path, q, None, k, nprobe0, dirs)
     else (0 until nChunks).map { i =>
       serve(spark, path,
         q.filter(pmod(hash(col("query_id")), lit(nChunks)) === i),
-        None, k, nprobe0)
+        None, k, nprobe0, dirs)
     }.reduce(_ unionAll _)
   }
 
@@ -598,8 +840,9 @@ object ExactIvf {
                     probeIds: Option[Seq[Long]], k: Int,
                     nprobe0: Int,
                     dirs: Option[(String, String)] = None): DataFrame = {
-    val (vecs, probes, selPairs, _, buckets) =
-      planServe(spark, path, qp, probeIds, k, nprobe0, dirs)
+    val plan = planServe(spark, path, qp, probeIds, k, nprobe0, dirs)
+    val (vecs, probes, selPairs, buckets) =
+      (plan.vecs, plan.probes, plan.selPairs, plan.buckets)
     val cand2 = scanCells(vecs, probes, selPairs, buckets)
     val out = graft.plans.TopK.perKey(cand2, Seq(cand2("query_id")),
       Seq(cand2("dot").desc, cand2("vec_id")), k)
@@ -609,22 +852,28 @@ object ExactIvf {
   }
 
   /** Pruning diagnostics: per query, how many cells the bound let the
-    * final scan SKIP. Output: query_id, n_cells, survivors. The answer
-    * never depends on these numbers (the exactness guarantee); they
-    * measure how much of the store the serve scan reads — the dial is
-    * the clustering (nCells ∝ corpus keeps cells tight as data grows). */
+    * final scan SKIP, and how many BOUND ROWS the plan evaluated to
+    * decide it (the VERDICT r13 #1 scale metric — flat bounds every
+    * (query, cell) pair; the grouped path pays √nCells group bounds
+    * plus only the cells of seed + surviving groups). Output: query_id,
+    * n_cells, survivors, bound_rows. The answer never depends on these
+    * numbers (the exactness guarantee); they measure how much of the
+    * store the serve reads — the dial is the clustering (nCells ∝
+    * corpus keeps cells tight as data grows). */
   def pruneStats(spark: SparkSession, path: String,
                  queries: Seq[(Long, Long)], k: Int,
                  nprobe0: Int = 4): DataFrame = {
     import spark.implicits._
-    val (_, _, selPairs, nCells, _) = planServe(spark, path,
+    val plan = planServe(spark, path,
       queries.toDF("query_id", "probe_id"), Some(queries.map(_._2)),
       k, nprobe0, None)
     queries.map(_._1).distinct.sorted.toDF("query_id")
-      .join(selPairs.groupBy("query_id")
+      .join(plan.selPairs.groupBy("query_id")
         .agg(count(lit(1)).as("survivors")), Seq("query_id"), "left")
-      .select(col("query_id"), lit(nCells).as("n_cells"),
-        coalesce(col("survivors"), lit(0L)).as("survivors"))
+      .join(plan.boundRows, Seq("query_id"), "left")
+      .select(col("query_id"), lit(plan.nCells).as("n_cells"),
+        coalesce(col("survivors"), lit(0L)).as("survivors"),
+        coalesce(col("bound_rows"), lit(0L)).as("bound_rows"))
       .orderBy("query_id")
   }
 }

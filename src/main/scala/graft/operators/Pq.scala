@@ -634,7 +634,17 @@ object Pq {
                           path: String, emb: DataFrame, probes: DataFrame,
                           nprobe: Int, kShort: Int, k: Int, m: Int, dim: Int,
                           vecCol: String,
-                          maxBatch: Int): DataFrame = {
+                          maxBatch: Int): DataFrame =
+    ivfadcTableResolved(spark, path, emb, probes, nprobe, kShort, k, m,
+      dim, vecCol, maxBatch, None)
+
+  private def ivfadcTableResolved(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, emb: DataFrame,
+                                  probes: DataFrame,
+                                  nprobe: Int, kShort: Int, k: Int,
+                                  m: Int, dim: Int, vecCol: String,
+                                  maxBatch: Int,
+                                  dirs: IvfadcDirs): DataFrame = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // distinct: a duplicated probe_id row would duplicate the probe's
     // rows through the LUT join and double-count its per-subspace sums.
@@ -652,14 +662,68 @@ object Pq {
         else pids.filter(pmod(hash(col("probe_id")), lit(nChunks)) === i)
       serveIvfadc(spark, path, emb,
         emb.join(chunk, col("vec_id") === col("probe_id")).drop("probe_id"),
-        nprobe, kShort, k, m, dim, vecCol)
+        nprobe, kShort, k, m, dim, vecCol, dirs)
     }.reduce(_ unionAll _)
   }
+
+  /** Record the IVFADC store's current generation tuple (codes +
+    * coarse + books) as one consistent snapshot (VERDICT r13 #3 — the
+    * approximate serving path gets the same time-travel contract the
+    * exact and hybrid paths have); returns the id for
+    * [[ivfadcTopKFromStoreSnapshot]]. `freeze` (default true) compacts
+    * the codes table right after the manifest lands — codes appends
+    * write INTO the live generation (the dataDirAt contract), so an
+    * unfrozen pin would keep tracking ingest. coarse/books are frozen
+    * at build time (retraining is a rebuild) and are recorded for
+    * completeness. The freeze compaction runs under the CALLER's
+    * retention (the snapshotVecStore rationale). */
+  def snapshotIvfadcStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String, freeze: Boolean = true,
+                          keepGens: Int = 1,
+                          keepAgeMs: Long = 0L): Long = {
+    val id = graft.streaming.StoreFs.createSnapshot(spark, path,
+      Seq(s"$path/codes", s"$path/coarse", s"$path/books"))
+    if (freeze) compactCodesStore(spark, path, keepGens, keepAgeMs)
+    id
+  }
+
+  /** [[ivfadcTopKFromStore]] (probe-TABLE form) AT a pinned snapshot:
+    * codes, coarse and books resolve through ONE createSnapshot
+    * manifest, all-or-nothing — a codes compaction (or further ingest)
+    * after the snapshot cannot move the pinned shortlist, and a GC'd
+    * generation errors instead of serving mixed state. The exact
+    * re-rank still runs against the CALLER's `emb` relation — pin that
+    * input too (a snapshot of its own store, or an immutable path) for
+    * a fully reproducible serve. */
+  def ivfadcTopKFromStoreSnapshot(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, snapshotId: Long,
+                                  emb: DataFrame, probes: DataFrame,
+                                  nprobe: Int, kShort: Int, k: Int,
+                                  m: Int, dim: Int,
+                                  vecCol: String = "embedding",
+                                  maxBatch: Int = ExactIvf.MaxServeBatch)
+      : DataFrame = {
+    val dirs = graft.streaming.StoreFs.snapshotDataDirs(spark, path,
+      snapshotId)
+    def need(sub: String): String = dirs.getOrElse(s"$path/$sub",
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId of $path does not record $path/$sub; " +
+          s"recorded: ${dirs.keys.mkString(", ")}"))
+    ivfadcTableResolved(spark, path, emb, probes, nprobe, kShort, k, m,
+      dim, vecCol, maxBatch,
+      Some((need("coarse"), need("books"), need("codes"))))
+  }
+
+  /** Resolved sub-table directories for one IVFADC serve: (coarse,
+    * books, codes). None = the live store ([[graft.streaming.StoreFs
+    * .dataDir]] for codes; coarse/books are build-time flat tables). */
+  private type IvfadcDirs = Option[(String, String, String)]
 
   private def serveIvfadc(spark: org.apache.spark.sql.SparkSession,
                           path: String, emb: DataFrame, probeRows0: DataFrame,
                           nprobe: Int, kShort: Int, k: Int, m: Int, dim: Int,
-                          vecCol: String): DataFrame = {
+                          vecCol: String,
+                          dirs: IvfadcDirs = None): DataFrame = {
     // geometry-manifest validation (VERDICT r12 #9): a caller whose
     // (m, dim) disagree with the build would silently mis-slice every
     // probe residual — fail fast naming the recorded geometry instead.
@@ -674,10 +738,14 @@ object Pq {
         s"store $path was built with dim=$gd but the caller passed " +
           s"dim=$dim (recorded geometry: $geo)")
     val probeRows = graft.core.Caches.scoped(probeRows0)
-    val coarse = spark.read.parquet(s"$path/coarse")
-    val books = spark.read.parquet(s"$path/books")
+    val coarse = spark.read.parquet(
+      dirs.map(_._1).getOrElse(s"$path/coarse"))
+    val books = spark.read.parquet(
+      dirs.map(_._2).getOrElse(s"$path/books"))
+    val codesDir = dirs.map(_._3).getOrElse(
+      graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
     val shortl = ivfadcShortlist(spark, path, probeRows, nprobe,
-      kShort, m, dim, coarse, books, vecCol)
+      kShort, m, dim, coarse, books, vecCol, codesDir)
     ivfadcRerank(emb, shortl, probeRows, k, vecCol)
   }
 
@@ -685,7 +753,8 @@ object Pq {
                               path: String, probeRows: DataFrame,
                               nprobe: Int, kShort: Int,
                               m: Int, dim: Int, coarse: DataFrame,
-                              books: DataFrame, vecCol: String): DataFrame = {
+                              books: DataFrame, vecCol: String,
+                              codesDir: String): DataFrame = {
     val subDim = dim / m
     val pmv = microVectors(probeRows, vecCol).toDF("probe_id", "pm")
     val pcScored = pmv.crossJoin(broadcast(coarse))
@@ -718,7 +787,7 @@ object Pq {
     val joinKeys =
       if (buckets > 0) Seq("cell_bucket", "ivf_cell", "sub", "cell")
       else Seq("ivf_cell", "sub", "cell")
-    val codesAll = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
+    val codesAll = spark.read.parquet(codesDir)
     val codes =
       if (dpp) codesAll
       else {
@@ -780,7 +849,8 @@ object Pq {
     val coarse = spark.read.parquet(s"$path/coarse")
     val books = spark.read.parquet(s"$path/books")
     val shortl = graft.core.Caches.scoped(ivfadcShortlist(spark, path,
-      probeRows, nprobe, kShort, m, dim, coarse, books, vecCol))
+      probeRows, nprobe, kShort, m, dim, coarse, books, vecCol,
+      graft.streaming.StoreFs.dataDir(spark, s"$path/codes")))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adc_d2"), col("neighbor_id"))
     val raw = shortl.withColumn("rk", row_number().over(w))

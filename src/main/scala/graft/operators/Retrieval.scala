@@ -498,6 +498,46 @@ object Retrieval {
                                k1: Double, b: Double,
                                nprobe0: Int,
                                maxBatch: Int)
+      : DataFrame =
+    hybridTableResolved(spark, indexPath, vecPath, queries, kList, kOut,
+      k1, b, nprobe0, maxBatch, None, None)
+
+  /** [[hybridRrfBatchFromStoresSnapshot]] in the query-TABLE form — the
+    * shape the `graft_hybrid_rrf_at` SQL surface drives (VERDICT
+    * r13 #2). Both stores pin through their own createSnapshot
+    * manifests, resolved all-or-nothing. */
+  def hybridRrfBatchFromStoresSnapshot(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, indexSnapshotId: Long,
+      vecPath: String, vecSnapshotId: Long,
+      queries: DataFrame, kList: Int, kOut: Int,
+      k1: Double, b: Double, nprobe0: Int,
+      maxBatch: Int): DataFrame = {
+    val idx = graft.streaming.StoreFs.snapshotDataDirs(spark, indexPath,
+      indexSnapshotId)
+    val vec = graft.streaming.StoreFs.snapshotDataDirs(spark, vecPath,
+      vecSnapshotId)
+    def need(dirs: Map[String, String], root: String, sub: String,
+             id: Long): String =
+      dirs.getOrElse(s"$root/$sub", throw new IllegalArgumentException(
+        s"snapshot $id of $root does not record $root/$sub; recorded: " +
+          dirs.keys.mkString(", ")))
+    hybridTableResolved(spark, indexPath, vecPath, queries, kList, kOut,
+      k1, b, nprobe0, maxBatch,
+      Some((need(idx, indexPath, "doclen", indexSnapshotId),
+        need(idx, indexPath, "postings", indexSnapshotId))),
+      Some((need(vec, vecPath, "cells", vecSnapshotId),
+        need(vec, vecPath, "vecs", vecSnapshotId))))
+  }
+
+  private def hybridTableResolved(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String, vecPath: String,
+                                  queries: DataFrame,
+                                  kList: Int, kOut: Int,
+                                  k1: Double, b: Double,
+                                  nprobe0: Int, maxBatch: Int,
+                                  idxDirs: Option[(String, String)],
+                                  vecDirs: Option[(String, String)])
       : DataFrame = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // broadcast-contract chunking (VERDICT r11 #2), DataFrame form: a
@@ -519,11 +559,22 @@ object Retrieval {
         explode(col("terms")).as("term")))
       val unionTerms = qt.select("term").distinct()
         .collect().map(_.getString(0)).toSeq
-      val scored = storeScores(spark, indexPath, unionTerms, k1, b)
+      val scored = idxDirs match {
+        case Some((dl, po)) =>
+          storeScoresResolved(spark, dl, po, unionTerms, k1, b)
+        case None => storeScores(spark, indexPath, unionTerms, k1, b)
+      }
       val lex = lexRank(scored.join(qt, Seq("term")), kList)
-      val sem = ExactIvf.topDotBatchFromStore(spark, vecPath,
-          qs.select(col("query_id"), col("probe_id")), kList, nprobe0)
-        .select(col("query_id"), col("vec_id").as("doc_id"),
+      val semQ = qs.select(col("query_id"), col("probe_id"))
+      val sem = (vecDirs match {
+        case Some((cells, vecs)) =>
+          // re-resolve through the pinned pair — same dirs every chunk
+          ExactIvf.topDotTableResolvedDirs(spark, vecPath, semQ, kList,
+            nprobe0, Some((cells, vecs)))
+        case None =>
+          ExactIvf.topDotBatchFromStore(spark, vecPath, semQ, kList,
+            nprobe0)
+      }).select(col("query_id"), col("vec_id").as("doc_id"),
           col("rk").as("sem_rk"))
       rrfFuse(lex, sem, kOut)
     }.reduce(_ unionAll _)

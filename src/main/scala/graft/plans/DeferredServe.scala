@@ -75,11 +75,26 @@ object DeferredServeStrategy extends SparkStrategy {
   * same DataFrame reuse the planned serve), conforms it to the
   * declared schema, and returns its row RDD. `inner` is also the
   * plan-pin hook: specs reach the real serve plan (DPP subqueries,
-  * partition filters) through it after executing. */
+  * partition filters) through it after executing.
+  *
+  * SQLMetrics (VERDICT r13 #5): without them, a production operator's
+  * UI showed "serve resolves at execution" with no row count and the
+  * serve's planning jobs attributed to nothing. `numOutputRows` counts
+  * the served rows on this node, and `serve build time` is the wall
+  * the deferred resolution itself cost (the chunk-count / probe-check
+  * / cells-read jobs the laziness moved here from analysis) — both
+  * stay ZERO under EXPLAIN, because the metrics only move in
+  * doExecute (spec-pinned in LazyTvfSpec). */
 final case class DeferredServeExec(output: Seq[Attribute], fn: String,
                                    declared: StructType,
                                    build: () => DataFrame)
     extends LeafExecNode {
+
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "serveBuildTime" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createTimingMetric(sparkContext, "serve build time"))
 
   lazy val inner: DataFrame = {
     val df = build()
@@ -90,8 +105,19 @@ final case class DeferredServeExec(output: Seq[Attribute], fn: String,
     df.select(declared.map(f => col(f.name).cast(f.dataType)): _*)
   }
 
-  override protected def doExecute(): RDD[InternalRow] =
-    inner.queryExecution.toRdd
+  override protected def doExecute(): RDD[InternalRow] = {
+    val buildTime = longMetric("serveBuildTime")
+    val numOutputRows = longMetric("numOutputRows")
+    val t0 = System.nanoTime()
+    // forces `inner` on first execution: the serve's bounded planning
+    // jobs (and toRdd's own physical planning) land here, where the UI
+    // attributes them to this node
+    val rdd = inner.queryExecution.toRdd
+    buildTime += (System.nanoTime() - t0) / 1000000L
+    rdd.mapPartitions({ iter =>
+      iter.map { r => numOutputRows += 1; r }
+    }, preservesPartitioning = true)
+  }
 
   override def simpleString(maxFields: Int): String =
     s"DeferredServeExec $fn (serve resolves at execution)"

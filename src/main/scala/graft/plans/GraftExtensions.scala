@@ -52,6 +52,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(ServeTableFunctions.getClass.getName,
         "graft_ivfadc_topk"),
       (args: Seq[Expression]) => ServeTableFunctions.ivfadcTopK(args)))
+    // time-travel twins (VERDICT r13 #2): every store-served TVF has an
+    // `_at` form taking createSnapshot ids, so pure-SQL users can pin
+    // a consistent generation tuple the way the Scala forms can
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_exact_topk_at"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_exact_topk_at"),
+      (args: Seq[Expression]) => ServeTableFunctions.exactTopKAt(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_hybrid_rrf_at"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_hybrid_rrf_at"),
+      (args: Seq[Expression]) => ServeTableFunctions.hybridRrfAt(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_ivfadc_topk_at"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_ivfadc_topk_at"),
+      (args: Seq[Expression]) => ServeTableFunctions.ivfadcTopKAt(args)))
     ext.injectTableFunction((
       FunctionIdentifier("graft_bm25_topk"),
       new ExpressionInfo(ServeTableFunctions.getClass.getName,

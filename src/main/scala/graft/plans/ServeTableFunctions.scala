@@ -101,6 +101,28 @@ object ServeTableFunctions {
         spark.table(view), k, nprobe0))
   }
 
+  /** graft_exact_topk_at(vecStorePath, snapshotId, queriesView, k,
+    * nprobe0) → the TIME-TRAVEL form of [[exactTopK]] (VERDICT r13 #2:
+    * the Scala snapshot serves existed but the pure-SQL audience the
+    * TVFs exist for could not pin one): serves at the createSnapshot
+    * manifest `snapshotId` recorded at the store root — cells and vecs
+    * resolve as one tuple, all-or-nothing, and a GC'd generation
+    * errors. Snapshot resolution happens at EXECUTION with the rest of
+    * the serve (the lazy-TVF contract), so EXPLAIN stays job-free. */
+  def exactTopKAt(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5,
+      "graft_exact_topk_at(vecStorePath, snapshotId, queriesView, k, " +
+        "nprobe0)")
+    val spark = SparkSession.active
+    val (path, snap) = (str(args(0), "vecStorePath"),
+      int(args(1), "snapshotId").toLong)
+    val view = str(args(2), "queriesView")
+    val (k, nprobe0) = (int(args(3), "k"), int(args(4), "nprobe0"))
+    DeferredServe("graft_exact_topk_at", ExactSchema, () =>
+      graft.operators.ExactIvf.topDotBatchFromStoreSnapshot(spark, path,
+        snap, spark.table(view), k, nprobe0))
+  }
+
   /** graft_hybrid_rrf(indexPath, vecPath, queriesView, kList, kOut
     * [, k1, b, nprobe0]) → (query_id, doc_id, lex_rk, sem_rk, rrf, rk).
     * `queriesView` must expose (query_id, terms ARRAY&lt;STRING&gt;,
@@ -121,6 +143,34 @@ object ServeTableFunctions {
     DeferredServe("graft_hybrid_rrf", HybridSchema, () =>
       graft.operators.Retrieval.hybridRrfBatchFromStores(spark, idx, vec,
         spark.table(view), kList, kOut, k1, b, nprobe0))
+  }
+
+  /** graft_hybrid_rrf_at(indexPath, indexSnapshotId, vecPath,
+    * vecSnapshotId, queriesView, kList, kOut [, k1, b, nprobe0]) → the
+    * TIME-TRAVEL form of [[hybridRrf]] (VERDICT r13 #2): each store
+    * pins through its own createSnapshot manifest, both resolved
+    * all-or-nothing at execution — a SQL dashboard can replay exactly
+    * the corpus state an earlier serve answered from, whatever has been
+    * appended or compacted since. */
+  def hybridRrfAt(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 7 || args.length == 10,
+      "graft_hybrid_rrf_at(indexPath, indexSnapshotId, vecPath, " +
+        "vecSnapshotId, queriesView, kList, kOut[, k1, b, nprobe0])")
+    val spark = SparkSession.active
+    val (k1, b, nprobe0) =
+      if (args.length == 10)
+        (dbl(args(7), "k1"), dbl(args(8), "b"), int(args(9), "nprobe0"))
+      else (1.2, 0.75, 4)
+    val (idx, idxSnap) = (str(args(0), "indexPath"),
+      int(args(1), "indexSnapshotId").toLong)
+    val (vec, vecSnap) = (str(args(2), "vecPath"),
+      int(args(3), "vecSnapshotId").toLong)
+    val view = str(args(4), "queriesView")
+    val (kList, kOut) = (int(args(5), "kList"), int(args(6), "kOut"))
+    DeferredServe("graft_hybrid_rrf_at", HybridSchema, () =>
+      graft.operators.Retrieval.hybridRrfBatchFromStoresSnapshot(spark,
+        idx, idxSnap, vec, vecSnap, spark.table(view), kList, kOut,
+        k1, b, nprobe0, graft.operators.ExactIvf.MaxServeBatch))
   }
 
   /** graft_bm25_topk(indexPath, termsCsv, k [, k1, b]) →
@@ -228,6 +278,46 @@ object ServeTableFunctions {
       int(args(4), "kShort"), int(args(5), "k"))
     DeferredServe("graft_ivfadc_topk", IvfadcSchema, () =>
       graft.operators.Pq.ivfadcTopKFromStore(spark, path,
+        spark.table(embView), spark.table(probesView),
+        nprobe, kShort, k, m, dim, vecCol))
+  }
+
+  /** graft_ivfadc_topk_at(storePath, snapshotId, embView, probesView,
+    * nprobe, kShort, k [, m, dim [, vecCol]]) → the TIME-TRAVEL form of
+    * [[ivfadcTopK]] (VERDICT r13 #2/#3): codes + coarse + books resolve
+    * through one createSnapshot manifest, so the approximate serving
+    * path pins a consistent generation like the exact and hybrid
+    * paths. The exact re-rank still reads the CALLER's embView — pin
+    * that relation too for full reproducibility. The 7-argument form
+    * reads (m, dim, vecCol) from the geometry manifest. */
+  def ivfadcTopKAt(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 7 || args.length == 9 || args.length == 10,
+      "graft_ivfadc_topk_at(storePath, snapshotId, embView, " +
+        "probesView, nprobe, kShort, k[, m, dim[, vecCol]])")
+    val spark = SparkSession.active
+    val path = str(args(0), "storePath")
+    val snap = int(args(1), "snapshotId").toLong
+    // bounded filesystem reads (no Spark job) — keep the malformed-call
+    // error at analysis where the SQL user can see it
+    val geo = graft.streaming.StoreFs.readGeometry(spark, path)
+    val (m, dim, vecCol) =
+      if (args.length == 7) {
+        def need(k: String): String = geo.getOrElse(k,
+          throw new IllegalArgumentException(
+            s"the 7-argument graft_ivfadc_topk_at form needs '$k' in " +
+              s"the geometry manifest at $path (recorded: $geo) — pass " +
+              "m and dim explicitly for a pre-manifest store"))
+        (need("m").toInt, need("dim").toInt,
+          geo.getOrElse("vec_col", "embedding"))
+      } else
+        (int(args(7), "m"), int(args(8), "dim"),
+          if (args.length == 10) str(args(9), "vecCol") else "embedding")
+    val (embView, probesView) = (str(args(2), "embView"),
+      str(args(3), "probesView"))
+    val (nprobe, kShort, k) = (int(args(4), "nprobe"),
+      int(args(5), "kShort"), int(args(6), "k"))
+    DeferredServe("graft_ivfadc_topk_at", IvfadcSchema, () =>
+      graft.operators.Pq.ivfadcTopKFromStoreSnapshot(spark, path, snap,
         spark.table(embView), spark.table(probesView),
         nprobe, kShort, k, m, dim, vecCol))
   }

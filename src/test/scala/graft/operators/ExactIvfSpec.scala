@@ -117,6 +117,88 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
       brute(vecs, queries, k = 10))
   }
 
+  test("grouped (coarse-over-coarse) bound path: exact answers, fewer bound rows on clustered data (VERDICT r13 #1)") {
+    import spark.implicits._
+    // the same four tight clusters as the prune-power row, at a
+    // geometry where the group level can amortize (the √nCells group
+    // pass plus seed/survivor cells must undercut bounding ALL cells —
+    // at a handful of cells the overhead ties, which is exactly why
+    // the serve keeps the flat path below the floor)
+    val vecs = (0L until 1600L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(Dim)(0L)
+      base(c * 2) = 10000L
+      base(c * 2 + 1) = -7000L
+      (i, base.zipWithIndex.map { case (v, j) =>
+        v + ((i * 31 + j * 17) % 21) - 10L })
+    }.toDF("doc_id", "vec")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-group-test-").toString
+    ExactIvf.writeVecStore(vecs, path, nCells = 64, iters = 2)
+    val queries = Seq((1L, 0L), (2L, 5L), (3L, 10L))
+    val expect = brute(vecs, queries, k = 10)
+    // flat path first (16 cells is under the default floor)
+    val flatStats = ExactIvf.pruneStats(spark, path, queries,
+      k = 10, nprobe0 = 2).collect()
+    assert(served(path, queries, k = 10, nprobe0 = 2) == expect)
+    spark.conf.set("spark.graft.exactivf.groupFloor", "1")
+    try {
+      // grouped path: row-identical serve, ties/degenerate geometry
+      // covered by the same brute-force oracle
+      assert(served(path, queries, k = 10, nprobe0 = 2) == expect,
+        "the grouped bound level must never cost a row")
+      val gStats = ExactIvf.pruneStats(spark, path, queries,
+        k = 10, nprobe0 = 2).collect()
+      // flat bound rows = nCells per (query, probe) row; grouped =
+      // √nCells group bounds + cells of seed + surviving groups only
+      val flatRows = flatStats.map(_.getLong(3)).sum
+      val gRows = gStats.map(_.getLong(3)).sum
+      assert(gRows < flatRows,
+        s"grouped bound rows ($gRows) must undercut flat ($flatRows) " +
+          "on clustered data")
+      // and the grouped survivors still include every true top-k cell:
+      // answers above already pinned row identity
+      // deep-k fallback (n < k keeps all groups AND all cells)
+      assert(served(path, Seq((9L, 3L)), k = 1590, nprobe0 = 1) ==
+        brute(vecs, Seq((9L, 3L)), k = 1590))
+      // degenerate geometry: one cell → one group, still exact
+      val p1 = java.nio.file.Files
+        .createTempDirectory("graft-exactivf-group1-test-").toString
+      ExactIvf.writeVecStore(vecs, p1, nCells = 1, iters = 1)
+      assert(served(p1, queries, k = 10, nprobe0 = 3) ==
+        brute(vecs, queries, k = 10))
+    } finally spark.conf.unset("spark.graft.exactivf.groupFloor")
+  }
+
+  test("grouped path under append: raised r2max propagates into the group radius (no stale group bound)") {
+    import spark.implicits._
+    val vecs = fixture(300)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-groupappend-test-").toString
+    ExactIvf.writeVecStore(vecs.filter(col("doc_id") % 10 < 8), path,
+      nCells = 8, iters = 1)
+    // the appended rows include far-from-centroid vectors (r2max must
+    // grow); group radii are derived live from the cells table, so the
+    // grouped serve sees the raise with no group-store maintenance
+    ExactIvf.appendToVecStore(spark,
+      vecs.filter(col("doc_id") % 10 >= 8), path, batchId = Some(1L))
+    spark.conf.set("spark.graft.exactivf.groupFloor", "1")
+    try {
+      val queries = Seq((1L, 3L), (2L, 289L))
+      assert(served(path, queries, k = 20, nprobe0 = 2) ==
+        brute(vecs, queries, k = 20),
+        "the grouped serve must stay exact across appends")
+      // compaction preserves the cell_group column and the answer
+      ExactIvf.compactVecStore(spark, path)
+      assert(served(path, queries, k = 20, nprobe0 = 2) ==
+        brute(vecs, queries, k = 20))
+      val cells = spark.read.parquet(
+        graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
+      assert(cells.columns.contains("cell_group"),
+        "the group assignment must survive the cells merge")
+    } finally spark.conf.unset("spark.graft.exactivf.groupFloor")
+  }
+
   test("DataFrame query input: identical rows to the Seq form; the query side joins, not collects") {
     import spark.implicits._
     val vecs = fixture(300)

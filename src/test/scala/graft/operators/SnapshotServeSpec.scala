@@ -157,6 +157,51 @@ class SnapshotServeSpec extends AnyFunSuite with SparkTest {
       .exists(_.check == "snapshot"))
   }
 
+  test("IVFADC snapshot: shortlist pinned across codes append + compaction; GC'd pin errors (VERDICT r13 #3)") {
+    import spark.implicits._
+    val emb0 = (0L until 200L).map { i =>
+      (i, (0 until Dim).map(j => ((i * 31 + j * 17) % 201) - 100L).toArray)
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-snapserve-ivfadc-").toString
+    Pq.writeIvfadcStore(emb0, path, nCells = 4, m = 2, dim = Dim,
+      nCents = 8, iters = 1)
+    val probes = Seq(3L, 43L).toDF("probe_id")
+    def serveLive(emb: org.apache.spark.sql.DataFrame) =
+      rows(Pq.ivfadcTopKFromStore(spark, path, emb, probes,
+        nprobe = 2, kShort = 20, k = 5, m = 2, dim = Dim, vecCol = "embedding"))
+    def serveSnap(id: Long, emb: org.apache.spark.sql.DataFrame) =
+      rows(Pq.ivfadcTopKFromStoreSnapshot(spark, path, id, emb, probes,
+        nprobe = 2, kShort = 20, k = 5, m = 2, dim = Dim))
+    val r1 = serveLive(emb0)
+    val snap = Pq.snapshotIvfadcStore(spark, path) // freeze = true
+    // poison the LIVE store: each decoy is a probe's own vector under a
+    // new id — ADC distance 0 and exact-rerank L2² 0, so it PROVABLY
+    // tops the live shortlist and ranking for its probe
+    val decoys = Seq(3L, 43L).zipWithIndex.map { case (p, i) =>
+      (1000L + i, (0 until Dim).map(j => ((p * 31 + j * 17) % 201) - 100L)
+        .toArray)
+    }.toDF("vec_id", "embedding")
+    Pq.appendToIvfadcStore(spark, decoys, path, m = 2, dim = Dim,
+      batchId = Some(1L))
+    val embAll = emb0.unionAll(decoys)
+    val r2 = serveLive(embAll)
+    assert(r2 != r1, "the decoys must move the live shortlist")
+    // the pinned snapshot answers as of snapshot time — even with the
+    // decoys present in the caller's emb relation, they can't enter the
+    // pinned generation's shortlist
+    assert(serveSnap(snap, embAll) == r1,
+      "the pinned IVFADC snapshot must answer as of snapshot time")
+    // a later codes compaction reclaims the pinned generation-0 files
+    // past their grace window → the snapshot errors, never serves mixed
+    Pq.compactCodesStore(spark, path)
+    val e = intercept[IllegalStateException](
+      Pq.ivfadcTopKFromStoreSnapshot(spark, path, snap, embAll, probes,
+        nprobe = 2, kShort = 20, k = 5, m = 2, dim = Dim).collect())
+    assert(e.getMessage.contains("grace window") ||
+      e.getMessage.contains("compacted away"), e.getMessage)
+  }
+
   test("a torn v2 manifest (writer crashed mid-body) is refused, never resolved as a subset") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-snapserve-torn-").toString

@@ -346,6 +346,104 @@ class SqlParityStoreSpec extends AnyFunSuite with SparkTest {
       "graft_bm25_topk: the SQL surface and the DataFrame serve diverge")
   }
 
+  test("graft_*_at: pure SQL time travel — poisoned live stores, the TVF serves the pinned snapshot (VERDICT r13 #2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the y59 adversarial scenario driven through the SQL surface:
+    // snapshot both hybrid stores, poison every LIVE ranking with
+    // provable-top decoys, then the _at TVFs must still hash-match the
+    // original corpus while the live TVFs must move
+    val docs = (0L until 60L).map { i =>
+      (i, s"alpha term${i % 5} document $i about topic${i % 3} body")
+    }.toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tvf-at-").toString
+    val idx = s"$root/idx"; val vec = s"$root/vec"; val adc = s"$root/adc"
+    graft.operators.Retrieval.writeIndexStore(docs, idx)
+    graft.operators.ExactIvf.writeVecStore(
+      graft.operators.TextAnalysis.hashedEmbedding(docs)
+        .select(col("doc_id"), col("vec")), vec, nCells = 4, iters = 1)
+    val emb = (0L until 60L).map { i =>
+      (i, (0 until 8).map(j => ((i * 31 + j * 17) % 201) - 100L).toArray)
+    }.toDF("vec_id", "embedding")
+    graft.operators.Pq.writeIvfadcStore(emb, adc, nCells = 4, m = 2,
+      dim = 8, nCents = 8, iters = 1)
+    val queries = Seq((1L, Seq("term1", "alpha"), 8L),
+      (2L, Seq("term3"), 21L))
+    queries.toDF("query_id", "terms", "probe_id")
+      .createOrReplaceTempView("tvfat_queries")
+    Seq(8L, 21L).toDF("probe_id").createOrReplaceTempView("tvfat_probes")
+    emb.createOrReplaceTempView("tvfat_emb")
+
+    val idxSnap = graft.operators.Retrieval.snapshotIndexStore(spark, idx)
+    val vecSnap = graft.operators.ExactIvf.snapshotVecStore(spark, vec)
+    val adcSnap = graft.operators.Pq.snapshotIvfadcStore(spark, adc)
+    def liveHybrid = spark.sql(s"SELECT * FROM graft_hybrid_rrf('$idx', " +
+      s"'$vec', 'tvfat_queries', 10, 5)")
+    def liveExact = spark.sql(s"SELECT * FROM graft_exact_topk('$vec', " +
+      "'tvfat_queries', 5, 2)")
+    def liveAdc = spark.sql(s"SELECT * FROM graft_ivfadc_topk('$adc', " +
+      "'tvfat_emb', 'tvfat_probes', 2, 20, 5, 2, 8)")
+    val hybrid0 = sortedRows(liveHybrid)
+    val exact0 = sortedRows(liveExact)
+    val adc0 = sortedRows(liveAdc)
+
+    // poison every live store: docs that provably top each lexical
+    // list (tf-dense repeats), vectors that provably top each dot
+    // ranking (the probe's own vector scaled 1000×), IVFADC decoys at
+    // ADC distance 0
+    val docs2 = Seq(
+      (200L, Seq.fill(12)("term1").mkString(" ") + " alpha dense page"),
+      (201L, Seq.fill(12)("term3").mkString(" ") + " dense page body"))
+      .toDF("doc_id", "text")
+    graft.operators.Retrieval.appendIndexStore(docs2, idx)
+    val vecDecoys = graft.operators.TextAnalysis.hashedEmbedding(
+        docs.filter(col("doc_id").isin(8L, 21L)))
+      .select((col("doc_id") + 1000L).as("doc_id"),
+        org.apache.spark.sql.functions.transform(col("vec"),
+          v => v * 1000L).as("vec"))
+    graft.operators.ExactIvf.appendToVecStore(spark, vecDecoys, vec,
+      batchId = Some(1L), idCol = "doc_id", vecCol = "vec")
+    val adcDecoys = emb.filter(col("vec_id").isin(8L, 21L))
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    graft.operators.Pq.appendToIvfadcStore(spark, adcDecoys, adc,
+      m = 2, dim = 8, batchId = Some(1L))
+    // the decoys enter the caller's embeddings view too — the live
+    // serve must rank them; the pinned shortlist never contains them
+    emb.unionAll(adcDecoys).createOrReplaceTempView("tvfat_emb")
+
+    assert(sortedRows(liveHybrid) != hybrid0,
+      "the decoys must move the live hybrid TVF")
+    assert(sortedRows(liveExact) != exact0,
+      "the decoys must move the live exact TVF")
+    assert(sortedRows(liveAdc) != adc0,
+      "the decoys must move the live IVFADC TVF")
+    // the _at TVFs serve the pinned snapshots — row-identical to both
+    // the pre-poison answers and the Scala snapshot forms
+    val exactAt = spark.sql(s"SELECT * FROM graft_exact_topk_at('$vec', " +
+      s"$vecSnap, 'tvfat_queries', 5, 2)")
+    assert(sortedRows(exactAt) == exact0)
+    assert(sortedRows(exactAt) == sortedRows(
+      graft.operators.ExactIvf.topDotBatchFromStoreSnapshot(spark, vec,
+        vecSnap, queries.map { case (q, _, p) => (q, p) }, k = 5,
+        nprobe0 = 2)),
+      "graft_exact_topk_at must equal the Scala snapshot form")
+    val hybridAt = spark.sql(s"SELECT * FROM graft_hybrid_rrf_at('$idx', " +
+      s"$idxSnap, '$vec', $vecSnap, 'tvfat_queries', 10, 5)")
+    assert(sortedRows(hybridAt) == hybrid0)
+    assert(sortedRows(hybridAt) == sortedRows(
+      graft.operators.Retrieval.hybridRrfBatchFromStoresSnapshot(spark,
+        idx, idxSnap, vec, vecSnap, queries, kList = 10, kOut = 5)),
+      "graft_hybrid_rrf_at must equal the Scala snapshot form")
+    val adcAt = spark.sql(s"SELECT * FROM graft_ivfadc_topk_at('$adc', " +
+      s"$adcSnap, 'tvfat_emb', 'tvfat_probes', 2, 20, 5, 2, 8)")
+    assert(sortedRows(adcAt) == adc0)
+    // and the 7-arg form reads geometry from the manifest
+    assert(sortedRows(spark.sql(
+      s"SELECT * FROM graft_ivfadc_topk_at('$adc', $adcSnap, " +
+        "'tvfat_emb', 'tvfat_probes', 2, 20, 5)")) == adc0)
+  }
+
   test("graft_bm25_topk_table: relation terms == literal form; postings stay term-pruned") {
     import spark.implicits._
     val docs = Seq(
