@@ -454,9 +454,14 @@ object Curation {
     * estimator without rescanning old text: the x41/x81/x93 store
     * cadence, here with a store ~5 orders of magnitude smaller than a
     * gram store because the hashing trick already bounded the space. */
-  def writeDsirStore(docs: DataFrame, isTarget: Column, path: String): Unit =
+  def writeDsirStore(docs: DataFrame, isTarget: Column, path: String): Unit = {
     dsirCountsOf(dsirFeats(docs, isTarget))
       .write.mode("overwrite").parquet(path)
+    // after the data — parquet overwrite deletes the dir, manifest
+    // included; absence reads under the pre-manifest contract
+    graft.streaming.StoreFs.writeGeometry(docs.sparkSession, path, Seq(
+      "family" -> "dsir", "key_columns" -> "b"))
+  }
 
   /** COMPACT a DSIR count store: sum-merge accumulated rows to one per
     * bucket (≤ 4096 rows total), swapping the compacted generation in

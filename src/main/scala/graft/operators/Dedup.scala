@@ -199,8 +199,13 @@ object Dedup {
     * ~100 bytes: at 100 TB of text the store is ~4 orders of magnitude
     * smaller than the corpus, and appending a deduplicated batch is a
     * plain parquet append. */
-  def writeSignatureStore(docs: DataFrame, path: String): Unit =
+  def writeSignatureStore(docs: DataFrame, path: String): Unit = {
     minhashSignatures(docs).write.mode("overwrite").parquet(path)
+    // after the data — parquet overwrite deletes the dir, manifest
+    // included; absence reads under the pre-manifest contract
+    graft.streaming.StoreFs.writeGeometry(docs.sparkSession, path, Seq(
+      "family" -> "signature", "key_columns" -> "doc_id"))
+  }
 
   /** COMPACT the signature store: per-batch appends leave one small
     * parquet file per micro-batch (a year of 5-minute batches is ~10⁵
@@ -758,6 +763,23 @@ object Dedup {
     * rows) is a cadence decision like any store rebuild. */
   def writeGramStore(docs: DataFrame, path: String, k: Int): Unit = {
     import graft.functions.TextFunctions._
+    // geometry guard (VERDICT r13 #4): the gram WIDTH is part of the
+    // store's identity — counts appended under a different k silently
+    // corrupt every occurrence total (a k-5 window "seen twice" might
+    // be two unrelated k-7 windows). Append-mode writer, so the first
+    // call records the geometry and every later call validates it.
+    val spark = docs.sparkSession
+    val geo = graft.streaming.StoreFs.readGeometry(spark, path)
+    geo.get("family").foreach { f => require(f == "gram",
+      s"writeGramStore at $path expects a 'gram' store but the " +
+        s"geometry manifest records family='$f' (recorded: $geo)") }
+    geo.get("k").flatMap(_.toIntOption).foreach { gk => require(gk == k,
+      s"gram store $path was built with k=$gk but the caller passed " +
+        s"k=$k (recorded geometry: $geo) — counts under mixed widths " +
+        "are meaningless; rebuild the store to change k") }
+    if (geo.isEmpty)
+      graft.streaming.StoreFs.writeGeometry(spark, path, Seq(
+        "family" -> "gram", "k" -> k.toString, "key_columns" -> "gh"))
     docs.select(col("doc_id"), words(normText(col("text"))).as("ws"))
       .select(posexplode(shingles(col("ws"), k)).as(Seq("pos", "s")))
       .select(md5(col("s")).as("gh"))

@@ -351,6 +351,12 @@ object Quantization {
       .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
         lit(0L), (a, v) => a + v))
       .write.mode("overwrite").parquet(path)
+    // after the data — parquet overwrite deletes the dir, manifest
+    // included. max_bits/dim are the append-time contract: codes cut
+    // from a different mask basis or slice width silently re-bucket.
+    graft.streaming.StoreFs.writeGeometry(emb.sparkSession, path, Seq(
+      "family" -> "code", "max_bits" -> maxBits.toString,
+      "dim" -> dim.toString, "key_columns" -> "vec_id"))
   }
 
   /** Append a batch's codes to an existing store under the store's FROZEN
@@ -361,6 +367,20 @@ object Quantization {
   def appendToCodeStore(emb: DataFrame, store: DataFrame, path: String,
                         maxBits: Int, dim: Int): Unit = {
     import graft.functions.VectorFunctions
+    // geometry guard (VERDICT r13 #4): a caller whose (maxBits, dim)
+    // disagree with the build cuts the LSH mask from a different basis
+    // and silently re-buckets every appended code
+    val geo = graft.streaming.StoreFs.readGeometry(emb.sparkSession, path)
+    geo.get("family").foreach { f => require(f == "code",
+      s"appendToCodeStore at $path expects a 'code' store but the " +
+        s"geometry manifest records family='$f' (recorded: $geo)") }
+    for (gb <- geo.get("max_bits").flatMap(_.toIntOption))
+      require(gb == maxBits, s"code store $path was built with " +
+        s"max_bits=$gb but the caller passed maxBits=$maxBits " +
+        s"(recorded geometry: $geo)")
+    for (gd <- geo.get("dim").flatMap(_.toIntOption))
+      require(gd == dim, s"code store $path was built with dim=$gd " +
+        s"but the caller passed dim=$dim (recorded geometry: $geo)")
     val nb = store.agg(max(col("nbits")).as("__nbits"))
     int8Codes(emb).crossJoin(broadcast(nb))
       .select(col("vec_id"),

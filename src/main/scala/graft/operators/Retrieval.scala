@@ -99,6 +99,19 @@ object Retrieval {
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/postings")
+    // geometry manifests per SUB-TABLE (VERDICT r13 #4): an index root
+    // can also carry a positional sub, so family is a property of each
+    // sub. Written AFTER the data — parquet overwrite deletes the
+    // target dir, manifest included; a crash before this line leaves a
+    // manifest-less store, which reads under the pre-manifest
+    // trust-the-caller contract (safe), unlike the vec store where the
+    // manifest names a partition LAYOUT and must precede data.
+    val spark = docs.sparkSession
+    graft.streaming.StoreFs.writeGeometry(spark, s"$path/doclen", Seq(
+      "family" -> "index_doclen", "key_columns" -> "doc_id"))
+    graft.streaming.StoreFs.writeGeometry(spark, s"$path/postings", Seq(
+      "family" -> "index_postings", "layout" -> "term_sorted",
+      "key_columns" -> "term,doc_id"))
   }
 
   /** Append a NEW batch of documents to an existing index store — the
@@ -108,6 +121,10 @@ object Retrieval {
     * across generations; [[graft.streaming.StoreFs]]-style compaction
     * can re-sort generations when file sprawl warrants it. */
   def appendIndexStore(newDocs: DataFrame, path: String): Unit = {
+    // family guard (VERDICT r13 #4): an append aimed at the wrong store
+    // family would interleave foreign rows into plausible parquet
+    graft.streaming.StoreFs.requireFamily(newDocs.sparkSession,
+      s"$path/postings", "index_postings", "appendIndexStore")
     val p = newDocs
       .withColumn("ws", words(normText(col("text"))))
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
@@ -139,11 +156,16 @@ object Retrieval {
     * path produces, with document text nowhere in the plan. */
   private def storeScores(spark: org.apache.spark.sql.SparkSession,
                           path: String, terms: Seq[String],
-                          k1: Double, b: Double): DataFrame =
+                          k1: Double, b: Double): DataFrame = {
+    // family guard (VERDICT r13 #4): BM25 over a positional/gram store
+    // read plausible parquet and scored silently wrong numbers
+    graft.streaming.StoreFs.requireFamily(spark, s"$path/postings",
+      "index_postings", "BM25 serve")
     storeScoresResolved(spark,
       graft.streaming.StoreFs.dataDir(spark, s"$path/doclen"),
       graft.streaming.StoreFs.dataDir(spark, s"$path/postings"),
       terms, k1, b)
+  }
 
   private def storeScoresResolved(spark: org.apache.spark.sql.SparkSession,
                                   doclenDir: String, postingsDir: String,
@@ -643,7 +665,7 @@ object Retrieval {
     * occurrence vs the BM25 store's 1 per (term, doc) — positions are
     * what phrase/proximity queries pay for). The append/compact
     * lifecycle of the other stores applies unchanged. */
-  def writePositionalStore(docs: DataFrame, path: String): Unit =
+  def writePositionalStore(docs: DataFrame, path: String): Unit = {
     docs
       .select(col("doc_id"),
         posexplode(words(normText(col("text")))).as(Seq("pos", "term")))
@@ -651,6 +673,13 @@ object Retrieval {
       .repartitionByRange(col("term"))
       .sortWithinPartitions("term", "doc_id", "pos")
       .write.mode("overwrite").parquet(s"$path/positions")
+    // after the data — the overwrite would delete an earlier manifest
+    // (the writeIndexStore rationale)
+    graft.streaming.StoreFs.writeGeometry(docs.sparkSession,
+      s"$path/positions", Seq(
+        "family" -> "positional", "layout" -> "term_sorted",
+        "key_columns" -> "term,doc_id,pos"))
+  }
 
   /** Shared phrase-match tail over a positional-postings frame: for each
     * phrase t₀…tₙ₋₁, occurrence starts are the classical positional
@@ -705,6 +734,8 @@ object Retrieval {
   def phraseSearchFromStore(spark: org.apache.spark.sql.SparkSession,
                             path: String, phrases: Seq[Seq[String]],
                             k: Int): DataFrame = {
+    graft.streaming.StoreFs.requireFamily(spark, s"$path/positions",
+      "positional", "phrase serve")
     val pos = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/positions"))
       .filter(col("term").isInCollection(phrases.flatten.distinct))
     phraseMatchTail(pos, phrases, k)

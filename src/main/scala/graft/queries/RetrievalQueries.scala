@@ -570,9 +570,10 @@ object RetrievalQueries {
   // leaf and resolves the SAME store-served scoring code at execution.
   // Identical rows to y19 through a pure-SQL, relation-terms entry
   // point is the surface's correctness contract.
-  val y58 = Query(
-    "y58_bm25_table_tvf",
-    Some(s"""
+  // the oracle shared by the two query-table BM25 regimes (y58 literal
+  // pushdown, y60 broadcast): the regime is a pruning decision, never a
+  // semantics one, so both must hash-match the same SQL
+  private def bm25TableOracle: String = s"""
       WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
       p AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
       g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -592,7 +593,11 @@ object RetrievalQueries {
                 ORDER BY score DESC, doc_id) AS INT) AS rk
             FROM sc)
       SELECT term, doc_id, tf, score, rk FROM r WHERE rk <= 10
-      ORDER BY term, rk""")
+      ORDER BY term, rk"""
+
+  val y58 = Query(
+    "y58_bm25_table_tvf",
+    Some(bm25TableOracle)
   ) { (s, d) =>
     import s.implicits._
     // duplicates collapse on the serve side; the oracle's IN-set is the
@@ -601,6 +606,27 @@ object RetrievalQueries {
       .createOrReplaceTempView("y58_terms")
     s.sql(s"""SELECT * FROM graft_bm25_topk_table(
          '${ensureIndexStore(s, d)}', 'y58_terms', 10, $K1, $B)""")
+      .orderBy("term", "rk")
+  }
+
+  // --- Y60: the OVER-CEILING regime of the query-table BM25 serve
+  // (VERDICT r13 #6 — the last ungraded serve regime): above
+  // MaxTermPushdown the distinct terms stay a broadcast JOIN against
+  // the postings scan — no literal in the plan, one unpruned postings
+  // pass (at that vocabulary the request reads a corpus-scale slice
+  // regardless). Graded by forcing the ceiling to 0 so the SAME
+  // request y58 serves through the literal arm goes through the
+  // broadcast arm — identical rows to the identical oracle is the
+  // two-regime contract. The no-literal plan shape is spec-pinned
+  // (SqlParityStoreSpec regime-2 row).
+  val y60 = Query(
+    "y60_bm25_broadcast_regime",
+    Some(bm25TableOracle)
+  ) { (s, d) =>
+    import s.implicits._
+    Retrieval.bm25TopKFromStore(s, ensureIndexStore(s, d),
+        (Terms ++ Terms.take(2)).toDF("term"), 10, K1, B,
+        maxTermPushdown = 0)
       .orderBy("term", "rk")
   }
 
@@ -1353,5 +1379,5 @@ object RetrievalQueries {
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
     x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38, y49,
-    y52, y55, y57, y58, y59)
+    y52, y55, y57, y58, y59, y60)
 }

@@ -64,6 +64,9 @@ object DsirStream {
     val spark = batch.sparkSession
     if (StoreFs.markerExists(spark, storePath, batchId))
       return // checkpoint replay of a fully-recorded batch
+    // geometry bootstrap/guard (VERDICT r13 #4)
+    StoreFs.ensureGeometry(spark, storePath, "dsir",
+      Seq("key_columns" -> "b"), "DsirStream")
     val storeExists = StoreFs.storeExists(spark, storePath)
     // materialize the batch counts BEFORE the append fires recacheByPath
     // (the IncrementalDedup lesson): both the λ derivation and the append

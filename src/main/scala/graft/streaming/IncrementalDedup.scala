@@ -59,6 +59,10 @@ object IncrementalDedup {
     val spark = batch.sparkSession
     if (StoreFs.markerExists(spark, storePath, batchId))
       return // checkpoint replay of an appended batch
+    // geometry bootstrap/guard (VERDICT r13 #4): first batch records
+    // the family, later batches fail fast on a wrong-store path
+    StoreFs.ensureGeometry(spark, storePath, "signature",
+      Seq("key_columns" -> "doc_id"), "IncrementalDedup")
     val storeExists = StoreFs.storeExists(spark, storePath)
     // MATERIALIZE decisions BEFORE the store append — as a LOCAL
     // CHECKPOINT, not a cache: the plan reads the store parquet, and the

@@ -52,6 +52,17 @@ object IndexIngest {
     val spark = batch.sparkSession
     if (StoreFs.markerExists(spark, storePath, batchId))
       return // checkpoint replay of a fully-recorded batch
+    // geometry bootstrap/guard (VERDICT r13 #4): the first micro-batch
+    // CREATES the store, so the manifest lands here; later batches
+    // validate the family before mutating anything
+    StoreFs.ensureGeometry(spark, s"$storePath/doclen", "index_doclen",
+      Seq("key_columns" -> "doc_id"), "IndexIngest")
+    StoreFs.ensureGeometry(spark, s"$storePath/postings", "index_postings",
+      Seq("layout" -> "term_sorted", "key_columns" -> "term,doc_id"),
+      "IndexIngest")
+    StoreFs.ensureGeometry(spark, s"$storePath/positions", "positional",
+      Seq("layout" -> "term_sorted", "key_columns" -> "term,doc_id,pos"),
+      "IndexIngest")
     // one tokenize pass, frozen so the three appends share it (and so
     // no append-triggered recache can recompute it — the
     // IncrementalDedup lesson)

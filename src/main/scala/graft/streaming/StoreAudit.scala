@@ -88,7 +88,75 @@ object StoreAudit {
       if (subDirs.isEmpty) Seq.empty
       else frontierFindings(spark, dir, subDirs, sealId)
     val snapshots = snapshotFindings(spark, dir)
-    layout ++ seal ++ markers ++ owner ++ frontier ++ snapshots
+    val geometry = (Seq(dir) ++ subDirs).distinct
+      .flatMap(geometryFindings(spark, _))
+    layout ++ seal ++ markers ++ owner ++ frontier ++ snapshots ++ geometry
+  }
+
+  /** Geometry manifest vs data cross-check (VERDICT r13 #4): the
+    * manifest records the store's identity (family, key columns,
+    * partition layout); data that disagrees means a wrong manifest was
+    * restored or foreign rows were written into this path — either way
+    * serves will fail fast (or worse, for pre-guard entry points,
+    * answer wrong), so the fsck surfaces it as an error. Bounded: one
+    * manifest read plus one parquet FOOTER read (schema only, no data
+    * pages); a pre-manifest store produces no findings. */
+  private def geometryFindings(spark: SparkSession,
+                               dir: String): Seq[Finding] = {
+    val geo = StoreFs.readGeometry(spark, dir)
+    val family = geo.getOrElse("family", return Seq.empty)
+    def schemaOf(d: String): Either[Finding, Set[String]] =
+      try Right(spark.read.option("mergeSchema", "true")
+        .parquet(StoreFs.dataDir(spark, d)).columns.toSet)
+      catch {
+        case e: Exception => Left(Finding(dir, "geometry", "warn",
+          s"could not read $d's schema to cross-check the geometry " +
+            s"manifest (family=$family): ${e.getMessage}"))
+      }
+    // the vector-store families record a PARTITION LAYOUT at the root;
+    // the cross-check is the append guard's, surfaced as a finding
+    def layoutCheck(sub: String): Seq[Finding] = {
+      if (!StoreFs.storeExists(spark, sub)) return Seq(Finding(dir,
+        "geometry", "info", s"geometry manifest present " +
+          s"(family=$family) but $sub holds no data yet — a build " +
+          "mid-flight or crashed before its data landed"))
+      val buckets = geo.get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
+      schemaOf(sub) match {
+        case Left(f) => Seq(f)
+        case Right(cols) =>
+          if (cols.contains("cell_bucket") != (buckets > 0))
+            Seq(Finding(dir, "geometry", "error",
+              s"$sub data is ${if (cols.contains("cell_bucket"))
+                "bucketed" else "legacy"}-laid but the geometry " +
+                s"manifest records n_buckets=$buckets — appends fail " +
+                "fast and serves may scan the wrong partition column; " +
+                "restore the matching manifest (StoreFs.writeGeometry)"))
+          else Seq.empty
+      }
+    }
+    family match {
+      case "exact_ivf" => layoutCheck(s"$dir/vecs")
+      case "ivfadc"    => layoutCheck(s"$dir/codes")
+      case _ =>
+        val keyCols = geo.get("key_columns")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(return Seq.empty)
+        if (!StoreFs.storeExists(spark, dir)) return Seq(Finding(dir,
+          "geometry", "info", s"geometry manifest present " +
+            s"(family=$family) but the store holds no data yet"))
+        schemaOf(dir) match {
+          case Left(f) => Seq(f)
+          case Right(cols) =>
+            val missing = keyCols.filterNot(cols.contains)
+            if (missing.nonEmpty) Seq(Finding(dir, "geometry", "error",
+              s"geometry manifest records family=$family with " +
+                s"key_columns=${keyCols.mkString(",")} but the data " +
+                s"is missing ${missing.mkString(",")} — manifest and " +
+                "data disagree (wrong manifest restored, or foreign " +
+                "rows written into this path)"))
+            else Seq.empty
+        }
+    }
   }
 
   /** Multi-table snapshot manifests at the store root (VERDICT r12
@@ -200,14 +268,17 @@ object StoreAudit {
           " progress, or a crashed compactor the next run reclaims)"))
     val pastGrace = live.toSeq.flatMap { l =>
       val stale = gens.filter(n => n < l - keepGens)
-      // a held compaction/takeover lock and the owner record are
-      // NORMAL root residents, not generation-0 remnants (ADVICE r11 —
-      // the old heuristic misreported a legitimately held lock)
+      // a held compaction/takeover lock, the owner record, the
+      // geometry manifest and snapshot manifests are NORMAL root
+      // residents, not generation-0 remnants (ADVICE r11 — the old
+      // heuristic misreported a legitimately held lock; r14 — the
+      // same exclusion set GC itself uses)
       val flatRemnants = l > keepGens && names.exists(n =>
         !n.startsWith(StoreFs.genPrefix) &&
           !n.startsWith(StoreFs.commitPrefix) && !n.startsWith(".") &&
+          !n.startsWith(StoreFs.SnapshotPrefix) &&
           n != StoreFs.LockName && n != StoreFs.TakeoverName &&
-          n != StoreFs.OwnerName)
+          n != StoreFs.OwnerName && n != StoreFs.GeometryName)
       stale.map(n => Finding(dir, "generation-layout", "warn",
         s"generation _gen-$n is past its grace window (live is $l," +
           s" retention $keepGens) and should have been GC'd — the" +

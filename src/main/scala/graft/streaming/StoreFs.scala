@@ -237,6 +237,26 @@ private[graft] object StoreFs {
     id
   }
 
+  /** Single-table convenience over [[createSnapshot]] (VERDICT r13 #8):
+    * pin THIS store's current generation under a snapshot manifest at
+    * its own root — the treatment the curation DECISION stores
+    * (verdicts, signatures, codes) need for auditability: "what did we
+    * drop as of generation N" replays from the pin, across later
+    * compactions and appends. Pair with the family's compactor right
+    * after (the freeze rationale of [[graft.operators.ExactIvf
+    * .snapshotVecStore]]): appends land IN the live generation, so an
+    * unfrozen pin keeps tracking ingest. */
+  def snapshotStore(spark: SparkSession, dir: String): Long =
+    createSnapshot(spark, dir, Seq(dir))
+
+  /** Resolve a [[snapshotStore]] pin to its concrete data directory;
+    * errors with the dataDirAt diagnosis when the generation was GC'd. */
+  def snapshotDataDir(spark: SparkSession, dir: String, id: Long): String =
+    snapshotDataDirs(spark, dir, id).getOrElse(dir,
+      throw new IllegalArgumentException(
+        s"snapshot $id of $dir does not record $dir itself — it is a " +
+          "multi-table manifest; resolve through snapshotDataDirs"))
+
   /** Snapshot ids recorded at `root`, ascending. */
   def listSnapshots(spark: SparkSession, root: String): Seq[Long] = {
     val (fs, p) = fsAndPath(spark, root)
@@ -477,6 +497,38 @@ private[graft] object StoreFs {
       fs.delete(tmp, false)
       throw new java.io.IOException(
         s"could not materialize geometry manifest $dst (rename failed)")
+    }
+  }
+
+  /** Fail fast when `dir`'s recorded store FAMILY disagrees with the
+    * operation about to run (VERDICT r13 #4): before the manifest, a
+    * BM25 serve pointed at a positional store (or a gram-store append
+    * aimed at a signature store) read plausible-looking parquet and
+    * produced silently wrong numbers. Absent manifest (pre-manifest
+    * store) = trust the caller, the standing contract. */
+  def requireFamily(spark: SparkSession, dir: String, expected: String,
+                    op: String): Unit = {
+    val geo = readGeometry(spark, dir)
+    geo.get("family").foreach { f =>
+      require(f == expected,
+        s"$op at $dir expects a '$expected' store but the geometry " +
+          s"manifest records family='$f' (recorded: $geo) — wrong path, " +
+          "or the wrong serve/append entry point for this store")
+    }
+  }
+
+  /** [[requireFamily]] + bootstrap: validates an existing manifest's
+    * family and WRITES the manifest when absent — the idempotent shape
+    * the streaming ingests need, where the first micro-batch creates
+    * the store. Call BEFORE the append so the wrong-family guard fires
+    * before any mutation. */
+  def ensureGeometry(spark: SparkSession, dir: String, family: String,
+                     kv: Seq[(String, String)] = Seq.empty,
+                     op: String = "append"): Unit = {
+    val geo = readGeometry(spark, dir)
+    geo.get("family") match {
+      case Some(_) => requireFamily(spark, dir, family, op)
+      case None => writeGeometry(spark, dir, ("family" -> family) +: kv)
     }
   }
 

@@ -202,6 +202,63 @@ class SnapshotServeSpec extends AnyFunSuite with SparkTest {
       e.getMessage.contains("compacted away"), e.getMessage)
   }
 
+  test("decision stores (verdicts/signatures): a pinned generation replays 'what did we drop as of N' across compaction + append (VERDICT r13 #8)") {
+    import spark.implicits._
+    // the y54-shaped VERDICT store: one decision row per doc, appended
+    // per micro-batch, compacted on a cadence — an auditor must be able
+    // to pin generation N and replay exactly the decisions as of then
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-snap-verdicts-").toString + "/verdicts"
+    def rowsAt(d: String): Set[String] =
+      spark.read.parquet(d).collect().map(_.toString).toSet
+    (0L until 20L).map(i => (i, i % 3 == 0L)).toDF("doc_id", "dropped")
+      .write.mode("append").parquet(dir)
+    val asOf = rowsAt(dir)
+    val snap = StoreFs.snapshotStore(spark, dir)
+    // freeze: compaction flips the live generation so later appends
+    // can't contaminate the pin
+    StoreFs.swapInCompacted(spark, dir) { tmp =>
+      spark.read.parquet(dir).dropDuplicates("doc_id")
+        .write.parquet(tmp)
+    }
+    // live moves on: a new batch's decisions append; one doc's verdict
+    // is (wrongly, from the auditor's view) re-emitted flipped
+    Seq((100L, true), (3L, false)).toDF("doc_id", "dropped")
+      .write.mode("append").parquet(StoreFs.dataDir(spark, dir))
+    assert(rowsAt(StoreFs.dataDir(spark, dir)) != asOf,
+      "the live store must have moved")
+    // the pinned read is exactly the decision set as of the snapshot
+    assert(rowsAt(StoreFs.snapshotDataDir(spark, dir, snap)) == asOf,
+      "the pinned generation must replay the decisions as of N")
+    // the signature store gets the same treatment through its own
+    // compactor
+    val sig = java.nio.file.Files
+      .createTempDirectory("graft-snap-sigs-").toString + "/sigs"
+    val docs1 = (0L until 30L).map { i =>
+      (i, s"alpha term${i % 5} document $i body")
+    }.toDF("doc_id", "text")
+    Dedup.writeSignatureStore(docs1, sig)
+    val sigsAsOf = rowsAt(sig)
+    val sigSnap = StoreFs.snapshotStore(spark, sig)
+    Dedup.compactSignatureStore(spark, sig)
+    (30L until 40L).map { i =>
+      (i, s"alpha fresh document $i body")
+    }.toDF("doc_id", "text")
+    graft.streaming.IncrementalDedup.processBatch(
+      (30L until 40L).map(i => (i, s"alpha fresh document $i body"))
+        .toDF("doc_id", "text"), 1L, sig, 0.5, (_, _) => ())
+    assert(rowsAt(StoreFs.dataDir(spark, sig)) != sigsAsOf)
+    assert(rowsAt(StoreFs.snapshotDataDir(spark, sig, sigSnap)) == sigsAsOf,
+      "the pinned signature generation must replay the corpus state as of N")
+    // GC past the grace window → the pin errors, never serves mixed
+    Dedup.compactSignatureStore(spark, sig)
+    Dedup.compactSignatureStore(spark, sig)
+    val e = intercept[IllegalStateException](
+      StoreFs.snapshotDataDir(spark, sig, sigSnap))
+    assert(e.getMessage.contains("grace window") ||
+      e.getMessage.contains("compacted away"), e.getMessage)
+  }
+
   test("a torn v2 manifest (writer crashed mid-body) is refused, never resolved as a subset") {
     val path = java.nio.file.Files
       .createTempDirectory("graft-snapserve-torn-").toString
