@@ -79,7 +79,7 @@ object GroupBoundProbe {
       (q.toLong, h(q.toLong, 17L, nCells.toLong) * vecsPerCell)
     }
     def run(label: String, floor: String): Unit = {
-      spark.conf.set("spark.graft.exactivf.groupFloor", floor)
+      spark.conf.set("spark.graft.serve.groupFloor", floor)
       try {
         val t = System.nanoTime()
         val stats = graft.operators.ExactIvf
@@ -92,11 +92,38 @@ object GroupBoundProbe {
           .topDotBatchFromStore(spark, path, queries, k, nprobe0).count()
         val serveSec = (System.nanoTime() - t2) / 1e9
         println(f"""{"mode":"$label","bound_rows":$boundRows,"survivor_pairs":$survivors,"stats_sec":$statsSec%.1f,"serve_rows":$served,"serve_sec":$serveSec%.1f}""")
-      } finally spark.conf.unset("spark.graft.exactivf.groupFloor")
+      } finally spark.conf.unset("spark.graft.serve.groupFloor")
     }
-    // grouped first (the default at this geometry), then the flat twin
+    // grouped first, then the flat twin (floor in integer ops)
     run("grouped", floor = "1")
-    run("flat", floor = Int.MaxValue.toString)
+    run("flat", floor = Long.MaxValue.toString)
+
+    // the IVFADC twin: same synthetic corpus, same geometry — the
+    // probe→cell selection's |probes|·nCells term measured grouped vs
+    // flat (the serve tail past the selection is identical)
+    val adcPath = java.nio.file.Files
+      .createTempDirectory("graft-groupbound-adc-").toString
+    val t1 = System.nanoTime()
+    graft.operators.Pq.writeIvfadcStoreAssigned(spark,
+      assigned, cents, adcPath, m = 4, dim = dim, nCents = 64, iters = 1)
+    println(f"""{"adc_build_sec":${(System.nanoTime() - t1) / 1e9}%.1f}""")
+    // the serve micro-lifts probe embeddings by 1e6 — hand it the
+    // double form that round-trips to the store's micro-space vm
+    val emb = assigned.select(col("vec_id"),
+      transform(col("vm"), x => x.cast("double") / 1e6).as("embedding"))
+    val probeIds = queries.map(_._2)
+    def runAdc(label: String, floor: String): Unit = {
+      spark.conf.set("spark.graft.serve.groupFloor", floor)
+      try {
+        val t = System.nanoTime()
+        val served = graft.operators.Pq.ivfadcTopKFromStore(spark,
+          adcPath, emb, probeIds, nprobe = 4, kShort = 50, k = 10,
+          m = 4, dim = dim).count()
+        println(f"""{"adc_mode":"$label","serve_rows":$served,"serve_sec":${(System.nanoTime() - t) / 1e9}%.1f}""")
+      } finally spark.conf.unset("spark.graft.serve.groupFloor")
+    }
+    runAdc("grouped", floor = "1")
+    runAdc("flat", floor = Long.MaxValue.toString)
     spark.stop()
   }
 }

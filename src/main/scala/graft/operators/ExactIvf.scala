@@ -87,22 +87,26 @@ object ExactIvf {
     if (nGroups < 0) math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
     else nGroups
 
-  /** Below this many (query, cell) PAIRS per serve chunk the serve
-    * keeps the single-level bound: the quadratic term is |queries|·
-    * nCells, so the gate is the product, not the cell count alone — an
-    * 8-probe diagnostic against a 10⁴-cell store is 10⁵ trivial pairs
-    * (flat), a 1024-query production batch against a 10⁵-cell store is
-    * 10⁸ (grouped). Measured at the default (GroupBoundProbe, 10⁵
-    * cells, SCALE.md Round-14): the grouped bound pass undercuts flat
-    * in rows by 13–28× and in wall once past the crossover, while the
-    * ~6 extra stages it costs stay a fixed ~1.5 s — which is why small
-    * serves keep the flat plan. Session-overridable so specs drive the
-    * grouped path at fixture scale (`spark.graft.exactivf.groupFloor`,
-    * interpreted as the pair floor). */
-  private[operators] val DefaultGroupServeFloor = 8000000L
+  /** Below this many integer OPS in the flat bound pass —
+    * |queries| · nCells · dim, the actual cost of crossJoining every
+    * probe with every centroid — the serve keeps the single-level
+    * bound: the grouped path's ~6 extra stages cost a fixed ~1.5 s of
+    * local latency, so it must buy more than that in avoided dot work.
+    * Pairs alone misgate (measured, GroupBoundProbe: at dim 32 × 256
+    * queries × 10⁵ cells = 8·10⁸ ops the flat pass is still faster;
+    * at dim 128 × 1024 queries × 10⁵ cells = 1.3·10¹⁰ ops the grouped
+    * pass wins outright — 10.4 s vs 12.0 s with 28× fewer bound rows,
+    * and the margin grows with every factor). The default sits between
+    * the two measured points, conservative toward flat; a SemDeDup-
+    * scale serve (≥ 10⁶ cells, dim ≥ 256, 4096-query chunks — 10¹⁵
+    * ops flat) is deep in the grouped regime, where it ALSO avoids
+    * broadcasting a multi-GB cells table. Session-overridable so specs
+    * drive the grouped path at fixture scale
+    * (`spark.graft.serve.groupFloor`, an op-count floor). */
+  private[operators] val DefaultGroupServeFloor = 8000000000L
 
   private[operators] def groupServeFloor(spark: SparkSession): Long =
-    spark.conf.get("spark.graft.exactivf.groupFloor",
+    spark.conf.get("spark.graft.serve.groupFloor",
       DefaultGroupServeFloor.toString).toLong
 
   /** ONE definition of "can DPP fire in this session" and of the
@@ -174,6 +178,8 @@ object ExactIvf {
                             nGroups: Int): Unit = {
     val buckets = resolveBuckets(nBuckets, nCells)
     val groups = resolveGroups(nGroups, nCells)
+    // dim rides the manifest for the serve's op-count group gate
+    val dim = coarse.select(size(col("ccvm"))).head.getInt(0)
     // manifest BEFORE data (review r13): a crash after bucketed data
     // but before the manifest would make the next append read
     // "legacy" and write ivf_cell= directories beside cell_bucket=
@@ -182,7 +188,8 @@ object ExactIvf {
     // false and the rebuild overwrites the manifest.
     graft.streaming.StoreFs.writeGeometry(spark, path, Seq(
       "family" -> "exact_ivf", "n_cells" -> nCells.toString,
-      "n_buckets" -> buckets.toString, "n_groups" -> groups.toString))
+      "n_buckets" -> buckets.toString, "n_groups" -> groups.toString,
+      "dim" -> dim.toString))
     val rows = graft.core.Caches.scoped(
       assignedIn.select(col("vec_id"), col("vm"), col("ivf_cell")))
     // the coarse-over-coarse level ([[resolveGroups]]): a second integer
@@ -508,9 +515,12 @@ object ExactIvf {
           col(keyCol).cast("long").as(keyCol))
 
     val nCells = cells.count()
+    // the op-count gate needs dim; recorded in the geometry at build
+    // (grouped stores always carry it — n_groups and dim land together)
+    val dimGeo = geo.get("dim").flatMap(_.toIntOption).getOrElse(1)
     val useGroups = geo.get("n_groups").flatMap(_.toIntOption).exists(_ > 0) &&
       cells.columns.contains("cell_group") &&
-      asked * nCells >= groupServeFloor(spark)
+      asked * nCells * dimGeo >= groupServeFloor(spark)
 
     if (!useGroups) {
       // single-level bound: every (query, cell) pair — fine below the

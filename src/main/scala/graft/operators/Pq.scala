@@ -459,6 +459,7 @@ object Pq {
                        vecCol: String = "embedding",
                        nBuckets: Int = -1): Unit = {
     val buckets = ExactIvf.resolveBuckets(nBuckets, nCells)
+    val groups = ExactIvf.resolveGroups(-1, nCells)
     // manifest BEFORE data — the ExactIvf.writeVecStore rationale
     // (review r13): a post-data crash window would let the next
     // append write the other layout into the same directory
@@ -466,11 +467,83 @@ object Pq {
       "family" -> "ivfadc", "n_cells" -> nCells.toString,
       "n_buckets" -> buckets.toString, "m" -> m.toString,
       "dim" -> dim.toString, "n_cents" -> nCents.toString,
-      "vec_col" -> vecCol))
+      "vec_col" -> vecCol, "n_groups" -> groups.toString))
     val mv = graft.core.Caches.scoped(microVectors(emb, vecCol))
-    val coarse = graft.core.Caches.scoped(trainCoarse(mv, nCells, iters))
+    val coarse0 = graft.core.Caches.scoped(trainCoarse(mv, nCells, iters))
+    // coarse-over-coarse level (VERDICT r13 #1, the ExactIvf
+    // rationale carried to the APPROXIMATE path): the probe→cell
+    // ranking crossJoins every probe with every coarse centroid —
+    // |probes|·nCells integer L2²s per serve chunk, the same quadratic
+    // term the exact serve had, plus an O(nCells·dim) coarse broadcast.
+    // A √nCells group level (frozen with the centroids) lets the serve
+    // prune whole groups through the triangle inequality BEFORE any
+    // per-cell distance — with the exact nprobe selection preserved
+    // (see ivfadcShortlist). Cells are frozen, so the assignment needs
+    // no incremental maintenance.
+    val cmv = coarse0.select(col("ivf_cell").as("vec_id"),
+      col("ccvm").as("vm"))
+    val gcent = graft.core.Caches.scoped(trainCoarse(cmv, groups, iters))
+    val asg = coarseResiduals(cmv, gcent)
+      .select(col("vec_id").as("ivf_cell"), col("ivf_cell").as("cell_group"))
+    gcent.select(col("ivf_cell").as("cell_group"), col("ccvm").as("gcvm"))
+      .write.mode("overwrite").parquet(s"$path/groups")
+    val coarse = graft.core.Caches.scoped(
+      coarse0.join(broadcast(asg), Seq("ivf_cell")))
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
     val res = graft.core.Caches.scoped(coarseResiduals(mv, coarse))
+    val rsv = graft.core.Caches.scoped(residualSubvectors(res, m, dim))
+    val books = trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters)
+    books.write.mode("overwrite").parquet(s"$path/books")
+    ExactIvf.writeCellLaid(
+      assign(rsv.drop("ivf_cell"), books)
+        .select(col("vec_id"), col("sub"), col("cell"))
+        .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id")),
+      buckets, s"$path/codes", overwrite = true)
+  }
+
+  /** [[writeIvfadcStore]] for EXTERNALLY-CLUSTERED corpora (the
+    * [[ExactIvf.writeVecStoreAssigned]] analog): `assigned` is
+    * (vec_id, vm, ivf_cell) with the coarse assignment already decided
+    * offline, `centroids` is (ivf_cell, ccvm). Both vector columns are
+    * MICRO-UNIT integer arrays (the [[microVectors]] space — the serve
+    * micro-lifts its probe embeddings by 1e6, and the stored residuals
+    * must live in that same space). Residual codebooks are still
+    * trained here (cheap — sampled init + bounded iters over the
+    * residual subvectors); only the corpus-scale coarse k-means is
+    * skipped. IVFADC is approximate by contract, so a non-nearest
+    * assignment costs recall, never correctness of the serve's own
+    * semantics (exact ADC sums over the probed cells' codes). */
+  def writeIvfadcStoreAssigned(spark: org.apache.spark.sql.SparkSession,
+                               assigned: DataFrame, centroids: DataFrame,
+                               path: String, m: Int, dim: Int,
+                               nCents: Int, iters: Int,
+                               nBuckets: Int = -1): Unit = {
+    val coarse0 = graft.core.Caches.scoped(
+      centroids.select(col("ivf_cell"), col("ccvm")))
+    val nCells = coarse0.count().toInt
+    val buckets = ExactIvf.resolveBuckets(nBuckets, nCells)
+    val groups = ExactIvf.resolveGroups(-1, nCells)
+    graft.streaming.StoreFs.writeGeometry(spark, path, Seq(
+      "family" -> "ivfadc", "n_cells" -> nCells.toString,
+      "n_buckets" -> buckets.toString, "m" -> m.toString,
+      "dim" -> dim.toString, "n_cents" -> nCents.toString,
+      "vec_col" -> "embedding", "n_groups" -> groups.toString))
+    val cmv = coarse0.select(col("ivf_cell").as("vec_id"),
+      col("ccvm").as("vm"))
+    val gcent = graft.core.Caches.scoped(trainCoarse(cmv, groups, iters))
+    val asg = coarseResiduals(cmv, gcent)
+      .select(col("vec_id").as("ivf_cell"), col("ivf_cell").as("cell_group"))
+    gcent.select(col("ivf_cell").as("cell_group"), col("ccvm").as("gcvm"))
+      .write.mode("overwrite").parquet(s"$path/groups")
+    coarse0.join(broadcast(asg), Seq("ivf_cell"))
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    // residuals from the GIVEN assignment (not nearest-cell): exact
+    // integer subtraction against the assigned cell's centroid
+    val res = graft.core.Caches.scoped(
+      assigned.select(col("vec_id"), col("vm"), col("ivf_cell"))
+        .join(broadcast(coarse0), Seq("ivf_cell"))
+        .select(col("vec_id"), col("ivf_cell"),
+          zip_with(col("vm"), col("ccvm"), (a, b) => a - b).as("rm")))
     val rsv = graft.core.Caches.scoped(residualSubvectors(res, m, dim))
     val books = trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters)
     books.write.mode("overwrite").parquet(s"$path/books")
@@ -756,15 +829,89 @@ object Pq {
                               books: DataFrame, vecCol: String,
                               codesDir: String): DataFrame = {
     val subDim = dim / m
-    val pmv = microVectors(probeRows, vecCol).toDF("probe_id", "pm")
-    val pcScored = pmv.crossJoin(broadcast(coarse))
-      .select(col("probe_id"), col("pm"), col("ivf_cell"), col("ccvm"),
-        l2sq(col("pm"), col("ccvm")).as("cd2"))
-    val probeCells = graft.core.Caches.scoped(
-      graft.plans.TopK.perKey(pcScored, Seq(pcScored("probe_id")),
+    val pmv = graft.core.Caches.scoped(
+      microVectors(probeRows, vecCol).toDF("probe_id", "pm"))
+    // probe→cell selection: EXACT top-nprobe coarse cells per probe by
+    // (L2² asc, cell id). The flat form crossJoins every probe with
+    // every centroid — |probes|·nCells distances + an O(nCells·dim)
+    // coarse broadcast, the same quadratic term the exact serve had
+    // (VERDICT r13 #1). Above the shared op-count floor the serve goes
+    // two-level: rank GROUPS by the triangle-inequality lower bound
+    // lb(q, g) = max(0, ‖q − gc‖ − max_c(‖cc − gc‖)) ≤ min_{c∈g} ‖q−c‖,
+    // seed with the nprobe lowest-lb groups' cells, take d* = the
+    // seed's nprobe-th exact distance, and keep every group whose lb
+    // could still beat d* — a kept set that PROVABLY contains the true
+    // top-nprobe cells (any true top cell has ‖q−c‖ ≤ d*, so its
+    // group's lb ≤ d* and it survives; ties kept by ≤ with rounding
+    // margins in the conservative direction), so the final exact top-k
+    // over surviving groups' cells selects the identical nprobe set.
+    // The geometry's n_cells avoids a coarse count; pre-r14 stores
+    // (no cell_group) keep the flat path.
+    val geo = graft.streaming.StoreFs.readGeometry(spark, path)
+    val nCellsGeo = geo.get("n_cells").flatMap(_.toIntOption).getOrElse(0)
+    val useGroups = geo.get("n_groups").flatMap(_.toIntOption).exists(_ > 0) &&
+      coarse.columns.contains("cell_group") && nCellsGeo > 0 &&
+      pmv.count() * nCellsGeo * dim >= ExactIvf.groupServeFloor(spark)
+    val selected =
+      if (!useGroups) {
+        val pcScored = pmv.crossJoin(broadcast(
+            coarse.select("ivf_cell", "ccvm")))
+          .select(col("probe_id"), col("pm"), col("ivf_cell"), col("ccvm"),
+            l2sq(col("pm"), col("ccvm")).as("cd2"))
+        graft.plans.TopK.perKey(pcScored, Seq(pcScored("probe_id")),
           Seq(pcScored("cd2"), pcScored("ivf_cell")), nprobe)
-        .select(col("probe_id"), col("ivf_cell"),
-          zip_with(col("pm"), col("ccvm"), (a, b) => a - b).as("prm")))
+      } else {
+        val groupsT = spark.read.parquet(
+          graft.streaming.StoreFs.dataDir(spark, s"$path/groups"))
+        // per-group max cell-to-group-centroid radius, rounded UP (+1):
+        // derived live from the coarse table, one linear ≤ nCells pass
+        val grads = coarse.join(broadcast(groupsT), Seq("cell_group"))
+          .select(col("cell_group"),
+            (ceil(sqrt(l2sq(col("ccvm"), col("gcvm")).cast("double")))
+              .cast("long") + lit(1L)).as("crad"))
+          .groupBy("cell_group").agg(max(col("crad")).as("grad"))
+        val gstats = graft.core.Caches.scoped(
+          grads.join(broadcast(groupsT), Seq("cell_group")))
+        // lower bound in radius units, rounded DOWN (floor) so fp can
+        // only make it SMALLER — pruning stays conservative
+        val pg = graft.core.Caches.scoped(
+          pmv.crossJoin(broadcast(gstats))
+            .select(col("probe_id"), col("cell_group"),
+              greatest(lit(0L),
+                floor(sqrt(l2sq(col("pm"), col("gcvm")).cast("double")))
+                  .cast("long") - col("grad")).as("glb")))
+        def cellsIn(qg: DataFrame): DataFrame =
+          coarse.select("ivf_cell", "ccvm", "cell_group")
+            .join(qg, Seq("cell_group"))
+            .join(broadcast(pmv), Seq("probe_id"))
+            .select(col("probe_id"), col("pm"), col("ivf_cell"),
+              col("ccvm"), l2sq(col("pm"), col("ccvm")).as("cd2"))
+        val seedGroups = graft.plans.TopK.perKey(pg, Seq(pg("probe_id")),
+            Seq(pg("glb"), pg("cell_group")), nprobe)
+          .select(col("probe_id").cast("long").as("probe_id"),
+            col("cell_group"))
+        val seedCells = cellsIn(seedGroups)
+        val dstar = graft.core.Caches.scoped(
+          graft.plans.TopK.perKey(seedCells, Seq(seedCells("probe_id")),
+              Seq(seedCells("cd2"), seedCells("ivf_cell")), nprobe)
+            .groupBy("probe_id")
+            .agg(count(lit(1)).as("n"), max(col("cd2")).as("dstar")))
+        // a group survives if the probe is underfilled (seed < nprobe
+        // cells) or its lb could still beat d* (ceil + 1: rounded UP,
+        // ties kept)
+        val surv = pg.join(broadcast(dstar), Seq("probe_id"), "left")
+          .filter(col("n").isNull || col("n") < nprobe ||
+            col("glb") <= ceil(sqrt(col("dstar").cast("double")))
+              .cast("long") + lit(1L))
+          .select(col("probe_id").cast("long").as("probe_id"),
+            col("cell_group"))
+        val candCells = cellsIn(surv)
+        graft.plans.TopK.perKey(candCells, Seq(candCells("probe_id")),
+          Seq(candCells("cd2"), candCells("ivf_cell")), nprobe)
+      }
+    val probeCells = graft.core.Caches.scoped(
+      selected.select(col("probe_id"), col("ivf_cell"),
+        zip_with(col("pm"), col("ccvm"), (a, b) => a - b).as("prm")))
     // the codes scan is cell-pruned by DYNAMIC PARTITION PRUNING off
     // the broadcast LUT join (VERDICT r11 #1 — the ExactIvf.scanCells
     // rationale): no driver-side cell-id collect, no O(|probes|·nprobe)

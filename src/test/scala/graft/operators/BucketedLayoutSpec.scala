@@ -209,6 +209,44 @@ class BucketedLayoutSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("built with m=2"))
   }
 
+  test("IVFADC grouped probe-cell selection: identical rows to the flat path, across append + compaction") {
+    import spark.implicits._
+    val emb = vecFixture(240).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-bucket-ivfadc-grp-").toString
+    Pq.writeIvfadcStore(emb.filter(col("vec_id") < 200), path,
+      nCells = 6, m = 2, dim = Dim, nCents = 8, iters = 1)
+    val probes = Seq(3L, 43L, 83L, 123L)
+    def serve() = rows(Pq.ivfadcTopKFromStore(spark, path, emb, probes,
+      nprobe = 2, kShort = 20, k = 5, m = 2, dim = Dim))
+    val flat = serve() // default floor: |probes|·nCells far below it
+    spark.conf.set("spark.graft.serve.groupFloor", "1")
+    try {
+      assert(serve() == flat,
+        "the grouped probe→cell selection must pick the identical " +
+          "nprobe cells (exact top-nprobe by (L2², id) is the contract)")
+      // appends under the frozen (grouped) coarse table, then compaction
+      Pq.appendToIvfadcStore(spark, emb.filter(col("vec_id") >= 200),
+        path, m = 2, dim = Dim, batchId = Some(1L))
+      spark.conf.unset("spark.graft.serve.groupFloor")
+      val flatAfter = serve()
+      spark.conf.set("spark.graft.serve.groupFloor", "1")
+      assert(serve() == flatAfter, "grouped == flat after append")
+      Pq.compactCodesStore(spark, path)
+      assert(serve() == flatAfter, "grouped == flat after compaction")
+      // degenerate geometry: one cell → one group, still identical
+      val p1 = java.nio.file.Files
+        .createTempDirectory("graft-bucket-ivfadc-grp1-").toString
+      Pq.writeIvfadcStore(emb, p1, nCells = 1, m = 2, dim = Dim,
+        nCents = 4, iters = 1)
+      val g1 = rows(Pq.ivfadcTopKFromStore(spark, p1, emb, probes,
+        nprobe = 3, kShort = 20, k = 5, m = 2, dim = Dim))
+      spark.conf.unset("spark.graft.serve.groupFloor")
+      assert(rows(Pq.ivfadcTopKFromStore(spark, p1, emb, probes,
+        nprobe = 3, kShort = 20, k = 5, m = 2, dim = Dim)) == g1)
+    } finally spark.conf.unset("spark.graft.serve.groupFloor")
+  }
+
   test("the 6-argument graft_ivfadc_topk form reads (m, dim, vecCol) from the manifest") {
     import spark.implicits._
     val emb = vecFixture(200).toDF("vec_id", "embedding")

@@ -141,7 +141,7 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
     val flatStats = ExactIvf.pruneStats(spark, path, queries,
       k = 10, nprobe0 = 2).collect()
     assert(served(path, queries, k = 10, nprobe0 = 2) == expect)
-    spark.conf.set("spark.graft.exactivf.groupFloor", "1")
+    spark.conf.set("spark.graft.serve.groupFloor", "1")
     try {
       // grouped path: row-identical serve, ties/degenerate geometry
       // covered by the same brute-force oracle
@@ -167,7 +167,7 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
       ExactIvf.writeVecStore(vecs, p1, nCells = 1, iters = 1)
       assert(served(p1, queries, k = 10, nprobe0 = 3) ==
         brute(vecs, queries, k = 10))
-    } finally spark.conf.unset("spark.graft.exactivf.groupFloor")
+    } finally spark.conf.unset("spark.graft.serve.groupFloor")
   }
 
   test("grouped path under append: raised r2max propagates into the group radius (no stale group bound)") {
@@ -182,7 +182,7 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
     // grouped serve sees the raise with no group-store maintenance
     ExactIvf.appendToVecStore(spark,
       vecs.filter(col("doc_id") % 10 >= 8), path, batchId = Some(1L))
-    spark.conf.set("spark.graft.exactivf.groupFloor", "1")
+    spark.conf.set("spark.graft.serve.groupFloor", "1")
     try {
       val queries = Seq((1L, 3L), (2L, 289L))
       assert(served(path, queries, k = 20, nprobe0 = 2) ==
@@ -196,7 +196,7 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
         graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
       assert(cells.columns.contains("cell_group"),
         "the group assignment must survive the cells merge")
-    } finally spark.conf.unset("spark.graft.exactivf.groupFloor")
+    } finally spark.conf.unset("spark.graft.serve.groupFloor")
   }
 
   test("DataFrame query input: identical rows to the Seq form; the query side joins, not collects") {
