@@ -323,6 +323,12 @@ object Pq {
   def writePqStore(emb: DataFrame, path: String, m: Int, dim: Int,
                    nCents: Int, iters: Int,
                    vecCol: String = "embedding"): Unit = {
+    // geometry record (VERDICT r13 #4, the last family without one):
+    // the append-time (m, dim) contract — codes cut under different
+    // slicing silently double-count subspaces in every ADC sum
+    graft.streaming.StoreFs.writeGeometry(emb.sparkSession, path, Seq(
+      "family" -> "pq", "m" -> m.toString, "dim" -> dim.toString,
+      "n_cents" -> nCents.toString, "vec_col" -> vecCol))
     val books = trainCodebooks(emb, m, dim, nCents, iters, vecCol)
     books.write.mode("overwrite").parquet(s"$path/books")
     encode(emb, books, m, dim, vecCol)
@@ -356,6 +362,20 @@ object Pq {
     val dir = s"$path/codes"
     if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, dir, _)))
       return
+    // geometry guard (VERDICT r13 #4): a caller whose (m, dim) disagree
+    // with the build mis-slices every appended code. The family check
+    // accepts both flat-PQ and IVFADC roots (this append is the flat
+    // form; the IVFADC path has its own appendToIvfadcStore).
+    val geo = graft.streaming.StoreFs.readGeometry(spark, path)
+    geo.get("family").foreach { f => require(f == "pq",
+      s"appendToPqStore at $path expects a 'pq' store but the geometry " +
+        s"manifest records family='$f' (recorded: $geo)") }
+    for (gm <- geo.get("m").flatMap(_.toIntOption))
+      require(gm == m, s"store $path was built with m=$gm but the " +
+        s"caller passed m=$m (recorded geometry: $geo)")
+    for (gd <- geo.get("dim").flatMap(_.toIntOption))
+      require(gd == dim, s"store $path was built with dim=$gd but the " +
+        s"caller passed dim=$dim (recorded geometry: $geo)")
     val books = spark.read.parquet(s"$path/books")
     val tagged = encode(newEmb, books, m, dim, vecCol)
       .select("vec_id", "sub", "cell")
@@ -387,6 +407,10 @@ object Pq {
                        path: String, emb: DataFrame, probeIds: Seq[Long],
                        k: Int, m: Int, dim: Int,
                        vecCol: String = "embedding"): DataFrame = {
+    // family guard (VERDICT r13 #4): an IVFADC root also has books +
+    // codes, but its codes are RESIDUAL-coded — flat-ADC sums over
+    // them are silently wrong numbers, not an error
+    graft.streaming.StoreFs.requireFamily(spark, path, "pq", "ADC serve")
     val books = spark.read.parquet(s"$path/books")
     val codes = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
     val probeSv = subvectors(
@@ -683,7 +707,8 @@ object Pq {
     chunks.map { chunk =>
       serveIvfadc(spark, path, emb,
         emb.filter(col("vec_id").isInCollection(chunk)),
-        nprobe, kShort, k, m, dim, vecCol)
+        nprobe, kShort, k, m, dim, vecCol,
+        nProbes = chunk.size.toLong)
     }.reduce(_ unionAll _)
   }
 
@@ -735,7 +760,8 @@ object Pq {
         else pids.filter(pmod(hash(col("probe_id")), lit(nChunks)) === i)
       serveIvfadc(spark, path, emb,
         emb.join(chunk, col("vec_id") === col("probe_id")).drop("probe_id"),
-        nprobe, kShort, k, m, dim, vecCol, dirs)
+        nprobe, kShort, k, m, dim, vecCol, dirs,
+        nProbes = (n + nChunks - 1) / nChunks)
     }.reduce(_ unionAll _)
   }
 
@@ -796,11 +822,16 @@ object Pq {
                           path: String, emb: DataFrame, probeRows0: DataFrame,
                           nprobe: Int, kShort: Int, k: Int, m: Int, dim: Int,
                           vecCol: String,
-                          dirs: IvfadcDirs = None): DataFrame = {
+                          dirs: IvfadcDirs = None,
+                          nProbes: Long = -1L): DataFrame = {
     // geometry-manifest validation (VERDICT r12 #9): a caller whose
     // (m, dim) disagree with the build would silently mis-slice every
     // probe residual — fail fast naming the recorded geometry instead.
     // Manifest absent (pre-r13 store) = trust the caller, as before.
+    // The family guard (r14) rejects a flat-PQ root, whose codes are
+    // NOT residual-coded — the IVFADC LUT over them answers wrong.
+    graft.streaming.StoreFs.requireFamily(spark, path, "ivfadc",
+      "IVFADC serve")
     val geo = graft.streaming.StoreFs.readGeometry(spark, path)
     for (gm <- geo.get("m").flatMap(_.toIntOption))
       require(gm == m,
@@ -818,7 +849,7 @@ object Pq {
     val codesDir = dirs.map(_._3).getOrElse(
       graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
     val shortl = ivfadcShortlist(spark, path, probeRows, nprobe,
-      kShort, m, dim, coarse, books, vecCol, codesDir)
+      kShort, m, dim, coarse, books, vecCol, codesDir, nProbes)
     ivfadcRerank(emb, shortl, probeRows, k, vecCol)
   }
 
@@ -827,7 +858,8 @@ object Pq {
                               nprobe: Int, kShort: Int,
                               m: Int, dim: Int, coarse: DataFrame,
                               books: DataFrame, vecCol: String,
-                              codesDir: String): DataFrame = {
+                              codesDir: String,
+                              nProbes: Long = -1L): DataFrame = {
     val subDim = dim / m
     val pmv = graft.core.Caches.scoped(
       microVectors(probeRows, vecCol).toDF("probe_id", "pm"))
@@ -849,9 +881,13 @@ object Pq {
     // (no cell_group) keep the flat path.
     val geo = graft.streaming.StoreFs.readGeometry(spark, path)
     val nCellsGeo = geo.get("n_cells").flatMap(_.toIntOption).getOrElse(0)
+    // the chunkers pass the (per-chunk) probe count so the gate never
+    // costs a count job of its own; -1 (direct callers) falls back to
+    // counting the bounded cached probe frame
+    val nP = if (nProbes >= 0L) nProbes else pmv.count()
     val useGroups = geo.get("n_groups").flatMap(_.toIntOption).exists(_ > 0) &&
       coarse.columns.contains("cell_group") && nCellsGeo > 0 &&
-      pmv.count() * nCellsGeo * dim >= ExactIvf.groupServeFloor(spark)
+      nP * nCellsGeo * dim >= ExactIvf.groupServeFloor(spark)
     val selected =
       if (!useGroups) {
         val pcScored = pmv.crossJoin(broadcast(

@@ -130,6 +130,40 @@ class GeometryGuardSpec extends AnyFunSuite with SparkTest {
     assert(e2.getMessage.contains("family='dsir'"), e2.getMessage)
   }
 
+  test("PQ/IVFADC family guards: residual vs flat codes never cross-serve; PQ append validates (m, dim)") {
+    import spark.implicits._
+    val emb = (0L until 60L).map { i =>
+      (i, (0 until 8).map(j => (((i * 31 + j * 17) % 201) - 100) / 100.0f))
+    }.toDF("vec_id", "embedding")
+    val root = tmp("graft-geo-pq-")
+    val pq = s"$root/pq"; val adc = s"$root/adc"
+    graft.operators.Pq.writePqStore(emb, pq, m = 2, dim = 8, nCents = 8,
+      iters = 1)
+    graft.operators.Pq.writeIvfadcStore(emb, adc, nCells = 4, m = 2,
+      dim = 8, nCents = 8, iters = 1)
+    // flat-ADC serve at an IVFADC root: the codes are residual-coded —
+    // summing a flat LUT over them is silently wrong, so it refuses
+    val e1 = intercept[IllegalArgumentException](
+      graft.operators.Pq.adcTopKFromStore(spark, adc, emb, Seq(3L),
+        k = 5, m = 2, dim = 8))
+    assert(e1.getMessage.contains("family='ivfadc'"), e1.getMessage)
+    // IVFADC serve at a flat-PQ root refuses the same way
+    val e2 = intercept[IllegalArgumentException](
+      graft.operators.Pq.ivfadcTopKFromStore(spark, pq, emb, Seq(3L),
+        nprobe = 2, kShort = 10, k = 5, m = 2, dim = 8))
+    assert(e2.getMessage.contains("family='pq'"), e2.getMessage)
+    // the PQ append validates (m, dim) against the build
+    val e3 = intercept[IllegalArgumentException](
+      graft.operators.Pq.appendToPqStore(spark, emb, pq, m = 4, dim = 8))
+    assert(e3.getMessage.contains("m=2"), e3.getMessage)
+    // matching contracts still serve and append
+    assert(graft.operators.Pq.adcTopKFromStore(spark, pq, emb, Seq(3L),
+      k = 5, m = 2, dim = 8).count() > 0)
+    graft.operators.Pq.appendToPqStore(spark,
+      emb.select((col("vec_id") + 100L).as("vec_id"), col("embedding")),
+      pq, m = 2, dim = 8)
+  }
+
   test("store fsck: manifest/data disagreement is an error finding; healthy stores are quiet") {
     import spark.implicits._
     // healthy index store → no geometry findings on any sub
