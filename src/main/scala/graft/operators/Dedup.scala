@@ -207,6 +207,41 @@ object Dedup {
       "family" -> "signature", "key_columns" -> "doc_id"))
   }
 
+  /** DELETE documents from the signature store by id (round 14 —
+    * deletion propagation for the dedup DECISION store): "forget doc X"
+    * here means future batches are no longer dropped for colliding with
+    * X — its signatures stop participating in candidate generation the
+    * moment the tombstone lands ([[readSignatureStore]] is the visible
+    * read every decision path uses), and the rows are purged physically
+    * at the next [[compactSignatureStore]]. The store is FLAT (data at
+    * the root), so tombstones live in the `<path>_tombs` SIBLING
+    * ([[graft.streaming.StoreFs.flatTombsDir]] — an in-root sub-table
+    * would be swept into the flat parquet read). Delete-wins-until-
+    * purge: a re-ingest of the same doc_id is blocked by the append
+    * anti-join (row still physically present) until a purge clears it —
+    * after which the doc re-enters the corpus as new. */
+  def deleteFromSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                               ids: DataFrame, path: String,
+                               batchId: Option[Long] = None,
+                               idCol: String = "doc_id"): Unit =
+    graft.streaming.StoreFs.appendTombstones(spark,
+      graft.streaming.StoreFs.flatTombsDir(path),
+      ids.select(col(idCol).as("doc_id")), "doc_id", "signature_tombs",
+      batchId)
+
+  /** The signature store's VISIBLE rows — the live generation minus any
+    * tombstoned docs. Every DECISION read goes through this (the append
+    * anti-join deliberately reads raw: a tombstoned row still blocks
+    * re-append until purge, per the delete-wins contract). */
+  def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    val raw = spark.read.parquet(
+      graft.streaming.StoreFs.dataDir(spark, path))
+    graft.streaming.StoreFs.liveTombsDir(spark, path).fold(raw)(d =>
+      raw.join(graft.streaming.StoreFs.readTombstones(spark, d, "doc_id"),
+        Seq("doc_id"), "left_anti"))
+  }
+
   /** COMPACT the signature store: per-batch appends leave one small
     * parquet file per micro-batch (a year of 5-minute batches is ~10⁵
     * files — the reader's listing/open cost, not row count, is what
@@ -230,11 +265,30 @@ object Dedup {
                             keepAgeMs: Long = 0L): Unit = {
     // torn-append replay safety: seal folded tags as markers first
     graft.streaming.StoreFs.sealTagMarkers(spark, path)
-    val merged = spark.read.option("mergeSchema", "true")
+    // PURGE (round 14): tombstoned docs drop from the rewrite; exactly
+    // the applied set is cleared after — the compactVecStore crash-order
+    // argument applies unchanged
+    val applied = graft.streaming.StoreFs.liveTombsDir(spark, path)
+      .map(d => graft.core.Caches.scoped(
+        graft.streaming.StoreFs.readTombstones(spark, d, "doc_id")))
+    val merged0 = spark.read.option("mergeSchema", "true")
       .parquet(graft.streaming.StoreFs.dataDir(spark, path))
       .dropDuplicates("doc_id")
+    val merged = applied.fold(merged0)(t =>
+      merged0.join(t, Seq("doc_id"), "left_anti"))
     graft.streaming.StoreFs.swapInCompacted(spark, path,
       keepGens = keepGens, keepAgeMs = keepAgeMs)(merged.write.parquet(_))
+    spark.catalog.refreshByPath(path)
+    applied.foreach { t =>
+      val tombsRoot = graft.streaming.StoreFs.flatTombsDir(path)
+      graft.streaming.StoreFs.swapInCompacted(spark, tombsRoot) { tmp =>
+        spark.read.schema("doc_id LONG, batch_id LONG")
+          .parquet(graft.streaming.StoreFs.dataDir(spark, tombsRoot))
+          .join(t, Seq("doc_id"), "left_anti")
+          .write.parquet(tmp)
+      }
+      spark.catalog.refreshByPath(tombsRoot)
+    }
   }
 
   /** The production incremental flow: only the NEW batch is normalized /

@@ -50,6 +50,23 @@ import org.apache.spark.sql.functions._
   */
 object ExactIvf {
 
+  /** A serve's RESOLVED store directories: the (cells, vecs) generation
+    * pair — live or snapshot-pinned — plus the TOMBSTONE generation when
+    * the store carries deletions. `tombs = None` means "no exclusions":
+    * a snapshot taken before the store's first delete records no tombs
+    * sub-table and must serve the undeleted corpus — it never falls
+    * back to the live tombstones (which would leak post-snapshot
+    * deletes into a pinned read). */
+  private[operators] final case class VecDirs(cells: String, vecs: String,
+                                              tombs: Option[String])
+
+  private[operators] def liveVecDirs(spark: SparkSession,
+                                     path: String): VecDirs =
+    VecDirs(
+      graft.streaming.StoreFs.dataDir(spark, s"$path/cells"),
+      graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"),
+      graft.streaming.StoreFs.liveTombsDir(spark, path))
+
   /** The default ceiling on PARTITION DIRECTORIES for a cell-laid
     * store (VERDICT r12 #1): partitioning by raw `ivf_cell` makes the
     * directory count O(nCells) — at SemDeDup-scale 10⁵–10⁶ cells the
@@ -378,12 +395,44 @@ object ExactIvf {
     batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 
+  /** DELETE vectors from the store by id (round 14 — deletion
+    * propagation): appends the ids to the store's tombstone sub-table
+    * (`$path/tombs`); every serve — live, snapshot-pinned after this
+    * delete, hybrid, SQL TVF — excludes them from candidates AND
+    * refuses them as probes, exactly as if the rows were never
+    * ingested. The rows are purged PHYSICALLY (and the applied
+    * tombstones cleared, per-cell bounds re-tightened) at the next
+    * [[compactVecStore]]. Semantics shared by every store family — see
+    * [[graft.streaming.StoreFs.appendTombstones]]: delete wins until
+    * purge (a re-append of a tombstoned id is dropped by the append
+    * anti-join); deleting an id the store never held is a no-op;
+    * snapshots taken BEFORE the delete keep serving the undeleted
+    * corpus (time travel sees deleted docs by design — compliance
+    * deletion is purge + retiring the pinned generations). */
+  def deleteFromVecStore(spark: SparkSession, ids: DataFrame, path: String,
+                         batchId: Option[Long] = None,
+                         idCol: String = "vec_id"): Unit =
+    graft.streaming.StoreFs.appendTombstones(spark, s"$path/tombs",
+      ids.select(col(idCol).as("vec_id")), "vec_id", "vec_tombs", batchId)
+
   /** COMPACT the vec store: per-batch appends leave one file set per
     * generation; dedup by vec_id (append rows are deterministic under
     * the frozen cells, so a torn duplicate is byte-identical), tags
     * collapse to the −1 sentinel, the ivf_cell partition layout is
     * preserved, and the swap is atomic with replay markers carried
-    * across (the `swapInCompacted` contract). */
+    * across (the `swapInCompacted` contract).
+    *
+    * PURGE (round 14): tombstoned ids ([[deleteFromVecStore]]) are
+    * dropped from the rewrite, the per-cell r2max bounds are
+    * RE-TIGHTENED to the survivors' actual residuals (deletion can only
+    * shrink a cell's true radius, so serving correctness never waits on
+    * this — it just restores pruning power), and exactly the APPLIED
+    * tombstones are cleared (a delete racing the compaction survives
+    * for the next cycle). Crash order is safe at every prefix: purged
+    * vecs with stale-high bounds is conservative; purged vecs with
+    * uncleared tombstones just re-excludes already-absent ids. Serving
+    * answers are unchanged by construction — the serve was already
+    * excluding these ids via the tombstone anti-join. */
   def compactVecStore(spark: SparkSession, path: String,
                       keepGens: Int = 1, keepAgeMs: Long = 0L): Unit = {
     val dir = s"$path/vecs"
@@ -395,14 +444,57 @@ object ExactIvf {
       .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
     val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
       .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
-    val merged = src.drop("batch_id", "cell_bucket")
+    // the applied tombstone set is pinned (cached) BEFORE the rewrite:
+    // the same rows must drive the purge anti-join and the clear below
+    val applied = graft.streaming.StoreFs.liveTombsDir(spark, path)
+      .map(d => graft.core.Caches.scoped(
+        graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")))
+    val merged0 = src.drop("batch_id", "cell_bucket")
       .dropDuplicates("vec_id")
       .withColumn("batch_id", lit(-1L))
+    val merged = applied.fold(merged0)(t =>
+      merged0.join(t, Seq("vec_id"), "left_anti"))
     graft.streaming.StoreFs.swapInCompacted(spark, dir,
         keepGens = keepGens, keepAgeMs = keepAgeMs) { tmp =>
       writeCellLaid(merged, buckets, tmp, overwrite = true)
     }
     spark.catalog.refreshByPath(dir)
+    applied.foreach { t =>
+      // re-tighten r2max from the purged generation's ACTUAL members
+      // (preserving empty cells at r2max=0 — geometry is frozen, a cell
+      // whose members were all deleted still exists and simply never
+      // wins a bound). cell_group rides untouched when present.
+      val cellsDf = spark.read.parquet(
+        graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
+      val hasGroup = cellsDf.columns.contains("cell_group")
+      val live = spark.read.option("mergeSchema", "true")
+        .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
+      val r2 = live.join(broadcast(cellsDf.select("ivf_cell", "ccvm")),
+          Seq("ivf_cell"))
+        .select(col("ivf_cell"),
+          aggregate(zip_with(col("vm"), col("ccvm"), (a, b) => a - b),
+            lit(0L), (a, x) => a + x * x).as("r2"))
+        .groupBy("ivf_cell").agg(max(col("r2")).as("r2n"))
+      val keep = Seq(col("ivf_cell"), col("ccvm"), col("r2max")) ++
+        (if (hasGroup) Seq(col("cell_group")) else Nil)
+      val newCells = cellsDf.drop("r2max")
+        .join(r2, Seq("ivf_cell"), "left")
+        .withColumn("r2max", coalesce(col("r2n"), lit(0L)))
+        .select(keep: _*)
+      graft.streaming.StoreFs.swapInCompacted(spark, s"$path/cells")(
+        newCells.write.parquet(_))
+      spark.catalog.refreshByPath(s"$path/cells")
+      // clear exactly the applied set; a tombstone appended mid-cycle
+      // survives into the next generation for the next purge
+      val tombsSub = s"$path/tombs"
+      graft.streaming.StoreFs.swapInCompacted(spark, tombsSub) { tmp =>
+        spark.read.schema("vec_id LONG, batch_id LONG")
+          .parquet(graft.streaming.StoreFs.dataDir(spark, tombsSub))
+          .join(t, Seq("vec_id"), "left_anti")
+          .write.parquet(tmp)
+      }
+      spark.catalog.refreshByPath(tombsSub)
+    }
   }
 
   /** The bound-pruned serve plan shared by [[topDotBatchFromStore]] and
@@ -427,25 +519,37 @@ object ExactIvf {
     * cells of seed + surviving groups only). */
   private case class ServePlan(vecs: DataFrame, probes: DataFrame,
                                selPairs: DataFrame, nCells: Long,
-                               buckets: Int, boundRows: DataFrame)
+                               buckets: Int, boundRows: DataFrame,
+                               tombs: Option[DataFrame],
+                               allowed: Option[DataFrame])
 
   private def planServe(spark: SparkSession, path: String,
                         qpIn: DataFrame, probeIds: Option[Seq[Long]],
                         k: Int, nprobe0: Int,
-                        dirs: Option[(String, String)])
+                        dirs: Option[VecDirs],
+                        allowedIn: Option[DataFrame])
       : ServePlan = {
     // the store's partition layout (bucketed vs legacy per-cell) comes
     // from its geometry manifest — absent = pre-r13 legacy layout.
-    // `dirs` = (cellsDir, vecsDir) pins a SNAPSHOT's resolved
-    // generation pair (VERDICT r12 #4); None = the live generations.
+    // `dirs` pins a SNAPSHOT's resolved generation tuple (VERDICT
+    // r12 #4, tombstones included); None = the live generations.
     val geo = graft.streaming.StoreFs.readGeometry(spark, path)
     val buckets = geo.get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
-    val cellsDir = dirs.map(_._1).getOrElse(
-      graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
-    val vecsDir = dirs.map(_._2).getOrElse(
-      graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
-    val cells = graft.core.Caches.scoped(spark.read.parquet(cellsDir))
-    val vecs = spark.read.parquet(vecsDir)
+    val rd = dirs.getOrElse(liveVecDirs(spark, path))
+    val cells = graft.core.Caches.scoped(spark.read.parquet(rd.cells))
+    val vecs = spark.read.parquet(rd.vecs)
+    // VISIBILITY (round 14): tombstones exclude (anti), a caller filter
+    // restricts (semi). Both apply to every CANDIDATE scan — including
+    // phase 1's, which is what keeps the serve EXACT over the visible
+    // corpus: d_k must be the kth-best VISIBLE dot (a d_k seeded from
+    // since-deleted or filtered-out rows would be too high and phase 2
+    // would prune cells holding true visible top-k rows). The cell
+    // bounds stay valid unchanged — removing rows from a cell only
+    // lowers its true max dot, so the recorded bound is conservative.
+    val tombs = rd.tombs.map(d => graft.core.Caches.scoped(
+      graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")))
+    val allowed = allowedIn.map(a => graft.core.Caches.scoped(
+      a.select(col("vec_id").cast("long").as("vec_id")).distinct()))
     // distinct: a duplicated (query_id, probe_id) row would duplicate
     // the probe row, then the bounds, then the scan candidates — the
     // same vec_id would appear twice inside a top-k. Exact duplicates
@@ -453,7 +557,7 @@ object ExactIvf {
     val qp = graft.core.Caches.scoped(qpIn.select(
       col("query_id").cast("long").as("query_id"),
       col("probe_id").cast("long").as("probe_id")).distinct())
-    val fetched = probeIds match {
+    val fetched0 = probeIds match {
       case Some(ids) =>
         vecs.filter(col("vec_id").isInCollection(ids.distinct))
           .select(col("vec_id").as("probe_id"), col("vm").as("qvec"))
@@ -464,13 +568,22 @@ object ExactIvf {
         vecs.select(col("vec_id").as("probe_id"), col("vm").as("qvec"))
           .join(qp, Seq("probe_id"))
     }
+    // a DELETED probe id is an argument error, same as an absent one:
+    // its row is still physically present until purge, but "search by
+    // the deleted doc" must not quietly keep working post-delete (note
+    // the caller's `allowed` filter does NOT gate probes — restricting
+    // the candidate corpus and restricting who may ask are different
+    // contracts)
+    val fetched = tombs.fold(fetched0)(t => fetched0.join(
+      t.select(col("vec_id").as("probe_id")), Seq("probe_id"), "left_anti"))
     val probes = graft.core.Caches.scoped(fetched.withColumn("qn2",
       aggregate(col("qvec"), lit(0L), (a, x) => a + x * x)))
     val asked = probeIds.map(_.distinct.size.toLong)
       .getOrElse(qp.select("probe_id").distinct().count())
     val found = probes.select("probe_id").distinct().count()
     require(found == asked,
-      s"${asked - found} probe vec_id(s) absent from $path/vecs")
+      s"${asked - found} probe vec_id(s) absent from (or deleted in) " +
+        s"$path/vecs")
 
     // per-(query, cell) Cauchy–Schwarz bound. The sqrt runs on doubles
     // whose product can exceed 2^53; the +2 pad dominates the fp error
@@ -494,7 +607,7 @@ object ExactIvf {
             Seq(p1Bounds("bound").desc, p1Bounds("ivf_cell")), nprobe0)
           .select(col("query_id").cast("long").as("query_id"),
             col("ivf_cell").cast("long").as("ivf_cell")))
-      val cand1 = scanCells(vecs, probes, p1Pairs, buckets)
+      val cand1 = scanCells(vecs, probes, p1Pairs, buckets, tombs, allowed)
       graft.core.Caches.scoped(
         graft.plans.TopK.perKey(cand1, Seq(cand1("query_id")),
             Seq(cand1("dot").desc, cand1("vec_id")), k)
@@ -536,7 +649,8 @@ object ExactIvf {
         survivors(bounds, dk, "ivf_cell"))
       val boundRows = bounds.groupBy("query_id")
         .agg(count(lit(1)).as("bound_rows"))
-      ServePlan(vecs, probes, selPairs, nCells, buckets, boundRows)
+      ServePlan(vecs, probes, selPairs, nCells, buckets, boundRows,
+        tombs, allowed)
     } else {
       // coarse-over-coarse level (VERDICT r13 #1, see [[resolveGroups]]
       // for the dominance proof): bound the √nCells GROUPS first, and
@@ -604,7 +718,8 @@ object ExactIvf {
         .select(col("query_id"),
           (col("g") + coalesce(col("s"), lit(0L)) +
             coalesce(col("v"), lit(0L))).as("bound_rows"))
-      ServePlan(vecs, probes, selPairs, nCells, buckets, boundRows)
+      ServePlan(vecs, probes, selPairs, nCells, buckets, boundRows,
+        tombs, allowed)
     }
   }
 
@@ -637,7 +752,9 @@ object ExactIvf {
     * prunes with the static `isInCollection` predicate — the exact
     * pre-r12 plan, O(nCells) literals but never an unpruned scan. */
   private def scanCells(vecs: DataFrame, probes: DataFrame,
-                        pairs: DataFrame, buckets: Int): DataFrame = {
+                        pairs: DataFrame, buckets: Int,
+                        tombs: Option[DataFrame],
+                        allowed: Option[DataFrame]): DataFrame = {
     // bucketed layout (VERDICT r12 #1): the partition column is
     // cell_bucket — DPP prunes DIRECTORIES on the bucket (≤ nBuckets of
     // them at any store geometry) while the ivf_cell key of the same
@@ -656,7 +773,18 @@ object ExactIvf {
         vecs.filter(col(partCol).isInCollection(partIds))
           .join(broadcast(pairsK), joinKeys)
       }
-    cellPruned
+    // visibility AFTER the cell pruning (the anti/semi joins run on the
+    // already-pruned candidate rows, not the whole store) and BEFORE
+    // the top-k heaps — so both phase 1's d_k and the final ranking see
+    // only visible rows (the exactness-over-the-visible-corpus
+    // argument at [[planServe]]). No broadcast hint on the tombstone
+    // side: a small delete set broadcasts via AQE, a massive backlog
+    // gets the shuffle join it needs.
+    val afterTombs = tombs.fold(cellPruned)(t =>
+      cellPruned.join(t, Seq("vec_id"), "left_anti"))
+    val visible = allowed.fold(afterTombs)(a =>
+      afterTombs.join(a, Seq("vec_id"), "left_semi"))
+    visible
       .join(broadcast(probes.select("query_id", "probe_id", "qvec")),
         Seq("query_id"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -701,15 +829,23 @@ object ExactIvf {
   def topDotBatchFromStoreSnapshot(spark: SparkSession, path: String,
                                    snapshotId: Long,
                                    queries: Seq[(Long, Long)], k: Int,
-                                   nprobe0: Int = 4): DataFrame = {
+                                   nprobe0: Int = 4): DataFrame =
+    topDotSeqResolved(spark, path, queries, k, nprobe0, MaxServeBatch,
+      Some(snapshotVecDirs(spark, path, snapshotId)))
+
+  /** Resolve a vec-store snapshot manifest to its [[VecDirs]]: cells and
+    * vecs are REQUIRED subs; tombs resolves only when the manifest
+    * recorded it (a pre-first-delete snapshot serves with no
+    * exclusions — the [[VecDirs]] contract). */
+  private[operators] def snapshotVecDirs(spark: SparkSession, path: String,
+                                         snapshotId: Long): VecDirs = {
     val dirs = graft.streaming.StoreFs.snapshotDataDirs(spark, path,
       snapshotId)
     def need(sub: String): String = dirs.getOrElse(s"$path/$sub",
       throw new IllegalArgumentException(
         s"snapshot $snapshotId of $path does not record $path/$sub; " +
           s"recorded: ${dirs.keys.mkString(", ")}"))
-    topDotSeqResolved(spark, path, queries, k, nprobe0, MaxServeBatch,
-      Some((need("cells"), need("vecs"))))
+    VecDirs(need("cells"), need("vecs"), dirs.get(s"$path/tombs"))
   }
 
   /** Record the vec store's current (cells, vecs) generation pair as
@@ -735,8 +871,16 @@ object ExactIvf {
                        freeze: Boolean = true,
                        keepGens: Int = 1,
                        keepAgeMs: Long = 0L): Long = {
-    val id = graft.streaming.StoreFs.createSnapshot(spark, path,
-      Seq(s"$path/cells", s"$path/vecs"))
+    // tombs rides the manifest only when it exists: a pre-first-delete
+    // snapshot records no tombs and serves the undeleted corpus (the
+    // VecDirs contract). The freeze compaction below also PURGES
+    // pending tombstones — answer-preserving for the live view (the
+    // serve already excluded them) while the snapshot keeps the pinned
+    // pre-purge generations.
+    val subs = Seq(s"$path/cells", s"$path/vecs") ++
+      (if (graft.streaming.StoreFs.storeExists(spark, s"$path/tombs"))
+         Seq(s"$path/tombs") else Nil)
+    val id = graft.streaming.StoreFs.createSnapshot(spark, path, subs)
     if (freeze) compactVecStore(spark, path, keepGens, keepAgeMs)
     id
   }
@@ -744,7 +888,7 @@ object ExactIvf {
   private[operators] def topDotSeqResolved(spark: SparkSession, path: String,
                                 queries: Seq[(Long, Long)], k: Int,
                                 nprobe0: Int, maxBatch: Int,
-                                dirs: Option[(String, String)])
+                                dirs: Option[VecDirs])
       : DataFrame = {
     import spark.implicits._
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
@@ -800,30 +944,48 @@ object ExactIvf {
                                    snapshotId: Long, queries: DataFrame,
                                    k: Int, nprobe0: Int,
                                    maxBatch: Int)
-      : DataFrame = {
-    val dirs = graft.streaming.StoreFs.snapshotDataDirs(spark, path,
-      snapshotId)
-    def need(sub: String): String = dirs.getOrElse(s"$path/$sub",
-      throw new IllegalArgumentException(
-        s"snapshot $snapshotId of $path does not record $path/$sub; " +
-          s"recorded: ${dirs.keys.mkString(", ")}"))
+      : DataFrame =
     topDotTableResolved(spark, path, queries, k, nprobe0, maxBatch,
-      Some((need("cells"), need("vecs"))))
-  }
+      Some(snapshotVecDirs(spark, path, snapshotId)))
+
+  /** FILTERED exact serving: [[topDotBatchFromStore]] (query-TABLE form)
+    * restricted to the `allowed` ids — the metadata-predicate vector
+    * search shape ("top-k among docs WHERE lang = 'en'"): the caller
+    * derives `allowed` (one `vec_id` column) from any attribute table
+    * and the serve returns the EXACT top-k over that subset. Unlike
+    * post-filtering an approximate shortlist (the classic filtered-ANN
+    * recall trap), exactness is unconditional here: the filter applies
+    * to every candidate scan INCLUDING phase 1's, so d_k is the kth
+    * best ALLOWED dot and the Cauchy–Schwarz bound — an upper bound
+    * for all members, a fortiori for allowed ones — keeps every cell
+    * that could hold an allowed top-k row. A highly selective filter
+    * only weakens pruning (underfilled phase 1 falls back to
+    * all-cells), never rows. The probe itself need not be allowed —
+    * restricting the candidate corpus and restricting who may ask are
+    * different contracts. Composes with tombstones (both visibility
+    * joins apply). */
+  def topDotBatchFromStoreFiltered(spark: SparkSession, path: String,
+                                   queries: DataFrame, allowed: DataFrame,
+                                   k: Int, nprobe0: Int,
+                                   maxBatch: Int = MaxServeBatch)
+      : DataFrame =
+    topDotTableResolved(spark, path, queries, k, nprobe0, maxBatch, None,
+      Some(allowed))
 
   /** The hybrid serve's hook into the dir-resolved query-table form —
     * its vec arm re-resolves the SAME pinned (cells, vecs) pair every
     * chunk. */
   private[operators] def topDotTableResolvedDirs(
       spark: SparkSession, path: String, queries: DataFrame, k: Int,
-      nprobe0: Int, dirs: Option[(String, String)]): DataFrame =
+      nprobe0: Int, dirs: Option[VecDirs]): DataFrame =
     topDotTableResolved(spark, path, queries, k, nprobe0, MaxServeBatch,
       dirs)
 
   private def topDotTableResolved(spark: SparkSession, path: String,
                                   queries: DataFrame, k: Int,
                                   nprobe0: Int, maxBatch: Int,
-                                  dirs: Option[(String, String)])
+                                  dirs: Option[VecDirs],
+                                  allowed: Option[DataFrame] = None)
       : DataFrame = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // PIN the query table before the count + fan-out: the count and
@@ -838,22 +1000,25 @@ object ExactIvf {
     // query's rows land whole in exactly one chunk
     val n = q.select("query_id").distinct().count()
     val nChunks = math.max(1L, (n + maxBatch - 1) / maxBatch).toInt
-    if (nChunks == 1) serve(spark, path, q, None, k, nprobe0, dirs)
+    if (nChunks == 1) serve(spark, path, q, None, k, nprobe0, dirs, allowed)
     else (0 until nChunks).map { i =>
       serve(spark, path,
         q.filter(pmod(hash(col("query_id")), lit(nChunks)) === i),
-        None, k, nprobe0, dirs)
+        None, k, nprobe0, dirs, allowed)
     }.reduce(_ unionAll _)
   }
 
   private def serve(spark: SparkSession, path: String, qp: DataFrame,
                     probeIds: Option[Seq[Long]], k: Int,
                     nprobe0: Int,
-                    dirs: Option[(String, String)] = None): DataFrame = {
-    val plan = planServe(spark, path, qp, probeIds, k, nprobe0, dirs)
+                    dirs: Option[VecDirs] = None,
+                    allowed: Option[DataFrame] = None): DataFrame = {
+    val plan = planServe(spark, path, qp, probeIds, k, nprobe0, dirs,
+      allowed)
     val (vecs, probes, selPairs, buckets) =
       (plan.vecs, plan.probes, plan.selPairs, plan.buckets)
-    val cand2 = scanCells(vecs, probes, selPairs, buckets)
+    val cand2 = scanCells(vecs, probes, selPairs, buckets, plan.tombs,
+      plan.allowed)
     val out = graft.plans.TopK.perKey(cand2, Seq(cand2("query_id")),
       Seq(cand2("dot").desc, cand2("vec_id")), k)
     out.withColumn("rk", row_number().over(
@@ -876,7 +1041,7 @@ object ExactIvf {
     import spark.implicits._
     val plan = planServe(spark, path,
       queries.toDF("query_id", "probe_id"), Some(queries.map(_._2)),
-      k, nprobe0, None)
+      k, nprobe0, None, None)
     queries.map(_._1).distinct.sorted.toDF("query_id")
       .join(plan.selPairs.groupBy("query_id")
         .agg(count(lit(1)).as("survivors")), Seq("query_id"), "left")

@@ -412,7 +412,13 @@ object Pq {
     // them are silently wrong numbers, not an error
     graft.streaming.StoreFs.requireFamily(spark, path, "pq", "ADC serve")
     val books = spark.read.parquet(s"$path/books")
-    val codes = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
+    val codes0 = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
+    // deletion propagation (round 14): tombstoned ids never enter the
+    // ADC sums — surviving neighbors are exactly the no-such-rows store's
+    val codes = graft.streaming.StoreFs.liveTombsDir(spark, path)
+      .fold(codes0)(d => codes0.join(
+        graft.streaming.StoreFs.readTombstones(spark, d, "vec_id"),
+        Seq("vec_id"), "left_anti"))
     val probeSv = subvectors(
       emb.filter(col("vec_id").isInCollection(probeIds)), m, dim, vecCol)
     adcTopKFromCodes(probeSv, codes, books, probeIds, k)
@@ -667,15 +673,51 @@ object Pq {
       .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
     val keys = if (partitioned) Seq("vec_id", "ivf_cell", "sub")
                else Seq("vec_id", "sub")
-    val merged = src.drop("batch_id", "cell_bucket").dropDuplicates(keys)
+    // PURGE (round 14): tombstoned ids drop from the rewrite and
+    // exactly the applied tombstones are cleared — the compactVecStore
+    // crash-order argument (purged codes + uncleared tombstones just
+    // re-exclude already-absent ids); no bound recompute here, ADC
+    // carries no per-cell bounds
+    val applied = graft.streaming.StoreFs.liveTombsDir(spark, path)
+      .map(d => graft.core.Caches.scoped(
+        graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")))
+    val merged0 = src.drop("batch_id", "cell_bucket").dropDuplicates(keys)
       .withColumn("batch_id", lit(-1L))
+    val merged = applied.fold(merged0)(t =>
+      merged0.join(t, Seq("vec_id"), "left_anti"))
     graft.streaming.StoreFs.swapInCompacted(spark, dir,
         keepGens = keepGens, keepAgeMs = keepAgeMs) { tmp =>
       if (partitioned) ExactIvf.writeCellLaid(merged, buckets, tmp,
         overwrite = true)
       else merged.write.parquet(tmp)
     }
+    applied.foreach { t =>
+      val tombsSub = s"$path/tombs"
+      graft.streaming.StoreFs.swapInCompacted(spark, tombsSub) { tmp =>
+        spark.read.schema("vec_id LONG, batch_id LONG")
+          .parquet(graft.streaming.StoreFs.dataDir(spark, tombsSub))
+          .join(t, Seq("vec_id"), "left_anti")
+          .write.parquet(tmp)
+      }
+      spark.catalog.refreshByPath(tombsSub)
+    }
   }
+
+  /** DELETE vectors from a PQ or IVFADC codes store by id (round 14 —
+    * deletion propagation for the approximate family): tombstones at
+    * `$path/tombs` exclude the ids from every ADC/IVFADC shortlist (an
+    * excluded id never consumes a kShort slot, so surviving neighbors
+    * are what the store would have served had the ids never been
+    * encoded); physical purge + tombstone clearing happen at the next
+    * [[compactCodesStore]]. Semantics per
+    * [[graft.streaming.StoreFs.appendTombstones]]. */
+  def deleteFromCodesStore(spark: org.apache.spark.sql.SparkSession,
+                           ids: DataFrame, path: String,
+                           batchId: Option[Long] = None,
+                           idCol: String = "vec_id"): Unit =
+    graft.streaming.StoreFs.appendTombstones(spark, s"$path/tombs",
+      ids.select(col(idCol).as("vec_id")), "vec_id", "codes_tombs",
+      batchId)
 
   /** IVFADC-R search from the store: probes rank the broadcast coarse
     * centroids (bounded × ≤ nCells), take their nprobe nearest cells,
@@ -780,8 +822,12 @@ object Pq {
                           path: String, freeze: Boolean = true,
                           keepGens: Int = 1,
                           keepAgeMs: Long = 0L): Long = {
-    val id = graft.streaming.StoreFs.createSnapshot(spark, path,
-      Seq(s"$path/codes", s"$path/coarse", s"$path/books"))
+    // tombs rides the manifest only when it exists (the VecDirs
+    // contract); the freeze compaction also purges pending tombstones
+    val subs = Seq(s"$path/codes", s"$path/coarse", s"$path/books") ++
+      (if (graft.streaming.StoreFs.storeExists(spark, s"$path/tombs"))
+         Seq(s"$path/tombs") else Nil)
+    val id = graft.streaming.StoreFs.createSnapshot(spark, path, subs)
     if (freeze) compactCodesStore(spark, path, keepGens, keepAgeMs)
     id
   }
@@ -810,13 +856,17 @@ object Pq {
           s"recorded: ${dirs.keys.mkString(", ")}"))
     ivfadcTableResolved(spark, path, emb, probes, nprobe, kShort, k, m,
       dim, vecCol, maxBatch,
-      Some((need("coarse"), need("books"), need("codes"))))
+      Some((need("coarse"), need("books"), need("codes"),
+        dirs.get(s"$path/tombs"))))
   }
 
   /** Resolved sub-table directories for one IVFADC serve: (coarse,
-    * books, codes). None = the live store ([[graft.streaming.StoreFs
-    * .dataDir]] for codes; coarse/books are build-time flat tables). */
-  private type IvfadcDirs = Option[(String, String, String)]
+    * books, codes, tombs). None = the live store ([[graft.streaming
+    * .StoreFs.dataDir]] for codes; coarse/books are build-time flat
+    * tables; live tombs when the store has seen deletes). A pinned
+    * tuple's `tombs = None` means a pre-first-delete snapshot — no
+    * exclusions, never a fallback to live tombstones. */
+  private type IvfadcDirs = Option[(String, String, String, Option[String])]
 
   private def serveIvfadc(spark: org.apache.spark.sql.SparkSession,
                           path: String, emb: DataFrame, probeRows0: DataFrame,
@@ -848,8 +898,17 @@ object Pq {
       dirs.map(_._2).getOrElse(s"$path/books"))
     val codesDir = dirs.map(_._3).getOrElse(
       graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
+    // deletion propagation (round 14): live serves read the live
+    // tombstones; a pinned serve reads exactly what its manifest
+    // recorded (None = pre-first-delete snapshot, no exclusions)
+    val tombsDir = dirs match {
+      case Some((_, _, _, t)) => t
+      case None => graft.streaming.StoreFs.liveTombsDir(spark, path)
+    }
+    val tombs = tombsDir.map(d => graft.core.Caches.scoped(
+      graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")))
     val shortl = ivfadcShortlist(spark, path, probeRows, nprobe,
-      kShort, m, dim, coarse, books, vecCol, codesDir, nProbes)
+      kShort, m, dim, coarse, books, vecCol, codesDir, tombs, nProbes)
     ivfadcRerank(emb, shortl, probeRows, k, vecCol)
   }
 
@@ -859,6 +918,7 @@ object Pq {
                               m: Int, dim: Int, coarse: DataFrame,
                               books: DataFrame, vecCol: String,
                               codesDir: String,
+                              tombs: Option[DataFrame],
                               nProbes: Long = -1L): DataFrame = {
     val subDim = dim / m
     val pmv = graft.core.Caches.scoped(
@@ -994,8 +1054,15 @@ object Pq {
         col("cent_id").as("cell"), l2sq(col("psvm"), col("cvm")).as("pd2"))
     val lut1 = ExactIvf.withBucketCol(lut0, buckets)
     val lut = if (dpp) lut1.filter(col(partCol) >= 0) else lut1
-    val scored = codes.join(broadcast(lut), joinKeys)
+    // tombstone exclusion AFTER the cell-pruned LUT join (the anti-join
+    // runs on pruned candidates, and the DPP plan shape upstream stays
+    // byte-identical) and BEFORE the kShort cut — a deleted id never
+    // consumes a shortlist slot
+    val cand0 = codes.join(broadcast(lut), joinKeys)
       .filter(col("vec_id") =!= col("probe_id"))
+    val cand = tombs.fold(cand0)(t => cand0.join(t, Seq("vec_id"),
+      "left_anti"))
+    val scored = cand
       .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("pd2")).as("adc_d2"))
     graft.plans.TopK.perKey(scored, Seq(scored("probe_id")),
@@ -1033,7 +1100,10 @@ object Pq {
     val books = spark.read.parquet(s"$path/books")
     val shortl = graft.core.Caches.scoped(ivfadcShortlist(spark, path,
       probeRows, nprobe, kShort, m, dim, coarse, books, vecCol,
-      graft.streaming.StoreFs.dataDir(spark, s"$path/codes")))
+      graft.streaming.StoreFs.dataDir(spark, s"$path/codes"),
+      tombs = graft.streaming.StoreFs.liveTombsDir(spark, path)
+        .map(d => graft.streaming.StoreFs.readTombstones(spark, d,
+          "vec_id"))))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("adc_d2"), col("neighbor_id"))
     val raw = shortl.withColumn("rk", row_number().over(w))

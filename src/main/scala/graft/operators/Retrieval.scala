@@ -150,6 +150,43 @@ object Retrieval {
                         k1: Double = 1.2, b: Double = 0.75): DataFrame =
     rankTopK(storeScores(spark, path, terms, k1, b), k)
 
+  /** An index serve's RESOLVED store directories — live or
+    * snapshot-pinned — plus the tombstone generation when the store
+    * carries deletions (`tombs = None` = no exclusions; the
+    * [[ExactIvf.VecDirs]] contract). */
+  private[operators] final case class IndexDirs(doclen: String,
+                                                postings: String,
+                                                tombs: Option[String])
+
+  private def liveIndexDirs(spark: org.apache.spark.sql.SparkSession,
+                            path: String): IndexDirs =
+    IndexDirs(
+      graft.streaming.StoreFs.dataDir(spark, s"$path/doclen"),
+      graft.streaming.StoreFs.dataDir(spark, s"$path/postings"),
+      graft.streaming.StoreFs.liveTombsDir(spark, path))
+
+  /** DELETE documents from the index store by id (round 14 — deletion
+    * propagation): tombstones at `$path/tombs` exclude the docs from
+    * every store serve EXACTLY — the pruned postings drop their rows
+    * (so per-term df shrinks) and the corpus scalars (N, avgdl)
+    * recompute over the surviving doclen rows, as if the docs were
+    * never indexed. The same tombstones gate the positional serves
+    * (phrase/prefix) at the same root. Physical purge + tombstone
+    * clearing happen at the next [[compactIndexStore]]; semantics per
+    * [[graft.streaming.StoreFs.appendTombstones]]. */
+  def deleteFromIndexStore(spark: org.apache.spark.sql.SparkSession,
+                           ids: DataFrame, path: String,
+                           batchId: Option[Long] = None,
+                           idCol: String = "doc_id"): Unit =
+    graft.streaming.StoreFs.appendTombstones(spark, s"$path/tombs",
+      ids.select(col(idCol).as("doc_id")), "doc_id", "index_tombs",
+      batchId)
+
+  private def tombsOf(spark: org.apache.spark.sql.SparkSession,
+                      tombsDir: Option[String]): Option[DataFrame] =
+    tombsDir.map(d => graft.core.Caches.scoped(
+      graft.streaming.StoreFs.readTombstones(spark, d, "doc_id")))
+
   /** The store-served scoring pass shared by [[bm25TopKFromStore]] and
     * [[hybridRrfBatchFromStores]]: term-pruned postings + compact
     * doclen scalars → the same (term, doc_id, tf, score) rows the scan
@@ -161,28 +198,35 @@ object Retrieval {
     // read plausible parquet and scored silently wrong numbers
     graft.streaming.StoreFs.requireFamily(spark, s"$path/postings",
       "index_postings", "BM25 serve")
-    storeScoresResolved(spark,
-      graft.streaming.StoreFs.dataDir(spark, s"$path/doclen"),
-      graft.streaming.StoreFs.dataDir(spark, s"$path/postings"),
-      terms, k1, b)
+    storeScoresResolved(spark, liveIndexDirs(spark, path), terms, k1, b)
   }
 
   private def storeScoresResolved(spark: org.apache.spark.sql.SparkSession,
-                                  doclenDir: String, postingsDir: String,
+                                  dirs: IndexDirs,
                                   terms: Seq[String],
                                   k1: Double, b: Double): DataFrame = {
-    val tf = spark.read.parquet(postingsDir)
+    val tombs = tombsOf(spark, dirs.tombs)
+    val tf0 = spark.read.parquet(dirs.postings)
       .filter(col("term").isInCollection(terms))
-    scoreTf(tf, statsFromDir(spark, doclenDir), k1, b)
+    // tombstones shift BM25 exactly: the anti-join drops the deleted
+    // docs' tf rows BEFORE scoreTf computes df, and the corpus scalars
+    // exclude them below — scores match a scan of the corpus minus the
+    // deleted docs, not just a post-filtered ranking
+    val tf = tombs.fold(tf0)(t => tf0.join(t, Seq("doc_id"), "left_anti"))
+    scoreTf(tf, statsFromDir(spark, dirs.doclen, tombs), k1, b)
   }
 
-  /** The (n_docs, avgdl) corpus scalars from the compact doclen table. */
+  /** The (n_docs, avgdl) corpus scalars from the compact doclen table,
+    * minus any tombstoned docs. */
   private def statsFromDir(spark: org.apache.spark.sql.SparkSession,
-                           doclenDir: String): DataFrame =
-    spark.read.parquet(doclenDir)
-      .agg(count(lit(1)).as("n_docs"),
+                           doclenDir: String,
+                           tombs: Option[DataFrame]): DataFrame = {
+    val dl0 = spark.read.parquet(doclenDir)
+    val dl = tombs.fold(dl0)(t => dl0.join(t, Seq("doc_id"), "left_anti"))
+    dl.agg(count(lit(1)).as("n_docs"),
         sum(col("dl").cast(DecimalType(18, 0))).cast("double").as("sum_dl"))
       .select(col("n_docs"), (col("sum_dl") / col("n_docs")).as("avgdl"))
+  }
 
   /** The pushdown ceiling for the query-TABLE BM25 form: up to this
     * many DISTINCT terms are collected and pushed as the postings
@@ -217,11 +261,13 @@ object Retrieval {
         storeScores(spark, path,
           t.collect().map(_.getString(0)).toSeq, k1, b)
       else {
-        val tf = spark.read.parquet(
-            graft.streaming.StoreFs.dataDir(spark, s"$path/postings"))
+        val dirs = liveIndexDirs(spark, path)
+        val tombs = tombsOf(spark, dirs.tombs)
+        val tf0 = spark.read.parquet(dirs.postings)
           .join(broadcast(t), Seq("term"))
-        scoreTf(tf, statsFromDir(spark,
-          graft.streaming.StoreFs.dataDir(spark, s"$path/doclen")), k1, b)
+        val tf = tombs.fold(tf0)(x =>
+          tf0.join(x, Seq("doc_id"), "left_anti"))
+        scoreTf(tf, statsFromDir(spark, dirs.doclen, tombs), k1, b)
       }
     rankTopK(scored, k)
   }
@@ -399,7 +445,9 @@ object Retrieval {
                          path: String, freeze: Boolean = true,
                          keepGens: Int = 1,
                          keepAgeMs: Long = 0L): Long = {
-    val subs = Seq("doclen", "postings", "positions")
+    // tombs rides the manifest only when it exists (the VecDirs
+    // contract: a pre-first-delete snapshot serves with no exclusions)
+    val subs = Seq("doclen", "postings", "positions", "tombs")
       .map(s => s"$path/$s")
       .filter(d => graft.streaming.StoreFs.storeExists(spark, d))
     val id = graft.streaming.StoreFs.createSnapshot(spark, path, subs)
@@ -423,22 +471,26 @@ object Retrieval {
       queries: Seq[(Long, Seq[String], Long)],
       kList: Int = 50, kOut: Int = 20,
       k1: Double = 1.2, b: Double = 0.75,
-      nprobe0: Int = 4): DataFrame = {
-    val idx = graft.streaming.StoreFs.snapshotDataDirs(spark, indexPath,
-      indexSnapshotId)
-    val vec = graft.streaming.StoreFs.snapshotDataDirs(spark, vecPath,
-      vecSnapshotId)
-    def need(dirs: Map[String, String], root: String, sub: String,
-             id: Long): String =
-      dirs.getOrElse(s"$root/$sub", throw new IllegalArgumentException(
-        s"snapshot $id of $root does not record $root/$sub; recorded: " +
-          dirs.keys.mkString(", ")))
+      nprobe0: Int = 4): DataFrame =
     hybridSeqResolved(spark, indexPath, vecPath, queries, kList, kOut,
       k1, b, nprobe0, ExactIvf.MaxServeBatch,
-      idxDirs = Some((need(idx, indexPath, "doclen", indexSnapshotId),
-        need(idx, indexPath, "postings", indexSnapshotId))),
-      vecDirs = Some((need(vec, vecPath, "cells", vecSnapshotId),
-        need(vec, vecPath, "vecs", vecSnapshotId))))
+      idxDirs = Some(snapshotIndexDirs(spark, indexPath, indexSnapshotId)),
+      vecDirs = Some(ExactIvf.snapshotVecDirs(spark, vecPath,
+        vecSnapshotId)))
+
+  /** Resolve an index-store snapshot manifest to its [[IndexDirs]]:
+    * doclen and postings are REQUIRED subs; tombs resolves only when
+    * the manifest recorded it. */
+  private[operators] def snapshotIndexDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, snapshotId: Long): IndexDirs = {
+    val dirs = graft.streaming.StoreFs.snapshotDataDirs(spark, path,
+      snapshotId)
+    def need(sub: String): String = dirs.getOrElse(s"$path/$sub",
+      throw new IllegalArgumentException(
+        s"snapshot $snapshotId of $path does not record $path/$sub; " +
+          s"recorded: ${dirs.keys.mkString(", ")}"))
+    IndexDirs(need("doclen"), need("postings"), dirs.get(s"$path/tombs"))
   }
 
   private def hybridSeqResolved(spark: org.apache.spark.sql.SparkSession,
@@ -447,8 +499,8 @@ object Retrieval {
                                 kList: Int, kOut: Int,
                                 k1: Double, b: Double,
                                 nprobe0: Int, maxBatch: Int,
-                                idxDirs: Option[(String, String)],
-                                vecDirs: Option[(String, String)])
+                                idxDirs: Option[IndexDirs],
+                                vecDirs: Option[ExactIvf.VecDirs])
       : DataFrame = {
     import spark.implicits._
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
@@ -473,8 +525,8 @@ object Retrieval {
         .toDF("query_id", "term")
 
       val scored = idxDirs match {
-        case Some((dl, po)) =>
-          storeScoresResolved(spark, dl, po, unionTerms, k1, b)
+        case Some(dirs) =>
+          storeScoresResolved(spark, dirs, unionTerms, k1, b)
         case None => storeScores(spark, indexPath, unionTerms, k1, b)
       }
       val lex = lexRank(scored.join(broadcast(qt), Seq("term")), kList)
@@ -534,23 +586,11 @@ object Retrieval {
       vecPath: String, vecSnapshotId: Long,
       queries: DataFrame, kList: Int, kOut: Int,
       k1: Double, b: Double, nprobe0: Int,
-      maxBatch: Int): DataFrame = {
-    val idx = graft.streaming.StoreFs.snapshotDataDirs(spark, indexPath,
-      indexSnapshotId)
-    val vec = graft.streaming.StoreFs.snapshotDataDirs(spark, vecPath,
-      vecSnapshotId)
-    def need(dirs: Map[String, String], root: String, sub: String,
-             id: Long): String =
-      dirs.getOrElse(s"$root/$sub", throw new IllegalArgumentException(
-        s"snapshot $id of $root does not record $root/$sub; recorded: " +
-          dirs.keys.mkString(", ")))
+      maxBatch: Int): DataFrame =
     hybridTableResolved(spark, indexPath, vecPath, queries, kList, kOut,
       k1, b, nprobe0, maxBatch,
-      Some((need(idx, indexPath, "doclen", indexSnapshotId),
-        need(idx, indexPath, "postings", indexSnapshotId))),
-      Some((need(vec, vecPath, "cells", vecSnapshotId),
-        need(vec, vecPath, "vecs", vecSnapshotId))))
-  }
+      Some(snapshotIndexDirs(spark, indexPath, indexSnapshotId)),
+      Some(ExactIvf.snapshotVecDirs(spark, vecPath, vecSnapshotId)))
 
   private def hybridTableResolved(spark: org.apache.spark.sql.SparkSession,
                                   indexPath: String, vecPath: String,
@@ -558,8 +598,8 @@ object Retrieval {
                                   kList: Int, kOut: Int,
                                   k1: Double, b: Double,
                                   nprobe0: Int, maxBatch: Int,
-                                  idxDirs: Option[(String, String)],
-                                  vecDirs: Option[(String, String)])
+                                  idxDirs: Option[IndexDirs],
+                                  vecDirs: Option[ExactIvf.VecDirs])
       : DataFrame = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // broadcast-contract chunking (VERDICT r11 #2), DataFrame form: a
@@ -582,17 +622,17 @@ object Retrieval {
       val unionTerms = qt.select("term").distinct()
         .collect().map(_.getString(0)).toSeq
       val scored = idxDirs match {
-        case Some((dl, po)) =>
-          storeScoresResolved(spark, dl, po, unionTerms, k1, b)
+        case Some(dirs) =>
+          storeScoresResolved(spark, dirs, unionTerms, k1, b)
         case None => storeScores(spark, indexPath, unionTerms, k1, b)
       }
       val lex = lexRank(scored.join(qt, Seq("term")), kList)
       val semQ = qs.select(col("query_id"), col("probe_id"))
       val sem = (vecDirs match {
-        case Some((cells, vecs)) =>
-          // re-resolve through the pinned pair — same dirs every chunk
+        case Some(vd) =>
+          // re-resolve through the pinned tuple — same dirs every chunk
           ExactIvf.topDotTableResolvedDirs(spark, vecPath, semQ, kList,
-            nprobe0, Some((cells, vecs)))
+            nprobe0, Some(vd))
         case None =>
           ExactIvf.topDotBatchFromStore(spark, vecPath, semQ, kList,
             nprobe0)
@@ -736,8 +776,14 @@ object Retrieval {
                             k: Int): DataFrame = {
     graft.streaming.StoreFs.requireFamily(spark, s"$path/positions",
       "positional", "phrase serve")
-    val pos = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/positions"))
+    val pos0 = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/positions"))
       .filter(col("term").isInCollection(phrases.flatten.distinct))
+    // the root's tombstones gate the positional serve too: a deleted
+    // doc loses its phrase hits; other docs' counts are untouched (the
+    // intersect is per-doc, so the anti-join is exact, not a re-rank)
+    val pos = tombsOf(spark,
+      graft.streaming.StoreFs.liveTombsDir(spark, path))
+      .fold(pos0)(t => pos0.join(t, Seq("doc_id"), "left_anti"))
     phraseMatchTail(pos, phrases, k)
   }
 
@@ -834,6 +880,15 @@ object Retrieval {
     val sealId = graft.streaming.StoreFs
       .sealTagMarkersMulti(spark, path, subs.map(s => s"$path/$s"))
       .getOrElse(-1L)
+    // PURGE (round 14): tombstoned docs drop from every sub's rewrite
+    // and exactly the applied tombstones are cleared after — the
+    // compactVecStore crash-order argument applies unchanged (purged
+    // subs + uncleared tombstones just re-exclude already-absent docs;
+    // a crash between SUB swaps leaves some subs purged and some not,
+    // which the still-standing tombstones make invisible to serves)
+    val applied = graft.streaming.StoreFs.liveTombsDir(spark, path)
+      .map(d => graft.core.Caches.scoped(
+        graft.streaming.StoreFs.readTombstones(spark, d, "doc_id")))
     def compact(sub: String, keys: Seq[String], sortCols: Seq[String]): Unit = {
       val dir = s"$path/$sub"
       if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
@@ -850,11 +905,13 @@ object Retrieval {
       // the seal ride through untouched for the replay anti-join.
       // Rows sharing (natural key, generation) are content-identical
       // by the ingest contract, so the dedup is deterministic.
-      val merged = tagged0
+      val merged0 = tagged0
         .withColumn("batch_id",
           when(coalesce(col("batch_id"), lit(-1L)) <= sealId, lit(-1L))
             .otherwise(col("batch_id")))
         .dropDuplicates(keys :+ "batch_id")
+      val merged = applied.fold(merged0)(t =>
+        merged0.join(t, Seq("doc_id"), "left_anti"))
       graft.streaming.StoreFs.swapInCompacted(spark, dir,
           keepGens = keepGens, keepAgeMs = keepAgeMs) { tmp =>
         (if (sortCols.nonEmpty)
@@ -868,6 +925,16 @@ object Retrieval {
     compact("postings", Seq("term", "doc_id"), Seq("term", "doc_id"))
     compact("positions", Seq("term", "doc_id", "pos"),
       Seq("term", "doc_id", "pos"))
+    applied.foreach { t =>
+      val tombsSub = s"$path/tombs"
+      graft.streaming.StoreFs.swapInCompacted(spark, tombsSub) { tmp =>
+        spark.read.schema("doc_id LONG, batch_id LONG")
+          .parquet(graft.streaming.StoreFs.dataDir(spark, tombsSub))
+          .join(t, Seq("doc_id"), "left_anti")
+          .write.parquet(tmp)
+      }
+      spark.catalog.refreshByPath(tombsSub)
+    }
   }
 
   /** [[phraseSearch]] with COST-BASED intersect ordering — the skew

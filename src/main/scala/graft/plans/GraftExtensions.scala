@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(ServeTableFunctions.getClass.getName,
         "graft_exact_topk"),
       (args: Seq[Expression]) => ServeTableFunctions.exactTopK(args)))
+    // predicate-filtered exact serving (round 14): allowedView names a
+    // relation of vec_ids; the serve is exact over that subset
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_exact_topk_filtered"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_exact_topk_filtered"),
+      (args: Seq[Expression]) =>
+        ServeTableFunctions.exactTopKFiltered(args)))
     ext.injectTableFunction((
       FunctionIdentifier("graft_hybrid_rrf"),
       new ExpressionInfo(ServeTableFunctions.getClass.getName,

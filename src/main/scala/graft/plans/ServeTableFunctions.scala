@@ -123,6 +123,28 @@ object ServeTableFunctions {
         snap, spark.table(view), k, nprobe0))
   }
 
+  /** graft_exact_topk_filtered(vecStorePath, queriesView, allowedView,
+    * k, nprobe0) → the PREDICATE-FILTERED form of [[exactTopK]] (round
+    * 14): `allowedView` names a relation exposing `vec_id` — the SQL
+    * user derives it from any attribute table (`CREATE TEMP VIEW en AS
+    * SELECT doc_id AS vec_id FROM docs WHERE lang = 'en'`) and the
+    * serve returns the EXACT top-k over that subset (the
+    * [[graft.operators.ExactIvf.topDotBatchFromStoreFiltered]]
+    * guarantee — no filtered-ANN recall loss, the filter reaches
+    * phase 1's d_k). Tombstones compose. */
+  def exactTopKFiltered(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 5,
+      "graft_exact_topk_filtered(vecStorePath, queriesView, " +
+        "allowedView, k, nprobe0)")
+    val spark = SparkSession.active
+    val (path, view, allowed) = (str(args(0), "vecStorePath"),
+      str(args(1), "queriesView"), str(args(2), "allowedView"))
+    val (k, nprobe0) = (int(args(3), "k"), int(args(4), "nprobe0"))
+    DeferredServe("graft_exact_topk_filtered", ExactSchema, () =>
+      graft.operators.ExactIvf.topDotBatchFromStoreFiltered(spark, path,
+        spark.table(view), spark.table(allowed), k, nprobe0))
+  }
+
   /** graft_hybrid_rrf(indexPath, vecPath, queriesView, kList, kOut
     * [, k1, b, nprobe0]) → (query_id, doc_id, lex_rk, sem_rk, rrf, rk).
     * `queriesView` must expose (query_id, terms ARRAY&lt;STRING&gt;,

@@ -255,7 +255,7 @@ object DedupQueries {
     val store = ensureSigStore(s, d)
     Dedup.incrementalDropDecisionsFromStore(
         documents(s, d).filter(col("doc_id") % 10 >= 8),
-        s.read.parquet(graft.streaming.StoreFs.dataDir(s, store)), estThreshold = 0.5)
+        Dedup.readSignatureStore(s, store), estThreshold = 0.5)
       .orderBy("doc_id")
   }
 

@@ -313,15 +313,18 @@ object RetrievalQueries {
   // shared by y18 (scan form) and y49 (store-served form): the oracle
   // is the EXACT hybrid answer, so both forms must reproduce it —
   // which is why y49's semantic arm is the exact cell-pruned store,
-  // not an approximate ANN shortlist
-  private val hybridBatchOracle = s"""
+  // not an approximate ANN shortlist. `where` restricts the corpus —
+  // the deleted-serve query (y61) grades against the SAME pipeline
+  // over the corpus minus the tombstoned docs.
+  private def hybridBatchOracleWhere(where: String): String = s"""
       WITH qt AS (SELECT CAST(q AS BIGINT) AS query_id, t AS term
                   FROM (VALUES ${BatchQueries.flatMap { case (q, ts, _) =>
                     ts.map(t => s"($q,'$t')") }.mkString(",")}) v(q, t)),
       qp AS (SELECT CAST(q AS BIGINT) AS query_id, CAST(p AS BIGINT) AS probe_id
              FROM (VALUES ${BatchQueries.map { case (q, _, p) =>
                s"($q,$p)" }.mkString(",")}) v(q, p)),
-      w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      w AS (SELECT doc_id, string_split($normSql, ' ') AS ws
+            FROM documents$where),
       p AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
       g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / count(*) AS avgdl
@@ -381,6 +384,8 @@ object RetrievalQueries {
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY rrf DESC, doc_id) AS INT) AS rk
       FROM fuse QUALIFY rk <= 20 ORDER BY query_id, rk"""
+
+  private val hybridBatchOracle = hybridBatchOracleWhere("")
 
   val y18 = Query(
     "y18_hybrid_rrf_batch",
@@ -628,6 +633,106 @@ object RetrievalQueries {
         (Terms ++ Terms.take(2)).toDF("term"), 10, K1, B,
         maxTermPushdown = 0)
       .orderBy("term", "rk")
+  }
+
+  // --- Y61: DELETION PROPAGATION graded (round 14): dedicated index +
+  // vec stores are built over the FULL corpus, then every doc with
+  // doc_id % 7 == 3 (~14% — including docs that sat inside the live
+  // top-k lists) is deleted from BOTH store families through the
+  // tombstone APIs, with the rows still physically present (no purge).
+  // The graded serve must hash-match the DuckDB replay of the hybrid
+  // pipeline over `documents WHERE doc_id % 7 <> 3` — which means the
+  // lexical arm's df, N and avgdl must all shift exactly as if the
+  // docs were never indexed (a post-filtered ranking would keep the
+  // undeleted corpus's scores and mismatch), and the semantic arm's
+  // phase-1 d_k must be computed over visible rows only (a d_k seeded
+  // from a deleted row would over-prune and drop true top-k rows).
+  private def ensureDeletedStores(s: org.apache.spark.sql.SparkSession,
+                                  d: String): (String, String) = {
+    val root = StoreFixtures.path("graft-delstores", d,
+      "documents.parquet", "delstores1")
+    StoreFixtures.onceByMarker(root, "_graft_del_done") {
+      val docs = documents(s, d)
+      Retrieval.writeIndexStore(docs, s"$root/idx")
+      graft.operators.ExactIvf.writeVecStore(
+        graft.operators.TextAnalysis.hashedEmbedding(docs)
+          .select("doc_id", "vec"),
+        s"$root/vec", nCells = 16, iters = 1)
+      val del = docs.select("doc_id").filter(col("doc_id") % 7 === 3)
+      Retrieval.deleteFromIndexStore(s, del, s"$root/idx")
+      graft.operators.ExactIvf.deleteFromVecStore(s, del, s"$root/vec",
+        idCol = "doc_id")
+    }
+    (s"$root/idx", s"$root/vec")
+  }
+
+  val y61 = Query(
+    "y61_hybrid_deleted_serve",
+    Some(hybridBatchOracleWhere(" WHERE doc_id % 7 <> 3"))
+  ) { (s, d) =>
+    val (idx, vec) = ensureDeletedStores(s, d)
+    Retrieval.hybridRrfBatchFromStores(s, idx, vec, BatchQueries,
+        kList = 50, kOut = 20, k1 = K1, b = B, nprobe0 = 4)
+      .orderBy("query_id", "rk")
+  }
+
+  // --- Y62: PREDICATE-FILTERED exact vector serving graded (round 14):
+  // the metadata-filtered search shape ("top-k among docs WHERE …") on
+  // the exact-IVF store — the classic filtered-ANN recall trap done
+  // right: the `allowed` set (docs with doc_id % 3 == 0) applies to
+  // every candidate scan INCLUDING phase 1's, so d_k is the kth-best
+  // ALLOWED dot and the cell bound keeps every cell that could hold an
+  // allowed top-k row — exact top-k over the subset, unconditionally.
+  // Probe 137 (137 % 3 = 2) is deliberately OUTSIDE the allowed set:
+  // restricting the candidate corpus and restricting who may ask are
+  // different contracts, and the oracle proves the serve honors that.
+  val y62 = Query(
+    "y62_exact_topk_filtered",
+    Some(s"""
+      WITH qp AS (SELECT CAST(q AS BIGINT) AS query_id,
+                    CAST(p AS BIGINT) AS probe_id
+                  FROM (VALUES ${BatchQueries.map { case (q, _, p) =>
+                    s"($q,$p)" }.mkString(",")}) v(q, p)),
+      w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
+      fe AS (SELECT doc_id, list_concat(ws,
+               list_transform(range(1, len(ws)),
+                 j -> array_to_string(ws[j:j+1], ' '))) AS fs
+             FROM w),
+      sx AS (SELECT doc_id, unnest(fs) AS t FROM fe),
+      sg AS (SELECT doc_id,
+               ${graft.functions.TextFunctions.md5BucketSql("t")} % 64 AS b,
+               CASE WHEN (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)
+                      >= 8 THEN 1 ELSE -1 END AS s
+             FROM sx),
+      cells AS (SELECT doc_id, b, CAST(SUM(s) AS BIGINT) AS v
+                FROM sg GROUP BY doc_id, b),
+      dv AS (SELECT d.doc_id, r.j, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+             FROM (SELECT doc_id FROM w) d
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS j) r
+             LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.b = r.j),
+      vecs AS (SELECT doc_id, list(v ORDER BY j) AS vec FROM dv GROUP BY doc_id),
+      q AS (SELECT qp.query_id, qp.probe_id, v.vec AS qvec
+            FROM vecs v JOIN qp ON v.doc_id = qp.probe_id),
+      dots AS (SELECT q.query_id, v.doc_id,
+                 CAST(list_aggregate(list_transform(range(1, 65),
+                   j -> v.vec[j] * q.qvec[j]), 'sum') AS BIGINT) AS dot
+               FROM vecs v CROSS JOIN q
+               WHERE v.doc_id <> q.probe_id AND v.doc_id % 3 = 0),
+      r AS (SELECT query_id, doc_id AS vec_id, dot,
+              CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dot DESC, doc_id) AS INT) AS rk
+            FROM dots)
+      SELECT query_id, vec_id, dot, rk FROM r WHERE rk <= 20
+      ORDER BY query_id, rk""")
+  ) { (s, d) =>
+    import s.implicits._
+    val q = BatchQueries.map { case (qid, _, p) => (qid, p) }
+      .toDF("query_id", "probe_id")
+    val allowed = documents(s, d).select(col("doc_id").as("vec_id"))
+      .filter(col("vec_id") % 3 === 0)
+    graft.operators.ExactIvf.topDotBatchFromStoreFiltered(s,
+        ensureVecStore(s, d), q, allowed, k = 20, nprobe0 = 4)
+      .orderBy("query_id", "rk")
   }
 
   // --- X67/X68: int8 quantization. Shared oracle CTEs lift vectors to
@@ -1379,5 +1484,5 @@ object RetrievalQueries {
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
     x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38, y49,
-    y52, y55, y57, y58, y59, y60)
+    y52, y55, y57, y58, y59, y60, y61, y62)
 }

@@ -77,9 +77,13 @@ object IncrementalDedup {
         // exists, then the bounded incremental edge set against it
         val dec =
           if (storeExists)
+            // VISIBLE read (round 14): tombstoned docs stop matching the
+            // moment their delete lands — the append anti-join below
+            // stays raw (a still-present row blocks re-append until
+            // purge, the delete-wins contract)
             Dedup.incrementalClusterClosure(
               batch,
-              spark.read.parquet(StoreFs.dataDir(spark, storePath)),
+              Dedup.readSignatureStore(spark, storePath),
               estThreshold)
           else Dedup.clusterClosureDecisions(batch, estThreshold)
         dec.select(col("doc_id"), (lit(1) - col("kept")).as("dropped"))
@@ -90,7 +94,7 @@ object IncrementalDedup {
           if (storeExists)
             Dedup.incrementalDropDecisionsFromStore(
               batch,
-              spark.read.parquet(StoreFs.dataDir(spark, storePath)),
+              Dedup.readSignatureStore(spark, storePath),
               estThreshold)
               .withColumnRenamed("dropped", "dropped_store")
           else batch.select(col("doc_id"), lit(0).as("dropped_store"))

@@ -90,8 +90,36 @@ object StoreAudit {
     val snapshots = snapshotFindings(spark, dir)
     val geometry = (Seq(dir) ++ subDirs).distinct
       .flatMap(geometryFindings(spark, _))
-    layout ++ seal ++ markers ++ owner ++ frontier ++ snapshots ++ geometry
+    val tombs = tombstoneFindings(spark, dir)
+    layout ++ seal ++ markers ++ owner ++ frontier ++ snapshots ++
+      geometry ++ tombs
   }
+
+  /** Pending deletion tombstones (round 14): every serve pays the
+    * anti-join while they stand, and the deleted rows remain PHYSICALLY
+    * present (a compliance clock, if the deletes are regulatory) until
+    * the family's compactor purges them — so a standing backlog is an
+    * operator signal, not an error. Bounded: one distinct-count over
+    * the tombs table (|deleted| rows of one key), no corpus data read. */
+  private def tombstoneFindings(spark: SparkSession,
+                                dir: String): Seq[Finding] =
+    Seq(s"$dir/tombs", StoreFs.flatTombsDir(dir))
+      .filter(StoreFs.storeExists(spark, _)).take(1).flatMap { root =>
+      val d = StoreFs.dataDir(spark, root)
+      val keyCol = StoreFs.readGeometry(spark, root)
+        .getOrElse("key_columns", "doc_id")
+      val n = try StoreFs.readTombstones(spark, d, keyCol).count()
+      catch {
+        case e: Exception => return Seq(Finding(dir, "tombstones",
+          "warn", s"tombs table exists but is unreadable: ${e.getMessage}"))
+      }
+      if (n == 0L) Seq.empty
+      else Seq(Finding(dir, "tombstones", "info",
+        s"$n pending tombstone(s) — serves exclude them exactly, but " +
+          "the deleted rows remain physically present (and every serve " +
+          "pays the exclusion anti-join) until the next compaction " +
+          "purges them"))
+    }
 
   /** Geometry manifest vs data cross-check (VERDICT r13 #4): the
     * manifest records the store's identity (family, key columns,

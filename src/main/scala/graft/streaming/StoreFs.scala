@@ -548,6 +548,86 @@ private[graft] object StoreFs {
     }
   }
 
+  // ---- deletion tombstones (round 14) --------------------------------
+
+  /** Append ids to a store family's TOMBSTONE sub-table (`<root>/tombs`)
+    * — the deletion-propagation primitive every serving path consults:
+    * a tombstoned id is excluded from every live serve (anti-join, so
+    * BM25's df/N/avgdl shift exactly as if the doc never existed) until
+    * the family's compactor PURGES the rows physically and clears the
+    * applied tombstones. Semantics, stated once for every family:
+    *
+    *  - delete wins until purge: re-appending a tombstoned id is
+    *    dropped by the append anti-join (the row is still physically
+    *    present), and the tombstone keeps excluding it; after a purge
+    *    the id is gone and a re-append revives it.
+    *  - deleting an id the store never held is a harmless no-op (the
+    *    tombstone sits unmatched until the next purge clears it).
+    *  - snapshots record the tombs generation WHEN THE SUB-TABLE
+    *    EXISTS: a snapshot taken before the first delete records no
+    *    tombs and serves the undeleted corpus — "no tombs recorded"
+    *    means "no exclusions", never "fall back to live tombs". Time
+    *    travel therefore still SEES deleted docs by design; compliance
+    *    deletion = purge + retiring the snapshots/generations that pin
+    *    the data (the retention policy's job).
+    *
+    * Scale shape: the tombstone table is |deleted| rows of one key —
+    * the serve-side anti-join is keyed on the candidate frame (already
+    * cell/term-pruned), and AQE broadcasts a small tombstone side.
+    * `batchId` gives streaming deletes the marker fast path; the
+    * anti-join against existing tombstones keeps the table minimal
+    * (correctness never depends on it — readers take DISTINCT). */
+  def appendTombstones(spark: SparkSession, dir: String,
+                       ids: org.apache.spark.sql.DataFrame,
+                       keyCol: String, family: String,
+                       batchId: Option[Long] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    if (batchId.exists(markerExists(spark, dir, _))) return
+    ensureGeometry(spark, dir, family,
+      Seq("key_columns" -> keyCol), op = "appendTombstones")
+    val rows = ids.select(col(keyCol).cast("long").as(keyCol)).distinct()
+      .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
+    val novel =
+      if (storeExists(spark, dir))
+        rows.join(readTombstones(spark, dataDir(spark, dir), keyCol),
+          Seq(keyCol), "left_anti")
+      else rows
+    novel.write.mode("append").parquet(dataDir(spark, dir))
+    batchId.foreach(writeMarker(spark, dir, _))
+  }
+
+  /** The DISTINCT tombstoned keys at a RESOLVED tombs data directory.
+    * The schema is explicit, never inferred: a fully-purged tombs
+    * generation can be a zero-file directory (Spark writes no part
+    * files for an empty frame), and schema inference would throw where
+    * "no tombstones" is the correct read. */
+  def readTombstones(spark: SparkSession, tombsDataDir: String,
+                     keyCol: String): org.apache.spark.sql.DataFrame =
+    spark.read.schema(s"$keyCol LONG, batch_id LONG")
+      .parquet(tombsDataDir).select(keyCol).distinct()
+
+  /** The tombs directory of a FLAT store (data at the root itself, e.g.
+    * the signature store): a SIBLING `<root>_tombs` directory. A
+    * `tombs/` sub-directory would be swept into the flat parquet read as
+    * spurious rows (recursive file listing) and reclaimed by the
+    * generation-0 flat-remnant GC; multi-table family roots (vec/index/
+    * ivfadc — whose roots hold only sub-directories and manifests) use
+    * `<root>/tombs`. */
+  def flatTombsDir(root: String): String =
+    root.stripSuffix("/") + "_tombs"
+
+  /** The live tombs data dir of a store family — `<root>/tombs` for
+    * multi-table roots, the `<root>_tombs` sibling for flat stores — or
+    * None when the family has never seen a delete. */
+  def liveTombsDir(spark: SparkSession, root: String): Option[String] = {
+    val nested = s"$root/tombs"
+    if (storeExists(spark, nested)) Some(dataDir(spark, nested))
+    else {
+      val sib = flatTombsDir(root)
+      if (storeExists(spark, sib)) Some(dataDir(spark, sib)) else None
+    }
+  }
+
   /** A Structured Streaming checkpoint's COMMITTED batch frontier: the
     * highest numeric file name under `<checkpoint>/commits` (the public
     * checkpoint layout — one commit file per fully completed batch;
