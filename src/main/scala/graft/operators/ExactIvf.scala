@@ -52,20 +52,27 @@ object ExactIvf {
 
   /** A serve's RESOLVED store directories: the (cells, vecs) generation
     * pair — live or snapshot-pinned — plus the TOMBSTONE generation when
-    * the store carries deletions. `tombs = None` means "no exclusions":
-    * a snapshot taken before the store's first delete records no tombs
+    * the store carries deletions, plus the EPOCH ROOT whose geometry
+    * manifest describes these subs (post-recluster epochs can differ in
+    * nCells/nBuckets/nGroups, so geometry must be read from the same
+    * epoch as the data). `tombs = None` means "no exclusions": a
+    * snapshot taken before the store's first delete records no tombs
     * sub-table and must serve the undeleted corpus — it never falls
     * back to the live tombstones (which would leak post-snapshot
     * deletes into a pinned read). */
   private[operators] final case class VecDirs(cells: String, vecs: String,
-                                              tombs: Option[String])
+                                              tombs: Option[String],
+                                              geoRoot: String)
 
   private[operators] def liveVecDirs(spark: SparkSession,
-                                     path: String): VecDirs =
+                                     path: String): VecDirs = {
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
     VecDirs(
-      graft.streaming.StoreFs.dataDir(spark, s"$path/cells"),
-      graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"),
-      graft.streaming.StoreFs.liveTombsDir(spark, path))
+      graft.streaming.StoreFs.dataDir(spark, s"$eff/cells"),
+      graft.streaming.StoreFs.dataDir(spark, s"$eff/vecs"),
+      graft.streaming.StoreFs.liveTombsDir(spark, eff),
+      eff)
+  }
 
   /** The default ceiling on PARTITION DIRECTORIES for a cell-laid
     * store (VERDICT r12 #1): partitioning by raw `ivf_cell` makes the
@@ -301,7 +308,12 @@ object ExactIvf {
                        batchId: Option[Long] = None, idCol: String = "doc_id",
                        vecCol: String = "vec"): Unit = {
     import spark.implicits._
-    val dir = s"$path/vecs"
+    // appends land in the LIVE EPOCH (post-recluster ingest must not
+    // write into a superseded root); a batch whose marker lived in a
+    // superseded epoch replays here with no marker and heals through
+    // the anti-join below (its rows are in the reclustered store)
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    val dir = s"$eff/vecs"
     if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, dir, _)))
       return
     // layout guard BEFORE any store mutation (review r13): the
@@ -309,7 +321,7 @@ object ExactIvf {
     // would mix cell_bucket= and ivf_cell= partition dirs and fail
     // partition discovery for every reader. Checked here (a schema
     // footer probe), ahead of the phase-1 cells swap.
-    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
+    val buckets = graft.streaming.StoreFs.readGeometry(spark, eff)
       .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
     val visible0 = spark.read.option("mergeSchema", "true")
       .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
@@ -328,7 +340,7 @@ object ExactIvf {
     // with the cells; only r2max moves. Pre-r14 stores lack the column
     // and keep their three-column schema.
     val cellsDf = spark.read.parquet(
-      graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
+      graft.streaming.StoreFs.dataDir(spark, s"$eff/cells"))
     val hasGroup = cellsDf.columns.contains("cell_group")
     val cellRows = cellsDf
       .select(col("ivf_cell"), col("ccvm"), col("r2max"),
@@ -354,12 +366,12 @@ object ExactIvf {
       if (hasGroup) mergedRows.toDF("ivf_cell", "ccvm", "r2max", "cell_group")
       else mergedRows.map { case (c, v, r2, _) => (c, v, r2) }
         .toDF("ivf_cell", "ccvm", "r2max")
-    graft.streaming.StoreFs.swapInCompacted(spark, s"$path/cells")(
+    graft.streaming.StoreFs.swapInCompacted(spark, s"$eff/cells")(
       merged.write.parquet(_))
     // the swap replaced the files under a path Spark may have cached a
     // listing for — a later read through the stale FileIndex throws
     // FILE_NOT_EXIST
-    spark.catalog.refreshByPath(s"$path/cells")
+    spark.catalog.refreshByPath(s"$eff/cells")
     // phase 2: append the batch's rows. The anti-join runs on vec_id
     // against ALL visible rows — not just this batch's generation
     // (ADVICE r10): ids are immutable under the frozen-cell contract,
@@ -412,7 +424,8 @@ object ExactIvf {
   def deleteFromVecStore(spark: SparkSession, ids: DataFrame, path: String,
                          batchId: Option[Long] = None,
                          idCol: String = "vec_id"): Unit =
-    graft.streaming.StoreFs.appendTombstones(spark, s"$path/tombs",
+    graft.streaming.StoreFs.appendTombstones(spark,
+      s"${graft.streaming.StoreFs.liveRoot(spark, path)}/tombs",
       ids.select(col(idCol).as("vec_id")), "vec_id", "vec_tombs", batchId)
 
   /** COMPACT the vec store: per-batch appends leave one file set per
@@ -435,18 +448,19 @@ object ExactIvf {
     * excluding these ids via the tombstone anti-join. */
   def compactVecStore(spark: SparkSession, path: String,
                       keepGens: Int = 1, keepAgeMs: Long = 0L): Unit = {
-    val dir = s"$path/vecs"
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    val dir = s"$eff/vecs"
     if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
     // seal folded tags as markers first (torn-append replay safety —
     // the compactCodesStore contract)
     graft.streaming.StoreFs.sealTagMarkers(spark, dir)
     val src = spark.read.option("mergeSchema", "true")
       .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
-    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
+    val buckets = graft.streaming.StoreFs.readGeometry(spark, eff)
       .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
     // the applied tombstone set is pinned (cached) BEFORE the rewrite:
     // the same rows must drive the purge anti-join and the clear below
-    val applied = graft.streaming.StoreFs.liveTombsDir(spark, path)
+    val applied = graft.streaming.StoreFs.liveTombsDir(spark, eff)
       .map(d => graft.core.Caches.scoped(
         graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")))
     val merged0 = src.drop("batch_id", "cell_bucket")
@@ -465,7 +479,7 @@ object ExactIvf {
       // whose members were all deleted still exists and simply never
       // wins a bound). cell_group rides untouched when present.
       val cellsDf = spark.read.parquet(
-        graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
+        graft.streaming.StoreFs.dataDir(spark, s"$eff/cells"))
       val hasGroup = cellsDf.columns.contains("cell_group")
       val live = spark.read.option("mergeSchema", "true")
         .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
@@ -481,12 +495,12 @@ object ExactIvf {
         .join(r2, Seq("ivf_cell"), "left")
         .withColumn("r2max", coalesce(col("r2n"), lit(0L)))
         .select(keep: _*)
-      graft.streaming.StoreFs.swapInCompacted(spark, s"$path/cells")(
+      graft.streaming.StoreFs.swapInCompacted(spark, s"$eff/cells")(
         newCells.write.parquet(_))
-      spark.catalog.refreshByPath(s"$path/cells")
+      spark.catalog.refreshByPath(s"$eff/cells")
       // clear exactly the applied set; a tombstone appended mid-cycle
       // survives into the next generation for the next purge
-      val tombsSub = s"$path/tombs"
+      val tombsSub = s"$eff/tombs"
       graft.streaming.StoreFs.swapInCompacted(spark, tombsSub) { tmp =>
         spark.read.schema("vec_id LONG, batch_id LONG")
           .parquet(graft.streaming.StoreFs.dataDir(spark, tombsSub))
@@ -494,6 +508,108 @@ object ExactIvf {
           .write.parquet(tmp)
       }
       spark.catalog.refreshByPath(tombsSub)
+    }
+  }
+
+  /** ONLINE RECLUSTER (round 14): rebuild the store under a FRESH
+    * clustering — new nCells / nBuckets / nGroups if desired — with an
+    * ATOMIC cutover and zero serving downtime. This is the operational
+    * answer to bound decay: appends under frozen cells only ever RAISE
+    * r2max, so a store that has drifted far from its build-time
+    * distribution prunes less and less; "retraining is a rebuild" used
+    * to mean a new path and a caller-side switch.
+    *
+    * Why the per-sub generation pointers cannot do this in place: a
+    * recluster changes cell ASSIGNMENTS, making cells/vecs/groups
+    * cross-dependent — a serve that resolves new cells with old vecs
+    * scans rows the new bounds never covered (wrong answers, not
+    * degraded ones). The epoch redirect ([[graft.streaming.StoreFs
+    * .liveRoot]]) lifts the pointer one level: the full store lands in
+    * `<root>/_re-<id>/{cells,vecs,groups[,tombs]}` with its OWN
+    * geometry manifest, and one atomic `_graft_root_<id>` creation cuts
+    * every resolution over — serves, appends, compactions, deletes and
+    * snapshots all route through the live epoch from that instant; a
+    * reader mid-serve keeps the complete previous epoch (reclaimed only
+    * by the explicit [[gcReclusterEpochs]]).
+    *
+    * The rebuild reads the VISIBLE rows — live generation minus
+    * tombstones — so a recluster is also a purge; tombstones that land
+    * DURING the build are re-applied to the new epoch before the
+    * cutover (exact under the store's single-writer contract, the same
+    * contract every compactor runs under). Serving answers are
+    * IDENTICAL before and after by the exactness guarantee (clustering
+    * is a performance lever, never a correctness one — spec-pinned);
+    * what changes is pruning power. Replay safety: a streaming batch
+    * whose marker lived in the superseded epoch replays against the new
+    * epoch with no marker and heals through the append anti-join (its
+    * rows are all in the reclustered store).
+    *
+    * Snapshots taken BEFORE the recluster keep resolving their pinned
+    * old-epoch directories until [[gcReclusterEpochs]] reclaims that
+    * epoch (after which the fsck reports the broken manifests — the
+    * generation-GC contract, one level up). */
+  def reclusterVecStore(spark: SparkSession, path: String, nCells: Int,
+                        iters: Int, nBuckets: Int = -1,
+                        nGroups: Int = -1): Unit = {
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    require(graft.streaming.StoreFs.storeExists(spark, s"$eff/vecs"),
+      s"no vec store at $path to recluster")
+    // pin the tombstone set the rebuild applies (cached + forced NOW):
+    // the residual copy below re-applies exactly what landed after it
+    val t0 = graft.streaming.StoreFs.liveTombsDir(spark, eff)
+      .map(d => graft.core.Caches.scoped(
+        graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")))
+    t0.foreach(_.count())
+    val visible0 = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$eff/vecs"))
+      .select("vec_id", "vm").dropDuplicates("vec_id")
+    val visible = t0.fold(visible0)(t =>
+      visible0.join(t, Seq("vec_id"), "left_anti"))
+    val (id, newRoot) = graft.streaming.StoreFs.reserveEpoch(spark, path)
+    writeVecStore(visible, newRoot, nCells, iters,
+      idCol = "vec_id", vecCol = "vm", nBuckets = nBuckets,
+      nGroups = nGroups)
+    // residual tombstones: deletes that landed in the old epoch after
+    // the pinned set must keep excluding in the new one
+    graft.streaming.StoreFs.liveTombsDir(spark, eff).foreach { d =>
+      val cur = graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")
+      val residual = t0.fold(cur)(t => cur.join(t, Seq("vec_id"),
+        "left_anti"))
+      if (residual.limit(1).count() > 0)
+        graft.streaming.StoreFs.appendTombstones(spark,
+          s"$newRoot/tombs", residual, "vec_id", "vec_tombs", None)
+    }
+    graft.streaming.StoreFs.commitRoot(spark, path, id)
+  }
+
+  /** Reclaim superseded recluster epochs older than the live one minus
+    * `keepEpochs` (grace for in-flight reads and still-pinned
+    * snapshots — size it like `keepGens`, to the deployment's longest
+    * read). Epoch 0 is the original root's own sub-directories. A
+    * reclaimed epoch's pinned snapshots stop resolving and surface in
+    * the fsck; retire or re-create them first. */
+  def gcReclusterEpochs(spark: SparkSession, path: String,
+                        keepEpochs: Int = 1): Unit = {
+    require(keepEpochs >= 1, "keepEpochs must be >= 1")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    val pfx = graft.streaming.StoreFs.RootPrefix
+    val committed = fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(n => n.startsWith(pfx) && !n.endsWith(".reserve"))
+      .flatMap(_.stripPrefix(pfx).toLongOption).toSeq.sorted
+    if (committed.isEmpty) return
+    val floor = committed.max - keepEpochs
+    (0L until math.max(floor, 0L)).foreach { e =>
+      if (e == 0L)
+        Seq("cells", "vecs", "groups", "tombs").foreach { sub =>
+          fs.delete(new org.apache.hadoop.fs.Path(p, sub), true); ()
+        }
+      else {
+        fs.delete(new org.apache.hadoop.fs.Path(p, f"_re-$e%08d"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(p, f"$pfx$e%08d"), false)
+        ()
+      }
     }
   }
 
@@ -530,12 +646,14 @@ object ExactIvf {
                         allowedIn: Option[DataFrame])
       : ServePlan = {
     // the store's partition layout (bucketed vs legacy per-cell) comes
-    // from its geometry manifest — absent = pre-r13 legacy layout.
-    // `dirs` pins a SNAPSHOT's resolved generation tuple (VERDICT
-    // r12 #4, tombstones included); None = the live generations.
-    val geo = graft.streaming.StoreFs.readGeometry(spark, path)
-    val buckets = geo.get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
+    // from its geometry manifest — read at the EPOCH root the resolved
+    // subs belong to (a post-recluster epoch can change the geometry);
+    // absent = pre-r13 legacy layout. `dirs` pins a SNAPSHOT's resolved
+    // generation tuple (VERDICT r12 #4, tombstones included); None =
+    // the live epoch's live generations.
     val rd = dirs.getOrElse(liveVecDirs(spark, path))
+    val geo = graft.streaming.StoreFs.readGeometry(spark, rd.geoRoot)
+    val buckets = geo.get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
     val cells = graft.core.Caches.scoped(spark.read.parquet(rd.cells))
     val vecs = spark.read.parquet(rd.vecs)
     // VISIBILITY (round 14): tombstones exclude (anti), a caller filter
@@ -661,8 +779,10 @@ object ExactIvf {
       // broadcast): cells stay a distributed scan joined on cell_group
       // against the bounded pair frame (AQE broadcasts the pair side),
       // and the probe vectors enter as the bounded probe broadcast.
+      // groups live beside cells/vecs in the SAME epoch root (a
+      // superseded epoch's groups describe a different clustering)
       val groupsT = spark.read.parquet(
-        graft.streaming.StoreFs.dataDir(spark, s"$path/groups"))
+        graft.streaming.StoreFs.dataDir(spark, s"${rd.geoRoot}/groups"))
       // per-group radius, derived LIVE from the cells table (one linear
       // pass over ≤ nCells rows) so an append's r2max raise propagates
       // into the group bound with zero incremental group maintenance.
@@ -836,16 +956,25 @@ object ExactIvf {
   /** Resolve a vec-store snapshot manifest to its [[VecDirs]]: cells and
     * vecs are REQUIRED subs; tombs resolves only when the manifest
     * recorded it (a pre-first-delete snapshot serves with no
-    * exclusions — the [[VecDirs]] contract). */
+    * exclusions — the [[VecDirs]] contract). Manifest keys are matched
+    * by their `/sub` SUFFIX, not the caller's root string: a snapshot
+    * taken after a recluster records epoch-root sub paths
+    * (`<root>/_re-N/cells`), and the epoch root they share is also
+    * where the pinned data's geometry manifest lives. */
   private[operators] def snapshotVecDirs(spark: SparkSession, path: String,
                                          snapshotId: Long): VecDirs = {
     val dirs = graft.streaming.StoreFs.snapshotDataDirs(spark, path,
       snapshotId)
-    def need(sub: String): String = dirs.getOrElse(s"$path/$sub",
+    def find(sub: String): Option[(String, String)] =
+      dirs.get(s"$path/$sub").map(v => (s"$path/$sub", v))
+        .orElse(dirs.find(_._1.endsWith(s"/$sub")))
+    def need(sub: String): (String, String) = find(sub).getOrElse(
       throw new IllegalArgumentException(
-        s"snapshot $snapshotId of $path does not record $path/$sub; " +
+        s"snapshot $snapshotId of $path does not record a /$sub sub; " +
           s"recorded: ${dirs.keys.mkString(", ")}"))
-    VecDirs(need("cells"), need("vecs"), dirs.get(s"$path/tombs"))
+    val (cellsKey, cellsDir) = need("cells")
+    VecDirs(cellsDir, need("vecs")._2, find("tombs").map(_._2),
+      geoRoot = cellsKey.stripSuffix("/cells"))
   }
 
   /** Record the vec store's current (cells, vecs) generation pair as
@@ -876,10 +1005,13 @@ object ExactIvf {
     // VecDirs contract). The freeze compaction below also PURGES
     // pending tombstones — answer-preserving for the live view (the
     // serve already excluded them) while the snapshot keeps the pinned
-    // pre-purge generations.
-    val subs = Seq(s"$path/cells", s"$path/vecs") ++
-      (if (graft.streaming.StoreFs.storeExists(spark, s"$path/tombs"))
-         Seq(s"$path/tombs") else Nil)
+    // pre-purge generations. Sub paths are EPOCH paths; the manifest
+    // itself stays at the ORIGINAL root, so the snapshot listing
+    // survives a recluster.
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    val subs = Seq(s"$eff/cells", s"$eff/vecs") ++
+      (if (graft.streaming.StoreFs.storeExists(spark, s"$eff/tombs"))
+         Seq(s"$eff/tombs") else Nil)
     val id = graft.streaming.StoreFs.createSnapshot(spark, path, subs)
     if (freeze) compactVecStore(spark, path, keepGens, keepAgeMs)
     id

@@ -548,6 +548,85 @@ private[graft] object StoreFs {
     }
   }
 
+  // ---- epoch redirect (round 14: online recluster) --------------------
+  //
+  // A RECLUSTER rewrites cells, vecs AND groups with NEW assignments —
+  // the one store mutation the per-sub generation pointers cannot make
+  // safe, because the subs are cross-dependent: new-cells-with-old-vecs
+  // serves bounds that do not cover the rows it scans (wrong answers,
+  // not degraded ones). The epoch redirect lifts the generation-pointer
+  // idea one level: a rebuilt store lands COMPLETE in a fresh epoch
+  // directory (`<root>/_re-<id>/{cells,vecs,groups,…}`), and the
+  // cutover is ONE atomic `_graft_root_<id>` marker creation whose
+  // content names the epoch directory. Every resolution goes through
+  // [[liveRoot]]; readers mid-flight keep the complete previous epoch
+  // (reclaimed only by an explicit operator GC, not automatically).
+  // The underscore prefixes keep both the markers and the epoch dirs
+  // invisible to Spark's file index at the original root.
+
+  private[graft] val RootPrefix = "_graft_root_"
+
+  /** The store family's LIVE root: the epoch directory named by the
+    * highest `_graft_root_<id>` marker, or `root` itself before any
+    * recluster. One listing RPC + one small read. A marker whose
+    * content is unreadable/empty is SKIPPED (fail toward the older
+    * epoch — a torn cutover must never take reads down). */
+  def liveRoot(spark: SparkSession, root: String): String = {
+    val (fs, p) = fsAndPath(spark, root)
+    if (!fs.exists(p)) return root
+    val ids = fs.listStatus(p).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(RootPrefix))
+      .flatMap(_.stripPrefix(RootPrefix).toLongOption)
+      .toSeq.sorted.reverse
+    ids.iterator.flatMap { id =>
+      readSmall(fs, new Path(p, f"$RootPrefix$id%08d")).filter(_.nonEmpty)
+        .map(sub => new Path(p, sub).toString)
+    }.find(d => fs.exists(new Path(d)))
+      .getOrElse(root)
+  }
+
+  /** Claim the next epoch id and return its directory path (not yet
+    * live — the builder writes the full store there first, then calls
+    * [[commitRoot]]). The id is claimed by the same atomic
+    * create-no-overwrite discipline as snapshots, but on a RESERVED
+    * name (`.reserve`): the live marker itself is created only at
+    * commit, so a crashed build never becomes resolvable. */
+  def reserveEpoch(spark: SparkSession, root: String): (Long, String) = {
+    val (fs, p) = fsAndPath(spark, root)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    val taken = fs.listStatus(p).iterator.map(_.getPath.getName)
+      .flatMap { n =>
+        if (n.startsWith(RootPrefix))
+          n.stripPrefix(RootPrefix).stripSuffix(".reserve").toLongOption
+        else None
+      }.maxOption.getOrElse(0L)
+    var id = taken + 1L
+    while (true) {
+      val r = new Path(p, f"$RootPrefix$id%08d.reserve")
+      try {
+        fs.create(r, false).close()
+        return (id, new Path(p, f"_re-$id%08d").toString)
+      } catch {
+        case _: java.io.IOException if fs.exists(r) => id += 1L
+        case e: java.io.IOException => throw new java.io.IOException(
+          s"could not reserve epoch $id at $root", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Make epoch `id` live: one atomic marker creation with the epoch
+    * directory name as content. Refuses an id never reserved here or a
+    * marker that already exists (a double commit is a caller bug). */
+  def commitRoot(spark: SparkSession, root: String, id: Long): Unit = {
+    val (fs, p) = fsAndPath(spark, root)
+    val marker = new Path(p, f"$RootPrefix$id%08d")
+    val out = fs.create(marker, false) // throws if already committed
+    try out.write(f"_re-$id%08d".getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(p, f"$RootPrefix$id%08d.reserve"), false)
+    ()
+  }
+
   // ---- deletion tombstones (round 14) --------------------------------
 
   /** Append ids to a store family's TOMBSTONE sub-table (`<root>/tombs`)

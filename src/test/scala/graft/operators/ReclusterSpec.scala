@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+
+/** Online recluster of the exact-IVF store (round 14): the epoch
+  * redirect must cut a complete rebuilt store over ATOMICALLY — serving
+  * answers identical before and after (exactness is clustering-
+  * independent), pruning restored, appends/deletes/compactions routed
+  * to the live epoch, pre-recluster snapshots untouched, and streaming
+  * replays healed across the epoch boundary. */
+class ReclusterSpec extends AnyFunSuite with SparkTest {
+
+  private val Dim = 8
+
+  /** Two well-separated clusters: ids [0, n) jitter around +1000·(j+1)
+    * ("A"), ids [n, 2n) around −1000·(j+1) ("B"). */
+  private def cluster(ids: Range, sign: Long) = {
+    import spark.implicits._
+    ids.map { i =>
+      val v = (0 until Dim).map { j =>
+        sign * 1000L * (j + 1) + ((i * 31 + j * 17) % 21) - 10L
+      }.toArray
+      (i.toLong, v)
+    }.toDF("doc_id", "vec")
+  }
+
+  private def brute(vecs: org.apache.spark.sql.DataFrame,
+                    queries: Seq[(Long, Long)], k: Int): Seq[String] = {
+    import spark.implicits._
+    val qp = queries.toDF("query_id", "probe_id")
+    val probes = vecs.join(qp, col("doc_id") === col("probe_id"))
+      .select(col("query_id"), col("probe_id"), col("vec").as("qvec"))
+    vecs.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("query_id"), col("doc_id"),
+        graft.functions.VectorFunctions.dotLong(col("vec"), col("qvec"))
+          .as("dot"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("dot").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select("query_id", "doc_id", "dot", "rk")
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  private def served(path: String, queries: Seq[(Long, Long)],
+                     k: Int): Seq[String] =
+    ExactIvf.topDotBatchFromStore(spark, path, queries, k, nprobe0 = 2)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("dot"),
+        col("rk"))
+      .collect().map(_.toString).sorted.toSeq
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-recluster-").toString
+
+  test("recluster: identical answers, new geometry, pruning restored after drift") {
+    val a = cluster(0 until 100, +1L)
+    val b = cluster(100 until 200, -1L)
+    val path = tmp()
+    // build on A only (nCells=2 both in the A region), then append the
+    // far-away B — r2max inflates and the A-probe serve stops pruning
+    ExactIvf.writeVecStore(a, path, nCells = 2, iters = 1)
+    ExactIvf.appendToVecStore(spark, b, path)
+    val all = a.unionAll(b)
+    val queries = Seq((1L, 7L), (2L, 150L))
+    assert(served(path, queries, 15) == brute(all, queries, 15))
+    val statsBefore = ExactIvf.pruneStats(spark, path, Seq((1L, 7L)), 15)
+      .head()
+    val fracBefore = statsBefore.getAs[Long]("survivors").toDouble /
+      statsBefore.getAs[Long]("n_cells")
+    ExactIvf.reclusterVecStore(spark, path, nCells = 8, iters = 2)
+    // answers identical by the exactness guarantee; geometry is new
+    assert(served(path, queries, 15) == brute(all, queries, 15))
+    val geo = graft.streaming.StoreFs.readGeometry(spark,
+      graft.streaming.StoreFs.liveRoot(spark, path))
+    assert(geo("n_cells") == "8")
+    val statsAfter = ExactIvf.pruneStats(spark, path, Seq((1L, 7L)), 15)
+      .head()
+    val fracAfter = statsAfter.getAs[Long]("survivors").toDouble /
+      statsAfter.getAs[Long]("n_cells")
+    assert(fracAfter < fracBefore,
+      s"pruning did not improve: $fracBefore -> $fracAfter")
+  }
+
+  test("post-recluster appends land in the live epoch; a replayed old-epoch batch heals") {
+    import spark.implicits._
+    val a = cluster(0 until 80, +1L)
+    val path = tmp()
+    ExactIvf.writeVecStore(a, path, nCells = 4, iters = 1)
+    val batch = cluster(80 until 100, +1L)
+    ExactIvf.appendToVecStore(spark, batch, path, batchId = Some(7L))
+    ExactIvf.reclusterVecStore(spark, path, nCells = 6, iters = 1)
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    assert(eff != path)
+    // a checkpoint replay of batch 7 crosses the epoch boundary: no
+    // marker in the new epoch, so the anti-join must absorb every row
+    ExactIvf.appendToVecStore(spark, batch, path, batchId = Some(7L))
+    val live = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$eff/vecs"))
+    assert(live.count() == live.select("vec_id").distinct().count())
+    assert(live.count() == 100L)
+    // a NEW append lands in the live epoch, not the superseded root
+    val more = cluster(100 until 110, +1L)
+    ExactIvf.appendToVecStore(spark, more, path, batchId = Some(8L))
+    val qs = Seq((1L, 5L))
+    assert(served(path, qs, 10) ==
+      brute(a.unionAll(batch).unionAll(more), qs, 10))
+    val oldVecs = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
+    assert(oldVecs.filter(col("vec_id") >= 100L).count() == 0L)
+  }
+
+  test("recluster is a purge: tombstoned rows stay deleted and are physically gone in the new epoch") {
+    import spark.implicits._
+    val a = cluster(0 until 60, +1L)
+    val path = tmp()
+    ExactIvf.writeVecStore(a, path, nCells = 4, iters = 1)
+    ExactIvf.deleteFromVecStore(spark, Seq(11L, 12L).toDF("vec_id"), path)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 4, iters = 1)
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    val live = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$eff/vecs"))
+    assert(live.filter(col("vec_id").isInCollection(Seq(11L, 12L)))
+      .count() == 0L)
+    assert(graft.streaming.StoreFs.liveTombsDir(spark, eff).isEmpty)
+    val qs = Seq((1L, 5L))
+    assert(served(path, qs, 10) ==
+      brute(a.filter(!col("doc_id").isInCollection(Seq(11L, 12L))),
+        qs, 10))
+    // delete-after-recluster still works (routes to the live epoch)
+    ExactIvf.deleteFromVecStore(spark, Seq(5L).toDF("vec_id"), path)
+    val e = intercept[IllegalArgumentException] {
+      served(path, qs, 10)
+    }
+    assert(e.getMessage.contains("deleted"))
+  }
+
+  test("a pre-recluster snapshot keeps serving its pinned epoch") {
+    val a = cluster(0 until 60, +1L)
+    val path = tmp()
+    ExactIvf.writeVecStore(a, path, nCells = 4, iters = 1)
+    val snap = ExactIvf.snapshotVecStore(spark, path, freeze = false)
+    // recluster DROPS rows (a tombstone lands first) so the live answer
+    // provably differs from the pinned one
+    import spark.implicits._
+    ExactIvf.deleteFromVecStore(spark, Seq(3L).toDF("vec_id"), path)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 6, iters = 1)
+    val qs = Seq((1L, 7L))
+    val pinned = ExactIvf.topDotBatchFromStoreSnapshot(spark, path, snap,
+        qs, 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("dot"),
+        col("rk"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pinned == brute(a, qs, 10))
+    assert(served(path, qs, 10) ==
+      brute(a.filter(col("doc_id") =!= 3L), qs, 10))
+    // a snapshot taken AFTER the recluster records the new epoch's subs
+    val snap2 = ExactIvf.snapshotVecStore(spark, path, freeze = false)
+    val pinned2 = ExactIvf.topDotBatchFromStoreSnapshot(spark, path,
+        snap2, qs, 10)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("dot"),
+        col("rk"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pinned2 == brute(a.filter(col("doc_id") =!= 3L), qs, 10))
+  }
+
+  test("epoch GC reclaims superseded epochs; the live store is untouched") {
+    val a = cluster(0 until 50, +1L)
+    val path = tmp()
+    ExactIvf.writeVecStore(a, path, nCells = 4, iters = 1)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 4, iters = 1)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 6, iters = 1)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 8, iters = 1)
+    ExactIvf.gcReclusterEpochs(spark, path, keepEpochs = 1)
+    // live = 3, keep 2..3: epoch 0 (root subs) and epoch 1 reclaimed
+    assert(!new java.io.File(s"$path/vecs").exists())
+    assert(!new java.io.File(s"$path/_re-00000001").exists())
+    assert(new java.io.File(s"$path/_re-00000002").exists())
+    val qs = Seq((1L, 5L))
+    assert(served(path, qs, 10) == brute(a, qs, 10))
+    // hybrid-compatible entry points still resolve (compaction routes
+    // to the live epoch)
+    ExactIvf.compactVecStore(spark, path)
+    assert(served(path, qs, 10) == brute(a, qs, 10))
+  }
+}
