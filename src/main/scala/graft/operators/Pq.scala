@@ -359,14 +359,15 @@ object Pq {
                       newEmb: DataFrame, path: String, m: Int, dim: Int,
                       batchId: Option[Long] = None,
                       vecCol: String = "embedding"): Unit = {
-    val dir = s"$path/codes"
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    val dir = s"$eff/codes"
     if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, dir, _)))
       return
     // geometry guard (VERDICT r13 #4): a caller whose (m, dim) disagree
     // with the build mis-slices every appended code. The family check
     // accepts both flat-PQ and IVFADC roots (this append is the flat
     // form; the IVFADC path has its own appendToIvfadcStore).
-    val geo = graft.streaming.StoreFs.readGeometry(spark, path)
+    val geo = graft.streaming.StoreFs.readGeometry(spark, eff)
     geo.get("family").foreach { f => require(f == "pq",
       s"appendToPqStore at $path expects a 'pq' store but the geometry " +
         s"manifest records family='$f' (recorded: $geo)") }
@@ -376,7 +377,7 @@ object Pq {
     for (gd <- geo.get("dim").flatMap(_.toIntOption))
       require(gd == dim, s"store $path was built with dim=$gd but the " +
         s"caller passed dim=$dim (recorded geometry: $geo)")
-    val books = spark.read.parquet(s"$path/books")
+    val books = spark.read.parquet(s"$eff/books")
     val tagged = encode(newEmb, books, m, dim, vecCol)
       .select("vec_id", "sub", "cell")
       .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
@@ -410,12 +411,13 @@ object Pq {
     // family guard (VERDICT r13 #4): an IVFADC root also has books +
     // codes, but its codes are RESIDUAL-coded — flat-ADC sums over
     // them are silently wrong numbers, not an error
-    graft.streaming.StoreFs.requireFamily(spark, path, "pq", "ADC serve")
-    val books = spark.read.parquet(s"$path/books")
-    val codes0 = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    graft.streaming.StoreFs.requireFamily(spark, eff, "pq", "ADC serve")
+    val books = spark.read.parquet(s"$eff/books")
+    val codes0 = spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, s"$eff/codes"))
     // deletion propagation (round 14): tombstoned ids never enter the
     // ADC sums — surviving neighbors are exactly the no-such-rows store's
-    val codes = graft.streaming.StoreFs.liveTombsDir(spark, path)
+    val codes = graft.streaming.StoreFs.liveTombsDir(spark, eff)
       .fold(codes0)(d => codes0.join(
         graft.streaming.StoreFs.readTombstones(spark, d, "vec_id"),
         Seq("vec_id"), "left_anti"))
@@ -598,11 +600,14 @@ object Pq {
                           newEmb: DataFrame, path: String, m: Int, dim: Int,
                           batchId: Option[Long] = None,
                           vecCol: String = "embedding"): Unit = {
-    val dir = s"$path/codes"
+    // route to the LIVE EPOCH (post-retrain ingest must encode under
+    // the new quantizers, not a superseded epoch's)
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    val dir = s"$eff/codes"
     if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, dir, _)))
       return
-    val coarse = spark.read.parquet(s"$path/coarse")
-    val books = spark.read.parquet(s"$path/books")
+    val coarse = spark.read.parquet(s"$eff/coarse")
+    val books = spark.read.parquet(s"$eff/books")
     val mv = microVectors(newEmb, vecCol)
     val res = graft.core.Caches.scoped(coarseResiduals(mv, coarse))
     val rsv = residualSubvectors(res, m, dim)
@@ -610,7 +615,7 @@ object Pq {
       .select(col("vec_id"), col("sub"), col("cell"))
       .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id"))
       .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
-    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
+    val buckets = graft.streaming.StoreFs.readGeometry(spark, eff)
       .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
     val novel = {
       // anti-join on (vec_id, sub) against ALL visible rows (ADVICE
@@ -660,7 +665,8 @@ object Pq {
   def compactCodesStore(spark: org.apache.spark.sql.SparkSession,
                         path: String, keepGens: Int = 1,
                         keepAgeMs: Long = 0L): Unit = {
-    val dir = s"$path/codes"
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    val dir = s"$eff/codes"
     if (!graft.streaming.StoreFs.storeExists(spark, dir)) return
     // seal every folded tag as a marker FIRST: a torn append (rows
     // committed, marker lost) must replay as a no-op after its tag
@@ -669,7 +675,7 @@ object Pq {
     val src = spark.read.option("mergeSchema", "true")
       .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
     val partitioned = src.columns.contains("ivf_cell")
-    val buckets = graft.streaming.StoreFs.readGeometry(spark, path)
+    val buckets = graft.streaming.StoreFs.readGeometry(spark, eff)
       .get("n_buckets").flatMap(_.toIntOption).getOrElse(0)
     val keys = if (partitioned) Seq("vec_id", "ivf_cell", "sub")
                else Seq("vec_id", "sub")
@@ -678,7 +684,7 @@ object Pq {
     // crash-order argument (purged codes + uncleared tombstones just
     // re-exclude already-absent ids); no bound recompute here, ADC
     // carries no per-cell bounds
-    val applied = graft.streaming.StoreFs.liveTombsDir(spark, path)
+    val applied = graft.streaming.StoreFs.liveTombsDir(spark, eff)
       .map(d => graft.core.Caches.scoped(
         graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")))
     val merged0 = src.drop("batch_id", "cell_bucket").dropDuplicates(keys)
@@ -692,7 +698,7 @@ object Pq {
       else merged.write.parquet(tmp)
     }
     applied.foreach { t =>
-      val tombsSub = s"$path/tombs"
+      val tombsSub = s"$eff/tombs"
       graft.streaming.StoreFs.swapInCompacted(spark, tombsSub) { tmp =>
         spark.read.schema("vec_id LONG, batch_id LONG")
           .parquet(graft.streaming.StoreFs.dataDir(spark, tombsSub))
@@ -715,7 +721,8 @@ object Pq {
                            ids: DataFrame, path: String,
                            batchId: Option[Long] = None,
                            idCol: String = "vec_id"): Unit =
-    graft.streaming.StoreFs.appendTombstones(spark, s"$path/tombs",
+    graft.streaming.StoreFs.appendTombstones(spark,
+      s"${graft.streaming.StoreFs.liveRoot(spark, path)}/tombs",
       ids.select(col(idCol).as("vec_id")), "vec_id", "codes_tombs",
       batchId)
 
@@ -823,13 +830,83 @@ object Pq {
                           keepGens: Int = 1,
                           keepAgeMs: Long = 0L): Long = {
     // tombs rides the manifest only when it exists (the VecDirs
-    // contract); the freeze compaction also purges pending tombstones
-    val subs = Seq(s"$path/codes", s"$path/coarse", s"$path/books") ++
-      (if (graft.streaming.StoreFs.storeExists(spark, s"$path/tombs"))
-         Seq(s"$path/tombs") else Nil)
+    // contract); the freeze compaction also purges pending tombstones.
+    // Sub paths are EPOCH paths; the manifest stays at the original
+    // root so the snapshot listing survives a retrain.
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    val subs = Seq(s"$eff/codes", s"$eff/coarse", s"$eff/books") ++
+      (if (graft.streaming.StoreFs.storeExists(spark, s"$eff/tombs"))
+         Seq(s"$eff/tombs") else Nil)
     val id = graft.streaming.StoreFs.createSnapshot(spark, path, subs)
     if (freeze) compactCodesStore(spark, path, keepGens, keepAgeMs)
     id
+  }
+
+  /** ONLINE RETRAIN of an IVFADC store (round 14 — the
+    * [[graft.operators.ExactIvf.reclusterVecStore]] move for the
+    * approximate family): quantizers are frozen per store, so a corpus
+    * whose distribution drifts slowly loses recall (residuals grow
+    * against stale codebooks) — the documented remedy was a rebuild at
+    * a new path. This rebuilds COMPLETE under a fresh epoch directory
+    * (new nCells / m / nCents / layout allowed — the epoch carries its
+    * own geometry manifest) and cuts over with ONE atomic
+    * `_graft_root_<id>` creation; serves, appends, compactions,
+    * deletes and snapshots all route through
+    * [[graft.streaming.StoreFs.liveRoot]] from that instant. Codes are
+    * LOSSY, so the rebuild needs the RAW embeddings (`emb`) — the
+    * caller's standing embeddings table; the old epoch's tombstones
+    * are applied to it (a retrain must not resurrect deleted ids) and
+    * mid-build deletes re-apply before the cutover (exact under the
+    * single-writer contract). */
+  def retrainIvfadcStore(spark: org.apache.spark.sql.SparkSession,
+                         emb: DataFrame, path: String, nCells: Int,
+                         m: Int, dim: Int, nCents: Int, iters: Int,
+                         vecCol: String = "embedding",
+                         nBuckets: Int = -1): Unit = {
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    val t0 = graft.streaming.StoreFs.liveTombsDir(spark, eff)
+      .map(d => graft.core.Caches.scoped(
+        graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")))
+    t0.foreach(_.count())
+    val visible = t0.fold(emb)(t => emb.join(t, Seq("vec_id"),
+      "left_anti"))
+    val (id, newRoot) = graft.streaming.StoreFs.reserveEpoch(spark, path)
+    writeIvfadcStore(visible, newRoot, nCells, m, dim, nCents, iters,
+      vecCol, nBuckets)
+    graft.streaming.StoreFs.liveTombsDir(spark, eff).foreach { d =>
+      val cur = graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")
+      val residual = t0.fold(cur)(t => cur.join(t, Seq("vec_id"),
+        "left_anti"))
+      if (residual.limit(1).count() > 0)
+        graft.streaming.StoreFs.appendTombstones(spark,
+          s"$newRoot/tombs", residual, "vec_id", "codes_tombs", None)
+    }
+    graft.streaming.StoreFs.commitRoot(spark, path, id)
+  }
+
+  /** [[retrainIvfadcStore]] for the FLAT PQ store. */
+  def retrainPqStore(spark: org.apache.spark.sql.SparkSession,
+                     emb: DataFrame, path: String, m: Int, dim: Int,
+                     nCents: Int, iters: Int,
+                     vecCol: String = "embedding"): Unit = {
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    val t0 = graft.streaming.StoreFs.liveTombsDir(spark, eff)
+      .map(d => graft.core.Caches.scoped(
+        graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")))
+    t0.foreach(_.count())
+    val visible = t0.fold(emb)(t => emb.join(t, Seq("vec_id"),
+      "left_anti"))
+    val (id, newRoot) = graft.streaming.StoreFs.reserveEpoch(spark, path)
+    writePqStore(visible, newRoot, m, dim, nCents, iters, vecCol)
+    graft.streaming.StoreFs.liveTombsDir(spark, eff).foreach { d =>
+      val cur = graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")
+      val residual = t0.fold(cur)(t => cur.join(t, Seq("vec_id"),
+        "left_anti"))
+      if (residual.limit(1).count() > 0)
+        graft.streaming.StoreFs.appendTombstones(spark,
+          s"$newRoot/tombs", residual, "vec_id", "codes_tombs", None)
+    }
+    graft.streaming.StoreFs.commitRoot(spark, path, id)
   }
 
   /** [[ivfadcTopKFromStore]] (probe-TABLE form) AT a pinned snapshot:
@@ -850,23 +927,34 @@ object Pq {
       : DataFrame = {
     val dirs = graft.streaming.StoreFs.snapshotDataDirs(spark, path,
       snapshotId)
-    def need(sub: String): String = dirs.getOrElse(s"$path/$sub",
+    // suffix-matched keys (the snapshotVecDirs rationale): a snapshot
+    // taken after a retrain records EPOCH-root sub paths, whose shared
+    // parent is also where the pinned data's geometry lives
+    def find(sub: String): Option[(String, String)] =
+      dirs.get(s"$path/$sub").map(v => (s"$path/$sub", v))
+        .orElse(dirs.find(_._1.endsWith(s"/$sub")))
+    def need(sub: String): (String, String) = find(sub).getOrElse(
       throw new IllegalArgumentException(
-        s"snapshot $snapshotId of $path does not record $path/$sub; " +
+        s"snapshot $snapshotId of $path does not record a /$sub sub; " +
           s"recorded: ${dirs.keys.mkString(", ")}"))
+    val (coarseKey, coarseDir) = need("coarse")
     ivfadcTableResolved(spark, path, emb, probes, nprobe, kShort, k, m,
       dim, vecCol, maxBatch,
-      Some((need("coarse"), need("books"), need("codes"),
-        dirs.get(s"$path/tombs"))))
+      Some(IvfadcStoreDirs(coarseDir, need("books")._2, need("codes")._2,
+        find("tombs").map(_._2),
+        geoRoot = coarseKey.stripSuffix("/coarse"))))
   }
 
-  /** Resolved sub-table directories for one IVFADC serve: (coarse,
-    * books, codes, tombs). None = the live store ([[graft.streaming
-    * .StoreFs.dataDir]] for codes; coarse/books are build-time flat
-    * tables; live tombs when the store has seen deletes). A pinned
-    * tuple's `tombs = None` means a pre-first-delete snapshot — no
-    * exclusions, never a fallback to live tombstones. */
-  private type IvfadcDirs = Option[(String, String, String, Option[String])]
+  /** Resolved sub-table directories for one IVFADC serve — live or
+    * snapshot-pinned — plus the EPOCH ROOT whose geometry manifest and
+    * groups table describe them (a post-retrain epoch can change m /
+    * dim / nCells / nBuckets). A pinned tuple's `tombs = None` means a
+    * pre-first-delete snapshot — no exclusions, never a fallback to
+    * live tombstones. */
+  private[operators] final case class IvfadcStoreDirs(
+      coarse: String, books: String, codes: String,
+      tombs: Option[String], geoRoot: String)
+  private type IvfadcDirs = Option[IvfadcStoreDirs]
 
   private def serveIvfadc(spark: org.apache.spark.sql.SparkSession,
                           path: String, emb: DataFrame, probeRows0: DataFrame,
@@ -880,9 +968,14 @@ object Pq {
     // Manifest absent (pre-r13 store) = trust the caller, as before.
     // The family guard (r14) rejects a flat-PQ root, whose codes are
     // NOT residual-coded — the IVFADC LUT over them answers wrong.
-    graft.streaming.StoreFs.requireFamily(spark, path, "ivfadc",
+    // Geometry is read at the EPOCH root the resolved subs belong to
+    // (live epoch, or the snapshot's pinned one — a retrain can change
+    // every geometry number).
+    val geoRoot = dirs.map(_.geoRoot).getOrElse(
+      graft.streaming.StoreFs.liveRoot(spark, path))
+    graft.streaming.StoreFs.requireFamily(spark, geoRoot, "ivfadc",
       "IVFADC serve")
-    val geo = graft.streaming.StoreFs.readGeometry(spark, path)
+    val geo = graft.streaming.StoreFs.readGeometry(spark, geoRoot)
     for (gm <- geo.get("m").flatMap(_.toIntOption))
       require(gm == m,
         s"store $path was built with m=$gm but the caller passed m=$m " +
@@ -893,21 +986,21 @@ object Pq {
           s"dim=$dim (recorded geometry: $geo)")
     val probeRows = graft.core.Caches.scoped(probeRows0)
     val coarse = spark.read.parquet(
-      dirs.map(_._1).getOrElse(s"$path/coarse"))
+      dirs.map(_.coarse).getOrElse(s"$geoRoot/coarse"))
     val books = spark.read.parquet(
-      dirs.map(_._2).getOrElse(s"$path/books"))
-    val codesDir = dirs.map(_._3).getOrElse(
-      graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
+      dirs.map(_.books).getOrElse(s"$geoRoot/books"))
+    val codesDir = dirs.map(_.codes).getOrElse(
+      graft.streaming.StoreFs.dataDir(spark, s"$geoRoot/codes"))
     // deletion propagation (round 14): live serves read the live
     // tombstones; a pinned serve reads exactly what its manifest
     // recorded (None = pre-first-delete snapshot, no exclusions)
     val tombsDir = dirs match {
-      case Some((_, _, _, t)) => t
-      case None => graft.streaming.StoreFs.liveTombsDir(spark, path)
+      case Some(d) => d.tombs
+      case None => graft.streaming.StoreFs.liveTombsDir(spark, geoRoot)
     }
     val tombs = tombsDir.map(d => graft.core.Caches.scoped(
       graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")))
-    val shortl = ivfadcShortlist(spark, path, probeRows, nprobe,
+    val shortl = ivfadcShortlist(spark, geoRoot, probeRows, nprobe,
       kShort, m, dim, coarse, books, vecCol, codesDir, tombs, nProbes)
     ivfadcRerank(emb, shortl, probeRows, k, vecCol)
   }
@@ -1096,12 +1189,13 @@ object Pq {
     val probeIds = Similarity.boundedProbeIds(emb, nProbes)
     val probeRows = graft.core.Caches.scoped(
       emb.filter(col("vec_id").isInCollection(probeIds)))
-    val coarse = spark.read.parquet(s"$path/coarse")
-    val books = spark.read.parquet(s"$path/books")
-    val shortl = graft.core.Caches.scoped(ivfadcShortlist(spark, path,
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    val coarse = spark.read.parquet(s"$eff/coarse")
+    val books = spark.read.parquet(s"$eff/books")
+    val shortl = graft.core.Caches.scoped(ivfadcShortlist(spark, eff,
       probeRows, nprobe, kShort, m, dim, coarse, books, vecCol,
-      graft.streaming.StoreFs.dataDir(spark, s"$path/codes"),
-      tombs = graft.streaming.StoreFs.liveTombsDir(spark, path)
+      graft.streaming.StoreFs.dataDir(spark, s"$eff/codes"),
+      tombs = graft.streaming.StoreFs.liveTombsDir(spark, eff)
         .map(d => graft.streaming.StoreFs.readTombstones(spark, d,
           "vec_id"))))
     val w = Window.partitionBy("probe_id")

@@ -166,6 +166,49 @@ class ReclusterSpec extends AnyFunSuite with SparkTest {
     assert(pinned2 == brute(a.filter(col("doc_id") =!= 3L), qs, 10))
   }
 
+  test("IVFADC retrain: epoch cutover equals a fresh build on the visible rows; deletes don't resurrect") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val (m, dim) = (8, 64)
+    val path = tmp()
+    Pq.writeIvfadcStore(emb, path, nCells = 4, m = m, dim = dim,
+      nCents = 8, iters = 1)
+    val probes = emb.select("vec_id").orderBy("vec_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    def serve(p: String): Seq[String] =
+      Pq.ivfadcTopKFromStore(spark, p, emb, probes, nprobe = 2,
+          kShort = 30, k = 10, m = m, dim = dim)
+        .collect().map(_.toString).sorted.toSeq
+    val victim = serve(path).map(_.split(",")(1).trim.toLong).head
+    Pq.deleteFromCodesStore(spark, Seq(victim).toDF("vec_id"), path)
+    // retrain under NEW geometry (nCells 4 -> 6): the cutover must
+    // serve exactly what a fresh build over the visible rows serves
+    // (integer Lloyd is deterministic, so the reference is exact)
+    Pq.retrainIvfadcStore(spark, emb, path, nCells = 6, m = m, dim = dim,
+      nCents = 8, iters = 1)
+    val ref = tmp()
+    Pq.writeIvfadcStore(emb.filter(col("vec_id") =!= victim), ref,
+      nCells = 6, m = m, dim = dim, nCents = 8, iters = 1)
+    assert(serve(path) == serve(ref))
+    assert(!serve(path).exists(_.contains(s",$victim,")))
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    assert(eff != path)
+    assert(graft.streaming.StoreFs.readGeometry(spark, eff)("n_cells")
+      == "6")
+    // a post-retrain append encodes under the NEW quantizers and lands
+    // in the live epoch
+    val extra = emb.limit(5)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    Pq.appendToIvfadcStore(spark, extra, path, m = m, dim = dim,
+      batchId = Some(3L))
+    val liveCodes = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$eff/codes"))
+    assert(liveCodes.filter(col("vec_id") >= 900000L).count() == 5L * m)
+    val oldCodes = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
+    assert(oldCodes.filter(col("vec_id") >= 900000L).count() == 0L)
+  }
+
   test("epoch GC reclaims superseded epochs; the live store is untouched") {
     val a = cluster(0 until 50, +1L)
     val path = tmp()
