@@ -1109,9 +1109,10 @@ object ExactIvf {
     * chunk. */
   private[operators] def topDotTableResolvedDirs(
       spark: SparkSession, path: String, queries: DataFrame, k: Int,
-      nprobe0: Int, dirs: Option[VecDirs]): DataFrame =
+      nprobe0: Int, dirs: Option[VecDirs],
+      allowed: Option[DataFrame] = None): DataFrame =
     topDotTableResolved(spark, path, queries, k, nprobe0, MaxServeBatch,
-      dirs)
+      dirs, allowed)
 
   private def topDotTableResolved(spark: SparkSession, path: String,
                                   queries: DataFrame, k: Int,

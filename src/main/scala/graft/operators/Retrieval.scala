@@ -592,6 +592,28 @@ object Retrieval {
       Some(snapshotIndexDirs(spark, indexPath, indexSnapshotId)),
       Some(ExactIvf.snapshotVecDirs(spark, vecPath, vecSnapshotId)))
 
+  /** PREDICATE-FILTERED hybrid retrieval (round 14): the metadata-
+    * filtered RAG serving shape — `allowed` is a relation of permitted
+    * `doc_id`s (derived from any attribute predicate) and BOTH arms
+    * restrict their CANDIDATES to it while the corpus statistics stay
+    * whole: BM25's N/avgdl/df are the full corpus's (filtered SEARCH
+    * semantics — the docs still exist, the request just may not see
+    * them; deletion is the other contract, [[deleteFromIndexStore]]),
+    * and the semantic arm is [[ExactIvf.topDotBatchFromStoreFiltered]]'s
+    * exact-over-the-subset serve. Fusion ranks are computed over the
+    * filtered lists, so rrf is exactly what an allowed-only corpus of
+    * the same statistics would produce. Composes with tombstones (a
+    * deleted doc is excluded from stats AND candidates). */
+  def hybridRrfBatchFromStoresFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, vecPath: String,
+      queries: DataFrame, allowed: DataFrame,
+      kList: Int, kOut: Int,
+      k1: Double = 1.2, b: Double = 0.75, nprobe0: Int = 4,
+      maxBatch: Int = ExactIvf.MaxServeBatch): DataFrame =
+    hybridTableResolved(spark, indexPath, vecPath, queries, kList, kOut,
+      k1, b, nprobe0, maxBatch, None, None, Some(allowed))
+
   private def hybridTableResolved(spark: org.apache.spark.sql.SparkSession,
                                   indexPath: String, vecPath: String,
                                   queries: DataFrame,
@@ -599,7 +621,8 @@ object Retrieval {
                                   k1: Double, b: Double,
                                   nprobe0: Int, maxBatch: Int,
                                   idxDirs: Option[IndexDirs],
-                                  vecDirs: Option[ExactIvf.VecDirs])
+                                  vecDirs: Option[ExactIvf.VecDirs],
+                                  allowedIn: Option[DataFrame] = None)
       : DataFrame = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
     // broadcast-contract chunking (VERDICT r11 #2), DataFrame form: a
@@ -609,6 +632,10 @@ object Retrieval {
     // re-execute per chunk).
     val qAll = graft.core.Caches.scoped(queries.select(
       col("query_id"), col("terms"), col("probe_id")))
+    // the caller's visibility predicate, normalized + pinned once for
+    // every chunk; restricts CANDIDATES only (stats stay whole)
+    val allowed = allowedIn.map(a => graft.core.Caches.scoped(
+      a.select(col("doc_id").cast("long").as("doc_id")).distinct()))
     val n = qAll.select("query_id").distinct().count()
     val nChunks = math.max(1L, (n + maxBatch - 1) / maxBatch).toInt
     (0 until nChunks).map { i =>
@@ -626,16 +653,19 @@ object Retrieval {
           storeScoresResolved(spark, dirs, unionTerms, k1, b)
         case None => storeScores(spark, indexPath, unionTerms, k1, b)
       }
-      val lex = lexRank(scored.join(qt, Seq("term")), kList)
+      val lexCand = scored.join(qt, Seq("term"))
+      val lex = lexRank(allowed.fold(lexCand)(a =>
+        lexCand.join(a, Seq("doc_id"), "left_semi")), kList)
       val semQ = qs.select(col("query_id"), col("probe_id"))
+      val semAllowed = allowed.map(_.select(col("doc_id").as("vec_id")))
       val sem = (vecDirs match {
         case Some(vd) =>
           // re-resolve through the pinned tuple — same dirs every chunk
           ExactIvf.topDotTableResolvedDirs(spark, vecPath, semQ, kList,
-            nprobe0, Some(vd))
+            nprobe0, Some(vd), semAllowed)
         case None =>
-          ExactIvf.topDotBatchFromStore(spark, vecPath, semQ, kList,
-            nprobe0)
+          ExactIvf.topDotTableResolvedDirs(spark, vecPath, semQ, kList,
+            nprobe0, None, semAllowed)
       }).select(col("query_id"), col("vec_id").as("doc_id"),
           col("rk").as("sem_rk"))
       rrfFuse(lex, sem, kOut)

@@ -56,6 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_hybrid_rrf"),
       (args: Seq[Expression]) => ServeTableFunctions.hybridRrf(args)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_hybrid_rrf_filtered"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_hybrid_rrf_filtered"),
+      (args: Seq[Expression]) =>
+        ServeTableFunctions.hybridRrfFiltered(args)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_ivfadc_topk"),
       new ExpressionInfo(ServeTableFunctions.getClass.getName,
         "graft_ivfadc_topk"),

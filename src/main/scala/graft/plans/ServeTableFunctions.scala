@@ -167,6 +167,32 @@ object ServeTableFunctions {
         spark.table(view), kList, kOut, k1, b, nprobe0))
   }
 
+  /** graft_hybrid_rrf_filtered(indexPath, vecPath, queriesView,
+    * allowedView, kList, kOut [, k1, b, nprobe0]) → the PREDICATE-
+    * FILTERED form of [[hybridRrf]] (round 14): `allowedView` names a
+    * relation of permitted `doc_id`s; both arms restrict their
+    * CANDIDATES to it while the corpus statistics (N, avgdl, df) stay
+    * whole — filtered-search semantics, the metadata-filtered RAG
+    * pattern, exact in both arms. */
+  def hybridRrfFiltered(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6 || args.length == 9,
+      "graft_hybrid_rrf_filtered(indexPath, vecPath, queriesView, " +
+        "allowedView, kList, kOut[, k1, b, nprobe0])")
+    val spark = SparkSession.active
+    val (k1, b, nprobe0) =
+      if (args.length == 9)
+        (dbl(args(6), "k1"), dbl(args(7), "b"), int(args(8), "nprobe0"))
+      else (1.2, 0.75, 4)
+    val (idx, vec) = (str(args(0), "indexPath"), str(args(1), "vecPath"))
+    val (view, allowedView) = (str(args(2), "queriesView"),
+      str(args(3), "allowedView"))
+    val (kList, kOut) = (int(args(4), "kList"), int(args(5), "kOut"))
+    DeferredServe("graft_hybrid_rrf_filtered", HybridSchema, () =>
+      graft.operators.Retrieval.hybridRrfBatchFromStoresFiltered(spark,
+        idx, vec, spark.table(view), spark.table(allowedView),
+        kList, kOut, k1, b, nprobe0))
+  }
+
   /** graft_hybrid_rrf_at(indexPath, indexSnapshotId, vecPath,
     * vecSnapshotId, queriesView, kList, kOut [, k1, b, nprobe0]) → the
     * TIME-TRAVEL form of [[hybridRrf]] (VERDICT r13 #2): each store

@@ -313,10 +313,14 @@ object RetrievalQueries {
   // shared by y18 (scan form) and y49 (store-served form): the oracle
   // is the EXACT hybrid answer, so both forms must reproduce it —
   // which is why y49's semantic arm is the exact cell-pruned store,
-  // not an approximate ANN shortlist. `where` restricts the corpus —
-  // the deleted-serve query (y61) grades against the SAME pipeline
-  // over the corpus minus the tombstoned docs.
-  private def hybridBatchOracleWhere(where: String): String = s"""
+  // not an approximate ANN shortlist. `where` restricts the CORPUS
+  // (deletion semantics — y61 grades against the pipeline over the
+  // corpus minus the tombstoned docs, stats included); `lexCand` /
+  // `semCand` restrict only the CANDIDATES (filtered-search semantics
+  // — y64: stats stay whole, the request just may not see some docs).
+  private def hybridBatchOracleWhere(where: String,
+                                     lexCand: String = "",
+                                     semCand: String = ""): String = s"""
       WITH qt AS (SELECT CAST(q AS BIGINT) AS query_id, t AS term
                   FROM (VALUES ${BatchQueries.flatMap { case (q, ts, _) =>
                     ts.map(t => s"($q,'$t')") }.mkString(",")}) v(q, t)),
@@ -341,7 +345,8 @@ object RetrievalQueries {
       lexdoc AS (SELECT qt.query_id, sc.doc_id,
                    CAST(SUM(CAST(floor(score * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
                      AS lex_int
-                 FROM sc JOIN qt USING (term) GROUP BY qt.query_id, sc.doc_id),
+                 FROM sc JOIN qt USING (term)$lexCand
+                 GROUP BY qt.query_id, sc.doc_id),
       lexr AS (SELECT query_id, doc_id,
                  CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY lex_int DESC, doc_id) AS INT) AS lex_rk
@@ -368,7 +373,8 @@ object RetrievalQueries {
       dots AS (SELECT q.query_id, v.doc_id,
                  CAST(list_aggregate(list_transform(range(1, 65),
                    j -> v.vec[j] * q.qvec[j]), 'sum') AS BIGINT) AS dot
-               FROM vecs v CROSS JOIN q WHERE v.doc_id <> q.probe_id),
+               FROM vecs v CROSS JOIN q
+               WHERE v.doc_id <> q.probe_id$semCand),
       semr AS (SELECT query_id, doc_id,
                  CAST(row_number() OVER (PARTITION BY query_id
                    ORDER BY dot DESC, doc_id) AS INT) AS sem_rk
@@ -673,6 +679,75 @@ object RetrievalQueries {
     val (idx, vec) = ensureDeletedStores(s, d)
     Retrieval.hybridRrfBatchFromStores(s, idx, vec, BatchQueries,
         kList = 50, kOut = 20, k1 = K1, b = B, nprobe0 = 4)
+      .orderBy("query_id", "rk")
+  }
+
+  // --- Y63: the hybrid batch served from a RECLUSTERED vec store
+  // (round 14): the store is built over 80% of the corpus at nCells=8,
+  // grown by an appendToVecStore batch (r2max inflation — the bound
+  // decay recluster exists for), then RECLUSTERED online to nCells=24
+  // through the atomic epoch cutover. The graded serve runs entirely in
+  // the new epoch (new geometry, new assignments, new groups) and must
+  // still hash-match the SAME exact hybrid oracle as y49 — the epoch
+  // redirect under the DuckDB contract: one row from a torn
+  // cells/vecs pair, a stale-geometry read, or a lost append would
+  // flip the hash.
+  private def ensureReclusteredStores(s: org.apache.spark.sql.SparkSession,
+                                      d: String): (String, String) = {
+    val root = StoreFixtures.path("graft-reclstores", d,
+      "documents.parquet", "reclstores1")
+    StoreFixtures.onceByMarker(root, "_graft_recl_done") {
+      val docs = documents(s, d)
+      Retrieval.writeIndexStore(docs, s"$root/idx")
+      val vecs = graft.operators.TextAnalysis.hashedEmbedding(docs)
+        .select("doc_id", "vec")
+      graft.operators.ExactIvf.writeVecStore(
+        vecs.filter(col("doc_id") % 10 < 8), s"$root/vec",
+        nCells = 8, iters = 1)
+      graft.operators.ExactIvf.appendToVecStore(s,
+        vecs.filter(col("doc_id") % 10 >= 8), s"$root/vec",
+        batchId = Some(1L))
+      graft.operators.ExactIvf.reclusterVecStore(s, s"$root/vec",
+        nCells = 24, iters = 1)
+    }
+    (s"$root/idx", s"$root/vec")
+  }
+
+  val y63 = Query(
+    "y63_hybrid_recluster_serve",
+    Some(hybridBatchOracle)
+  ) { (s, d) =>
+    val (idx, vec) = ensureReclusteredStores(s, d)
+    Retrieval.hybridRrfBatchFromStores(s, idx, vec, BatchQueries,
+        kList = 50, kOut = 20, k1 = K1, b = B, nprobe0 = 4)
+      .orderBy("query_id", "rk")
+  }
+
+  // --- Y64: PREDICATE-FILTERED hybrid retrieval graded (round 14) —
+  // the metadata-filtered RAG serving pattern, through the pure-SQL
+  // graft_hybrid_rrf_filtered TVF: the allowed set (doc_id % 3 == 0)
+  // restricts BOTH arms' CANDIDATES while the corpus statistics stay
+  // whole — the oracle keeps the full-corpus N/avgdl/df and applies
+  // the predicate only to the lexdoc and dots candidate sets, so a
+  // serve that wrongly shifted stats (deletion semantics) or wrongly
+  // post-filtered an unfiltered top-kList (rank gaps) hash-mismatches.
+  // Probe 137 is OUTSIDE the allowed set: it may still ask (the y62
+  // contract) but must never appear in any result list.
+  val y64 = Query(
+    "y64_hybrid_filtered_serve",
+    Some(hybridBatchOracleWhere("",
+      lexCand = " WHERE sc.doc_id % 3 = 0",
+      semCand = " AND v.doc_id % 3 = 0"))
+  ) { (s, d) =>
+    import s.implicits._
+    BatchQueries.toDF("query_id", "terms", "probe_id")
+      .createOrReplaceTempView("y64_queries")
+    documents(s, d).select("doc_id").filter(col("doc_id") % 3 === 0)
+      .createOrReplaceTempView("y64_allowed")
+    s.sql(
+      s"""SELECT * FROM graft_hybrid_rrf_filtered(
+         '${ensureIndexStore(s, d)}', '${ensureVecStore(s, d)}',
+         'y64_queries', 'y64_allowed', 50, 20)""")
       .orderBy("query_id", "rk")
   }
 
@@ -1484,5 +1559,5 @@ object RetrievalQueries {
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
     x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38, y49,
-    y52, y55, y57, y58, y59, y60, y61, y62)
+    y52, y55, y57, y58, y59, y60, y61, y62, y63, y64)
 }

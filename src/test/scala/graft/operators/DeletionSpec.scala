@@ -12,7 +12,16 @@ import graft.SparkTest
   * re-tightens the vec-store bounds, and clears the applied tombstones.
   * The filtered-serve rows pin the same visibility machinery under the
   * caller's `allowed` predicate. */
-class DeletionSpec extends AnyFunSuite with SparkTest {
+class DeletionSpec extends AnyFunSuite with SparkTest
+    with org.scalatest.BeforeAndAfterEach {
+
+  // sweep the serve-scoped caches between tests (the ReclusterSpec
+  // rationale: 16 store-serving tests otherwise pin frames for the
+  // whole shared-JVM suite run)
+  override def afterEach(): Unit = {
+    graft.core.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
 
   private val Dim = 8
 
@@ -418,6 +427,51 @@ class DeletionSpec extends AnyFunSuite with SparkTest {
     // doc duplicates a live stored doc → dropped
     assert(seen(13L) == 0, s"got $seen")
     assert((seen - 13L).values.forall(_ == 1), s"got $seen")
+  }
+
+  test("filtered hybrid: candidates restricted, stats whole; composes with tombstones; TVF == DataFrame form") {
+    import spark.implicits._
+    val docs = docsFixture(120)
+    val root = tmp("graft-del-fhybrid-")
+    Retrieval.writeIndexStore(docs, s"$root/idx")
+    ExactIvf.writeVecStore(
+      graft.operators.TextAnalysis.hashedEmbedding(docs)
+        .select("doc_id", "vec"),
+      s"$root/vec", nCells = 8, iters = 1)
+    val queries = Seq((1L, Seq("spark", "window"), 42L),
+      (2L, Seq("customer", "vector"), 84L)).toDF(
+      "query_id", "terms", "probe_id")
+    val allowed = docs.select("doc_id").filter(col("doc_id") % 2 === 0)
+    def dfServe(): Seq[org.apache.spark.sql.Row] =
+      Retrieval.hybridRrfBatchFromStoresFiltered(spark, s"$root/idx",
+          s"$root/vec", queries, allowed, kList = 20, kOut = 10)
+        .collect().sortBy(_.toString).toSeq
+    val out = dfServe()
+    // candidates restricted...
+    assert(out.nonEmpty &&
+      out.forall(_.getAs[Long]("doc_id") % 2 == 0))
+    // ...and RANKED within the filtered lists: lexical/semantic ranks
+    // are dense from 1, not an unfiltered ranking with holes
+    val lexRks = out.filter(!_.isNullAt(2)).map(_.getAs[Int]("lex_rk"))
+    assert(lexRks.nonEmpty && lexRks.min == 1)
+    // TVF parity (shared implementation)
+    queries.createOrReplaceTempView("fh_queries")
+    allowed.createOrReplaceTempView("fh_allowed")
+    val sql = spark.sql(
+      s"""SELECT * FROM graft_hybrid_rrf_filtered('$root/idx',
+         '$root/vec', 'fh_queries', 'fh_allowed', 20, 10)""")
+      .collect().sortBy(_.toString).toSeq
+    assert(sql == out)
+    // tombstones compose: delete an allowed doc that appears in the
+    // results — it must vanish from the filtered serve too
+    val victim = out.map(_.getAs[Long]("doc_id")).distinct.head
+    Retrieval.deleteFromIndexStore(spark,
+      Seq(victim).toDF("doc_id"), s"$root/idx")
+    ExactIvf.deleteFromVecStore(spark, Seq(victim).toDF("vec_id"),
+      s"$root/vec")
+    val after = dfServe()
+    assert(after != out)
+    assert(!after.exists(_.getAs[Long]("doc_id") == victim))
   }
 
   test("deleting an id the store never held is a harmless no-op") {

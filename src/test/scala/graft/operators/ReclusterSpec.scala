@@ -10,7 +10,18 @@ import graft.SparkTest
   * independent), pruning restored, appends/deletes/compactions routed
   * to the live epoch, pre-recluster snapshots untouched, and streaming
   * replays healed across the epoch boundary. */
-class ReclusterSpec extends AnyFunSuite with SparkTest {
+class ReclusterSpec extends AnyFunSuite with SparkTest
+    with org.scalatest.BeforeAndAfterEach {
+
+  // every serve pins scoped caches (planServe's probe/bound/pair
+  // frames) that the harness mains sweep between queries; a suite that
+  // serves dozens of times must sweep too, or the shared test JVM's
+  // heap fills across the full run (found as an OOM abort in the
+  // 50-suite run — each store build + serve here pins several frames)
+  override def afterEach(): Unit = {
+    graft.core.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
 
   private val Dim = 8
 
