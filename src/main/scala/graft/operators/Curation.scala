@@ -463,6 +463,39 @@ object Curation {
       "family" -> "dsir", "key_columns" -> "b"))
   }
 
+  /** DELETE documents' contribution from the DSIR count store (round
+    * 14, the [[graft.operators.Dedup.deleteFromGramStore]] move): the
+    * estimator's sufficient statistic is exactly mergeable by
+    * per-bucket ADDITION, so forgetting docs is an exact NEGATIVE-DELTA
+    * append — the removed docs' bucket counts land negated and net out
+    * at every read ([[dsirSelectIncremental]] union+sums) and at the
+    * next [[compactDsirStore]]. Needs the removed docs WITH text and
+    * the SAME `isTarget` labeling they were counted under (the store
+    * holds only hashed counts). A tagged (streaming) store gets deltas
+    * at the −1 sentinel, which every read includes and no replay
+    * self-exclusion filter matches. */
+  def deleteFromDsirStore(removedDocs: DataFrame, isTarget: Column,
+                          path: String,
+                          batchId: Option[Long] = None): Unit = {
+    val spark = removedDocs.sparkSession
+    if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, path, _)))
+      return
+    graft.streaming.StoreFs.requireFamily(spark, path, "dsir",
+      "deleteFromDsirStore")
+    val deltas = dsirCountsOf(dsirFeats(removedDocs, isTarget))
+      .select(col("b"), (-col("ct")).as("ct"), (-col("cr")).as("cr"))
+    val tagged = graft.streaming.StoreFs
+      .storeExists(spark, path) && spark.read
+      .parquet(graft.streaming.StoreFs.dataDir(spark, path))
+      .columns.contains("batch_id")
+    (if (tagged) deltas.select(lit(-1L).as("batch_id"), col("b"),
+        col("ct"), col("cr"))
+     else deltas)
+      .write.mode("append")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, path))
+    batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, path, _))
+  }
+
   /** COMPACT a DSIR count store: sum-merge accumulated rows to one per
     * bucket (≤ 4096 rows total), swapping the compacted generation in
     * atomically ([[graft.streaming.StoreFs.swapInCompacted]] — a crash

@@ -842,19 +842,61 @@ object Dedup {
       .parquet(graft.streaming.StoreFs.dataDir(docs.sparkSession, path))
   }
 
+  /** DELETE documents' contribution from the gram-count store (round
+    * 14 — deletion for the COUNT-store families): forgetting doc X
+    * means its windows stop counting toward "seen before", so a later
+    * batch repeating X's text is no longer flagged against it. Counts
+    * are ADDITIVE and every reader sums per gram, so deletion is an
+    * exact NEGATIVE-DELTA append: the removed docs' per-gram counts
+    * land with `cnt < 0` and net out at read and at the next sum-merge
+    * compaction (which also drops the zeroed rows — the purge). The
+    * caller passes the removed docs WITH their text: the store holds
+    * only hashed counts, so the deltas must be recomputed from the
+    * payload being forgotten (the one deletion that needs the original
+    * bytes — the alternative, a per-doc gram log, would be the corpus
+    * itself). Deleting never-ingested text is caller error; reads
+    * floor stored sums at 0, so the damage is bounded to those grams
+    * under-counting. `batchId` gives replays the marker fast path. */
+  def deleteFromGramStore(removedDocs: DataFrame, path: String, k: Int,
+                          batchId: Option[Long] = None): Unit = {
+    import graft.functions.TextFunctions._
+    val spark = removedDocs.sparkSession
+    if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, path, _)))
+      return
+    // the writeGramStore geometry guard: deltas under a different k
+    // would corrupt every occurrence total
+    val geo = graft.streaming.StoreFs.readGeometry(spark, path)
+    geo.get("family").foreach { f => require(f == "gram",
+      s"deleteFromGramStore at $path expects a 'gram' store but the " +
+        s"geometry manifest records family='$f' (recorded: $geo)") }
+    geo.get("k").flatMap(_.toIntOption).foreach { gk => require(gk == k,
+      s"gram store $path was built with k=$gk but the caller passed " +
+        s"k=$k (recorded geometry: $geo)") }
+    removedDocs.select(col("doc_id"), words(normText(col("text"))).as("ws"))
+      .select(posexplode(shingles(col("ws"), k)).as(Seq("pos", "s")))
+      .select(md5(col("s")).as("gh"))
+      .groupBy("gh").agg((-count(lit(1))).as("cnt"))
+      .write.mode("append")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, path))
+    batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, path, _))
+  }
+
   /** COMPACT the gram-count store: sum-merge the per-batch rows appends
     * accumulate into one row per gram, swapping the compacted generation
     * in atomically ([[graft.streaming.StoreFs.swapInCompacted]] — a
     * crash never leaves the store empty, and the sibling write never
     * reads its own output). Run on the same cadence as any store
     * rebuild: appends stay cheap and readers pay one extra sum until
-    * then. */
+    * then. Grams whose count nets to ≤ 0 (fully deleted) are DROPPED —
+    * the count-store purge. */
   def compactGramStore(spark: org.apache.spark.sql.SparkSession,
                        path: String, keepGens: Int = 1,
                        keepAgeMs: Long = 0L): Unit = {
+    graft.streaming.StoreFs.sealTagMarkers(spark, path)
     val merged = spark.read
       .parquet(graft.streaming.StoreFs.dataDir(spark, path))
       .groupBy("gh").agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0L)
     graft.streaming.StoreFs.swapInCompacted(spark, path,
       keepGens = keepGens, keepAgeMs = keepAgeMs)(merged.write.parquet(_))
   }
@@ -879,8 +921,11 @@ object Dedup {
           posexplode(shingles(col("ws"), k)).as(Seq("pos", "s")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           md5(col("s")).as("gh")))
-    // appends leave one row per (batch, gh) in the store → sum, not trust
-    val stored = gramStore.groupBy("gh").agg(sum(col("cnt")).as("old_cnt"))
+    // appends leave one row per (batch, gh) in the store → sum, not
+    // trust; the floor guards a mis-aimed delete (negative deltas for
+    // never-ingested text) — a correct delete nets to exactly ≥ 0
+    val stored = gramStore.groupBy("gh")
+      .agg(greatest(lit(0L), sum(col("cnt"))).as("old_cnt"))
     val batchCnt = grams.groupBy("gh").agg(count(lit(1)).as("new_cnt"))
     val dup = batchCnt.join(stored, Seq("gh"), "left")
       .filter(col("new_cnt") + coalesce(col("old_cnt"), lit(0L)) >= 2L)

@@ -91,8 +91,69 @@ object StoreAudit {
     val geometry = (Seq(dir) ++ subDirs).distinct
       .flatMap(geometryFindings(spark, _))
     val tombs = tombstoneFindings(spark, dir)
+    val epochs = epochFindings(spark, dir)
     layout ++ seal ++ markers ++ owner ++ frontier ++ snapshots ++
-      geometry ++ tombs
+      geometry ++ tombs ++ epochs
+  }
+
+  /** Epoch-redirect health (round 14 — the recluster/retrain cutover):
+    * a reclustered store resolves through `_graft_root_<id>` markers,
+    * and the fsck must see what resolution sees. Findings: the live
+    * epoch (info — so the operator knows which directory serves),
+    * superseded epochs awaiting [[graft.operators.ExactIvf
+    * .gcReclusterEpochs]] (info — storage, and old snapshots' grace),
+    * a TOP marker whose epoch directory is missing (ERROR — resolution
+    * silently falls back to the previous epoch, so serves answer from
+    * stale data with no error anywhere else), and stale `.reserve`
+    * files with no committed marker (warn — a crashed rebuild's
+    * carcass). Bounded: one listing. */
+  private def epochFindings(spark: SparkSession,
+                            dir: String): Seq[Finding] = {
+    val (fs, p) = StoreFs.fsPath(spark, dir)
+    if (!fs.exists(p)) return Seq.empty
+    val names = fs.listStatus(p).map(_.getPath.getName).toSeq
+    val pfx = StoreFs.RootPrefix
+    val committed = names
+      .filter(n => n.startsWith(pfx) && !n.endsWith(".reserve"))
+      .flatMap(_.stripPrefix(pfx).toLongOption).sorted
+    val reserves = names.filter(n => n.startsWith(pfx) &&
+      n.endsWith(".reserve"))
+      .flatMap(_.stripPrefix(pfx).stripSuffix(".reserve").toLongOption)
+    if (committed.isEmpty && reserves.isEmpty) return Seq.empty
+    val live = committed.lastOption
+    val liveDirMissing = live.exists(l =>
+      !fs.exists(new Path(p, f"_re-$l%08d")))
+    val topBroken =
+      if (liveDirMissing)
+        Seq(Finding(dir, "epoch", "error",
+          s"the highest root marker (epoch ${live.get}) names a missing" +
+            " epoch directory — resolution silently falls back to the" +
+            " PREVIOUS epoch and every serve answers from stale data;" +
+            " restore the directory or delete the marker"))
+      else Seq.empty
+    val liveInfo =
+      if (live.isDefined && !liveDirMissing)
+        Seq(Finding(dir, "epoch", "info",
+          s"store is epoch-redirected: live epoch ${live.get}" +
+            s" (${StoreFs.liveRoot(spark, dir)})"))
+      else Seq.empty
+    val superseded = committed.dropRight(1)
+      .count(e => fs.exists(new Path(p, f"_re-$e%08d"))) +
+      (if (committed.nonEmpty &&
+           names.exists(n => n == "vecs" || n == "codes")) 1 else 0)
+    val supersededInfo =
+      if (superseded > 0 && live.isDefined)
+        Seq(Finding(dir, "epoch", "info",
+          s"$superseded superseded epoch(s) await gcReclusterEpochs —" +
+            " storage, and the grace window for in-flight reads and" +
+            " still-pinned snapshots"))
+      else Seq.empty
+    val staleReserves = reserves.filterNot(committed.contains)
+      .map(id => Finding(dir, "epoch", "warn",
+        f"epoch reservation $id was never committed — a rebuild is in" +
+          " flight, or its builder crashed (reclaim the .reserve file" +
+          f" and any _re-$id%08d carcass if no rebuild is live)"))
+    topBroken ++ liveInfo ++ supersededInfo ++ staleReserves
   }
 
   /** Pending deletion tombstones (round 14): every serve pays the

@@ -474,6 +474,80 @@ class DeletionSpec extends AnyFunSuite with SparkTest
     assert(!after.exists(_.getAs[Long]("doc_id") == victim))
   }
 
+  // 12 DISTINCT words per class (no within-doc gram repeats), docs i
+  // and i+8 byte-identical — the exact-substring deletion fixture
+  private def gramDocsFixture(n: Int) = {
+    import spark.implicits._
+    (0L until n).map { i =>
+      val c = i % 8
+      (i, (0 until 12).map(j => s"g${c}w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("gram store: negative-delta deletion un-counts a doc's windows exactly; compaction purges zeroed grams") {
+    val all = gramDocsFixture(16)
+    val old = all.filter(col("doc_id") < 8)
+    val batch = all.filter(col("doc_id") >= 8)
+    val path = tmp("graft-del-gram-") + "/grams"
+    Dedup.writeGramStore(old, path, k = 3)
+    def decisions(): Map[Long, Long] =
+      Dedup.exactSubstringSpansIncremental(batch,
+          spark.read.parquet(
+            graft.streaming.StoreFs.dataDir(spark, path)), k = 3)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("n_dup_toks")).toMap
+    val before = decisions()
+    assert(before.values.forall(_ > 0L), s"expected all dup: $before")
+    // forget old doc 3 (class 3): its duplicate batch doc 11 stops
+    // being flagged; every other decision unchanged
+    Dedup.deleteFromGramStore(all.filter(col("doc_id") === 3L), path,
+      k = 3)
+    val after = decisions()
+    assert(after(11L) == 0L, s"got $after")
+    assert((after - 11L) == (before - 11L))
+    // compaction nets the deltas and PURGES the zeroed grams
+    val rowsBefore = spark.read.parquet(
+      graft.streaming.StoreFs.dataDir(spark, path)).count()
+    Dedup.compactGramStore(spark, path)
+    val store = spark.read.parquet(
+      graft.streaming.StoreFs.dataDir(spark, path))
+    assert(store.count() < rowsBefore)
+    assert(store.agg(min("cnt")).head.getLong(0) > 0L)
+    assert(decisions() == after)
+    // wrong-k deltas are refused (the writeGramStore guard)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.deleteFromGramStore(all.limit(1), path, k = 5)
+    }
+    assert(e.getMessage.contains("k=3"))
+  }
+
+  test("DSIR store: negative-delta deletion == a store never holding the docs") {
+    import spark.implicits._
+    val docs = docsFixture(30)
+    val isTarget = col("doc_id") % 2 === 0
+    val old = docs.filter(col("doc_id") < 20)
+    val batch = docs.filter(col("doc_id") >= 20)
+    val path = tmp("graft-del-dsir-") + "/dsir"
+    Curation.writeDsirStore(old, isTarget, path)
+    def select(p: String): Seq[String] =
+      Curation.dsirSelectIncremental(batch, isTarget,
+          spark.read.parquet(graft.streaming.StoreFs.dataDir(spark, p)))
+        .collect().map(_.toString).sorted.toSeq
+    val before = select(path)
+    Curation.deleteFromDsirStore(docs.filter(col("doc_id") < 5),
+      isTarget, path)
+    // the estimator must now equal one whose store never saw docs 0..4
+    val ref = tmp("graft-del-dsirref-") + "/dsir"
+    Curation.writeDsirStore(
+      old.filter(col("doc_id") >= 5), isTarget, ref)
+    val after = select(path)
+    assert(after == select(ref))
+    assert(after != before)
+    // compaction nets the deltas; the estimator is unchanged
+    Curation.compactDsirStore(spark, path)
+    assert(select(path) == after)
+  }
+
   test("deleting an id the store never held is a harmless no-op") {
     import spark.implicits._
     val vecs = vecFixture(50)

@@ -220,6 +220,39 @@ class ReclusterSpec extends AnyFunSuite with SparkTest
     assert(oldCodes.filter(col("vec_id") >= 900000L).count() == 0L)
   }
 
+  test("the fsck sees the epoch layer: live epoch, awaiting-GC count, broken top marker, stale reserve") {
+    val a = cluster(0 until 40, +1L)
+    val path = tmp()
+    ExactIvf.writeVecStore(a, path, nCells = 4, iters = 1)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 4, iters = 1)
+    def findings(): Seq[(String, String, String)] =
+      graft.streaming.StoreAudit.audit(spark, path)
+        .collect().map(r => (r.getString(1), r.getString(2),
+          r.getString(3))).toSeq
+    val f1 = findings()
+    assert(f1.exists { case (c, l, d) =>
+      c == "epoch" && l == "info" && d.contains("live epoch 1") })
+    assert(f1.exists { case (c, l, d) =>
+      c == "epoch" && l == "info" && d.contains("gcReclusterEpochs") })
+    assert(!f1.exists(_._2 == "error"))
+    // a stale reservation (crashed rebuild) warns
+    val (fs, p) = (new org.apache.hadoop.fs.Path(path))
+      .getFileSystem(spark.sessionState.newHadoopConf()) ->
+      new org.apache.hadoop.fs.Path(path)
+    fs.create(new org.apache.hadoop.fs.Path(p,
+      "_graft_root_00000002.reserve"), true).close()
+    assert(findings().exists { case (c, l, d) =>
+      c == "epoch" && l == "warn" && d.contains("never committed") })
+    fs.delete(new org.apache.hadoop.fs.Path(p,
+      "_graft_root_00000002.reserve"), false)
+    // the silent-stale-fallback hazard is an ERROR: delete the live
+    // epoch's directory out-of-band — resolution falls back to epoch 0
+    // with no error anywhere else, and only the fsck can say so
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_re-00000001"), true)
+    assert(findings().exists { case (c, l, d) =>
+      c == "epoch" && l == "error" && d.contains("stale data") })
+  }
+
   test("epoch GC reclaims superseded epochs; the live store is untouched") {
     val a = cluster(0 until 50, +1L)
     val path = tmp()
