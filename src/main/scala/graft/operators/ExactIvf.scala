@@ -246,7 +246,21 @@ object ExactIvf {
   /** Write a cell-assigned frame in the store's partition layout:
     * bucketed (`cell_bucket` directories, files range-placed and
     * SORTED by ivf_cell so parquet row-group min/max stats stay
-    * selective inside a bucket) or legacy per-cell directories. */
+    * selective inside a bucket) or legacy per-cell directories.
+    *
+    * ALL-ROWS-EMPTY overwrite (ADVICE r14, medium — the all-tombstoned
+    * purge): a dynamic-partitioned write of an empty frame leaves ZERO
+    * part files (partition directories materialize per VALUE, and an
+    * empty frame has none), so a compaction that purged every row would
+    * swap in a generation whose schema inference throws — aborting the
+    * compactor's own re-tighten read AND every later serve of the
+    * store. When an overwrite lands no data, one schema-bearing empty
+    * file is appended UNPARTITIONED (Spark's empty-job writer keeps
+    * partition 0's file exactly to preserve format metadata): the
+    * partition columns ride in the footer as ordinary data columns,
+    * which both plain reads and later partition-laid appends compose
+    * with (partition discovery keeps the root file; the directory
+    * column shadows the footer's by name). */
   private[operators] def writeCellLaid(rows: DataFrame, buckets: Int,
                                        dir: String,
                                        overwrite: Boolean): Unit = {
@@ -258,6 +272,18 @@ object ExactIvf {
         .write.mode(mode).partitionBy("cell_bucket").parquet(dir)
     else
       rows.write.mode(mode).partitionBy("ivf_cell").parquet(dir)
+    if (overwrite) {
+      val spark = rows.sparkSession
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        st.isDirectory || (!n.startsWith("_") && !n.startsWith("."))
+      }
+      if (!hasData)
+        withBucketCol(rows, buckets).limit(0)
+          .write.mode("append").parquet(dir)
+    }
   }
 
   /** Restrict a cell-laid store scan to the cells a batch touches —
@@ -495,13 +521,21 @@ object ExactIvf {
         .join(r2, Seq("ivf_cell"), "left")
         .withColumn("r2max", coalesce(col("r2n"), lit(0L)))
         .select(keep: _*)
-      graft.streaming.StoreFs.swapInCompacted(spark, s"$eff/cells")(
+      // the caller's retention governs EVERY sub-table swap this
+      // compaction performs (ADVICE r14, low): a snapshot pinning this
+      // cycle's cells/tombs generations must survive the same
+      // keepGens/keepAgeMs grace the vecs generation gets — the
+      // default keepGens=1 here would let a pinned serve error inside
+      // the caller's configured window
+      graft.streaming.StoreFs.swapInCompacted(spark, s"$eff/cells",
+        keepGens = keepGens, keepAgeMs = keepAgeMs)(
         newCells.write.parquet(_))
       spark.catalog.refreshByPath(s"$eff/cells")
       // clear exactly the applied set; a tombstone appended mid-cycle
       // survives into the next generation for the next purge
       val tombsSub = s"$eff/tombs"
-      graft.streaming.StoreFs.swapInCompacted(spark, tombsSub) { tmp =>
+      graft.streaming.StoreFs.swapInCompacted(spark, tombsSub,
+          keepGens = keepGens, keepAgeMs = keepAgeMs) { tmp =>
         spark.read.schema("vec_id LONG, batch_id LONG")
           .parquet(graft.streaming.StoreFs.dataDir(spark, tombsSub))
           .join(t, Seq("vec_id"), "left_anti")
@@ -587,28 +621,84 @@ object ExactIvf {
     * snapshots — size it like `keepGens`, to the deployment's longest
     * read). Epoch 0 is the original root's own sub-directories. A
     * reclaimed epoch's pinned snapshots stop resolving and surface in
-    * the fsck; retire or re-create them first. */
+    * the fsck; retire or re-create them first.
+    *
+    * The deletion floor is keyed to the epoch RESOLUTION SERVES
+    * ([[graft.streaming.StoreFs.liveRoot]]), never to the raw highest
+    * marker id (ADVICE r14, medium): liveRoot deliberately skips torn/
+    * empty markers and markers whose epoch directory is missing, so in
+    * that state — the one the fsck's `epoch` error flags — a max-id
+    * floor would keep grace relative to a DEAD epoch and, with more
+    * than one broken top marker, could delete the epoch serves still
+    * answer from. When the top committed marker does not resolve this
+    * REFUSES to GC entirely, naming the repair: a broken cutover is an
+    * operator incident, and reclaiming storage under it risks the live
+    * data.
+    *
+    * `keepAgeMs` is the TIME-BASED retention floor (VERDICT r14 #5 —
+    * the generation-GC contract, one level up): an epoch is reclaimed
+    * only when it has ALSO been superseded for at least that long.
+    * Supersession is observable as the mtime of the next committed
+    * root marker (epoch e stops being live the instant a higher marker
+    * lands), so no read older than `keepAgeMs` can lose its epoch
+    * however quickly reclusters chain. CADENCE OWNERSHIP: like
+    * compaction, this is operator-invoked — run it on the same
+    * schedule as the family's compactor, after each recluster/retrain
+    * settles past the deployment's longest read; the fsck's `epoch`
+    * awaiting-GC finding (with per-epoch ages) is the standing
+    * signal that reclaimable epochs exist. */
   def gcReclusterEpochs(spark: SparkSession, path: String,
-                        keepEpochs: Int = 1): Unit = {
+                        keepEpochs: Int = 1,
+                        keepAgeMs: Long = 0L): Unit = {
     require(keepEpochs >= 1, "keepEpochs must be >= 1")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return
     val pfx = graft.streaming.StoreFs.RootPrefix
-    val committed = fs.listStatus(p).iterator.map(_.getPath.getName)
+    val statuses = fs.listStatus(p)
+    val committed = statuses.iterator.map(_.getPath.getName)
       .filter(n => n.startsWith(pfx) && !n.endsWith(".reserve"))
       .flatMap(_.stripPrefix(pfx).toLongOption).toSeq.sorted
     if (committed.isEmpty) return
-    val floor = committed.max - keepEpochs
+    val top = committed.max
+    val live = graft.streaming.StoreFs.liveRoot(spark, path)
+    val resolved: Long =
+      if (live == path) 0L
+      else new org.apache.hadoop.fs.Path(live).getName match {
+        case n if n.startsWith("_re-") =>
+          n.stripPrefix("_re-").toLongOption.getOrElse(0L)
+        case _ => 0L
+      }
+    require(resolved == top,
+      s"refusing to GC epochs at $path: the highest root marker " +
+        s"(epoch $top) does not resolve — serves answer from epoch " +
+        s"$resolved ($live). Restore the epoch directory or delete " +
+        "the broken marker(s) first (the store fsck's `epoch` error " +
+        "names them); GC under a broken cutover could reclaim the " +
+        "epoch still serving")
+    def markerMtime(id: Long): Option[Long] =
+      try Some(fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(p, f"$pfx$id%08d"))
+        .getModificationTime)
+      catch { case _: java.io.IOException => None }
+    val now = System.currentTimeMillis()
+    val floor = resolved - keepEpochs
     (0L until math.max(floor, 0L)).foreach { e =>
-      if (e == 0L)
-        Seq("cells", "vecs", "groups", "tombs").foreach { sub =>
-          fs.delete(new org.apache.hadoop.fs.Path(p, sub), true); ()
+      // age floor: epoch e was superseded when the SMALLEST committed
+      // marker above it landed; a missing marker (already GC'd) means
+      // the supersession is long past — reclaimable
+      val supersededMs = committed.find(_ > e).flatMap(markerMtime)
+        .map(now - _).getOrElse(Long.MaxValue)
+      if (keepAgeMs <= 0L || supersededMs >= keepAgeMs) {
+        if (e == 0L)
+          Seq("cells", "vecs", "groups", "tombs").foreach { sub =>
+            fs.delete(new org.apache.hadoop.fs.Path(p, sub), true); ()
+          }
+        else {
+          fs.delete(new org.apache.hadoop.fs.Path(p, f"_re-$e%08d"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(p, f"$pfx$e%08d"), false)
+          ()
         }
-      else {
-        fs.delete(new org.apache.hadoop.fs.Path(p, f"_re-$e%08d"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(p, f"$pfx$e%08d"), false)
-        ()
       }
     }
   }

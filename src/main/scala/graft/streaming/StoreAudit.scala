@@ -137,15 +137,31 @@ object StoreAudit {
           s"store is epoch-redirected: live epoch ${live.get}" +
             s" (${StoreFs.liveRoot(spark, dir)})"))
       else Seq.empty
-    val superseded = committed.dropRight(1)
-      .count(e => fs.exists(new Path(p, f"_re-$e%08d"))) +
+    // ages: epoch e was superseded when the smallest committed marker
+    // above it landed (the gcReclusterEpochs keepAgeMs clock) — the
+    // finding carries them so the operator can see which epochs have
+    // cleared the deployment's read SLA and are reclaimable
+    def markerAgeSec(id: Long): Option[Long] =
+      try Some((System.currentTimeMillis() - fs.getFileStatus(
+        new Path(p, StoreFs.RootPrefix + f"$id%08d"))
+        .getModificationTime) / 1000L)
+      catch { case _: java.io.IOException => None }
+    val oldEpochs = committed.dropRight(1)
+      .filter(e => fs.exists(new Path(p, f"_re-$e%08d"))) ++
       (if (committed.nonEmpty &&
-           names.exists(n => n == "vecs" || n == "codes")) 1 else 0)
+           names.exists(n => n == "vecs" || n == "codes")) Seq(0L)
+       else Seq.empty)
+    val ages = oldEpochs.sorted.map { e =>
+      val a = committed.find(_ > e).flatMap(markerAgeSec)
+        .map(s => s"superseded ${s}s ago").getOrElse("age unknown")
+      s"epoch $e ($a)"
+    }
     val supersededInfo =
-      if (superseded > 0 && live.isDefined)
+      if (oldEpochs.nonEmpty && live.isDefined)
         Seq(Finding(dir, "epoch", "info",
-          s"$superseded superseded epoch(s) await gcReclusterEpochs —" +
-            " storage, and the grace window for in-flight reads and" +
+          s"${oldEpochs.size} superseded epoch(s) await " +
+            s"gcReclusterEpochs — ${ages.mkString(", ")} — storage," +
+            " and the grace window for in-flight reads and" +
             " still-pinned snapshots"))
       else Seq.empty
     val staleReserves = reserves.filterNot(committed.contains)
@@ -163,8 +179,14 @@ object StoreAudit {
     * operator signal, not an error. Bounded: one distinct-count over
     * the tombs table (|deleted| rows of one key), no corpus data read. */
   private def tombstoneFindings(spark: SparkSession,
-                                dir: String): Seq[Finding] =
-    Seq(s"$dir/tombs", StoreFs.flatTombsDir(dir))
+                                dir: String): Seq[Finding] = {
+    // resolve through the epoch redirect FIRST (ADVICE r14, low):
+    // after a recluster/retrain the live tombstones live under the
+    // epoch root ($dir/_re-N/tombs) — probing only the flat locations
+    // would report zero pending tombstones (the compliance-clock
+    // signal) on exactly the stores the fsck flags as redirected
+    val eff = StoreFs.liveRoot(spark, dir)
+    Seq(s"$eff/tombs", StoreFs.flatTombsDir(dir))
       .filter(StoreFs.storeExists(spark, _)).take(1).flatMap { root =>
       val d = StoreFs.dataDir(spark, root)
       val keyCol = StoreFs.readGeometry(spark, root)
@@ -181,6 +203,7 @@ object StoreAudit {
           "pays the exclusion anti-join) until the next compaction " +
           "purges them"))
     }
+  }
 
   /** Geometry manifest vs data cross-check (VERDICT r13 #4): the
     * manifest records the store's identity (family, key columns,

@@ -560,4 +560,101 @@ class DeletionSpec extends AnyFunSuite with SparkTest
     assert(served(path, Seq((1L, 7L)), k = 5) ==
       brute(vecs, Seq((1L, 7L)), 5))
   }
+
+  // ---- all-deleted purge (ADVICE r14, medium): compacting a store
+  // whose EVERY row is tombstoned used to swap in a zero-part-file
+  // generation — the vec compactor's r2max re-tighten then threw on
+  // schema inference AFTER the committed swap (tombstones uncleared),
+  // and every later serve of the store failed the same way. The fix
+  // lands one schema-bearing empty file; these rows pin the full
+  // lifecycle: purge completes, tombstones clear, bounds zero, reads
+  // stay alive, and a post-purge re-append REVIVES the store.
+
+  test("all-deleted purge: vec store compacts to a readable empty generation and revives on re-append") {
+    val vecs = vecFixture(60)
+    val path = tmp("graft-del-allvec-")
+    ExactIvf.writeVecStore(vecs, path, nCells = 4, iters = 1)
+    ExactIvf.deleteFromVecStore(spark, vecs.select("doc_id"), path,
+      idCol = "doc_id")
+    ExactIvf.compactVecStore(spark, path)
+    // generation readable and empty; tombstones cleared; bounds zeroed
+    val live = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
+    assert(live.count() == 0L)
+    assert(spark.read.parquet(
+        graft.streaming.StoreFs.dataDir(spark, s"$path/cells"))
+      .agg(max("r2max")).head.getLong(0) == 0L)
+    assert(graft.streaming.StoreFs.liveTombsDir(spark, path)
+      .map(d => graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")
+        .count()).getOrElse(0L) == 0L)
+    // a probe against the emptied store errors as absent, not a crash
+    intercept[IllegalArgumentException] { served(path, Queries, k = 5) }
+    // revive: the purge cleared the tombstones, so a re-append re-admits
+    val subset = vecs.filter(col("doc_id") < 30L)
+    ExactIvf.appendToVecStore(spark, subset, path)
+    val qs = Seq((1L, 3L), (2L, 17L))
+    assert(served(path, qs, k = 10) == brute(subset, qs, 10))
+    // and the NEXT compaction (non-empty) still works over the mixed
+    // root-file + partition-dir layout the empty generation left
+    ExactIvf.compactVecStore(spark, path)
+    assert(served(path, qs, k = 10) == brute(subset, qs, 10))
+  }
+
+  test("all-deleted purge: IVFADC codes store compacts to a readable empty generation and revives on re-append") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val path = tmp("graft-del-allcodes-")
+    val (m, dim) = (8, 64)
+    Pq.writeIvfadcStore(emb, path, nCells = 4, m = m, dim = dim,
+      nCents = 8, iters = 1)
+    val probes = emb.select("vec_id").orderBy("vec_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    def serve(): Seq[org.apache.spark.sql.Row] =
+      Pq.ivfadcTopKFromStore(spark, path, emb, probes, nprobe = 2,
+          kShort = 30, k = 10, m = m, dim = dim)
+        .collect().sortBy(_.toString).toSeq
+    val before = serve()
+    assert(before.nonEmpty)
+    Pq.deleteFromCodesStore(spark, emb.select("vec_id"), path)
+    Pq.compactCodesStore(spark, path)
+    // the emptied codes generation reads (zero rows) and serves empty
+    assert(spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/codes"))
+      .count() == 0L)
+    assert(serve().isEmpty)
+    // revive: re-append the corpus under the frozen quantizers
+    Pq.appendToIvfadcStore(spark, emb, path, m = m, dim = dim)
+    assert(serve() == before)
+  }
+
+  test("all-deleted purge: gram and signature count/decision stores compact to readable empty state") {
+    import spark.implicits._
+    val docs = docsFixture(20)
+    // gram store: every ingested doc's counts negated → all net <= 0
+    val gram = tmp("graft-del-allgram-") + "/gram"
+    Dedup.writeGramStore(docs, gram, k = 3)
+    Dedup.deleteFromGramStore(docs, gram, k = 3)
+    // the estimator reads as a fresh corpus at BOTH stages: with the
+    // negative deltas standing (per-gram sums net to <= 0, floored),
+    // and after the purge drops the zeroed rows physically. The batch
+    // doc still self-duplicates internally (docsFixture's vocab period
+    // is shorter than the doc), so the pin is stage parity, not zero.
+    val batch = docs.filter(col("doc_id") === 0L)
+      .select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    def spans(): Seq[String] =
+      Dedup.exactSubstringSpansIncremental(batch, spark.read.parquet(
+          graft.streaming.StoreFs.dataDir(spark, gram)), k = 3)
+        .collect().map(_.toString).sorted.toSeq
+    val netted = spans()
+    Dedup.compactGramStore(spark, gram)
+    assert(spark.read.parquet(
+      graft.streaming.StoreFs.dataDir(spark, gram)).count() == 0L)
+    assert(spans() == netted)
+    // signature store: all ids tombstoned → purge leaves a readable
+    // empty store (the visible read is what every decision path uses)
+    val sig = tmp("graft-del-allsig-") + "/sig"
+    Dedup.writeSignatureStore(docs, sig)
+    Dedup.deleteFromSignatureStore(spark, docs.select("doc_id"), sig)
+    Dedup.compactSignatureStore(spark, sig)
+    assert(Dedup.readSignatureStore(spark, sig).count() == 0L)
+  }
 }

@@ -272,4 +272,74 @@ class ReclusterSpec extends AnyFunSuite with SparkTest
     ExactIvf.compactVecStore(spark, path)
     assert(served(path, qs, 10) == brute(a, qs, 10))
   }
+
+  test("epoch GC refuses a broken top marker and keys its floor to the SERVING epoch") {
+    // ADVICE r14 (medium): the floor used to come from the highest
+    // marker NAME — with the top marker's directory missing (the state
+    // the fsck flags as error), GC kept grace relative to a DEAD epoch
+    // and could reclaim the epoch resolution actually serves. Now GC
+    // derives the floor from liveRoot and REFUSES when they disagree.
+    val a = cluster(0 until 50, +1L)
+    val path = tmp()
+    ExactIvf.writeVecStore(a, path, nCells = 4, iters = 1)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 4, iters = 1)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 6, iters = 1)
+    val (fs, p) = (new org.apache.hadoop.fs.Path(path))
+      .getFileSystem(spark.sessionState.newHadoopConf()) ->
+      new org.apache.hadoop.fs.Path(path)
+    // break the cutover: the top epoch's directory vanishes out-of-band
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_re-00000002"), true)
+    val e = intercept[IllegalArgumentException] {
+      ExactIvf.gcReclusterEpochs(spark, path, keepEpochs = 1)
+    }
+    assert(e.getMessage.contains("does not resolve"))
+    // nothing was reclaimed: resolution fell back to epoch 1, and both
+    // surviving epochs (0 and 1) are intact — serves still answer
+    assert(new java.io.File(s"$path/vecs").exists())
+    assert(new java.io.File(s"$path/_re-00000001").exists())
+    val qs = Seq((1L, 5L))
+    assert(served(path, qs, 10) == brute(a, qs, 10))
+  }
+
+  test("epoch GC age floor: a superseded epoch younger than keepAgeMs survives keepEpochs") {
+    val a = cluster(0 until 50, +1L)
+    val path = tmp()
+    ExactIvf.writeVecStore(a, path, nCells = 4, iters = 1)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 4, iters = 1)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 6, iters = 1)
+    // live = 2, keepEpochs = 1 → epoch 0 is past the count floor, but
+    // its supersession (marker 1's mtime) is seconds old — the age
+    // floor must keep it however many reclusters just chained
+    ExactIvf.gcReclusterEpochs(spark, path, keepEpochs = 1,
+      keepAgeMs = 3600L * 1000L)
+    assert(new java.io.File(s"$path/vecs").exists())
+    // the fsck's awaiting-GC finding carries per-epoch ages (the
+    // operator's reclaimable-when signal)
+    val ages = graft.streaming.StoreAudit.audit(spark, path)
+      .collect().map(_.getString(3))
+      .filter(_.contains("gcReclusterEpochs"))
+    assert(ages.exists(_.contains("epoch 0 (superseded")))
+    // without the floor the same call reclaims it; serving unaffected
+    ExactIvf.gcReclusterEpochs(spark, path, keepEpochs = 1)
+    assert(!new java.io.File(s"$path/vecs").exists())
+    val qs = Seq((1L, 5L))
+    assert(served(path, qs, 10) == brute(a, qs, 10))
+  }
+
+  test("the fsck's tombstone clock resolves through the epoch redirect") {
+    // ADVICE r14 (low): tombstoneFindings probed only the flat tombs
+    // locations, reporting ZERO pending tombstones on exactly the
+    // epoch-redirected stores — the compliance clock went dark after
+    // every recluster. The probe now resolves through liveRoot.
+    import spark.implicits._
+    val a = cluster(0 until 40, +1L)
+    val path = tmp()
+    ExactIvf.writeVecStore(a, path, nCells = 4, iters = 1)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 4, iters = 1)
+    ExactIvf.deleteFromVecStore(spark, Seq(5L, 7L).toDF("vec_id"), path)
+    val tombFindings = graft.streaming.StoreAudit.audit(spark, path)
+      .filter(col("check") === "tombstones").collect()
+    assert(tombFindings.exists(_.getString(3).contains(
+      "2 pending tombstone")))
+  }
 }
