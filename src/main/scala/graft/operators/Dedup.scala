@@ -280,8 +280,11 @@ object Dedup {
       keepGens = keepGens, keepAgeMs = keepAgeMs)(merged.write.parquet(_))
     spark.catalog.refreshByPath(path)
     applied.foreach { t =>
+      // caller's retention on the tombs swap too (ADVICE r14, low —
+      // the compactVecStore rationale)
       val tombsRoot = graft.streaming.StoreFs.flatTombsDir(path)
-      graft.streaming.StoreFs.swapInCompacted(spark, tombsRoot) { tmp =>
+      graft.streaming.StoreFs.swapInCompacted(spark, tombsRoot,
+          keepGens = keepGens, keepAgeMs = keepAgeMs) { tmp =>
         spark.read.schema("doc_id LONG, batch_id LONG")
           .parquet(graft.streaming.StoreFs.dataDir(spark, tombsRoot))
           .join(t, Seq("doc_id"), "left_anti")

@@ -334,6 +334,11 @@ object ExactIvf {
                        batchId: Option[Long] = None, idCol: String = "doc_id",
                        vecCol: String = "vec"): Unit = {
     import spark.implicits._
+    // the single-writer gate (round 15): a LIVE rebuild lock means an
+    // epoch rebuild has read its input and is building — rows appended
+    // now would vanish at cutover. Fail fast naming the rebuild.
+    graft.streaming.StoreFs.requireNoRebuild(spark, path,
+      "appendToVecStore")
     // appends land in the LIVE EPOCH (post-recluster ingest must not
     // write into a superseded root); a batch whose marker lived in a
     // superseded epoch replays here with no marker and heals through
@@ -585,6 +590,24 @@ object ExactIvf {
   def reclusterVecStore(spark: SparkSession, path: String, nCells: Int,
                         iters: Int, nBuckets: Int = -1,
                         nGroups: Int = -1): Unit = {
+    // single-writer contract ENFORCED (round 15 — VERDICT r14 #2): the
+    // rebuild lock spans read→rebuild→commit, and the append entry
+    // points fail fast while it is held — an append committing into
+    // the old epoch after the rebuild read its rows would be silently
+    // absent from the new epoch. Deletes stay allowed (the residual-
+    // tombstone copy re-applies them); a crashed rebuild's stale lock
+    // self-heals at the next acquire (the compaction-lock takeover).
+    graft.streaming.StoreFs.acquireRebuildLock(spark, path,
+      "reclusterVecStore")
+    try reclusterVecStoreLocked(spark, path, nCells, iters, nBuckets,
+      nGroups)
+    finally graft.streaming.StoreFs.releaseRebuildLock(spark, path)
+  }
+
+  private def reclusterVecStoreLocked(spark: SparkSession, path: String,
+                                      nCells: Int, iters: Int,
+                                      nBuckets: Int,
+                                      nGroups: Int): Unit = {
     val eff = graft.streaming.StoreFs.liveRoot(spark, path)
     require(graft.streaming.StoreFs.storeExists(spark, s"$eff/vecs"),
       s"no vec store at $path to recluster")

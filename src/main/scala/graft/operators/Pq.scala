@@ -359,6 +359,10 @@ object Pq {
                       newEmb: DataFrame, path: String, m: Int, dim: Int,
                       batchId: Option[Long] = None,
                       vecCol: String = "embedding"): Unit = {
+    // the single-writer gate (round 15 — the appendToVecStore
+    // rationale): fail fast while a retrain holds the rebuild lock
+    graft.streaming.StoreFs.requireNoRebuild(spark, path,
+      "appendToPqStore")
     val eff = graft.streaming.StoreFs.liveRoot(spark, path)
     val dir = s"$eff/codes"
     if (batchId.exists(graft.streaming.StoreFs.markerExists(spark, dir, _)))
@@ -600,6 +604,11 @@ object Pq {
                           newEmb: DataFrame, path: String, m: Int, dim: Int,
                           batchId: Option[Long] = None,
                           vecCol: String = "embedding"): Unit = {
+    // the single-writer gate (round 15 — the appendToVecStore
+    // rationale): rows encoded into an epoch mid-retrain vanish at
+    // cutover; fail fast while the rebuild lock is live
+    graft.streaming.StoreFs.requireNoRebuild(spark, path,
+      "appendToIvfadcStore")
     // route to the LIVE EPOCH (post-retrain ingest must encode under
     // the new quantizers, not a superseded epoch's)
     val eff = graft.streaming.StoreFs.liveRoot(spark, path)
@@ -698,8 +707,11 @@ object Pq {
       else merged.write.parquet(tmp)
     }
     applied.foreach { t =>
+      // caller's retention on the tombs swap too (ADVICE r14, low —
+      // the compactVecStore rationale)
       val tombsSub = s"$eff/tombs"
-      graft.streaming.StoreFs.swapInCompacted(spark, tombsSub) { tmp =>
+      graft.streaming.StoreFs.swapInCompacted(spark, tombsSub,
+          keepGens = keepGens, keepAgeMs = keepAgeMs) { tmp =>
         spark.read.schema("vec_id LONG, batch_id LONG")
           .parquet(graft.streaming.StoreFs.dataDir(spark, tombsSub))
           .join(t, Seq("vec_id"), "left_anti")
@@ -785,14 +797,47 @@ object Pq {
     ivfadcTableResolved(spark, path, emb, probes, nprobe, kShort, k, m,
       dim, vecCol, maxBatch, None)
 
+  /** PREDICATE-FILTERED IVFADC serving (round 15 — the
+    * [[graft.operators.ExactIvf.topDotBatchFromStoreFiltered]] contract
+    * carried to the approximate path): `allowed` is a relation of
+    * permitted `vec_id`s, applied AFTER the cell-pruned LUT join and
+    * BEFORE the kShort cut — a disallowed id never consumes a shortlist
+    * slot, so the shortlist is kShort candidates OVER THE ALLOWED SET,
+    * not a post-filtered unfiltered list with rank holes. Composes with
+    * tombstones (anti excludes, semi restricts). The recall contract,
+    * stated honestly: the serve stays APPROXIMATE — the probed cells
+    * are still the nprobe nearest at the store's geometry, so a very
+    * selective filter concentrated outside those cells can underfill;
+    * the remedies are widening nprobe/kShort or falling back to the
+    * exact filtered serve (which is exact over the subset at any
+    * selectivity). Probes are NOT gated by `allowed` (restricting the
+    * candidate corpus and restricting who may ask are different
+    * contracts — the y62 discipline). */
+  def ivfadcTopKFromStoreFiltered(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, emb: DataFrame,
+                                  probes: DataFrame, allowed: DataFrame,
+                                  nprobe: Int, kShort: Int, k: Int,
+                                  m: Int, dim: Int,
+                                  vecCol: String = "embedding",
+                                  maxBatch: Int = ExactIvf.MaxServeBatch)
+      : DataFrame =
+    ivfadcTableResolved(spark, path, emb, probes, nprobe, kShort, k, m,
+      dim, vecCol, maxBatch, None, Some(allowed))
+
   private def ivfadcTableResolved(spark: org.apache.spark.sql.SparkSession,
                                   path: String, emb: DataFrame,
                                   probes: DataFrame,
                                   nprobe: Int, kShort: Int, k: Int,
                                   m: Int, dim: Int, vecCol: String,
                                   maxBatch: Int,
-                                  dirs: IvfadcDirs): DataFrame = {
+                                  dirs: IvfadcDirs,
+                                  allowedIn: Option[DataFrame] = None)
+      : DataFrame = {
     require(maxBatch >= 1, s"maxBatch must be >= 1, got $maxBatch")
+    // the caller's visibility predicate, normalized + pinned ONCE for
+    // every chunk (the hybridTableResolved discipline)
+    val allowed = allowedIn.map(a => graft.core.Caches.scoped(
+      a.select(col("vec_id").cast("long").as("vec_id")).distinct()))
     // distinct: a duplicated probe_id row would duplicate the probe's
     // rows through the LUT join and double-count its per-subspace sums.
     // Pinned before the count + fan-out (the ExactIvf rationale: a
@@ -810,7 +855,7 @@ object Pq {
       serveIvfadc(spark, path, emb,
         emb.join(chunk, col("vec_id") === col("probe_id")).drop("probe_id"),
         nprobe, kShort, k, m, dim, vecCol, dirs,
-        nProbes = (n + nChunks - 1) / nChunks)
+        nProbes = (n + nChunks - 1) / nChunks, allowed = allowed)
     }.reduce(_ unionAll _)
   }
 
@@ -863,6 +908,22 @@ object Pq {
                          m: Int, dim: Int, nCents: Int, iters: Int,
                          vecCol: String = "embedding",
                          nBuckets: Int = -1): Unit = {
+    // single-writer contract enforced (round 15 — the
+    // reclusterVecStore rationale): appends encoding under the OLD
+    // books would be lost at cutover; they fail fast while this holds
+    graft.streaming.StoreFs.acquireRebuildLock(spark, path,
+      "retrainIvfadcStore")
+    try retrainIvfadcLocked(spark, emb, path, nCells, m, dim, nCents,
+      iters, vecCol, nBuckets)
+    finally graft.streaming.StoreFs.releaseRebuildLock(spark, path)
+  }
+
+  private def retrainIvfadcLocked(spark: org.apache.spark.sql.SparkSession,
+                                  emb: DataFrame, path: String,
+                                  nCells: Int, m: Int, dim: Int,
+                                  nCents: Int, iters: Int,
+                                  vecCol: String,
+                                  nBuckets: Int): Unit = {
     val eff = graft.streaming.StoreFs.liveRoot(spark, path)
     val t0 = graft.streaming.StoreFs.liveTombsDir(spark, eff)
       .map(d => graft.core.Caches.scoped(
@@ -889,6 +950,16 @@ object Pq {
                      emb: DataFrame, path: String, m: Int, dim: Int,
                      nCents: Int, iters: Int,
                      vecCol: String = "embedding"): Unit = {
+    graft.streaming.StoreFs.acquireRebuildLock(spark, path,
+      "retrainPqStore")
+    try retrainPqLocked(spark, emb, path, m, dim, nCents, iters, vecCol)
+    finally graft.streaming.StoreFs.releaseRebuildLock(spark, path)
+  }
+
+  private def retrainPqLocked(spark: org.apache.spark.sql.SparkSession,
+                              emb: DataFrame, path: String, m: Int,
+                              dim: Int, nCents: Int, iters: Int,
+                              vecCol: String): Unit = {
     val eff = graft.streaming.StoreFs.liveRoot(spark, path)
     val t0 = graft.streaming.StoreFs.liveTombsDir(spark, eff)
       .map(d => graft.core.Caches.scoped(
@@ -961,7 +1032,8 @@ object Pq {
                           nprobe: Int, kShort: Int, k: Int, m: Int, dim: Int,
                           vecCol: String,
                           dirs: IvfadcDirs = None,
-                          nProbes: Long = -1L): DataFrame = {
+                          nProbes: Long = -1L,
+                          allowed: Option[DataFrame] = None): DataFrame = {
     // geometry-manifest validation (VERDICT r12 #9): a caller whose
     // (m, dim) disagree with the build would silently mis-slice every
     // probe residual — fail fast naming the recorded geometry instead.
@@ -1001,7 +1073,8 @@ object Pq {
     val tombs = tombsDir.map(d => graft.core.Caches.scoped(
       graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")))
     val shortl = ivfadcShortlist(spark, geoRoot, probeRows, nprobe,
-      kShort, m, dim, coarse, books, vecCol, codesDir, tombs, nProbes)
+      kShort, m, dim, coarse, books, vecCol, codesDir, tombs, nProbes,
+      allowed)
     ivfadcRerank(emb, shortl, probeRows, k, vecCol)
   }
 
@@ -1012,7 +1085,9 @@ object Pq {
                               books: DataFrame, vecCol: String,
                               codesDir: String,
                               tombs: Option[DataFrame],
-                              nProbes: Long = -1L): DataFrame = {
+                              nProbes: Long = -1L,
+                              allowed: Option[DataFrame] = None)
+      : DataFrame = {
     val subDim = dim / m
     val pmv = graft.core.Caches.scoped(
       microVectors(probeRows, vecCol).toDF("probe_id", "pm"))
@@ -1147,14 +1222,18 @@ object Pq {
         col("cent_id").as("cell"), l2sq(col("psvm"), col("cvm")).as("pd2"))
     val lut1 = ExactIvf.withBucketCol(lut0, buckets)
     val lut = if (dpp) lut1.filter(col(partCol) >= 0) else lut1
-    // tombstone exclusion AFTER the cell-pruned LUT join (the anti-join
-    // runs on pruned candidates, and the DPP plan shape upstream stays
-    // byte-identical) and BEFORE the kShort cut — a deleted id never
-    // consumes a shortlist slot
+    // visibility AFTER the cell-pruned LUT join (the joins run on
+    // pruned candidates, and the DPP plan shape upstream stays
+    // byte-identical) and BEFORE the kShort cut — a deleted or
+    // disallowed id never consumes a shortlist slot. Tombstones
+    // EXCLUDE (anti); a caller filter RESTRICTS (semi) — round 15,
+    // the planServe visibility contract on the approximate path.
     val cand0 = codes.join(broadcast(lut), joinKeys)
       .filter(col("vec_id") =!= col("probe_id"))
-    val cand = tombs.fold(cand0)(t => cand0.join(t, Seq("vec_id"),
+    val cand1 = tombs.fold(cand0)(t => cand0.join(t, Seq("vec_id"),
       "left_anti"))
+    val cand = allowed.fold(cand1)(a => cand1.join(a, Seq("vec_id"),
+      "left_semi"))
     val scored = cand
       .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("pd2")).as("adc_d2"))

@@ -251,25 +251,33 @@ object Retrieval {
   def bm25TopKFromStore(spark: org.apache.spark.sql.SparkSession,
                         path: String, terms: DataFrame, k: Int,
                         k1: Double, b: Double,
-                        maxTermPushdown: Int): DataFrame = {
+                        maxTermPushdown: Int): DataFrame =
+    rankTopK(storeScoresTable(spark, path, terms, k1, b,
+      maxTermPushdown), k)
+
+  /** The two-regime scoring pass shared by the query-TABLE BM25 forms:
+    * pinned distinct terms, literal pushdown under the ceiling /
+    * broadcast join above it, tombstones excluded before df. */
+  private def storeScoresTable(spark: org.apache.spark.sql.SparkSession,
+                               path: String, terms: DataFrame,
+                               k1: Double, b: Double,
+                               maxTermPushdown: Int): DataFrame = {
     // pinned: the count and the downstream fan-out must see the same
     // rows from a nondeterministic source (the ExactIvf rationale)
     val t = graft.core.Caches.scoped(
       terms.select(col("term").cast("string").as("term")).distinct())
-    val scored =
-      if (t.count() <= maxTermPushdown)
-        storeScores(spark, path,
-          t.collect().map(_.getString(0)).toSeq, k1, b)
-      else {
-        val dirs = liveIndexDirs(spark, path)
-        val tombs = tombsOf(spark, dirs.tombs)
-        val tf0 = spark.read.parquet(dirs.postings)
-          .join(broadcast(t), Seq("term"))
-        val tf = tombs.fold(tf0)(x =>
-          tf0.join(x, Seq("doc_id"), "left_anti"))
-        scoreTf(tf, statsFromDir(spark, dirs.doclen, tombs), k1, b)
-      }
-    rankTopK(scored, k)
+    if (t.count() <= maxTermPushdown)
+      storeScores(spark, path,
+        t.collect().map(_.getString(0)).toSeq, k1, b)
+    else {
+      val dirs = liveIndexDirs(spark, path)
+      val tombs = tombsOf(spark, dirs.tombs)
+      val tf0 = spark.read.parquet(dirs.postings)
+        .join(broadcast(t), Seq("term"))
+      val tf = tombs.fold(tf0)(x =>
+        tf0.join(x, Seq("doc_id"), "left_anti"))
+      scoreTf(tf, statsFromDir(spark, dirs.doclen, tombs), k1, b)
+    }
   }
 
   /** [[bm25TopKFromStore]] (query-TABLE form) with the default
@@ -278,6 +286,29 @@ object Retrieval {
                         path: String, terms: DataFrame, k: Int,
                         k1: Double, b: Double): DataFrame =
     bm25TopKFromStore(spark, path, terms, k, k1, b, MaxTermPushdown)
+
+  /** PREDICATE-FILTERED lexical-only serving (round 15 — VERDICT r14
+    * #8: the hybrid had `hybridRrfBatchFromStoresFiltered` but a
+    * BM25-only user had no filtered form): `allowed` is a relation of
+    * permitted `doc_id`s restricting the CANDIDATES while the corpus
+    * statistics (N, avgdl, df) stay whole — filtered-SEARCH semantics
+    * (the docs still exist, this request just may not see them;
+    * deletion is the other contract, [[deleteFromIndexStore]], which
+    * shifts the stats). The semi-join runs AFTER scoring and BEFORE
+    * the top-k cut, so every returned rank is dense over the allowed
+    * set — no holes from post-filtering a full-corpus list. Composes
+    * with tombstones (deleted docs leave the stats AND candidates). */
+  def bm25TopKFromStoreFiltered(spark: org.apache.spark.sql.SparkSession,
+                                path: String, terms: DataFrame,
+                                allowed: DataFrame, k: Int,
+                                k1: Double = 1.2, b: Double = 0.75,
+                                maxTermPushdown: Int = MaxTermPushdown)
+      : DataFrame = {
+    val a = graft.core.Caches.scoped(
+      allowed.select(col("doc_id").cast("long").as("doc_id")).distinct())
+    rankTopK(storeScoresTable(spark, path, terms, k1, b, maxTermPushdown)
+      .join(a, Seq("doc_id"), "left_semi"), k)
+  }
 
   /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion:
     * RRF(d) = Σ_lists 1/(C + rank_list(d)) over the doc's ranks in the
@@ -956,8 +987,11 @@ object Retrieval {
     compact("positions", Seq("term", "doc_id", "pos"),
       Seq("term", "doc_id", "pos"))
     applied.foreach { t =>
+      // caller's retention on the tombs swap too (ADVICE r14, low —
+      // the compactVecStore rationale)
       val tombsSub = s"$path/tombs"
-      graft.streaming.StoreFs.swapInCompacted(spark, tombsSub) { tmp =>
+      graft.streaming.StoreFs.swapInCompacted(spark, tombsSub,
+          keepGens = keepGens, keepAgeMs = keepAgeMs) { tmp =>
         spark.read.schema("doc_id LONG, batch_id LONG")
           .parquet(graft.streaming.StoreFs.dataDir(spark, tombsSub))
           .join(t, Seq("doc_id"), "left_anti")

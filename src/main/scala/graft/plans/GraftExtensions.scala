@@ -94,6 +94,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(ServeTableFunctions.getClass.getName,
         "graft_bm25_topk_table"),
       (args: Seq[Expression]) => ServeTableFunctions.bm25TopKTable(args)))
+    // round-15 filtered twins: the lexical-only and approximate paths
+    // get the same predicate-filtered serving surface the exact and
+    // hybrid paths gained in round 14
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_bm25_topk_filtered"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_bm25_topk_filtered"),
+      (args: Seq[Expression]) =>
+        ServeTableFunctions.bm25TopKFiltered(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_ivfadc_topk_filtered"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_ivfadc_topk_filtered"),
+      (args: Seq[Expression]) =>
+        ServeTableFunctions.ivfadcTopKFiltered(args)))
     ext.injectTableFunction((
       FunctionIdentifier("graft_store_audit"),
       new ExpressionInfo(ServeTableFunctions.getClass.getName,

@@ -264,6 +264,70 @@ object ServeTableFunctions {
         spark.table(view), k, k1, b))
   }
 
+  /** graft_bm25_topk_filtered(indexPath, termsView, allowedView, k
+    * [, k1, b]) → the PREDICATE-FILTERED form of [[bm25TopKTable]]
+    * (round 15 — VERDICT r14 #8: the hybrid had a filtered TVF but a
+    * lexical-only user did not): `allowedView` names a relation of
+    * permitted `doc_id`s restricting CANDIDATES while the corpus
+    * statistics stay whole ([[graft.operators.Retrieval
+    * .bm25TopKFromStoreFiltered]] — filtered-search semantics, dense
+    * in-filter ranks). */
+  def bm25TopKFiltered(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4 || args.length == 6,
+      "graft_bm25_topk_filtered(indexPath, termsView, allowedView, " +
+        "k[, k1, b])")
+    val spark = SparkSession.active
+    val (k1, b) =
+      if (args.length == 6) (dbl(args(4), "k1"), dbl(args(5), "b"))
+      else (1.2, 0.75)
+    val (path, view, allowedView) = (str(args(0), "indexPath"),
+      str(args(1), "termsView"), str(args(2), "allowedView"))
+    val k = int(args(3), "k")
+    DeferredServe("graft_bm25_topk_filtered", Bm25Schema, () =>
+      graft.operators.Retrieval.bm25TopKFromStoreFiltered(spark, path,
+        spark.table(view), spark.table(allowedView), k, k1, b))
+  }
+
+  /** graft_ivfadc_topk_filtered(storePath, embView, probesView,
+    * allowedView, nprobe, kShort, k [, m, dim [, vecCol]]) → the
+    * PREDICATE-FILTERED form of [[ivfadcTopK]] (round 15): the allowed
+    * set applies after the cell-pruned LUT join and BEFORE the kShort
+    * cut — a disallowed id never consumes a shortlist slot (the
+    * [[graft.operators.Pq.ivfadcTopKFromStoreFiltered]] contract,
+    * recall caveat included). The 7-argument form reads (m, dim,
+    * vecCol) from the geometry manifest. */
+  def ivfadcTopKFiltered(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 7 || args.length == 9 || args.length == 10,
+      "graft_ivfadc_topk_filtered(storePath, embView, probesView, " +
+        "allowedView, nprobe, kShort, k[, m, dim[, vecCol]])")
+    val spark = SparkSession.active
+    val path = str(args(0), "storePath")
+    // bounded filesystem reads (no Spark job) — keep the malformed-call
+    // error at analysis where the SQL user can see it
+    val geo = graft.streaming.StoreFs.readGeometry(spark, path)
+    val (m, dim, vecCol) =
+      if (args.length == 7) {
+        def need(k: String): String = geo.getOrElse(k,
+          throw new IllegalArgumentException(
+            s"the 7-argument graft_ivfadc_topk_filtered form needs " +
+              s"'$k' in the geometry manifest at $path (recorded: " +
+              s"$geo) — pass m and dim explicitly for a pre-manifest " +
+              "store"))
+        (need("m").toInt, need("dim").toInt,
+          geo.getOrElse("vec_col", "embedding"))
+      } else
+        (int(args(7), "m"), int(args(8), "dim"),
+          if (args.length == 10) str(args(9), "vecCol") else "embedding")
+    val (embView, probesView, allowedView) = (str(args(1), "embView"),
+      str(args(2), "probesView"), str(args(3), "allowedView"))
+    val (nprobe, kShort, k) = (int(args(4), "nprobe"),
+      int(args(5), "kShort"), int(args(6), "k"))
+    DeferredServe("graft_ivfadc_topk_filtered", IvfadcSchema, () =>
+      graft.operators.Pq.ivfadcTopKFromStoreFiltered(spark, path,
+        spark.table(embView), spark.table(probesView),
+        spark.table(allowedView), nprobe, kShort, k, m, dim, vecCol))
+  }
+
   /** graft_store_audit(storeDir [, subDirsCsv [, readerSlaSec]]) → the
     * [[graft.streaming.StoreAudit]] findings table (store, check,
     * level, detail) — the store fsck reachable from pure SQL, so an

@@ -561,6 +561,85 @@ class DeletionSpec extends AnyFunSuite with SparkTest
       brute(vecs, Seq((1L, 7L)), 5))
   }
 
+  test("IVFADC filtered serve: a disallowed id never consumes a shortlist slot; composes with tombstones; TVF == DataFrame form") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val path = tmp("graft-del-ivfflt-")
+    val (m, dim) = (8, 64)
+    Pq.writeIvfadcStore(emb, path, nCells = 4, m = m, dim = dim,
+      nCents = 8, iters = 1)
+    val probes = emb.select("vec_id").orderBy("vec_id").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    val allowed = emb.select("vec_id").filter(col("vec_id") % 3 === 0)
+    def filtered(kShort: Int, k: Int) =
+      Pq.ivfadcTopKFromStoreFiltered(spark, path, emb,
+        probes.toDF("probe_id"), allowed, nprobe = 2, kShort = kShort,
+        k = k, m = m, dim = dim)
+    val f = filtered(kShort = 12, k = 10).collect()
+    assert(f.forall(_.getAs[Long]("neighbor_id") % 3 == 0))
+    // the before-the-cut discipline: post-filtering the UNFILTERED
+    // shortlist at the same kShort leaves rank holes — disallowed ids
+    // consumed most of the 12 slots — while the filtered serve fills
+    // all k from the allowed set
+    val post = Pq.ivfadcTopKFromStore(spark, path, emb, probes,
+        nprobe = 2, kShort = 12, k = 12, m = m, dim = dim)
+      .filter(col("neighbor_id") % 3 === 0).collect()
+    assert(post.length < f.length)
+    assert(f.groupBy(_.getAs[Long]("probe_id")).values
+      .forall(_.length == 10))
+    // tombstones compose: delete a currently-served allowed neighbor
+    val victim = f.head.getAs[Long]("neighbor_id")
+    Pq.deleteFromCodesStore(spark, Seq(victim).toDF("vec_id"), path)
+    val after = filtered(kShort = 12, k = 10).collect()
+    assert(!after.exists(_.getAs[Long]("neighbor_id") == victim))
+    assert(after.groupBy(_.getAs[Long]("probe_id")).values
+      .forall(rs => rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 10)))
+    // the SQL surface drives the same serve
+    emb.createOrReplaceTempView("delivf_emb")
+    probes.toDF("probe_id").createOrReplaceTempView("delivf_probes")
+    allowed.createOrReplaceTempView("delivf_allowed")
+    val tvf = spark.sql(
+      s"""SELECT * FROM graft_ivfadc_topk_filtered('$path',
+         'delivf_emb', 'delivf_probes', 'delivf_allowed', 2, 12, 10,
+         $m, $dim)""").collect()
+    assert(tvf.map(_.toString).sorted.toSeq ==
+      after.map(_.toString).sorted.toSeq)
+  }
+
+  test("BM25 filtered serve: stats whole, candidates restricted, dense ranks; TVF == DataFrame form") {
+    import spark.implicits._
+    val docs = docsFixture(120)
+    val path = tmp("graft-del-bmflt-")
+    Retrieval.writeIndexStore(docs, path)
+    val terms = Seq("spark", "vector").toDF("term")
+    val allowed = docs.select("doc_id").filter(col("doc_id") % 4 === 0)
+    val f = Retrieval.bm25TopKFromStoreFiltered(spark, path, terms,
+      allowed, k = 10).collect()
+    assert(f.nonEmpty)
+    assert(f.forall(_.getAs[Long]("doc_id") % 4 == 0))
+    // stats whole: scores equal the UNFILTERED serve's scores for the
+    // same (term, doc) — the filter restricts candidates, never df/N
+    val unf = Retrieval.bm25TopKFromStore(spark, path, terms, 120,
+        1.2, 0.75)
+      .filter(col("doc_id") % 4 === 0)
+      .select("term", "doc_id", "score").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(f.forall(r =>
+      unf((r.getString(0), r.getAs[Long]("doc_id"))) ==
+        r.getAs[Double]("score")))
+    // dense in-filter ranks
+    assert(f.groupBy(_.getString(0)).values.forall(rs =>
+      rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length)))
+    // the SQL surface drives the same serve
+    terms.createOrReplaceTempView("delbm_terms")
+    allowed.createOrReplaceTempView("delbm_allowed")
+    val tvf = spark.sql(
+      s"""SELECT * FROM graft_bm25_topk_filtered('$path',
+         'delbm_terms', 'delbm_allowed', 10)""").collect()
+    assert(tvf.map(_.toString).sorted.toSeq ==
+      f.map(_.toString).sorted.toSeq)
+  }
+
   // ---- all-deleted purge (ADVICE r14, medium): compacting a store
   // whose EVERY row is tombstoned used to swap in a zero-part-file
   // generation — the vec compactor's r2max re-tighten then threw on

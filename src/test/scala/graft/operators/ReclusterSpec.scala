@@ -326,6 +326,55 @@ class ReclusterSpec extends AnyFunSuite with SparkTest
     assert(served(path, qs, 10) == brute(a, qs, 10))
   }
 
+  test("single-writer: appends racing a rebuild fail fast; a crashed rebuild's stale lock self-heals") {
+    // VERDICT r14 #2: reclusterVecStore used to read, rebuild and
+    // commit with no exclusion — an append landing in the old epoch
+    // after the rebuild's read was silently absent from the new epoch.
+    // The rebuild lock makes the single-writer contract enforced.
+    val a = cluster(0 until 40, +1L)
+    val path = tmp()
+    ExactIvf.writeVecStore(a, path, nCells = 4, iters = 1)
+    // simulate an in-flight rebuild holding the lock
+    graft.streaming.StoreFs.acquireRebuildLock(spark, path,
+      "reclusterVecStore")
+    val extra = cluster(100 until 110, +1L)
+    val e = intercept[IllegalStateException] {
+      ExactIvf.appendToVecStore(spark, extra, path)
+    }
+    assert(e.getMessage.contains("rebuild is in flight"))
+    assert(e.getMessage.contains("reclusterVecStore"))
+    // a second rebuild refuses too (one rebuild per store)
+    val e2 = intercept[IllegalStateException] {
+      ExactIvf.reclusterVecStore(spark, path, nCells = 4, iters = 1)
+    }
+    assert(e2.getMessage.contains("rebuild"))
+    // crashed rebuild: once the lock ages past the stale window the
+    // append is NOT blocked (the crashed rebuild never committed, so
+    // its epoch is unreachable) and the next rebuild takes over
+    assert(new java.io.File(path, "_graft_rebuilding")
+      .setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
+    ExactIvf.appendToVecStore(spark, extra, path)
+    ExactIvf.reclusterVecStore(spark, path, nCells = 6, iters = 1)
+    // the rebuild released its lock, and the racing append's rows are
+    // present in the new epoch (they landed BEFORE the rebuild's read)
+    assert(!new java.io.File(path, "_graft_rebuilding").exists())
+    val all = a.unionByName(extra)
+    val qs = Seq((1L, 5L), (2L, 105L))
+    assert(served(path, qs, 10) == brute(all, qs, 10))
+    // the IVFADC family rides the same gate
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val pq = tmp()
+    Pq.writeIvfadcStore(emb, pq, nCells = 4, m = 8, dim = 64,
+      nCents = 8, iters = 1)
+    graft.streaming.StoreFs.acquireRebuildLock(spark, pq,
+      "retrainIvfadcStore")
+    val e3 = intercept[IllegalStateException] {
+      Pq.appendToIvfadcStore(spark, emb.limit(1), pq, m = 8, dim = 64)
+    }
+    assert(e3.getMessage.contains("retrainIvfadcStore"))
+    graft.streaming.StoreFs.releaseRebuildLock(spark, pq)
+  }
+
   test("the fsck's tombstone clock resolves through the epoch redirect") {
     // ADVICE r14 (low): tombstoneFindings probed only the flat tombs
     // locations, reporting ZERO pending tombstones on exactly the
