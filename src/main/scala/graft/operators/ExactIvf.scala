@@ -240,6 +240,15 @@ object ExactIvf {
       .join(broadcast(asg), Seq("ivf_cell"))
       .select("ivf_cell", "ccvm", "r2max", "cell_group")
       .write.mode("overwrite").parquet(s"$path/cells")
+    // drift gauge (round 15): the build-time bound tightness. Appends
+    // raise per-cell r2max; the audit's live-Σr2max / build-Σr2max
+    // ratio is the recluster-trigger signal. One bounded (≤ nCells)
+    // read of the table just written.
+    val bs = rows.sparkSession.read.parquet(s"$path/cells")
+      .agg(sum(col("r2max")).as("s"), count(lit(1)).as("n")).head
+    graft.streaming.StoreFs.writeBuildStats(rows.sparkSession, path, Seq(
+      "r2_sum" -> Option(bs.get(0)).fold("0")(_.toString),
+      "n_cells" -> bs.getLong(1).toString))
     writeCellLaid(rows, buckets, s"$path/vecs", overwrite = true)
   }
 

@@ -334,6 +334,8 @@ object Pq {
     encode(emb, books, m, dim, vecCol)
       .select("vec_id", "sub", "cell")
       .write.mode("overwrite").parquet(s"$path/codes")
+    writeQerrStats(emb.sparkSession, path,
+      encode(emb, books, m, dim, vecCol))
   }
 
   /** Append a NEW batch under the store's FROZEN codebooks — the
@@ -382,8 +384,11 @@ object Pq {
       require(gd == dim, s"store $path was built with dim=$gd but the " +
         s"caller passed dim=$dim (recorded geometry: $geo)")
     val books = spark.read.parquet(s"$eff/books")
+    // d2 rides along to the batch-stats record (drift gauge, round
+    // 15) and is dropped before the write — the codes schema is
+    // unchanged
     val tagged = encode(newEmb, books, m, dim, vecCol)
-      .select("vec_id", "sub", "cell")
+      .select("vec_id", "sub", "cell", "d2")
       .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
     val novel =
       if (graft.streaming.StoreFs.storeExists(spark, dir)) {
@@ -400,7 +405,21 @@ object Pq {
         tagged.join(visible.select("vec_id", "sub"),
           Seq("vec_id", "sub"), "left_anti")
       } else tagged
-    novel.write.mode("append").parquet(graft.streaming.StoreFs.dataDir(spark, dir))
+    val pinned = graft.core.Caches.scoped(novel)
+    // drift gauge (round 15): this batch's mean residual quantization
+    // error under the FROZEN books. Aggregated BEFORE the data write —
+    // the agg both materializes the pinned cache and, should the cache
+    // be lost, re-derives `novel` against the codes dir in its
+    // pre-append state (after the write, the anti-join would see the
+    // batch's own rows and count zero)
+    val q = pinned.agg(avg(col("d2")).as("m"), count(lit(1)).as("n")).head
+    pinned.drop("d2").write.mode("append")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
+    if (q.getLong(1) > 0L)
+      graft.streaming.StoreFs.appendBatchStats(spark, eff, Seq(
+        "qerr_mean" -> q.getDouble(0).toString,
+        "n_rows" -> q.getLong(1).toString,
+        "batch_id" -> batchId.getOrElse(-1L).toString))
     batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 
@@ -535,6 +554,24 @@ object Pq {
         .select(col("vec_id"), col("sub"), col("cell"))
         .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id")),
       buckets, s"$path/codes", overwrite = true)
+    writeQerrStats(emb.sparkSession, path, assign(rsv.drop("ivf_cell"),
+      books))
+  }
+
+  /** Drift gauge (round 15): record the build-time mean residual
+    * quantization error (micro² per (vec, sub) row) — the number the
+    * codes table cannot carry (codes are lossy; d2 exists only at
+    * encode time). Appends record their own batch's mean via
+    * [[graft.streaming.StoreFs.appendBatchStats]], and the audit's
+    * newest-vs-build ratio is the retrain-trigger signal. Build-only
+    * cost: one more assign pass over the CACHED residual subvectors. */
+  private def writeQerrStats(spark: org.apache.spark.sql.SparkSession,
+                             path: String, assigned: DataFrame): Unit = {
+    val q = assigned.agg(avg(col("d2")).as("m"),
+      count(lit(1)).as("n")).head
+    graft.streaming.StoreFs.writeBuildStats(spark, path, Seq(
+      "qerr_mean" -> (if (q.isNullAt(0)) "0" else q.getDouble(0).toString),
+      "n_rows" -> q.getLong(1).toString))
   }
 
   /** [[writeIvfadcStore]] for EXTERNALLY-CLUSTERED corpora (the
@@ -588,6 +625,7 @@ object Pq {
         .select(col("vec_id"), col("sub"), col("cell"))
         .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id")),
       buckets, s"$path/codes", overwrite = true)
+    writeQerrStats(spark, path, assign(rsv.drop("ivf_cell"), books))
   }
 
   /** Append a NEW batch under the store's FROZEN coarse centroids AND
@@ -620,8 +658,11 @@ object Pq {
     val mv = microVectors(newEmb, vecCol)
     val res = graft.core.Caches.scoped(coarseResiduals(mv, coarse))
     val rsv = residualSubvectors(res, m, dim)
+    // d2 rides along to the batch-stats record (drift gauge, round
+    // 15) and is dropped before the write — the codes schema is
+    // unchanged
     val tagged = assign(rsv.drop("ivf_cell"), books)
-      .select(col("vec_id"), col("sub"), col("cell"))
+      .select(col("vec_id"), col("sub"), col("cell"), col("d2"))
       .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id"))
       .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
     val buckets = graft.streaming.StoreFs.readGeometry(spark, eff)
@@ -651,8 +692,22 @@ object Pq {
           .select("vec_id", "sub"),
         Seq("vec_id", "sub"), "left_anti")
     }
-    ExactIvf.writeCellLaid(novel, buckets,
+    val pinned = graft.core.Caches.scoped(novel)
+    // drift gauge (round 15): this batch's mean residual quantization
+    // error under the FROZEN coarse cells + books — the retrain
+    // trigger's input, recorded from the encode pass the append
+    // already ran. Aggregated BEFORE the data write: the agg
+    // materializes the pinned cache, and on cache loss it re-derives
+    // `novel` against the codes dir's pre-append state (post-write,
+    // the anti-join would see the batch's own rows and count zero)
+    val q = pinned.agg(avg(col("d2")).as("m"), count(lit(1)).as("n")).head
+    ExactIvf.writeCellLaid(pinned.drop("d2"), buckets,
       graft.streaming.StoreFs.dataDir(spark, dir), overwrite = false)
+    if (q.getLong(1) > 0L)
+      graft.streaming.StoreFs.appendBatchStats(spark, eff, Seq(
+        "qerr_mean" -> q.getDouble(0).toString,
+        "n_rows" -> q.getLong(1).toString,
+        "batch_id" -> batchId.getOrElse(-1L).toString))
     batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 

@@ -584,7 +584,12 @@ object RetrievalQueries {
   // the oracle shared by the two query-table BM25 regimes (y58 literal
   // pushdown, y60 broadcast): the regime is a pruning decision, never a
   // semantics one, so both must hash-match the same SQL
-  private def bm25TableOracle: String = s"""
+  // `candWhere` (round 15) restricts the RANKED CANDIDATES only — the
+  // g/df corpus statistics stay whole and ranks are dense within the
+  // allowed set, the filtered-search (not deletion) semantics
+  private def bm25TableOracle: String = bm25TableOracleWhere("")
+
+  private def bm25TableOracleWhere(candWhere: String): String = s"""
       WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS ws FROM documents),
       p AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS dl FROM w),
       g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -602,7 +607,7 @@ object RetrievalQueries {
       r AS (SELECT term, doc_id, tf, score,
               CAST(row_number() OVER (PARTITION BY term
                 ORDER BY score DESC, doc_id) AS INT) AS rk
-            FROM sc)
+            FROM sc$candWhere)
       SELECT term, doc_id, tf, score, rk FROM r WHERE rk <= 10
       ORDER BY term, rk"""
 
@@ -638,6 +643,30 @@ object RetrievalQueries {
     Retrieval.bm25TopKFromStore(s, ensureIndexStore(s, d),
         (Terms ++ Terms.take(2)).toDF("term"), 10, K1, B,
         maxTermPushdown = 0)
+      .orderBy("term", "rk")
+  }
+
+  // --- Y68: PREDICATE-FILTERED BM25 serving graded (round 15 — the
+  // lexical arm of the filtered-search surface, through the pure-SQL
+  // graft_bm25_topk_filtered TVF): the allowed set (doc_id % 3 == 1)
+  // restricts the RANKED CANDIDATES while the corpus statistics stay
+  // whole — df, N and avgdl keep their full-corpus values (filtering
+  // who may be RETURNED is not deleting who was INDEXED — the y64/y61
+  // distinction) and ranks are dense within the allowed set. A serve
+  // that shifted stats, or post-filtered an unfiltered top-10 (rank
+  // holes + lost in-filter docs past rank 10), hash-mismatches.
+  val y68 = Query(
+    "y68_bm25_filtered_serve",
+    Some(bm25TableOracleWhere(" WHERE doc_id % 3 = 1"))
+  ) { (s, d) =>
+    import s.implicits._
+    (Terms ++ Terms.take(2)).toDF("term")
+      .createOrReplaceTempView("y68_terms")
+    documents(s, d).select("doc_id").filter(col("doc_id") % 3 === 1)
+      .createOrReplaceTempView("y68_allowed")
+    s.sql(s"""SELECT * FROM graft_bm25_topk_filtered(
+         '${ensureIndexStore(s, d)}', 'y68_terms', 'y68_allowed', 10,
+         $K1, $B)""")
       .orderBy("term", "rk")
   }
 
@@ -1559,5 +1588,5 @@ object RetrievalQueries {
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
     x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38, y49,
-    y52, y55, y57, y58, y59, y60, y61, y62, y63, y64)
+    y52, y55, y57, y58, y59, y60, y61, y62, y63, y64, y68)
 }

@@ -1055,16 +1055,25 @@ object SimilarityQueries {
     * cell probing, ADC shortlist (`radc`), and the exact re-rank
     * distances (`rr`). Shared by y36 (which appends the recall-panel
     * tail: exact truth + hits) and y51 (which grades the served rows
-    * themselves — no brute-force term anywhere in its plan). */
-  private def ivfadcCtePrefix: String = s"""
+    * themselves — no brute-force term anywhere in its plan).
+    * Parameterized (round 15) for the lifecycle-graded serves:
+    * `nCells` re-derives the replay at a retrain's new geometry (y66 —
+    * a retrain is a deterministic fresh build over the visible
+    * corpus), and `candPred` restricts the ADC CANDIDATES only —
+    * books/cells stay trained on the full corpus — which is exactly
+    * what a tombstone exclusion (y65) or an `allowed` restriction
+    * (y67) does on the serve: visibility applies after the LUT join
+    * and before the kShort cut, never to the quantizers. */
+  private def ivfadcCtePrefix(nCells: Int = IvfCells,
+                              candPred: String = ""): String = s"""
       WITH em AS (SELECT vec_id,
               list_transform(CAST(embedding AS DOUBLE[]),
                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
             FROM embeddings),
-      -- coarse quantizer: $IvfCells-cell integer k-means on the full
+      -- coarse quantizer: $nCells-cell integer k-means on the full
       -- vector (sample init by md5 order + one Lloyd round)
       csmp AS (SELECT vec_id FROM em
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $IvfCells),
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
       cb0 AS (SELECT em.vec_id AS cent_id, vm AS cvm
               FROM em JOIN csmp USING (vec_id)),
       ${assignFull("ca1", "em", "vm", "cb0")},
@@ -1138,7 +1147,7 @@ object SimilarityQueries {
               FROM enc c JOIN lut l
                 ON c.ivf_cell = l.ivf_cell AND c.sub = l.sub
                AND c.cell = l.cell
-              WHERE c.vec_id <> l.probe_id
+              WHERE c.vec_id <> l.probe_id$candPred
               GROUP BY l.probe_id, c.vec_id),
       radc AS (SELECT probe_id, neighbor_id,
                       row_number() OVER (PARTITION BY probe_id
@@ -1153,7 +1162,7 @@ object SimilarityQueries {
 
   val y36 = Query(
     "y36_ivfadc_recall",
-    Some(ivfadcCtePrefix + s""",
+    Some(ivfadcCtePrefix() + s""",
       rawk AS (SELECT probe_id, neighbor_id FROM radc WHERE rk <= $PqK),
       apr AS (SELECT probe_id, neighbor_id FROM (
                 SELECT probe_id, neighbor_id,
@@ -1196,7 +1205,9 @@ object SimilarityQueries {
   // from the cell-partition-pruned codes store, re-rank kShort
   // candidates exactly — with no exact-truth scan anywhere in the plan.
   // Its ScaleProbe row is the served path's own curve (SCALE.md r10).
-  private val ivfadcServeOracle = ivfadcCtePrefix + s"""
+  private def ivfadcServeOracle(nCells: Int = IvfCells,
+                                candPred: String = ""): String =
+    ivfadcCtePrefix(nCells, candPred) + s"""
       SELECT probe_id, neighbor_id, d2,
              CAST(row_number() OVER (PARTITION BY probe_id
                ORDER BY d2, neighbor_id) AS INT) AS rk
@@ -1204,7 +1215,7 @@ object SimilarityQueries {
 
   val y51 = Query(
     "y51_ivfadc_serve",
-    Some(ivfadcServeOracle)
+    Some(ivfadcServeOracle())
   ) { (s, d) =>
     val probeIds = Similarity.boundedProbeIds(embeddings(s, d), NProbesBound)
     Pq.ivfadcTopKFromStore(s, ensureIvfadcStore(s, d), embeddings(s, d),
@@ -1220,13 +1231,118 @@ object SimilarityQueries {
   // as y51 — row-identity through the table input is the contract.
   val y56 = Query(
     "y56_ivfadc_serve_df",
-    Some(ivfadcServeOracle)
+    Some(ivfadcServeOracle())
   ) { (s, d) =>
     import s.implicits._
     val probes = Similarity.boundedProbeIds(embeddings(s, d), NProbesBound)
       .toDF("probe_id")
     Pq.ivfadcTopKFromStore(s, ensureIvfadcStore(s, d), embeddings(s, d),
         probes, IvfNprobe, PqShort, PqK, PqM, Dim, "embedding")
+      .orderBy("probe_id", "rk")
+  }
+
+  // --- Y65: IVFADC DELETION graded (round 15 — VERDICT r14 #1: the
+  // approximate family's tombstone exclusion was spec-pinned only, and
+  // the approximate path is exactly where silent wrongness hides best,
+  // with no brute-force tie to catch a bad exclusion). A dedicated
+  // store is built over the FULL corpus, then every vec with
+  // vec_id % 7 == 3 (~14%, including live shortlist members) is
+  // tombstoned through deleteFromCodesStore — rows still physically
+  // present, no purge. The graded serve must hash-match the replay
+  // whose quantizers stay FULL-corpus-trained (deletion never retrains
+  // books) but whose ADC CANDIDATES exclude the deleted ids BEFORE the
+  // kShort cut — a serve that post-filtered the shortlist instead
+  // would surface rank holes and lose true survivors, and one that
+  // dropped deleted rows from training would mismatch every centroid.
+  // Probes are NOT gated: a deleted id may still ask (the y62
+  // contract), it just can never be answered.
+  private def ensureIvfadcDeletedStore(s: org.apache.spark.sql.SparkSession,
+                                       d: String): String = {
+    val path = StoreFixtures.path("graft-ivfadcdel", d,
+      "embeddings.parquet", "ivfadcdel1")
+    StoreFixtures.onceByMarker(path, "_graft_del_done") {
+      val emb = embeddings(s, d)
+      Pq.writeIvfadcStore(emb, path, IvfCells, PqM, Dim, PqC, iters = 1)
+      Pq.deleteFromCodesStore(s,
+        emb.select("vec_id").filter(col("vec_id") % 7 === 3), path)
+    }
+  }
+
+  val y65 = Query(
+    "y65_ivfadc_deleted_serve",
+    Some(ivfadcServeOracle(candPred = " AND c.vec_id % 7 <> 3"))
+  ) { (s, d) =>
+    val probeIds = Similarity.boundedProbeIds(embeddings(s, d), NProbesBound)
+    Pq.ivfadcTopKFromStore(s, ensureIvfadcDeletedStore(s, d),
+        embeddings(s, d), probeIds, IvfNprobe, PqShort, PqK, PqM, Dim)
+      .orderBy("probe_id", "rk")
+  }
+
+  // --- Y66: IVFADC ONLINE RETRAIN graded (round 15 — the second half
+  // of VERDICT r14 #1, the y63 pattern on the approximate path): the
+  // store is built over 80% of the corpus, grown by an
+  // appendToIvfadcStore batch encoding under the FROZEN original books
+  // (the recall-drift regime the retrain lever exists for), then
+  // RETRAINED online to a DIFFERENT coarse geometry (16 → 24 cells;
+  // new coarse centroids, new residual codebooks, new groups) through
+  // the atomic epoch cutover. The graded serve runs entirely in the
+  // new epoch and must hash-match the replay of a DETERMINISTIC FRESH
+  // BUILD at nCells=24 over the full corpus — the ReclusterSpec
+  // retrain≡fresh-build contract under the DuckDB oracle: a lost
+  // append, a stale-geometry read, a torn coarse/books/codes triple,
+  // or an epoch misresolution would each flip the hash.
+  private val IvfRetrainCells = 24
+
+  private def ensureIvfadcRetrainedStore(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = StoreFixtures.path("graft-ivfadcret", d,
+      "embeddings.parquet", "ivfadcret1")
+    StoreFixtures.onceByMarker(path, "_graft_ret_done") {
+      val emb = embeddings(s, d)
+      Pq.writeIvfadcStore(emb.filter(col("vec_id") % 10 < 8), path,
+        IvfCells, PqM, Dim, PqC, iters = 1)
+      Pq.appendToIvfadcStore(s, emb.filter(col("vec_id") % 10 >= 8),
+        path, PqM, Dim, batchId = Some(1L))
+      Pq.retrainIvfadcStore(s, emb, path, IvfRetrainCells, PqM, Dim,
+        PqC, iters = 1)
+    }
+  }
+
+  val y66 = Query(
+    "y66_ivfadc_retrain_serve",
+    Some(ivfadcServeOracle(nCells = IvfRetrainCells))
+  ) { (s, d) =>
+    val probeIds = Similarity.boundedProbeIds(embeddings(s, d), NProbesBound)
+    Pq.ivfadcTopKFromStore(s, ensureIvfadcRetrainedStore(s, d),
+        embeddings(s, d), probeIds, IvfNprobe, PqShort, PqK, PqM, Dim)
+      .orderBy("probe_id", "rk")
+  }
+
+  // --- Y67: PREDICATE-FILTERED IVFADC serving graded (round 15 —
+  // VERDICT r14 #3's graded row): the filtered-RAG shape on the
+  // APPROXIMATE path, through the pure-SQL graft_ivfadc_topk_filtered
+  // TVF (7-argument form — m/dim/vecCol resolve from the geometry
+  // manifest). The allowed set (vec_id % 3 == 0) applies after the
+  // cell-pruned LUT join and BEFORE the kShort cut, so the shortlist
+  // is kShort candidates OVER THE ALLOWED SET — the filtered-ANN
+  // recall trap (post-filter an unfiltered shortlist → holes) done
+  // right; quantizers and probed-cell selection stay whole-corpus
+  // (filtering candidates ≠ retraining), which is exactly what the
+  // oracle's candidate-only predicate replays. Probes are not gated.
+  val y67 = Query(
+    "y67_ivfadc_filtered_serve",
+    Some(ivfadcServeOracle(candPred = " AND c.vec_id % 3 = 0"))
+  ) { (s, d) =>
+    import s.implicits._
+    val emb = embeddings(s, d)
+    emb.createOrReplaceTempView("y67_emb")
+    Similarity.boundedProbeIds(emb, NProbesBound).toDF("probe_id")
+      .createOrReplaceTempView("y67_probes")
+    emb.select("vec_id").filter(col("vec_id") % 3 === 0)
+      .createOrReplaceTempView("y67_allowed")
+    s.sql(s"""SELECT * FROM graft_ivfadc_topk_filtered(
+         '${ensureIvfadcStore(s, d)}', 'y67_emb', 'y67_probes',
+         'y67_allowed', $IvfNprobe, $PqShort, $PqK)""")
       .orderBy("probe_id", "rk")
   }
 
@@ -1317,5 +1433,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55,
-    x61, y02, y21, y22, y25, y30, y36, y45, y51, y56)
+    x61, y02, y21, y22, y25, y30, y36, y45, y51, y56, y65, y66, y67)
 }

@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   *     predates the [[StoreFs.claimOwner]] guard — the
   *     one-checkpoint-per-store contract is unenforceable until the
   *     store is claimed (warn).
+  *   - `drift` (round 15): live distribution vs the build-time one
+  *     recorded in `_graft_build_stats` — the retrain/recluster
+  *     trigger gauge (exact-IVF Σ r2max; PQ/IVFADC newest-batch and
+  *     cumulative mean residual quantization error). Warn past
+  *     `spark.graft.audit.driftRatio` (default 2.0) = pull the lever
+  *     the finding names; info above 1.05 = drift visible, below the
+  *     action threshold.
   *   - `keys` (deep audit): the visible data must hold each natural
   *     key once — a duplicate means an ingest bypassed the anti-join
   *     contract and top-k / BM25 answers double-count until a
@@ -92,8 +99,100 @@ object StoreAudit {
       .flatMap(geometryFindings(spark, _))
     val tombs = tombstoneFindings(spark, dir)
     val epochs = epochFindings(spark, dir)
+    val drift = driftFindings(spark, dir)
     layout ++ seal ++ markers ++ owner ++ frontier ++ snapshots ++
-      geometry ++ tombs ++ epochs
+      geometry ++ tombs ++ epochs ++ drift
+  }
+
+  /** Retrain/recluster trigger observability (round 15 — VERDICT r14
+    * #4): the r14 lifecycle levers existed with no gauge saying WHEN
+    * to pull them. Compares the live distribution against the
+    * build-time one recorded at build/recluster/retrain:
+    *
+    *  - exact-IVF (`family=exact_ivf`): live Σ r2max over the cells
+    *    table vs the build-time `r2_sum` — appends inflate cell radii,
+    *    every serve's Cauchy–Schwarz bound loosens, and phase 2 reads
+    *    more cells per probe. Lever: `ExactIvf.reclusterVecStore`.
+    *  - PQ / IVFADC (`family=pq|ivfadc`): the newest append batch's
+    *    mean residual quantization error (recorded at encode time —
+    *    codes are lossy, so this number exists nowhere else) vs the
+    *    build-time `qerr_mean` — drifted data quantizes worse under
+    *    frozen books, which is silent recall erosion. Lever:
+    *    `Pq.retrainIvfadcStore` / `retrainPqStore`.
+    *
+    * Both sides live in the EPOCH root, so a recluster/retrain resets
+    * the gauge by construction (fresh build stats, no batch stats).
+    * Severity: warn at ≥ `spark.graft.audit.driftRatio` (default 2.0),
+    * info above 1.05 (drift visible, below the action threshold).
+    * Bounded: one ≤ nCells cells read (vec) or small-file reads only
+    * (pq/ivfadc); pre-r15 stores (no build stats) produce nothing. */
+  private def driftFindings(spark: SparkSession,
+                            dir: String): Seq[Finding] = {
+    val eff = StoreFs.liveRoot(spark, dir)
+    val build = StoreFs.readBuildStats(spark, eff)
+    if (build.isEmpty) return Seq.empty
+    val warnAt = spark.conf.getOption("spark.graft.audit.driftRatio")
+      .flatMap(_.toDoubleOption).getOrElse(2.0)
+    def finding(ratio: Double, what: String, lever: String) : Seq[Finding] =
+      if (ratio >= warnAt)
+        Seq(Finding(dir, "drift", "warn",
+          f"$what is $ratio%.2fx the build-time value — past the " +
+            f"action threshold ($warnAt%.1fx): $lever"))
+      else if (ratio > 1.05)
+        Seq(Finding(dir, "drift", "info",
+          f"$what is $ratio%.2fx the build-time value (action " +
+            f"threshold $warnAt%.1fx)"))
+      else Seq.empty
+    StoreFs.readGeometry(spark, eff).getOrElse("family", "") match {
+      case "exact_ivf" =>
+        build.get("r2_sum").flatMap(_.toLongOption).toSeq.flatMap { b0 =>
+          val live = try {
+            val r = spark.read
+              .parquet(StoreFs.dataDir(spark, s"$eff/cells"))
+              .agg(sum(col("r2max"))).head
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          } catch { case e: Exception =>
+            return Seq(Finding(dir, "drift", "warn",
+              s"build stats present but the cells table is unreadable: " +
+                s"${e.getMessage}"))
+          }
+          // an all-singleton build records r2_sum=0; any live growth
+          // from that floor is reported against a 1-unit denominator
+          finding(live.toDouble / math.max(1L, b0),
+            "bound drift: live cells' total r2max",
+            "recluster (ExactIvf.reclusterVecStore) re-tightens the " +
+              "bounds at the live distribution")
+        }
+      case "pq" | "ivfadc" =>
+        build.get("qerr_mean").flatMap(_.toDoubleOption)
+          .filter(_ > 0.0).toSeq.flatMap { b0 =>
+            val batches = StoreFs.readBatchStats(spark, eff).map(_._2)
+            def num(e: Map[String, String], k: String): Option[Double] =
+              e.get(k).flatMap(_.toDoubleOption)
+            val newest = batches.lastOption.flatMap(num(_, "qerr_mean"))
+            // cumulative mass-weighted mean across ALL appends: a slow
+            // drift spread over many small batches never trips the
+            // newest-batch ratio (each batch sits near build), but the
+            // standing appended mass quantizing worse is the same
+            // recall erosion — fire on the worse of the two
+            val mass = batches.map(e => num(e, "n_rows").getOrElse(0.0)).sum
+            val cum =
+              if (mass <= 0.0) None
+              else Some(batches.map(e => num(e, "qerr_mean").getOrElse(0.0) *
+                num(e, "n_rows").getOrElse(0.0)).sum / mass)
+            (newest.map(q => (q / b0, "newest append")).toSeq ++
+                cum.map(q => (q / b0, "appended mass")).toSeq)
+              .sortBy(-_._1).headOption.toSeq.flatMap { case (r, who) =>
+                finding(r,
+                  s"quantizer drift: the $who's mean residual " +
+                    "quantization error",
+                  "retrain (Pq.retrainIvfadcStore / retrainPqStore) " +
+                    "re-fits the frozen codebooks to the live " +
+                    "distribution")
+              }
+          }
+      case _ => Seq.empty
+    }
   }
 
   /** Epoch-redirect health (round 14 — the recluster/retrain cutover):

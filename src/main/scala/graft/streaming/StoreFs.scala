@@ -548,6 +548,136 @@ private[graft] object StoreFs {
     }
   }
 
+  // ---- drift stats (round 15: retrain-trigger observability) ---------
+  //
+  // The r14 recluster/retrain levers had no gauge: exact-IVF bound
+  // decay was observable only as "serves read more cells", and PQ
+  // recall erosion under distribution drift was invisible (codes keep
+  // no raw vectors, so the residual error is computable only at the
+  // moment a row is ENCODED). Two tiny metadata surfaces fix that:
+  // a `_graft_build_stats` manifest written at build/recluster/retrain
+  // time records the BUILD-TIME distribution (Σ r2max for the vec
+  // family; mean residual quantization error for PQ/IVFADC), and each
+  // append records its own batch's numbers as one small framed file
+  // under `_stats/` (a byproduct of the encoding pass it already ran —
+  // no extra corpus scan ever). [[StoreAudit]] compares live-vs-build
+  // and surfaces the `drift` finding that tells the operator WHEN to
+  // pull the recluster/retrain lever; both sides land in the EPOCH
+  // root, so a recluster/retrain starts the gauge fresh by
+  // construction.
+
+  private[graft] val BuildStatsName = "_graft_build_stats"
+
+  /** Record build-time distribution stats (same framed temp+rename
+    * discipline as [[writeGeometry]]: complete whenever present). */
+  def writeBuildStats(spark: SparkSession, dir: String,
+                      kv: Seq[(String, String)]): Unit = {
+    val (fs, p) = fsAndPath(spark, dir)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    val dst = new Path(p, BuildStatsName)
+    val tmp = new Path(p,
+      s".$BuildStatsName.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"could not materialize build stats $dst (rename failed)")
+    }
+  }
+
+  /** Build-time stats, or empty for a pre-r15 store (absence = the
+    * drift gauge is simply not available — never an error). */
+  def readBuildStats(spark: SparkSession, dir: String)
+      : Map[String, String] = {
+    val (fs, p) = fsAndPath(spark, dir)
+    readSmall(fs, new Path(p, BuildStatsName)) match {
+      case None => Map.empty
+      case Some(s) => s.linesIterator.flatMap { line =>
+        line.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _           => None
+        }
+      }.toMap
+    }
+  }
+
+  /** Record one append batch's stats: a single small file under
+    * `dir/_stats/`, named by wall-clock millis so lexicographic order
+    * is chronological (collision-proofed by a uuid suffix). Never
+    * read on the serve path — audit-only metadata. A streaming ingest
+    * writes one per micro-batch, so the directory self-maintains:
+    * past [[StatsRollupAt]] entries, everything but the newest
+    * [[StatsKeepRecent]] folds into one mass-weighted rollup entry
+    * that keeps its chronological position (the oldest merged file's
+    * millis prefix) — the cumulative drift ratio is unchanged by
+    * construction, and the newest-batch ratio never touches rollups.
+    * Crash discipline: rollup lands before the originals are removed
+    * (stats are advisory; a crash can at worst double-weight the
+    * rolled mass once, never lose the gauge). */
+  def appendBatchStats(spark: SparkSession, dir: String,
+                       kv: Seq[(String, String)]): Unit = {
+    val (fs, p) = fsAndPath(spark, s"$dir/_stats")
+    if (!fs.exists(p)) fs.mkdirs(p)
+    val name = f"stats-${System.currentTimeMillis()}%016d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val out = fs.create(new Path(p, name), false)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    val all = fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("stats-")).sortBy(_.getName)
+    if (all.size > StatsRollupAt) {
+      val fold = all.dropRight(StatsKeepRecent)
+      val parsed = fold.flatMap(f => readSmall(fs, f).map(s =>
+        f -> s.linesIterator.flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _           => None
+        }).toMap))
+      val n = parsed.map(_._2.get("n_rows").flatMap(_.toLongOption)
+        .getOrElse(0L)).sum
+      val qe =
+        if (n == 0L) 0.0
+        else parsed.map(e => e._2.get("qerr_mean").flatMap(_.toDoubleOption)
+          .getOrElse(0.0) * e._2.get("n_rows").flatMap(_.toLongOption)
+          .getOrElse(0L)).sum / n
+      val rollName = fold.head.getName.take("stats-".length + 16) + "-rollup"
+      val ro = fs.create(new Path(p, rollName), true)
+      try ro.write(Seq("qerr_mean" -> qe.toString, "n_rows" -> n.toString,
+        "batch_id" -> "-1", "rolled" -> fold.size.toString)
+        .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+      finally ro.close()
+      fold.filter(_.getName != rollName).foreach(fs.delete(_, false))
+    }
+  }
+
+  private[graft] val StatsRollupAt = 64
+  private[graft] val StatsKeepRecent = 16
+
+  /** All recorded batch stats, (fileName → kv), chronological. Torn or
+    * unparseable entries drop silently (stats are advisory). */
+  def readBatchStats(spark: SparkSession, dir: String)
+      : Seq[(String, Map[String, String])] = {
+    val (fs, p) = fsAndPath(spark, s"$dir/_stats")
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("stats-"))
+      .sortBy(_.getName)
+      .flatMap { f =>
+        readSmall(fs, f).map { s =>
+          f.getName -> s.linesIterator.flatMap { line =>
+            line.split("=", 2) match {
+              case Array(k, v) => Some(k.trim -> v.trim)
+              case _           => None
+            }
+          }.toMap
+        }
+      }
+  }
+
   // ---- epoch redirect (round 14: online recluster) --------------------
   //
   // A RECLUSTER rewrites cells, vecs AND groups with NEW assignments —

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTest
+import graft.streaming.StoreAudit
+
+/** Retrain/recluster trigger observability (round 15 — VERDICT r14
+  * #4): the r14 lifecycle levers (reclusterVecStore,
+  * retrainIvfadcStore/retrainPqStore) existed with no gauge saying
+  * WHEN to pull them. The `drift` audit finding is that gauge:
+  *
+  *  - exact-IVF: live Σ r2max over the cells table vs the build-time
+  *    sum recorded in `_graft_build_stats` — appends inflate cell
+  *    radii and every serve's bound loosens;
+  *  - PQ / IVFADC: the newest append's mean residual quantization
+  *    error (recorded at encode time, the only moment raw vector and
+  *    code coexist) vs the build-time mean — drifted data quantizes
+  *    worse under frozen books, which is silent recall erosion.
+  *
+  * Contract pinned here: no finding at build parity, no WARN for an
+  * in-distribution append, WARN past the action threshold on a truly
+  * drifted append, and the finding CLEARS after the corresponding
+  * lever (recluster/retrain) because both sides of the gauge live in
+  * the epoch root the rebuild replaces. */
+class DriftSpec extends AnyFunSuite with SparkTest
+    with org.scalatest.BeforeAndAfterEach {
+
+  override def afterEach(): Unit = {
+    graft.core.Caches.releaseAll()
+    spark.catalog.clearCache()
+  }
+
+  private val Dim = 8
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-drift-").toString
+
+  private def drift(dir: String): Seq[StoreAudit.Finding] =
+    StoreAudit.auditFindings(spark, dir).filter(_.check == "drift")
+
+  /** Integer vec-store rows: ids jitter tightly around sign·1000·(j+1)
+    * (the ReclusterSpec two-cluster fixture). */
+  private def cluster(ids: Range, sign: Long) = {
+    import spark.implicits._
+    ids.map { i =>
+      val v = (0 until Dim).map { j =>
+        sign * 1000L * (j + 1) + ((i * 31 + j * 17) % 21) - 10L
+      }.toArray
+      (i.toLong, v)
+    }.toDF("doc_id", "vec")
+  }
+
+  /** Double embedding rows for the PQ family: small jittered values
+    * around a per-dimension pattern, scaled by `scale` to simulate
+    * distribution drift (residuals under frozen books grow ∝ scale²). */
+  private def emb(ids: Range, scale: Double) = {
+    import spark.implicits._
+    ids.map { i =>
+      val v = (0 until Dim).map { j =>
+        scale * (0.02 * (j + 1) + 0.001 * ((i * 13 + j * 7) % 17))
+      }.toArray
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("exact-IVF: bound-drift fires on r2max inflation, clears after recluster") {
+    val path = tmp()
+    ExactIvf.writeVecStore(cluster(0 until 100, +1L), path,
+      nCells = 2, iters = 1)
+    // build parity: live Σ r2max IS the recorded sum — no finding
+    assert(drift(path).isEmpty)
+    // a far-away appended cluster inflates r2max by orders of
+    // magnitude — the regime where phase 2 stops pruning
+    ExactIvf.appendToVecStore(spark, cluster(100 until 200, -1L), path)
+    val fired = drift(path)
+    assert(fired.exists(_.level == "warn"), fired.toString)
+    assert(fired.head.detail.contains("reclusterVecStore"))
+    // the lever the finding names resets the gauge: the new epoch
+    // records ITS build-time sum and live == build again
+    ExactIvf.reclusterVecStore(spark, path, nCells = 4, iters = 1)
+    assert(drift(path).isEmpty)
+  }
+
+  test("IVFADC: quantizer-drift fires on a drifted append, not an in-distribution one, and clears after retrain") {
+    val path = tmp()
+    val base = emb(0 until 150, 1.0)
+    Pq.writeIvfadcStore(base, path, nCells = 2, m = 2, dim = Dim,
+      nCents = 4, iters = 1)
+    // no appends yet → no batch stats → no finding
+    assert(drift(path).isEmpty)
+    // in-distribution growth: same generator, new ids — the batch
+    // quantizes about as well as the build did, below the threshold
+    Pq.appendToIvfadcStore(spark, emb(150 until 200, 1.0), path,
+      m = 2, dim = Dim, batchId = Some(1L))
+    assert(!drift(path).exists(_.level == "warn"), drift(path).toString)
+    // drifted batch: ×50 scale → residuals under the frozen books
+    // explode; recall erodes silently without this signal
+    Pq.appendToIvfadcStore(spark, emb(200 until 250, 50.0), path,
+      m = 2, dim = Dim, batchId = Some(2L))
+    val fired = drift(path)
+    assert(fired.exists(_.level == "warn"), fired.toString)
+    assert(fired.head.detail.contains("retrain"))
+    // retrain re-fits the quantizers at the live distribution: fresh
+    // build stats, no batch stats in the new epoch — gauge reset
+    val all = base.unionAll(emb(150 until 200, 1.0))
+      .unionAll(emb(200 until 250, 50.0))
+    Pq.retrainIvfadcStore(spark, all, path, nCells = 2, m = 2,
+      dim = Dim, nCents = 4, iters = 1)
+    assert(drift(path).isEmpty)
+  }
+
+  test("flat PQ: quantizer-drift fires and clears after retrain") {
+    val path = tmp()
+    val base = emb(0 until 150, 1.0)
+    Pq.writePqStore(base, path, m = 2, dim = Dim, nCents = 4, iters = 1)
+    assert(drift(path).isEmpty)
+    Pq.appendToPqStore(spark, emb(150 until 200, 50.0), path,
+      m = 2, dim = Dim, batchId = Some(1L))
+    assert(drift(path).exists(_.level == "warn"), drift(path).toString)
+    Pq.retrainPqStore(spark, base.unionAll(emb(150 until 200, 50.0)),
+      path, m = 2, dim = Dim, nCents = 4, iters = 1)
+    assert(drift(path).isEmpty)
+  }
+
+  test("cumulative drift fires when many small batches drift but the newest is clean") {
+    val path = tmp()
+    Pq.writePqStore(emb(0 until 150, 1.0), path, m = 2, dim = Dim,
+      nCents = 4, iters = 1)
+    val b0 = graft.streaming.StoreFs.readBuildStats(spark, path)(
+      "qerr_mean").toDouble
+    assert(b0 > 0.0)
+    // slow drift: ten drifted batches, then one clean one — the
+    // newest-batch ratio sits near 1 while the standing appended mass
+    // quantizes 5x worse (the erosion the cumulative gauge exists for)
+    (1 to 10).foreach { i =>
+      graft.streaming.StoreFs.appendBatchStats(spark, path, Seq(
+        "qerr_mean" -> (b0 * 5.0).toString, "n_rows" -> "100",
+        "batch_id" -> i.toString))
+    }
+    graft.streaming.StoreFs.appendBatchStats(spark, path, Seq(
+      "qerr_mean" -> b0.toString, "n_rows" -> "100",
+      "batch_id" -> "11"))
+    val fired = drift(path)
+    assert(fired.exists(_.level == "warn"), fired.toString)
+    assert(fired.head.detail.contains("appended mass"))
+  }
+
+  test("batch stats roll up past the cap with the cumulative mass preserved") {
+    val path = tmp()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    (1 to 80).foreach { i =>
+      graft.streaming.StoreFs.appendBatchStats(spark, path, Seq(
+        "qerr_mean" -> (if (i <= 40) "10.0" else "20.0"),
+        "n_rows" -> "50", "batch_id" -> i.toString))
+    }
+    val entries = graft.streaming.StoreFs.readBatchStats(spark, path)
+    // self-maintained: far fewer files than appends...
+    assert(entries.size < 40, s"${entries.size} stats files")
+    // ...with the total appended mass and its weighted error intact
+    val mass = entries.map(_._2("n_rows").toLong).sum
+    assert(mass == 80L * 50)
+    val cum = entries.map(e =>
+      e._2("qerr_mean").toDouble * e._2("n_rows").toLong).sum / mass
+    assert(math.abs(cum - 15.0) < 1e-9, cum.toString)
+    // the newest entry is the newest APPEND, never a rollup
+    assert(entries.last._2("batch_id") == "80")
+  }
+
+  test("pre-r15 store (no build stats) produces no drift findings") {
+    val path = tmp()
+    ExactIvf.writeVecStore(cluster(0 until 50, +1L), path,
+      nCells = 2, iters = 1)
+    // simulate a pre-r15 store: build stats absent
+    val f = new java.io.File(path, "_graft_build_stats")
+    assert(f.exists())
+    f.delete()
+    ExactIvf.appendToVecStore(spark, cluster(50 until 100, -1L), path)
+    assert(drift(path).isEmpty)
+  }
+}
