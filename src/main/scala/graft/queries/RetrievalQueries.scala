@@ -780,6 +780,34 @@ object RetrievalQueries {
       .orderBy("query_id", "rk")
   }
 
+  // --- Y69: the DELETION ⊕ FILTER composition graded end-to-end
+  // (round 15): the hybrid batch served from the y61 TOMBSTONED stores
+  // (~14% deleted, rows physically present) under a y64-style allowed
+  // predicate (doc_id % 3 == 0) whose set deliberately OVERLAPS the
+  // deleted one — the two visibility mechanisms carry different
+  // semantics and must compose: deletion shifts the corpus statistics
+  // (df/N/avgdl over survivors, the semantic arm's d_k over visible
+  // rows), while the filter restricts CANDIDATES only against those
+  // survivor statistics. The oracle is the replay over
+  // `documents WHERE doc_id % 7 <> 3` with candidate-only predicates
+  // on both arms; an allowed-but-deleted doc surfacing, or stats
+  // computed over the unfiltered/undeleted corpus, flips the hash.
+  // Probe 137 (137 % 3 = 2) is again outside the allowed set.
+  val y69 = Query(
+    "y69_hybrid_deleted_filtered",
+    Some(hybridBatchOracleWhere(" WHERE doc_id % 7 <> 3",
+      lexCand = " WHERE sc.doc_id % 3 = 0",
+      semCand = " AND v.doc_id % 3 = 0"))
+  ) { (s, d) =>
+    import s.implicits._
+    val (idx, vec) = ensureDeletedStores(s, d)
+    Retrieval.hybridRrfBatchFromStoresFiltered(s, idx, vec,
+        BatchQueries.toDF("query_id", "terms", "probe_id"),
+        documents(s, d).select("doc_id").filter(col("doc_id") % 3 === 0),
+        kList = 50, kOut = 20, k1 = K1, b = B, nprobe0 = 4)
+      .orderBy("query_id", "rk")
+  }
+
   // --- Y62: PREDICATE-FILTERED exact vector serving graded (round 14):
   // the metadata-filtered search shape ("top-k among docs WHERE …") on
   // the exact-IVF store — the classic filtered-ANN recall trap done
@@ -1588,5 +1616,5 @@ object RetrievalQueries {
 
   val all: Seq[Query] = Seq(x66, x67, x68, x75, x76, x79, x81, x82, x84, x88,
     x90, y17, y18, y19, y20, y23, y24, y26, y27, y28, y29, y35, y38, y49,
-    y52, y55, y57, y58, y59, y60, y61, y62, y63, y64, y68)
+    y52, y55, y57, y58, y59, y60, y61, y62, y63, y64, y68, y69)
 }
