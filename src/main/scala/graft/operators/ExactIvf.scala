@@ -1290,6 +1290,55 @@ object ExactIvf {
     * numbers (the exactness guarantee); they measure how much of the
     * store the serve reads — the dial is the clustering (nCells ∝
     * corpus keeps cells tight as data grows). */
+  /** DEEP per-cell drill-down behind the aggregate `drift` finding
+    * (round 15) — the "which lever" answer: for every cell, the
+    * RECORDED r2max the serve bounds with vs the ACTUAL max residual
+    * of its live VISIBLE members. Appends raise r2max exactly
+    * (merge-by-max over computed residuals), so `slack_ratio` =
+    * recorded/actual > 1 means pruning power recoverable WITHOUT a
+    * rebuild — pending tombstones whose far members still hold the
+    * bound up (a purge-compaction's re-tighten restores it), or a
+    * crashed append's phase-1 raise whose rows never landed. Slack ≈ 1
+    * everywhere under a warn-level drift finding means the cells
+    * GENUINELY widened (the distribution moved) and only a recluster
+    * helps. Null slack = an all-deleted or empty cell. Cells sorted
+    * worst first. DEEP = one visible-rows scan of the vecs table (the
+    * audit's `keys` tier, not the bounded shallow tier); the shallow
+    * `drift` finding stays the cadence signal. */
+  def cellSlackReport(spark: SparkSession, path: String,
+                      topN: Int = 32): DataFrame = {
+    val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+    graft.streaming.StoreFs.requireFamily(spark, eff, "exact_ivf",
+      "cellSlackReport")
+    val cells = spark.read.parquet(
+      graft.streaming.StoreFs.dataDir(spark, s"$eff/cells"))
+      .select(col("ivf_cell"), col("ccvm"), col("r2max"))
+    val vecs0 = spark.read.option("mergeSchema", "true")
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$eff/vecs"))
+      .select("vec_id", "vm", "ivf_cell").dropDuplicates("vec_id")
+    val vecs = graft.streaming.StoreFs.liveTombsDir(spark, eff)
+      .map(d => graft.streaming.StoreFs.readTombstones(spark, d, "vec_id"))
+      .fold(vecs0)(t => vecs0.join(t, Seq("vec_id"), "left_anti"))
+    val actual = vecs.join(broadcast(cells), Seq("ivf_cell"))
+      .select(col("ivf_cell"),
+        aggregate(zip_with(col("vm"), col("ccvm"), (a, b) => a - b),
+          lit(0L), (a, x) => a + x * x).as("r2"))
+      .groupBy("ivf_cell")
+      .agg(max(col("r2")).as("r2max_actual"),
+        count(lit(1)).as("live_rows"))
+    cells.join(actual, Seq("ivf_cell"), "left")
+      .select(col("ivf_cell"),
+        coalesce(col("live_rows"), lit(0L)).as("live_rows"),
+        col("r2max").as("r2max_recorded"),
+        col("r2max_actual"),
+        when(col("r2max_actual") > 0,
+          round(col("r2max").cast("double") /
+            col("r2max_actual").cast("double"), 4))
+          .as("slack_ratio"))
+      .orderBy(col("slack_ratio").desc_nulls_first, col("ivf_cell"))
+      .limit(topN)
+  }
+
   def pruneStats(spark: SparkSession, path: String,
                  queries: Seq[(Long, Long)], k: Int,
                  nprobe0: Int = 4): DataFrame = {

@@ -114,6 +114,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(ServeTableFunctions.getClass.getName,
         "graft_store_audit"),
       (args: Seq[Expression]) => ServeTableFunctions.storeAudit(args)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_estate_audit"),
+      new ExpressionInfo(ServeTableFunctions.getClass.getName,
+        "graft_estate_audit"),
+      (args: Seq[Expression]) => ServeTableFunctions.estateAudit(args)))
   }
 }
 

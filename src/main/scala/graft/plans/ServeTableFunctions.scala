@@ -354,6 +354,29 @@ object ServeTableFunctions {
         readerSlaMs = slaMs))
   }
 
+  /** graft_estate_audit(rootDir [, maxDepth [, readerSlaSec]]) → every
+    * store discovered under `rootDir`, audited, one findings table
+    * (round 15) — the fleet form of [[storeAudit]]: a 100 TB estate
+    * has hundreds of stores under a lake prefix, and auditing them one
+    * path at a time is how a broken one hides. Discovery stops at
+    * store roots (geometry manifest / epoch marker) and auto-detects
+    * each store's sub-tables; pre-manifest stores are invisible to
+    * discovery (audit those by explicit path). Pure read, deferred
+    * like every serve. */
+  def estateAudit(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 3,
+      "graft_estate_audit(rootDir[, maxDepth[, readerSlaSec]])")
+    val spark = SparkSession.active
+    val root = str(args(0), "rootDir")
+    val depth = if (args.length >= 2) int(args(1), "maxDepth") else 4
+    val slaMs = if (args.length == 3)
+      int(args(2), "readerSlaSec").toLong * 1000L
+    else 0L
+    DeferredServe("graft_estate_audit", AuditSchema, () =>
+      graft.streaming.StoreAudit.estate(spark, root, depth,
+        readerSlaMs = slaMs))
+  }
+
   /** graft_ivfadc_topk(storePath, embView, probesView, nprobe, kShort,
     * k [, m, dim [, vecCol]]) → (probe_id, neighbor_id, d2, rk).
     * `probesView` must expose probe_id; `embView` the (vec_id, vecCol)

@@ -195,6 +195,84 @@ object StoreAudit {
     }
   }
 
+  /** ESTATE fsck (round 15): discover every store under `root` and
+    * union their audits into one findings table — the form a 100 TB
+    * estate actually runs (hundreds of stores under a data-lake
+    * prefix; auditing them one path at a time is how a broken store
+    * hides). Discovery: a directory is a STORE ROOT when it carries a
+    * geometry manifest or an epoch root marker; discovery stops at a
+    * store root (its internals are the store's own business) and
+    * otherwise descends breadth-first to `maxDepth`. Each store's
+    * sub-tables are auto-detected as the non-underscore child
+    * directories of its LIVE root (generation dirs are `_gen-*`,
+    * epoch dirs `_re-*`, partition dirs carry `=` — none match), so
+    * multi-table families get their full per-sub layout checks
+    * without the caller enumerating layouts. Pre-manifest stores
+    * (nothing recorded) are not discovered — run the single-store
+    * audit by explicit path for those. Bounded: listings only, plus
+    * each store's own shallow audit. */
+  def estateFindings(spark: SparkSession, root: String,
+                     maxDepth: Int = 4,
+                     keepGens: Int = 1,
+                     staleLockMs: Long = 24L * 3600 * 1000,
+                     readerSlaMs: Long = 0L): Seq[Finding] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(conf)
+    if (!fs.exists(rp)) return Seq(Finding(root, "estate", "error",
+      s"estate root $root does not exist"))
+    def isStoreRoot(p: Path): Boolean = {
+      val ls = try fs.listStatus(p) catch { case _: Exception =>
+        return false }
+      ls.exists { st =>
+        val n = st.getPath.getName
+        n == StoreFs.GeometryName ||
+          (n.startsWith(StoreFs.RootPrefix) && !n.endsWith(".reserve"))
+      }
+    }
+    def discover(p: Path, depth: Int): Seq[Path] =
+      if (isStoreRoot(p)) Seq(p)
+      else if (depth >= maxDepth) Seq.empty
+      else try fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .flatMap(st => discover(st.getPath, depth + 1))
+      catch { case _: Exception => Seq.empty }
+    val stores = discover(rp, 0)
+    if (stores.isEmpty)
+      return Seq(Finding(root, "estate", "warn",
+        s"no stores discovered under $root (depth $maxDepth) — " +
+          "pre-manifest stores are invisible to discovery; audit " +
+          "them by explicit path"))
+    stores.flatMap { sp =>
+      val dir = sp.toString
+      val eff = StoreFs.liveRoot(spark, dir)
+      val subs = try fs.listStatus(new Path(eff)).toSeq
+        .filter(st => st.isDirectory && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".") && !n.contains("=")
+        })
+        .map(_.getPath.toString)
+      catch { case _: Exception => Seq.empty[String] }
+      // one enumeration row per store, ALWAYS — a healthy store yields
+      // zero findings, and an estate table that lists only problems
+      // cannot distinguish "healthy" from "not discovered"
+      val fam = StoreFs.readGeometry(spark, eff)
+        .getOrElse("family", "unrecorded")
+      val head = Finding(dir, "estate", "info",
+        s"store discovered (family=$fam, " +
+          s"${subs.size} sub-table(s)${
+            if (eff != dir) s", epoch-redirected to $eff" else ""})")
+      head +: (try auditFindings(spark, dir, subs, keepGens, staleLockMs,
+        readerSlaMs)
+      catch { case e: Exception =>
+        Seq(Finding(dir, "estate", "error",
+          s"audit of discovered store failed: ${e.getMessage}"))
+      })
+    }
+  }
+
   /** Epoch-redirect health (round 14 — the recluster/retrain cutover):
     * a reclustered store resolves through `_graft_root_<id>` markers,
     * and the fsck must see what resolution sees. Findings: the live
@@ -425,6 +503,16 @@ object StoreAudit {
             readerSlaMs: Long = 0L): DataFrame =
     toDf(spark, auditFindings(spark, dir, subDirs, keepGens, staleLockMs,
       readerSlaMs))
+
+  /** [[estateFindings]] as a DataFrame — the whole estate in one
+    * call. */
+  def estate(spark: SparkSession, root: String,
+             maxDepth: Int = 4,
+             keepGens: Int = 1,
+             staleLockMs: Long = 24L * 3600 * 1000,
+             readerSlaMs: Long = 0L): DataFrame =
+    toDf(spark, estateFindings(spark, root, maxDepth, keepGens,
+      staleLockMs, readerSlaMs))
 
   private def toDf(spark: SparkSession, fs: Seq[Finding]): DataFrame = {
     import spark.implicits._

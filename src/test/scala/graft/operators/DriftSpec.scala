@@ -168,6 +168,64 @@ class DriftSpec extends AnyFunSuite with SparkTest
     assert(entries.last._2("batch_id") == "80")
   }
 
+  test("cellSlackReport separates recoverable slack (purge) from genuine widening (recluster)") {
+    import spark.implicits._
+    val path = tmp()
+    // one tight cluster + one far cluster → 2 cells, slack 1 each
+    ExactIvf.writeVecStore(
+      cluster(0 until 60, +1L).unionAll(cluster(60 until 120, -1L)),
+      path, nCells = 2, iters = 1)
+    val clean = ExactIvf.cellSlackReport(spark, path).collect()
+    assert(clean.forall(r => math.abs(r.getAs[Double]("slack_ratio") - 1.0)
+      < 1e-9), clean.mkString(";"))
+    // append members FAR from one cell's centroid, then tombstone
+    // them: recorded r2max keeps covering the deleted members while
+    // the visible actual shrinks back — recoverable slack
+    val far = cluster(200 until 210, +1L)
+      .select(col("doc_id"), transform(col("vec"), x => x * 7L).as("vec"))
+    ExactIvf.appendToVecStore(spark, far, path)
+    ExactIvf.deleteFromVecStore(spark,
+      (200L until 210L).toDF("doc_id"), path, idCol = "doc_id")
+    val slack = ExactIvf.cellSlackReport(spark, path).collect()
+    assert(slack.exists(r => !r.isNullAt(r.fieldIndex("slack_ratio")) &&
+      r.getAs[Double]("slack_ratio") > 5.0), slack.mkString(";"))
+    // the purge's re-tighten restores the bound — slack back to 1
+    ExactIvf.compactVecStore(spark, path)
+    val after = ExactIvf.cellSlackReport(spark, path).collect()
+    assert(after.forall(r => math.abs(r.getAs[Double]("slack_ratio") - 1.0)
+      < 1e-9), after.mkString(";"))
+  }
+
+  test("estate audit discovers every store under a root and unions their findings") {
+    import spark.implicits._
+    val root = tmp()
+    // two stores at different depths + one non-store dir
+    ExactIvf.writeVecStore(cluster(0 until 50, +1L), s"$root/a/vec",
+      nCells = 2, iters = 1)
+    Pq.writePqStore(emb(0 until 80, 1.0), s"$root/b/deep/pq",
+      m = 2, dim = Dim, nCents = 4, iters = 1)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/not-a-store"))
+    ExactIvf.deleteFromVecStore(spark, Seq(3L).toDF("doc_id"),
+      s"$root/a/vec", idCol = "doc_id")
+    val fs = graft.streaming.StoreAudit.estateFindings(spark, root)
+    val stores = fs.map(_.store).distinct.sorted
+    assert(stores.exists(_.endsWith("/a/vec")), stores.toString)
+    assert(stores.exists(_.endsWith("/b/deep/pq")), stores.toString)
+    // the vec store's pending tombstone surfaces through the estate walk
+    assert(fs.exists(f => f.store.endsWith("/a/vec") &&
+      f.check == "tombstones"), fs.mkString(";"))
+    // SQL surface: same findings through the TVF
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_estate_audit('$root')").collect()
+    assert(viaSql.map(_.getAs[String]("store")).distinct.sorted.toSeq ==
+      stores)
+    // an empty estate is a warn, not a silent zero-row success
+    val empty = graft.streaming.StoreAudit.estateFindings(spark,
+      s"$root/not-a-store")
+    assert(empty.exists(f => f.check == "estate" && f.level == "warn"))
+  }
+
   test("pre-r15 store (no build stats) produces no drift findings") {
     val path = tmp()
     ExactIvf.writeVecStore(cluster(0 until 50, +1L), path,
