@@ -93,6 +93,12 @@ object DeletionScaleProbe {
     def serve(label: String, backlog: Long): Unit = {
       val df = graft.operators.ExactIvf.topDotBatchFromStore(spark, path,
         queries, k, nprobe0)
+      // execute FIRST, then read the plan (ADVICE r15): under AQE the
+      // runtime-converted join can differ from the initial physical
+      // plan, and the regime label must name the strategy the timed
+      // runs actually used — the post-execution executedPlan reflects
+      // AQE's final choice
+      df.count()
       val anti = df.queryExecution.executedPlan.toString.linesIterator
         .filter(_.contains("LeftAnti"))
         .map(_.trim.dropWhile(!_.isLetter).takeWhile(_ != ' '))

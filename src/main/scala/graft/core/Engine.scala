@@ -34,6 +34,18 @@ object Engine {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       // Dimension-table scans are tiny; don't let tiny files fragment tasks.
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // Status-store hygiene for LONG-LIVED sessions (a 185-query
+      // Verify run, the 52-suite test JVM): the SQL listener retains a
+      // physicalPlanDescription STRING per execution (default 1000),
+      // and the iterated plans here (Lloyd rounds, store lifecycles)
+      // render to multi-MB trees — that is a driver-heap leak, not
+      // telemetry. Cap the plan string itself too: generateTreeString
+      // honors the cap WHILE building, so one pathological plan cannot
+      // OOM the render (observed: suite OOM inside explainString).
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.sql.maxPlanStringLength", (256 * 1024).toString)
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = configure(

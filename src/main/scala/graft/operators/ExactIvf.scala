@@ -371,41 +371,41 @@ object ExactIvf {
            else "legacy"} but the geometry " +
         s"manifest records n_buckets=$buckets — restore the manifest " +
         "(StoreFs.writeGeometry) before appending")
-    // the cells table is ≤ nCells rows — collect it ONCE (the
-    // sanctioned bounded kind) so the residual assignment below never
-    // references the cells path (the post-swap refreshByPath would
-    // otherwise drop its cache and re-run the assignment in phase 2).
-    // `cell_group` (the coarse-over-coarse assignment, VERDICT r13 #1)
-    // rides the merge untouched when present — the assignment is frozen
-    // with the cells; only r2max moves. Pre-r14 stores lack the column
-    // and keep their three-column schema.
+    // the cells table (≤ nCells rows) stays a DISTRIBUTED frame
+    // (VERDICT r15 #3): the old driver-side merge collected it WHOLE —
+    // centroid vectors included — which is O(nCells·dim) driver memory
+    // on every append (at 10⁶ cells × dim 1024, a multi-GB driver term
+    // in a codebase that otherwise bans exactly this shape). The coarse
+    // projection is scoped-cached so the residual assignment does not
+    // re-list the cells path after the phase-1 swap; if the cache is
+    // ever lost, the re-read is deterministic anyway (the merge changes
+    // only r2max, never ccvm, and the superseded generation survives
+    // under the swap's grace retention).
     val cellsDf = spark.read.parquet(
       graft.streaming.StoreFs.dataDir(spark, s"$eff/cells"))
     val hasGroup = cellsDf.columns.contains("cell_group")
-    val cellRows = cellsDf
-      .select(col("ivf_cell"), col("ccvm"), col("r2max"),
-        (if (hasGroup) col("cell_group") else lit(-1L)).as("cell_group"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2),
-        r.getLong(3)))
-    val coarse = cellRows.toSeq.map { case (c, v, _, _) => (c, v) }
-      .toDF("ivf_cell", "ccvm")
+    val coarse = graft.core.Caches.scoped(
+      cellsDf.select(col("ivf_cell"), col("ccvm")))
     val mv = graft.core.Caches.scoped(
       newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("vm")))
     val res = graft.core.Caches.scoped(Pq.coarseResiduals(mv, coarse))
-    // phase 1: raise r2max (merge-by-max; crash-safe to repeat) — the
-    // batch stats are ≤ nCells rows, merged driver-side
-    val batchStats = res.groupBy("ivf_cell")
-      .agg(max(aggregate(col("rm"), lit(0L), (a, x) => a + x * x))
-        .as("r2_new"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val mergedRows = cellRows.toSeq.map { case (c, v, r2, g) =>
-      (c, v, math.max(r2, batchStats.getOrElse(c, 0L)), g)
-    }
-    val merged =
-      if (hasGroup) mergedRows.toDF("ivf_cell", "ccvm", "r2max", "cell_group")
-      else mergedRows.map { case (c, v, r2, _) => (c, v, r2) }
-        .toDF("ivf_cell", "ccvm", "r2max")
+    // phase 1: raise r2max (merge-by-max; crash-safe to repeat) as a
+    // DataFrame merge — the batch's per-cell maxima (≤ nCells rows)
+    // broadcast into a left join + greatest against the stored cells;
+    // `cell_group` (the coarse-over-coarse assignment, VERDICT r13 #1)
+    // rides the merge untouched when present (frozen with the cells;
+    // only r2max moves), and pre-r14 stores keep their three-column
+    // schema. Driver state: zero rows.
+    val batchR2 = res
+      .select(col("ivf_cell"),
+        aggregate(col("rm"), lit(0L), (a, x) => a + x * x).as("r2"))
+      .groupBy("ivf_cell").agg(max(col("r2")).as("r2_new"))
+    val keep = Seq(col("ivf_cell"), col("ccvm"),
+      greatest(col("r2max"), coalesce(col("r2_new"), lit(0L)))
+        .as("r2max")) ++
+      (if (hasGroup) Seq(col("cell_group")) else Nil)
+    val merged = cellsDf.join(broadcast(batchR2), Seq("ivf_cell"), "left")
+      .select(keep: _*)
     graft.streaming.StoreFs.swapInCompacted(spark, s"$eff/cells")(
       merged.write.parquet(_))
     // the swap replaced the files under a path Spark may have cached a

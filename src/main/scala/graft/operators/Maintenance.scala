@@ -45,8 +45,26 @@ object StoreMaintenance {
   private def driftWarn(fs: Seq[StoreAudit.Finding]): Option[String] =
     fs.find(f => f.check == "drift" && f.level == "warn").map(_.detail)
 
+  /** The served-recall gauge (round 16): a recall-below-floor warn is
+    * RANKING erosion measured directly — a stronger retrain signal
+    * than the qerr proxy, and the two compose as OR (either fires the
+    * lever). The retrain retires the recall record with its epoch, so
+    * the lever resets this gauge too (the idempotency contract). */
+  private def recallWarn(fs: Seq[StoreAudit.Finding]): Option[String] =
+    fs.find(f => f.check == "recall" && f.level == "warn").map(_.detail)
+
   private def backlog(fs: Seq[StoreAudit.Finding]): Boolean =
     fs.exists(f => f.check == "tombstones" && f.level == "info")
+
+  /** I/O failures are SURFACED, never acted on (ADVICE r15 / VERDICT
+    * r15 #2): an `io` finding means the audit itself could not read a
+    * sub-table, so every gauge downstream of it is untrustworthy — the
+    * loop reports the findings and pulls no lever (a transient FS error
+    * must cost a retry, not a full rebuild). */
+  private def ioErrors(path: String,
+                       fs: Seq[StoreAudit.Finding]): Seq[Action] =
+    fs.filter(_.check == "io").map(f =>
+      Action(path, "surface", s"io ${f.level}: ${f.detail}"))
 
   private def geoInt(spark: SparkSession, path: String, key: String,
                      what: String): Int =
@@ -56,6 +74,15 @@ object StoreMaintenance {
         s"$what needs '$key' in the geometry manifest at $path to " +
           "rebuild at the store's own geometry — pass the store through " +
           "its writer once (pre-manifest stores predate the levers)"))
+
+  /** The store's recorded vector column (ADVICE r15, medium): the
+    * retrain levers must re-fit the quantizers from the SAME column the
+    * build used — defaulting to "embedding" here either crashes the
+    * pass (column missing) or silently retrains from the wrong data
+    * when the caller's table happens to carry both. */
+  private def geoVecCol(spark: SparkSession, path: String): String =
+    StoreFs.readGeometry(spark, StoreFs.liveRoot(spark, path))
+      .getOrElse("vec_col", "embedding")
 
   /** Maintain an exact-IVF vec store: recluster on drift (at the
     * store's recorded geometry unless `reclusterCells` overrides),
@@ -67,19 +94,38 @@ object StoreMaintenance {
                        iters: Int = 2): Seq[Action] = {
     val findings = StoreAudit.auditFindings(spark, path,
       keepGens = keepGens)
+    val io = ioErrors(path, findings)
+    if (io.nonEmpty) return io
     val acts = scala.collection.mutable.ArrayBuffer.empty[Action]
+    def recluster(why: String): Unit = {
+      val nCells =
+        if (reclusterCells > 0) reclusterCells
+        else geoInt(spark, path, "n_cells", "maintainVecStore")
+      ExactIvf.reclusterVecStore(spark, path, nCells, iters)
+      acts += Action(path, "recluster",
+        s"nCells=$nCells (drift: $why)")
+    }
+    def purge(detail: String): Unit = {
+      ExactIvf.compactVecStore(spark, path, keepGens, keepAgeMs)
+      acts += Action(path, "purge-compact", detail)
+    }
     driftWarn(findings) match {
-      case Some(why) =>
-        val nCells =
-          if (reclusterCells > 0) reclusterCells
-          else geoInt(spark, path, "n_cells", "maintainVecStore")
-        ExactIvf.reclusterVecStore(spark, path, nCells, iters)
-        acts += Action(path, "recluster",
-          s"nCells=$nCells (drift: $why)")
+      case Some(why) if backlog(findings) =>
+        // PURGE-FIRST when drift and a tombstone backlog co-fire
+        // (VERDICT r15 #1): pending tombstones hold r2max up — the
+        // exact case cellSlackReport isolates — and the purge's
+        // re-tighten resets the gauge at one bounded compaction cost.
+        // Re-audit, and pull the recluster only if the warn SURVIVES
+        // the purge (genuine widening); the old drift-first order
+        // spent the most expensive lever where a ~10 s purge sufficed.
+        purge("backlog purged before judging drift (purge-first: " +
+          "tombstones can hold r2max up)")
+        driftWarn(StoreAudit.auditFindings(spark, path,
+            keepGens = keepGens))
+          .foreach(w2 => recluster(s"survived the purge — $w2"))
+      case Some(why) => recluster(why)
       case None if backlog(findings) =>
-        ExactIvf.compactVecStore(spark, path, keepGens, keepAgeMs)
-        acts += Action(path, "purge-compact",
-          "pending tombstones purged under the caller's retention")
+        purge("pending tombstones purged under the caller's retention")
       case None => ()
     }
     ExactIvf.gcReclusterEpochs(spark, path, keepEpochs, epochKeepAgeMs)
@@ -97,8 +143,16 @@ object StoreMaintenance {
                           iters: Int = 1): Seq[Action] = {
     val findings = StoreAudit.auditFindings(spark, path,
       keepGens = keepGens)
+    val io = ioErrors(path, findings)
+    if (io.nonEmpty) return io
     val acts = scala.collection.mutable.ArrayBuffer.empty[Action]
-    driftWarn(findings) match {
+    // no purge-first here (unlike the vec family): the PQ-family gauge
+    // is quantization error recorded at encode time — tombstones never
+    // inflate it, so a purge cannot clear a qerr drift warn and the
+    // retrain (which reads visible rows) is also the purge. The
+    // served-recall gauge (round 16) composes as OR: ranking erosion
+    // measured directly fires the same lever.
+    driftWarn(findings).orElse(recallWarn(findings)) match {
       case Some(why) =>
         val (nCells, m, dim, nCents) = (
           geoInt(spark, path, "n_cells", "maintainIvfadcStore"),
@@ -106,7 +160,7 @@ object StoreMaintenance {
           geoInt(spark, path, "dim", "maintainIvfadcStore"),
           geoInt(spark, path, "n_cents", "maintainIvfadcStore"))
         Pq.retrainIvfadcStore(spark, emb, path, nCells, m, dim, nCents,
-          iters)
+          iters, vecCol = geoVecCol(spark, path))
         acts += Action(path, "retrain",
           s"nCells=$nCells m=$m nCents=$nCents (drift: $why)")
       case None if backlog(findings) =>
@@ -127,14 +181,17 @@ object StoreMaintenance {
                       iters: Int = 1): Seq[Action] = {
     val findings = StoreAudit.auditFindings(spark, path,
       keepGens = keepGens)
+    val io = ioErrors(path, findings)
+    if (io.nonEmpty) return io
     val acts = scala.collection.mutable.ArrayBuffer.empty[Action]
-    driftWarn(findings) match {
+    driftWarn(findings).orElse(recallWarn(findings)) match {
       case Some(why) =>
         val (m, dim, nCents) = (
           geoInt(spark, path, "m", "maintainPqStore"),
           geoInt(spark, path, "dim", "maintainPqStore"),
           geoInt(spark, path, "n_cents", "maintainPqStore"))
-        Pq.retrainPqStore(spark, emb, path, m, dim, nCents, iters)
+        Pq.retrainPqStore(spark, emb, path, m, dim, nCents, iters,
+          vecCol = geoVecCol(spark, path))
         acts += Action(path, "retrain",
           s"m=$m nCents=$nCents (drift: $why)")
       case None if backlog(findings) =>
@@ -147,6 +204,140 @@ object StoreMaintenance {
     acts.toSeq
   }
 
+  /** ESTATE-LEVEL maintenance fan-out (round 16 — VERDICT r15 #4): a
+    * hundred-store estate previously needed a hand-written driver loop
+    * because the retrain lever needs each store's raw-embeddings table,
+    * which discovery cannot conjure. The build-time `emb_source`
+    * manifest pointer (a parquet path or table/view name, recorded by
+    * `writePqStore`/`writeIvfadcStore` and carried across retrains)
+    * closes that: discovery walks the lake
+    * ([[StoreAudit.discoverStoreRoots]] — the estate fsck's walk), and
+    * each discovered store gets its family's right lever in one call:
+    *
+    *   - `exact_ivf` → [[maintainVecStore]] (purge-first, recluster);
+    *   - `ivfadc` / `pq` → resolve the recorded `emb_source` through
+    *     `resolveEmb` (default: catalog table/view name, else a parquet
+    *     path) and [[maintainIvfadcStore]]/[[maintainPqStore]]; when a
+    *     retrain trigger stands but the source does not resolve, the
+    *     store is SKIPPED AND REPORTED (never half-maintained) — the
+    *     backlog purge and epoch GC, which need no embeddings, still
+    *     run;
+    *   - an `index_postings` sub marks its PARENT as a BM25/positional
+    *     index root → [[maintainIndexStore]];
+    *   - sub-table families (`index_doclen`, `positional`, `*_tombs`)
+    *     are owned by their parent's pass; other families (signature /
+    *     code / gram / dsir stores) have no estate lever — their ingest
+    *     cadence owns compaction — and produce no action.
+    *
+    * Idempotent like the per-store loops (every lever resets its
+    * gauge), so one cron cadence can own a whole lake prefix. A store
+    * whose pass throws yields an `error` action naming it — one broken
+    * store never takes down the estate pass. */
+  def maintainEstate(spark: SparkSession, root: String,
+                     maxDepth: Int = 4,
+                     keepGens: Int = 1, keepAgeMs: Long = 0L,
+                     keepEpochs: Int = 1, epochKeepAgeMs: Long = 0L,
+                     iters: Int = 1,
+                     resolveEmb: String => Option[DataFrame] = null)
+      : Seq[Action] = {
+    val resolver: String => Option[DataFrame] =
+      Option(resolveEmb).getOrElse(defaultEmbResolver(spark))
+    val roots = StoreAudit.discoverStoreRoots(spark, root, maxDepth)
+    if (roots.isEmpty)
+      return Seq(Action(root, "skip",
+        s"no stores discovered under $root (depth $maxDepth) — " +
+          "pre-manifest stores are invisible to discovery; adopt them " +
+          "(StoreFs.adoptLegacyStore) or maintain by explicit path"))
+    val withFam = roots.map(p => p -> StoreFs
+      .readGeometry(spark, StoreFs.liveRoot(spark, p))
+      .getOrElse("family", ""))
+    val subsumed = Set("index_doclen", "positional")
+    def guarded(p: String)(pass: => Seq[Action]): Seq[Action] =
+      try pass catch { case e: Exception =>
+        Seq(Action(p, "error",
+          s"maintenance pass failed (estate continues): ${e.getMessage}"))
+      }
+    val perStore = withFam.flatMap {
+      case (p, "exact_ivf") => guarded(p)(
+        maintainVecStore(spark, p, keepGens, keepAgeMs, keepEpochs,
+          epochKeepAgeMs, iters = iters))
+      case (p, fam @ ("ivfadc" | "pq")) => guarded(p)(
+        maintainPqFamilyResolved(spark, p, fam, resolver, keepGens,
+          keepAgeMs, keepEpochs, epochKeepAgeMs, iters))
+      case (p, "index_postings") => guarded(p)(
+        maintainIndexStore(spark,
+          new org.apache.hadoop.fs.Path(p).getParent.toString,
+          keepGens, keepAgeMs))
+      case (_, f) if subsumed(f) || f.endsWith("_tombs") => Seq.empty
+      case _ => Seq.empty
+    }
+    perStore
+  }
+
+  /** Default `emb_source` resolution: a catalog table/view name wins;
+    * otherwise the string is read as a parquet path. Unresolvable (or
+    * empty) → None, which the estate pass reports instead of acting. */
+  def defaultEmbResolver(spark: SparkSession)(src: String)
+      : Option[DataFrame] =
+    if (src.isEmpty) None
+    else {
+      // a path-shaped source makes tableExists THROW (invalid name),
+      // not return false — each probe fails independently so the
+      // parquet fallback always gets its chance
+      val byName =
+        try {
+          if (spark.catalog.tableExists(src)) Some(spark.table(src))
+          else None
+        } catch { case _: Exception => None }
+      byName.orElse(
+        try Some(spark.read.parquet(src))
+        catch { case _: Exception => None })
+    }
+
+  private def maintainPqFamilyResolved(spark: SparkSession, path: String,
+                                       fam: String,
+                                       resolver: String => Option[DataFrame],
+                                       keepGens: Int, keepAgeMs: Long,
+                                       keepEpochs: Int,
+                                       epochKeepAgeMs: Long,
+                                       iters: Int): Seq[Action] = {
+    val src = StoreFs.readGeometry(spark, StoreFs.liveRoot(spark, path))
+      .getOrElse("emb_source", "")
+    resolver(src) match {
+      case Some(emb) if fam == "ivfadc" =>
+        maintainIvfadcStore(spark, emb, path, keepGens, keepAgeMs,
+          keepEpochs, epochKeepAgeMs, iters)
+      case Some(emb) =>
+        maintainPqStore(spark, emb, path, keepGens, keepAgeMs,
+          keepEpochs, epochKeepAgeMs, iters)
+      case None =>
+        // the reduced pass: everything that needs no embeddings still
+        // runs (backlog purge, epoch GC); a standing retrain trigger is
+        // reported, never half-acted on
+        val findings = StoreAudit.auditFindings(spark, path,
+          keepGens = keepGens)
+        val io = ioErrors(path, findings)
+        if (io.nonEmpty) return io
+        val acts = scala.collection.mutable.ArrayBuffer.empty[Action]
+        driftWarn(findings).orElse(recallWarn(findings)).foreach { why =>
+          acts += Action(path, "skip",
+            s"retrain trigger stands but emb_source ${
+              if (src.isEmpty) "is not recorded" else s"'$src' does not resolve"
+            } — record one at build (write*Store(embSource=…)) or run " +
+              s"maintain${if (fam == "ivfadc") "Ivfadc" else "Pq"}Store " +
+              s"with the embeddings table (trigger: $why)")
+        }
+        if (backlog(findings)) {
+          Pq.compactCodesStore(spark, path, keepGens, keepAgeMs)
+          acts += Action(path, "purge-compact",
+            "pending tombstones purged under the caller's retention")
+        }
+        ExactIvf.gcReclusterEpochs(spark, path, keepEpochs,
+          epochKeepAgeMs)
+        acts.toSeq
+    }
+  }
+
   /** Maintain a BM25/positional index store: purge-compact on a
     * tombstone backlog (the lexical family has no frozen quantizers,
     * so there is no drift lever — stats shift exactly at every
@@ -156,6 +347,8 @@ object StoreMaintenance {
       : Seq[Action] = {
     val findings = StoreAudit.auditFindings(spark, path,
       keepGens = keepGens)
+    val io = ioErrors(path, findings)
+    if (io.nonEmpty) return io
     if (backlog(findings)) {
       Retrieval.compactIndexStore(spark, path, keepGens, keepAgeMs)
       Seq(Action(path, "purge-compact",

@@ -322,20 +322,35 @@ object Pq {
     * stores applies. */
   def writePqStore(emb: DataFrame, path: String, m: Int, dim: Int,
                    nCents: Int, iters: Int,
-                   vecCol: String = "embedding"): Unit = {
+                   vecCol: String = "embedding",
+                   embSource: String = ""): Unit = {
     // geometry record (VERDICT r13 #4, the last family without one):
     // the append-time (m, dim) contract — codes cut under different
-    // slicing silently double-count subspaces in every ADC sum
+    // slicing silently double-count subspaces in every ADC sum.
+    // `emb_source` (round 16 — VERDICT r15 #4): an optional pointer
+    // (parquet path or table/view name) to the standing raw-embeddings
+    // table, which the retrain lever needs and discovery cannot
+    // conjure — recording it at build time is what lets
+    // StoreMaintenance.maintainEstate pull the retrain without a
+    // hand-written per-store driver loop.
     graft.streaming.StoreFs.writeGeometry(emb.sparkSession, path, Seq(
       "family" -> "pq", "m" -> m.toString, "dim" -> dim.toString,
-      "n_cents" -> nCents.toString, "vec_col" -> vecCol))
-    val books = trainCodebooks(emb, m, dim, nCents, iters, vecCol)
+      "n_cents" -> nCents.toString, "vec_col" -> vecCol) ++
+      (if (embSource.nonEmpty) Seq("emb_source" -> embSource) else Nil))
+    // books + the encode pass each feed TWO consumers (data write and
+    // the drift-stats agg) — scoped caches keep the build one Lloyd
+    // train + one encode (ADVICE r15: an uncached `books` re-ran every
+    // Lloyd round, and a second encode(emb, …) re-scanned the corpus,
+    // roughly doubling flat-PQ build cost). Stats aggregate BEFORE the
+    // codes write, which also materializes the cache.
+    val books = graft.core.Caches.scoped(
+      trainCodebooks(emb, m, dim, nCents, iters, vecCol))
     books.write.mode("overwrite").parquet(s"$path/books")
-    encode(emb, books, m, dim, vecCol)
-      .select("vec_id", "sub", "cell")
-      .write.mode("overwrite").parquet(s"$path/codes")
-    writeQerrStats(emb.sparkSession, path,
+    val assigned = graft.core.Caches.scoped(
       encode(emb, books, m, dim, vecCol))
+    writeQerrStats(emb.sparkSession, path, assigned)
+    assigned.select("vec_id", "sub", "cell")
+      .write.mode("overwrite").parquet(s"$path/codes")
   }
 
   /** Append a NEW batch under the store's FROZEN codebooks — the
@@ -512,17 +527,20 @@ object Pq {
   def writeIvfadcStore(emb: DataFrame, path: String, nCells: Int, m: Int,
                        dim: Int, nCents: Int, iters: Int,
                        vecCol: String = "embedding",
-                       nBuckets: Int = -1): Unit = {
+                       nBuckets: Int = -1,
+                       embSource: String = ""): Unit = {
     val buckets = ExactIvf.resolveBuckets(nBuckets, nCells)
     val groups = ExactIvf.resolveGroups(-1, nCells)
     // manifest BEFORE data — the ExactIvf.writeVecStore rationale
     // (review r13): a post-data crash window would let the next
-    // append write the other layout into the same directory
+    // append write the other layout into the same directory.
+    // emb_source: the writePqStore rationale (round 16).
     graft.streaming.StoreFs.writeGeometry(emb.sparkSession, path, Seq(
       "family" -> "ivfadc", "n_cells" -> nCells.toString,
       "n_buckets" -> buckets.toString, "m" -> m.toString,
       "dim" -> dim.toString, "n_cents" -> nCents.toString,
-      "vec_col" -> vecCol, "n_groups" -> groups.toString))
+      "vec_col" -> vecCol, "n_groups" -> groups.toString) ++
+      (if (embSource.nonEmpty) Seq("emb_source" -> embSource) else Nil))
     val mv = graft.core.Caches.scoped(microVectors(emb, vecCol))
     val coarse0 = graft.core.Caches.scoped(trainCoarse(mv, nCells, iters))
     // coarse-over-coarse level (VERDICT r13 #1, the ExactIvf
@@ -547,15 +565,20 @@ object Pq {
     coarse.write.mode("overwrite").parquet(s"$path/coarse")
     val res = graft.core.Caches.scoped(coarseResiduals(mv, coarse))
     val rsv = graft.core.Caches.scoped(residualSubvectors(res, m, dim))
-    val books = trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters)
+    // cache books + the single residual-encode pass (ADVICE r15 — the
+    // writePqStore rationale: the second assign re-evaluated the whole
+    // Lloyd train and re-encoded the corpus just for the stats agg)
+    val books = graft.core.Caches.scoped(
+      trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters))
     books.write.mode("overwrite").parquet(s"$path/books")
+    val assigned = graft.core.Caches.scoped(
+      assign(rsv.drop("ivf_cell"), books))
+    writeQerrStats(emb.sparkSession, path, assigned)
     ExactIvf.writeCellLaid(
-      assign(rsv.drop("ivf_cell"), books)
+      assigned
         .select(col("vec_id"), col("sub"), col("cell"))
         .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id")),
       buckets, s"$path/codes", overwrite = true)
-    writeQerrStats(emb.sparkSession, path, assign(rsv.drop("ivf_cell"),
-      books))
   }
 
   /** Drift gauge (round 15): record the build-time mean residual
@@ -568,9 +591,19 @@ object Pq {
   private def writeQerrStats(spark: org.apache.spark.sql.SparkSession,
                              path: String, assigned: DataFrame): Unit = {
     val q = assigned.agg(avg(col("d2")).as("m"),
-      count(lit(1)).as("n")).head
+      count(lit(1)).as("n"), stddev_pop(col("d2")).as("s")).head
+    val mean = if (q.isNullAt(0)) 0.0 else q.getDouble(0)
+    // the store's own NOISE FLOOR (round 16 — VERDICT r15 #5): the
+    // in-distribution per-row qerr spread, recorded as a coefficient
+    // of variation. The audit derives each store's warn threshold
+    // from it — a naturally-variable corpus (large cv) needs a higher
+    // bar than the global 2.0 constant, a stable one (small cv)
+    // deserves a far lower one. Free: the same agg pass.
+    val cv =
+      if (mean <= 0.0 || q.isNullAt(2)) 0.0 else q.getDouble(2) / mean
     graft.streaming.StoreFs.writeBuildStats(spark, path, Seq(
-      "qerr_mean" -> (if (q.isNullAt(0)) "0" else q.getDouble(0).toString),
+      "qerr_mean" -> mean.toString,
+      "qerr_cv" -> cv.toString,
       "n_rows" -> q.getLong(1).toString))
   }
 
@@ -618,14 +651,17 @@ object Pq {
         .select(col("vec_id"), col("ivf_cell"),
           zip_with(col("vm"), col("ccvm"), (a, b) => a - b).as("rm")))
     val rsv = graft.core.Caches.scoped(residualSubvectors(res, m, dim))
-    val books = trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters)
+    val books = graft.core.Caches.scoped(
+      trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters))
     books.write.mode("overwrite").parquet(s"$path/books")
+    val encoded = graft.core.Caches.scoped(
+      assign(rsv.drop("ivf_cell"), books))
+    writeQerrStats(spark, path, encoded)
     ExactIvf.writeCellLaid(
-      assign(rsv.drop("ivf_cell"), books)
+      encoded
         .select(col("vec_id"), col("sub"), col("cell"))
         .join(res.select(col("vec_id"), col("ivf_cell")), Seq("vec_id")),
       buckets, s"$path/codes", overwrite = true)
-    writeQerrStats(spark, path, assign(rsv.drop("ivf_cell"), books))
   }
 
   /** Append a NEW batch under the store's FROZEN coarse centroids AND
@@ -987,8 +1023,13 @@ object Pq {
     val visible = t0.fold(emb)(t => emb.join(t, Seq("vec_id"),
       "left_anti"))
     val (id, newRoot) = graft.streaming.StoreFs.reserveEpoch(spark, path)
+    // the emb_source pointer rides into the new epoch's manifest —
+    // otherwise the FIRST retrain would orphan the estate fan-out's
+    // ability to retrain again (round 16)
     writeIvfadcStore(visible, newRoot, nCells, m, dim, nCents, iters,
-      vecCol, nBuckets)
+      vecCol, nBuckets,
+      embSource = graft.streaming.StoreFs.readGeometry(spark, eff)
+        .getOrElse("emb_source", ""))
     graft.streaming.StoreFs.liveTombsDir(spark, eff).foreach { d =>
       val cur = graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")
       val residual = t0.fold(cur)(t => cur.join(t, Seq("vec_id"),
@@ -1023,7 +1064,9 @@ object Pq {
     val visible = t0.fold(emb)(t => emb.join(t, Seq("vec_id"),
       "left_anti"))
     val (id, newRoot) = graft.streaming.StoreFs.reserveEpoch(spark, path)
-    writePqStore(visible, newRoot, m, dim, nCents, iters, vecCol)
+    writePqStore(visible, newRoot, m, dim, nCents, iters, vecCol,
+      embSource = graft.streaming.StoreFs.readGeometry(spark, eff)
+        .getOrElse("emb_source", ""))
     graft.streaming.StoreFs.liveTombsDir(spark, eff).foreach { d =>
       val cur = graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")
       val residual = t0.fold(cur)(t => cur.join(t, Seq("vec_id"),
@@ -1069,6 +1112,72 @@ object Pq {
       Some(IvfadcStoreDirs(coarseDir, need("books")._2, need("codes")._2,
         find("tombs").map(_._2),
         geoRoot = coarseKey.stripSuffix("/coarse"))))
+  }
+
+  /** Served-recall panel against LIVE stores on a maintenance cadence
+    * (round 16 — VERDICT r15 #1): the engine analogue of the
+    * reference's continuous output-quality scoring loop
+    * (`/root/reference/neurons/validator.py:134-146` — every round,
+    * every responder gets graded against ground truth). The r15 drift
+    * stats gauge QUANTIZATION error; a store can quantize well and
+    * still RANK poorly once the query distribution shifts, and nothing
+    * watched that channel on live stores — the x55/x43 panels ran only
+    * as fixture queries. This runs the panel against the stores an
+    * operator actually serves from:
+    *
+    *   - each (method, storePath, floor) serves its IVFADC-R top-k
+    *     from the LIVE store (the production path: nprobe cell pruning,
+    *     ADC shortlist, exact re-rank);
+    *   - ONE exact integer-L2 truth arm over the caller's embeddings
+    *     (bounded: |probes| ≤ the x55 hash-ordered cap — O(|probes|·n),
+    *     shared by every method via a scoped cache);
+    *   - the result is RECORDED on each store's live epoch root
+    *     ([[graft.streaming.StoreFs.writeRecallStats]]), where the fsck
+    *     grades it: below its floor → `recall` warn (pull the retrain
+    *     lever); appends after the panel → stale info (re-run).
+    *
+    * A retrain retires the record with its epoch — the new quantizers
+    * start ungauged until the next cadence pass, exactly like the
+    * drift stats. Output: the x43-shaped panel rows (method, n_probes,
+    * total_hits, recall, recall_ok), deterministic cross-engine
+    * (integer hits, one double division). */
+  def servedRecallPanel(spark: org.apache.spark.sql.SparkSession,
+                        stores: Seq[(String, String, Double)],
+                        emb: DataFrame, probeIds: Seq[Long],
+                        nprobe: Int, kShort: Int, k: Int,
+                        m: Int, dim: Int,
+                        vecCol: String = "embedding",
+                        record: Boolean = true): DataFrame = {
+    val exact = graft.core.Caches.scoped(
+      l2TopK(emb, probeIds, k, vecCol).select("probe_id", "neighbor_id"))
+    val nP = emb.filter(col("vec_id").isInCollection(probeIds))
+      .select(count(lit(1)).as("n_probes"))
+    val panel = Similarity.recallPanel(nP, k,
+      stores.map { case (method, path, floor) =>
+        (method,
+          ivfadcTopKFromStore(spark, path, emb, probeIds, nprobe, kShort,
+            k, m, dim, vecCol),
+          exact, floor)
+      })
+    if (!record) return panel
+    // ≤ |stores| rows — collected ONCE so the gauge write never re-runs
+    // the exact-truth arm, then returned as a local frame
+    val rows = panel.collect()
+    rows.foreach { r =>
+      val method = r.getString(r.fieldIndex("method"))
+      stores.find(_._1 == method).foreach { case (_, path, floor) =>
+        val eff = graft.streaming.StoreFs.liveRoot(spark, path)
+        graft.streaming.StoreFs.writeRecallStats(spark, eff, Seq(
+          "recall" -> r.getAs[Double]("recall").toString,
+          "floor" -> floor.toString,
+          "k" -> k.toString,
+          "n_probes" -> r.getAs[Long]("n_probes").toString,
+          "at_ms" -> System.currentTimeMillis().toString))
+      }
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+      panel.schema)
   }
 
   /** Resolved sub-table directories for one IVFADC serve — live or

@@ -1065,98 +1065,126 @@ object SimilarityQueries {
     * (y67) does on the serve: visibility applies after the LUT join
     * and before the kShort cut, never to the quantizers. */
   private def ivfadcCtePrefix(nCells: Int = IvfCells,
-                              candPred: String = ""): String = s"""
+                              candPred: String = ""): String =
+    ivfadcHeaderCtes + ivfadcReplayCtes("", nCells, candPred)
+
+  /** The replay's tag-independent header: micro-lifted corpus, bounded
+    * probe ids, probe vectors, probe count — shared by every store
+    * replay in the same WITH (y70 instantiates the body twice over one
+    * corpus/probe frame). */
+  private def ivfadcHeaderCtes: String = s"""
       WITH em AS (SELECT vec_id,
               list_transform(CAST(embedding AS DOUBLE[]),
                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
             FROM embeddings),
+      ${pidsCteSql("em")},
+      probes AS (SELECT vec_id AS probe_id, vm AS pm
+                 FROM em JOIN pids USING (vec_id)),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes)"""
+
+  /** One store replay's CTE body, every name suffixed with `tag` so
+    * several stores coexist in one WITH (round 16 — the y70 drifted +
+    * retrained panel). `trainPred` restricts the TRAINING corpus only
+    * (the build input — coarse sample/Lloyd and residual-codebook
+    * sample/Lloyd run over those rows); the ENCODE pass still covers
+    * every row, because encoding is per-row deterministic under frozen
+    * quantizers, so full-corpus encode ≡ build encode ∪ frozen-books
+    * append — exactly the drifted-store state writeIvfadcStore +
+    * appendToIvfadcStore leave behind. */
+  private def ivfadcReplayCtes(tag: String, nCells: Int,
+                               candPred: String = "",
+                               trainPred: String = "true"): String = s""",
+      tr$tag AS (SELECT vec_id, vm FROM em WHERE $trainPred),
       -- coarse quantizer: $nCells-cell integer k-means on the full
-      -- vector (sample init by md5 order + one Lloyd round)
-      csmp AS (SELECT vec_id FROM em
+      -- vector (sample init by md5 order over the TRAINING corpus +
+      -- one Lloyd round assigning the training rows)
+      csmp$tag AS (SELECT vec_id FROM tr$tag
                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells),
-      cb0 AS (SELECT em.vec_id AS cent_id, vm AS cvm
-              FROM em JOIN csmp USING (vec_id)),
-      ${assignFull("ca1", "em", "vm", "cb0")},
-      cu1 AS (SELECT cell, d,
+      cb0$tag AS (SELECT em.vec_id AS cent_id, vm AS cvm
+              FROM em JOIN csmp$tag USING (vec_id)),
+      ${assignFull(s"ca1$tag", s"tr$tag", "vm", s"cb0$tag")},
+      cu1$tag AS (SELECT cell, d,
                      CAST(floor(CAST(SUM(vm[d]) AS DOUBLE) / COUNT(*) + 0.5)
                        AS BIGINT) AS cm
-              FROM ca1, UNNEST(range(1, ${Dim + 1})) t(d)
+              FROM ca1$tag, UNNEST(range(1, ${Dim + 1})) t(d)
               GROUP BY cell, d),
-      cb1 AS (SELECT cell AS cent_id, list(cm ORDER BY d) AS cvm
-              FROM cu1 GROUP BY cell),
-      ${assignFull("ca2", "em", "vm", "cb1")},
-      -- exact integer residuals in the assigned cell
-      res AS (SELECT vec_id, cell AS ivf_cell,
+      cb1$tag AS (SELECT cell AS cent_id, list(cm ORDER BY d) AS cvm
+              FROM cu1$tag GROUP BY cell),
+      ${assignFull(s"ca2$tag", "em", "vm", s"cb1$tag")},
+      -- exact integer residuals in the assigned cell (FULL corpus:
+      -- build rows encoded at build, later rows under the same frozen
+      -- quantizers at append — per-row deterministic, so identical)
+      res$tag AS (SELECT vec_id, cell AS ivf_cell,
                      list_transform(range(1, ${Dim + 1}),
                        j -> vm[j] - ccvm[j]) AS rm
-              FROM ca2),
-      rsv AS (SELECT vec_id, ivf_cell, CAST(s AS INT) AS sub,
+              FROM ca2$tag),
+      rsv$tag AS (SELECT vec_id, ivf_cell, CAST(s AS INT) AS sub,
                      list_slice(rm, s * $PqSubDim + 1,
                                 s * $PqSubDim + $PqSubDim) AS svm
-              FROM res, UNNEST(range(0, $PqM)) t(s)),
-      -- residual-PQ codebooks: $PqC sample init + one Lloyd round
-      smp AS (SELECT vec_id FROM em
+              FROM res$tag, UNNEST(range(0, $PqM)) t(s)),
+      -- residual-PQ codebooks: $PqC sample init + one Lloyd round,
+      -- both over the TRAINING rows' residuals
+      smp$tag AS (SELECT vec_id FROM tr$tag
               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqC),
-      rb0 AS (SELECT sub, rsv.vec_id AS cent_id, svm AS cvm
-              FROM rsv JOIN smp USING (vec_id)),
-      rpa1 AS (
+      rb0$tag AS (SELECT sub, r.vec_id AS cent_id, svm AS cvm
+              FROM rsv$tag r JOIN smp$tag USING (vec_id)),
+      rtr$tag AS (SELECT r.* FROM rsv$tag r
+              SEMI JOIN tr$tag USING (vec_id)),
+      rpa1$tag AS (
         SELECT vec_id, sub, svm, cell FROM (
           SELECT a.vec_id, a.sub, a.svm, b.cent_id AS cell,
                  row_number() OVER (PARTITION BY a.vec_id, a.sub
                    ORDER BY ${pqD2("a.svm", "b.cvm", PqSubDim)}, b.cent_id) AS rn
-          FROM rsv a JOIN rb0 b ON a.sub = b.sub)
+          FROM rtr$tag a JOIN rb0$tag b ON a.sub = b.sub)
         WHERE rn = 1),
-      ru1 AS (SELECT sub, cell, d,
+      ru1$tag AS (SELECT sub, cell, d,
                      CAST(floor(CAST(SUM(svm[d]) AS DOUBLE) / COUNT(*) + 0.5)
                        AS BIGINT) AS cm
-              FROM rpa1, UNNEST(range(1, ${PqSubDim + 1})) t(d)
+              FROM rpa1$tag, UNNEST(range(1, ${PqSubDim + 1})) t(d)
               GROUP BY sub, cell, d),
-      rb1 AS (SELECT sub, cell AS cent_id, list(cm ORDER BY d) AS cvm
-              FROM ru1 GROUP BY sub, cell),
-      enc AS (
+      rb1$tag AS (SELECT sub, cell AS cent_id, list(cm ORDER BY d) AS cvm
+              FROM ru1$tag GROUP BY sub, cell),
+      enc$tag AS (
         SELECT e.vec_id, e.sub, e.cell, r.ivf_cell FROM (
           SELECT a.vec_id, a.sub, b.cent_id AS cell,
                  row_number() OVER (PARTITION BY a.vec_id, a.sub
                    ORDER BY ${pqD2("a.svm", "b.cvm", PqSubDim)}, b.cent_id) AS rn
-          FROM rsv a JOIN rb1 b ON a.sub = b.sub) e
-        JOIN res r USING (vec_id)
+          FROM rsv$tag a JOIN rb1$tag b ON a.sub = b.sub) e
+        JOIN res$tag r USING (vec_id)
         WHERE e.rn = 1),
-      ${pidsCteSql("em")},
-      probes AS (SELECT vec_id AS probe_id, vm AS pm
-                 FROM em JOIN pids USING (vec_id)),
-      np AS (SELECT CAST(count(*) AS BIGINT) AS n_probes FROM probes),
       -- each probe's $IvfNprobe nearest coarse cells + its PER-CELL
       -- residual (the IVFADC detail: one probe, nprobe residuals)
-      pcs AS (SELECT probe_id, ivf_cell, prm FROM (
+      pcs$tag AS (SELECT probe_id, ivf_cell, prm FROM (
                 SELECT p.probe_id, b.cent_id AS ivf_cell,
                        list_transform(range(1, ${Dim + 1}),
                          j -> p.pm[j] - b.cvm[j]) AS prm,
                        row_number() OVER (PARTITION BY p.probe_id
                          ORDER BY ${pqD2("p.pm", "b.cvm", Dim)}, b.cent_id) AS rn
-                FROM probes p JOIN cb1 b ON true)
+                FROM probes p JOIN cb1$tag b ON true)
               WHERE rn <= $IvfNprobe),
-      psv AS (SELECT probe_id, ivf_cell, CAST(s AS INT) AS sub,
+      psv$tag AS (SELECT probe_id, ivf_cell, CAST(s AS INT) AS sub,
                      list_slice(prm, s * $PqSubDim + 1,
                                 s * $PqSubDim + $PqSubDim) AS psvm
-              FROM pcs, UNNEST(range(0, $PqM)) t(s)),
-      lut AS (SELECT p.probe_id, p.ivf_cell, b.sub, b.cent_id AS cell,
+              FROM pcs$tag, UNNEST(range(0, $PqM)) t(s)),
+      lut$tag AS (SELECT p.probe_id, p.ivf_cell, b.sub, b.cent_id AS cell,
                      ${pqD2("p.psvm", "b.cvm", PqSubDim)} AS pd2
-              FROM psv p JOIN rb1 b ON p.sub = b.sub),
-      adc AS (SELECT l.probe_id, c.vec_id AS neighbor_id,
+              FROM psv$tag p JOIN rb1$tag b ON p.sub = b.sub),
+      adc$tag AS (SELECT l.probe_id, c.vec_id AS neighbor_id,
                      SUM(l.pd2) AS adc
-              FROM enc c JOIN lut l
+              FROM enc$tag c JOIN lut$tag l
                 ON c.ivf_cell = l.ivf_cell AND c.sub = l.sub
                AND c.cell = l.cell
               WHERE c.vec_id <> l.probe_id$candPred
               GROUP BY l.probe_id, c.vec_id),
-      radc AS (SELECT probe_id, neighbor_id,
+      radc$tag AS (SELECT probe_id, neighbor_id,
                       row_number() OVER (PARTITION BY probe_id
                         ORDER BY adc, neighbor_id) AS rk
-               FROM adc),
-      shortl AS (SELECT probe_id, neighbor_id FROM radc WHERE rk <= $PqShort),
-      rr AS (SELECT s.probe_id, s.neighbor_id,
+               FROM adc$tag),
+      shortl$tag AS (SELECT probe_id, neighbor_id FROM radc$tag
+               WHERE rk <= $PqShort),
+      rr$tag AS (SELECT s.probe_id, s.neighbor_id,
                     ${pqD2("a.vm", "p.pm", Dim)} AS d2
-             FROM shortl s
+             FROM shortl$tag s
              JOIN em a ON a.vec_id = s.neighbor_id
              JOIN probes p ON p.probe_id = s.probe_id)"""
 
@@ -1318,6 +1346,92 @@ object SimilarityQueries {
       .orderBy("probe_id", "rk")
   }
 
+  // --- Y70: RECALL-UNDER-DRIFT panel graded (round 16 — VERDICT r15
+  // #1, the engine analogue of the reference's continuous output-
+  // quality scoring loop, neurons/validator.py:134-146): the r15 drift
+  // stats gauge QUANTIZATION error, but a store can quantize well and
+  // still RANK poorly once the corpus drifts away from its frozen
+  // quantizers — the one silent-erosion channel with no standing
+  // gauge. This grades Pq.servedRecallPanel — the maintenance-cadence
+  // panel that serves from LIVE stores and RECORDS its result where
+  // the fsck's `recall` check reads it — on both sides of the retrain
+  // lever: a DRIFTED store (built over 80% of the corpus, the other
+  // 20% appended under the frozen original quantizers — y66's
+  // pre-retrain state) and the RETRAINED store (y66's fixture: the
+  // same corpus re-trained online to nCells=24 through the epoch
+  // cutover). One exact integer-L2 truth arm grades both. The oracle
+  // replays each store deterministically (training restricted to the
+  // build corpus, encode over everything — per-row deterministic
+  // under frozen quantizers) and computes the same recalls; the
+  // recall_ok flags pin the floors pre/post retrain (the q08b
+  // self-grading pattern), so a recall regression in EITHER state
+  // flips the hash.
+  private val Y70DriftedFloor = 0.55
+  private val Y70RetrainedFloor = 0.70
+
+  private def ensureIvfadcDriftStore(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = StoreFixtures.path("graft-ivfadcdrift", d,
+      "embeddings.parquet", "ivfadcdrift1")
+    StoreFixtures.onceByMarker(path, "_graft_drift_done") {
+      val emb = embeddings(s, d)
+      Pq.writeIvfadcStore(emb.filter(col("vec_id") % 10 < 8), path,
+        IvfCells, PqM, Dim, PqC, iters = 1)
+      Pq.appendToIvfadcStore(s, emb.filter(col("vec_id") % 10 >= 8),
+        path, PqM, Dim, batchId = Some(1L))
+    }
+  }
+
+  val y70 = Query(
+    "y70_recall_drift_panel",
+    Some(ivfadcHeaderCtes
+      + ivfadcReplayCtes("_d", IvfCells, trainPred = "vec_id % 10 < 8")
+      + ivfadcReplayCtes("_r", IvfRetrainCells)
+      + s""",
+      srv_d AS (SELECT probe_id, neighbor_id FROM (
+                  SELECT probe_id, neighbor_id,
+                         row_number() OVER (PARTITION BY probe_id
+                           ORDER BY d2, neighbor_id) AS rk
+                  FROM rr_d) WHERE rk <= $PqK),
+      srv_r AS (SELECT probe_id, neighbor_id FROM (
+                  SELECT probe_id, neighbor_id,
+                         row_number() OVER (PARTITION BY probe_id
+                           ORDER BY d2, neighbor_id) AS rk
+                  FROM rr_r) WHERE rk <= $PqK),
+      exsc AS (SELECT probe_id, a.vec_id AS neighbor_id,
+                      ${pqD2("a.vm", "p.pm", Dim)} AS d2
+               FROM em a CROSS JOIN probes p WHERE a.vec_id <> p.probe_id),
+      exact AS (SELECT probe_id, neighbor_id FROM (
+                  SELECT probe_id, neighbor_id,
+                         row_number() OVER (PARTITION BY probe_id
+                           ORDER BY d2, neighbor_id) AS rk
+                  FROM exsc) WHERE rk <= $PqK),
+      hits AS (
+        SELECT 'ivfadc_drifted' AS method,
+               CAST(count(*) AS BIGINT) AS total_hits,
+               $Y70DriftedFloor AS bound
+        FROM srv_d SEMI JOIN exact USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'ivfadc_retrained', CAST(count(*) AS BIGINT),
+               $Y70RetrainedFloor
+        FROM srv_r SEMI JOIN exact USING (probe_id, neighbor_id))
+      SELECT method, n_probes, total_hits,
+             CAST(total_hits AS DOUBLE) / (n_probes * $PqK) AS recall,
+             CASE WHEN CAST(total_hits AS DOUBLE) / (n_probes * $PqK)
+                    >= bound THEN 1 ELSE 0 END AS recall_ok
+      FROM hits, np
+      ORDER BY method""")
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    val probeIds = Similarity.boundedProbeIds(emb, NProbesBound)
+    Pq.servedRecallPanel(s, Seq(
+        ("ivfadc_drifted", ensureIvfadcDriftStore(s, d), Y70DriftedFloor),
+        ("ivfadc_retrained", ensureIvfadcRetrainedStore(s, d),
+          Y70RetrainedFloor)),
+      emb, probeIds, IvfNprobe, PqShort, PqK, PqM, Dim)
+      .orderBy("method")
+  }
+
   // --- Y67: PREDICATE-FILTERED IVFADC serving graded (round 15 —
   // VERDICT r14 #3's graded row): the filtered-RAG shape on the
   // APPROXIMATE path, through the pure-SQL graft_ivfadc_topk_filtered
@@ -1433,5 +1547,5 @@ object SimilarityQueries {
   }
 
   val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55,
-    x61, y02, y21, y22, y25, y30, y36, y45, y51, y56, y65, y66, y67)
+    x61, y02, y21, y22, y25, y30, y36, y45, y51, y56, y65, y66, y67, y70)
 }

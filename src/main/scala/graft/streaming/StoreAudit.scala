@@ -100,8 +100,62 @@ object StoreAudit {
     val tombs = tombstoneFindings(spark, dir)
     val epochs = epochFindings(spark, dir)
     val drift = driftFindings(spark, dir)
+    val recall = recallFindings(spark, dir)
     layout ++ seal ++ markers ++ owner ++ frontier ++ snapshots ++
-      geometry ++ tombs ++ epochs ++ drift
+      geometry ++ tombs ++ epochs ++ drift ++ recall
+  }
+
+  /** Served-RECALL gauge (round 16 — VERDICT r15 #1, the one
+    * silent-erosion channel the r15 drift stats could not see): the
+    * qerr gauge measures quantization error, and a store can quantize
+    * well yet RANK poorly once the query distribution shifts. The
+    * compensating control is the recall panel
+    * ([[graft.operators.Pq.servedRecallPanel]]) run on a maintenance
+    * cadence: it records its newest result at the live epoch root, and
+    * this check grades that record —
+    *
+    *   - recall below the panel's own recorded floor → WARN (pull the
+    *     retrain lever, then re-run the panel on the new epoch);
+    *   - appends landed AFTER the newest panel (newest batch-stats
+    *     entry is younger than the record) → INFO, the record is stale
+    *     and says nothing about the rows that arrived since.
+    *
+    * No record → no finding (the gauge is opt-in, like the drift
+    * stats); a retrain retires the record with its epoch, so the new
+    * quantizers start ungauged rather than inheriting a stale verdict.
+    * Bounded: two small-file reads + one `_stats/` listing. */
+  private def recallFindings(spark: SparkSession,
+                             dir: String): Seq[Finding] = {
+    val eff = StoreFs.liveRoot(spark, dir)
+    val rec = StoreFs.readRecallStats(spark, eff)
+    if (rec.isEmpty) return Seq.empty
+    def num(k: String): Option[Double] =
+      rec.get(k).flatMap(_.toDoubleOption)
+    val below = (for { r <- num("recall"); f <- num("floor") } yield
+      if (r < f)
+        Seq(Finding(dir, "recall", "warn",
+          f"served recall ${r}%.4f is below the panel floor ${f}%.4f " +
+            "(k=" + rec.getOrElse("k", "?") + ", n_probes=" +
+            rec.getOrElse("n_probes", "?") + ") — ranking quality has " +
+            "eroded past the declared bound: retrain " +
+            "(Pq.retrainIvfadcStore / retrainPqStore) and re-run the " +
+            "panel on the new epoch"))
+      else Seq.empty).getOrElse(Seq.empty)
+    // staleness: the newest batch-stats entry's millis prefix is the
+    // append clock; a panel older than it graded a store that has
+    // since grown
+    val atMs = rec.get("at_ms").flatMap(_.toLongOption)
+    val newestAppendMs = StoreFs.readBatchStats(spark, eff).lastOption
+      .flatMap(_._1.stripPrefix("stats-").take(16).toLongOption)
+    val stale = (atMs, newestAppendMs) match {
+      case (Some(t), Some(b)) if b > t =>
+        Seq(Finding(dir, "recall", "info",
+          "appends landed after the newest recall panel — the recorded " +
+            "recall grades a smaller store; re-run the panel " +
+            "(Pq.servedRecallPanel) to refresh the gauge"))
+      case _ => Seq.empty
+    }
+    below ++ stale
   }
 
   /** Retrain/recluster trigger observability (round 15 — VERDICT r14
@@ -131,18 +185,43 @@ object StoreAudit {
     val eff = StoreFs.liveRoot(spark, dir)
     val build = StoreFs.readBuildStats(spark, eff)
     if (build.isEmpty) return Seq.empty
-    val warnAt = spark.conf.getOption("spark.graft.audit.driftRatio")
-      .flatMap(_.toDoubleOption).getOrElse(2.0)
-    def finding(ratio: Double, what: String, lever: String) : Seq[Finding] =
+    val confRatio = spark.conf.getOption("spark.graft.audit.driftRatio")
+      .flatMap(_.toDoubleOption)
+    // per-store noise floor (round 16 — VERDICT r15 #5): with a
+    // build-time qerr spread recorded, the warn threshold derives from
+    // the store's OWN in-distribution variability — floor = 1 + 3·cv
+    // covers 3σ of even a single-row batch's mean, ×1.2 margin,
+    // clamped to [1.15, 8]. A naturally-noisy corpus stops warning
+    // spuriously at the global 2.0; a stable one warns well below it.
+    // An EXPLICIT operator threshold is still honored, raised to the
+    // floor when the floor is higher (the operator cannot accidentally
+    // set a bar below the store's own noise).
+    val storeFloor = build.get("qerr_cv").flatMap(_.toDoubleOption)
+      .map(cv => math.max(1.15, math.min(8.0, (1 + 3 * cv) * 1.2)))
+    def warnAtFor(useFloor: Boolean): Double = {
+      val floor = if (useFloor) storeFloor else None
+      (confRatio, floor) match {
+        case (Some(c), Some(f)) => math.max(c, f)
+        case (Some(c), None)    => c
+        case (None, Some(f))    => f
+        case (None, None)       => 2.0
+      }
+    }
+    def findingAt(warnAt: Double)(ratio: Double, what: String,
+                                  lever: String): Seq[Finding] =
       if (ratio >= warnAt)
         Seq(Finding(dir, "drift", "warn",
           f"$what is $ratio%.2fx the build-time value — past the " +
-            f"action threshold ($warnAt%.1fx): $lever"))
+            f"action threshold ($warnAt%.2fx): $lever"))
       else if (ratio > 1.05)
         Seq(Finding(dir, "drift", "info",
           f"$what is $ratio%.2fx the build-time value (action " +
-            f"threshold $warnAt%.1fx)"))
+            f"threshold $warnAt%.2fx)"))
       else Seq.empty
+    // the vec family's gauge is a SUM over cells, not a per-row mean —
+    // the cv floor does not translate; it keeps the conf/2.0 contract
+    val finding = findingAt(warnAtFor(useFloor = false)) _
+    val findingPq = findingAt(warnAtFor(useFloor = true)) _
     StoreFs.readGeometry(spark, eff).getOrElse("family", "") match {
       case "exact_ivf" =>
         build.get("r2_sum").flatMap(_.toLongOption).toSeq.flatMap { b0 =>
@@ -152,8 +231,13 @@ object StoreAudit {
               .agg(sum(col("r2max"))).head
             if (r.isNullAt(0)) 0L else r.getLong(0)
           } catch { case e: Exception =>
-            return Seq(Finding(dir, "drift", "warn",
-              s"build stats present but the cells table is unreadable: " +
+            // an I/O failure is NOT drift (ADVICE r15): the drift/warn
+            // signature is the maintenance loop's recluster trigger, and
+            // a transient read failure must surface for a retry, never
+            // fire a full rebuild — its own check id, error level
+            return Seq(Finding(dir, "io", "error",
+              s"build stats present but the cells table is unreadable " +
+                s"(surface, do not act — retry or restore the files): " +
                 s"${e.getMessage}"))
           }
           // an all-singleton build records r2_sum=0; any live growth
@@ -169,21 +253,29 @@ object StoreAudit {
             val batches = StoreFs.readBatchStats(spark, eff).map(_._2)
             def num(e: Map[String, String], k: String): Option[Double] =
               e.get(k).flatMap(_.toDoubleOption)
-            val newest = batches.lastOption.flatMap(num(_, "qerr_mean"))
+            // only entries carrying BOTH a parseable qerr_mean and
+            // n_rows enter the gauge (ADVICE r15): a torn/partial stats
+            // file counted as qerr=0 while its rows stayed in the mass
+            // would dilute the weighted ratio downward and mask real
+            // drift; the newest-batch ratio likewise reads the newest
+            // PARSEABLE entry
+            val valid = batches.flatMap(e =>
+              for { q <- num(e, "qerr_mean"); n <- num(e, "n_rows") }
+                yield (q, n))
+            val newest = valid.lastOption.map(_._1)
             // cumulative mass-weighted mean across ALL appends: a slow
             // drift spread over many small batches never trips the
             // newest-batch ratio (each batch sits near build), but the
             // standing appended mass quantizing worse is the same
             // recall erosion — fire on the worse of the two
-            val mass = batches.map(e => num(e, "n_rows").getOrElse(0.0)).sum
+            val mass = valid.map(_._2).sum
             val cum =
               if (mass <= 0.0) None
-              else Some(batches.map(e => num(e, "qerr_mean").getOrElse(0.0) *
-                num(e, "n_rows").getOrElse(0.0)).sum / mass)
+              else Some(valid.map { case (q, n) => q * n }.sum / mass)
             (newest.map(q => (q / b0, "newest append")).toSeq ++
                 cum.map(q => (q / b0, "appended mass")).toSeq)
               .sortBy(-_._1).headOption.toSeq.flatMap { case (r, who) =>
-                finding(r,
+                findingPq(r,
                   s"quantizer drift: the $who's mean residual " +
                     "quantization error",
                   "retrain (Pq.retrainIvfadcStore / retrainPqStore) " +
@@ -211,16 +303,18 @@ object StoreAudit {
     * (nothing recorded) are not discovered — run the single-store
     * audit by explicit path for those. Bounded: listings only, plus
     * each store's own shallow audit. */
-  def estateFindings(spark: SparkSession, root: String,
-                     maxDepth: Int = 4,
-                     keepGens: Int = 1,
-                     staleLockMs: Long = 24L * 3600 * 1000,
-                     readerSlaMs: Long = 0L): Seq[Finding] = {
+  /** Store-root discovery, shared by the estate fsck and the estate
+    * MAINTENANCE fan-out (round 16): a directory is a store root when
+    * it carries a geometry manifest or a committed epoch marker;
+    * discovery stops at a store root and otherwise descends
+    * breadth-first to `maxDepth`. Pre-manifest stores are invisible —
+    * adopt them ([[StoreFs.adoptLegacyStore]]) to join the walk. */
+  private[graft] def discoverStoreRoots(spark: SparkSession, root: String,
+                                        maxDepth: Int = 4): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val rp = new Path(root)
     val fs = rp.getFileSystem(conf)
-    if (!fs.exists(rp)) return Seq(Finding(root, "estate", "error",
-      s"estate root $root does not exist"))
+    if (!fs.exists(rp)) return Seq.empty
     def isStoreRoot(p: Path): Boolean = {
       val ls = try fs.listStatus(p) catch { case _: Exception =>
         return false }
@@ -239,7 +333,21 @@ object StoreAudit {
           !st.getPath.getName.startsWith("."))
         .flatMap(st => discover(st.getPath, depth + 1))
       catch { case _: Exception => Seq.empty }
-    val stores = discover(rp, 0)
+    discover(rp, 0).map(_.toString)
+  }
+
+  def estateFindings(spark: SparkSession, root: String,
+                     maxDepth: Int = 4,
+                     keepGens: Int = 1,
+                     staleLockMs: Long = 24L * 3600 * 1000,
+                     readerSlaMs: Long = 0L): Seq[Finding] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rp = new Path(root)
+    val fs = rp.getFileSystem(conf)
+    if (!fs.exists(rp)) return Seq(Finding(root, "estate", "error",
+      s"estate root $root does not exist"))
+    val stores = discoverStoreRoots(spark, root, maxDepth)
+      .map(new Path(_))
     if (stores.isEmpty)
       return Seq(Finding(root, "estate", "warn",
         s"no stores discovered under $root (depth $maxDepth) — " +

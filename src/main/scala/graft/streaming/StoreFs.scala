@@ -460,6 +460,122 @@ private[graft] object StoreFs {
 
   private[graft] val GeometryName = "_graft_geometry"
 
+  /** ADOPT a pre-manifest store into the estate (round 16 — VERDICT
+    * r15 #5): estate discovery keys on the geometry manifest, so an
+    * aged lake's pre-r13 stores were invisible to the estate fsck and
+    * the maintenance fan-out, and migrating them meant hand-writing
+    * manifests. This derives one from the OBSERVED layout:
+    *
+    *   - `vecs` + `cells` → `exact_ivf` (n_cells = |cells|, dim from a
+    *     centroid, n_groups when the groups table exists);
+    *   - `coarse` + `books` + `codes` → `ivfadc` (n_cells = |coarse|,
+    *     m = |distinct sub|, dim from a centroid, n_cents = the largest
+    *     per-sub codebook);
+    *   - `books` + `codes` alone → `pq` (dim = m · subvector length);
+    *   - `doclen` + `postings` → an INDEX root: per-sub manifests
+    *     (`index_doclen` / `index_postings`), the form
+    *     `Retrieval.writeIndexStore` records.
+    *
+    * The bucket modulus needs care: recording a WRONG `n_buckets` makes
+    * every serve prune the wrong partitions (silently missing rows) and
+    * every append write them. A modulus B is safe iff every existing
+    * row satisfies `cell % B == cell_bucket` — then reader pruning and
+    * future appends stay self-consistent even if B differs from the
+    * original build's. Every |cell − bucket| is a multiple of the true
+    * modulus, so B = the smallest divisor of gcd(|cell − bucket|) that
+    * exceeds max(bucket) — exact, from ≤ nCells distinct pairs. Refuses
+    * a store that already has a manifest (adoption is for PRE-manifest
+    * stores; a wrong restored manifest is the fsck's `geometry` error,
+    * not an adoption case). Returns the recorded map. `extra` entries
+    * (e.g. `vec_col`, `emb_source`) override/extend the derived ones. */
+  def adoptLegacyStore(spark: SparkSession, dir: String,
+                       extra: Seq[(String, String)] = Seq.empty)
+      : Map[String, String] = {
+    val eff = liveRoot(spark, dir)
+    require(readGeometry(spark, eff).isEmpty,
+      s"$dir already records a geometry manifest — adoption is for " +
+        "pre-manifest stores")
+    val (fs, p) = fsPath(spark, eff)
+    require(fs.exists(p), s"adoptLegacyStore: $dir does not exist")
+    val subs = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    import org.apache.spark.sql.functions._
+    def read(sub: String) =
+      spark.read.option("mergeSchema", "true")
+        .parquet(dataDir(spark, s"$eff/$sub"))
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+    def bucketModulus(df: org.apache.spark.sql.DataFrame): Long = {
+      if (!df.columns.contains("cell_bucket")) return 0L
+      // ≤ nCells distinct pairs — the sanctioned bounded collect
+      val pairs = df.select(col("ivf_cell").cast("long"),
+          col("cell_bucket").cast("long"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      if (pairs.isEmpty) return 0L
+      val maxB = pairs.map(_._2).max
+      val g = pairs.map { case (c, b) => math.abs(c - b) }
+        .foldLeft(0L)(gcd)
+      if (g == 0L) maxB + 1 // every cell < B: any B > max works
+      else (1L to math.sqrt(g.toDouble).toLong + 1)
+        .flatMap(d => if (g % d == 0L) Seq(d, g / d) else Nil)
+        .filter(_ > maxB).min
+    }
+    val derived: Seq[(String, String)] =
+      if (subs("vecs") && subs("cells")) {
+        val cells = read("cells")
+        val n = cells.count()
+        val dim = cells.select(size(col("ccvm"))).head.getInt(0)
+        Seq("family" -> "exact_ivf", "n_cells" -> n.toString,
+          "n_buckets" -> bucketModulus(read("vecs")).toString,
+          "dim" -> dim.toString) ++
+          (if (subs("groups"))
+             Seq("n_groups" -> read("groups").count().toString)
+           else Nil)
+      } else if (subs("coarse") && subs("books") && subs("codes")) {
+        val coarse = read("coarse")
+        val books = read("books")
+        val n = coarse.count()
+        val dim = coarse.select(size(col("ccvm"))).head.getInt(0)
+        val m = books.select(col("sub")).distinct().count()
+        val nCents = books.groupBy(col("sub"))
+          .agg(count(lit(1)).as("c")).agg(max(col("c"))).head.getLong(0)
+        Seq("family" -> "ivfadc", "n_cells" -> n.toString,
+          "n_buckets" -> bucketModulus(read("codes")).toString,
+          "m" -> m.toString, "dim" -> dim.toString,
+          "n_cents" -> nCents.toString) ++
+          (if (subs("groups"))
+             Seq("n_groups" -> read("groups").count().toString)
+           else Nil)
+      } else if (subs("books") && subs("codes")) {
+        val books = read("books")
+        val m = books.select(col("sub")).distinct().count()
+        val subDim = books.select(size(col("cvm"))).head.getInt(0)
+        val nCents = books.groupBy(col("sub"))
+          .agg(count(lit(1)).as("c")).agg(max(col("c"))).head.getLong(0)
+        Seq("family" -> "pq", "m" -> m.toString,
+          "dim" -> (m * subDim).toString, "n_cents" -> nCents.toString)
+      } else if (subs("doclen") && subs("postings")) {
+        // index ROOT: manifests live per sub (the writeIndexStore form)
+        writeGeometry(spark, s"$eff/doclen", Seq(
+          "family" -> "index_doclen", "key_columns" -> "doc_id") ++ extra)
+        writeGeometry(spark, s"$eff/postings", Seq(
+          "family" -> "index_postings", "layout" -> "term_sorted",
+          "key_columns" -> "term,doc_id") ++ extra)
+        return readGeometry(spark, s"$eff/postings")
+      } else {
+        require(extra.exists(_._1 == "family"),
+          s"adoptLegacyStore: cannot derive a family from $dir's layout " +
+            s"(subs: ${subs.mkString(", ")}) — pass at least " +
+            "'family' (and 'key_columns' for keyed single-table stores) " +
+            "in extra")
+        Seq.empty
+      }
+    val merged = (derived.toMap ++ extra.toMap).toSeq.sortBy(_._1)
+    writeGeometry(spark, eff, merged)
+    merged.toMap
+  }
+
   /** Record the store's GEOMETRY — the build-time parameters a serve
     * call must agree with (nCells, bucket count, m, dim, vector column
     * …) — as `key=value` lines at the store-family root. Before the
@@ -567,16 +683,16 @@ private[graft] object StoreFs {
   // construction.
 
   private[graft] val BuildStatsName = "_graft_build_stats"
+  private[graft] val RecallStatsName = "_graft_recall_stats"
 
-  /** Record build-time distribution stats (same framed temp+rename
-    * discipline as [[writeGeometry]]: complete whenever present). */
-  def writeBuildStats(spark: SparkSession, dir: String,
-                      kv: Seq[(String, String)]): Unit = {
+  /** Framed small-file write (temp + rename — complete whenever
+    * present), shared by the build-stats and recall-stats records. */
+  private def writeKvFile(spark: SparkSession, dir: String, name: String,
+                          kv: Seq[(String, String)]): Unit = {
     val (fs, p) = fsAndPath(spark, dir)
     if (!fs.exists(p)) fs.mkdirs(p)
-    val dst = new Path(p, BuildStatsName)
-    val tmp = new Path(p,
-      s".$BuildStatsName.tmp-${java.util.UUID.randomUUID()}")
+    val dst = new Path(p, name)
+    val tmp = new Path(p, s".$name.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
       .getBytes("UTF-8"))
@@ -585,16 +701,14 @@ private[graft] object StoreFs {
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
       throw new java.io.IOException(
-        s"could not materialize build stats $dst (rename failed)")
+        s"could not materialize $dst (rename failed)")
     }
   }
 
-  /** Build-time stats, or empty for a pre-r15 store (absence = the
-    * drift gauge is simply not available — never an error). */
-  def readBuildStats(spark: SparkSession, dir: String)
+  private def readKvFile(spark: SparkSession, dir: String, name: String)
       : Map[String, String] = {
     val (fs, p) = fsAndPath(spark, dir)
-    readSmall(fs, new Path(p, BuildStatsName)) match {
+    readSmall(fs, new Path(p, name)) match {
       case None => Map.empty
       case Some(s) => s.linesIterator.flatMap { line =>
         line.split("=", 2) match {
@@ -604,6 +718,38 @@ private[graft] object StoreFs {
       }.toMap
     }
   }
+
+  /** Record build-time distribution stats (same framed temp+rename
+    * discipline as [[writeGeometry]]: complete whenever present). */
+  def writeBuildStats(spark: SparkSession, dir: String,
+                      kv: Seq[(String, String)]): Unit =
+    writeKvFile(spark, dir, BuildStatsName, kv)
+
+  /** Build-time stats, or empty for a pre-r15 store (absence = the
+    * drift gauge is simply not available — never an error). */
+  def readBuildStats(spark: SparkSession, dir: String)
+      : Map[String, String] =
+    readKvFile(spark, dir, BuildStatsName)
+
+  /** Record the newest served-RECALL panel result (round 16 — VERDICT
+    * r15 #1): the drift stats gauge quantization error, but a store can
+    * quantize well and still RANK poorly once the query distribution
+    * shifts — only a recall panel against exact truth measures ranking
+    * quality. Written by [[graft.operators.Pq.servedRecallPanel]] at
+    * the live EPOCH root, so a retrain/recluster retires the record by
+    * construction (the new epoch starts ungauged until the next panel
+    * runs). Overwrite semantics: one newest result per epoch — the
+    * gauge is "is the CURRENT store still ranking well", not a history
+    * (CORRECTNESS keeps the history). */
+  def writeRecallStats(spark: SparkSession, dir: String,
+                       kv: Seq[(String, String)]): Unit =
+    writeKvFile(spark, dir, RecallStatsName, kv)
+
+  /** Newest recall-panel record, or empty when no panel has run on
+    * this epoch (absence = gauge unavailable — never an error). */
+  def readRecallStats(spark: SparkSession, dir: String)
+      : Map[String, String] =
+    readKvFile(spark, dir, RecallStatsName)
 
   /** Record one append batch's stats: a single small file under
     * `dir/_stats/`, named by wall-clock millis so lexicographic order

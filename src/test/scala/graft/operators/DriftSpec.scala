@@ -130,6 +130,12 @@ class DriftSpec extends AnyFunSuite with SparkTest
     val b0 = graft.streaming.StoreFs.readBuildStats(spark, path)(
       "qerr_mean").toDouble
     assert(b0 > 0.0)
+    // pin the store's noise floor low (round 16): this test's claim is
+    // the CUMULATIVE gauge arithmetic at a 5x ratio, independent of
+    // the fixture's natural qerr spread
+    graft.streaming.StoreFs.writeBuildStats(spark, path, Seq(
+      "qerr_mean" -> b0.toString, "qerr_cv" -> "0.1",
+      "n_rows" -> "150"))
     // slow drift: ten drifted batches, then one clean one — the
     // newest-batch ratio sits near 1 while the standing appended mass
     // quantizes 5x worse (the erosion the cumulative gauge exists for)
@@ -144,6 +150,75 @@ class DriftSpec extends AnyFunSuite with SparkTest
     val fired = drift(path)
     assert(fired.exists(_.level == "warn"), fired.toString)
     assert(fired.head.detail.contains("appended mass"))
+  }
+
+  test("torn stats entries (no qerr_mean) neither dilute the mass nor carry the newest ratio") {
+    val path = tmp()
+    Pq.writePqStore(emb(0 until 150, 1.0), path, m = 2, dim = Dim,
+      nCents = 4, iters = 1)
+    val b0 = graft.streaming.StoreFs.readBuildStats(spark, path)(
+      "qerr_mean").toDouble
+    // pin the noise floor low — the claim here is the mass arithmetic
+    graft.streaming.StoreFs.writeBuildStats(spark, path, Seq(
+      "qerr_mean" -> b0.toString, "qerr_cv" -> "0.1",
+      "n_rows" -> "150"))
+    // one genuinely drifted batch...
+    graft.streaming.StoreFs.appendBatchStats(spark, path, Seq(
+      "qerr_mean" -> (b0 * 5.0).toString, "n_rows" -> "100",
+      "batch_id" -> "1"))
+    // ...then ten torn entries: rows recorded, qerr_mean lost. Counting
+    // their mass at qerr=0 would read the cumulative gauge as
+    // 500/(100+10000) ≈ 0.05× and MASK the drift (ADVICE r15)
+    (2 to 11).foreach { i =>
+      graft.streaming.StoreFs.appendBatchStats(spark, path, Seq(
+        "n_rows" -> "1000", "batch_id" -> i.toString))
+    }
+    val fired = drift(path)
+    assert(fired.exists(_.level == "warn"), fired.toString)
+  }
+
+  test("per-store noise floor: a noisy corpus stays quiet at 2.5x, a stable one warns below 2.0") {
+    def store(cv: String): String = {
+      val path = tmp()
+      Pq.writePqStore(emb(0 until 150, 1.0), path, m = 2, dim = Dim,
+        nCents = 4, iters = 1)
+      val b0 = graft.streaming.StoreFs.readBuildStats(spark, path)(
+        "qerr_mean").toDouble
+      // pin the recorded spread — the claim is the threshold
+      // DERIVATION, not the fixture's natural variability
+      graft.streaming.StoreFs.writeBuildStats(spark, path, Seq(
+        "qerr_mean" -> b0.toString, "qerr_cv" -> cv, "n_rows" -> "150"))
+      path
+    }
+    def batchAt(path: String, ratio: Double): Unit = {
+      val b0 = graft.streaming.StoreFs.readBuildStats(spark, path)(
+        "qerr_mean").toDouble
+      graft.streaming.StoreFs.appendBatchStats(spark, path, Seq(
+        "qerr_mean" -> (b0 * ratio).toString, "n_rows" -> "100",
+        "batch_id" -> "1"))
+    }
+    // NOISY but stationary (cv 0.8 → floor (1+2.4)·1.2 = 4.08): a
+    // 2.5x batch is inside the store's own noise — the global 2.0
+    // constant would have warned spuriously
+    val noisy = store("0.8")
+    batchAt(noisy, 2.5)
+    assert(!drift(noisy).exists(_.level == "warn"),
+      drift(noisy).toString)
+    // STABLE corpus (cv 0.02 → floor ~1.27): a 1.5x batch is genuine
+    // drift this store would previously have sat on quietly below 2.0
+    val quiet = store("0.02")
+    batchAt(quiet, 1.5)
+    assert(drift(quiet).exists(_.level == "warn"),
+      drift(quiet).toString)
+    // an EXPLICIT operator threshold is honored — raised to the floor,
+    // never lowered below it
+    spark.conf.set("spark.graft.audit.driftRatio", "2.0")
+    try {
+      assert(!drift(quiet).exists(_.level == "warn"),
+        drift(quiet).toString)
+      assert(!drift(noisy).exists(_.level == "warn"),
+        drift(noisy).toString)
+    } finally spark.conf.unset("spark.graft.audit.driftRatio")
   }
 
   test("batch stats roll up past the cap with the cumulative mass preserved") {
@@ -196,6 +271,50 @@ class DriftSpec extends AnyFunSuite with SparkTest
       < 1e-9), after.mkString(";"))
   }
 
+  test("served-recall gauge: panel records, fsck grades floor + staleness, epoch resets it") {
+    val path = tmp()
+    val base = emb(0 until 150, 1.0)
+    Pq.writeIvfadcStore(base, path, nCells = 2, m = 2, dim = Dim,
+      nCents = 4, iters = 1)
+    def recallF() = StoreAudit.auditFindings(spark, path)
+      .filter(_.check == "recall")
+    // no panel yet → gauge unavailable, no finding (opt-in, like drift)
+    assert(recallF().isEmpty)
+    // the maintenance-cadence panel: serves from the LIVE store, grades
+    // against exact truth, RECORDS the result at the epoch root
+    val probeIds = Similarity.boundedProbeIds(base, 8)
+    val panel = Pq.servedRecallPanel(spark,
+      Seq(("live", path, 0.1)), base, probeIds,
+      nprobe = 2, kShort = 30, k = 5, m = 2, dim = Dim).collect()
+    assert(panel.length == 1)
+    val rec = graft.streaming.StoreFs.readRecallStats(spark, path)
+    assert(rec.get("recall").exists(_.toDoubleOption.isDefined), rec)
+    assert(rec.contains("at_ms"))
+    // recall above its floor → quiet
+    assert(recallF().isEmpty, recallF().toString)
+    // appends landing AFTER the panel make the record STALE (info):
+    // the recorded recall grades a smaller store
+    Thread.sleep(2) // the batch-stats millis clock must advance
+    Pq.appendToIvfadcStore(spark, emb(150 until 180, 1.0), path,
+      m = 2, dim = Dim, batchId = Some(1L))
+    assert(recallF().exists(f => f.level == "info" &&
+      f.detail.contains("stale") || f.detail.contains("re-run")),
+      recallF().toString)
+    // a BELOW-FLOOR record is the warn that pulls the retrain lever
+    graft.streaming.StoreFs.writeRecallStats(spark, path, Seq(
+      "recall" -> "0.40", "floor" -> "0.90", "k" -> "5",
+      "n_probes" -> "8",
+      "at_ms" -> System.currentTimeMillis().toString))
+    val fired = recallF()
+    assert(fired.exists(f => f.level == "warn" &&
+      f.detail.contains("retrain")), fired.toString)
+    // the retrain retires the record with its epoch — the new
+    // quantizers start UNGAUGED rather than inheriting a stale verdict
+    Pq.retrainIvfadcStore(spark, base.unionAll(emb(150 until 180, 1.0)),
+      path, nCells = 2, m = 2, dim = Dim, nCents = 4, iters = 1)
+    assert(recallF().isEmpty, recallF().toString)
+  }
+
   test("estate audit discovers every store under a root and unions their findings") {
     import spark.implicits._
     val root = tmp()
@@ -224,6 +343,56 @@ class DriftSpec extends AnyFunSuite with SparkTest
     val empty = graft.streaming.StoreAudit.estateFindings(spark,
       s"$root/not-a-store")
     assert(empty.exists(f => f.check == "estate" && f.level == "warn"))
+  }
+
+  test("adoptLegacyStore derives a manifest and the estate walk starts seeing the store") {
+    import spark.implicits._
+    val root = tmp()
+    val path = s"$root/legacy"
+    ExactIvf.writeVecStore(cluster(0 until 100, +1L), path,
+      nCells = 2, iters = 1)
+    val recorded = graft.streaming.StoreFs.readGeometry(spark, path)
+    // simulate a pre-manifest store: the manifest never existed
+    assert(new java.io.File(path, "_graft_geometry").delete())
+    val before = StoreAudit.estateFindings(spark, root)
+    assert(!before.exists(f => f.store.endsWith("/legacy") &&
+      f.check == "estate" && f.detail.contains("discovered")),
+      before.mkString(";"))
+    // adoption derives the manifest from the OBSERVED layout — family,
+    // n_cells, dim, and a bucket modulus consistent with every
+    // existing (cell, bucket) pair (a wrong modulus would make serves
+    // prune the wrong partitions)
+    val adopted = graft.streaming.StoreFs.adoptLegacyStore(spark, path)
+    assert(adopted("family") == "exact_ivf", adopted.toString)
+    assert(adopted("n_cells") == recorded("n_cells"), adopted.toString)
+    assert(adopted("dim") == recorded("dim"), adopted.toString)
+    // the derived modulus keeps every stored row self-consistent
+    val vecs = spark.read.parquet(
+      graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
+    if (vecs.columns.contains("cell_bucket")) {
+      val b = adopted("n_buckets").toLong
+      assert(b > 0)
+      assert(vecs.filter(
+        org.apache.spark.sql.functions.pmod(col("ivf_cell"),
+          org.apache.spark.sql.functions.lit(b)) =!= col("cell_bucket"))
+        .count() == 0L)
+    }
+    // the estate walk now discovers it and surfaces its findings
+    ExactIvf.deleteFromVecStore(spark, Seq(3L).toDF("doc_id"), path,
+      idCol = "doc_id")
+    val after = StoreAudit.estateFindings(spark, root)
+    assert(after.exists(f => f.store.endsWith("/legacy") &&
+      f.check == "estate"), after.mkString(";"))
+    assert(after.exists(f => f.store.endsWith("/legacy") &&
+      f.check == "tombstones"), after.mkString(";"))
+    // serves still answer exactly through the adopted manifest
+    val served = ExactIvf.topDotBatchFromStore(spark, path,
+      Seq((1L, 7L)), 5, nprobe0 = 2)
+    assert(served.count() == 5L)
+    // adopting a store that HAS a manifest is refused
+    intercept[IllegalArgumentException] {
+      graft.streaming.StoreFs.adoptLegacyStore(spark, path)
+    }
   }
 
   test("pre-r15 store (no build stats) produces no drift findings") {

@@ -133,6 +133,187 @@ class MaintenanceSpec extends AnyFunSuite with SparkTest
       iters = 1).isEmpty)
   }
 
+  test("vec: purge-first clears a tombstone-inflated drift warn without a recluster") {
+    import spark.implicits._
+    val a = cluster(0 until 100, +1L)
+    val path = tmp()
+    ExactIvf.writeVecStore(a, path, nCells = 2, iters = 1)
+    // a far-away appended cluster inflates r2max past the drift
+    // threshold — then deleting exactly those rows leaves the bounds
+    // inflated by rows that are no longer visible: drift warn and
+    // tombstone backlog CO-FIRE, and the warn is purge-recoverable
+    ExactIvf.appendToVecStore(spark, cluster(100 until 200, -1L), path)
+    ExactIvf.deleteFromVecStore(spark,
+      (100L until 200L).toDF("doc_id"), path, idCol = "doc_id")
+    val before = StoreAudit.auditFindings(spark, path)
+    assert(before.exists(f => f.check == "drift" && f.level == "warn"))
+    assert(before.exists(_.check == "tombstones"))
+    val queries = Seq((1L, 7L))
+    val expected = brute(a, queries, 10)
+    assert(served(path, queries, 10) == expected)
+    // VERDICT r15 #1: the ~10 s purge re-tightens the bounds and must
+    // clear the gauge — the recluster (the most expensive lever) stays
+    // untouched when the purge suffices
+    val acts = StoreMaintenance.maintainVecStore(spark, path)
+    assert(acts.map(_.action) == Seq("purge-compact"), acts.toString)
+    assert(served(path, queries, 10) == expected)
+    assert(!StoreAudit.auditFindings(spark, path)
+      .exists(f => f.check == "drift" && f.level == "warn"))
+    assert(StoreMaintenance.maintainVecStore(spark, path).isEmpty)
+  }
+
+  test("vec: a drift warn that survives the purge still pulls the recluster") {
+    import spark.implicits._
+    val a = cluster(0 until 100, +1L)
+    val path = tmp()
+    ExactIvf.writeVecStore(a, path, nCells = 2, iters = 1)
+    // genuine widening (the far cluster STAYS visible) plus an
+    // unrelated small backlog: the purge runs first but cannot clear
+    // the warn, so the recluster follows in the same pass
+    ExactIvf.appendToVecStore(spark, cluster(100 until 200, -1L), path)
+    ExactIvf.deleteFromVecStore(spark,
+      Seq(3L, 5L).toDF("doc_id"), path, idCol = "doc_id")
+    val acts = StoreMaintenance.maintainVecStore(spark, path)
+    assert(acts.map(_.action) == Seq("purge-compact", "recluster"),
+      acts.toString)
+    assert(!StoreAudit.auditFindings(spark, path)
+      .exists(f => f.check == "drift" && f.level == "warn"))
+    assert(StoreMaintenance.maintainVecStore(spark, path).isEmpty)
+  }
+
+  test("ivfadc: the retrain lever reads the store's recorded vec_col") {
+    import spark.implicits._
+    val path = tmp()
+    // the embeddings table carries ONLY a custom vector column — a
+    // maintenance pass that defaulted to vecCol="embedding" would
+    // crash here (ADVICE r15, medium)
+    def e(ids: Range, scale: Double) = emb(ids, scale)
+      .select(col("vec_id"), col("embedding").as("v2"))
+    Pq.writeIvfadcStore(e(0 until 150, 1.0), path, nCells = 2, m = 2,
+      dim = Dim, nCents = 4, iters = 1, vecCol = "v2")
+    Pq.appendToIvfadcStore(spark, e(150 until 200, 50.0), path, m = 2,
+      dim = Dim, batchId = Some(1L), vecCol = "v2")
+    val all = e(0 until 150, 1.0).unionAll(e(150 until 200, 50.0))
+    val acts = StoreMaintenance.maintainIvfadcStore(spark, all, path,
+      iters = 1)
+    assert(acts.map(_.action) == Seq("retrain"), acts.toString)
+    assert(Pq.ivfadcTopKFromStore(spark, path, all, Seq(7L), nprobe = 2,
+      kShort = 30, k = 5, m = 2, dim = Dim, vecCol = "v2").count() == 5L)
+    assert(StoreMaintenance.maintainIvfadcStore(spark, all, path,
+      iters = 1).isEmpty)
+  }
+
+  test("ivfadc: a below-floor recall record pulls the retrain lever") {
+    val path = tmp()
+    val base = emb(0 until 150, 1.0)
+    Pq.writeIvfadcStore(base, path, nCells = 2, m = 2, dim = Dim,
+      nCents = 4, iters = 1)
+    // ranking erosion measured directly (the round-16 recall gauge):
+    // no qerr drift anywhere, but the recorded panel sits below its
+    // floor — the loop must treat that as the retrain trigger
+    graft.streaming.StoreFs.writeRecallStats(spark, path, Seq(
+      "recall" -> "0.40", "floor" -> "0.90", "k" -> "5",
+      "n_probes" -> "8",
+      "at_ms" -> System.currentTimeMillis().toString))
+    val acts = StoreMaintenance.maintainIvfadcStore(spark, base, path,
+      iters = 1)
+    assert(acts.map(_.action) == Seq("retrain"), acts.toString)
+    // the retrain retired the record with its epoch: gauge reset, no
+    // standing warn, and the second pass performs zero actions
+    assert(!StoreAudit.auditFindings(spark, path)
+      .exists(f => f.check == "recall"))
+    assert(StoreMaintenance.maintainIvfadcStore(spark, base, path,
+      iters = 1).isEmpty)
+  }
+
+  test("io findings are surfaced, never acted on") {
+    val path = tmp()
+    ExactIvf.writeVecStore(cluster(0 until 100, +1L), path,
+      nCells = 2, iters = 1)
+    ExactIvf.appendToVecStore(spark, cluster(100 until 200, -1L), path)
+    // corrupt the cells table: every parquet file truncated to garbage
+    val cells = new java.io.File(path, "cells")
+    def corrupt(f: java.io.File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(corrupt)
+      else if (f.getName.endsWith(".parquet")) {
+        val w = new java.io.FileOutputStream(f)
+        try w.write("not parquet".getBytes("UTF-8")) finally w.close()
+      }
+    corrupt(cells)
+    spark.catalog.clearCache()
+    // the audit reports an io ERROR (its own check id — a transient FS
+    // failure must not wear the drift/warn signature that triggers a
+    // recluster; VERDICT r15 #2 / ADVICE r15)
+    val findings = StoreAudit.auditFindings(spark, path)
+    assert(findings.exists(f => f.check == "io" && f.level == "error"),
+      findings.mkString(";"))
+    assert(!findings.exists(f => f.check == "drift" && f.level == "warn"))
+    // the maintenance pass SURFACES it and pulls no lever: no epoch
+    // appears (no recluster ran) and no generation flip (no compaction)
+    val gensBefore = new java.io.File(path, "vecs").list().sorted.toSeq
+    val acts = StoreMaintenance.maintainVecStore(spark, path)
+    assert(acts.nonEmpty && acts.forall(_.action == "surface"),
+      acts.toString)
+    assert(new java.io.File(path, "vecs").list().sorted.toSeq ==
+      gensBefore)
+    assert(!new java.io.File(path).list().exists(_.startsWith("_re-")))
+  }
+
+  test("estate fan-out: three stores under one root each get the right lever in one call") {
+    import spark.implicits._
+    val root = tmp()
+    // a/vec: drift (a far appended cluster) → recluster
+    ExactIvf.writeVecStore(cluster(0 until 100, +1L), s"$root/a/vec",
+      nCells = 2, iters = 1)
+    ExactIvf.appendToVecStore(spark, cluster(100 until 200, -1L),
+      s"$root/a/vec")
+    // b/ivfadc: built with emb_source RECORDED (the round-16 manifest
+    // pointer), then a below-floor recall record → retrain, with the
+    // embeddings resolved from the manifest — no caller-side table
+    val src = s"$root/_sources/emb"
+    emb(0 until 150, 1.0).write.parquet(src)
+    Pq.writeIvfadcStore(spark.read.parquet(src), s"$root/b/ivfadc",
+      nCells = 2, m = 2, dim = Dim, nCents = 4, iters = 1,
+      embSource = src)
+    graft.streaming.StoreFs.writeRecallStats(spark, s"$root/b/ivfadc",
+      Seq("recall" -> "0.40", "floor" -> "0.90", "k" -> "5",
+        "n_probes" -> "8",
+        "at_ms" -> System.currentTimeMillis().toString))
+    // c/index: a tombstone backlog → purge on the index ROOT (its
+    // postings sub is what discovery sees)
+    val docs = (0L until 60L).map(i =>
+      (i, s"spark stream doc $i")).toDF("doc_id", "text")
+    Retrieval.writeIndexStore(docs, s"$root/c/index")
+    Retrieval.deleteFromIndexStore(spark, Seq(2L, 4L).toDF("doc_id"),
+      s"$root/c/index")
+    val acts = StoreMaintenance.maintainEstate(spark, root)
+    def actOf(substr: String) =
+      acts.filter(_.store.contains(substr)).map(_.action)
+    assert(actOf("/a/vec") == Seq("recluster"), acts.toString)
+    assert(actOf("/b/ivfadc") == Seq("retrain"), acts.toString)
+    assert(actOf("/c/index") == Seq("purge-compact"), acts.toString)
+    // every lever reset its gauge: the second estate pass is ZERO
+    // actions — the property that makes one cron per lake prefix safe
+    assert(StoreMaintenance.maintainEstate(spark, root).isEmpty,
+      StoreMaintenance.maintainEstate(spark, root).toString)
+  }
+
+  test("estate fan-out: a retrain trigger without a resolvable emb_source is skipped and reported") {
+    val root = tmp()
+    Pq.writePqStore(emb(0 until 100, 1.0), s"$root/pq", m = 2, dim = Dim,
+      nCents = 4, iters = 1) // no embSource recorded
+    graft.streaming.StoreFs.writeRecallStats(spark, s"$root/pq",
+      Seq("recall" -> "0.40", "floor" -> "0.90", "k" -> "5",
+        "n_probes" -> "8",
+        "at_ms" -> System.currentTimeMillis().toString))
+    val acts = StoreMaintenance.maintainEstate(spark, root)
+    assert(acts.map(_.action) == Seq("skip"), acts.toString)
+    assert(acts.head.detail.contains("emb_source"), acts.toString)
+    // no epoch was created — the store was reported, never half-acted
+    assert(!new java.io.File(s"$root/pq").list().exists(
+      _.startsWith("_re-")))
+  }
+
   test("index: a backlog pulls the purge; a clean store is a no-op") {
     import spark.implicits._
     val docs = (0L until 60L).map(i =>
