@@ -325,6 +325,37 @@ object ExactIvf {
       parts.collect().map(_.getLong(0)).toSeq))
   }
 
+  /** Two-step batch assignment through the frozen coarse-over-coarse
+    * group level (round 16): nearest group centroid first (|batch| ×
+    * √nCells, groups broadcast — they are ≤ √nCells rows), then
+    * nearest cell WITHIN the chosen group (the cells join is keyed on
+    * cell_group, so the planner picks broadcast or shuffle by size —
+    * never a |batch|·nCells cross product). Ties break to the smaller
+    * id at both levels, so the assignment is deterministic under
+    * replay. Output: vec_id, ivf_cell, rm (exact integer residual
+    * against the CHOSEN cell's centroid — what phase 1's bound merge
+    * covers). */
+  private def groupAssignResiduals(mv: DataFrame, cells: DataFrame,
+                                   groups: DataFrame): DataFrame = {
+    val g = groups.select(col("cell_group"), col("gcvm"))
+    val scoredG = mv.crossJoin(broadcast(g))
+      .select(col("vec_id"), col("vm"), col("cell_group"),
+        Pq.l2sq(col("vm"), col("gcvm")).as("gd2"))
+    val chosenG = graft.plans.TopK.perKey(scoredG,
+        Seq(scoredG("vec_id")),
+        Seq(scoredG("gd2"), scoredG("cell_group")), 1)
+      .select(col("vec_id"), col("vm"), col("cell_group"))
+    val cand = chosenG
+      .join(cells.select(col("ivf_cell"), col("ccvm"), col("cell_group")),
+        Seq("cell_group"))
+      .select(col("vec_id"), col("vm"), col("ivf_cell"), col("ccvm"),
+        Pq.l2sq(col("vm"), col("ccvm")).as("d2"))
+    graft.plans.TopK.perKey(cand, Seq(cand("vec_id")),
+        Seq(cand("d2"), cand("ivf_cell")), 1)
+      .select(col("vec_id"), col("ivf_cell"),
+        zip_with(col("vm"), col("ccvm"), (a, b) => a - b).as("rm"))
+  }
+
   /** Append a NEW batch under the store's FROZEN coarse cells — the
     * incremental cadence every persisted store family carries (x41 /
     * y20 / y25 discipline): only the batch is assigned; old vectors
@@ -384,11 +415,31 @@ object ExactIvf {
     val cellsDf = spark.read.parquet(
       graft.streaming.StoreFs.dataDir(spark, s"$eff/cells"))
     val hasGroup = cellsDf.columns.contains("cell_group")
-    val coarse = graft.core.Caches.scoped(
-      cellsDf.select(col("ivf_cell"), col("ccvm")))
     val mv = graft.core.Caches.scoped(
       newVecs.select(col(idCol).as("vec_id"), col(vecCol).as("vm")))
-    val res = graft.core.Caches.scoped(Pq.coarseResiduals(mv, coarse))
+    // batch assignment through the FROZEN GROUP LEVEL when the store
+    // has one (round 16 — found by AppendScaleProbe: the flat
+    // assignment is |batch|·nCells integer L2²s, which at 10⁵ cells
+    // measured 440 s for a 10k-row batch; the two-step argmin is
+    // 2·|batch|·√nCells — sub-second at the same geometry). LEGAL
+    // because serve exactness never depends on WHICH cell a row lives
+    // in (the writeVecStoreAssigned contract) — only that r2max
+    // covers the actual residual, and phase 1 computes that residual
+    // from the CHOSEN cell. Deterministic (argmin, id tie-break at
+    // both levels), so a crash-replay assigns identically and the
+    // vec_id anti-join heals as before. Pre-r14 stores (no group
+    // level) keep the flat assignment.
+    val res = graft.core.Caches.scoped(
+      if (hasGroup &&
+          graft.streaming.StoreFs.storeExists(spark, s"$eff/groups")) {
+        val groups = spark.read.parquet(
+          graft.streaming.StoreFs.dataDir(spark, s"$eff/groups"))
+        groupAssignResiduals(mv, cellsDf, groups)
+      } else {
+        val coarse = graft.core.Caches.scoped(
+          cellsDf.select(col("ivf_cell"), col("ccvm")))
+        Pq.coarseResiduals(mv, coarse)
+      })
     // phase 1: raise r2max (merge-by-max; crash-safe to repeat) as a
     // DataFrame merge — the batch's per-cell maxima (≤ nCells rows)
     // broadcast into a left join + greatest against the stored cells;
