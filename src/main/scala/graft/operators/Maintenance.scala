@@ -238,7 +238,11 @@ object StoreMaintenance {
                      keepGens: Int = 1, keepAgeMs: Long = 0L,
                      keepEpochs: Int = 1, epochKeepAgeMs: Long = 0L,
                      iters: Int = 1,
-                     resolveEmb: String => Option[DataFrame] = null)
+                     resolveEmb: String => Option[DataFrame] = null,
+                     recallProbes: Int = 0,
+                     recallK: Int = 10, recallNprobe: Int = 4,
+                     recallKShort: Int = 100,
+                     recallFloor: Double = 0.5)
       : Seq[Action] = {
     val resolver: String => Option[DataFrame] =
       Option(resolveEmb).getOrElse(defaultEmbResolver(spark))
@@ -271,7 +275,62 @@ object StoreMaintenance {
       case (_, f) if subsumed(f) || f.endsWith("_tombs") => Seq.empty
       case _ => Seq.empty
     }
-    perStore
+    // RECALL CADENCE (round 16, opt-in via recallProbes > 0): after the
+    // levers, run the served-recall panel on every IVFADC store whose
+    // gauge is MISSING or STALE (no record, or appends landed after the
+    // newest panel) and whose emb_source resolves — the panel the fsck's
+    // `recall` check grades, now owned by the same cron that owns the
+    // levers. Fresh records are never re-graded (the staleness gate is
+    // what keeps the second estate pass at zero actions), and a store
+    // that was just retrained above starts ungauged, so the SAME pass
+    // grades its new epoch. A previously-recorded floor wins over the
+    // caller's default (the floor is the store's declared contract).
+    val panels =
+      if (recallProbes <= 0) Seq.empty
+      else withFam.collect { case (p, "ivfadc") => p }.flatMap { p =>
+        guarded(p) {
+          val eff = StoreFs.liveRoot(spark, p)
+          val rec = StoreFs.readRecallStats(spark, eff)
+          val newestAppend = StoreFs.readBatchStats(spark, eff)
+            .lastOption
+            .flatMap(_._1.stripPrefix("stats-").take(16).toLongOption)
+          val stale = rec.isEmpty || {
+            (rec.get("at_ms").flatMap(_.toLongOption), newestAppend) match {
+              case (Some(t), Some(b)) => b > t
+              case (None, _)          => true
+              case _                  => false
+            }
+          }
+          val src = StoreFs.readGeometry(spark, eff)
+            .getOrElse("emb_source", "")
+          (if (!stale) None
+           else resolver(src) match {
+             case None => Some(Action(p, "skip",
+               s"recall gauge ${if (rec.isEmpty) "missing" else "stale"} " +
+                 s"but emb_source ${
+                   if (src.isEmpty) "is not recorded"
+                   else s"'$src' does not resolve"} — the panel needs " +
+                 "the embeddings table (Pq.servedRecallPanel)"))
+             case Some(emb) =>
+               val floor = rec.get("floor").flatMap(_.toDoubleOption)
+                 .getOrElse(recallFloor)
+               val (m, dim) = (
+                 geoInt(spark, p, "m", "maintainEstate recall panel"),
+                 geoInt(spark, p, "dim", "maintainEstate recall panel"))
+               val vecCol = geoVecCol(spark, p)
+               val probes = Similarity.boundedProbeIds(emb, recallProbes)
+               val row = Pq.servedRecallPanel(spark,
+                   Seq(("estate", p, floor)), emb, probes,
+                   recallNprobe, recallKShort, recallK, m, dim, vecCol)
+                 .collect().head
+               Some(Action(p, "recall-panel",
+                 f"served recall ${row.getAs[Double]("recall")}%.4f " +
+                   f"recorded (floor $floor%.2f, k=$recallK, " +
+                   s"n_probes=${row.getAs[Long]("n_probes")})"))
+           }).toSeq
+        }
+      }
+    perStore ++ panels
   }
 
   /** Default `emb_source` resolution: a catalog table/view name wins;

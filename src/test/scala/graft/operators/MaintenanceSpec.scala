@@ -298,6 +298,39 @@ class MaintenanceSpec extends AnyFunSuite with SparkTest
       StoreMaintenance.maintainEstate(spark, root).toString)
   }
 
+  test("estate fan-out: the recall cadence panels missing/stale gauges and leaves fresh ones alone") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp()
+    val src = s"$root/_sources/emb"
+    emb(0 until 150, 1.0).write.parquet(src)
+    Pq.writeIvfadcStore(spark.read.parquet(src), s"$root/ivf",
+      nCells = 2, m = 2, dim = Dim, nCents = 4, iters = 1,
+      embSource = src)
+    // pass 1: no recall record → the cadence runs the panel itself,
+    // resolving the embeddings through emb_source (round 16 — the
+    // frontier item: the fsck could DEMAND a panel but not run one)
+    def estate() = StoreMaintenance.maintainEstate(spark, root,
+      recallProbes = 4, recallK = 5, recallNprobe = 2,
+      recallKShort = 30, recallFloor = 0.1)
+    val first = estate()
+    assert(first.map(_.action) == Seq("recall-panel"), first.toString)
+    val rec = graft.streaming.StoreFs.readRecallStats(spark, s"$root/ivf")
+    assert(rec.get("recall").exists(_.toDoubleOption.exists(_ >= 0.1)),
+      rec.toString)
+    // pass 2: the record is FRESH — zero actions (the staleness gate
+    // is what keeps an unconditional cadence safe)
+    assert(estate().isEmpty, estate().toString)
+    // appends make the record stale → pass 3 re-panels the grown store
+    Thread.sleep(2)
+    Pq.appendToIvfadcStore(spark,
+      emb(150 until 170, 1.0)
+        .select(col("vec_id"), col("embedding")), s"$root/ivf",
+      m = 2, dim = Dim, batchId = Some(1L))
+    val third = estate()
+    assert(third.map(_.action) == Seq("recall-panel"), third.toString)
+    assert(estate().isEmpty)
+  }
+
   test("estate fan-out: a retrain trigger without a resolvable emb_source is skipped and reported") {
     val root = tmp()
     Pq.writePqStore(emb(0 until 100, 1.0), s"$root/pq", m = 2, dim = Dim,
