@@ -337,7 +337,17 @@ object ExactIvf {
     * covers). */
   private def groupAssignResiduals(mv: DataFrame, cells: DataFrame,
                                    groups: DataFrame): DataFrame = {
-    val g = groups.select(col("cell_group"), col("gcvm"))
+    // only groups that OWN at least one cell may win the level-1 argmin
+    // (ADVICE r16, high): writeAssigned reassigns cells under the final
+    // post-update Lloyd centroids, which can leave a group centroid
+    // with zero assigned cells while it stays in groups/ — a batch
+    // vector nearest to such a group would vanish from the inner join
+    // below (silently never appended). Both sides are ≤ √nCells /
+    // ≤ nCells rows, so the semi-join is metadata-cheap.
+    val g = groups
+      .join(cells.select(col("cell_group")).distinct(),
+        Seq("cell_group"), "left_semi")
+      .select(col("cell_group"), col("gcvm"))
     val scoredG = mv.crossJoin(broadcast(g))
       .select(col("vec_id"), col("vm"), col("cell_group"),
         Pq.l2sq(col("vm"), col("gcvm")).as("gd2"))
@@ -429,9 +439,10 @@ object ExactIvf {
     // both levels), so a crash-replay assigns identically and the
     // vec_id anti-join heals as before. Pre-r14 stores (no group
     // level) keep the flat assignment.
+    val grouped = hasGroup &&
+      graft.streaming.StoreFs.storeExists(spark, s"$eff/groups")
     val res = graft.core.Caches.scoped(
-      if (hasGroup &&
-          graft.streaming.StoreFs.storeExists(spark, s"$eff/groups")) {
+      if (grouped) {
         val groups = spark.read.parquet(
           graft.streaming.StoreFs.dataDir(spark, s"$eff/groups"))
         groupAssignResiduals(mv, cellsDf, groups)
@@ -440,6 +451,19 @@ object ExactIvf {
           cellsDf.select(col("ivf_cell"), col("ccvm")))
         Pq.coarseResiduals(mv, coarse)
       })
+    // no-row-left-behind guard (ADVICE r16, high): the assignment must
+    // emit exactly one cell per distinct batch id — a dropped row here
+    // would silently never be appended while the batch marker still
+    // commits. Two count jobs on already-scoped-cached frames.
+    if (grouped) {
+      val nBatch = mv.select("vec_id").distinct().count()
+      val nAssigned = res.count()
+      require(nAssigned == nBatch,
+        s"appendToVecStore at $eff: the group-level assignment emitted " +
+          s"$nAssigned rows for $nBatch distinct batch ids — some batch " +
+          "vectors found no candidate cell (corrupt groups/cells " +
+          "tables?); nothing was written")
+    }
     // phase 1: raise r2max (merge-by-max; crash-safe to repeat) as a
     // DataFrame merge — the batch's per-cell maxima (≤ nCells rows)
     // broadcast into a left join + greatest against the stored cells;
@@ -468,30 +492,34 @@ object ExactIvf {
     // (ADVICE r10): ids are immutable under the frozen-cell contract,
     // so a vec_id re-ingested in a LATER batch must drop, or
     // topDotBatchFromStore would return it twice inside top-k until a
-    // compaction dedups. A checkpoint replay heals the same way. The
-    // scan this costs is bounded: cell assignment is deterministic
-    // under the frozen centroids, so a duplicate can only live in the
-    // cells THIS batch maps to — the visible side prunes to those
-    // partitions (≤ nCells, driver-bounded) and reads only the key
-    // column.
+    // compaction dedups. A checkpoint replay heals the same way.
+    //
+    // The visible side is deliberately NOT cell-pruned (ADVICE r16,
+    // high — this replaces the r12 DPP prune): pruning to the batch's
+    // cells is only sound when a re-ingested id provably re-assigns to
+    // the cell its existing row occupies, and this store MIXES
+    // assignment policies — build rows placed by global-nearest
+    // (writeVecStore), caller-custom rows (writeVecStoreAssigned),
+    // pre-r16 flat-path appends, and r16 group-level appends can each
+    // live in a cell outside the batch's two-step assignment, so a
+    // pruned anti-join would land a duplicate the serve returns twice.
+    // (The IVFADC append keeps its pruned form: build and append both
+    // assign by the SAME exact global argmin there.) Cost shape at
+    // scale: the scan reads ONLY the 8-byte vec_id column, and the
+    // explicit semi-then-anti pair keeps it shuffle-free — the store
+    // side streams against a broadcast hash of the batch's ids, and
+    // the surviving duplicate set (≤ |batch| rows) broadcasts back
+    // into the anti-join. Linear in store size, zero shuffles, no
+    // corpus-width payload read.
     val tagged = mv.join(res.select("vec_id", "ivf_cell"), Seq("vec_id"))
       .withColumn("batch_id", lit(batchId.getOrElse(-1L)))
     val novel = {
       val visible = spark.read.option("mergeSchema", "true")
         .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
-      // VERDICT r12 #8: the visible side prunes to the batch's cells
-      // through the SAME dynamic-partition-pruning shape the serve
-      // uses — the batch's cell assignments enter from the CACHED
-      // residual frame and the DPP subquery prunes the
-      // partition column, so the append plan carries no cell literal
-      // and stays O(1)-size at production batch spreads. With the DPP
-      // rule disabled, the bounded literal list (the pre-r13 shape) is
-      // the fallback — pruning never vanishes (the DppFallback
-      // contract).
-      tagged.join(
-        pruneToCells(spark, visible, res.select("ivf_cell"), buckets)
-          .select("vec_id"),
-        Seq("vec_id"), "left_anti")
+      val dupIds = visible.select("vec_id")
+        .join(broadcast(mv.select("vec_id").distinct()),
+          Seq("vec_id"), "left_semi")
+      tagged.join(broadcast(dupIds), Seq("vec_id"), "left_anti")
     }
     writeCellLaid(novel, buckets,
       graft.streaming.StoreFs.dataDir(spark, dir), overwrite = false)

@@ -53,6 +53,30 @@ object StoreMaintenance {
   private def recallWarn(fs: Seq[StoreAudit.Finding]): Option[String] =
     fs.find(f => f.check == "recall" && f.level == "warn").map(_.detail)
 
+  /** "Retrain did not recover recall" (round 17 — VERDICT r16 #3): a
+    * recall ERROR finding means the retrain lever was already pulled
+    * for this signal (the `recall_retrain` epoch flag) and the
+    * post-retrain panel is STILL below the floor — the floor is
+    * unattainable at this serve/geometry, and pulling the lever again
+    * every pass would burn a full rebuild per cadence tick forever.
+    * The loop SURFACES it (like io) and does not retrain on the recall
+    * channel; a genuine qerr drift warn keeps its own trigger. */
+  private def recallErrors(path: String,
+                           fs: Seq[StoreAudit.Finding]): Seq[Action] =
+    fs.filter(f => f.check == "recall" && f.level == "error").map(f =>
+      Action(path, "surface", s"recall error: ${f.detail}"))
+
+  /** Stamp the LIVE epoch (the one the retrain just produced) as born
+    * from a recall-triggered retrain — the audit reads this to grade a
+    * still-below-floor post-retrain panel as the unattainable-floor
+    * ERROR. Cleared by the first panel that meets the floor
+    * ([[graft.operators.Pq.servedRecallPanel]]); never carried across
+    * retrains (a fresh epoch starts unflagged unless THIS loop flags
+    * it). */
+  private def flagRecallRetrain(spark: SparkSession, path: String): Unit =
+    StoreFs.updateGeometry(spark, StoreFs.liveRoot(spark, path),
+      Seq("recall_retrain" -> "1"))
+
   private def backlog(fs: Seq[StoreAudit.Finding]): Boolean =
     fs.exists(f => f.check == "tombstones" && f.level == "info")
 
@@ -151,8 +175,11 @@ object StoreMaintenance {
     // inflate it, so a purge cannot clear a qerr drift warn and the
     // retrain (which reads visible rows) is also the purge. The
     // served-recall gauge (round 16) composes as OR: ranking erosion
-    // measured directly fires the same lever.
-    driftWarn(findings).orElse(recallWarn(findings)) match {
+    // measured directly fires the same lever. A recall ERROR
+    // (unattainable floor, round 17) is surfaced and never retrained.
+    acts ++= recallErrors(path, findings)
+    val recallTrig = recallWarn(findings)
+    driftWarn(findings).orElse(recallTrig) match {
       case Some(why) =>
         val (nCells, m, dim, nCents) = (
           geoInt(spark, path, "n_cells", "maintainIvfadcStore"),
@@ -161,6 +188,7 @@ object StoreMaintenance {
           geoInt(spark, path, "n_cents", "maintainIvfadcStore"))
         Pq.retrainIvfadcStore(spark, emb, path, nCells, m, dim, nCents,
           iters, vecCol = geoVecCol(spark, path))
+        if (recallTrig.isDefined) flagRecallRetrain(spark, path)
         acts += Action(path, "retrain",
           s"nCells=$nCells m=$m nCents=$nCents (drift: $why)")
       case None if backlog(findings) =>
@@ -184,7 +212,9 @@ object StoreMaintenance {
     val io = ioErrors(path, findings)
     if (io.nonEmpty) return io
     val acts = scala.collection.mutable.ArrayBuffer.empty[Action]
-    driftWarn(findings).orElse(recallWarn(findings)) match {
+    acts ++= recallErrors(path, findings)
+    val recallTrig = recallWarn(findings)
+    driftWarn(findings).orElse(recallTrig) match {
       case Some(why) =>
         val (m, dim, nCents) = (
           geoInt(spark, path, "m", "maintainPqStore"),
@@ -192,6 +222,7 @@ object StoreMaintenance {
           geoInt(spark, path, "n_cents", "maintainPqStore"))
         Pq.retrainPqStore(spark, emb, path, m, dim, nCents, iters,
           vecCol = geoVecCol(spark, path))
+        if (recallTrig.isDefined) flagRecallRetrain(spark, path)
         acts += Action(path, "retrain",
           s"m=$m nCents=$nCents (drift: $why)")
       case None if backlog(findings) =>
@@ -225,9 +256,12 @@ object StoreMaintenance {
     *   - an `index_postings` sub marks its PARENT as a BM25/positional
     *     index root → [[maintainIndexStore]];
     *   - sub-table families (`index_doclen`, `positional`, `*_tombs`)
-    *     are owned by their parent's pass; other families (signature /
-    *     code / gram / dsir stores) have no estate lever — their ingest
-    *     cadence owns compaction — and produce no action.
+    *     are owned by their parent's pass;
+    *   - ingest-owned families (signature / code / gram / dsir) get
+    *     their compactor on a standing tombstone backlog, and an
+    *     unknown family with a backlog is skip-and-reported
+    *     ([[maintainIngestOwnedStore]], round 17) — never walked past
+    *     silently.
     *
     * Idempotent like the per-store loops (every lever resets its
     * gauge), so one cron cadence can own a whole lake prefix. A store
@@ -273,21 +307,31 @@ object StoreMaintenance {
           new org.apache.hadoop.fs.Path(p).getParent.toString,
           keepGens, keepAgeMs))
       case (_, f) if subsumed(f) || f.endsWith("_tombs") => Seq.empty
+      // ingest-owned families (round 17 — VERDICT r16 #4): signature /
+      // code / gram / dsir stores have no drift lever, but their
+      // tombstone/delta backlogs were walked right past when the
+      // owning ingest was decommissioned — the estate pass now runs
+      // their compactor on a standing backlog (or skip-and-reports a
+      // family it has no compactor for), never silent.
+      case (p, f) if f.nonEmpty => guarded(p)(
+        maintainIngestOwnedStore(spark, p, f, keepGens, keepAgeMs))
       case _ => Seq.empty
     }
-    // RECALL CADENCE (round 16, opt-in via recallProbes > 0): after the
-    // levers, run the served-recall panel on every IVFADC store whose
+    // RECALL CADENCE (round 16, opt-in via recallProbes > 0; round 17
+    // extends it to the flat-PQ family — VERDICT r16 #1, the last
+    // ungauged ranking channel): after the levers, run the
+    // served-recall panel on every IVFADC and flat-PQ store whose
     // gauge is MISSING or STALE (no record, or appends landed after the
     // newest panel) and whose emb_source resolves — the panel the fsck's
     // `recall` check grades, now owned by the same cron that owns the
-    // levers. Fresh records are never re-graded (the staleness gate is
-    // what keeps the second estate pass at zero actions), and a store
-    // that was just retrained above starts ungauged, so the SAME pass
-    // grades its new epoch. A previously-recorded floor wins over the
-    // caller's default (the floor is the store's declared contract).
+    // levers (servedRecallPanel serves each store through ITS family's
+    // production path). Fresh records are never re-graded (the
+    // staleness gate is what keeps the second estate pass at zero
+    // actions), and a store that was just retrained above starts
+    // ungauged, so the SAME pass grades its new epoch.
     val panels =
       if (recallProbes <= 0) Seq.empty
-      else withFam.collect { case (p, "ivfadc") => p }.flatMap { p =>
+      else withFam.collect { case (p, "ivfadc" | "pq") => p }.flatMap { p =>
         guarded(p) {
           val eff = StoreFs.liveRoot(spark, p)
           val rec = StoreFs.readRecallStats(spark, eff)
@@ -312,7 +356,14 @@ object StoreMaintenance {
                    else s"'$src' does not resolve"} — the panel needs " +
                  "the embeddings table (Pq.servedRecallPanel)"))
              case Some(emb) =>
-               val floor = rec.get("floor").flatMap(_.toDoubleOption)
+               // floor preference (round 17 — VERDICT r16 #2): the
+               // manifest's epoch-durable recall_floor (carried across
+               // retrains like emb_source) > the newest record's floor
+               // > the caller's default — so a retrain no longer
+               // resets the store's declared contract to 0.5
+               val floor = StoreFs.readGeometry(spark, eff)
+                 .get("recall_floor").flatMap(_.toDoubleOption)
+                 .orElse(rec.get("floor").flatMap(_.toDoubleOption))
                  .getOrElse(recallFloor)
                val (m, dim) = (
                  geoInt(spark, p, "m", "maintainEstate recall panel"),
@@ -378,6 +429,7 @@ object StoreMaintenance {
         val io = ioErrors(path, findings)
         if (io.nonEmpty) return io
         val acts = scala.collection.mutable.ArrayBuffer.empty[Action]
+        acts ++= recallErrors(path, findings)
         driftWarn(findings).orElse(recallWarn(findings)).foreach { why =>
           acts += Action(path, "skip",
             s"retrain trigger stands but emb_source ${
@@ -394,6 +446,54 @@ object StoreMaintenance {
         ExactIvf.gcReclusterEpochs(spark, path, keepEpochs,
           epochKeepAgeMs)
         acts.toSeq
+    }
+  }
+
+  /** Estate-level attention for the INGEST-OWNED store families
+    * (round 17 — VERDICT r16 #4): signature / code / gram / dsir
+    * stores have no drift gauge (no frozen quantizers) and their
+    * compaction normally rides the ingest cadence — but an ORPHANED
+    * store (ingest decommissioned, deletes still arriving) accumulated
+    * a tombstone backlog the estate pass walked right past. Now: a
+    * standing backlog pulls the family's own compactor (which is also
+    * the purge); a family this loop has no compactor for is
+    * skip-and-reported, never silent. Clean stores stay zero-action
+    * (the estate idempotency contract). */
+  def maintainIngestOwnedStore(spark: SparkSession, path: String,
+                               family: String,
+                               keepGens: Int = 1, keepAgeMs: Long = 0L)
+      : Seq[Action] = {
+    val findings = StoreAudit.auditFindings(spark, path,
+      keepGens = keepGens)
+    val io = ioErrors(path, findings)
+    if (io.nonEmpty) return io
+    if (!backlog(findings)) return Seq.empty
+    family match {
+      case "signature" =>
+        Dedup.compactSignatureStore(spark, path, keepGens, keepAgeMs)
+        Seq(Action(path, "purge-compact",
+          "pending tombstones purged under the caller's retention " +
+            "(estate lever for an ingest-owned signature store)"))
+      case "code" =>
+        Quantization.compactCodeStore(spark, path, keepGens, keepAgeMs)
+        Seq(Action(path, "purge-compact",
+          "generations folded under the caller's retention " +
+            "(estate lever for an ingest-owned code store)"))
+      case "gram" =>
+        Dedup.compactGramStore(spark, path, keepGens, keepAgeMs)
+        Seq(Action(path, "purge-compact",
+          "gram counts netted and purged under the caller's retention " +
+            "(estate lever for an ingest-owned gram store)"))
+      case "dsir" =>
+        Curation.compactDsirStore(spark, path, keepGens, keepAgeMs)
+        Seq(Action(path, "purge-compact",
+          "bucket counts folded under the caller's retention " +
+            "(estate lever for an ingest-owned dsir store)"))
+      case f =>
+        Seq(Action(path, "skip",
+          s"standing tombstone backlog but the estate loop has no " +
+            s"compactor for family '$f' — run its ingest cadence's " +
+            "compactor by explicit path"))
     }
   }
 

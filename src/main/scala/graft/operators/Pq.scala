@@ -427,14 +427,24 @@ object Pq {
     // be lost, re-derives `novel` against the codes dir in its
     // pre-append state (after the write, the anti-join would see the
     // batch's own rows and count zero)
-    val q = pinned.agg(avg(col("d2")).as("m"), count(lit(1)).as("n")).head
+    // qerr_cv = the batch's WITHIN-batch spread (round 17 — VERDICT
+    // r16 #8, same agg pass): the audit's noise floor can then track a
+    // corpus whose variance itself drifts after build. Within-batch by
+    // construction — a pooled-across-batches cv would absorb
+    // between-batch MEAN drift and raise the floor exactly when the
+    // gauge should fire (a self-masking gauge).
+    val q = pinned.agg(avg(col("d2")).as("m"), count(lit(1)).as("n"),
+      stddev_pop(col("d2")).as("sd")).head
     pinned.drop("d2").write.mode("append")
       .parquet(graft.streaming.StoreFs.dataDir(spark, dir))
     if (q.getLong(1) > 0L)
       graft.streaming.StoreFs.appendBatchStats(spark, eff, Seq(
         "qerr_mean" -> q.getDouble(0).toString,
         "n_rows" -> q.getLong(1).toString,
-        "batch_id" -> batchId.getOrElse(-1L).toString))
+        "batch_id" -> batchId.getOrElse(-1L).toString) ++
+        (if (!q.isNullAt(2) && q.getDouble(0) > 0.0)
+           Seq("qerr_cv" -> (q.getDouble(2) / q.getDouble(0)).toString)
+         else Nil))
     batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 
@@ -462,6 +472,26 @@ object Pq {
     val probeSv = subvectors(
       emb.filter(col("vec_id").isInCollection(probeIds)), m, dim, vecCol)
     adcTopKFromCodes(probeSv, codes, books, probeIds, k)
+  }
+
+  /** [[adcTopKFromStore]] with the exact re-rank stage — the flat-PQ
+    * production serve (the [[adcRerankTopK]] IVFADC-R refine applied to
+    * the persisted store): the ADC scan over the stored codes nominates
+    * `kShort` candidates per probe, and only those |probes|·kShort rows
+    * are re-scored with exact integer L2² against the caller's
+    * embeddings. This is the serve the flat-PQ recall panel grades
+    * (round 17 — VERDICT r16 #1: the one ranking channel y70 left
+    * ungauged). Output: probe_id, neighbor_id, d2, rk (≤ k per probe). */
+  def adcRerankTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+                             path: String, emb: DataFrame,
+                             probeIds: Seq[Long], kShort: Int, k: Int,
+                             m: Int, dim: Int,
+                             vecCol: String = "embedding"): DataFrame = {
+    val short = adcTopKFromStore(spark, path, emb, probeIds, kShort, m,
+      dim, vecCol)
+    val probeRows = emb.filter(col("vec_id").isInCollection(probeIds))
+    ivfadcRerank(emb, short.select("probe_id", "neighbor_id"), probeRows,
+      k, vecCol)
   }
 
   // ---- IVFADC (Jégou et al. 2011 §IV): coarse cells + residual PQ ----
@@ -736,14 +766,19 @@ object Pq {
     // materializes the pinned cache, and on cache loss it re-derives
     // `novel` against the codes dir's pre-append state (post-write,
     // the anti-join would see the batch's own rows and count zero)
-    val q = pinned.agg(avg(col("d2")).as("m"), count(lit(1)).as("n")).head
+    // within-batch qerr_cv rides along (the appendToPqStore rationale)
+    val q = pinned.agg(avg(col("d2")).as("m"), count(lit(1)).as("n"),
+      stddev_pop(col("d2")).as("sd")).head
     ExactIvf.writeCellLaid(pinned.drop("d2"), buckets,
       graft.streaming.StoreFs.dataDir(spark, dir), overwrite = false)
     if (q.getLong(1) > 0L)
       graft.streaming.StoreFs.appendBatchStats(spark, eff, Seq(
         "qerr_mean" -> q.getDouble(0).toString,
         "n_rows" -> q.getLong(1).toString,
-        "batch_id" -> batchId.getOrElse(-1L).toString))
+        "batch_id" -> batchId.getOrElse(-1L).toString) ++
+        (if (!q.isNullAt(2) && q.getDouble(0) > 0.0)
+           Seq("qerr_cv" -> (q.getDouble(2) / q.getDouble(0)).toString)
+         else Nil))
     batchId.foreach(graft.streaming.StoreFs.writeMarker(spark, dir, _))
   }
 
@@ -1030,6 +1065,17 @@ object Pq {
       vecCol, nBuckets,
       embSource = graft.streaming.StoreFs.readGeometry(spark, eff)
         .getOrElse("emb_source", ""))
+    // the declared recall floor is epoch-durable like emb_source
+    // (round 17 — VERDICT r16 #2): the retrain retires the recall
+    // RECORD by design (new quantizers start ungauged), but retiring
+    // the store's declared contract with it meant the next panel fell
+    // back to the caller's default at exactly the moment the floor was
+    // enforced. The recall_retrain flag is deliberately NOT carried —
+    // a fresh epoch starts unflagged; the maintenance loop re-sets it
+    // only when ITS retrain fired on a recall warn.
+    graft.streaming.StoreFs.readGeometry(spark, eff).get("recall_floor")
+      .foreach(f => graft.streaming.StoreFs.updateGeometry(spark,
+        newRoot, Seq("recall_floor" -> f)))
     graft.streaming.StoreFs.liveTombsDir(spark, eff).foreach { d =>
       val cur = graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")
       val residual = t0.fold(cur)(t => cur.join(t, Seq("vec_id"),
@@ -1067,6 +1113,11 @@ object Pq {
     writePqStore(visible, newRoot, m, dim, nCents, iters, vecCol,
       embSource = graft.streaming.StoreFs.readGeometry(spark, eff)
         .getOrElse("emb_source", ""))
+    // recall_floor rides into the new epoch (the retrainIvfadcLocked
+    // rationale); the recall_retrain flag does not
+    graft.streaming.StoreFs.readGeometry(spark, eff).get("recall_floor")
+      .foreach(f => graft.streaming.StoreFs.updateGeometry(spark,
+        newRoot, Seq("recall_floor" -> f)))
     graft.streaming.StoreFs.liveTombsDir(spark, eff).foreach { d =>
       val cur = graft.streaming.StoreFs.readTombstones(spark, d, "vec_id")
       val residual = t0.fold(cur)(t => cur.join(t, Seq("vec_id"),
@@ -1148,16 +1199,35 @@ object Pq {
                         m: Int, dim: Int,
                         vecCol: String = "embedding",
                         record: Boolean = true): DataFrame = {
+    // the record's clock is captured BEFORE any serve runs (ADVICE r16,
+    // low): stamping after the serve let an append land between the
+    // serve and the record write with a batch-stats millis OLDER than
+    // at_ms — the record then read as fresh although it graded the
+    // pre-append store, and the cadence never re-panelled it. With the
+    // pre-serve stamp, any concurrent append makes the record stale.
+    val atMs = System.currentTimeMillis()
     val exact = graft.core.Caches.scoped(
       l2TopK(emb, probeIds, k, vecCol).select("probe_id", "neighbor_id"))
     val nP = emb.filter(col("vec_id").isInCollection(probeIds))
       .select(count(lit(1)).as("n_probes"))
+    // each store serves through ITS family's production path (round 17
+    // — VERDICT r16 #1: the flat-PQ family was the one ungauged ranking
+    // channel): ivfadc → the IVFADC-R serve; pq → the ADC-shortlist +
+    // exact-re-rank serve (nprobe does not apply — flat PQ has no
+    // coarse cells). Family is read from the live epoch's manifest; an
+    // unrecorded family keeps the pre-r17 ivfadc contract.
     val panel = Similarity.recallPanel(nP, k,
       stores.map { case (method, path, floor) =>
-        (method,
-          ivfadcTopKFromStore(spark, path, emb, probeIds, nprobe, kShort,
-            k, m, dim, vecCol),
-          exact, floor)
+        val fam = graft.streaming.StoreFs.readGeometry(spark,
+          graft.streaming.StoreFs.liveRoot(spark, path))
+          .getOrElse("family", "ivfadc")
+        val served = fam match {
+          case "pq" => adcRerankTopKFromStore(spark, path, emb, probeIds,
+            kShort, k, m, dim, vecCol)
+          case _ => ivfadcTopKFromStore(spark, path, emb, probeIds,
+            nprobe, kShort, k, m, dim, vecCol)
+        }
+        (method, served, exact, floor)
       })
     if (!record) return panel
     // ≤ |stores| rows — collected ONCE so the gauge write never re-runs
@@ -1172,7 +1242,19 @@ object Pq {
           "floor" -> floor.toString,
           "k" -> k.toString,
           "n_probes" -> r.getAs[Long]("n_probes").toString,
-          "at_ms" -> System.currentTimeMillis().toString))
+          "at_ms" -> atMs.toString))
+        // the floor is a declaration about the STORE, not about one
+        // panel (VERDICT r16 #2) — persist it in the geometry manifest,
+        // where the retrain carries it into the next epoch (the
+        // emb_source discipline), so the contract survives the exact
+        // moment it gets enforced. A panel meeting the floor also
+        // clears the recall-retrain flag: the lever demonstrably
+        // recovered recall, so a LATER erosion retrains again instead
+        // of reporting the floor unattainable.
+        graft.streaming.StoreFs.updateGeometry(spark, eff,
+          Seq("recall_floor" -> floor.toString),
+          remove = if (r.getAs[Double]("recall") >= floor)
+            Seq("recall_retrain") else Seq.empty)
       }
     }
     spark.createDataFrame(

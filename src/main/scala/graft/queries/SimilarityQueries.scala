@@ -1432,6 +1432,143 @@ object SimilarityQueries {
       .orderBy("method")
   }
 
+  // --- Y71: the FLAT-PQ recall panel (round 17 — VERDICT r16 #1, the
+  // y70 treatment for the family it skipped): servedRecallPanel now
+  // dispatches by store family, so a flat-PQ store is graded through
+  // ITS production serve — the ADC shortlist over the stored codes +
+  // exact re-rank (adcRerankTopKFromStore; no coarse cells, nprobe
+  // does not apply) — on both sides of the retrain lever: the DRIFTED
+  // store (y25's fixture: books trained on 80% of the corpus, the rest
+  // appended under the frozen codebooks) and the RETRAINED store (the
+  // same corpus re-fit by Pq.retrainPqStore through the epoch
+  // cutover). One exact integer-L2 truth arm grades both; the
+  // recall_ok floors pin both states (the q08b self-grading pattern),
+  // so a ranking regression in either serve flips the hash.
+  private val Y71DriftedFloor = 0.80
+  private val Y71RetrainedFloor = 0.85
+
+  private def ensurePqRetrainedStore(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val path = StoreFixtures.path("graft-pqret", d, "embeddings.parquet",
+      "pqret1")
+    StoreFixtures.onceByMarker(path, "_graft_ret_done") {
+      val emb = embeddings(s, d)
+      Pq.writePqStore(emb.filter(col("vec_id") % 10 < 8), path,
+        PqM, Dim, PqC, iters = 1)
+      Pq.appendToPqStore(s, emb.filter(col("vec_id") % 10 >= 8),
+        path, PqM, Dim, batchId = Some(1L))
+      Pq.retrainPqStore(s, emb, path, PqM, Dim, PqC, iters = 1)
+    }
+  }
+
+  /** One flat-PQ store replay's CTE body, every name suffixed with
+    * `tag` (the ivfadcReplayCtes discipline, minus the coarse level):
+    * sample + one-Lloyd codebooks over the TRAINING rows, encode over
+    * everything (per-row deterministic under frozen books, so
+    * full-corpus encode ≡ build ∪ frozen-books append — the y25
+    * equivalence), ADC shortlist, exact re-rank, top-k. Expects the
+    * shared header plus `sv` (full-corpus subvectors) and `psv`
+    * (probe subvectors). */
+  private def pqReplayCtes(tag: String,
+                           trainPred: String = "true"): String = s""",
+      trn$tag AS (SELECT vec_id FROM em WHERE $trainPred),
+      svt$tag AS (SELECT sv.* FROM sv SEMI JOIN trn$tag USING (vec_id)),
+      smp$tag AS (SELECT vec_id FROM em WHERE $trainPred
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $PqC),
+      b0$tag AS (SELECT sub, s.vec_id AS cent_id, svm AS cvm
+             FROM svt$tag s JOIN smp$tag USING (vec_id)),
+      pa1$tag AS (
+        SELECT vec_id, sub, svm, cell FROM (
+          SELECT a.vec_id, a.sub, a.svm, b.cent_id AS cell,
+                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+                   ORDER BY ${pqD2("a.svm", "b.cvm", PqSubDim)}, b.cent_id) AS rn
+          FROM svt$tag a JOIN b0$tag b ON a.sub = b.sub)
+        WHERE rn = 1),
+      pu1$tag AS (SELECT sub, cell, d,
+                     CAST(floor(CAST(SUM(svm[d]) AS DOUBLE) / COUNT(*) + 0.5)
+                       AS BIGINT) AS cm
+              FROM pa1$tag, UNNEST(range(1, ${PqSubDim + 1})) t(d)
+              GROUP BY sub, cell, d),
+      b1$tag AS (SELECT sub, cell AS cent_id, list(cm ORDER BY d) AS cvm
+             FROM pu1$tag GROUP BY sub, cell),
+      enc$tag AS (
+        SELECT vec_id, sub, cell FROM (
+          SELECT a.vec_id, a.sub, b.cent_id AS cell,
+                 row_number() OVER (PARTITION BY a.vec_id, a.sub
+                   ORDER BY ${pqD2("a.svm", "b.cvm", PqSubDim)}, b.cent_id) AS rn
+          FROM sv a JOIN b1$tag b ON a.sub = b.sub)
+        WHERE rn = 1),
+      lut$tag AS (SELECT p.probe_id, b.sub, b.cent_id AS cell,
+                     ${pqD2("p.svm", "b.cvm", PqSubDim)} AS pd2
+              FROM psv p JOIN b1$tag b ON p.sub = b.sub),
+      adc$tag AS (SELECT l.probe_id, c.vec_id AS neighbor_id,
+                     SUM(l.pd2) AS adc
+              FROM enc$tag c JOIN lut$tag l
+                ON c.sub = l.sub AND c.cell = l.cell
+              WHERE c.vec_id <> l.probe_id
+              GROUP BY l.probe_id, c.vec_id),
+      shortl$tag AS (SELECT probe_id, neighbor_id FROM (
+               SELECT probe_id, neighbor_id,
+                      row_number() OVER (PARTITION BY probe_id
+                        ORDER BY adc, neighbor_id) AS rk
+               FROM adc$tag) WHERE rk <= $PqShort),
+      rr$tag AS (SELECT s.probe_id, s.neighbor_id,
+                    ${pqD2("a.vm", "p.pm", Dim)} AS d2
+             FROM shortl$tag s
+             JOIN em a ON a.vec_id = s.neighbor_id
+             JOIN probes p ON p.probe_id = s.probe_id),
+      srv$tag AS (SELECT probe_id, neighbor_id FROM (
+                  SELECT probe_id, neighbor_id,
+                         row_number() OVER (PARTITION BY probe_id
+                           ORDER BY d2, neighbor_id) AS rk
+                  FROM rr$tag) WHERE rk <= $PqK)"""
+
+  val y71 = Query(
+    "y71_pq_recall_panel",
+    Some(ivfadcHeaderCtes + s""",
+      sv AS (SELECT vec_id, CAST(s AS INT) AS sub,
+                    list_slice(vm, s * $PqSubDim + 1,
+                               s * $PqSubDim + $PqSubDim) AS svm
+             FROM em, UNNEST(range(0, $PqM)) t(s)),
+      psv AS (SELECT vec_id AS probe_id, sub, svm
+              FROM sv JOIN pids USING (vec_id))"""
+      + pqReplayCtes("_d", trainPred = "vec_id % 10 < 8")
+      + pqReplayCtes("_r")
+      + s""",
+      exsc AS (SELECT probe_id, a.vec_id AS neighbor_id,
+                      ${pqD2("a.vm", "p.pm", Dim)} AS d2
+               FROM em a CROSS JOIN probes p WHERE a.vec_id <> p.probe_id),
+      exact AS (SELECT probe_id, neighbor_id FROM (
+                  SELECT probe_id, neighbor_id,
+                         row_number() OVER (PARTITION BY probe_id
+                           ORDER BY d2, neighbor_id) AS rk
+                  FROM exsc) WHERE rk <= $PqK),
+      hits AS (
+        SELECT 'pq_drifted' AS method,
+               CAST(count(*) AS BIGINT) AS total_hits,
+               $Y71DriftedFloor AS bound
+        FROM srv_d SEMI JOIN exact USING (probe_id, neighbor_id)
+        UNION ALL
+        SELECT 'pq_retrained', CAST(count(*) AS BIGINT),
+               $Y71RetrainedFloor
+        FROM srv_r SEMI JOIN exact USING (probe_id, neighbor_id))
+      SELECT method, n_probes, total_hits,
+             CAST(total_hits AS DOUBLE) / (n_probes * $PqK) AS recall,
+             CASE WHEN CAST(total_hits AS DOUBLE) / (n_probes * $PqK)
+                    >= bound THEN 1 ELSE 0 END AS recall_ok
+      FROM hits, np
+      ORDER BY method""")
+  ) { (s, d) =>
+    val emb = embeddings(s, d)
+    val probeIds = Similarity.boundedProbeIds(emb, NProbesBound)
+    Pq.servedRecallPanel(s, Seq(
+        ("pq_drifted", ensurePqStore(s, d), Y71DriftedFloor),
+        ("pq_retrained", ensurePqRetrainedStore(s, d),
+          Y71RetrainedFloor)),
+      emb, probeIds, IvfNprobe, PqShort, PqK, PqM, Dim)
+      .orderBy("method")
+  }
+
   // --- Y67: PREDICATE-FILTERED IVFADC serving graded (round 15 —
   // VERDICT r14 #3's graded row): the filtered-RAG shape on the
   // APPROXIMATE path, through the pure-SQL graft_ivfadc_topk_filtered
@@ -1547,5 +1684,6 @@ object SimilarityQueries {
   }
 
   val all: Seq[Query] = Seq(q17, x04, x05, x34, x43, x46, x47, x48, x54, x55,
-    x61, y02, y21, y22, y25, y30, y36, y45, y51, y56, y65, y66, y67, y70)
+    x61, y02, y21, y22, y25, y30, y36, y45, y51, y56, y65, y66, y67, y70,
+    y71)
 }

@@ -131,8 +131,26 @@ object StoreAudit {
     if (rec.isEmpty) return Seq.empty
     def num(k: String): Option[Double] =
       rec.get(k).flatMap(_.toDoubleOption)
+    // "retrain did not recover recall" (round 17 — VERDICT r16 #3):
+    // the maintenance loop stamps `recall_retrain=1` on the epoch its
+    // recall-triggered retrain produced; any record ON this epoch is by
+    // construction post-retrain, so below-floor + the flag means the
+    // lever was pulled and the floor is still unmet — an ERROR the loop
+    // SURFACES instead of retraining every pass forever. A panel that
+    // meets the floor clears the flag (servedRecallPanel), so a later
+    // genuine erosion goes back to the warn/retrain path.
+    val flagged = StoreFs.readGeometry(spark, eff)
+      .get("recall_retrain").contains("1")
     val below = (for { r <- num("recall"); f <- num("floor") } yield
-      if (r < f)
+      if (r < f && flagged)
+        Seq(Finding(dir, "recall", "error",
+          f"served recall ${r}%.4f is STILL below the floor ${f}%.4f " +
+            "after a recall-triggered retrain — the floor is " +
+            "unattainable at this serve/geometry: raise nprobe/kShort, " +
+            "change the geometry (m/n_cents/n_cells), or lower the " +
+            "declared recall_floor; the maintenance loop surfaces this " +
+            "instead of retraining again"))
+      else if (r < f)
         Seq(Finding(dir, "recall", "warn",
           f"served recall ${r}%.4f is below the panel floor ${f}%.4f " +
             "(k=" + rec.getOrElse("k", "?") + ", n_probes=" +
@@ -141,6 +159,31 @@ object StoreAudit {
             "(Pq.retrainIvfadcStore / retrainPqStore) and re-run the " +
             "panel on the new epoch"))
       else Seq.empty).getOrElse(Seq.empty)
+    // TREND (round 17 — VERDICT r16 #6): with ≥ 3 panels recorded on
+    // this epoch, a monotonic decline whose total drop exceeds the
+    // margin is erosion IN PROGRESS even while the newest value still
+    // clears the floor — reported as info (a projection, not a lever
+    // trigger; the floor breach itself is the warn that retrains).
+    val margin = spark.conf
+      .getOption("spark.graft.audit.recallTrendMargin")
+      .flatMap(_.toDoubleOption).getOrElse(0.02)
+    val hist = StoreFs.readRecallHistory(spark, eff)
+      .flatMap(_._2.get("recall").flatMap(_.toDoubleOption))
+    val trend =
+      if (hist.size < 3) Seq.empty
+      else {
+        val last = hist.takeRight(3)
+        if (last.sliding(2).forall(w => w(1) < w(0)) &&
+            last.head - last.last >= margin)
+          Seq(Finding(dir, "recall", "info",
+            f"recall trend is eroding: the last ${last.size} panels " +
+              f"read ${last.map(v => f"$v%.4f").mkString(" -> ")} " +
+              f"(monotonic decline ${last.head - last.last}%.4f past " +
+              f"the $margin%.2f margin) — the floor will be breached " +
+              "if the slide continues; consider retraining ahead of " +
+              "the warn"))
+        else Seq.empty
+      }
     // staleness: the newest batch-stats entry's millis prefix is the
     // append clock; a panel older than it graded a store that has
     // since grown
@@ -155,7 +198,7 @@ object StoreAudit {
             "(Pq.servedRecallPanel) to refresh the gauge"))
       case _ => Seq.empty
     }
-    below ++ stale
+    below ++ stale ++ trend
   }
 
   /** Retrain/recluster trigger observability (round 15 — VERDICT r14
@@ -196,7 +239,29 @@ object StoreAudit {
     // An EXPLICIT operator threshold is still honored, raised to the
     // floor when the floor is higher (the operator cannot accidentally
     // set a bar below the store's own noise).
+    //
+    // VARIANCE DRIFT (round 17 — VERDICT r16 #8): the build cv was
+    // frozen per epoch, so a corpus whose variance itself grows after
+    // build kept warning at the stale tight floor. Appends now record
+    // their WITHIN-batch cv (appendBatchStats `qerr_cv` — within-batch
+    // by construction, so between-batch MEAN drift cannot inflate it
+    // and mask itself), and the effective cv is the build one raised
+    // to the mass-weighted live one when the live spread is wider.
+    // Never lowered: a live cv below build must not tighten the floor
+    // under the operator's feet mid-epoch.
+    val batchEntries = StoreFs.readBatchStats(spark, eff).map(_._2)
+    val liveCv = {
+      val pairs = batchEntries.flatMap(e => for {
+        c <- e.get("qerr_cv").flatMap(_.toDoubleOption)
+        m <- e.get("cv_rows").orElse(e.get("n_rows"))
+          .flatMap(_.toDoubleOption)
+      } yield (c, m))
+      val mass = pairs.map(_._2).sum
+      if (mass <= 0.0) None
+      else Some(pairs.map { case (c, m) => c * m }.sum / mass)
+    }
     val storeFloor = build.get("qerr_cv").flatMap(_.toDoubleOption)
+      .map(buildCv => math.max(buildCv, liveCv.getOrElse(buildCv)))
       .map(cv => math.max(1.15, math.min(8.0, (1 + 3 * cv) * 1.2)))
     def warnAtFor(useFloor: Boolean): Double = {
       val floor = if (useFloor) storeFloor else None
@@ -250,7 +315,7 @@ object StoreAudit {
       case "pq" | "ivfadc" =>
         build.get("qerr_mean").flatMap(_.toDoubleOption)
           .filter(_ > 0.0).toSeq.flatMap { b0 =>
-            val batches = StoreFs.readBatchStats(spark, eff).map(_._2)
+            val batches = batchEntries
             def num(e: Map[String, String], k: String): Option[Double] =
               e.get(k).flatMap(_.toDoubleOption)
             // only entries carrying BOTH a parseable qerr_mean and

@@ -521,13 +521,36 @@ private[graft] object StoreFs {
         .flatMap(d => if (g % d == 0L) Seq(d, g / d) else Nil)
         .filter(_ > maxB).min
     }
+    // SANITY cross-checks (round 17 — VERDICT r16 #5): adoption used
+    // to trust whatever layout it observed, so a HALF-WRITTEN legacy
+    // store (a truncated cells table, books missing a subspace)
+    // adopted a manifest whose numbers silently prune or mis-slice
+    // every serve. The checks are referential, not positional — cell
+    // ids are SAMPLED vec ids, never dense 0..nCells−1 — and bounded:
+    // distinct-key anti-joins over ≤ nCells / ≤ m ids.
+    def refuse(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"adoptLegacyStore refuses $dir: $msg — the observed layout is " +
+          "internally inconsistent (a half-written or truncated legacy " +
+          "store); restore the damaged table before adopting")
+    def orphanIn(data: org.apache.spark.sql.DataFrame, keyCol: String,
+                 ref: org.apache.spark.sql.DataFrame): Option[String] =
+      data.select(col(keyCol)).distinct()
+        .join(ref.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .limit(1).collect().headOption.map(_.get(0).toString)
     val derived: Seq[(String, String)] =
       if (subs("vecs") && subs("cells")) {
         val cells = read("cells")
+        val vecs = read("vecs")
         val n = cells.count()
+        if (n == 0L && vecs.limit(1).count() > 0L)
+          refuse("the cells table is empty while vecs holds rows")
+        orphanIn(vecs, "ivf_cell", cells).foreach(c =>
+          refuse(s"vecs reference ivf_cell=$c, which is absent from " +
+            "the cells table (truncated cells)"))
         val dim = cells.select(size(col("ccvm"))).head.getInt(0)
         Seq("family" -> "exact_ivf", "n_cells" -> n.toString,
-          "n_buckets" -> bucketModulus(read("vecs")).toString,
+          "n_buckets" -> bucketModulus(vecs).toString,
           "dim" -> dim.toString) ++
           (if (subs("groups"))
              Seq("n_groups" -> read("groups").count().toString)
@@ -535,13 +558,23 @@ private[graft] object StoreFs {
       } else if (subs("coarse") && subs("books") && subs("codes")) {
         val coarse = read("coarse")
         val books = read("books")
+        val codes = read("codes")
         val n = coarse.count()
+        if (n == 0L && codes.limit(1).count() > 0L)
+          refuse("the coarse table is empty while codes holds rows")
+        orphanIn(codes, "ivf_cell", coarse).foreach(c =>
+          refuse(s"codes reference ivf_cell=$c, which is absent from " +
+            "the coarse table (truncated coarse)"))
+        orphanIn(codes, "sub", books).foreach(s =>
+          refuse(s"codes carry sub=$s, which has no codebook in books " +
+            "(truncated books — the derived m would mis-slice every " +
+            "ADC sum)"))
         val dim = coarse.select(size(col("ccvm"))).head.getInt(0)
         val m = books.select(col("sub")).distinct().count()
         val nCents = books.groupBy(col("sub"))
           .agg(count(lit(1)).as("c")).agg(max(col("c"))).head.getLong(0)
         Seq("family" -> "ivfadc", "n_cells" -> n.toString,
-          "n_buckets" -> bucketModulus(read("codes")).toString,
+          "n_buckets" -> bucketModulus(codes).toString,
           "m" -> m.toString, "dim" -> dim.toString,
           "n_cents" -> nCents.toString) ++
           (if (subs("groups"))
@@ -549,6 +582,10 @@ private[graft] object StoreFs {
            else Nil)
       } else if (subs("books") && subs("codes")) {
         val books = read("books")
+        val codes = read("codes")
+        orphanIn(codes, "sub", books).foreach(s =>
+          refuse(s"codes carry sub=$s, which has no codebook in books " +
+            "(truncated books)"))
         val m = books.select(col("sub")).distinct().count()
         val subDim = books.select(size(col("cvm"))).head.getInt(0)
         val nCents = books.groupBy(col("sub"))
@@ -614,6 +651,24 @@ private[graft] object StoreFs {
       throw new java.io.IOException(
         s"could not materialize geometry manifest $dst (rename failed)")
     }
+  }
+
+  /** Read-merge-write update of the geometry manifest (round 17): set
+    * the `set` entries, drop the `remove` keys, keep everything else —
+    * the shape the epoch-durable declarations (recall_floor, the
+    * recall_retrain flag) need, where [[writeGeometry]] would clobber
+    * the build-time record. A PRE-MANIFEST store is left untouched
+    * (silently): materializing a manifest holding only an update key
+    * would make discovery claim a store whose family it cannot name,
+    * and the pre-manifest contract is "trust the caller" throughout. */
+  def updateGeometry(spark: SparkSession, dir: String,
+                     set: Seq[(String, String)],
+                     remove: Seq[String] = Seq.empty): Unit = {
+    val cur = readGeometry(spark, dir)
+    if (cur.isEmpty) return
+    val merged = (cur ++ set.toMap -- remove).toSeq.sortBy(_._1)
+    if (merged != cur.toSeq.sortBy(_._1))
+      writeGeometry(spark, dir, merged)
   }
 
   /** Fail fast when `dir`'s recorded store FAMILY disagrees with the
@@ -742,14 +797,60 @@ private[graft] object StoreFs {
     * gauge is "is the CURRENT store still ranking well", not a history
     * (CORRECTNESS keeps the history). */
   def writeRecallStats(spark: SparkSession, dir: String,
-                       kv: Seq[(String, String)]): Unit =
+                       kv: Seq[(String, String)]): Unit = {
     writeKvFile(spark, dir, RecallStatsName, kv)
+    // HISTORY (round 17 — VERDICT r16 #6): alongside the newest-record
+    // overwrite, each panel result lands as one small file under
+    // `_recall/`, named by its at_ms so lexicographic order is
+    // chronological — the fsck reads the sequence to report recall
+    // TREND (eroding vs stable), and a future floor can be learned
+    // from the store's own history. Bounded: the oldest entries past
+    // [[RecallHistoryKeep]] are pruned on every write, and the
+    // directory lives at the EPOCH root, so a retrain retires the
+    // history with the quantizers it graded (a trend across different
+    // codebooks would conflate two different stores).
+    val (fs, p) = fsAndPath(spark, s"$dir/_recall")
+    if (!fs.exists(p)) fs.mkdirs(p)
+    val ms = kv.toMap.get("at_ms").flatMap(_.toLongOption)
+      .getOrElse(System.currentTimeMillis())
+    val name = f"recall-$ms%016d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val out = fs.create(new Path(p, name), false)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString("\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("recall-")).sortBy(_.getName)
+      .dropRight(RecallHistoryKeep).foreach(fs.delete(_, false))
+  }
+
+  private[graft] val RecallHistoryKeep = 16
 
   /** Newest recall-panel record, or empty when no panel has run on
     * this epoch (absence = gauge unavailable — never an error). */
   def readRecallStats(spark: SparkSession, dir: String)
       : Map[String, String] =
     readKvFile(spark, dir, RecallStatsName)
+
+  /** All recorded recall-panel results on this epoch, (fileName → kv),
+    * chronological — the trend input. Torn entries drop silently. */
+  def readRecallHistory(spark: SparkSession, dir: String)
+      : Seq[(String, Map[String, String])] = {
+    val (fs, p) = fsAndPath(spark, s"$dir/_recall")
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("recall-")).sortBy(_.getName)
+      .flatMap { f =>
+        readSmall(fs, f).map { s =>
+          f.getName -> s.linesIterator.flatMap { line =>
+            line.split("=", 2) match {
+              case Array(k, v) => Some(k.trim -> v.trim)
+              case _           => None
+            }
+          }.toMap
+        }
+      }
+  }
 
   /** Record one append batch's stats: a single small file under
     * `dir/_stats/`, named by wall-clock millis so lexicographic order
@@ -790,10 +891,24 @@ private[graft] object StoreFs {
         else parsed.map(e => e._2.get("qerr_mean").flatMap(_.toDoubleOption)
           .getOrElse(0.0) * e._2.get("n_rows").flatMap(_.toLongOption)
           .getOrElse(0L)).sum / n
+      // qerr_cv folds mass-weighted over the entries that carry it
+      // (round 17 — the within-batch spread gauge survives the rollup
+      // with its mass intact; entries predating the cv record simply
+      // leave the cv pool, exactly as they do in the audit)
+      val cvPairs = parsed.flatMap(e => for {
+        c <- e._2.get("qerr_cv").flatMap(_.toDoubleOption)
+        m <- e._2.get("n_rows").flatMap(_.toLongOption)
+      } yield (c, m))
+      val cvMass = cvPairs.map(_._2).sum
+      val cvKv =
+        if (cvMass <= 0L) Nil
+        else Seq("qerr_cv" ->
+          (cvPairs.map { case (c, m) => c * m }.sum / cvMass).toString,
+          "cv_rows" -> cvMass.toString)
       val rollName = fold.head.getName.take("stats-".length + 16) + "-rollup"
       val ro = fs.create(new Path(p, rollName), true)
-      try ro.write(Seq("qerr_mean" -> qe.toString, "n_rows" -> n.toString,
-        "batch_id" -> "-1", "rolled" -> fold.size.toString)
+      try ro.write((Seq("qerr_mean" -> qe.toString, "n_rows" -> n.toString,
+        "batch_id" -> "-1", "rolled" -> fold.size.toString) ++ cvKv)
         .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
       finally ro.close()
       fold.filter(_.getName != rollName).foreach(fs.delete(_, false))

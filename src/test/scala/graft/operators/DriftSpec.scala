@@ -221,6 +221,133 @@ class DriftSpec extends AnyFunSuite with SparkTest
     } finally spark.conf.unset("spark.graft.audit.driftRatio")
   }
 
+  test("variance drift: a live spread wider than the build raises the floor; it never tightens it (round 17)") {
+    def store(cv: String): String = {
+      val path = tmp()
+      Pq.writePqStore(emb(0 until 150, 1.0), path, m = 2, dim = Dim,
+        nCents = 4, iters = 1)
+      val b0 = graft.streaming.StoreFs.readBuildStats(spark, path)(
+        "qerr_mean").toDouble
+      graft.streaming.StoreFs.writeBuildStats(spark, path, Seq(
+        "qerr_mean" -> b0.toString, "qerr_cv" -> cv, "n_rows" -> "150"))
+      path
+    }
+    def batchAt(path: String, ratio: Double, liveCv: String): Unit = {
+      val b0 = graft.streaming.StoreFs.readBuildStats(spark, path)(
+        "qerr_mean").toDouble
+      graft.streaming.StoreFs.appendBatchStats(spark, path, Seq(
+        "qerr_mean" -> (b0 * ratio).toString, "n_rows" -> "1000",
+        "batch_id" -> "1", "qerr_cv" -> liveCv))
+    }
+    // STABLE build (cv 0.02 → stale floor ~1.27) whose corpus variance
+    // then GROWS: the appended mass records a within-batch cv of 0.8,
+    // so the effective floor derives from the live spread (4.08) — a
+    // 1.6x batch that the frozen build floor would have warned on is
+    // inside the store's CURRENT noise (VERDICT r16 #8)
+    val widened = store("0.02")
+    batchAt(widened, 1.6, liveCv = "0.8")
+    assert(!drift(widened).exists(_.level == "warn"),
+      drift(widened).toString)
+    assert(drift(widened).exists(_.level == "info"),
+      drift(widened).toString)
+    // the live cv never LOWERS the floor: a noisy build (cv 0.8, floor
+    // 4.08) with quieter live batches keeps its build floor — a 2.5x
+    // batch stays inside it
+    val noisy = store("0.8")
+    batchAt(noisy, 2.5, liveCv = "0.02")
+    assert(!drift(noisy).exists(_.level == "warn"),
+      drift(noisy).toString)
+    // and with NO live cv recorded (pre-r17 appends), the build floor
+    // stands: the 1.6x batch on the stable store warns as before
+    val stale = store("0.02")
+    graft.streaming.StoreFs.appendBatchStats(spark, stale, Seq(
+      "qerr_mean" -> (graft.streaming.StoreFs.readBuildStats(spark,
+        stale)("qerr_mean").toDouble * 1.6).toString,
+      "n_rows" -> "1000", "batch_id" -> "1"))
+    assert(drift(stale).exists(_.level == "warn"), drift(stale).toString)
+  }
+
+  test("recall history: three eroding panels yield a trend finding; a recovering one clears it (round 17)") {
+    val path = tmp()
+    Pq.writePqStore(emb(0 until 100, 1.0), path, m = 2, dim = Dim,
+      nCents = 4, iters = 1)
+    def recallF() = StoreAudit.auditFindings(spark, path)
+      .filter(_.check == "recall")
+    def panel(recall: String, atMs: Long): Unit =
+      graft.streaming.StoreFs.writeRecallStats(spark, path, Seq(
+        "recall" -> recall, "floor" -> "0.5", "k" -> "5",
+        "n_probes" -> "8", "at_ms" -> atMs.toString))
+    val t0 = System.currentTimeMillis()
+    panel("0.90", t0)
+    panel("0.85", t0 + 1)
+    // two panels: no trend yet (and both clear the floor — no warn)
+    assert(recallF().isEmpty, recallF().toString)
+    panel("0.80", t0 + 2)
+    // three monotonically eroding panels past the 0.02 margin → the
+    // trend is reported (info — a projection, not a lever trigger)
+    // with the sequence and the newest value in the detail
+    val trending = recallF()
+    assert(trending.exists(f => f.level == "info" &&
+      f.detail.contains("trend") && f.detail.contains("0.8000")),
+      trending.toString)
+    assert(!trending.exists(_.level == "warn"), trending.toString)
+    // a recovering fourth panel breaks the monotone slide → quiet
+    panel("0.88", t0 + 3)
+    assert(recallF().isEmpty, recallF().toString)
+    // the history is bounded: many panels keep only the newest window
+    (4L until 40L).foreach(i => panel("0.88", t0 + i))
+    assert(graft.streaming.StoreFs.readRecallHistory(spark, path).size <=
+      graft.streaming.StoreFs.RecallHistoryKeep)
+  }
+
+  test("adoption refuses an internally inconsistent legacy layout (round 17)") {
+    // exact-IVF with a TRUNCATED cells table: vecs reference a cell
+    // the observed layout cannot name — pre-r17 adoption recorded a
+    // wrong n_cells silently and every serve pruned on it
+    val path = tmp()
+    ExactIvf.writeVecStore(
+      cluster(0 until 50, +1L).unionAll(cluster(50 until 100, -1L)),
+      path, nCells = 4, iters = 1)
+    assert(new java.io.File(path, "_graft_geometry").delete())
+    val cellsDir = graft.streaming.StoreFs.dataDir(spark, s"$path/cells")
+    val cellsDf = spark.read.parquet(cellsDir)
+    // drop the cell holding the MOST vecs so the orphan is guaranteed
+    val vecsDf = spark.read.parquet(
+      graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
+    val busiest = vecsDf.groupBy("ivf_cell")
+      .agg(count(lit(1)).as("n")).orderBy(col("n").desc)
+      .head.getLong(0)
+    val kept = cellsDf.collect().filter(
+      _.getAs[Long]("ivf_cell") != busiest)
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(kept: _*)),
+      cellsDf.schema).write.mode("overwrite").parquet(cellsDir)
+    spark.catalog.refreshByPath(cellsDir)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StoreFs.adoptLegacyStore(spark, path)
+    }
+    assert(e.getMessage.contains("absent from"), e.getMessage)
+    assert(!new java.io.File(path, "_graft_geometry").exists(),
+      "a refused adoption must not leave a manifest behind")
+    // flat-PQ with TRUNCATED books: codes carry a sub with no codebook
+    // — the derived m would mis-slice every ADC sum
+    val pqPath = tmp()
+    Pq.writePqStore(emb(0 until 80, 1.0), pqPath, m = 2, dim = Dim,
+      nCents = 4, iters = 1)
+    assert(new java.io.File(pqPath, "_graft_geometry").delete())
+    val booksDf = spark.read.parquet(s"$pqPath/books")
+    val keptBooks = booksDf.collect().filter(r =>
+      r.getAs[Number]("sub").longValue() == 0L)
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(keptBooks: _*)),
+      booksDf.schema).write.mode("overwrite").parquet(s"$pqPath/books")
+    spark.catalog.refreshByPath(s"$pqPath/books")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.StoreFs.adoptLegacyStore(spark, pqPath)
+    }
+    assert(e2.getMessage.contains("no codebook"), e2.getMessage)
+  }
+
   test("batch stats roll up past the cap with the cumulative mass preserved") {
     val path = tmp()
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(

@@ -278,6 +278,79 @@ class ExactIvfSpec extends AnyFunSuite with SparkTest {
       "serving must stay exact under cross-batch re-ingest")
   }
 
+  test("a groups-table centroid owning zero cells cannot swallow an append (ADVICE r16)") {
+    import spark.implicits._
+    val vecs = fixture(200)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-emptygroup-test-").toString
+    ExactIvf.writeVecStore(vecs.filter(col("doc_id") < 190), path,
+      nCells = 8, iters = 1)
+    // doctor a PHANTOM group centroid that owns zero cells, placed
+    // exactly on batch row 190's vector so it wins the level-1 argmin —
+    // the writeAssigned reassignment can leave such a centroid for
+    // real; before the cells semi-join, every batch vector nearest to
+    // it silently vanished from the append while the marker committed
+    val phantom = Seq((999L,
+      (0 until Dim).map(j => ((190L * 31 + j * 17) % 201) - 100L).toArray))
+      .toDF("cell_group", "gcvm")
+    phantom.write.mode("append").parquet(s"$path/groups")
+    ExactIvf.appendToVecStore(spark,
+      vecs.filter(col("doc_id") >= 190), path, batchId = Some(1L))
+    assert(spark.read
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
+      .select("vec_id").distinct().count() == 200L,
+      "every batch row must land even when a group centroid owns no cells")
+    val queries = Seq((1L, 190L), (2L, 5L))
+    assert(served(path, queries, k = 15, nprobe0 = 2) ==
+      brute(vecs, queries, k = 15),
+      "the serve must stay exact over the healed append")
+  }
+
+  test("cross-policy re-ingest: a row stored in a NON-nearest cell still dedups on append (ADVICE r16)") {
+    import spark.implicits._
+    // two tight clusters with one centroid each; the even ids below 10
+    // (cluster-A vectors) are DELIBERATELY stored in cell B — legal
+    // under the writeVecStoreAssigned contract (serve exactness never
+    // depends on which cell a row lives in). A re-ingest of those ids
+    // assigns them to cell A, so a visible-side prune to the BATCH's
+    // cells would never see the stored copies and land duplicates the
+    // serve returns twice — the r17 unpruned key-column anti-join must
+    // drop them.
+    val n = 60
+    val raw = (0L until n).map { i =>
+      val base = Array.fill(Dim)(0L)
+      if (i % 2 == 0) base(0) = 1000L else base(1) = 1000L
+      (i, base.zipWithIndex.map { case (v, j) =>
+        v + ((i * 7 + j * 3) % 11) - 5L })
+    }
+    val vecs = raw.toDF("vec_id", "vm")
+    val cA = Array.tabulate(Dim)(j => if (j == 0) 1000L else 0L)
+    val cB = Array.tabulate(Dim)(j => if (j == 1) 1000L else 0L)
+    val cents = Seq((0L, cA), (1L, cB)).toDF("ivf_cell", "ccvm")
+    val assigned = vecs.withColumn("ivf_cell",
+      when(col("vec_id") < 10, lit(1L))
+        .otherwise(when(col("vec_id") % 2 === 0, lit(0L))
+          .otherwise(lit(1L))))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-exactivf-xpolicy-test-").toString
+    ExactIvf.writeVecStoreAssigned(spark, assigned, cents, path)
+    // re-ingest ONLY the cross-policy ids (0,2,4,6,8): the whole batch
+    // assigns to cell A, while every stored copy lives in cell B
+    ExactIvf.appendToVecStore(spark,
+      vecs.filter(col("vec_id") < 10 && col("vec_id") % 2 === 0),
+      path, batchId = Some(1L), idCol = "vec_id", vecCol = "vm")
+    val stored = spark.read
+      .parquet(graft.streaming.StoreFs.dataDir(spark, s"$path/vecs"))
+      .select("vec_id")
+    assert(stored.count() == n && stored.distinct().count() == n,
+      "a re-ingested id whose stored copy lives outside the batch's " +
+        "cells must drop, not duplicate")
+    val bruteVecs = vecs.toDF("doc_id", "vec")
+    val queries = Seq((1L, 0L), (2L, 1L))
+    assert(served(path, queries, k = 12, nprobe0 = 2) ==
+      brute(bruteVecs, queries, k = 12))
+  }
+
   test("compaction preserves answers, partition layout and the -1 sentinel") {
     val vecs = fixture(200)
     val path = java.nio.file.Files

