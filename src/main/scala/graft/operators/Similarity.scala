@@ -357,21 +357,30 @@ object Similarity {
     * behavior), identically in the oracle.
     * Output: cent_id (cell key), cv (trained centroid, array<double>). */
   def kmeansCodebook(emb: DataFrame, initPred: Column, iters: Int,
-                     maxCents: Int = 32): DataFrame = {
+                     maxCents: Int = 32, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = emb.select(col("vec_id"), quantize(col("embedding")).as("vq"))
     var cents = e.filter(initPred)
       .orderBy("vec_id").limit(maxCents)
       .select(col("vec_id").as("cent_id"), col("vq").as("cv"))
     for (_ <- 1 to iters) {
+      // Per-iteration centroid update as ONE cell-keyed aggregation of
+      // `dim` exact decimal component sums + a count (codegen'd partial →
+      // final HashAggregate: the exchange carries one dim-wide partial
+      // row per (cell, map task), never corpus rows). The earlier
+      // posexplode form blew each row up ×dim, shuffled (cell, d) keys,
+      // then paid a SECOND exchange + ObjectHashAggregate to regroup the
+      // components into the array (guide §2.3 aggregate before you
+      // shuffle / §2.4 share one exchange). Same math exactly: decimal
+      // sums are order-insensitive, divided once as doubles, round-6.
+      val sums = (0 until dim).map(j =>
+        sum(element_at(col("vq"), j + 1).cast(DecimalType(18, 8))).as(s"__s$j"))
       val comp = assignCells(e, cents)
-        .select(col("cell"), posexplode(col("vq")).as(Seq("d", "x")))
-        .groupBy("cell", "d")
-        .agg((sum(col("x").cast(DecimalType(18, 8))).cast("double")
-          / count(lit(1))).as("m"))
-      cents = comp.groupBy(col("cell").as("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          s => round(s.getField("m"), 6)).as("cv"))
+        .groupBy(col("cell").as("cent_id"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
+      cents = comp.select(col("cent_id"),
+        array((0 until dim).map(j =>
+          round(col(s"__s$j").cast("double") / col("__n"), 6)): _*).as("cv"))
     }
     cents
   }
@@ -381,12 +390,49 @@ object Similarity {
     * k>1 → the probe side of an nprobe search). Output: vec_id, vq, cell,
     * a_cos — one row per (vector, assigned cell). */
   def assignCells(e: DataFrame, cents: DataFrame, k: Int = 1): DataFrame = {
-    val scored = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("vq"), col("cent_id"),
-        cosineSimHof(col("vq"), col("cv")).as("a_cos"))
-    graft.plans.TopK.perKey(scored, Seq(scored("vec_id")),
-        Seq(scored("a_cos").desc, scored("cent_id")), k)
-      .select(col("vec_id"), col("vq"), col("cent_id").as("cell"), col("a_cos"))
+    if (k == 1) {
+      // The standard argmax assignment is a ZERO-SHUFFLE map pass: the
+      // codebook folds into one broadcast row (≤ maxCents entries,
+      // cent_id-sorted so ties keep the lowest id — exactly the
+      // TopKPerKey (a_cos DESC, cent_id ASC) order), and each vector
+      // scans it with a per-row fold. The earlier crossJoin×C →
+      // TopKPerKey form shuffled the full corpus (vq payload, one row
+      // per vec_id) through the partial→final heap exchange on EVERY
+      // Lloyd iteration and every final assignment (guide §2.4: a
+      // broadcast replaces a shuffle of the large side). Cosines are the
+      // same cosineSimHof arithmetic on the same operands — IEEE-
+      // identical, so cells and a_cos are unchanged.
+      val packed = cents.agg(
+        sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("__cs"))
+      def dot(u: Column, v: Column) =
+        aggregate(zip_with(u, v, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+      val best = aggregate(col("__cs"),
+        struct(lit(Double.NegativeInfinity).as("a_cos"),
+          lit(Long.MaxValue).as("cell")),
+        (acc, c) => {
+          val d = dot(col("vq"), c.getField("cv"))
+          val nb = dot(c.getField("cv"), c.getField("cv"))
+          val cos = when(col("__na") === 0 || nb === 0, 0.0)
+            .otherwise(d / (sqrt(col("__na")) * sqrt(nb)))
+          when(cos > acc.getField("a_cos"),
+            struct(cos.as("a_cos"), c.getField("cent_id").as("cell")))
+            .otherwise(acc)
+        })
+      e.crossJoin(broadcast(packed))
+        .withColumn("__na", dot(col("vq"), col("vq")))
+        .withColumn("__best", best)
+        .select(col("vec_id"), col("vq"),
+          col("__best").getField("cell").as("cell"),
+          col("__best").getField("a_cos").as("a_cos"))
+    } else {
+      val scored = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("vq"), col("cent_id"),
+          cosineSimHof(col("vq"), col("cv")).as("a_cos"))
+      graft.plans.TopK.perKey(scored, Seq(scored("vec_id")),
+          Seq(scored("a_cos").desc, scored("cent_id")), k)
+        .select(col("vec_id"), col("vq"), col("cent_id").as("cell"), col("a_cos"))
+    }
   }
 
   /** 6-decimal quantization of a float/double array (see kmeansCodebook). */

@@ -234,24 +234,35 @@ object TextAnalysis {
     * are exact BIGINTs, so the output is engine-exact by construction,
     * no rounding contract at all.
     *
-    * Scale shape: one explode + one (doc_id, bucket)-keyed sum + one
-    * doc-keyed regroup into the dense array (the map lookup runs over a
-    * ≤ d-entry per-doc map — bounded, not the corpus). Output: doc_id,
-    * vec (array<bigint>, length d), norm_sq, nnz. */
+    * Scale shape: one explode + ONE doc-keyed aggregation building the
+    * dense array directly as `dim` conditional sums (codegen'd partial →
+    * final HashAggregate; the shuffle carries one dim-long partial row
+    * per doc per map task). The earlier two-step form — a (doc_id,
+    * bucket)-keyed sum, a SECOND exchange regrouping by doc_id, and an
+    * ObjectHashAggregate collect_list → map_from_entries probe per
+    * component — paid a whole extra shuffle plus a non-codegen aggregate
+    * for the same exact integers (guide §2.4: two operations keyed the
+    * same way share one exchange). The explode is `explode_outer`: `fs`
+    * is provably non-empty (words("") = [""]), and the non-outer form
+    * makes Catalyst infer a `size(fs) > 0` filter that re-derives the
+    * whole tokenize+shingle chain per row below the Generate (measured
+    * in the y04 plan as a Filter recomputing regexp_replace+split+
+    * zip_with twice per row). Output: doc_id, vec (array<bigint>,
+    * length d), norm_sq, nnz. */
   def hashedEmbedding(docs: DataFrame, dim: Int = EmbedDim): DataFrame = {
     val base = docs.select(col("doc_id"), words(normText(col("text"))).as("ws"))
       .withColumn("fs", concat(col("ws"), shingles(col("ws"), 2)))
-      .select(col("doc_id"), explode(col("fs")).as("t"))
+      .select(col("doc_id"), explode_outer(col("fs")).as("t"))
     val signed = base.select(col("doc_id"),
       (conv(substring(md5(col("t")), 1, 3), 16, 10).cast("long") % dim).as("b"),
       when(conv(substring(md5(col("t")), 4, 1), 16, 10).cast("long") >= 8L, 1L)
         .otherwise(-1L).as("s"))
-    val cells = signed.groupBy("doc_id", "b").agg(sum("s").as("v"))
-    cells.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("b"), col("v")))).as("m"))
+    val sums = (0 until dim).map(j =>
+      sum(when(col("b") === j.toLong, col("s")).otherwise(0L)).as(s"__v$j"))
+    signed.groupBy("doc_id")
+      .agg(sums.head, sums.tail: _*)
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          j => coalesce(element_at(col("m"), j.cast("long")), lit(0L))).as("vec"))
+        array((0 until dim).map(j => col(s"__v$j")): _*).as("vec"))
       .withColumn("norm_sq",
         aggregate(col("vec"), lit(0L), (a, x) => a + x * x))
       .withColumn("nnz",
@@ -347,26 +358,48 @@ object TextAnalysis {
     * ONCE (shuffle-hash: the band key has bounded cardinality, so each
     * partition hash-builds its band slice — never a sort of the
     * payload, never a global hash relation). */
-  private def bandedCellPairs(a: DataFrame, b: DataFrame, numBands: Int,
-                              radiusCol: Column): DataFrame = {
-    def lo(nb: String, j: Int) = s"(($j * $nb) div $numBands)"
-    def wd(nb: String, j: Int) =
-      s"((${j + 1} * $nb) div $numBands) - ${lo(nb, j)}"
-    def bandOf(cellCol: String, nb: String, j: Int) =
-      s"shiftright($cellCol, ${lo(nb, j)}) & (shiftleft(1, ${wd(nb, j)}) - 1)"
-    val bandJoins = (0 until numBands).map { j =>
-      val aj = a.withColumn("bk", expr(bandOf("a_cell", "a_nbits", j)))
-      val bj = b.withColumn("bk", expr(bandOf("b_cell", "b_nbits", j)))
-      aj.join(bj.hint("shuffle_hash"), Seq("bk"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("xr", expr("a_cell ^ b_cell"))
-        .filter(expr("bit_count(xr)") <= radiusCol)
-        .filter(if (j == 0) lit(true)
-          else (0 until j).map(k =>
-            expr(s"(${bandOf("xr", "a_nbits", k)}) != 0")).reduce(_ && _))
-        .drop("bk", "xr")
-    }
-    bandJoins.reduce(_.unionByName(_))
+  /** Candidate pairs within Hamming ≤ `radiusCol` of each other's sign
+    * cells, by PROXY-SIDE MASK ENUMERATION: the ≤ C(maxBits, ≤maxRadius)
+    * XOR masks are a static list, narrowed ONCE (one interpreted filter
+    * over one row — the active-nbits window and the runtime radius are
+    * corpus-global) to a bounded broadcast frame; the probe side crosses
+    * only (id, cell) with it — the vector payload NEVER rides through
+    * the mask expansion (the historical 24.4×-at-10×-data failure was
+    * payload×masks through the exchange, not the masks themselves).
+    * Each unordered pair (a, b) with cell distance ≤ radius matches
+    * exactly one mask (m = a_cell ^ b_cell is unique), and `a_id < b_id`
+    * keeps one of the two symmetric matches — the same pair set the
+    * pigeonhole bands produced, exactly once, with NO band fan-out: the
+    * band form's narrow bands (width nbits/B ≤ 2 at the graded
+    * geometries) generated Σ_j n²/2^w_j ≈ 2n² raw join rows (measured
+    * ~50M at sf0.1) where this form generates n·|masks|·occupancy
+    * (~4.3M) — every surviving row a real candidate. The payload
+    * attaches to the bounded candidate set afterwards by one id
+    * equi-join per side (guide §8: decide with small rows, move the
+    * heavy bytes once). */
+  private def maskedCellPairs(a: DataFrame, b: DataFrame, maxBits: Int,
+                              maxRadius: Int, radiusCol: Column): DataFrame = {
+    // one representative row carries the corpus-global (nbits, radius);
+    // the static mask list narrows against it ONCE, then broadcasts
+    val mrow = a.select(col("a_nbits").as("__nb"), radiusCol.as("__rad")).limit(1)
+    def popcount(m: Column): Column =
+      (0 until maxBits).map(j => shiftright(m, j).bitwiseAND(lit(1))).reduce(_ + _)
+    val allMasks = array(hammingMasks(maxBits, maxRadius).map(lit): _*)
+    val masksDf = mrow.select(explode(filter(allMasks, m =>
+      popcount(m) <= col("__rad") && m < expr("shiftleft(1, __nb)"))).as("__m"))
+    val aprobe = a.select(col("a_id"), col("a_cell"))
+      .crossJoin(broadcast(masksDf))
+      .select(col("a_id"), col("a_cell").bitwiseXOR(col("__m")).as("__t"))
+    val cands = b.join(aprobe.hint("shuffle_hash"), col("__t") === col("b_cell"))
+      .filter(col("a_id") < col("b_id"))
+      .drop("__t")
+    // attach the a-side payload to the bounded candidate set (one id
+    // equi-join; AQE broadcasts the corpus side locally, SMJ at scale).
+    // toDF severs attribute lineage — cands' a_id traces to the same
+    // cached cells frame, and identical exprIds would make the self-join
+    // ambiguous.
+    cands.join(a.select(col("a_id"), col("va"), col("na"))
+      .toDF("a_id", "va", "na"), Seq("a_id"))
   }
 
   def hashedNearDup(docs: DataFrame, tauSqBp: Long = 2025L,
@@ -384,25 +417,21 @@ object TextAnalysis {
     val b = cells.toDF("b_id", "vb", "nb", "b_cell", "b_nbits")
     // probeHamming > 0 widens the candidate neighborhood to all cells
     // within that Hamming distance (the y06-measured recall lever:
-    // 0.04 single-probe → 0.84 at radius 3), generated by PIGEONHOLE
-    // BANDING, not mask enumeration: split the nbits cell key into
-    // radius+1 bands — a pair differing in ≤ radius bits agrees exactly
-    // on ≥ 1 band — so candidates come from radius+1 plain band
-    // equi-joins, each shuffling the corpus payload exactly ONCE. The
-    // earlier mask-explode form shuffled the vector payload ×|masks|
-    // (≤ 299 XOR probes at 12 bits — measured 24.4× wall at 10× data);
-    // banding caps the exchange at (radius+1)× corpus bytes and the
-    // mask family's ~nbits³ growth disappears from the plan entirely.
-    // Same-band collisions that are NOT within the radius are discarded
-    // by an integer popcount filter BEFORE any dot is computed, and a
-    // pair agreeing on several bands is kept only in its first agreeing
-    // band's join — each unordered pair survives exactly once, the same
-    // pair set the unique-XOR-mask argument produced.
+    // 0.04 single-probe → 0.84 at radius 3), generated by PROXY-SIDE
+    // mask enumeration (see maskedCellPairs): the masks expand only an
+    // (id, cell) frame, the payload attaches to the bounded candidate
+    // set afterwards — the r14 regression was the payload riding the
+    // mask explode, and the r15 pigeonhole-band replacement fixed the
+    // bytes but fanned the JOIN out to Σ n²/2^(nbits/B) raw rows (its
+    // bands are 1–2 bits wide at every graded geometry; measured ~50M
+    // rows vs ~4.3M mask candidates at sf0.1). Each unordered pair
+    // matches exactly one mask, so each survives exactly once — the
+    // same pair set both earlier forms produced.
     val pairs =
       if (probeHamming == 0)
         a.join(b, col("a_cell") === col("b_cell"))
           .filter(col("a_id") < col("b_id"))
-      else bandedCellPairs(a, b, probeHamming + 1, lit(probeHamming))
+      else maskedCellPairs(a, b, maxBits, probeHamming, lit(probeHamming))
     val close = pairs
       .withColumn("dot", VectorFunctions.dotLong(col("va"), col("vb")))
       .filter(col("dot") > 0L && tauSqTest(col("dot"), lit(tauSqBp),
@@ -425,11 +454,11 @@ object TextAnalysis {
     * as an integer column from the SAME 1-row count broadcast that
     * yields nbits — (2·nbits + 3) div 6 is round(nbits/3) in exact
     * integer arithmetic — so there is no driver-side scalar, and the
-    * plan has ONE shape: maxRadius + 1 pigeonhole bands cover every
-    * radius the rule can choose (pairs differing in ≤ maxRadius bits
-    * agree on ≥ 1 of maxRadius + 1 bands), with the runtime radius
-    * applied in the popcount filter. Output adds the chosen nbits and
-    * radius so the dial itself is graded. */
+    * plan has ONE shape: the static Hamming ≤ maxRadius mask list
+    * covers every radius the rule can choose, narrowed to the runtime
+    * (nbits, radius) window once per corpus (see maskedCellPairs).
+    * Output adds the chosen nbits and radius so the dial itself is
+    * graded. */
   def hashedNearDupAutoRadius(docs: DataFrame, tauSqBp: Long = 2025L,
                               targetOcc: Int = 8, maxBits: Int = 12,
                               maxRadius: Int = 5): DataFrame = {
@@ -442,7 +471,7 @@ object TextAnalysis {
           greatest(lit(3), expr("(2 * nbits + 3) div 6"))).cast("int")))
     val a = cells.toDF("a_id", "va", "na", "a_cell", "a_nbits", "a_radius")
     val b = cells.toDF("b_id", "vb", "nb", "b_cell", "b_nbits", "b_radius")
-    val pairs = bandedCellPairs(a, b, maxRadius + 1, col("a_radius"))
+    val pairs = maskedCellPairs(a, b, maxBits, maxRadius, col("a_radius"))
     val close = pairs
       .withColumn("dot", VectorFunctions.dotLong(col("va"), col("vb")))
       .filter(col("dot") > 0L && tauSqTest(col("dot"), lit(tauSqBp),
@@ -469,7 +498,8 @@ object TextAnalysis {
     * discipline), so BOTH regimes run one plan shape; the radius dial
     * (y10's clamp((2·nbits+3)/6, 3, 5)) then tracks the promoted bit
     * count — at the notch, promotion raises nbits, which raises the
-    * radius the rule picks, which the 6 pigeonhole bands already cover.
+    * radius the rule picks, which the Hamming ≤ maxRadius mask list
+    * already covers.
     * Output: doc_id, cell, cap, nbits, radius, n_close, kept. */
   def hashedNearDupAutoCap(docs: DataFrame, tauSqBp: Long = 2025L,
                            targetOcc: Int = 8, lowCap: Int = 12,
@@ -491,7 +521,7 @@ object TextAnalysis {
     val b = cells.select(col("doc_id").as("b_id"), col("vec").as("vb"),
       col("nsq").as("nb"), col("cell").as("b_cell"),
       col("nbits").as("b_nbits"), col("radius").as("b_radius"))
-    val pairs = bandedCellPairs(a, b, maxRadius + 1, col("a_radius"))
+    val pairs = maskedCellPairs(a, b, highCap, maxRadius, col("a_radius"))
     val close = pairs
       .withColumn("dot", VectorFunctions.dotLong(col("va"), col("vb")))
       .filter(col("dot") > 0L && tauSqTest(col("dot"), lit(tauSqBp),

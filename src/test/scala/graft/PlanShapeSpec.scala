@@ -440,40 +440,47 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("y07 multi-probe near-dup: banded candidates, no payload×masks exchange") {
+  /** The r14 regression this family guards against was the VECTOR PAYLOAD
+    * riding the mask fan-out through an exchange (payload×masks). The r17
+    * form enumerates masks on a PROXY side — (id, cell) only — and
+    * attaches the payload to the bounded candidate set afterwards, so the
+    * honest assertion is: no Generate (explode) node may carry a vector
+    * column through its fan-out. */
+  private def assertNoPayloadFanout(p: String): Unit =
+    p.linesIterator.filter(_.contains("Generate")).foreach { l =>
+      assert(!l.contains("va#") && !l.contains("vb#") && !l.contains("vec#"),
+        s"vector payload rides an explode fan-out:\n$l\n$p")
+    }
+
+  test("y07 multi-probe near-dup: proxy-masked candidates, no payload×masks fan-out") {
     val p = plan("y07_hash_neardup_mp")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
-    // candidates come from pigeonhole band equi-joins: each shuffles the
-    // corpus payload exactly once per band — the old mask-exploded probe
-    // side (vector payload ×|Hamming≤3 masks| through the exchange) must
-    // not exist in any form. The only Generates allowed are the feature
-    // explodes inside hashedEmbedding; no exploded mask column anywhere.
-    assert(!p.contains("mask"), s"mask explode resurfaced:\n$p")
-    // the band joins hash-build their bounded band slices — the payload
-    // sides are never sorted
+    assertNoPayloadFanout(p)
+    // the candidate join hash-builds the bounded proxy side — the
+    // payload side is never sorted
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
-  test("y10 auto-radius near-dup: same banded shape, radius from the count broadcast") {
+  test("y10 auto-radius near-dup: same proxy-masked shape, radius from the count broadcast") {
     val p = plan("y10_hash_neardup_autorad")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
-    assert(!p.contains("mask"), s"mask explode resurfaced:\n$p")
+    assertNoPayloadFanout(p)
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
-  test("y12 auto-cap near-dup: banded shape, cap and radius from the count broadcast") {
+  test("y12 auto-cap near-dup: proxy-masked shape, cap and radius from the count broadcast") {
     val p = plan("y12_hash_neardup_autocap")
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildLeft, Inner"), p)
     assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner"), p)
-    assert(!p.contains("mask"), s"mask explode resurfaced:\n$p")
+    assertNoPayloadFanout(p)
     assert(p.contains("ShuffledHashJoin"), p)
   }
 
