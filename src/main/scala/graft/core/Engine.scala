@@ -34,6 +34,18 @@ object Engine {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       // Dimension-table scans are tiny; don't let tiny files fragment tasks.
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // InferFiltersFromGenerate synthesizes `size(e) > 0 AND isnotnull(e)`
+      // below every explode; filter pushdown then substitutes the
+      // generator's input EXPRESSION into that filter, so every text query
+      // re-derives its whole tokenize+shingle chain (regexp_replace +
+      // split + zip_with per row) once more just to prove non-emptiness —
+      // visible as the monster Filter under each Generate in the r17
+      // before-plans. The corpus explodes here are over expressions that
+      // are never empty (words() yields ≥ 1 token), so the inferred filter
+      // prunes nothing at any scale — cost without benefit, independent of
+      // cluster size (a per-ROW effect, not a local[32] artifact).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // Status-store hygiene for LONG-LIVED sessions (a 185-query
       // Verify run, the 52-suite test JVM): the SQL listener retains a
       // physicalPlanDescription STRING per execution (default 1000),

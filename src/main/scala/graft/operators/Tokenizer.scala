@@ -72,8 +72,13 @@ object Tokenizer {
     var t = padded(docs)
     var out: Option[DataFrame] = None
     for (r <- 1 to rounds) {
+      // Cache each round's text, but let the round's own argmax BROADCAST
+      // job populate it instead of a dedicated count(): the broadcast of
+      // top1 must materialize before any downstream consumer executes, so
+      // the level is still computed exactly once — the count() was one
+      // extra blocking job per round (guide §1.2: per-task work after the
+      // job shape; R driver round-trips for nothing).
       t = graft.core.Caches.scoped(t)
-      t.count() // materialize before the two consumers below fan out
       val (withPair, pat) = withTopPair(t)
       val stat = withPair
         .select(lit(r).as("round"), col("pair"),
@@ -95,8 +100,8 @@ object Tokenizer {
   def bpeApply(docs: DataFrame, rounds: Int): DataFrame = {
     var t = padded(docs)
     for (_ <- 1 to rounds) {
+      // cache populated by the round's argmax broadcast job (see bpeTrain)
       t = graft.core.Caches.scoped(t)
-      t.count() // materialize before the two consumers (argmax + merge)
       val (withPair, pat) = withTopPair(t)
       t = merged(withPair, pat)
     }
