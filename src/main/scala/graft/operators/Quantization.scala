@@ -61,25 +61,18 @@ object Quantization {
     val codes = graft.core.Caches.scoped(int8Codes(emb).select(col("vec_id"), col("q")))
     val cents = codes.filter(centPred).orderBy("vec_id").limit(maxCents)
       .toDF("cent_id", "qc")
-    // Zero-shuffle argmax (the Similarity.assignCells k=1 form): the ≤ C
-    // centroids fold into one broadcast row, each vector scans them with
-    // a per-row integer-dot fold — where the crossJoin×C → TopKPerKey
-    // form shuffled the full corpus (q payload) through the heap
-    // exchange. Strictly-greater keeps the first (lowest-cent_id) max —
-    // exactly the (adot DESC, cent_id ASC) TopKPerKey order.
-    val packed = cents.agg(
-      sort_array(collect_list(struct(col("cent_id"), col("qc")))).as("__cs"))
-    val best = aggregate(col("__cs"),
-      struct(lit(Long.MinValue).as("adot"), lit(Long.MaxValue).as("cell")),
-      (acc, c) => {
-        val d = aggregate(zip_with(col("q"), c.getField("qc"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v)
-        when(d > acc.getField("adot"),
-          struct(d.as("adot"), c.getField("cent_id").as("cell"))).otherwise(acc)
-      })
-    codes.crossJoin(broadcast(packed))
-      .withColumn("__best", best)
-      .select(col("vec_id"), col("q"), col("__best").getField("cell").as("cell"))
+    // crossJoin×C → TopKPerKey k=1: measured FASTER than the zero-shuffle
+    // per-row argmax fold tried this round (HOF lambdas are
+    // CodegenFallback; the fold's per-step struct copies cost more than
+    // the heap exchange saves at these geometries — revisit only with a
+    // native codegen argmax expression).
+    val assign = codes.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("cent_id"),
+        aggregate(zip_with(col("q"), col("qc"), (a, b) => a * b),
+          lit(0L), (a, v) => a + v).as("adot"))
+    graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
+      Seq(assign("adot").desc, assign("cent_id")), 1)
+      .select(col("vec_id"), col("q"), col("cent_id").as("cell"))
   }
 
   /** Quantized IVF: the int8 codes composed with the bounded-centroid
@@ -147,31 +140,21 @@ object Quantization {
   private def ivfSearchFromAssign(codes: DataFrame, cents: DataFrame,
                                   probePred: Column, k: Int,
                                   nProbeCells: Int): DataFrame = {
-    // Corpus assignment is the zero-shuffle argmax fold (the int8Cells
-    // form): the old shape materialized the FULL corpus×C scored cross
-    // join as a cache and shuffled it through the k=1 heap exchange —
-    // corpus-proportional cache AND shuffle for what a broadcast scan
-    // computes in place. Only the bounded probe side still ranks its C
-    // dots through TopKPerKey (nProbeCells > 1 needs the heap; same
-    // (adot DESC, cent_id ASC) order, so probe cells are unchanged).
-    val cc = graft.core.Caches.scoped(codes)
-    val packed = cents.agg(
-      sort_array(collect_list(struct(col("cent_id"), col("qc")))).as("__cs"))
-    val best = aggregate(col("__cs"),
-      struct(lit(Long.MinValue).as("adot"), lit(Long.MaxValue).as("cell")),
-      (acc, c) => {
-        val d = aggregate(zip_with(col("q"), c.getField("qc"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v)
-        when(d > acc.getField("adot"),
-          struct(d.as("adot"), c.getField("cent_id").as("cell"))).otherwise(acc)
-      })
-    val cells = cc.crossJoin(broadcast(packed))
-      .withColumn("__best", best)
-      .select(col("vec_id"), col("q"), col("__best").getField("cell").as("cell"))
-    val probeAssign = cc.filter(probePred).crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("q"), col("cent_id"),
-        aggregate(zip_with(col("q"), col("qc"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v).as("adot"))
+    // One corpus×C scored pass, cached: the cells side reads it through
+    // the k=1 heap, and the probe side REUSES the cached dots (never
+    // recomputes them). The single broadcast(cents) also executes the
+    // caller's codebook plan exactly once — the trained variants pass an
+    // UNCACHED Lloyd chain, and a second broadcast of it measured as a
+    // y30 regression in an intermediate form this round.
+    val assign = graft.core.Caches.scoped(
+      codes.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("cent_id"),
+          aggregate(zip_with(col("q"), col("qc"), (a, b) => a * b),
+            lit(0L), (a, v) => a + v).as("adot")))
+    val cells = graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
+      Seq(assign("adot").desc, assign("cent_id")), 1)
+      .select(col("vec_id"), col("q"), col("cent_id").as("cell"))
+    val probeAssign = assign.filter(probePred)
     val probes = graft.plans.TopK.perKey(probeAssign, Seq(probeAssign("vec_id")),
       Seq(probeAssign("adot").desc, probeAssign("cent_id")), nProbeCells)
       .select(col("vec_id").as("probe_id"), col("q").as("qp"),

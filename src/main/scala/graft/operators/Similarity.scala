@@ -390,49 +390,34 @@ object Similarity {
     * k>1 → the probe side of an nprobe search). Output: vec_id, vq, cell,
     * a_cos — one row per (vector, assigned cell). */
   def assignCells(e: DataFrame, cents: DataFrame, k: Int = 1): DataFrame = {
-    if (k == 1) {
-      // The standard argmax assignment is a ZERO-SHUFFLE map pass: the
-      // codebook folds into one broadcast row (≤ maxCents entries,
-      // cent_id-sorted so ties keep the lowest id — exactly the
-      // TopKPerKey (a_cos DESC, cent_id ASC) order), and each vector
-      // scans it with a per-row fold. The earlier crossJoin×C →
-      // TopKPerKey form shuffled the full corpus (vq payload, one row
-      // per vec_id) through the partial→final heap exchange on EVERY
-      // Lloyd iteration and every final assignment (guide §2.4: a
-      // broadcast replaces a shuffle of the large side). Cosines are the
-      // same cosineSimHof arithmetic on the same operands — IEEE-
-      // identical, so cells and a_cos are unchanged.
-      val packed = cents.agg(
-        sort_array(collect_list(struct(col("cent_id"), col("cv")))).as("__cs"))
-      def dot(u: Column, v: Column) =
-        aggregate(zip_with(u, v, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x)
-      val best = aggregate(col("__cs"),
-        struct(lit(Double.NegativeInfinity).as("a_cos"),
-          lit(Long.MaxValue).as("cell")),
-        (acc, c) => {
-          val d = dot(col("vq"), c.getField("cv"))
-          val nb = dot(c.getField("cv"), c.getField("cv"))
-          val cos = when(col("__na") === 0 || nb === 0, 0.0)
-            .otherwise(d / (sqrt(col("__na")) * sqrt(nb)))
-          when(cos > acc.getField("a_cos"),
-            struct(cos.as("a_cos"), c.getField("cent_id").as("cell")))
-            .otherwise(acc)
-        })
-      e.crossJoin(broadcast(packed))
-        .withColumn("__na", dot(col("vq"), col("vq")))
-        .withColumn("__best", best)
-        .select(col("vec_id"), col("vq"),
-          col("__best").getField("cell").as("cell"),
-          col("__best").getField("a_cos").as("a_cos"))
-    } else {
-      val scored = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("vq"), col("cent_id"),
-          cosineSimHof(col("vq"), col("cv")).as("a_cos"))
-      graft.plans.TopK.perKey(scored, Seq(scored("vec_id")),
-          Seq(scored("a_cos").desc, scored("cent_id")), k)
-        .select(col("vec_id"), col("vq"), col("cent_id").as("cell"), col("a_cos"))
-    }
+    // Hoisted-norm scoring: the plain cosineSimHof form recomputed
+    // ‖vq‖² once per (row, centroid) — C× per vector — and ‖cv‖² once
+    // per corpus row; here ‖vq‖² is computed once per VECTOR before the
+    // ×C expansion and ‖cv‖² once per CENTROID on the broadcast side,
+    // cutting the interpreted HOF work per pair to the single cross dot
+    // (~3× less arithmetic, measured on the x54/x76/x88 panels). The
+    // final cosine is the identical expression on identical operands —
+    // d / (sqrt(na) · sqrt(nb)) with the same fold order — so a_cos and
+    // every assignment are bit-for-bit unchanged. (An argmax FOLD over a
+    // packed codebook row removes the TopKPerKey exchange entirely, but
+    // measured 1.5–2.7 s SLOWER here: HOF lambdas are CodegenFallback,
+    // and the fold's per-step struct copies cost more than the heap
+    // exchange saves at these geometries — revisit only with a native
+    // codegen argmax expression.)
+    def dot(u: Column, v: Column) =
+      aggregate(zip_with(u, v, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val eN = e.withColumn("__na", dot(col("vq"), col("vq")))
+    val cN = cents.select(col("cent_id"), col("cv"))
+      .withColumn("__nb", dot(col("cv"), col("cv")))
+    val scored = eN.crossJoin(broadcast(cN))
+      .select(col("vec_id"), col("vq"), col("cent_id"),
+        when(col("__na") === 0 || col("__nb") === 0, 0.0)
+          .otherwise(dot(col("vq"), col("cv"))
+            / (sqrt(col("__na")) * sqrt(col("__nb")))).as("a_cos"))
+    graft.plans.TopK.perKey(scored, Seq(scored("vec_id")),
+        Seq(scored("a_cos").desc, scored("cent_id")), k)
+      .select(col("vec_id"), col("vq"), col("cent_id").as("cell"), col("a_cos"))
   }
 
   /** 6-decimal quantization of a float/double array (see kmeansCodebook). */
