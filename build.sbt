@@ -23,6 +23,30 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// The 52 suites take ~45 min sequentially in one JVM — past the driver's
+// test-capture window (VERIFY_r17 ended mid-stream with no summary).
+// Fork the suites into parallel groups, each with its OWN java.io.tmpdir:
+// the store-lifecycle fixtures are tmpdir-keyed and marker-gated but not
+// cross-process locked, so two JVMs sharing /tmp could race one fixture
+// build. Round-robin by suite name spreads the heavy store suites.
+val testGroupCount = 6
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val baseOpts = (Test / javaOptions).value.toVector
+  tests.zipWithIndex.groupBy(_._2 % testGroupCount).toSeq.sortBy(_._1).map {
+    case (i, ts) =>
+      // short name: scan Location strings truncate at 100 chars, and
+      // PlanShapeSpec asserts on path SUFFIXES (…-incr) — a longer
+      // tmpdir prefix pushes them past the cut
+      val tmp = file(s"/tmp/gtg$i")
+      IO.createDirectory(tmp)
+      Tests.Group(s"group-$i", ts.map(_._1),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(
+          baseOpts :+ s"-Djava.io.tmpdir=${tmp.getAbsolutePath}")))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount), Tags.limitAll(16))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

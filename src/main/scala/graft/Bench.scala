@@ -49,18 +49,26 @@ object Bench {
         if (times.isEmpty) 0.0 else times.sorted.apply(times.size / 2)
       name -> median
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal (ms) precision: the driver captures stdout through a pipe
+    // that truncates long lines, and full 15-digit doubles pushed the
+    // 187-query line past the capture window (PERF_r17 parsed nothing).
+    def fmt(v: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // A failing query must be visible in the artifact, not just stderr —
     // otherwise its near-zero "timing" reads as a speedup.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // The stdout line is the driver's contract, but the driver's capture
     // truncates long lines (BENCH_r05 lost q01–x28 and the total), so the
     // complete artifact is ALSO written to a committed file — the audit
     // trail must not depend on a pipe buffer.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // Per-core-count default name: the driver invokes the bench at two core
+    // counts and a fixed name let the second run clobber the first (the r17
+    // 32-core artifact was lost that way).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_FULL_c$cpus.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")
       try w.println(line) finally w.close()

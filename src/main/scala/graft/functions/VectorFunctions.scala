@@ -193,6 +193,176 @@ object DotLong {
   }
 }
 
+/** Sign-bit LSH bucket id over the deterministic hyperplane family
+  * ([[VectorFunctions.plane]]) as ONE native codegen'd expression.
+  *
+  * Replaces the per-plane HOF pipeline — maxBits ×
+  * `aggregate(zip_with(v, planeLits, _*_), 0.0, _+_)` — which is
+  * CodegenFallback: every row paid maxBits interpreted folds (each
+  * allocating a zipped intermediate array and closure frames), and the
+  * bucket id is computed once per CORPUS ROW in every LSH/semantic-dedup
+  * operator, so the interpreted cost scales with the corpus.
+  *
+  * Exact-equivalence contract with the HOF form (every branch mirrored):
+  *  - dot_j = left-to-right Σ_d (double)v[d] · plane_j[d] — identical
+  *    IEEE fold order, so every sign and therefore every bucket id is
+  *    bit-for-bit unchanged;
+  *  - bit j set iff j < nbits AND dot_j >= 0 (NaN compares false in both);
+  *  - length mismatch (v.length ≠ dim) or any null element made every
+  *    zip_with product null → every dot_j null → every `when` fell to 0
+  *    → bucket 0; mirrored here as an early return 0;
+  *  - null input array → null (both are null-intolerant at the top).
+  */
+case class LshBucketHash(child: Expression, nbits: Expression,
+                         maxBits: Int, dim: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = child
+  override def right: Expression = nbits
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val elemOk = child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (elemOk && nbits.dataType == org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, int), got " +
+        s"(${child.dataType.simpleString}, ${nbits.dataType.simpleString})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  override protected def nullSafeEval(v: Any, nb: Any): Any =
+    LshBucketHash.eval(v.asInstanceOf[ArrayData], nb.asInstanceOf[Int],
+      maxBits, dim, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nb) => {
+      s"${ev.value} = graft.functions.LshBucketHash.eval(" +
+        s"$v, $nb, $maxBits, $dim, $isFloat);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshBucketHash =
+    copy(child = newLeft, nbits = newRight)
+}
+
+object LshBucketHash {
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]
+
+  private def planes(maxBits: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((maxBits, dim), { case (mb, d) =>
+      Array.tabulate(mb)(j => VectorFunctions.plane(j, d).toArray)
+    })
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def eval(v: ArrayData, nbits: Int, maxBits: Int, dim: Int,
+           isFloat: Boolean): Int = {
+    if (v.numElements() != dim) return 0
+    var i = 0
+    while (i < dim) { if (v.isNullAt(i)) return 0; i += 1 }
+    val ps = planes(maxBits, dim)
+    var bucket = 0
+    var j = 0
+    // planes at j >= nbits contribute 0 in the HOF form; skipping their
+    // dots changes nothing (and saves the work the masked form wasted)
+    while (j < maxBits && j < nbits) {
+      val p = ps(j)
+      var dot = 0.0
+      i = 0
+      while (i < dim) {
+        dot += (if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)) * p(i)
+        i += 1
+      }
+      if (dot >= 0.0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+}
+
+/** Sylvester–Hadamard rotation of a micro-integer vector as a native
+  * codegen'd expression: rm[i] = Σ_j (−1)^popcount(i AND j) · vm[j].
+  *
+  * Replaces the O(dim²) interpreted HOF (`transform(sequence, i =>
+  * aggregate(sequence, …))` — 4096 closure-framed element_at probes per
+  * row at dim 64) with an in-place fast Walsh–Hadamard butterfly:
+  * O(dim·log dim) exact Long ops inside codegen. Bit-identical by
+  * algebra, not just by test: every value is BIGINT arithmetic mod 2⁶⁴
+  * (Java long wrap == Spark BIGINT wrap), and mod-2⁶⁴ addition is a
+  * ring, so the butterfly's regrouping computes exactly the naive
+  * signed sums — including any (physically unreachable) overflow.
+  *
+  * A null ELEMENT collapses every output component to null, exactly like
+  * the HOF (`acc + null`). A too-short input returns an all-null array
+  * where the ANSI-mode HOF would raise element_at-out-of-bounds — both
+  * unreachable (`vm` is built element-for-element from the embedding, so
+  * its length is the caller's dim by construction); documented, not
+  * load-bearing. */
+case class HadamardRotateLong(child: Expression, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require((dim & (dim - 1)) == 0, s"Hadamard needs a power of two, got $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_hadamard"
+
+  override protected def nullSafeEval(a: Any): Any =
+    HadamardRotateLong.eval(a.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.HadamardRotateLong.eval($a, $dim)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HadamardRotateLong = copy(child = newChild)
+}
+
+object HadamardRotateLong {
+  /** Static helper shared by interpreted eval and generated code. */
+  def eval(vm: ArrayData, dim: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = vm.numElements()
+    var i = 0
+    if (n < dim) return new GenericArrayData(new Array[Any](dim))
+    while (i < dim) {
+      if (vm.isNullAt(i)) return new GenericArrayData(new Array[Any](dim))
+      i += 1
+    }
+    val a = new Array[Long](dim)
+    i = 0
+    while (i < dim) { a(i) = vm.getLong(i); i += 1 }
+    var len = 1
+    while (len < dim) {
+      var s = 0
+      while (s < dim) {
+        var k = s
+        while (k < s + len) {
+          val x = a(k); val y = a(k + len)
+          a(k) = x + y; a(k + len) = x - y
+          k += 1
+        }
+        s += len << 1
+      }
+      len <<= 1
+    }
+    new GenericArrayData(a)
+  }
+}
+
 object SelfCosine {
   /** Static helper (interpreted eval + generated code both call this).
     * Matches full CosineSimilarity(a, a) exactly, including non-finite
@@ -275,9 +445,16 @@ object VectorFunctions {
       (0 until dim).map(d =>
         ((((1 + j) * (3 + d)) % 11) + (((2 + j) * (5 + d)) % 13) - 11).toDouble)
 
-  /** Sign-bit bucket id from `nBits` hyperplanes (literal arrays → the dot
-    * products stay inside codegen; no shuffle until the bucket groupBy). */
+  /** Sign-bit bucket id from `nBits` hyperplanes, as ONE native codegen'd
+    * expression ([[LshBucketHash]] — bit-identical to [[lshBucketHof]],
+    * property-pinned; the HOF form ran maxBits interpreted folds per row). */
   def lshBucket(v: Column, nBits: Int, dim: Int): Column =
+    ColumnBridge.column(LshBucketHash(ColumnBridge.expression(v),
+      ColumnBridge.expression(lit(nBits)), nBits, dim))
+
+  /** Reference HOF formulation of [[lshBucket]] (CodegenFallback; kept for
+    * the property cross-check). */
+  def lshBucketHof(v: Column, nBits: Int, dim: Int): Column =
     (0 until nBits).map { j =>
       val p = array(plane(j, dim).map(lit): _*)
       val dotj = aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -297,10 +474,17 @@ object VectorFunctions {
       .reduce(_ + _)
 
   /** `lshBucket` with a RUNTIME bit count (`nbits` column, ≤ maxBits):
-    * only the first nbits hyperplanes contribute. All maxBits dot
-    * products are computed and masked — branch-free, stays in codegen;
-    * maxBits is small so the wasted dots are noise next to a shuffle. */
+    * only the first nbits hyperplanes contribute. Native codegen'd
+    * ([[LshBucketHash]] — bit-identical to [[lshBucketMaskedHof]],
+    * property-pinned; the HOF form ran maxBits interpreted folds per
+    * corpus row in every semantic-dedup / code-store operator). */
   def lshBucketMasked(v: Column, nbits: Column, maxBits: Int, dim: Int): Column =
+    ColumnBridge.column(LshBucketHash(ColumnBridge.expression(v),
+      ColumnBridge.expression(nbits.cast("int")), maxBits, dim))
+
+  /** Reference HOF formulation of [[lshBucketMasked]] (CodegenFallback;
+    * kept for the property cross-check). */
+  def lshBucketMaskedHof(v: Column, nbits: Column, maxBits: Int, dim: Int): Column =
     (0 until maxBits).map { j =>
       val p = array(plane(j, dim).map(lit): _*)
       val dotj = aggregate(zip_with(v, p, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

@@ -95,6 +95,20 @@ object Pq {
     * without training a rotation); `dim` must be a power of two. */
   def hadamardRotate(vm: Column, dim: Int): Column = {
     require((dim & (dim - 1)) == 0, s"Hadamard needs a power of two, got $dim")
+    // Native codegen'd fast Walsh–Hadamard ([[graft.functions
+    // .HadamardRotateLong]]): the HOF form was an O(dim²) interpreted
+    // fold — 4096 closure-framed element_at probes per row at dim 64.
+    // Provably bit-identical (exact BIGINT ring arithmetic; the spec
+    // cross-checks against this HOF reference).
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.HadamardRotateLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vm), dim))
+  }
+
+  /** Reference HOF formulation of [[hadamardRotate]] (CodegenFallback;
+    * kept for the property cross-check). */
+  def hadamardRotateHof(vm: Column, dim: Int): Column = {
+    require((dim & (dim - 1)) == 0, s"Hadamard needs a power of two, got $dim")
     transform(sequence(lit(0), lit(dim - 1)), i =>
       aggregate(sequence(lit(0), lit(dim - 1)), lit(0L), (acc, j) =>
         acc + when(bit_count(i.bitwiseAND(j)) % 2 === 0,
@@ -117,19 +131,48 @@ object Pq {
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.svm").as("svm"))
   }
 
-  /** [[trainCodebooks]] over a prepared subvector frame. */
-  def trainCodebooksSv(svIn: DataFrame, nCents: Int, iters: Int): DataFrame = {
+  /** [[trainCodebooks]] over a prepared subvector frame. `subDim` (the
+    * static svm length, when the caller knows it) selects the
+    * one-exchange Lloyd update: one (sub, cell)-keyed codegen
+    * HashAggregate of `subDim` exact BIGINT component sums + a count,
+    * array rebuilt in a Project — the same per-component
+    * `floor(sum/count + 0.5)` on the same exact integers (BIGINT sums
+    * are order-insensitive ⇒ bit-identical codebooks). The legacy
+    * `subDim = -1` path (kept for callers that cannot know the length
+    * statically) pays posexplode ×subDim, a (sub, cell, d)-keyed
+    * exchange, AND a second exchange + ObjectHashAggregate
+    * (collect_list) to regroup the array — the exact two-exchange
+    * anti-pattern r17 removed from `Similarity.kmeansCodebook`
+    * (guide §2.3 aggregate before you shuffle / §2.4 share one
+    * exchange). Contract of the fast path: every svm has length
+    * exactly `subDim` (true by construction for every subvector
+    * split here — element_at past the end would NULL the component). */
+  def trainCodebooksSv(svIn: DataFrame, nCents: Int, iters: Int,
+                       subDim: Int = -1): DataFrame = {
     val sv = graft.core.Caches.scoped(svIn)
     var books = sampleCodebooks(sv, nCents)
     for (_ <- 1 to iters) {
-      books = assign(sv, books)
-        .select(col("sub"), col("cell"), posexplode(col("svm")).as(Seq("d", "x")))
-        .groupBy("sub", "cell", "d")
-        .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5d))
-          .cast("long").as("cm"))
-        .groupBy(col("sub"), col("cell").as("cent_id"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("cm")))),
-          s => s.getField("cm")).as("cvm"))
+      books =
+        if (subDim >= 1) {
+          val sums = (0 until subDim).map(j =>
+            sum(element_at(col("svm"), j + 1)).as(s"__s$j"))
+          assign(sv, books)
+            .groupBy(col("sub"), col("cell").as("cent_id"))
+            .agg(count(lit(1)).as("__n"), sums: _*)
+            .select(col("sub"), col("cent_id"),
+              array((0 until subDim).map(j =>
+                floor(col(s"__s$j").cast("double") / col("__n") + lit(0.5d))
+                  .cast("long")): _*).as("cvm"))
+        } else {
+          assign(sv, books)
+            .select(col("sub"), col("cell"), posexplode(col("svm")).as(Seq("d", "x")))
+            .groupBy("sub", "cell", "d")
+            .agg(floor(sum(col("x")).cast("double") / count(lit(1)) + lit(0.5d))
+              .cast("long").as("cm"))
+            .groupBy(col("sub"), col("cell").as("cent_id"))
+            .agg(transform(array_sort(collect_list(struct(col("d"), col("cm")))),
+              s => s.getField("cm")).as("cvm"))
+        }
     }
     books
   }
@@ -165,7 +208,7 @@ object Pq {
       microVectors(emb, vecCol)
         .select(col("vec_id"), hadamardRotate(col("vm"), dim).as("vm")))
     val sv = subvectorsMicro(mv, m, dim)
-    val books = trainCodebooksSv(sv, nCents, iters = 1)
+    val books = trainCodebooksSv(sv, nCents, iters = 1, subDim = dim / m)
     val codes = assign(sv, books).select(col("vec_id"), col("sub"),
       col("cell"), col("d2"))
     val probeSv = sv.filter(col("vec_id").isInCollection(probeIds))
@@ -217,7 +260,8 @@ object Pq {
     * Output: sub, cent_id, cvm array<long>. */
   def trainCodebooks(emb: DataFrame, m: Int, dim: Int, nCents: Int,
                      iters: Int, vecCol: String = "embedding"): DataFrame =
-    trainCodebooksSv(subvectors(emb, m, dim, vecCol), nCents, iters)
+    trainCodebooksSv(subvectors(emb, m, dim, vecCol), nCents, iters,
+      subDim = dim / m)
 
   /** PQ encoding: each vector's m-cell code, one row per (vec_id, sub)
     * with the chosen cell and its exact residual d2 — the table a code
@@ -508,10 +552,11 @@ object Pq {
   /** Coarse quantizer: integer k-means on the FULL micro vector — the
     * PQ trainer at m = 1 (the subspace id is just a constant grouping
     * key). Output: ivf_cell, ccvm array<long>. */
-  def trainCoarse(mv: DataFrame, nCells: Int, iters: Int): DataFrame =
+  def trainCoarse(mv: DataFrame, nCells: Int, iters: Int,
+                  dim: Int = -1): DataFrame =
     trainCodebooksSv(
       mv.select(col("vec_id"), lit(0).as("sub"), col("vm").as("svm")),
-      nCells, iters)
+      nCells, iters, subDim = dim)
       .select(col("cent_id").as("ivf_cell"), col("cvm").as("ccvm"))
 
   /** Coarse assignment + residual: each vector's nearest coarse cell
@@ -572,7 +617,7 @@ object Pq {
       "vec_col" -> vecCol, "n_groups" -> groups.toString) ++
       (if (embSource.nonEmpty) Seq("emb_source" -> embSource) else Nil))
     val mv = graft.core.Caches.scoped(microVectors(emb, vecCol))
-    val coarse0 = graft.core.Caches.scoped(trainCoarse(mv, nCells, iters))
+    val coarse0 = graft.core.Caches.scoped(trainCoarse(mv, nCells, iters, dim))
     // coarse-over-coarse level (VERDICT r13 #1, the ExactIvf
     // rationale carried to the APPROXIMATE path): the probe→cell
     // ranking crossJoins every probe with every coarse centroid —
@@ -585,7 +630,7 @@ object Pq {
     // no incremental maintenance.
     val cmv = coarse0.select(col("ivf_cell").as("vec_id"),
       col("ccvm").as("vm"))
-    val gcent = graft.core.Caches.scoped(trainCoarse(cmv, groups, iters))
+    val gcent = graft.core.Caches.scoped(trainCoarse(cmv, groups, iters, dim))
     val asg = coarseResiduals(cmv, gcent)
       .select(col("vec_id").as("ivf_cell"), col("ivf_cell").as("cell_group"))
     gcent.select(col("ivf_cell").as("cell_group"), col("ccvm").as("gcvm"))
@@ -599,7 +644,7 @@ object Pq {
     // writePqStore rationale: the second assign re-evaluated the whole
     // Lloyd train and re-encoded the corpus just for the stats agg)
     val books = graft.core.Caches.scoped(
-      trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters))
+      trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters, subDim = dim / m))
     books.write.mode("overwrite").parquet(s"$path/books")
     val assigned = graft.core.Caches.scoped(
       assign(rsv.drop("ivf_cell"), books))
@@ -666,7 +711,7 @@ object Pq {
       "vec_col" -> "embedding", "n_groups" -> groups.toString))
     val cmv = coarse0.select(col("ivf_cell").as("vec_id"),
       col("ccvm").as("vm"))
-    val gcent = graft.core.Caches.scoped(trainCoarse(cmv, groups, iters))
+    val gcent = graft.core.Caches.scoped(trainCoarse(cmv, groups, iters, dim))
     val asg = coarseResiduals(cmv, gcent)
       .select(col("vec_id").as("ivf_cell"), col("ivf_cell").as("cell_group"))
     gcent.select(col("ivf_cell").as("cell_group"), col("ccvm").as("gcvm"))
@@ -682,7 +727,7 @@ object Pq {
           zip_with(col("vm"), col("ccvm"), (a, b) => a - b).as("rm")))
     val rsv = graft.core.Caches.scoped(residualSubvectors(res, m, dim))
     val books = graft.core.Caches.scoped(
-      trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters))
+      trainCodebooksSv(rsv.drop("ivf_cell"), nCents, iters, subDim = dim / m))
     books.write.mode("overwrite").parquet(s"$path/books")
     val encoded = graft.core.Caches.scoped(
       assign(rsv.drop("ivf_cell"), books))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.dotLong
 
 /** Symmetric int8 embedding quantization — the storage/bandwidth lever
   * for 100 TB embedding tables (4× smaller than float32, and integer
@@ -48,8 +49,12 @@ object Quantization {
       .select(col("vec_id"), col("scale_int"),
         aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
         size(filter(col("q"), v => abs(v) === 127)).as("n_sat"),
-        aggregate(zip_with(col("xs"), col("xhat"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (a, v) => a + v).as("sse"))
+        // Σ(a−b)² expanded to three native BIGINT dots (the Pq.l2sq
+        // identity): exactly equal — BIGINT mod 2⁶⁴ is a ring, so the
+        // expansion holds even under (physically unreachable) wrap —
+        // and codegen'd instead of an interpreted HOF fold per row.
+        (dotLong(col("xs"), col("xs")) + dotLong(col("xhat"), col("xhat"))
+          - lit(2L) * dotLong(col("xs"), col("xhat"))).as("sse"))
 
   /** Integer-dot cell assignment against a BOUNDED centroid set
     * (`centPred` matches, deterministic lowest-id `limit(maxCents)` — the
@@ -68,8 +73,7 @@ object Quantization {
     // native codegen argmax expression).
     val assign = codes.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("q"), col("cent_id"),
-        aggregate(zip_with(col("q"), col("qc"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v).as("adot"))
+        dotLong(col("q"), col("qc")).as("adot"))
     graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
       Seq(assign("adot").desc, assign("cent_id")), 1)
       .select(col("vec_id"), col("q"), col("cent_id").as("cell"))
@@ -90,8 +94,7 @@ object Quantization {
     val cands = cells.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cell"),
-        aggregate(zip_with(col("qp"), col("q"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v).as("dot"))
+        dotLong(col("qp"), col("q")).as("dot"))
     val topk = graft.plans.TopK.perKey(cands, Seq(cands("probe_id")),
       Seq(cands("dot").desc, cands("neighbor_id")), k)
     val w = Window.partitionBy("probe_id").orderBy(col("dot").desc, col("neighbor_id"))
@@ -149,8 +152,7 @@ object Quantization {
     val assign = graft.core.Caches.scoped(
       codes.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("q"), col("cent_id"),
-          aggregate(zip_with(col("q"), col("qc"), (a, b) => a * b),
-            lit(0L), (a, v) => a + v).as("adot")))
+          dotLong(col("q"), col("qc")).as("adot")))
     val cells = graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
       Seq(assign("adot").desc, assign("cent_id")), 1)
       .select(col("vec_id"), col("q"), col("cent_id").as("cell"))
@@ -162,8 +164,7 @@ object Quantization {
     val cands = cells.join(probes, Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        aggregate(zip_with(col("qp"), col("q"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v).as("dot"))
+        dotLong(col("qp"), col("q")).as("dot"))
     val topk = graft.plans.TopK.perKey(cands, Seq(cands("probe_id")),
       Seq(cands("dot").desc, cands("neighbor_id")), k)
     val w = Window.partitionBy("probe_id").orderBy(col("dot").desc, col("neighbor_id"))
@@ -195,8 +196,7 @@ object Quantization {
                     tauNumSq: Long = 2025L, tauDenSq: Long = 10000L): DataFrame = {
     val cells = graft.core.Caches.scoped(
       int8Cells(emb, centPred, maxCents)
-        .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v)))
+        .withColumn("nrm", dotLong(col("q"), col("q"))))
     closeVerdicts(cells, tauNumSq, tauDenSq)
   }
 
@@ -210,8 +210,7 @@ object Quantization {
       col("q").as("lo_q"), col("nrm").as("lo_nrm"))
     val close = cells.join(lo, Seq("cell"))
       .filter(col("lo_id") < col("vec_id"))
-      .withColumn("dot", aggregate(zip_with(col("q"), col("lo_q"), (a, b) => a * b),
-        lit(0L), (a, v) => a + v))
+      .withColumn("dot", dotLong(col("q"), col("lo_q")))
       .filter(col("dot") > 0
         && col("dot") * col("dot") * tauDenSq >= lit(tauNumSq) * col("nrm") * col("lo_nrm"))
     val ncl = close.groupBy("vec_id").agg(count(lit(1)).as("n_close"))
@@ -244,8 +243,7 @@ object Quantization {
           VectorFunctions.lshBucketMasked(col("embedding"), nbits, maxBits, dim)
             .as("cell"),
           col("q"))
-        .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v)))
+        .withColumn("nrm", dotLong(col("q"), col("q"))))
     closeVerdicts(cells, tauNumSq, tauDenSq)
   }
 
@@ -274,8 +272,7 @@ object Quantization {
           VectorFunctions.lshBucketMasked(col("embedding"), nbits, maxBits, dim)
             .as("cell"),
           col("q"))
-        .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v)))
+        .withColumn("nrm", dotLong(col("q"), col("q"))))
     val sizes = cells.groupBy("cell")
       .agg(count(lit(1)).as("csz"), min(col("vec_id")).as("cmin"))
     val small = cells.join(sizes.filter(col("csz") <= cap).select("cell"), Seq("cell"))
@@ -317,8 +314,7 @@ object Quantization {
           VectorFunctions.lshBucketMasked(col("embedding"), nbits2, maxBits, dim)
             .as("subcell"),
           col("q"))
-        .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v)))
+        .withColumn("nrm", dotLong(col("q"), col("q"))))
     val sizes = cells.groupBy("cell").agg(count(lit(1)).as("csz"))
     val small = cells.join(sizes.filter(col("csz") <= cap).select("cell"), Seq("cell"))
       .select(col("vec_id"), col("cell"), col("q"), col("nrm"))
@@ -359,8 +355,7 @@ object Quantization {
         VectorFunctions.lshBucketMasked(col("embedding"), nbits, maxBits, dim)
           .as("cell"),
         col("q"), nbits.as("nbits"))
-      .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
-        lit(0L), (a, v) => a + v))
+      .withColumn("nrm", dotLong(col("q"), col("q")))
       .write.mode("overwrite").parquet(path)
     // after the data — parquet overwrite deletes the dir, manifest
     // included. max_bits/dim are the append-time contract: codes cut
@@ -398,8 +393,7 @@ object Quantization {
         VectorFunctions.lshBucketMasked(col("embedding"), col("__nbits"),
           maxBits, dim).as("cell"),
         col("q"), col("__nbits").as("nbits"))
-      .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
-        lit(0L), (a, v) => a + v))
+      .withColumn("nrm", dotLong(col("q"), col("q")))
       .write.mode("append")
       .parquet(graft.streaming.StoreFs.dataDir(emb.sparkSession, path))
   }
@@ -453,8 +447,7 @@ object Quantization {
           VectorFunctions.lshBucketMasked(col("embedding"), col("__nbits"),
             maxBits, dim).as("cell"),
           col("q"))
-        .withColumn("nrm", aggregate(zip_with(col("q"), col("q"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v)))
+        .withColumn("nrm", dotLong(col("q"), col("q"))))
     val lo = store
       .select(col("cell"), col("vec_id").as("lo_id"), col("q").as("lo_q"),
         col("nrm").as("lo_nrm"), lit(true).as("is_old"))
@@ -471,8 +464,7 @@ object Quantization {
     val close = newCells.join(lo, Seq("cell"))
       .filter((col("is_old") && col("lo_id") =!= col("vec_id"))
         || (!col("is_old") && col("lo_id") < col("vec_id")))
-      .withColumn("dot", aggregate(zip_with(col("q"), col("lo_q"), (a, b) => a * b),
-        lit(0L), (a, v) => a + v))
+      .withColumn("dot", dotLong(col("q"), col("lo_q")))
       .filter(col("dot") > 0
         && col("dot") * col("dot") * tauDenSq >= lit(tauNumSq) * col("nrm") * col("lo_nrm"))
     val ncl = close.groupBy("vec_id").agg(count(lit(1)).as("n_close"))
@@ -494,8 +486,7 @@ object Quantization {
     val cands = codes.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        aggregate(zip_with(col("q"), col("qp"), (a, b) => a * b),
-          lit(0L), (a, v) => a + v).as("dot"))
+        dotLong(col("q"), col("qp")).as("dot"))
     val topk = graft.plans.TopK.perKey(cands, Seq(cands("probe_id")),
       Seq(cands("dot").desc, cands("neighbor_id")), k)
     val w = Window.partitionBy("probe_id").orderBy(col("dot").desc, col("neighbor_id"))

@@ -390,31 +390,18 @@ object Similarity {
     * k>1 → the probe side of an nprobe search). Output: vec_id, vq, cell,
     * a_cos — one row per (vector, assigned cell). */
   def assignCells(e: DataFrame, cents: DataFrame, k: Int = 1): DataFrame = {
-    // Hoisted-norm scoring: the plain cosineSimHof form recomputed
-    // ‖vq‖² once per (row, centroid) — C× per vector — and ‖cv‖² once
-    // per corpus row; here ‖vq‖² is computed once per VECTOR before the
-    // ×C expansion and ‖cv‖² once per CENTROID on the broadcast side,
-    // cutting the interpreted HOF work per pair to the single cross dot
-    // (~3× less arithmetic, measured on the x54/x76/x88 panels). The
-    // final cosine is the identical expression on identical operands —
-    // d / (sqrt(na) · sqrt(nb)) with the same fold order — so a_cos and
-    // every assignment are bit-for-bit unchanged. (An argmax FOLD over a
-    // packed codebook row removes the TopKPerKey exchange entirely, but
-    // measured 1.5–2.7 s SLOWER here: HOF lambdas are CodegenFallback,
-    // and the fold's per-step struct copies cost more than the heap
-    // exchange saves at these geometries — revisit only with a native
-    // codegen argmax expression.)
-    def dot(u: Column, v: Column) =
-      aggregate(zip_with(u, v, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-    val eN = e.withColumn("__na", dot(col("vq"), col("vq")))
-    val cN = cents.select(col("cent_id"), col("cv"))
-      .withColumn("__nb", dot(col("cv"), col("cv")))
-    val scored = eN.crossJoin(broadcast(cN))
+    // Native codegen'd scoring: `cosineSim` is the same left-to-right
+    // IEEE fold as the HOF formulation (dot / (√Σa²·√Σb²) with the 0-norm
+    // → 0.0 guard; property-pinned bit-identical in VectorFunctionsSpec),
+    // so a_cos and every assignment are bit-for-bit unchanged — but the
+    // r17 hoisted-norm HOF form it replaces was CodegenFallback: every
+    // (row, centroid) pair left the WholeStageCodegen span, allocated a
+    // zipped intermediate array and ran closure frames, interpreted. The
+    // C× recomputation of ‖vq‖² that motivated the hoisting costs ~nothing
+    // inside the native expression's primitive loop.
+    val scored = e.crossJoin(broadcast(cents.select(col("cent_id"), col("cv"))))
       .select(col("vec_id"), col("vq"), col("cent_id"),
-        when(col("__na") === 0 || col("__nb") === 0, 0.0)
-          .otherwise(dot(col("vq"), col("cv"))
-            / (sqrt(col("__na")) * sqrt(col("__nb")))).as("a_cos"))
+        cosineSim(col("vq"), col("cv")).as("a_cos"))
     graft.plans.TopK.perKey(scored, Seq(scored("vec_id")),
         Seq(scored("a_cos").desc, scored("cent_id")), k)
       .select(col("vec_id"), col("vq"), col("cent_id").as("cell"), col("a_cos"))

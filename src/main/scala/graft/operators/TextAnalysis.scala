@@ -250,7 +250,15 @@ object TextAnalysis {
     * zip_with twice per row). Output: doc_id, vec (array<bigint>,
     * length d), norm_sq, nnz. */
   def hashedEmbedding(docs: DataFrame, dim: Int = EmbedDim): DataFrame = {
-    val base = docs.select(col("doc_id"), words(normText(col("text"))).as("ws"))
+    // NULL-text docs are dropped (ADVICE r17): `fs` is provably non-empty
+    // only for non-NULL text (words("") = [""]); split(NULL) is NULL and
+    // the explode_outer below would otherwise surface such a doc as an
+    // all-zero vector the oracle's unnest-based replay drops. A plain
+    // base-column isnotnull pushes into the scan (no expression
+    // re-derivation — unlike the inferred size(fs) > 0 filter this
+    // operator exists to avoid).
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), words(normText(col("text"))).as("ws"))
       .withColumn("fs", concat(col("ws"), shingles(col("ws"), 2)))
       .select(col("doc_id"), explode_outer(col("fs")).as("t"))
     val signed = base.select(col("doc_id"),
@@ -264,7 +272,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         array((0 until dim).map(j => col(s"__v$j")): _*).as("vec"))
       .withColumn("norm_sq",
-        aggregate(col("vec"), lit(0L), (a, x) => a + x * x))
+        graft.functions.VectorFunctions.dotLong(col("vec"), col("vec")))
       .withColumn("nnz",
         size(filter(col("vec"), x => x =!= 0L)))
   }
@@ -376,7 +384,14 @@ object TextAnalysis {
     * (~4.3M) — every surviving row a real candidate. The payload
     * attaches to the bounded candidate set afterwards by one id
     * equi-join per side (guide §8: decide with small rows, move the
-    * heavy bytes once). */
+    * heavy bytes once).
+    *
+    * SIGNATURE CONTRACT (ADVICE r17): `a_nbits` and `radiusCol` must be
+    * CORPUS-GLOBAL constants (both derive from the one corpus count
+    * here); the single limit(1) row below is how the static mask list is
+    * narrowed, so a genuinely per-row radius or bit count would silently
+    * under-/over-probe. The replaced pigeonhole-band form supported a
+    * per-row radius — a caller that needs one must band, not mask. */
   private def maskedCellPairs(a: DataFrame, b: DataFrame, maxBits: Int,
                               maxRadius: Int, radiusCol: Column): DataFrame = {
     // one representative row carries the corpus-global (nbits, radius);

@@ -446,11 +446,22 @@ class PlanShapeSpec extends AnyFunSuite with SparkTest {
     * attaches the payload to the bounded candidate set afterwards, so the
     * honest assertion is: no Generate (explode) node may carry a vector
     * column through its fan-out. */
-  private def assertNoPayloadFanout(p: String): Unit =
+  private def assertNoPayloadFanout(p: String): Unit = {
     p.linesIterator.filter(_.contains("Generate")).foreach { l =>
       assert(!l.contains("va#") && !l.contains("vb#") && !l.contains("vec#"),
         s"vector payload rides an explode fan-out:\n$l\n$p")
     }
+    // ADVICE r17: the mask fan-out in the proxy shape is a broadcast
+    // crossJoin, not a Generate — a regression that rides the vector
+    // payload through it would put a vector column and the mask/probed
+    // cell column (__m/__t) in the same operator's column list without
+    // any Generate line. Pin the crossJoin's projection to ids+cells.
+    p.linesIterator
+      .filter(l => l.contains("__m#") || l.contains("__t#")).foreach { l =>
+        assert(!l.contains("va#") && !l.contains("vb#") && !l.contains("vec#"),
+          s"vector payload rides the mask cross-join fan-out:\n$l\n$p")
+      }
+  }
 
   test("y07 multi-probe near-dup: proxy-masked candidates, no payload×masks fan-out") {
     val p = plan("y07_hash_neardup_mp")

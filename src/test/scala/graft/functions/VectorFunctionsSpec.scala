@@ -85,6 +85,67 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(r == 31L)
   }
 
+  test("native lsh bucket ≡ HOF formulation (fixed and masked bit counts)") {
+    // float vectors, every nbits in 0..maxBits, including the runtime form
+    val maxBits = 12
+    val base = vecsDf
+    for (nb <- Seq(0, 1, 4, 7, 12)) {
+      val both = base.select(
+        VectorFunctions.lshBucket(col("v"), maxBits, 16).as("nat_fixed"),
+        VectorFunctions.lshBucketHof(col("v"), maxBits, 16).as("hof_fixed"),
+        VectorFunctions.lshBucketMasked(col("v"), lit(nb), maxBits, 16).as("nat"),
+        VectorFunctions.lshBucketMaskedHof(col("v"), lit(nb), maxBits, 16).as("hof"))
+      assert(both.filter(col("nat") =!= col("hof")
+        || col("nat_fixed") =!= col("hof_fixed")).count() == 0, s"nbits=$nb")
+    }
+    // double-element vectors (the quantized paths)
+    val dbl = vecsDf.select(col("id"),
+      org.apache.spark.sql.functions.transform(col("v"),
+        x => x.cast("double")).as("v"))
+    val bothD = dbl.select(
+      VectorFunctions.lshBucketMasked(col("v"), lit(9), maxBits, 16).as("nat"),
+      VectorFunctions.lshBucketMaskedHof(col("v"), lit(9), maxBits, 16).as("hof"))
+    assert(bothD.filter(col("nat") =!= col("hof")).count() == 0)
+    // length-mismatch and null-element collapse to bucket 0, like the HOF
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+    val odd = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq[Any](1f, 2f)),
+        Row(Seq[Any](1f, null, 3f, 4f, 1f, 2f, 3f, 4f,
+          1f, 2f, 3f, 4f, 1f, 2f, 3f, 4f))),
+      StructType(Seq(StructField("v", ArrayType(FloatType, true)))))
+    val r = odd.select(
+      VectorFunctions.lshBucketMasked(col("v"), lit(9), maxBits, 16).as("nat"),
+      VectorFunctions.lshBucketMaskedHof(col("v"), lit(9), maxBits, 16).as("hof"))
+      .collect()
+    assert(r.forall(row => row.getInt(0) == 0 && row.getInt(0) == row.getInt(1)))
+  }
+
+  test("native hadamard rotate ≡ HOF formulation, exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val mv = (0 until 30).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextInt(4000001) - 2000000).toLong)))
+      .toDF("id", "vm")
+    val both = mv.select(
+      graft.operators.Pq.hadamardRotate(col("vm"), 16).as("nat"),
+      graft.operators.Pq.hadamardRotateHof(col("vm"), 16).as("hof"))
+    assert(both.filter(col("nat") =!= col("hof")).count() == 0)
+    // null element: every component nulls out in both forms (acc + null)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(Row(Seq[Any](1L, null, 3L, 4L, 5L, 6L, 7L, 8L,
+        9L, 10L, 11L, 12L, 13L, 14L, 15L, 16L))),
+      StructType(Seq(StructField("vm", ArrayType(LongType, true)))))
+    val r = withNull.select(
+      graft.operators.Pq.hadamardRotate(col("vm"), 16).as("nat"),
+      graft.operators.Pq.hadamardRotateHof(col("vm"), 16).as("hof")).first()
+    assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+    assert(r.getSeq[Any](0).forall(_ == null))
+  }
+
   test("lsh bucket ids are stable and within range") {
     val b = vecsDf.select(VectorFunctions.lshBucket(col("v"), nBits = 4, dim = 16).as("bucket"))
       .collect().map(_.getInt(0))
