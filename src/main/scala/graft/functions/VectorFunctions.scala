@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -190,6 +191,251 @@ object DotLong {
       i += 1
     }
     java.lang.Long.valueOf(dot)
+  }
+}
+
+/** Per-row argmax-cosine over a PACKED broadcast codebook — the
+  * zero-shuffle assignment fold the r17 round measured and backed out
+  * as an interpreted HOF ("revisit only with a native codegen argmax
+  * expression" — this is that expression; VERDICT r17 item 4).
+  *
+  * `cb` is `array<struct<cent_id: bigint, cv: array<float|double>>>`
+  * (one `collect_list` row, broadcast). Returns
+  * `struct<cell: bigint, a_cos: double>` — the argmax by
+  * (a_cos DESC, cent_id ASC), i.e. exactly the TopKPerKey(k=1) ordering
+  * it replaces, with the per-pair cosine computed by the identical
+  * left-to-right IEEE fold as [[CosineSimilarity]] (bit-identical
+  * a_cos). Null when the codebook array is empty (callers drop the row,
+  * mirroring the empty crossJoin). Scanning order of the packed list is
+  * irrelevant: the explicit tie-break makes the argmax order-independent,
+  * so collect_list nondeterminism cannot surface. */
+case class ArgmaxCosine(vec: Expression, cb: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = cb
+
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def cvType: DataType = cb.dataType match {
+    case ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
+      st.fields(1).dataType
+    case _ => DoubleType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vOk = vec.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val cbOk = cb.dataType match {
+      case ArrayType(st: org.apache.spark.sql.types.StructType, _)
+          if st.fields.length == 2 && st.fields(0).dataType == LongType =>
+        st.fields(1).dataType match {
+          case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+          case _ => false
+        }
+      case _ => false
+    }
+    if (vOk && cbOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, array<struct<bigint, " +
+        s"array<float|double>>>), got (${vec.dataType.simpleString}, " +
+        s"${cb.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArgmaxCosine.outType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_argmax_cosine"
+
+  override protected def nullSafeEval(v: Any, b: Any): Any =
+    ArgmaxCosine.eval(v.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(vec.dataType), isFloat(cvType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |InternalRow $r = graft.functions.ArgmaxCosine.eval(
+         |  $v, $b, ${isFloat(vec.dataType)}, ${isFloat(cvType)});
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgmaxCosine =
+    copy(vec = newLeft, cb = newRight)
+}
+
+object ArgmaxCosine {
+  val outType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("a_cos", DoubleType, nullable = false)))
+
+  /** The identical fold as [[CosineSimilarity.nullSafeEval]]. */
+  private def cosine(x: ArrayData, y: ArrayData, xf: Boolean,
+                     yf: Boolean): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def eval(v: ArrayData, cb: ArrayData, vf: Boolean,
+           cf: Boolean): InternalRow = {
+    val n = cb.numElements()
+    var found = false
+    var bestId = 0L
+    var bestCos = 0.0
+    var i = 0
+    while (i < n) {
+      if (!cb.isNullAt(i)) {
+        val row = cb.getStruct(i, 2)
+        val id = row.getLong(0)
+        val cos = cosine(v, row.getArray(1), vf, cf)
+        // (a_cos DESC, cent_id ASC) — Double.compare is Spark's double
+        // sort order (NaN greatest, -0.0 < 0.0)
+        val c = java.lang.Double.compare(cos, bestCos)
+        if (!found || c > 0 || (c == 0 && id < bestId)) {
+          found = true; bestId = id; bestCos = cos
+        }
+      }
+      i += 1
+    }
+    if (!found) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, bestCos))
+  }
+}
+
+/** Per-row arg-BEST integer-metric fold over a packed broadcast codebook
+  * of long arrays — the [[ArgmaxCosine]] pattern for the integer paths:
+  *
+  *  - `max = true`: argmax dot (int8 cell assignment;
+  *    ordering (adot DESC NULLS LAST, cent_id ASC) — exactly the
+  *    TopKPerKey(k=1) order on a DESC column it replaces);
+  *  - `max = false`: argmin exact squared L2 (PQ/IVFADC subspace
+  *    assignment; ordering (d2 ASC NULLS FIRST, cent_id ASC) — exactly
+  *    the TopKPerKey(k=1) order on an ASC column).
+  *
+  * The metric value matches the expression it replaces EXACTLY: the dot
+  * is [[DotLong]]'s wrapped-BIGINT fold (null on length mismatch / null
+  * element), and the L2² equals `dotLong(a,a)+dotLong(b,b)−2·dotLong(a,b)`
+  * by ring algebra (BIGINT mod 2⁶⁴), with the same null collapse.
+  * Returns `struct<cell: bigint, m: bigint>` (m nullable — the metric of
+  * an all-null winner); null only for an empty codebook. */
+case class ArgBestLong(vec: Expression, cb: Expression, max: Boolean)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = cb
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vOk = vec.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    val cbOk = cb.dataType match {
+      case ArrayType(st: org.apache.spark.sql.types.StructType, _)
+          if st.fields.length == 2 && st.fields(0).dataType == LongType =>
+        st.fields(1).dataType match {
+          case ArrayType(LongType, _) => true
+          case _ => false
+        }
+      case _ => false
+    }
+    if (vOk && cbOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<struct<bigint, " +
+        s"array<bigint>>>), got (${vec.dataType.simpleString}, " +
+        s"${cb.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArgBestLong.outType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (max) "graft_argmax_dot_long" else "graft_argmin_l2_long"
+
+  override protected def nullSafeEval(v: Any, b: Any): Any =
+    ArgBestLong.eval(v.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], max)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, b) => {
+      val r = ctx.freshName("r")
+      s"""
+         |InternalRow $r = graft.functions.ArgBestLong.eval($v, $b, $max);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArgBestLong =
+    copy(vec = newLeft, cb = newRight)
+}
+
+object ArgBestLong {
+  val outType: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cell", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("m", LongType, nullable = true)))
+
+  /** Exact Σ(a−b)² with [[DotLong]]'s null/length collapse (boxed null). */
+  private def l2(x: ArrayData, y: ArrayData): java.lang.Long = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** Static helper shared by interpreted eval and generated code.
+    * Null-metric candidates sort exactly as TopKPerKey would: DESC →
+    * nulls LAST (they lose to any value), ASC → nulls FIRST (they win);
+    * ties always break to the smaller cent_id. */
+  def eval(v: ArrayData, cb: ArrayData, max: Boolean): InternalRow = {
+    val n = cb.numElements()
+    var found = false
+    var bestId = 0L
+    var bestM: java.lang.Long = null
+    var i = 0
+    while (i < n) {
+      if (!cb.isNullAt(i)) {
+        val row = cb.getStruct(i, 2)
+        val id = row.getLong(0)
+        val m: java.lang.Long =
+          if (max) DotLong.evalArrays(v, row.getArray(1))
+          else l2(v, row.getArray(1))
+        val better =
+          if (!found) true
+          else if (m == null && bestM == null) id < bestId
+          else if (m == null) !max // null wins only under ASC nulls-first
+          else if (bestM == null) max
+          else {
+            val c = java.lang.Long.compare(m.longValue(), bestM.longValue())
+            if (max) c > 0 || (c == 0 && id < bestId)
+            else c < 0 || (c == 0 && id < bestId)
+          }
+        if (better) { found = true; bestId = id; bestM = m }
+      }
+      i += 1
+    }
+    if (!found) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestId, if (bestM == null) null else bestM.longValue()))
   }
 }
 
@@ -408,6 +654,21 @@ object VectorFunctions {
   def dotLong(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Per-row argmax cosine over a packed codebook ([[ArgmaxCosine]]). */
+  def argmaxCosine(v: Column, cb: Column): Column =
+    ColumnBridge.column(
+      ArgmaxCosine(ColumnBridge.expression(v), ColumnBridge.expression(cb)))
+
+  /** Per-row argmax integer dot over a packed codebook ([[ArgBestLong]]). */
+  def argmaxDotLong(q: Column, cb: Column): Column =
+    ColumnBridge.column(ArgBestLong(
+      ColumnBridge.expression(q), ColumnBridge.expression(cb), max = true))
+
+  /** Per-row argmin exact L2² over a packed codebook ([[ArgBestLong]]). */
+  def argminL2Long(svm: Column, cb: Column): Column =
+    ColumnBridge.column(ArgBestLong(
+      ColumnBridge.expression(svm), ColumnBridge.expression(cb), max = false))
 
   /** Reference formulation of [[dotLong]] via built-in HOFs (the
     * CodegenFallback path; kept for the property cross-check). */

@@ -193,18 +193,20 @@ object Similarity {
     * rk. */
   def ivfTopK(emb: DataFrame, centPred: Column, probePred: Column,
               k: Int): DataFrame = {
-    val cents = emb.filter(centPred)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-    val assign = emb.select("vec_id", "embedding")
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        cosineSim(col("embedding"), col("cvec")).as("a_cos"))
+    // zero-shuffle argmax fold over the packed broadcast codebook (the
+    // assignCells k=1 shape; bit-identical ordering and cosine)
+    val cb = graft.core.Caches.scoped(
+      emb.filter(centPred)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        .agg(collect_list(struct(col("cent_id"), col("cvec"))).as("__cb")))
     // cell table feeds both the probe set and the search side → scoped
     // cache (released by the harness after the query materializes)
     val cells = graft.core.Caches.scoped(
-      graft.plans.TopK.perKey(assign, Seq(assign("vec_id")),
-          Seq(assign("a_cos").desc, assign("cent_id")), k = 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell")))
+      emb.select("vec_id", "embedding")
+        .crossJoin(broadcast(cb.filter(size(col("__cb")) > 0)))
+        .select(col("vec_id"), col("embedding"),
+          argmaxCosine(col("embedding"), col("__cb"))
+            .getField("cell").as("cell")))
     searchByCell(cells, "cell", probePred, k)
   }
 
@@ -389,23 +391,36 @@ object Similarity {
     * a broadcast codebook, via TopKPerKey (k=1 → the standard assignment;
     * k>1 → the probe side of an nprobe search). Output: vec_id, vq, cell,
     * a_cos — one row per (vector, assigned cell). */
-  def assignCells(e: DataFrame, cents: DataFrame, k: Int = 1): DataFrame = {
-    // Native codegen'd scoring: `cosineSim` is the same left-to-right
-    // IEEE fold as the HOF formulation (dot / (√Σa²·√Σb²) with the 0-norm
-    // → 0.0 guard; property-pinned bit-identical in VectorFunctionsSpec),
-    // so a_cos and every assignment are bit-for-bit unchanged — but the
-    // r17 hoisted-norm HOF form it replaces was CodegenFallback: every
-    // (row, centroid) pair left the WholeStageCodegen span, allocated a
-    // zipped intermediate array and ran closure frames, interpreted. The
-    // C× recomputation of ‖vq‖² that motivated the hoisting costs ~nothing
-    // inside the native expression's primitive loop.
-    val scored = e.crossJoin(broadcast(cents.select(col("cent_id"), col("cv"))))
-      .select(col("vec_id"), col("vq"), col("cent_id"),
-        cosineSim(col("vq"), col("cv")).as("a_cos"))
-    graft.plans.TopK.perKey(scored, Seq(scored("vec_id")),
-        Seq(scored("a_cos").desc, scored("cent_id")), k)
-      .select(col("vec_id"), col("vq"), col("cent_id").as("cell"), col("a_cos"))
-  }
+  def assignCells(e: DataFrame, cents: DataFrame, k: Int = 1): DataFrame =
+    if (k == 1) {
+      // ZERO-SHUFFLE argmax fold (the r17 "revisit with a native codegen
+      // argmax" note, done): the codebook is packed into ONE broadcast
+      // row and each vector computes its argmax-cosine cell in a single
+      // codegen'd expression — no ×C row expansion, no TopKPerKey heap
+      // exchange. `ArgmaxCosine` reproduces the TopKPerKey(k=1) ordering
+      // (a_cos DESC, cent_id ASC) with the bit-identical CosineSimilarity
+      // fold per pair, so every assignment and a_cos is unchanged
+      // (oracle-hash-confirmed family-wide). The empty-codebook guard
+      // sits on the 1-row broadcast side (size > 0), mirroring the empty
+      // crossJoin — never a per-corpus-row filter.
+      val cb = graft.core.Caches.scoped(
+        cents.agg(collect_list(struct(col("cent_id"), col("cv"))).as("__cb")))
+      e.crossJoin(broadcast(cb.filter(size(col("__cb")) > 0)))
+        .select(col("vec_id"), col("vq"),
+          argmaxCosine(col("vq"), col("__cb")).as("__am"))
+        .select(col("vec_id"), col("vq"),
+          col("__am").getField("cell").as("cell"),
+          col("__am").getField("a_cos").as("a_cos"))
+    } else {
+      // k > 1 (the nprobe probe side): the ×C scored expansion through
+      // the two-phase TopKPerKey heap remains the right shape.
+      val scored = e.crossJoin(broadcast(cents.select(col("cent_id"), col("cv"))))
+        .select(col("vec_id"), col("vq"), col("cent_id"),
+          cosineSim(col("vq"), col("cv")).as("a_cos"))
+      graft.plans.TopK.perKey(scored, Seq(scored("vec_id")),
+          Seq(scored("a_cos").desc, scored("cent_id")), k)
+        .select(col("vec_id"), col("vq"), col("cent_id").as("cell"), col("a_cos"))
+    }
 
   /** 6-decimal quantization of a float/double array (see kmeansCodebook). */
   def quantize(v: Column): Column =
